@@ -1,38 +1,55 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship BFS crawl on sf0.001
+queries()     -> one callable per implemented operator (SURVEY.md §2)
+oracle_sql()  -> matching DuckDB SQL per query (the correctness gate)
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crawlspark import graph
+from crawlspark.frontier import CrawlConfig, crawl_bfs
+
+FLAGSHIP_DEPTH = 6
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: level-synchronous BFS crawl with robots gate, URL-seen
+    anti-join dedup, and exact first-discovery crawl ordering."""
+    return crawl_bfs(spark, "/root/testdata/sf0.001", CrawlConfig(max_depth=FLAGSHIP_DEPTH))
+
+
+def _q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return crawl_bfs(spark, sf_dir, CrawlConfig(max_depth=FLAGSHIP_DEPTH))
+
+
+def _q_crawl_bfs_max_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # maxOutputs budget honored mid-crawl (reference HttpCrawl.php:171-175)
+    return crawl_bfs(
+        spark, sf_dir, CrawlConfig(max_depth=FLAGSHIP_DEPTH, max_outputs=100)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "crawl_bfs": _q_crawl_bfs,
+        "crawl_bfs_max_outputs": _q_crawl_bfs_max_outputs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bfs = graph.bfs_oracle_sql(FLAGSHIP_DEPTH)
+    return {
+        "crawl_bfs": bfs,
+        "crawl_bfs_max_outputs": (
+            "WITH full_bfs AS (\n" + bfs + "\n) SELECT * FROM full_bfs WHERE ord <= 100"
+        ),
+    }

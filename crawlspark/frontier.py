@@ -1,0 +1,106 @@
+"""Level-synchronous BFS crawl driver loop — the engine's spine.
+
+Reproduces the reference crawler's semantics (reference:
+src/Steps/Loading/HttpCrawl.php:145-236) on Spark:
+
+- level-synchronous BFS: depth-d pages fetched only after depth-(d-1)
+  (single thread makes this implicit in the reference; here it is a per-level
+  barrier, one Spark job per level),
+- first-discovery ordering within a level: the reference accumulates next
+  level links with ``array_merge`` on string keys, keeping the FIRST position
+  (HttpCrawl.php:221,294-331); we compute it as
+  ``min(parent_ord * ORD_STRIDE + link_pos)`` per URL then a global rank,
+- URL-seen set: every crawled doc enters ``seen``; candidates are removed by
+  LEFT ANTI join (HttpCrawl.php:282,325 — exact-match semantics),
+- robots gate: blocked pages never fetched (RobotsTxtHandler.php:43-97),
+- depth limit: loop runs while depth <= max_depth (HttpCrawl.php:409-412),
+- maxOutputs budget honored mid-crawl (HttpCrawl.php:171-175,226-231).
+
+Scale notes (10^10 frontier): each level is one shuffle on ``doc`` for the
+expand+dedup (map-side combine via groupBy-min), one anti-join against seen
+(bloom prefilter in :mod:`crawlspark.seen` cuts the shuffled volume), and a
+distributed two-phase rank (:mod:`crawlspark.ranks`).  Per-level
+``localCheckpoint`` truncates lineage so plan size stays O(1) in depth.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import graph
+from .ranks import global_rank
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = 6
+    seed_doc: int = 0
+    max_outputs: int | None = None
+    # partitions for the big per-level shuffles; None -> session default
+    partitions: int | None = None
+
+
+def crawl_bfs(spark: SparkSession, sf_dir: str, cfg: CrawlConfig | None = None) -> DataFrame:
+    """Run the BFS crawl over the synthetic graph; returns
+    (url string, host string, depth long, ord long), ord = global crawl order.
+    """
+    cfg = cfg or CrawlConfig()
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    edges = graph.edges(spark, sf_dir, n)
+    edges = edges.persist()
+
+    frontier = spark.createDataFrame(
+        [(cfg.seed_doc, 1)], "doc LONG, ord LONG"
+    ).localCheckpoint(eager=True)
+    seen = frontier.select("doc").localCheckpoint(eager=True)
+    levels: list[DataFrame] = [frontier.withColumn("depth", F.lit(0).cast("long"))]
+    base = 1  # rows crawled so far == max ord
+    budget_hit = cfg.max_outputs is not None and base >= cfg.max_outputs
+
+    depth = 0
+    while not budget_hit and depth < cfg.max_depth:
+        depth += 1
+        # expand: (doc, rk) with rk = first-discovery key; groupBy-min gets a
+        # map-side partial aggregate before the shuffle on doc
+        cand = (
+            frontier.join(edges, frontier["doc"] == edges["src"])
+            .select(
+                edges["dst"].alias("doc"),
+                (frontier["ord"] * graph.ORD_STRIDE + edges["pos"]).alias("rk"),
+            )
+            .groupBy("doc")
+            .agg(F.min("rk").alias("rk"))
+            .join(seen, "doc", "left_anti")
+            .filter(~graph.blocked_col(F.col("doc")))
+        )
+        cnt = cand.count()
+        if cnt == 0:
+            break
+        level = global_rank(cand, "rk", out="r", num_rows=cnt).select(
+            "doc", (F.lit(base) + F.col("r")).alias("ord")
+        )
+        if cfg.max_outputs is not None and base + cnt >= cfg.max_outputs:
+            level = level.filter(F.col("ord") <= cfg.max_outputs)
+            cnt = cfg.max_outputs - base
+            budget_hit = True
+        frontier = level.localCheckpoint(eager=True)
+        seen = seen.union(frontier.select("doc")).localCheckpoint(eager=True)
+        levels.append(frontier.withColumn("depth", F.lit(depth).cast("long")))
+        base += cnt
+
+    edges.unpersist()
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    doc = F.col("doc")
+    return out.select(
+        graph.url_col(doc).alias("url"),
+        F.concat(
+            F.lit("h"), graph.host_id_col(doc).cast("string"), F.lit("." + graph.DOMAIN)
+        ).alias("host"),
+        F.col("depth"),
+        F.col("ord"),
+    )
