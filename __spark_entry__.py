@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from crawlspark import graph
+from crawlspark import graph, suite
 from crawlspark.frontier import CrawlConfig, crawl_bfs
 
 FLAGSHIP_DEPTH = 6
@@ -39,17 +39,21 @@ def _q_crawl_bfs_max_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    out = {
         "crawl_bfs": _q_crawl_bfs,
         "crawl_bfs_max_outputs": _q_crawl_bfs_max_outputs,
     }
+    out.update(suite.queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
     bfs = graph.bfs_oracle_sql(FLAGSHIP_DEPTH)
-    return {
+    out = {
         "crawl_bfs": bfs,
         "crawl_bfs_max_outputs": (
             "WITH full_bfs AS (\n" + bfs + "\n) SELECT * FROM full_bfs WHERE ord <= 100"
         ),
     }
+    out.update(suite.oracle_sql())
+    return out

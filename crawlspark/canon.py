@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 DEFAULT_PORTS = {"http": "80", "https": "443"}
 
@@ -110,13 +111,13 @@ def _canon_py(u: str, keep_fragment: bool) -> str:
     return urlunsplit((scheme, netloc, path, query, frag))
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
     """Arrow-batched canonicalization (urllib); fragment always dropped."""
     return urls.map(lambda u: _canon_py(u, keep_fragment=False))
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def canonicalize_keep_fragment_udf(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: _canon_py(u, keep_fragment=True))
 

@@ -1,0 +1,208 @@
+"""Vectorized extraction from fetched page bodies.
+
+No HTML parser library ships in this container, so the HTML path is a
+compiled-regex extractor inside Arrow pandas_udfs (batched, no per-row
+Python-object churn beyond the regex scan itself).  Semantics mirror the
+reference's GetLink/GetLinks + Document handling:
+
+- anchors in document order with their position (reference extracts links in
+  document order, src/Steps/Loading/HttpCrawl.php:294-331),
+- link text normalized: tags stripped, whitespace collapsed, trimmed
+  (reference: src/Steps/Dom/Node.php:108-120),
+- ``<base href>`` honored for relative resolution (reference:
+  src/Steps/Html/GetLink.php:43-288),
+- non-http(s) schemes (mailto:, tel:, javascript:, data:) dropped
+  (GetLink.php link filtering),
+- sitemap ``<urlset><url><loc>`` extraction tolerates attribute-heavy
+  ``<urlset>`` tags (reference: src/Steps/Sitemap/GetUrlsFromSitemap.php:47-90,
+  attribute-stripping at 66-71).
+
+XML-only inputs can also use Spark's native ``F.xpath`` (JVM-side); the
+sitemap helper below offers both.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin, urlsplit
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+LINK_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("href", StringType()),
+            StructField("text", StringType()),
+            StructField("pos", IntegerType()),
+        ]
+    )
+)
+
+_A_RE = re.compile(
+    r"<a\s[^>]*?href\s*=\s*([\"'])(.*?)\1[^>]*>(.*?)</a>",
+    re.IGNORECASE | re.DOTALL,
+)
+_BASE_RE = re.compile(r"<base\s[^>]*?href\s*=\s*([\"'])(.*?)\1", re.IGNORECASE)
+_CANONICAL_RE = re.compile(
+    r"<link\s[^>]*?rel\s*=\s*([\"'])canonical\1[^>]*?href\s*=\s*([\"'])(.*?)\2"
+    r"|<link\s[^>]*?href\s*=\s*([\"'])(.*?)\4[^>]*?rel\s*=\s*([\"'])canonical\6",
+    re.IGNORECASE,
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+_LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.IGNORECASE | re.DOTALL)
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
+_META_RE = re.compile(
+    r"<meta\s[^>]*?(?:name|property)\s*=\s*([\"'])(.*?)\1[^>]*?"
+    r"content\s*=\s*([\"'])(.*?)\3",
+    re.IGNORECASE | re.DOTALL,
+)
+
+BAD_SCHEMES = ("mailto:", "tel:", "javascript:", "data:", "ftp:")
+
+
+def normalize_text(s: str) -> str:
+    """Reference text normalization: strip tags, collapse whitespace, trim."""
+    return _WS_RE.sub(" ", _TAG_RE.sub("", s or "")).strip()
+
+
+def _extract_links_one(body: str) -> list[dict]:
+    if not body:
+        return []
+    out = []
+    for i, m in enumerate(_A_RE.finditer(body)):
+        out.append({"href": m.group(2), "text": normalize_text(m.group(3)), "pos": i})
+    return out
+
+
+@pandas_udf(LINK_SCHEMA)
+def extract_links_udf(bodies: pd.Series) -> pd.Series:
+    return bodies.map(_extract_links_one)
+
+
+@pandas_udf(StringType())
+def extract_base_href_udf(bodies: pd.Series) -> pd.Series:
+    def one(b):
+        if not b:
+            return None
+        m = _BASE_RE.search(b)
+        return m.group(2) if m else None
+
+    return bodies.map(one)
+
+
+@pandas_udf(StringType())
+def extract_canonical_udf(bodies: pd.Series) -> pd.Series:
+    def one(b):
+        if not b:
+            return None
+        m = _CANONICAL_RE.search(b)
+        if not m:
+            return None
+        return m.group(3) if m.group(3) is not None else m.group(5)
+
+    return bodies.map(one)
+
+
+@pandas_udf(StringType())
+def extract_title_udf(bodies: pd.Series) -> pd.Series:
+    def one(b):
+        if not b:
+            return None
+        m = _TITLE_RE.search(b)
+        return normalize_text(m.group(1)) if m else None
+
+    return bodies.map(one)
+
+
+@pandas_udf(MapType(StringType(), StringType()))
+def extract_meta_udf(bodies: pd.Series) -> pd.Series:
+    def one(b):
+        if not b:
+            return {}
+        return {m.group(2): m.group(4) for m in _META_RE.finditer(b)}
+
+    return bodies.map(one)
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_sitemap_locs_udf(bodies: pd.Series) -> pd.Series:
+    return bodies.map(lambda b: _LOC_RE.findall(b) if b else [])
+
+
+def sitemap_locs_xpath(body: Column) -> Column:
+    """Native JVM alternative: strip <urlset ...> attributes first (the
+    reference does the same to survive attribute-heavy urlset tags), then
+    xpath out the <loc> values."""
+    cleaned = F.regexp_replace(body, r"<urlset[^>]*>", "<urlset>")
+    cleaned = F.regexp_replace(cleaned, r"<\?xml[^>]*\?>|<\?xml-stylesheet[^>]*\?>", "")
+    return F.xpath(cleaned, F.lit("urlset/url/loc/text()"))
+
+
+def resolve_url(base_url: str, base_href: str | None, href: str) -> str | None:
+    """Resolve an extracted href against the page URL (honoring <base href>),
+    returning None for non-http(s) or unresolvable links."""
+    if href is None:
+        return None
+    h = href.strip()
+    if not h or h.lower().startswith(BAD_SCHEMES):
+        return None
+    base = base_url
+    if base_href:
+        base = urljoin(base_url, base_href)
+    try:
+        absu = urljoin(base, h)
+        parts = urlsplit(absu)
+    except ValueError:
+        return None
+    if parts.scheme not in ("http", "https") or not parts.netloc:
+        return None
+    return absu
+
+
+RESOLVED_LINK_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("url", StringType()),
+            StructField("text", StringType()),
+            StructField("pos", IntegerType()),
+        ]
+    )
+)
+
+
+def make_resolve_links_udf(keep_fragment: bool):
+    """Arrow pandas_udf resolving raw (href,text,pos) arrays against their
+    page URL + base href; drops bad schemes; strips fragments unless kept
+    (reference default drops fragments, HttpCrawl.php:466-473)."""
+
+    @pandas_udf(RESOLVED_LINK_SCHEMA)
+    def resolve_links(
+        urls: pd.Series, base_hrefs: pd.Series, links: pd.Series
+    ) -> pd.Series:
+        out_rows = []
+        for url, bhref, lnks in zip(urls, base_hrefs, links):
+            res = []
+            if lnks is not None:
+                for l in lnks:
+                    r = resolve_url(url, bhref, l["href"])
+                    if r is None:
+                        continue
+                    if not keep_fragment:
+                        r = r.split("#", 1)[0]
+                    res.append({"url": r, "text": l["text"], "pos": int(l["pos"])})
+            out_rows.append(res)
+        return pd.Series(out_rows)
+
+    return resolve_links

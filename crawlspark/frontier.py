@@ -49,7 +49,17 @@ def crawl_bfs(spark: SparkSession, sf_dir: str, cfg: CrawlConfig | None = None) 
     """
     cfg = cfg or CrawlConfig()
     n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    edges = graph.edges(spark, sf_dir, n)
+    return _crawl(spark, graph.edges(spark, sf_dir, n), cfg)
+
+
+def crawl_bfs_virtual(spark: SparkSession, n: int, cfg: CrawlConfig | None = None) -> DataFrame:
+    """Same BFS over an n-doc virtual id space (scale benchmarking: the graph
+    is generated, not read — isolates frontier-machinery throughput)."""
+    cfg = cfg or CrawlConfig()
+    return _crawl(spark, graph.edges_from(graph.virtual_docs(spark, n), n), cfg)
+
+
+def _crawl(spark: SparkSession, edges: DataFrame, cfg: CrawlConfig) -> DataFrame:
     edges = edges.persist()
 
     frontier = spark.createDataFrame(

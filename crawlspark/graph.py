@@ -84,11 +84,9 @@ def pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def edges(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
-    """Out-links (src, pos, dst) in document order. ``n`` = count(documents)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").alias("src")
-    )
+def edges_from(docs: DataFrame, n: int) -> DataFrame:
+    """Out-links (src, pos, dst) for a doc-id DataFrame with column ``src``."""
+    spark = docs.sparkSession
     pos = spark.range(OUT_DEGREE).select(F.col("id").cast("int").alias("pos"))
     src = F.col("src")
     dst = (
@@ -99,6 +97,21 @@ def edges(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     )
     # positions table is tiny -> broadcast; the join is a narrow fan-out, no shuffle
     return docs.crossJoin(F.broadcast(pos)).select(src, F.col("pos"), dst.alias("dst"))
+
+
+def edges(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Out-links over the documents table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").alias("src")
+    )
+    return edges_from(docs, n)
+
+
+def virtual_docs(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """A deterministic n-doc id space for scale benchmarks (no parquet read;
+    same graph formulas apply)."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+    return spark.range(0, n, 1, parts).select(F.col("id").alias("src"))
 
 
 # --------------------------------------------------------------------------

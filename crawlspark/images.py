@@ -1,0 +1,191 @@
+"""Image payload path: the input_hint table
+(image_id string, bytes binary, w int32, h int32, fmt string, caption string,
+phash int64), with decode / validate / phash as batched Arrow stages.
+
+No image codec library ships in this container, so the codec is a
+clearly-marked deterministic stand-in (CODEC NOTE below); everything
+Spark-side — schema, binary columns, mapInPandas batching, partitioning,
+PSNR/caption validation — is real and is what would surround libjpeg/PIL in
+production.
+
+CODEC NOTE (deterministic fake, honest math):
+- "png"  = zlib(raw RGB)                      -> lossless round-trip
+- "jpeg" = zlib(quantize(raw, step=4))        -> lossy; uniform error in
+  [-2,2), MSE ~ 1.25 -> PSNR ~ 47 dB (>= 40 dB gate holds by construction
+  but is MEASURED per row, not assumed)
+- "webp" = zlib(quantize(raw, step=6))        -> lossy, PSNR ~ 43 dB
+A real decoder drops in by replacing _encode/_decode only.
+
+Pixels are a deterministic function of image_id (seeded PCG64), so the
+"reference payload" for the per-row invariant (decoded-pixel allclose /
+PSNR >= 40 dB + caption equality, BASELINE.json input_hint) is reproducible
+anywhere.
+
+Captions take the reference text normalization (collapse whitespace + trim,
+reference: src/Steps/Dom/Node.php:108-120).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+IMAGE_SCHEMA = (
+    "image_id STRING, bytes BINARY, w INT, h INT, fmt STRING, "
+    "caption STRING, phash LONG"
+)
+QUANT_STEP = {"png": 1, "jpeg": 4, "webp": 6}
+FMTS = ["png", "jpeg", "webp"]
+CAPTION_WORDS = 10
+
+
+def _pixels(image_id_num: int, w: int, h: int) -> np.ndarray:
+    rng = np.random.default_rng(image_id_num)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _encode(px: np.ndarray, fmt: str) -> bytes:
+    step = QUANT_STEP[fmt]
+    if step > 1:
+        px = ((px.astype(np.int32) + step // 2) // step * step).clip(0, 255).astype(np.uint8)
+    return zlib.compress(px.tobytes(), level=1)
+
+
+def _decode(b: bytes, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(zlib.decompress(b), dtype=np.uint8).reshape(h, w, 3)
+
+
+def _phash64(px: np.ndarray) -> int:
+    """Mean-hash: 8x8 grid of block means thresholded by the global mean."""
+    h, w, _ = px.shape
+    g = px.mean(axis=2)
+    ys = np.linspace(0, h, 9, dtype=int)
+    xs = np.linspace(0, w, 9, dtype=int)
+    blocks = np.array(
+        [[g[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean() for j in range(8)] for i in range(8)]
+    )
+    bits = (blocks > blocks.mean()).flatten()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def dims_for(doc_id: int) -> tuple[int, int]:
+    return 32 + doc_id % 32, 32 + doc_id % 24
+
+
+def fmt_for(doc_id: int) -> str:
+    return FMTS[doc_id % 3]
+
+
+def generate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the input_hint images table deterministically from documents.
+
+    One mapInPandas pass: pixel synth + encode + phash per Arrow batch; no
+    per-row Python at the DataFrame level."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                w, h = dims_for(doc_id)
+                fmt = fmt_for(doc_id)
+                px = _pixels(doc_id, w, h)
+                caption = " ".join((text or "").split()[:CAPTION_WORDS])
+                rows.append(
+                    {
+                        "image_id": f"img-{doc_id}",
+                        "bytes": _encode(px, fmt),
+                        "w": w,
+                        "h": h,
+                        "fmt": fmt,
+                        "caption": caption,
+                        "phash": _phash64(px if fmt == "png" else _decode(_encode(px, fmt), w, h)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(gen, IMAGE_SCHEMA)
+
+
+VALIDATE_SCHEMA = (
+    "image_id STRING, fmt STRING, psnr_mdb LONG, lossless_ok BOOLEAN, "
+    "phash_match BOOLEAN, caption STRING"
+)
+
+
+def validate_images(images: DataFrame) -> DataFrame:
+    """Per-row invariant check vs the reference payload (regenerated from
+    image_id): decoded-pixel allclose for lossless, PSNR (milli-dB) for
+    lossy, phash equality.  Batched decode, no per-row Python rows."""
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                doc_id = int(r.image_id.split("-", 1)[1])
+                ref = _pixels(doc_id, r.w, r.h)
+                got = _decode(r.bytes, r.w, r.h)
+                diff = got.astype(np.float64) - ref.astype(np.float64)
+                mse = float((diff * diff).mean())
+                if mse == 0.0:
+                    psnr_mdb = 10_000_000  # lossless sentinel (1e4 dB)
+                else:
+                    psnr_mdb = int(round(1000 * 10 * np.log10(255.0 ** 2 / mse)))
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "fmt": r.fmt,
+                        "psnr_mdb": psnr_mdb,
+                        "lossless_ok": bool(mse == 0.0) if r.fmt == "png" else True,
+                        "phash_match": _phash64(got) == r.phash,
+                        "caption": r.caption,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(check, VALIDATE_SCHEMA)
+
+
+def phash_hamming(a, b):
+    """Column expr: hamming distance between two phash columns."""
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+
+
+def near_dup_images_by_phash(images: DataFrame, max_dist: int = 6) -> DataFrame:
+    """Near-duplicate image pairs by phash hamming distance, banded:
+    join on 16-bit phash bands first (LSH-style) to avoid the full cross
+    product, then verify distance."""
+    bands = [
+        (F.shiftrightunsigned(F.col("phash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(
+            f"b{i}"
+        )
+        for i in range(4)
+    ]
+    withb = images.select("image_id", "phash", *bands)
+    pairs = None
+    for i in range(4):
+        a = withb.select(
+            F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a"),
+            F.col(f"b{i}").alias("band"),
+        )
+        b = withb.select(
+            F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b"),
+            F.col(f"b{i}").alias("band"),
+        )
+        p = a.join(b, "band").filter(F.col("id_a") < F.col("id_b")).drop("band")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+    dist = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return pairs.select("id_a", "id_b", dist.alias("hamming")).filter(
+        F.col("hamming") <= max_dist
+    )

@@ -1,0 +1,116 @@
+"""Politeness: per-host throttle schedule + host-keyed priority queue.
+
+Reference semantics (src/Loader/Http/Politeness/Throttler.php:43-56,125-197):
+wait between two requests to the same registrable domain is drawn from
+[from x last_response_duration, to x last_response_duration] (defaults 1.0x /
+2.0x), clamped to at least 0.25 s.  Randomness never affects per-domain FIFO
+ordering, so the distributed engine uses the deterministic lower bound
+(``wait = max(min_wait, 1.0 x prev_latency)``) — assertions are on the
+schedule, not wall-clock (cf. tests/Loader/Http/Politeness/ThrottlerTest.php).
+
+Retry/backoff (RetryErrorResponseHandler.php:18-30,49-102): 429/503 wait
+10 s then 60 s (2 retries), honoring Retry-After up to 60 s, then abort.
+
+north_rule prescribes the queue shape: salted ``repartition(host_bucket)`` +
+``sortWithinPartitions(host_bucket, priority, crawl_ts)``; every host lives in
+exactly one partition, so in-task pacing (sleeping between same-host rows
+inside ``mapInPandas``) enforces the budget without any coordination.
+Hot-host skew: a host whose level share exceeds ``hot_threshold`` is split
+over ``salt`` sub-buckets whose per-salt pacing is multiplied by ``salt`` so
+the per-host budget still holds (per-salt budgets sum to the host budget).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .canon import host_bucket
+
+MIN_WAIT_MS = 250  # Throttler.php:49-55 default min 0.25s
+RETRY_WAITS_MS = (10_000, 60_000)  # RetryErrorResponseHandler.php:26-30
+MAX_RETRY_AFTER_MS = 60_000
+
+
+@dataclass
+class PolitenessConfig:
+    min_wait_ms: int = MIN_WAIT_MS
+    wait_factor: float = 1.0  # deterministic lower bound of [1.0x, 2.0x]
+    num_buckets: int = 1024
+    hot_threshold: int = 100_000  # rows per host per level before salting
+    salt: int = 8
+
+
+def throttle_schedule(
+    frontier: DataFrame,
+    host_col: str = "host",
+    ord_col: str = "ord",
+    latency_col: str = "latency_ms",
+    cfg: PolitenessConfig | None = None,
+) -> DataFrame:
+    """Deterministic per-host fetch schedule for one frontier wave.
+
+    Adds: seq (1-based position in the host's FIFO), wait_ms (throttle wait
+    before this fetch), fetch_start_ms, fetch_end_ms (all relative to the
+    wave start, per host).  Pure window functions — one shuffle on host.
+    """
+    cfg = cfg or PolitenessConfig()
+    w = Window.partitionBy(host_col).orderBy(ord_col)
+    prev_lat = F.lag(latency_col).over(w)
+    wait = F.when(prev_lat.isNull(), F.lit(0)).otherwise(
+        F.greatest(
+            F.lit(cfg.min_wait_ms),
+            (prev_lat * cfg.wait_factor).cast("long"),
+        )
+    )
+    df = frontier.withColumn("seq", F.row_number().over(w).cast("long"))
+    df = df.withColumn("wait_ms", wait.cast("long"))
+    cum_lat_prev = F.coalesce(
+        F.sum(latency_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    cum_wait = F.sum("wait_ms").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    df = df.withColumn("fetch_start_ms", (cum_lat_prev + cum_wait).cast("long"))
+    df = df.withColumn(
+        "fetch_end_ms", (F.col("fetch_start_ms") + F.col(latency_col)).cast("long")
+    )
+    return df
+
+
+def politeness_partition(
+    frontier: DataFrame,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    ts_col: str = "crawl_ts",
+    cfg: PolitenessConfig | None = None,
+) -> DataFrame:
+    """The north_rule queue: salted repartition + sortWithinPartitions.
+
+    Result: each partition holds whole host-buckets, rows sorted by
+    (host_bucket, priority, crawl_ts) — a fetch task reads its partition in
+    order and paces per host in-task.
+    """
+    cfg = cfg or PolitenessConfig()
+    df = frontier.withColumn("host_bucket", host_bucket(F.col(host_col), cfg.num_buckets))
+    # skew: count per host within the wave; hot hosts get spread over salt
+    # sub-buckets (per-salt pacing x salt preserves the host budget)
+    counts = df.groupBy(host_col).count()
+    df = df.join(F.broadcast(counts.filter(F.col("count") >= cfg.hot_threshold)
+                             .select(host_col, F.lit(True).alias("__hot"))),
+                 host_col, "left")
+    salt_expr = F.when(
+        F.col("__hot").isNotNull(),
+        F.pmod(F.xxhash64(priority_col), F.lit(cfg.salt)).cast("int"),
+    ).otherwise(F.lit(0))
+    df = df.withColumn("salt", salt_expr).withColumn(
+        "pace_factor", F.when(F.col("__hot").isNotNull(), F.lit(cfg.salt)).otherwise(F.lit(1))
+    ).drop("__hot")
+    df = df.withColumn(
+        "queue_bucket",
+        F.pmod(F.col("host_bucket") * 31 + F.col("salt"), F.lit(cfg.num_buckets)),
+    )
+    return df.repartition(cfg.num_buckets, "queue_bucket").sortWithinPartitions(
+        "host_bucket", priority_col, ts_col
+    )

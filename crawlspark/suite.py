@@ -1,0 +1,1041 @@
+"""The operator suite: every (queries(), oracle_sql()) pair for the driver's
+correctness gate, one entry per implemented operator from SURVEY.md §2.
+
+Every query runs over the fixed parquet tables; DuckDB oracles express the
+identical computation in ANSI SQL.  Column names and types are aligned on
+both sides (the driver hashes values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import extract, graph, politeness, robots
+from .canon import canonicalize_expr
+
+# --------------------------------------------------------------------------
+# shared synthetic constructions (must stay in lockstep with oracle SQL)
+# --------------------------------------------------------------------------
+
+# messy URL exercising every canonicalization rule
+def _messy_url(doc):
+    return F.concat(
+        F.lit("HTTP://H"),
+        (doc % graph.NHOSTS).cast("string"),
+        F.lit(".Example.TEST:80/d/"),
+        doc.cast("string"),
+        F.lit("?b="),
+        (doc % 7).cast("string"),
+        F.lit("&a="),
+        (doc % 3).cast("string"),
+        F.lit("#s"),
+        doc.cast("string"),
+    )
+
+
+_MESSY_SQL = (
+    "'HTTP://H' || CAST(doc % 10 AS VARCHAR) || '.Example.TEST:80/d/' || "
+    "CAST(doc AS VARCHAR) || '?b=' || CAST(doc % 7 AS VARCHAR) || '&a=' || "
+    "CAST(doc % 3 AS VARCHAR) || '#s' || CAST(doc AS VARCHAR)"
+)
+_CANON_SQL = (
+    "'http://h' || CAST(doc % 10 AS VARCHAR) || '.example.test/d/' || "
+    "CAST(doc AS VARCHAR) || '?a=' || CAST(doc % 3 AS VARCHAR) || '&b=' || "
+    "CAST(doc % 7 AS VARCHAR)"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# --------------------------------------------------------------------------
+# crawl-core operators
+# --------------------------------------------------------------------------
+
+def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host throttle schedule (Throttler.php deterministic lower bound)."""
+    pages = graph.pages(spark, sf_dir).withColumn("ord", F.col("doc"))
+    sched = politeness.throttle_schedule(
+        pages, host_col="host", ord_col="ord", latency_col="latency_ms"
+    )
+    return sched.select(
+        "url", "host", "seq", "wait_ms", "fetch_start_ms", "fetch_end_ms"
+    )
+
+
+ORACLE_POLITENESS = f"""
+WITH p AS (
+  SELECT doc_id AS doc, doc_id % 10 AS hid,
+         CAST(100 + (doc_id*37) % 900 AS BIGINT) AS lat
+  FROM documents
+), w AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY hid ORDER BY doc) AS seq,
+         LAG(lat) OVER (PARTITION BY hid ORDER BY doc) AS prevlat
+  FROM p
+), w2 AS (
+  SELECT *, CASE WHEN prevlat IS NULL THEN 0 ELSE GREATEST(250, prevlat) END AS wait
+  FROM w
+), w3 AS (
+  SELECT *,
+    COALESCE(SUM(lat) OVER (PARTITION BY hid ORDER BY doc
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumlat,
+    SUM(wait) OVER (PARTITION BY hid ORDER BY doc
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumwait
+  FROM w3_src
+)
+SELECT {graph._URL_SQL} AS url, {graph._HOST_SQL} AS host,
+       CAST(seq AS BIGINT) AS seq, CAST(wait AS BIGINT) AS wait_ms,
+       CAST(cumlat + cumwait AS BIGINT) AS fetch_start_ms,
+       CAST(cumlat + cumwait + lat AS BIGINT) AS fetch_end_ms
+FROM w3
+""".replace("w3_src", "w2")
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """north_rule canonicalization: scheme/host lowercase, default-port strip,
+    query sort, fragment drop — pure Column expressions (JVM-side)."""
+    doc = F.col("doc_id")
+    return _docs(spark, sf_dir).select(
+        doc.alias("doc_id"),
+        canonicalize_expr(_messy_url(doc)).alias("url_norm"),
+    )
+
+
+ORACLE_CANON = f"""
+SELECT doc_id, {_CANON_SQL.replace('doc %', 'doc_id %').replace('CAST(doc AS', 'CAST(doc_id AS')} AS url_norm
+FROM documents
+"""
+
+
+def q_url_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 32-bit fingerprint of the canonical URL (md5-prefix;
+    the engine's hot path uses xxhash64 which DuckDB can't replay)."""
+    doc = F.col("doc_id")
+    norm = canonicalize_expr(_messy_url(doc))
+    fp = F.conv(F.substring(F.md5(norm), 1, 8), 16, 10).cast("long")
+    return _docs(spark, sf_dir).select(
+        doc.alias("doc_id"), norm.alias("url_norm"), fp.alias("fp")
+    )
+
+
+ORACLE_FP = f"""
+WITH c AS ({ORACLE_CANON.strip()})
+SELECT doc_id, url_norm,
+       CAST(('0x' || substr(md5(url_norm), 1, 8)) AS BIGINT) AS fp
+FROM c
+"""
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-seen dedup as LEFT ANTI join (HttpCrawl.php:282,325 semantics)."""
+    docs = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    frontier = docs.filter(doc % 3 == 0).select(
+        doc.alias("doc"), graph.url_col(doc).alias("url")
+    )
+    seen = docs.filter(doc % 5 == 0).select(doc.alias("doc"))
+    return frontier.join(seen, "doc", "left_anti").select("url")
+
+
+ORACLE_SEEN = f"""
+SELECT {graph._URL_SQL} AS url
+FROM (SELECT doc_id AS doc FROM documents WHERE doc_id % 3 = 0
+      AND doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 5 = 0))
+"""
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution <= 10 hops (HttpLoader.php:430-470)."""
+    from .engine import redirect_closure
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    doc = F.col("doc_id")
+    is_r = (doc % 31).isin(7, 8)
+    pages = docs.select(
+        graph.url_col(doc).alias("url"),
+        F.when(is_r, graph.url_col((doc + 1) % n)).alias("redirect_to"),
+    )
+    cl = redirect_closure(pages)
+    return cl.select(
+        F.col("fetch_url").alias("url"),
+        F.element_at("chain", -1).alias("final_url"),
+        F.size("chain").cast("long").alias("hops"),
+    )
+
+
+def oracle_redirect() -> str:
+    url_of_d = graph._URL_SQL.replace("doc", "d")
+    url_of_fin = graph._URL_SQL.replace("doc", "fin")
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+r AS (
+  SELECT doc_id AS d,
+         CASE WHEN doc_id % 31 IN (7,8) THEN (doc_id + 1) % nn.c END AS t
+  FROM documents CROSS JOIN nn
+),
+c1 AS (
+  SELECT a.d AS d, a.t AS h1, b.t AS h2
+  FROM r a LEFT JOIN r b ON b.d = a.t
+  WHERE a.t IS NOT NULL
+),
+c2 AS (
+  SELECT d, COALESCE(h2, h1) AS fin,
+         CASE WHEN h2 IS NULL THEN 1 ELSE 2 END AS hops
+  FROM c1
+)
+SELECT {url_of_d} AS url, {url_of_fin} AS final_url, CAST(hops AS BIGINT) AS hops
+FROM c2
+"""
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots gate: longest-match Allow/Disallow, broadcast rules join."""
+    pages = graph.pages(spark, sf_dir).withColumn(
+        "path", F.parse_url(F.col("url"), F.lit("PATH"))
+    )
+    hosts = [f"h{i}.{graph.DOMAIN}" for i in range(graph.NHOSTS)]
+    rules = spark.createDataFrame(
+        [(h, "*", ["/x/"], ["/x/1"], []) for h in hosts], robots.ROBOTS_SCHEMA
+    )
+    out = robots.with_robots_allowed(pages, rules)
+    return out.filter("robots_allowed").select("url")
+
+
+ORACLE_ROBOTS = f"""
+SELECT {graph._URL_SQL} AS url
+FROM (SELECT doc_id AS doc FROM documents)
+WHERE doc % 23 <> 11 OR CAST(doc AS VARCHAR) LIKE '1%'
+"""
+
+
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized anchor extraction: document order, tag-stripped normalized
+    text (Dom/Node.php:108-120 whitespace rule)."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    doc = F.col("doc_id")
+    body = F.concat(
+        F.lit('<html><body><p>intro</p><a href="/d/'),
+        ((2 * doc + 1) % n).cast("string"),
+        F.lit('">Link   One</a> <a  href=\'/d/'),
+        ((5 * doc + 3) % n).cast("string"),
+        F.lit("'>Link <b>Two</b></a><a name=\"x\">no href</a></body></html>"),
+    )
+    parsed = docs.select(doc.alias("doc_id"), extract.extract_links_udf(body).alias("ls"))
+    return parsed.select("doc_id", F.explode("ls").alias("l")).select(
+        "doc_id",
+        F.col("l.pos").alias("pos"),
+        F.col("l.href").alias("href"),
+        F.col("l.text").alias("text"),
+    )
+
+
+def oracle_link_extract() -> str:
+    return """
+WITH nn AS (SELECT COUNT(*) AS c FROM documents)
+SELECT doc_id, CAST(0 AS INTEGER) AS pos,
+       '/d/' || CAST((2*doc_id + 1) % nn.c AS VARCHAR) AS href,
+       'Link One' AS text
+FROM documents CROSS JOIN nn
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER) AS pos,
+       '/d/' || CAST((5*doc_id + 3) % nn.c AS VARCHAR) AS href,
+       'Link Two' AS text
+FROM documents CROSS JOIN nn
+"""
+
+
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap <loc> extraction via native JVM xpath (attribute-tolerant)."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    doc = F.col("doc_id")
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset xmlns="x" foo="bar"><url><loc> '),
+        graph.url_col(doc),
+        F.lit(" </loc></url><url><loc>"),
+        graph.url_col((doc + 1) % n),
+        F.lit("</loc></url></urlset>"),
+    )
+    locs = extract.sitemap_locs_xpath(xml)
+    return docs.select(doc.alias("doc_id"), F.posexplode(locs).alias("pos", "loc")).select(
+        "doc_id", F.col("pos").cast("int").alias("pos"), F.trim("loc").alias("loc")
+    )
+
+
+def oracle_sitemap() -> str:
+    u1 = graph._URL_SQL.replace("doc %", "doc_id %").replace("CAST(doc AS", "CAST(doc_id AS")
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+n2 AS (SELECT doc_id, (doc_id + 1) % nn.c AS doc FROM documents CROSS JOIN nn)
+SELECT doc_id, CAST(0 AS INTEGER) AS pos, {u1} AS loc FROM documents
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER) AS pos, {graph._URL_SQL} AS loc FROM n2
+"""
+
+
+# --------------------------------------------------------------------------
+# step algebra: filters (Filterable.php conjunction + OR-chain)
+# --------------------------------------------------------------------------
+
+def q_filter_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringFilter contains/startsWith/endsWith + OR-chain + negation."""
+    d = _docs(spark, sf_dir)
+    cond = F.col("text").contains("spark") & (
+        F.col("text").startswith("the") | F.col("source").endswith("3")
+    ) & ~F.col("lang").startswith("z")
+    return d.filter(cond).select("doc_id")
+
+
+ORACLE_FILTER_STRING = """
+SELECT doc_id FROM documents
+WHERE text LIKE '%spark%'
+  AND (text LIKE 'the%' OR source LIKE '%3')
+  AND NOT lang LIKE 'z%'
+"""
+
+
+def q_filter_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ComparisonFilter Gt/Lte/NotEqual (strict typed compares)."""
+    e = _events(spark, sf_dir)
+    return e.filter(
+        (F.col("value") > 100.0)
+        & (F.col("value") <= 180.0)
+        & (F.col("event_type") != "error")
+    ).select("event_id")
+
+
+ORACLE_FILTER_CMP = """
+SELECT event_id FROM events
+WHERE value > 100.0 AND value <= 180.0 AND event_type <> 'error'
+"""
+
+
+def q_filter_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UrlFilter scheme/host/pathStartsWith/pathMatches via parse_url."""
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id"), graph.url_col(F.col("doc_id")).alias("url")
+    )
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    scheme = F.substring_index(F.col("url"), "://", 1)
+    return d.filter(
+        (scheme == "http")
+        & host.isin(f"h3.{graph.DOMAIN}", f"h7.{graph.DOMAIN}")
+        & path.startswith("/d/")
+        & path.rlike("[0-4]$")
+    ).select("doc_id", "url")
+
+
+ORACLE_FILTER_URL = f"""
+SELECT doc_id, {graph._URL_SQL.replace('doc %', 'doc_id %').replace('CAST(doc AS', 'CAST(doc_id AS')} AS url
+FROM documents
+WHERE doc_id % 10 = 3 AND doc_id % 23 <> 11
+"""
+
+
+def q_filter_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrayFilter::arrayHasElement with a nested equality filter."""
+    d = _docs(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    return d.filter(F.exists(words, lambda w: w == F.lit("spark"))).select("doc_id")
+
+
+ORACLE_FILTER_ARRAY = """
+SELECT doc_id FROM documents
+WHERE list_contains(str_split(text, ' '), 'spark')
+"""
+
+
+# --------------------------------------------------------------------------
+# step algebra: refiners
+# --------------------------------------------------------------------------
+
+def q_refine_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringRefiner afterFirst/afterLast/beforeFirst/replace (trimmed)."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    tok2 = F.substring_index(F.substring_index(t, " ", 2), " ", -1)
+    return d.select(
+        "doc_id",
+        F.trim(tok2).alias("second_token"),
+        F.trim(F.substring_index(t, " ", -1)).alias("after_last"),
+        F.trim(F.substring_index(t, " ", 1)).alias("before_first"),
+        F.replace(F.substring_index(t, " ", 1), F.lit("a"), F.lit("X")).alias("replaced"),
+    )
+
+
+ORACLE_REFINE_STRING = """
+SELECT doc_id,
+       trim(split_part(text, ' ', 2)) AS second_token,
+       trim(split_part(text, ' ', -1)) AS after_last,
+       trim(split_part(text, ' ', 1)) AS before_first,
+       replace(split_part(text, ' ', 1), 'a', 'X') AS replaced
+FROM documents
+"""
+
+
+def q_refine_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DateTimeRefiner::reformat (DateTime/DateTimeFormat.php:12-49)."""
+    e = _events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:00").alias("hour_str"),
+        F.date_format("ts", "EEEE").alias("weekday"),
+    )
+
+
+ORACLE_REFINE_DT = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:00') AS hour_str,
+       strftime(ts, '%A') AS weekday
+FROM events
+"""
+
+
+def q_refine_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UrlRefiner withScheme/withoutQuery/withFragment (UrlRefiner.php:15-58)."""
+    doc = F.col("doc_id")
+    d = _docs(spark, sf_dir).select(
+        doc, canonicalize_expr(_messy_url(doc)).alias("url")
+    )
+    u = F.col("url")
+    no_query = F.substring_index(u, "?", 1)
+    https_url = F.concat(F.lit("https://"), F.substring_index(u, "://", -1))
+    with_frag = F.concat(no_query, F.lit("#top"))
+    return d.select(
+        "doc_id",
+        no_query.alias("no_query"),
+        https_url.alias("https_url"),
+        with_frag.alias("with_frag"),
+    )
+
+
+ORACLE_REFINE_URL = f"""
+WITH c AS ({ORACLE_CANON.strip()})
+SELECT doc_id,
+       split_part(url_norm, '?', 1) AS no_query,
+       'https://' || substr(url_norm, 8) AS https_url,
+       split_part(url_norm, '?', 1) || '#top' AS with_frag
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# step algebra: keep/collect, group zip, unique, limits, paginate, json, csv
+# --------------------------------------------------------------------------
+
+def q_keep_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result::set same-key append -> collect_list (Result.php:27-35)."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(F.array_sort(F.collect_list("event_type")), "|").alias("types_str"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+ORACLE_KEEP_COLLECT = """
+SELECT user_id, COUNT(*) AS n_events,
+       string_agg(event_type, '|' ORDER BY event_type) AS types_str,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_one_output_per_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oneOutputPerInput: explode then collapse back per input row
+    (Step.php:89-94,264-291)."""
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+    return w.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.min("word").alias("min_word"),
+        F.max("word").alias("max_word"),
+    )
+
+
+ORACLE_ONE_OUTPUT = """
+SELECT doc_id,
+       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+       list_aggregate(str_split(text, ' '), 'min') AS min_word,
+       list_aggregate(str_split(text, ' '), 'max') AS max_word
+FROM documents
+"""
+
+
+def q_group_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group: parallel sub-steps over the same input, outputs zipped into one
+    record (Group.php:44-67,146-157) -> multiple exprs in one select."""
+    e = _events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        F.hour("ts").cast("long").alias("branch_hour"),
+        F.floor(F.col("value") / 50).cast("long").alias("branch_bucket"),
+        F.upper("event_type").alias("branch_type"),
+    )
+
+
+ORACLE_GROUP_ZIP = """
+SELECT event_id, CAST(hour(ts) AS BIGINT) AS branch_hour,
+       CAST(floor(value / 50) AS BIGINT) AS branch_bucket,
+       upper(event_type) AS branch_type
+FROM events
+"""
+
+
+def q_unique_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniqueOutputs(key) -> dropDuplicates (BaseStep.php:185-197)."""
+    return _docs(spark, sf_dir).select("lang", "source").dropDuplicates()
+
+
+ORACLE_UNIQUE = "SELECT DISTINCT lang, source FROM documents"
+
+
+def q_max_outputs_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxOutputs(n) -> deterministic limit (BaseStep.php:726-736)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.orderBy("o_orderkey").limit(50).select("o_orderkey", "o_totalprice")
+
+
+ORACLE_LIMIT = """
+SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 50
+"""
+
+
+PAGINATE_PAGE_SIZE = 300
+PAGINATE_MAX_PAGES = 5  # Paginator.php MAX_PAGES_DEFAULT=1000, capped for test
+
+
+def q_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Http::paginate driver loop: follow 'next page' until empty or
+    maxPages (Paginate.php:35-78).  Pages = row_number windows."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.orderBy("o_orderkey")
+    rn = o.select("o_orderkey", F.row_number().over(w).alias("rn"))
+    rn = rn.persist()
+    pages = []
+    for p in range(PAGINATE_MAX_PAGES):
+        page = rn.filter(
+            (F.col("rn") > p * PAGINATE_PAGE_SIZE)
+            & (F.col("rn") <= (p + 1) * PAGINATE_PAGE_SIZE)
+        )
+        agg = page.agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        ).withColumn("page", F.lit(p).cast("long"))
+        rows = agg.collect()[0]
+        if rows["n_orders"] == 0:  # stop rule: empty page
+            break
+        pages.append(agg)
+    out = pages[0]
+    for pdf in pages[1:]:
+        out = out.unionByName(pdf)
+    rn.unpersist()
+    return out.select("page", "n_orders", "min_key", "max_key")
+
+
+ORACLE_PAGINATE = f"""
+WITH rn AS (
+  SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders
+)
+SELECT CAST(floor((rn - 1) / {PAGINATE_PAGE_SIZE}) AS BIGINT) AS page,
+       COUNT(*) AS n_orders, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM rn
+WHERE rn <= {PAGINATE_PAGE_SIZE * PAGINATE_MAX_PAGES}
+GROUP BY 1
+"""
+
+
+def q_json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Json::get dot-notation -> get_json_object (Json.php:19-38)."""
+    e = _events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+ORACLE_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+def q_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Csv::parseString positional mapping -> from_csv (Csv.php:96-157)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    line = F.concat_ws(",", "c_name", F.col("c_custkey").cast("string"), "c_mktsegment")
+    parsed = F.from_csv(line, "name STRING, custkey BIGINT, segment STRING")
+    return c.select(parsed.alias("p")).select(
+        F.col("p.name").alias("name"),
+        F.col("p.custkey").alias("custkey"),
+        F.col("p.segment").alias("segment"),
+    )
+
+
+ORACLE_CSV = """
+WITH l AS (
+  SELECT c_name || ',' || CAST(c_custkey AS VARCHAR) || ',' || c_mktsegment AS line
+  FROM customer
+)
+SELECT split_part(line, ',', 1) AS name,
+       CAST(split_part(line, ',', 2) AS BIGINT) AS custkey,
+       split_part(line, ',', 3) AS segment
+FROM l
+"""
+
+
+def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Html::metaData title + meta map (Html/MetaData.php:36-61)."""
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    body = F.concat(
+        F.lit("<html><head><title> Doc\n"),
+        doc.cast("string"),
+        F.lit('  </title><meta name="lang" content="'),
+        F.col("lang"),
+        F.lit('"><meta property="og:source" content="'),
+        F.col("source"),
+        F.lit('"></head><body></body></html>'),
+    )
+    meta = extract.extract_meta_udf(body)
+    return d.select(
+        "doc_id",
+        extract.extract_title_udf(body).alias("title"),
+        meta.getItem("lang").alias("meta_lang"),
+        meta.getItem("og:source").alias("meta_source"),
+    )
+
+
+ORACLE_HTML_META = """
+SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       lang AS meta_lang, source AS meta_source
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "politeness_schedule": q_politeness_schedule,
+        "url_canonicalize": q_url_canonicalize,
+        "url_fingerprint": q_url_fingerprint,
+        "seen_antijoin": q_seen_antijoin,
+        "redirect_resolve": q_redirect_resolve,
+        "robots_filter": q_robots_filter,
+        "link_extract": q_link_extract,
+        "sitemap_extract": q_sitemap_extract,
+        "filter_string": q_filter_string,
+        "filter_comparison": q_filter_comparison,
+        "filter_url": q_filter_url,
+        "filter_array": q_filter_array,
+        "refine_string": q_refine_string,
+        "refine_datetime": q_refine_datetime,
+        "refine_url": q_refine_url,
+        "keep_collect": q_keep_collect,
+        "one_output_per_input": q_one_output_per_input,
+        "group_zip": q_group_zip,
+        "unique_output": q_unique_output,
+        "max_outputs_limit": q_max_outputs_limit,
+        "paginate": q_paginate,
+        "json_get": q_json_get,
+        "csv_parse": q_csv_parse,
+        "html_meta": q_html_meta,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "politeness_schedule": ORACLE_POLITENESS,
+        "url_canonicalize": ORACLE_CANON,
+        "url_fingerprint": ORACLE_FP,
+        "seen_antijoin": ORACLE_SEEN,
+        "redirect_resolve": oracle_redirect(),
+        "robots_filter": ORACLE_ROBOTS,
+        "link_extract": oracle_link_extract(),
+        "sitemap_extract": oracle_sitemap(),
+        "filter_string": ORACLE_FILTER_STRING,
+        "filter_comparison": ORACLE_FILTER_CMP,
+        "filter_url": ORACLE_FILTER_URL,
+        "filter_array": ORACLE_FILTER_ARRAY,
+        "refine_string": ORACLE_REFINE_STRING,
+        "refine_datetime": ORACLE_REFINE_DT,
+        "refine_url": ORACLE_REFINE_URL,
+        "keep_collect": ORACLE_KEEP_COLLECT,
+        "one_output_per_input": ORACLE_ONE_OUTPUT,
+        "group_zip": ORACLE_GROUP_ZIP,
+        "unique_output": ORACLE_UNIQUE,
+        "max_outputs_limit": ORACLE_LIMIT,
+        "paginate": ORACLE_PAGINATE,
+        "json_get": ORACLE_JSON,
+        "csv_parse": ORACLE_CSV,
+        "html_meta": ORACLE_HTML_META,
+    }
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: dedup / quality / langid / tokens / fingerprint
+# --------------------------------------------------------------------------
+
+from .textops import dedup as _dedup  # noqa: E402
+from .textops import quality as _quality  # noqa: E402
+from . import ann as _ann  # noqa: E402
+
+_SHINGLE_SQL = (
+    "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
+    "for i in range(1, len(w) - 1)])"
+)
+_MD5H = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM (SELECT doc_id, {_MD5H.format(x='text')} AS content_hash FROM documents)
+GROUP BY content_hash
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.pairwise_ngram_jaccard(_docs(spark, sf_dir))
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS s
+  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents)
+)
+SELECT a.doc_id AS doc_id,
+       CAST(floor(1000 * len(list_intersect(a.s, b.s))
+                  / len(list_distinct(a.s || b.s))) AS BIGINT) AS jaccard_permille
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _dedup.minhash_signature(_docs(spark, sf_dir), k=4)
+    return sigs.select(
+        "doc_id",
+        *[F.element_at("sig", i + 1).alias(f"m{i}") for i in range(4)],
+    )
+
+
+def oracle_minhash() -> str:
+    p = _dedup.HASH_P
+    hs = _MD5H.format(x="s")
+    cols = ", ".join(
+        f"list_min(list_transform(hs, h -> ({_dedup.MINHASH_A[i]}*h + {_dedup.MINHASH_B[i]}) % {p})) AS m{i}"
+        for i in range(4)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLE_SQL} AS s_list
+  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents)
+), h AS (
+  SELECT doc_id, list_transform(s_list, s -> {hs}) AS hs FROM sh
+)
+SELECT doc_id, {cols} FROM h
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.simhash16(_docs(spark, sf_dir))
+
+
+def oracle_simhash() -> str:
+    h = _MD5H.format(x="s")
+    bits = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, x -> (x >> {i}) & 1 = 1)) - len(hs) > 0 "
+        f"THEN {2 ** i} ELSE 0 END"
+        for i in range(16)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_distinct(str_split(text, ' ')) AS ws FROM documents
+), h AS (
+  SELECT doc_id, list_transform(ws, s -> {h}) AS hs FROM w
+)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM h
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _quality.token_count(_docs(spark, sf_dir))
+
+
+ORACLE_TOKEN_COUNT = """
+SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_tokens_est,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _quality.quality_score(_docs(spark, sf_dir))
+
+
+ORACLE_QUALITY = """
+WITH w AS (
+  SELECT doc_id, str_split(text, ' ') AS ws, CAST(length(text) AS BIGINT) AS nc
+  FROM documents
+), s AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, nc,
+         CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS stopword_cnt
+  FROM w
+)
+SELECT doc_id, n_words, stopword_cnt,
+       CAST(floor(nc * 1000 / n_words) AS BIGINT) AS mean_word_len_milli,
+       CAST(floor(stopword_cnt * 1000 / n_words) AS BIGINT) AS stop_permille,
+       CAST(least(n_words, 100) * 5
+            + least(CAST(floor(stopword_cnt * 1000 / n_words) AS BIGINT), 300) AS BIGINT) AS quality_score
+FROM s
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _quality.lang_id(_docs(spark, sf_dir))
+
+
+def oracle_lang_id() -> str:
+    def cnt(m):
+        t = "(' ' || text || ' ')"
+        return f"CAST((length({t}) - length(replace({t}, ' {m} ', ''))) / {len(m) + 2} AS BIGINT)"
+
+    def score(lang):
+        return " + ".join(cnt(m) for m in _quality.LANG_MARKERS[lang])
+
+    return f"""
+WITH s AS (
+  SELECT doc_id, {score('en')} AS score_en, {score('de')} AS score_de,
+         {score('fr')} AS score_fr
+  FROM documents
+)
+SELECT doc_id, score_en, score_de, score_fr,
+       CASE WHEN greatest(score_en, score_de, score_fr) = 0 THEN 'other'
+            WHEN score_en = greatest(score_en, score_de, score_fr) THEN 'en'
+            WHEN score_de = greatest(score_en, score_de, score_fr) THEN 'de'
+            ELSE 'fr' END AS pred_lang
+FROM s
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _quality.doc_fingerprint(_docs(spark, sf_dir))
+
+
+ORACLE_DOC_FP = f"""
+SELECT doc_id,
+       {_MD5H.format(x="substr(text, 1, 64) || CAST(length(text) AS VARCHAR)")} AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search over embeddings
+# --------------------------------------------------------------------------
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = _ann.brute_topk(emb, n_queries=10, k=5)
+    return out.select("query_id", F.col("rank").alias("nn_rank"), "neighbor_id")
+
+
+ORACLE_ANN_BRUTE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id >= 10),
+s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+      FROM q CROSS JOIN c),
+r AS (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM s)
+SELECT query_id, CAST(rnk AS BIGINT) AS nn_rank, neighbor_id
+FROM r WHERE rnk <= 5
+"""
+
+
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _ann.lsh_buckets(emb)
+
+
+def oracle_lsh_bucket() -> str:
+    terms = " + ".join(
+        f"CASE WHEN e[{4*j+1}] + e[{4*j+2}] - e[{4*j+3}] - e[{4*j+4}] > 0 "
+        f"THEN {2 ** j} ELSE 0 END"
+        for j in range(_ann.LSH_BITS)
+    )
+    return f"""
+SELECT vec_id, CAST({terms} AS BIGINT) AS bucket
+FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = _ann.lsh_topk(emb, n_queries=10, k=5)
+    return out.select("query_id", F.col("rank").alias("nn_rank"), "neighbor_id")
+
+
+def oracle_lsh_topk() -> str:
+    terms = " + ".join(
+        f"CASE WHEN e[{4*j+1}] + e[{4*j+2}] - e[{4*j+3}] - e[{4*j+4}] > 0 "
+        f"THEN {2 ** j} ELSE 0 END"
+        for j in range(_ann.LSH_BITS)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, e, CAST({terms} AS BIGINT) AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+),
+q AS (SELECT vec_id AS query_id, e AS qv, bucket FROM b WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, e AS cv, bucket FROM b WHERE vec_id >= 10),
+s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+      FROM q JOIN c USING (bucket)),
+r AS (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM s)
+SELECT query_id, CAST(rnk AS BIGINT) AS nn_rank, neighbor_id
+FROM r WHERE rnk <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# event-time operators (streaming concepts as batch)
+# --------------------------------------------------------------------------
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (session windows, batch form)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(ts_us).over(w)
+    new_s = F.when(
+        prev.isNull() | (ts_us - prev > SESSION_GAP_US), 1
+    ).otherwise(0)
+    sess = e.withColumn(
+        "session_ord",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_ord").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH x AS (
+  SELECT *, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), y AS (
+  SELECT *, CASE WHEN prev IS NULL
+                 OR date_diff('microsecond', prev, ts) > {SESSION_GAP_US}
+            THEN 1 ELSE 0 END AS new_s
+  FROM x
+), z AS (
+  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_ord
+  FROM y
+)
+SELECT user_id, session_ord, COUNT(*) AS n_events,
+       MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id
+FROM z GROUP BY user_id, session_ord
+"""
+
+
+def q_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time window aggregation."""
+    e = _events(spark, sf_dir)
+    return e.groupBy(
+        F.date_format(F.date_trunc("HOUR", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+ORACLE_WINDOW_AGG = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+_EXTRA_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_signature": q_minhash_signature,
+    "simhash": q_simhash,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_brute_topk": q_ann_brute_topk,
+    "ann_lsh_bucket": q_ann_lsh_bucket,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "sessionize": q_sessionize,
+    "window_agg": q_window_agg,
+}
+
+_EXTRA_ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "minhash_signature": oracle_minhash(),
+    "simhash": oracle_simhash(),
+    "token_count": ORACLE_TOKEN_COUNT,
+    "quality_score": ORACLE_QUALITY,
+    "lang_id": oracle_lang_id(),
+    "doc_fingerprint": ORACLE_DOC_FP,
+    "ann_brute_topk": ORACLE_ANN_BRUTE,
+    "ann_lsh_bucket": oracle_lsh_bucket(),
+    "ann_lsh_topk": oracle_lsh_topk(),
+    "sessionize": ORACLE_SESSIONIZE,
+    "window_agg": ORACLE_WINDOW_AGG,
+}
+
+_BASE_QUERIES = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _BASE_QUERIES()
+    out.update(_EXTRA_QUERIES)
+    return out
+
+
+_BASE_ORACLES = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _BASE_ORACLES()
+    out.update(_EXTRA_ORACLES)
+    return out

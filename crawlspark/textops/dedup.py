@@ -1,0 +1,162 @@
+"""Deduplication operators.
+
+All hashing uses the md5-prefix trick (``conv(substr(md5(x),1,8),16,10)``)
+so DuckDB oracles can replay it bit-for-bit; the engine's production path
+would swap in ``xxhash64`` (same plan shape, cheaper hash).
+
+Scale notes: exact dedup is one groupBy (map-side combine on the hash);
+MinHash+LSH is explode(shingles) -> per-doc signature (one shuffle on doc),
+band-explode -> self-join on (band, band_hash) — the classic
+shingle->minhash->band->bucket-join plan; candidate verification re-joins
+the two shingle sets only for bucket-colliding pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+# deterministic per-permutation coefficients (k-indexed)
+MINHASH_A = [2 * k + 1 for k in range(64)]  # odd -> invertible-ish mod 2^31-1
+MINHASH_B = [7919 * (k + 1) % HASH_P for k in range(64)]
+
+
+def base_hash(s: Column) -> Column:
+    """32-bit string hash replayable in DuckDB: md5-prefix as int."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+BASE_HASH_SQL = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
+
+
+def shingles(words: Column, n: int = 3) -> Column:
+    """n-word shingles in document order (distinct)."""
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(sh)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate removal: first (lowest id) doc per content hash."""
+    h = base_hash(F.col(text_col))
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 16
+) -> DataFrame:
+    """k-permutation MinHash over 3-word shingles."""
+    words = F.split(F.col(text_col), " ")
+    hs = F.transform(shingles(words), base_hash)
+
+    def perm(a: int, b: int):
+        return lambda h: (a * h + b) % HASH_P
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(hs, perm(MINHASH_A[i], MINHASH_B[i]))).alias(f"m{i}")
+            for i in range(k)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs: band-bucket join then exact-Jaccard verify.
+
+    Returns (id_a, id_b, jaccard_permille) with id_a < id_b.
+    """
+    rows = k // bands
+    sigs = minhash_signature(df, text_col, id_col, k)
+    band_cols = [
+        F.hash(F.concat_ws(",", *[F.element_at("sig", i * rows + j + 1) for j in range(rows)]))
+        .alias("band_hash")
+        for i in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col),
+        shingles(F.split(F.col(text_col), " ")).alias("sh"),
+    )
+    cand = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.floor(inter * 1000 / union).cast("long")
+    return (
+        cand.select("id_a", "id_b", jac.alias("jaccard_permille"))
+        .filter(F.col("jaccard_permille") >= int(jaccard_threshold * 1000))
+    )
+
+
+def pairwise_ngram_jaccard(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact 3-gram Jaccard between consecutive doc ids (oracle-friendly
+    ground truth for the similarity math used by LSH verification)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(F.split(F.col(text_col), " ")).alias("sh"),
+    )
+    a = sh.alias("a")
+    b = sh.select((F.col("id") - 1).alias("id"), F.col("sh").alias("sh_b")).alias("b")
+    j = a.join(b, "id")
+    inter = F.size(F.array_intersect(F.col("sh"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh"), F.col("sh_b")))
+    return j.select(
+        F.col("id").alias("doc_id"),
+        F.floor(inter * 1000 / union).cast("long").alias("jaccard_permille"),
+    )
+
+
+def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over word hashes (bit-exact replayable in SQL)."""
+    words = F.array_distinct(F.split(F.col(text_col), " "))
+    hw = F.transform(words, base_hash)
+    def vote(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for i in range(16):
+        votes = F.aggregate(hw, F.lit(0).cast("long"), vote(i))
+        bits.append(F.when(votes > 0, F.lit(2 ** i)).otherwise(F.lit(0)))
+    sim = bits[0]
+    for b in bits[1:]:
+        sim = sim + b
+    return df.select(F.col(id_col), sim.cast("long").alias("simhash"))

@@ -1,0 +1,82 @@
+"""Canonicalization parity (expr vs urllib UDF) + politeness queue ordering."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark import canon, politeness
+
+CASES = [
+    "HTTP://WWW.Example.COM:80/path?b=2&a=1#frag",
+    "https://example.com:443/",
+    "http://example.com",
+    "http://example.com/a/b?z=9&y=8&x=7",
+    "https://Sub.Example.co.uk:8443/Path/?q=1",
+    "http://h1.example.test/d/42?b=0&a=2#s42",
+]
+
+
+def test_expr_matches_udf(spark):
+    df = spark.createDataFrame([(u,) for u in CASES], "url STRING")
+    out = df.select(
+        canon.canonicalize_expr(F.col("url")).alias("e"),
+        canon.canonicalize_udf(F.col("url")).alias("u"),
+    ).collect()
+    for r in out:
+        assert r.e == r.u, f"expr={r.e} udf={r.u}"
+
+
+def test_canonicalize_rules(spark):
+    df = spark.createDataFrame(
+        [("HTTP://WWW.Example.COM:80/path?b=2&a=1#frag",)], "url STRING"
+    )
+    got = df.select(canon.canonicalize_expr(F.col("url")).alias("c")).collect()[0].c
+    assert got == "http://www.example.com/path?a=1&b=2"
+
+
+def test_registrable_domain(spark):
+    df = spark.createDataFrame(
+        [("www.example.com",), ("foo.example.com",), ("a.b.example.co.uk",),
+         ("example.com",), ("localhost",)],
+        "h STRING",
+    )
+    got = [r.d for r in df.select(canon.registrable_domain(F.col("h")).alias("d")).collect()]
+    assert got == ["example.com", "example.com", "example.co.uk", "example.com", "localhost"]
+
+
+def test_politeness_partition_sorted_within_host(spark):
+    rows = [(f"host{i % 5}.test", i, i * 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "host STRING, priority LONG, crawl_ts LONG")
+    cfg = politeness.PolitenessConfig(num_buckets=8)
+    out = politeness.politeness_partition(df, cfg=cfg)
+
+    def check_partition(it):
+        last = {}
+        for row in it:
+            key = row.host_bucket
+            k = (row.host_bucket, row.priority, row.crawl_ts)
+            if key in last:
+                assert last[key] <= k, "rows not sorted within partition"
+            last[key] = k
+            yield row
+
+    out.rdd.mapPartitions(lambda it: check_partition(it)).count()
+    # every host maps to exactly one (bucket, salt=0) queue when not hot
+    assert out.select("host", "queue_bucket").distinct().groupBy("host").count() \
+        .filter("count > 1").count() == 0
+
+
+def test_throttle_schedule_waits(spark):
+    """Per-host: first fetch waits 0; later fetches wait >= max(250, prev
+    latency); fetches never overlap (ThrottlerTest.php invariants as
+    schedule assertions)."""
+    rows = [("h1", 1, 100), ("h1", 2, 900), ("h1", 3, 50), ("h2", 4, 400)]
+    df = spark.createDataFrame(rows, "host STRING, ord LONG, latency_ms LONG")
+    out = {(-r.seq if False else (r.host, r.seq)): r
+           for r in politeness.throttle_schedule(df).collect()}
+    h11, h12, h13 = out[("h1", 1)], out[("h1", 2)], out[("h1", 3)]
+    assert h11.wait_ms == 0 and h11.fetch_start_ms == 0
+    assert h12.wait_ms == 250  # max(250, 1.0*100)
+    assert h12.fetch_start_ms == h11.fetch_end_ms + 250
+    assert h13.wait_ms == 900  # max(250, 1.0*900)
+    assert h13.fetch_start_ms == h12.fetch_end_ms + 900
+    assert out[("h2", 1)].fetch_start_ms == 0  # no cross-host wait

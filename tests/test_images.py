@@ -1,0 +1,74 @@
+"""Image payload invariants (BASELINE.json input_hint): lossless round-trip,
+PSNR >= 40 dB for lossy formats, caption equality, phash stability."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark import images
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def img_df(spark):
+    return images.generate_images(spark, SF_DIR).persist()
+
+
+def test_schema_matches_input_hint(img_df):
+    assert img_df.schema.simpleString() == (
+        "struct<image_id:string,bytes:binary,w:int,h:int,fmt:string,"
+        "caption:string,phash:bigint>"
+    )
+
+
+def test_lossless_roundtrip_and_psnr_gate(spark, img_df):
+    v = images.validate_images(img_df).persist()
+    n = v.count()
+    assert n == img_df.count() and n > 0
+    # png rows must round-trip exactly
+    assert v.filter((F.col("fmt") == "png") & ~F.col("lossless_ok")).count() == 0
+    # lossy rows must clear 40 dB (milli-dB units)
+    bad = v.filter((F.col("fmt") != "png") & (F.col("psnr_mdb") < 40_000)).count()
+    assert bad == 0
+    # phash recomputed from decoded pixels must match the stored hash
+    assert v.filter(~F.col("phash_match")).count() == 0
+
+
+def test_caption_normalization(spark, img_df):
+    """Caption = first 10 words of the doc text after the reference
+    whitespace normalization (Dom/Node.php:108-120)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    joined = img_df.withColumn(
+        "doc_id", F.split("image_id", "-").getItem(1).cast("long")
+    ).join(docs, "doc_id")
+    expected = F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 10))
+    assert joined.filter(F.col("caption") != expected).count() == 0
+
+
+def test_codec_determinism():
+    px1 = images._pixels(42, 40, 30)
+    px2 = images._pixels(42, 40, 30)
+    assert np.array_equal(px1, px2)
+    assert images._encode(px1, "jpeg") == images._encode(px2, "jpeg")
+    dec = images._decode(images._encode(px1, "png"), 40, 30)
+    assert np.array_equal(px1, dec)
+
+
+def test_psnr_math():
+    px = images._pixels(7, 64, 48)
+    dec = images._decode(images._encode(px, "webp"), 64, 48)
+    diff = dec.astype(np.float64) - px.astype(np.float64)
+    mse = (diff * diff).mean()
+    psnr = 10 * np.log10(255.0 ** 2 / mse)
+    assert psnr >= 40.0
+
+
+def test_near_dup_phash_self_pairs(spark, img_df):
+    """A jpeg re-encode of the same pixels keeps a small phash distance."""
+    a = img_df.limit(0)  # structure probe only; pair logic tested on dupes:
+    dup = img_df.limit(50).withColumn("image_id", F.concat(F.lit("dup-"), "image_id"))
+    both = img_df.limit(50).unionByName(dup)
+    pairs = images.near_dup_images_by_phash(both, max_dist=0)
+    # every original must pair with its duplicate at distance 0
+    assert pairs.count() >= 50
