@@ -1,0 +1,80 @@
+"""Per-level crawl checkpoint/resume + lineage.
+
+The reference keeps frontier/seen in process memory (HttpCrawl.php:45-53) —
+a crash loses the crawl.  We add what north_rule prescribes: a snapshot per
+BFS level (frontier offset, seen state, fetch metrics) with per-partition
+lineage, so a killed crawl resumes exactly — identical final seen-set and
+ordering (tested in tests/test_checkpoint.py).
+
+Layout (parquet + JSON meta; an Iceberg catalog would swap in transparently
+— the content layout is already table-per-concern):
+
+    {dir}/meta.json                  latest completed level + counters
+    {dir}/frontier/level={d}/        frontier (doc, ord) at level d
+    {dir}/seen/level={d}/            full seen set after level d
+    {dir}/results/level={d}/         emitted rows of level d
+    {dir}/lineage/level={d}/         per-host_bucket row counts + offsets
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CrawlCheckpoint:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _p(self, kind: str, level: int) -> str:
+        return f"{self.root}/{kind}/level={level}"
+
+    # -- write --------------------------------------------------------------
+    def save_level(
+        self,
+        level: int,
+        frontier: DataFrame,
+        seen: DataFrame,
+        results: DataFrame,
+        meta: dict,
+    ) -> None:
+        frontier.write.mode("overwrite").parquet(self._p("frontier", level))
+        seen.write.mode("overwrite").parquet(self._p("seen", level))
+        results.write.mode("overwrite").parquet(self._p("results", level))
+        lineage = (
+            frontier.groupBy((F.col("doc") % 10).alias("host_bucket"))
+            .agg(F.count("*").alias("rows"), F.min("ord").alias("min_ord"),
+                 F.max("ord").alias("max_ord"))
+        )
+        lineage.write.mode("overwrite").parquet(self._p("lineage", level))
+        tmp = f"{self.root}/meta.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"level": level, **meta}, f)
+        os.replace(tmp, f"{self.root}/meta.json")  # atomic commit of the level
+
+    # -- read ---------------------------------------------------------------
+    def latest(self) -> dict | None:
+        path = f"{self.root}/meta.json"
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
+    def load_frontier(self, spark: SparkSession, level: int) -> DataFrame:
+        return spark.read.parquet(self._p("frontier", level))
+
+    def load_seen(self, spark: SparkSession, level: int) -> DataFrame:
+        return spark.read.parquet(self._p("seen", level))
+
+    def load_results(self, spark: SparkSession, upto_level: int) -> DataFrame:
+        dfs = [
+            spark.read.parquet(self._p("results", d)) for d in range(upto_level + 1)
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out

@@ -38,9 +38,16 @@ from .ranks import global_rank
 class CrawlConfig:
     max_depth: int = 6
     seed_doc: int = 0
+    # >1: seed docs [seed_doc, seed_doc+num_seeds) in list order — the
+    # north-star benchmark shape (seed-list expansion, BASELINE.json)
+    num_seeds: int = 1
     max_outputs: int | None = None
     # partitions for the big per-level shuffles; None -> session default
     partitions: int | None = None
+    # per-level snapshot dir (checkpoint/resume + lineage); None = off
+    checkpoint_dir: str | None = None
+    # resume from the latest completed level in checkpoint_dir
+    resume: bool = False
 
 
 def crawl_bfs(spark: SparkSession, sf_dir: str, cfg: CrawlConfig | None = None) -> DataFrame:
@@ -62,15 +69,43 @@ def crawl_bfs_virtual(spark: SparkSession, n: int, cfg: CrawlConfig | None = Non
 def _crawl(spark: SparkSession, edges: DataFrame, cfg: CrawlConfig) -> DataFrame:
     edges = edges.persist()
 
-    frontier = spark.createDataFrame(
-        [(cfg.seed_doc, 1)], "doc LONG, ord LONG"
-    ).localCheckpoint(eager=True)
-    seen = frontier.select("doc").localCheckpoint(eager=True)
-    levels: list[DataFrame] = [frontier.withColumn("depth", F.lit(0).cast("long"))]
-    base = 1  # rows crawled so far == max ord
-    budget_hit = cfg.max_outputs is not None and base >= cfg.max_outputs
+    ckpt = None
+    if cfg.checkpoint_dir:
+        from .checkpoint import CrawlCheckpoint
 
-    depth = 0
+        ckpt = CrawlCheckpoint(cfg.checkpoint_dir)
+
+    resumed_results = None
+    if ckpt and cfg.resume and (meta := ckpt.latest()) is not None:
+        depth = int(meta["level"])
+        base = int(meta["base_ord"])
+        frontier = ckpt.load_frontier(spark, depth).localCheckpoint(eager=True)
+        seen = ckpt.load_seen(spark, depth).localCheckpoint(eager=True)
+        resumed_results = ckpt.load_results(spark, depth)
+        levels: list[DataFrame] = []
+        budget_hit = cfg.max_outputs is not None and base >= cfg.max_outputs
+    else:
+        if cfg.num_seeds <= 1:
+            frontier = spark.createDataFrame(
+                [(cfg.seed_doc, 1)], "doc LONG, ord LONG"
+            ).localCheckpoint(eager=True)
+        else:
+            frontier = (
+                spark.range(cfg.seed_doc, cfg.seed_doc + cfg.num_seeds)
+                .select(
+                    F.col("id").alias("doc"),
+                    (F.col("id") - cfg.seed_doc + 1).alias("ord"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        seen = frontier.select("doc").localCheckpoint(eager=True)
+        levels = [frontier.withColumn("depth", F.lit(0).cast("long"))]
+        base = cfg.num_seeds  # rows crawled so far == max ord
+        budget_hit = cfg.max_outputs is not None and base >= cfg.max_outputs
+        depth = 0
+        if ckpt:
+            ckpt.save_level(0, frontier, seen, levels[0], {"base_ord": base})
+
     while not budget_hit and depth < cfg.max_depth:
         depth += 1
         # expand: (doc, rk) with rk = first-discovery key; groupBy-min gets a
@@ -98,13 +133,21 @@ def _crawl(spark: SparkSession, edges: DataFrame, cfg: CrawlConfig) -> DataFrame
             budget_hit = True
         frontier = level.localCheckpoint(eager=True)
         seen = seen.union(frontier.select("doc")).localCheckpoint(eager=True)
-        levels.append(frontier.withColumn("depth", F.lit(depth).cast("long")))
+        level_rows = frontier.withColumn("depth", F.lit(depth).cast("long"))
+        levels.append(level_rows)
         base += cnt
+        if ckpt:
+            ckpt.save_level(depth, frontier, seen, level_rows, {"base_ord": base})
 
     edges.unpersist()
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
+    if levels:
+        out = levels[0]
+        for lv in levels[1:]:
+            out = out.unionByName(lv)
+        if resumed_results is not None:
+            out = resumed_results.unionByName(out)
+    else:
+        out = resumed_results
     doc = F.col("doc")
     return out.select(
         graph.url_col(doc).alias("url"),

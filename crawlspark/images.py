@@ -189,3 +189,34 @@ def near_dup_images_by_phash(images: DataFrame, max_dist: int = 6) -> DataFrame:
     return pairs.select("id_a", "id_b", dist.alias("hamming")).filter(
         F.col("hamming") <= max_dist
     )
+
+
+def generate_images_virtual(spark: SparkSession, n: int) -> DataFrame:
+    """Images over a virtual id space (scale benchmarking — the codec work
+    is identical, no parquet dependency)."""
+    ids = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["id"]:
+                doc_id = int(doc_id)
+                w, h = dims_for(doc_id)
+                fmt = fmt_for(doc_id)
+                px = _pixels(doc_id, w, h)
+                rows.append(
+                    {
+                        "image_id": f"img-{doc_id}",
+                        "bytes": _encode(px, fmt),
+                        "w": w,
+                        "h": h,
+                        "fmt": fmt,
+                        "caption": f"virtual image {doc_id}",
+                        "phash": _phash64(
+                            px if fmt == "png" else _decode(_encode(px, fmt), w, h)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(gen, IMAGE_SCHEMA)

@@ -114,3 +114,51 @@ def politeness_partition(
     return df.repartition(cfg.num_buckets, "queue_bucket").sortWithinPartitions(
         "host_bucket", priority_col, ts_col
     )
+
+
+def throttle_schedule_in_task(
+    frontier: DataFrame,
+    host_col: str = "host",
+    ord_col: str = "ord",
+    latency_col: str = "latency_ms",
+    cfg: PolitenessConfig | None = None,
+) -> DataFrame:
+    """Same schedule as :func:`throttle_schedule`, computed IN-TASK after the
+    north_rule repartition: one shuffle on host_bucket, then vectorized
+    pandas groupby-cumsum per partition (each host lives in exactly one
+    partition, so per-host state never crosses tasks).  This is the shape
+    the real fetch stage uses — the pacing loop replaces the cumsum with
+    actual sleeps."""
+    import pandas as pd
+
+    cfg = cfg or PolitenessConfig()
+    df = frontier.withColumn(
+        "host_bucket", host_bucket(F.col(host_col), cfg.num_buckets)
+    )
+    df = df.repartition(cfg.num_buckets, "host_bucket").sortWithinPartitions(
+        host_col, ord_col
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", seq LONG, wait_ms LONG, fetch_start_ms LONG, fetch_end_ms LONG"
+    min_wait, factor = cfg.min_wait_ms, cfg.wait_factor
+
+    def sched(batches):
+        # accumulate the partition (bounded: one host_bucket's wave share),
+        # then one vectorized pass
+        parts = [p for p in batches]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        g = pdf.groupby(host_col, sort=False)
+        pdf["seq"] = g.cumcount() + 1
+        prev_lat = g[latency_col].shift(1)
+        wait = (prev_lat * factor).clip(lower=min_wait).fillna(0).astype("int64")
+        pdf["wait_ms"] = wait
+        cum_lat_prev = g[latency_col].cumsum() - pdf[latency_col]
+        cum_wait = wait.groupby(pdf[host_col], sort=False).cumsum()
+        pdf["fetch_start_ms"] = (cum_lat_prev + cum_wait).astype("int64")
+        pdf["fetch_end_ms"] = pdf["fetch_start_ms"] + pdf[latency_col]
+        yield pdf
+
+    return df.mapInPandas(sched, out_schema)

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # below this many rows, a single-partition window is cheaper than two extra jobs
-SMALL_LEVEL_ROWS = 2_000_000
+SMALL_LEVEL_ROWS = 250_000
 
 
 def global_rank(

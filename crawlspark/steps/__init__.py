@@ -1,0 +1,121 @@
+"""Step-algebra helpers that don't fit the bigger modules.
+
+Maps the reference's remaining step surface onto Column expressions:
+- TemplateString [crwl:var] substitution (src/Utils/TemplateString.php:12-31)
+- UTF-8 BOM strip on text inputs (src/Steps/Step.php:302-309)
+- DomQuery first/last/nth/even/odd selection (src/Steps/Html/DomQuery.php:83-120)
+- Html::schemaOrg JSON-LD extraction (src/Steps/Html/SchemaOrg.php:55-105)
+- 429/503 retry policy (src/Loader/Http/Politeness/RetryErrorResponseHandler.php)
+- Gzip sniff/encode/decode (src/Utils/Gzip.php:12-43)
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, BinaryType, StringType
+
+BOM = "﻿"
+
+
+def template_resolve(template: str, **vars_: Column) -> Column:
+    """``[crwl:name]`` substitution, built at plan time into a concat
+    (the reference resolves per-row at run time; our variables are columns)."""
+    parts = re.split(r"\[crwl:([A-Za-z0-9_]+)\]", template)
+    cols: list[Column] = []
+    for i, p in enumerate(parts):
+        if i % 2 == 0:
+            if p:
+                cols.append(F.lit(p))
+        else:
+            if p not in vars_:
+                raise KeyError(f"template var [crwl:{p}] not provided")
+            cols.append(vars_[p].cast("string"))
+    return F.concat(*cols) if cols else F.lit("")
+
+
+def strip_bom(text: Column) -> Column:
+    """Drop a leading UTF-8 BOM (reference strips it from any text input)."""
+    return F.when(
+        text.startswith(BOM), F.substring(text, 2, 2147483647)
+    ).otherwise(text)
+
+
+def dom_select(matches: Column, which: str, n: int | None = None) -> Column:
+    """Select from an array of matched nodes like DomQuery first/last/nth/
+    even/odd (1-based 'nth'; 'even'/'odd' by 0-based position like the
+    reference's CSS-style semantics)."""
+    if which == "first":
+        return F.element_at(matches, 1)
+    if which == "last":
+        return F.element_at(matches, -1)
+    if which == "nth":
+        return F.element_at(matches, n)
+    if which == "even":
+        # positions 2,4,... (1-based even) — reference's even()
+        return F.filter(matches, lambda x, i: (i + 1) % 2 == 0)
+    if which == "odd":
+        return F.filter(matches, lambda x, i: (i + 1) % 2 == 1)
+    raise ValueError(which)
+
+
+_LDJSON_RE = re.compile(
+    r'<script[^>]*type\s*=\s*["\']application/ld\+json["\'][^>]*>(.*?)</script>',
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_ldjson_udf(bodies: pd.Series) -> pd.Series:
+    """All JSON-LD script blocks in document order (raw JSON strings;
+    parse downstream with from_json/get_json_object)."""
+    return bodies.map(lambda b: [m.strip() for m in _LDJSON_RE.findall(b)] if b else [])
+
+
+# 429/503 retry policy: wait 10 s then 60 s, Retry-After honored up to 60 s,
+# abort after 2 failed retries (RetryErrorResponseHandler.php:18-30,49-102)
+RETRY_WAITS_MS = (10_000, 60_000)
+RETRY_AFTER_CAP_MS = 60_000
+
+
+def retry_schedule_cols(status: Column, retry_after_s: Column) -> list[Column]:
+    retryable = status.isin(429, 503)
+    ra_ms = F.least(retry_after_s * 1000, F.lit(RETRY_AFTER_CAP_MS))
+    use_ra = retryable & retry_after_s.isNotNull() & (retry_after_s > 0)
+    wait1 = F.when(use_ra, ra_ms).otherwise(
+        F.when(retryable, F.lit(RETRY_WAITS_MS[0])).otherwise(F.lit(0))
+    )
+    wait2 = F.when(use_ra, ra_ms).otherwise(
+        F.when(retryable, F.lit(RETRY_WAITS_MS[1])).otherwise(F.lit(0))
+    )
+    aborts = retryable  # after both retries fail the crawl aborts
+    return [
+        wait1.cast("long").alias("retry_wait1_ms"),
+        wait2.cast("long").alias("retry_wait2_ms"),
+        aborts.alias("aborts_after_retries"),
+    ]
+
+
+@pandas_udf(BinaryType())
+def gzip_encode_udf(data: pd.Series) -> pd.Series:
+    return data.map(lambda b: _gzip.compress(bytes(b), mtime=0) if b is not None else None)
+
+
+@pandas_udf(BinaryType())
+def gzip_decode_udf(data: pd.Series) -> pd.Series:
+    """Gzip-magic sniff like the reference: non-gzip bytes pass through."""
+
+    def one(b):
+        if b is None:
+            return None
+        bb = bytes(b)
+        if bb[:2] == b"\x1f\x8b":
+            return _gzip.decompress(bb)
+        return bb
+
+    return data.map(one)

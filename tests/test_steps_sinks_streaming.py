@@ -1,0 +1,149 @@
+"""steps helpers, response cache, stores, streaming ingest."""
+
+import json
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark import sinks, steps
+
+
+def test_template_resolve(spark):
+    df = spark.createDataFrame([("example.com", 7)], "host STRING, id LONG")
+    out = df.select(
+        steps.template_resolve(
+            "https://[crwl:host]/d/[crwl:id]?x=1",
+            host=F.col("host"), id=F.col("id"),
+        ).alias("u")
+    ).collect()[0].u
+    assert out == "https://example.com/d/7?x=1"
+
+
+def test_strip_bom(spark):
+    df = spark.createDataFrame([("﻿hello",), ("plain",)], "t STRING")
+    got = [r.s for r in df.select(steps.strip_bom(F.col("t")).alias("s")).collect()]
+    assert got == ["hello", "plain"]
+
+
+def test_dom_select(spark):
+    df = spark.createDataFrame([(["a", "b", "c", "d", "e"],)], "m ARRAY<STRING>")
+    row = df.select(
+        steps.dom_select(F.col("m"), "first").alias("f"),
+        steps.dom_select(F.col("m"), "last").alias("l"),
+        steps.dom_select(F.col("m"), "nth", 2).alias("n2"),
+        steps.dom_select(F.col("m"), "even").alias("ev"),
+        steps.dom_select(F.col("m"), "odd").alias("od"),
+    ).collect()[0]
+    assert (row.f, row.l, row.n2) == ("a", "e", "b")
+    assert row.ev == ["b", "d"] and row.od == ["a", "c", "e"]
+
+
+def test_ldjson_extract(spark):
+    body = (
+        '<html><head><script type="application/ld+json">'
+        '{"@type": "Product", "name": "Thing"}</script>'
+        '<script type="application/ld+json">{"@type": "Offer"}</script>'
+        "</head></html>"
+    )
+    df = spark.createDataFrame([(body,)], "b STRING")
+    blocks = df.select(steps.extract_ldjson_udf(F.col("b")).alias("j")).collect()[0].j
+    assert len(blocks) == 2
+    assert json.loads(blocks[0])["@type"] == "Product"
+
+
+def test_retry_schedule(spark):
+    df = spark.createDataFrame(
+        [(200, None), (429, None), (503, 30), (503, 120)],
+        "status INT, retry_after INT",
+    )
+    rows = df.select(
+        "status", "retry_after",
+        *steps.retry_schedule_cols(F.col("status"), F.col("retry_after")),
+    ).collect()
+    by = {(r.status, r.retry_after): r for r in rows}
+    assert by[(200, None)].retry_wait1_ms == 0
+    assert by[(429, None)].retry_wait1_ms == 10_000
+    assert by[(429, None)].retry_wait2_ms == 60_000
+    assert by[(503, 30)].retry_wait1_ms == 30_000  # Retry-After honored
+    assert by[(503, 120)].retry_wait1_ms == 60_000  # capped at 60 s
+    assert by[(503, 30)].aborts_after_retries is True
+
+
+def test_gzip_roundtrip(spark):
+    df = spark.createDataFrame([(b"hello world",), (b"raw",)], "b BINARY")
+    enc = df.select(steps.gzip_encode_udf(F.col("b")).alias("e"))
+    dec = enc.select(steps.gzip_decode_udf(F.col("e")).alias("d")).collect()
+    assert bytes(dec[0].d) == b"hello world"
+    # sniff: non-gzip passes through
+    raw = df.select(steps.gzip_decode_udf(F.col("b")).alias("d")).collect()
+    assert bytes(raw[1].d) == b"raw"
+
+
+def test_response_cache_probe_and_merge(spark):
+    d = tempfile.mkdtemp(prefix="cache-")
+    try:
+        cache = sinks.ResponseCache(spark, f"{d}/cache", ttl_s=3600)
+        resp = spark.createDataFrame(
+            [(1, "http://a", 200, bytearray(b"A"), 1000),
+             (2, "http://b", 200, bytearray(b"B"), 1000)],
+            sinks.CACHE_SCHEMA,
+        )
+        cache.merge(resp)
+        frontier = spark.createDataFrame(
+            [(1,), (3,)], "request_key LONG"
+        )
+        hits, misses = cache.probe(frontier, now_s=2000)
+        assert [r.request_key for r in hits.collect()] == [1]
+        assert [r.request_key for r in misses.collect()] == [3]
+        # TTL expiry: far future -> everything is a miss
+        hits2, misses2 = cache.probe(frontier, now_s=1000 + 3600 + 1)
+        assert hits2.count() == 0 and misses2.count() == 2
+        # upsert: newer row wins
+        resp2 = spark.createDataFrame(
+            [(1, "http://a", 304, bytearray(b"A2"), 5000)], sinks.CACHE_SCHEMA
+        )
+        cache.merge(resp2)
+        live = cache.read(now_s=5000)
+        assert live.filter("request_key = 1").collect()[0].status == 304
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_csv_store_array_join(spark):
+    d = tempfile.mkdtemp(prefix="store-")
+    try:
+        df = spark.createDataFrame([(1, ["x", "y"])], "id LONG, tags ARRAY<STRING>")
+        sinks.write_csv_store(df, f"{d}/out", mode="overwrite")
+        back = spark.read.option("header", "true").csv(f"{d}/out").collect()[0]
+        assert back.tags == "x | y"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_frontier_ingest(spark):
+    from crawlspark import streaming
+
+    d = tempfile.mkdtemp(prefix="stream-")
+    try:
+        src, sink, ckpt = f"{d}/src", f"{d}/sink", f"{d}/ckpt"
+        import os
+
+        os.makedirs(src)
+        with open(f"{src}/batch1.json", "w") as f:
+            for u, ts in [
+                ("HTTP://A.test:80/p?b=1&a=2", "2024-01-01T00:00:00"),
+                ("http://a.test/p?a=2&b=1", "2024-01-01T00:00:30"),  # same canon
+                ("http://b.test/q", "2024-01-01T00:01:00"),
+            ]:
+                f.write(json.dumps({"url": u, "discovered_at": ts}) + "\n")
+        streaming.run_ingest_once(spark, src, sink, ckpt)
+        out = spark.read.parquet(sink)
+        rows = out.select("url_norm").collect()
+        norms = sorted(r.url_norm for r in rows)
+        # canonical dedup within the watermark: 3 inputs -> 2 distinct
+        assert norms == ["http://a.test/p?a=2&b=1", "http://b.test/q"]
+        assert {"url_hash", "host", "host_bucket"} <= set(out.columns)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
