@@ -1,0 +1,156 @@
+"""The fetch stage: politeness-paced batched fetching inside mapInPandas.
+
+This is the live counterpart of the corpus equi-join used by tests/bench
+(engine.py): the frontier is repartitioned so each host lives in exactly one
+partition (politeness.politeness_partition), then each task walks its
+partition in (host, ord) order, sleeping the throttle wait between same-host
+rows and calling a pluggable transport (reference flow: HttpLoader::load,
+src/Loader/Http/HttpLoader.php:122-168 — robots gate and cache probe happen
+BEFORE this stage as joins; redirects are followed inside the transport like
+the loader does, HttpLoader.php:430-470).
+
+Transports:
+- :class:`DictTransport` — deterministic in-memory corpus (tests).
+- :class:`UrllibTransport` — stdlib HTTP client for real crawls (no network
+  in this sandbox; constructing it is fine, fetching requires egress).
+
+Retry policy per reference RetryErrorResponseHandler: 429/503 → wait and
+retry (waits from steps.RETRY_WAITS_MS, Retry-After honored up to 60 s),
+give up after 2 retries.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from . import politeness
+
+RESPONSE_SCHEMA = (
+    "url STRING, host STRING, ord LONG, status INT, body BINARY, "
+    "effective_url STRING, elapsed_ms LONG, attempts INT"
+)
+
+
+@dataclass
+class FetchResult:
+    status: int
+    body: bytes
+    effective_url: str
+    retry_after_s: int | None = None
+
+
+class DictTransport:
+    """Deterministic transport over an in-memory page dict (tests/bench)."""
+
+    def __init__(self, pages: dict[str, tuple[int, bytes]], latency_s: float = 0.0):
+        self.pages = pages
+        self.latency_s = latency_s
+
+    def __call__(self, url: str) -> FetchResult:
+        if self.latency_s:
+            time.sleep(self.latency_s)
+        status, body = self.pages.get(url, (404, b""))
+        return FetchResult(status=status, body=body, effective_url=url)
+
+
+class UrllibTransport:
+    """stdlib HTTP transport; follows redirects like the reference loader
+    (<= 10 hops).  Requires network egress — not exercised in this sandbox."""
+
+    def __init__(self, user_agent: str = "crawlspark/0.1", timeout_s: float = 10.0):
+        self.user_agent = user_agent
+        self.timeout_s = timeout_s
+
+    def __call__(self, url: str) -> FetchResult:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(url, headers={"User-Agent": self.user_agent})
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                return FetchResult(
+                    status=resp.status, body=resp.read(), effective_url=resp.url
+                )
+        except urllib.error.HTTPError as e:
+            ra = e.headers.get("Retry-After")
+            return FetchResult(
+                status=e.code, body=b"", effective_url=url,
+                retry_after_s=int(ra) if ra and ra.isdigit() else None,
+            )
+
+
+def fetch_stage(
+    frontier: DataFrame,
+    transport_factory: Callable[[], Callable[[str], FetchResult]],
+    cfg: politeness.PolitenessConfig | None = None,
+    sleep: Callable[[float], None] = time.sleep,
+    retry_waits_ms: tuple[int, ...] = politeness.RETRY_WAITS_MS,
+) -> DataFrame:
+    """Fetch the frontier with per-host pacing.
+
+    ``frontier`` needs (url, host, ord, latency_ms?); rows come back with
+    status/body/effective_url.  ``transport_factory`` is called once per
+    task (connection pools etc. live per executor, never serialized).
+    """
+    cfg = cfg or politeness.PolitenessConfig()
+    queued = politeness.politeness_partition(
+        frontier.withColumn("priority", frontier["ord"])
+        .withColumn("crawl_ts", frontier["ord"]),
+        host_col="host", priority_col="priority", ts_col="crawl_ts", cfg=cfg,
+    )
+    min_wait_s = cfg.min_wait_ms / 1000.0
+    factor = cfg.wait_factor
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        transport = transport_factory()
+        last_end: dict[str, float] = {}
+        last_dur: dict[str, float] = {}
+        out = []
+        for pdf in batches:
+            for r in pdf.itertuples():
+                host = r.host
+                now = time.monotonic()
+                # throttle: wait max(min_wait, factor*last_duration) since
+                # the host's previous fetch finished (Throttler.php:125-197)
+                if host in last_end:
+                    wait = max(min_wait_s, factor * last_dur.get(host, 0.0))
+                    pace = r.pace_factor if hasattr(r, "pace_factor") else 1
+                    remaining = last_end[host] + wait * pace - now
+                    if remaining > 0:
+                        sleep(remaining)
+                t0 = time.monotonic()
+                res = transport(r.url)
+                attempts = 1
+                # 429/503 retry with backoff; abort row after 2 retries
+                for wait_ms in retry_waits_ms:
+                    if res.status not in (429, 503):
+                        break
+                    ra = res.retry_after_s
+                    w = min(ra, 60) if ra else wait_ms / 1000.0
+                    sleep(w)
+                    res = transport(r.url)
+                    attempts += 1
+                t1 = time.monotonic()
+                last_end[host] = t1
+                last_dur[host] = t1 - t0
+                out.append(
+                    {
+                        "url": r.url,
+                        "host": host,
+                        "ord": int(r.ord),
+                        "status": int(res.status),
+                        "body": res.body,
+                        "effective_url": res.effective_url,
+                        "elapsed_ms": int((t1 - t0) * 1000),
+                        "attempts": attempts,
+                    }
+                )
+        if out:
+            yield pd.DataFrame(out)
+
+    return queued.mapInPandas(run, RESPONSE_SCHEMA)
