@@ -56,18 +56,42 @@ def crawl_bfs(spark: SparkSession, sf_dir: str, cfg: CrawlConfig | None = None) 
     """
     cfg = cfg or CrawlConfig()
     n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    return _crawl(spark, graph.edges(spark, sf_dir, n), cfg)
+    return _crawl(spark, n, cfg)
 
 
 def crawl_bfs_virtual(spark: SparkSession, n: int, cfg: CrawlConfig | None = None) -> DataFrame:
     """Same BFS over an n-doc virtual id space (scale benchmarking: the graph
     is generated, not read — isolates frontier-machinery throughput)."""
     cfg = cfg or CrawlConfig()
-    return _crawl(spark, graph.edges_from(graph.virtual_docs(spark, n), n), cfg)
+    return _crawl(spark, n, cfg)
 
 
-def _crawl(spark: SparkSession, edges: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    edges = edges.persist()
+def _expand(frontier: DataFrame, n: int) -> DataFrame:
+    """Children of the frontier as a 4-way explode of closed-form link
+    expressions — the link graph is a formula, so no edges table is scanned
+    (a corpus-backed crawl replaces this with the fetch join, engine.py).
+    rk = parent_ord * ORD_STRIDE + pos is the first-discovery key."""
+    doc, ordc = F.col("doc"), F.col("ord")
+    children = F.array(
+        *[
+            F.struct(
+                child.alias("doc"),
+                (ordc * graph.ORD_STRIDE + pos).alias("rk"),
+            )
+            for pos, child in enumerate(
+                [
+                    (2 * doc + 1) % n,
+                    (2 * doc + 2) % n,
+                    (5 * doc + 3) % n,
+                    (doc + 17) % n,
+                ]
+            )
+        ]
+    )
+    return frontier.select(F.explode(children).alias("c")).select("c.*")
+
+
+def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
 
     ckpt = None
     if cfg.checkpoint_dir:
@@ -111,11 +135,7 @@ def _crawl(spark: SparkSession, edges: DataFrame, cfg: CrawlConfig) -> DataFrame
         # expand: (doc, rk) with rk = first-discovery key; groupBy-min gets a
         # map-side partial aggregate before the shuffle on doc
         cand = (
-            frontier.join(edges, frontier["doc"] == edges["src"])
-            .select(
-                edges["dst"].alias("doc"),
-                (frontier["ord"] * graph.ORD_STRIDE + edges["pos"]).alias("rk"),
-            )
+            _expand(frontier, n)
             .groupBy("doc")
             .agg(F.min("rk").alias("rk"))
             .join(seen, "doc", "left_anti")
@@ -132,6 +152,9 @@ def _crawl(spark: SparkSession, edges: DataFrame, cfg: CrawlConfig) -> DataFrame
             cnt = cfg.max_outputs - base
             budget_hit = True
         frontier = level.localCheckpoint(eager=True)
+        # keeping seen materialized per level is a measured win: the compact
+        # checkpointed relation broadcasts into the anti-join (lazy unions
+        # instead were 2x slower end-to-end)
         seen = seen.union(frontier.select("doc")).localCheckpoint(eager=True)
         level_rows = frontier.withColumn("depth", F.lit(depth).cast("long"))
         levels.append(level_rows)
@@ -139,7 +162,6 @@ def _crawl(spark: SparkSession, edges: DataFrame, cfg: CrawlConfig) -> DataFrame
         if ckpt:
             ckpt.save_level(depth, frontier, seen, level_rows, {"base_ord": base})
 
-    edges.unpersist()
     if levels:
         out = levels[0]
         for lv in levels[1:]:
