@@ -1247,3 +1247,182 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _PREV2_ORACLES()
     out.update(_EXTRA2_ORACLES)
     return out
+
+
+# --------------------------------------------------------------------------
+# round 3: TPC-H anchor, robots sitemaps, html refiner, charset, cosine dedup
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation anchor (DECIMAL sums for cross-engine
+    exactness; Spark partial aggregation + AQE do the heavy lifting)."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - disc))
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+            AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sitemaps_from_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap::getSitemapsFromRobotsTxt (GetSitemapsFromRobotsTxt.php:28-35):
+    per-host rules table -> exploded sitemap URLs (broadcast-sized)."""
+    hosts = spark.range(graph.NHOSTS).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit("." + graph.DOMAIN)
+                 ).alias("host"),
+        F.array(
+            F.concat(F.lit("http://h"), F.col("id").cast("string"),
+                     F.lit("." + graph.DOMAIN + "/sitemap.xml")),
+            F.concat(F.lit("http://h"), F.col("id").cast("string"),
+                     F.lit("." + graph.DOMAIN + "/sitemap2.xml")),
+        ).alias("sitemaps"),
+    )
+    return hosts.select("host", F.explode("sitemaps").alias("sitemap_url"))
+
+
+ORACLE_SITEMAPS_ROBOTS = f"""
+WITH h AS (SELECT DISTINCT doc_id % 10 AS i FROM documents)
+SELECT 'h' || CAST(i AS VARCHAR) || '.{graph.DOMAIN}' AS host,
+       'http://h' || CAST(i AS VARCHAR) || '.{graph.DOMAIN}/sitemap.xml' AS sitemap_url
+FROM h
+UNION ALL
+SELECT 'h' || CAST(i AS VARCHAR) || '.{graph.DOMAIN}' AS host,
+       'http://h' || CAST(i AS VARCHAR) || '.{graph.DOMAIN}/sitemap2.xml' AS sitemap_url
+FROM h
+"""
+
+
+def q_html_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HtmlRefiner::remove(selector) (Refiners/Html/RemoveFromHtml.php):
+    drop matching nodes, here <script> and class='ad' divs, then extract
+    the remaining text."""
+    d = _docs(spark, sf_dir)
+    body = F.concat(
+        F.lit("<html><body><script>bad()</script><div class=\"ad\">AD "),
+        F.col("doc_id").cast("string"),
+        F.lit("</div><p>keep "),
+        F.col("lang"),
+        F.lit("</p></body></html>"),
+    )
+    cleaned = F.regexp_replace(body, r"<script\b[^>]*>.*?</script>", "")
+    cleaned = F.regexp_replace(cleaned, r"<div class=\"ad\">.*?</div>", "")
+    text = F.trim(F.regexp_replace(F.regexp_replace(cleaned, r"<[^>]+>", " "), r"\s+", " "))
+    return d.select("doc_id", text.alias("clean_text"))
+
+
+ORACLE_HTML_REMOVE = """
+SELECT doc_id, 'keep ' || lang AS clean_text FROM documents
+"""
+
+
+def q_charset_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniff/fix (Dom/HtmlDocument.php:63-86): latin-1 mojibake
+    repair for the common win1252-in-utf8 cases, as an expression."""
+    d = _docs(spark, sf_dir)
+    # deterministic mojibake: 'Ã©' (utf-8 bytes of é read as latin-1)
+    corrupted = F.concat(F.lit("cafÃ© "), F.col("source"))
+    fixed = F.replace(corrupted, F.lit("Ã©"), F.lit("é"))
+    return d.select("doc_id", fixed.alias("fixed_text"))
+
+
+ORACLE_CHARSET = """
+SELECT doc_id, 'caf' || chr(233) || ' ' || source AS fixed_text FROM documents
+"""
+
+
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucketed candidate join,
+    cosine >= threshold verification (the embedding analog of minhash-LSH
+    dedup). Output is integer-only (permille) for oracle exactness."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = emb.select(
+        F.col("vec_id"), F.col("embedding"),
+        _ann.lsh_bucket_expr(F.col("embedding")).alias("bucket"),
+    )
+    a = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
+    c = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
+    pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    sim = _ann.cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("id_a", "id_b", F.floor(sim * 1000).cast("long").alias("cos_permille"))
+        .filter(F.col("cos_permille") >= 200)
+    )
+
+
+def oracle_embedding_pairs() -> str:
+    terms = " + ".join(
+        f"CASE WHEN e[{4*j+1}] + e[{4*j+2}] - e[{4*j+3}] - e[{4*j+4}] > 0 "
+        f"THEN {2 ** j} ELSE 0 END"
+        for j in range(_ann.LSH_BITS)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, e, CAST({terms} AS BIGINT) AS bucket
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+),
+p AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         list_cosine_similarity(a.e, c.e) AS sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT id_a, id_b, CAST(floor(sim * 1000) AS BIGINT) AS cos_permille
+FROM p WHERE floor(sim * 1000) >= 200
+"""
+
+
+_EXTRA3_QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "sitemaps_from_robots": q_sitemaps_from_robots,
+    "html_remove": q_html_remove,
+    "charset_fix": q_charset_fix,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
+}
+
+_EXTRA3_ORACLES = {
+    "pricing_summary": ORACLE_PRICING,
+    "sitemaps_from_robots": ORACLE_SITEMAPS_ROBOTS,
+    "html_remove": ORACLE_HTML_REMOVE,
+    "charset_fix": ORACLE_CHARSET,
+    "embedding_cosine_pairs": oracle_embedding_pairs(),
+}
+
+_PREV3_QUERIES = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _PREV3_QUERIES()
+    out.update(_EXTRA3_QUERIES)
+    return out
+
+
+_PREV3_ORACLES = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _PREV3_ORACLES()
+    out.update(_EXTRA3_ORACLES)
+    return out
