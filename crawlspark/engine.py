@@ -65,6 +65,9 @@ class SiteCrawlConfig:
     input_is_sitemap: bool = False
     max_outputs: int | None = None
     user_agent_is_bot: bool = True
+    # yield 4xx/5xx responses too (reference Http step suppresses >=400
+    # unless yieldErrorResponses(), HttpBase.php:260-277)
+    yield_error_responses: bool = False
 
 
 @pandas_udf(StringType())
@@ -320,7 +323,11 @@ def crawl_site(
                 "yielded",
                 F.col("fresh")
                 & F.col("yield_flag")
-                & F.coalesce(F.col("p_status") < 400, F.lit(False))
+                & (
+                    F.coalesce(F.col("p_status").isNotNull(), F.lit(False))
+                    if cfg.yield_error_responses
+                    else F.coalesce(F.col("p_status") < 400, F.lit(False))
+                )
                 & F.col("__eff_seen").isNull()
                 & (F.col("__rn_eff") == 1),
             )

@@ -191,3 +191,41 @@ def test_robots_denied_seed(spark, pages, robots):
     assert yielded == []
     assert loaded == []
     assert attempted == [f"{B}/not-allowed"]
+
+
+def test_yield_error_responses(spark, pages, robots):
+    """Reference Http step suppresses >=400 responses unless
+    yieldErrorResponses() (HttpBase.php:260-277). Add a 404 page linked from
+    main and check both modes."""
+    from pyspark.sql import functions as F
+
+    extra = spark.createDataFrame(
+        [(f"{B}/crawling/missing", 404, None, "text/html",
+          "<html><body>gone</body></html>")],
+        "url STRING, status INT, redirect_to STRING, content_type STRING, body STRING",
+    )
+    main_with_dead_link = pages.withColumn(
+        "body",
+        F.when(
+            F.col("url") == MAIN,
+            F.concat(F.col("body"), F.lit('<a href="/crawling/missing">dead</a>')),
+        ).otherwise(F.col("body")),
+    ).unionByName(extra)
+
+    _, loaded, yielded = run_pages(spark, main_with_dead_link, robots, MAIN)
+    assert f"{B}/crawling/missing" in loaded
+    assert f"{B}/crawling/missing" not in yielded
+
+    _, loaded2, yielded2 = run_pages(
+        spark, main_with_dead_link, robots, MAIN, yield_error_responses=True
+    )
+    assert f"{B}/crawling/missing" in yielded2
+
+
+def run_pages(spark, pages_df, robots, seed, **kw):
+    df = crawl_site(spark, pages_df, seed, SiteCrawlConfig(**kw), robots=robots)
+    rows = sorted(df.collect(), key=lambda r: r.ord)
+    attempted = [r.url for r in rows]
+    loaded = [r.url for r in rows if r.loaded]
+    yielded = [r.effective_url for r in rows if r.yielded]
+    return attempted, loaded, yielded
