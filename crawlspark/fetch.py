@@ -36,12 +36,36 @@ RESPONSE_SCHEMA = (
 )
 
 
+def _call(transport, url, cookie_header):
+    """Call a transport that may or may not accept the cookie kwarg."""
+    try:
+        return transport(url, cookie_header=cookie_header)
+    except TypeError:
+        return transport(url)
+
+
 @dataclass
 class FetchResult:
     status: int
     body: bytes
     effective_url: str
     retry_after_s: int | None = None
+    # raw Set-Cookie values; the stage keeps a per-registrable-domain jar
+    # (reference: src/Loader/Http/Cookies/CookieJar.php:95-130)
+    set_cookies: tuple = ()
+
+
+_SHORT_SLD = {"co", "com", "net", "org", "gov", "ac", "edu"}
+
+
+def registrable_domain_py(host: str) -> str:
+    """Python twin of canon.registrable_domain (same heuristic)."""
+    parts = host.split(".")
+    if len(parts) <= 2:
+        return host
+    if parts[-2] in _SHORT_SLD:
+        return ".".join(parts[-3:])
+    return ".".join(parts[-2:])
 
 
 class DictTransport:
@@ -51,7 +75,7 @@ class DictTransport:
         self.pages = pages
         self.latency_s = latency_s
 
-    def __call__(self, url: str) -> FetchResult:
+    def __call__(self, url: str, cookie_header: str | None = None) -> FetchResult:
         if self.latency_s:
             time.sleep(self.latency_s)
         status, body = self.pages.get(url, (404, b""))
@@ -66,15 +90,19 @@ class UrllibTransport:
         self.user_agent = user_agent
         self.timeout_s = timeout_s
 
-    def __call__(self, url: str) -> FetchResult:
+    def __call__(self, url: str, cookie_header: str | None = None) -> FetchResult:
         import urllib.error
         import urllib.request
 
-        req = urllib.request.Request(url, headers={"User-Agent": self.user_agent})
+        headers = {"User-Agent": self.user_agent}
+        if cookie_header:
+            headers["Cookie"] = cookie_header
+        req = urllib.request.Request(url, headers=headers)
         try:
             with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
                 return FetchResult(
-                    status=resp.status, body=resp.read(), effective_url=resp.url
+                    status=resp.status, body=resp.read(), effective_url=resp.url,
+                    set_cookies=tuple(resp.headers.get_all("Set-Cookie") or ()),
                 )
         except urllib.error.HTTPError as e:
             ra = e.headers.get("Retry-After")
@@ -110,6 +138,7 @@ def fetch_stage(
         transport = transport_factory()
         last_end: dict[str, float] = {}
         last_dur: dict[str, float] = {}
+        jars: dict[str, dict[str, str]] = {}  # registrable domain -> cookies
         out = []
         for pdf in batches:
             for r in pdf.itertuples():
@@ -123,8 +152,13 @@ def fetch_stage(
                     remaining = last_end[host] + wait * pace - now
                     if remaining > 0:
                         sleep(remaining)
+                dom = registrable_domain_py(host)
+                jar = jars.setdefault(dom, {})
+                cookie_header = (
+                    "; ".join(f"{k}={v}" for k, v in jar.items()) or None
+                )
                 t0 = time.monotonic()
-                res = transport(r.url)
+                res = _call(transport, r.url, cookie_header)
                 attempts = 1
                 # 429/503 retry with backoff; abort row after 2 retries
                 for wait_ms in retry_waits_ms:
@@ -133,11 +167,16 @@ def fetch_stage(
                     ra = res.retry_after_s
                     w = min(ra, 60) if ra else wait_ms / 1000.0
                     sleep(w)
-                    res = transport(r.url)
+                    res = _call(transport, r.url, cookie_header)
                     attempts += 1
                 t1 = time.monotonic()
                 last_end[host] = t1
                 last_dur[host] = t1 - t0
+                for sc in getattr(res, "set_cookies", ()) or ():
+                    kv = sc.split(";", 1)[0]
+                    if "=" in kv:
+                        k, v = kv.split("=", 1)
+                        jar[k.strip()] = v.strip()
                 out.append(
                     {
                         "url": r.url,

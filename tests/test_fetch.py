@@ -87,3 +87,55 @@ def test_fetch_stage_paces_same_host(spark):
     # assert via wall clock of the whole job being >= 120 ms is flaky, so
     # instead check the schedule property on elapsed_ms ordering stays FIFO
     assert [r.ord for r in sorted(rows, key=lambda r: r.ord)] == [0, 1, 2, 3, 4]
+
+
+def test_cookie_jar_per_domain(spark):
+    """Cookies set by one host are sent to same-registrable-domain hosts
+    within the task (reference CookieJar keyed by registrable domain)."""
+
+    class CookieEcho:
+        def __init__(self):
+            self.seen = []
+
+        def __call__(self, url, cookie_header=None):
+            self.seen.append((url, cookie_header))
+            if url.endswith("/set"):
+                return fetch.FetchResult(
+                    status=200, body=b"", effective_url=url,
+                    set_cookies=("sid=abc123; Path=/",),
+                )
+            return fetch.FetchResult(
+                status=200, body=(cookie_header or "").encode(), effective_url=url
+            )
+
+    rows = [
+        ("http://www.shop.example.com/set", "www.shop.example.com", 1),
+        ("http://api.shop.example.com/get", "api.shop.example.com", 2),
+        ("http://other.test/get", "other.test", 3),
+    ]
+    df = spark.createDataFrame(rows, "url STRING, host STRING, ord LONG").coalesce(1)
+    out = {r.url: bytes(r.body).decode() for r in fetch.fetch_stage(
+        df, transport_factory=lambda: CookieEcho(),
+        cfg=PolitenessConfig(min_wait_ms=0, num_buckets=1),
+    ).collect()}
+    assert out["http://api.shop.example.com/get"] == "sid=abc123"  # same domain
+    assert out["http://other.test/get"] == ""  # different domain: no cookie
+
+
+def test_hot_host_salting(spark):
+    """politeness_partition splits hot hosts over salt sub-buckets with
+    pace_factor so per-salt budgets sum to the host budget."""
+    from crawlspark import politeness as P
+
+    rows = [("hot.test", i, i) for i in range(500)] + [
+        ("cold.test", 1000 + i, i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "host STRING, priority LONG, crawl_ts LONG")
+    cfg = P.PolitenessConfig(num_buckets=8, hot_threshold=100, salt=4)
+    out = P.politeness_partition(df, cfg=cfg).collect()
+    hot = [r for r in out if r.host == "hot.test"]
+    cold = [r for r in out if r.host == "cold.test"]
+    assert {r.pace_factor for r in hot} == {4}, "hot host paced 4x per salt"
+    assert {r.pace_factor for r in cold} == {1}
+    assert len({r.salt for r in hot}) > 1, "hot host spread over salts"
+    assert {r.salt for r in cold} == {0}
