@@ -8,14 +8,15 @@ low").
 
 Two layers:
 
-- :func:`bloom_prefiltered_antijoin` — Spark-native ``bloom_filter_agg`` /
-  ``might_contain``: rows the bloom proves unseen skip the anti-join shuffle
-  entirely; "maybe" rows take the exact anti-join.  At 10^10 URLs with a
-  mostly-fresh frontier this removes the dominant shuffle.
-- :class:`CuckooFilter` — a partitioned cuckoo filter (numpy, vectorized):
-  per-host_bucket state that supports DELETE (bloom cannot) and serializes
-  into the lineage table for checkpoint/resume.  ``contains_batch`` runs
-  inside ``mapInPandas`` against the broadcast state of the matching bucket.
+- :func:`bloom_prefiltered_antijoin` — numpy bloom built with a
+  per-partition OR-reduce (OSS Spark 4.1 exposes no SQL bloom_filter_agg),
+  probed in an Arrow pandas_udf: rows the bloom proves unseen skip the
+  anti-join shuffle entirely; "maybe" rows take the exact anti-join.
+- :class:`CuckooFilter` + :func:`cuckoo_prefiltered_antijoin` — the
+  north_rule primary: one filter per host_bucket (built with applyInPandas,
+  serialized state rows -> the lineage table snapshots them for resume),
+  probed inside ``mapInPandas``; supports DELETE (bloom cannot) for level
+  rollback on resume.
 """
 
 from __future__ import annotations
@@ -208,3 +209,78 @@ class CuckooFilter:
             .copy()
         )
         return obj
+
+
+# --------------------------------------------------------------------------
+# partitioned cuckoo prefilter: per-host_bucket filter states built with
+# applyInPandas, probed inside mapInPandas, exact anti-join backstop
+# --------------------------------------------------------------------------
+
+FILTER_STATE_SCHEMA = "bucket INT, state BINARY, n_keys LONG"
+
+
+def build_partitioned_cuckoo(
+    seen: DataFrame, key: str, bucket_col: str, capacity_per_bucket: int = 1 << 20
+) -> DataFrame:
+    """One cuckoo filter per bucket (serialized state rows) — this is the
+    seen-filter state the lineage table snapshots for resume."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        cf = CuckooFilter(capacity=max(len(pdf) * 2, 1024))
+        keys = pdf[key].to_numpy(dtype=np.int64).view(np.uint64)
+        cf.insert_batch(keys)
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf[bucket_col].iloc[0])],
+                "state": [cf.to_bytes()],
+                "n_keys": [len(pdf)],
+            }
+        )
+
+    return seen.groupBy(bucket_col).applyInPandas(build, FILTER_STATE_SCHEMA)
+
+
+def cuckoo_prefiltered_antijoin(
+    frontier: DataFrame,
+    seen: DataFrame,
+    key: str,
+    bucket_col: str,
+) -> DataFrame:
+    """frontier MINUS seen using per-bucket cuckoo filters as the prefilter.
+
+    Rows whose bucket filter proves absence skip the exact anti-join; the
+    rest (filter hits = maybe-seen, or buckets with no filter) take it.
+    Exact by construction (cuckoo has no false negatives)."""
+    spark = frontier.sparkSession
+    states = build_partitioned_cuckoo(seen, key, bucket_col).collect()
+    bc = spark.sparkContext.broadcast({r["bucket"]: bytes(r["state"]) for r in states})
+
+    def probe(batches):
+        filters: dict[int, CuckooFilter] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            maybe = np.zeros(len(pdf), dtype=bool)
+            for b, idx in pdf.groupby(bucket_col).groups.items():
+                blob = bc.value.get(int(b))
+                if blob is None:
+                    maybe[pdf.index.get_indexer(idx)] = False  # empty bucket: new
+                    continue
+                if int(b) not in filters:
+                    filters[int(b)] = CuckooFilter.from_bytes(blob)
+                keys = (
+                    pdf.loc[idx, key].to_numpy(dtype=np.int64).view(np.uint64)
+                )
+                maybe[pdf.index.get_indexer(idx)] = filters[int(b)].contains_batch(keys)
+            out = pdf.copy()
+            out["__maybe"] = maybe
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in frontier.schema.fields
+    ) + ", __maybe BOOLEAN"
+    flagged = frontier.mapInPandas(probe, schema)
+    definitely_new = flagged.filter(~F.col("__maybe")).drop("__maybe")
+    maybe = flagged.filter(F.col("__maybe")).drop("__maybe")
+    survivors = maybe.join(seen.select(key).distinct(), key, "left_anti")
+    return definitely_new.unionByName(survivors)

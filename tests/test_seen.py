@@ -46,3 +46,20 @@ def test_cuckoo_serialize_roundtrip():
     assert cf2.num_buckets == cf.num_buckets
     assert cf2.contains_batch(keys).all()
     assert np.array_equal(cf.table, cf2.table)
+
+
+def test_partitioned_cuckoo_prefiltered_antijoin(spark):
+    from pyspark.sql import functions as F
+
+    from crawlspark.seen import cuckoo_prefiltered_antijoin
+
+    frontier = spark.range(0, 8000).select(
+        F.col("id").alias("k"), (F.col("id") % 16).cast("int").alias("bucket")
+    )
+    seen = spark.range(0, 8000, 3).select(
+        F.col("id").alias("k"), (F.col("id") % 16).cast("int").alias("bucket")
+    )
+    got = sorted(
+        r.k for r in cuckoo_prefiltered_antijoin(frontier, seen, "k", "bucket").collect()
+    )
+    assert got == sorted(i for i in range(8000) if i % 3 != 0)
