@@ -141,6 +141,9 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
             .join(seen, "doc", "left_anti")
             .filter(~graph.blocked_col(F.col("doc")))
         )
+        # materialize once: both the count and the rank read the checkpoint
+        # (otherwise the expand+dedup+anti-join pipeline executes twice)
+        cand = cand.localCheckpoint(eager=True)
         cnt = cand.count()
         if cnt == 0:
             break

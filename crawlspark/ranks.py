@@ -64,8 +64,11 @@ def global_rank(
             .withColumn(out, (F.col("__off") + F.row_number().over(w)).cast("long"))
             .drop("__pid", "__off")
         )
-        # materialize before unpersisting the intermediate
+        # materialize once, then release the range-partitioned intermediate;
+        # callers get an already-checkpointed DF (no second materialization)
         out_df = out_df.localCheckpoint(eager=True)
-        return out_df
-    finally:
         ranged.unpersist()
+        return out_df
+    except Exception:
+        ranged.unpersist()
+        raise
