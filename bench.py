@@ -38,7 +38,7 @@ VIRTUAL_N = int(os.environ.get("SPARK_GRAFT_VIRTUAL_N", "2000000"))
 # pools can't silently use the other 31 cores.
 SCALING_CORES_N = int(os.environ.get("SPARK_GRAFT_SCALING_CORES_N", "1"))
 SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "4"))
 # ambient neighbor load on this shared box swings effective CPU by ~3x over
 # minutes (measured, BENCH.md) — min-of-reps filters the noise spikes
 HEADLINE_REPS = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "2"))

@@ -130,3 +130,76 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN (the classic inverted-file scale path): a coarse codebook
+    partitions the corpus into cells; each query probes only its ``nprobe``
+    nearest cells, so scored candidates shrink ~n_centroids/nprobe-fold.
+
+    The codebook here is deterministic — the first ``n_centroids`` corpus
+    vectors — so the whole computation replays exactly in SQL (the oracle);
+    at real scale the codebook comes from MLlib KMeans ran once and the
+    structure is identical: broadcast centroids, one narrow assignment pass
+    over the partitioned corpus (no shuffle), then an equi-join on
+    ``cent_id`` that AQE can skew-split if cells are unbalanced.
+
+    Returns (query_id, rank, neighbor_id), ranks 1..k by (cosine desc, id).
+    """
+    cent = embeddings.filter(
+        (F.col(id_col) >= n_queries) & (F.col(id_col) < n_queries + n_centroids)
+    ).select(
+        (F.col(id_col) - n_queries).alias("cent_id"), F.col(vec_col).alias("centv")
+    )
+    corpus = embeddings.filter(F.col(id_col) >= n_queries).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    # assignment: nearest centroid per corpus vector (ties -> lower cent_id)
+    aw = Window.partitionBy("neighbor_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select(
+            "neighbor_id", "cv", "cent_id",
+            cosine(F.col("cv"), F.col("centv")).alias("csim"),
+        )
+        .withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .select("neighbor_id", "cv", "cent_id")
+    )
+    q = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "qv", "cent_id",
+            cosine(F.col("qv"), F.col("centv")).alias("qsim"),
+        )
+        .withColumn("qrn", F.row_number().over(qw))
+        .filter(F.col("qrn") <= nprobe)
+        .select("query_id", "qv", "cent_id")
+    )
+    scored = assigned.join(F.broadcast(probes), "cent_id").select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

@@ -97,3 +97,68 @@ def _resolve_next(base_urls: pd.Series, hrefs: pd.Series) -> pd.Series:
     return pd.Series(
         [resolve_url(b, None, h) for b, h in zip(base_urls, hrefs)]
     )
+
+
+def paginate_query_params(
+    spark: SparkSession,
+    pages: DataFrame,
+    start_urls: list[str],
+    param: str = "page",
+    by: int = 1,
+    stop_contains: str | None = None,
+    max_pages: int = MAX_PAGES_DEFAULT,
+) -> DataFrame:
+    """QueryParamsPaginator::paramsInUrl().increase(param, by) with a
+    Contains stop rule.
+
+    Reference: Paginators/QueryParamsPaginator.php:28-62 (Incrementor.php:
+    22-38 sets ``param`` to current+by each step) and StopRules/Contains.php:
+    17-25 (stop AFTER processing a page whose trimmed body contains the
+    needle; a missing page also stops).  ``maxPages`` default 1000
+    (Paginator.php:12).
+
+    All chains advance together (one corpus join per step); the query-param
+    rewrite is a JVM regexp on the URL, so the per-step plan is
+    join -> filter -> regexp_replace with no Python.  Returns
+    (chain_id, page_ord, url) for every page actually requested.
+    """
+    bodies = pages.select(
+        F.col("url").alias("p_url"), F.col("body").cast("string").alias("p_body")
+    )
+    cur = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(start_urls)], "chain_id LONG, url STRING"
+    )
+    visited = []
+    for page_ord in range(max_pages):
+        step = cur.join(bodies, cur["url"] == bodies["p_url"], "left").select(
+            "chain_id", "url", "p_body"
+        )
+        visited.append(
+            step.select(
+                "chain_id", F.lit(page_ord).cast("long").alias("page_ord"), "url"
+            )
+        )
+        alive = step.filter(F.col("p_body").isNotNull())
+        if stop_contains is not None:
+            alive = alive.filter(~F.trim(F.col("p_body")).contains(stop_contains))
+        nxt = alive.select(
+            "chain_id",
+            F.regexp_replace(
+                F.col("url"),
+                param + r"=(\d+)",
+                F.concat(
+                    F.lit(param + "="),
+                    (
+                        F.regexp_extract(F.col("url"), param + r"=(\d+)", 1)
+                        .cast("long") + by
+                    ).cast("string"),
+                ),
+            ).alias("url"),
+        )
+        cur = nxt.localCheckpoint(eager=True)
+        if cur.count() == 0:
+            break
+    out = visited[0]
+    for v in visited[1:]:
+        out = out.unionByName(v)
+    return out

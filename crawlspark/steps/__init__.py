@@ -119,3 +119,62 @@ def gzip_decode_udf(data: pd.Series) -> pd.Series:
         return bb
 
     return data.map(one)
+
+
+def merge_headers_df(left, right, id_col: str = "row_id"):
+    """HttpHeaders::merge / addTo as a distributed DataFrame op.
+
+    Reference: src/Utils/HttpHeaders.php:27-61 — result starts from ``left``;
+    a right-side header whose name is absent is taken whole; for a name
+    present on both sides, right values are appended in order but only if
+    not already present (strict equality).
+
+    Both inputs are the exploded header representation
+    ``(id_col, header_name, pos, value)`` (``normalize`` at
+    HttpHeaders.php:12-20 is exactly this explosion: every value becomes its
+    own row).  Output has the same shape with ``pos`` re-ranked 1..n per
+    header.  Two window passes over the same (id, name) partitioning — one
+    Exchange, no Python.
+    """
+    from pyspark.sql import Window
+
+    l = left.select(id_col, "header_name", "pos", "value").withColumn(
+        "side", F.lit(0)
+    )
+    r = right.select(id_col, "header_name", "pos", "value").withColumn(
+        "side", F.lit(1)
+    )
+    u = l.unionByName(r)
+    dupw = Window.partitionBy(id_col, "header_name", "value").orderBy("side", "pos")
+    rankw = Window.partitionBy(id_col, "header_name").orderBy("side", "pos")
+    return (
+        u.withColumn("dup_rn", F.row_number().over(dupw))
+        .filter(F.col("dup_rn") == 1)
+        .withColumn("pos", F.row_number().over(rankw).cast("long"))
+        .select(id_col, "header_name", "pos", "value")
+    )
+
+
+def retry_filter(
+    status: Column,
+    only: list[int] | None = None,
+    except_: list[int] | None = None,
+) -> Column:
+    """RetryManager::shallBeRetried (src/Loader/Http/Cache/RetryManager.php:
+    43-49): status >= 400, not in ``except``, and in ``only`` when set."""
+    cond = status >= 400
+    if except_:
+        cond = cond & ~status.isin(except_)
+    if only:
+        cond = cond & status.isin(only)
+    return cond
+
+
+def proxy_for(ord_col: Column, proxies: list[str]) -> Column:
+    """ProxyManager::getProxy round-robin (src/Loader/Http/ProxyManager.php:
+    32-45): the k-th request (0-based) uses proxies[k % n]; a single proxy
+    is always returned as-is."""
+    if len(proxies) == 1:
+        return F.lit(proxies[0])
+    arr = F.array(*[F.lit(p) for p in proxies])
+    return F.element_at(arr, (ord_col % len(proxies) + 1).cast("int"))

@@ -1426,3 +1426,412 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _PREV3_ORACLES()
     out.update(_EXTRA3_ORACLES)
     return out
+
+
+# --------------------------------------------------------------------------
+# round 4: json each, xml, csv mapping, query-param pagination + stop rules,
+# header merge, retry manager, cookie jar, proxy rotation, IVF ANN,
+# string-length filter
+# --------------------------------------------------------------------------
+
+from . import paginate as _paginate  # noqa: E402
+
+
+def q_json_each(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Json::each — explode a JSON subtree, one output per element, with
+    dot-notation property mapping (src/Steps/Json.php:50-79).  The JSON body
+    is built then honestly re-parsed via from_json + explode (all JVM)."""
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    n = (F.lit(1) + doc % 3).cast("int")
+    body = F.to_json(
+        F.struct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.struct((doc * 10 + i).cast("long").alias("v")),
+            ).alias("items")
+        )
+    )
+    parsed = F.from_json(body, "struct<items: array<struct<v: long>>>")
+    return d.select(doc.alias("doc_id"), parsed.alias("p")).select(
+        "doc_id", F.explode(F.col("p.items")).alias("item")
+    ).select("doc_id", F.col("item.v").alias("v"))
+
+
+ORACLE_JSON_EACH = """
+WITH j AS (
+  SELECT doc_id,
+         '{"items":[' || array_to_string(
+           [ '{"v":' || CAST(doc_id*10 + i AS VARCHAR) || '}'
+             for i in generate_series(1, 1 + doc_id % 3) ], ',') || ']}' AS body
+  FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(json_extract_string(body, '$.items[*].v')) AS BIGINT) AS v
+FROM j
+"""
+
+
+def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Xml step (src/Steps/Xml.php, Dom.php:51-127): XPath extraction over
+    an XML body — native F.xpath (JVM), posexplode for per-node outputs."""
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    n = (F.lit(1) + doc % 3).cast("int")
+    body = F.concat(
+        F.lit("<rows>"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat(
+                    F.lit("<r><t>"), F.col("source"), F.lit("-"),
+                    i.cast("string"), F.lit("</t></r>"),
+                ),
+            ),
+            "",
+        ),
+        F.lit("</rows>"),
+    )
+    vals = F.xpath(body, F.lit("rows/r/t/text()"))
+    return d.select(doc.alias("doc_id"), vals.alias("vals")).select(
+        "doc_id", F.posexplode("vals").alias("pos0", "t")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("item_ord"), "t")
+
+
+ORACLE_XML = """
+SELECT doc_id, CAST(i AS BIGINT) AS item_ord,
+       source || '-' || CAST(i AS VARCHAR) AS t
+FROM (SELECT doc_id, source,
+             unnest(generate_series(1, 1 + doc_id % 3)) AS i
+      FROM documents)
+"""
+
+
+def q_csv_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Csv positional column mapping + skipFirstLine (src/Steps/Csv.php:
+    27-42,96-157): map column 0 -> id, column 2 -> src, ignore the rest;
+    the first line is a header and is skipped."""
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    line = F.when(doc == 0, F.lit("id,lang,source,n_chars")).otherwise(
+        F.concat_ws(
+            ",",
+            doc.cast("string"), F.col("lang"), F.col("source"),
+            F.col("n_chars").cast("string"),
+        )
+    )
+    parts = F.split(line, ",")
+    parsed = d.select(doc.alias("line_no"), parts.alias("parts"))
+    return parsed.filter(F.col("line_no") > 0).select(
+        F.element_at("parts", 1).cast("long").alias("id"),
+        F.element_at("parts", 3).alias("src"),
+    )
+
+
+ORACLE_CSV_MAP = """
+WITH lines AS (
+  SELECT doc_id AS line_no,
+         CASE WHEN doc_id = 0 THEN 'id,lang,source,n_chars'
+              ELSE CAST(doc_id AS VARCHAR) || ',' || lang || ',' || source
+                   || ',' || CAST(n_chars AS VARCHAR) END AS line
+  FROM documents
+)
+SELECT CAST(str_split(line, ',')[1] AS BIGINT) AS id,
+       str_split(line, ',')[3] AS src
+FROM lines WHERE line_no > 0
+"""
+
+
+_PQP_CHAINS = 40
+
+
+def q_paginate_query_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryParamsPaginator increase('page') + Contains stop rule over a
+    synthetic listing corpus: chain c has 1 + c%5 pages, the last page body
+    carries the stop needle."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < _PQP_CHAINS)
+    doc = F.col("doc_id")
+    last = (F.lit(1) + doc % 5).cast("int")
+    pages = d.select(
+        doc.alias("chain"), last.alias("last"),
+        F.explode(F.sequence(F.lit(1), last)).alias("p"),
+    ).select(
+        F.concat(
+            F.lit("http://h"), (F.col("chain") % graph.NHOSTS).cast("string"),
+            F.lit("." + graph.DOMAIN + "/list/"), F.col("chain").cast("string"),
+            F.lit("?page="), F.col("p").cast("string"), F.lit("&size=10"),
+        ).alias("url"),
+        F.when(F.col("p") == F.col("last"), F.lit("data LAST"))
+        .otherwise(F.lit("data")).alias("body"),
+    )
+    starts = [
+        f"http://h{c % graph.NHOSTS}.{graph.DOMAIN}/list/{c}?page=1&size=10"
+        for c in range(_PQP_CHAINS)
+    ]
+    return _paginate.paginate_query_params(
+        spark, pages, starts, param="page", by=1,
+        stop_contains="LAST", max_pages=8,
+    )
+
+
+ORACLE_PQP = f"""
+WITH c AS (
+  SELECT doc_id AS chain_id, unnest(generate_series(1, 1 + doc_id % 5)) AS p
+  FROM documents WHERE doc_id < {_PQP_CHAINS}
+)
+SELECT chain_id, CAST(p - 1 AS BIGINT) AS page_ord,
+       'http://h' || CAST(chain_id % {graph.NHOSTS} AS VARCHAR)
+       || '.{graph.DOMAIN}/list/' || CAST(chain_id AS VARCHAR)
+       || '?page=' || CAST(p AS VARCHAR) || '&size=10' AS url
+FROM c
+"""
+
+
+def q_http_headers_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HttpHeaders::normalize + merge + addTo (src/Utils/HttpHeaders.php:
+    12-61) in the exploded (row_id, header_name, pos, value) representation:
+    right-side values append unless already present, order preserved."""
+    d = _docs(spark, sf_dir)
+
+    def headers(*rows):
+        return F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(n).alias("header_name"),
+                    F.lit(p).cast("long").alias("pos"),
+                    v.alias("value"),
+                )
+                for (n, p, v) in rows
+            ])
+        )
+
+    left = d.select(
+        F.col("doc_id").alias("row_id"),
+        headers(
+            ("Accept", 1, F.lit("text/html")),
+            ("X-Tag", 1, F.col("source")),
+        ).alias("h"),
+    ).select("row_id", "h.header_name", "h.pos", "h.value")
+    right = d.select(
+        F.col("doc_id").alias("row_id"),
+        headers(
+            ("Accept", 1, F.lit("text/html")),
+            ("Accept", 2, F.lit("*/*")),
+            ("X-New", 1, F.col("lang")),
+        ).alias("h"),
+    ).select("row_id", "h.header_name", "h.pos", "h.value")
+    return _steps.merge_headers_df(left, right, id_col="row_id")
+
+
+ORACLE_HEADERS = """
+SELECT doc_id AS row_id, 'Accept' AS header_name, CAST(1 AS BIGINT) AS pos,
+       'text/html' AS value FROM documents
+UNION ALL
+SELECT doc_id, 'Accept', CAST(2 AS BIGINT), '*/*' FROM documents
+UNION ALL
+SELECT doc_id, 'X-New', CAST(1 AS BIGINT), lang FROM documents
+UNION ALL
+SELECT doc_id, 'X-Tag', CAST(1 AS BIGINT), source FROM documents
+"""
+
+
+_RETRY_STATUSES = [200, 301, 404, 429, 503, 400, 500]
+
+
+def q_retry_manager(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RetryManager::shallBeRetried with only()/except() status scoping
+    (src/Loader/Http/Cache/RetryManager.php:22-49)."""
+    e = _events(spark, sf_dir)
+    status = F.element_at(
+        F.array(*[F.lit(s) for s in _RETRY_STATUSES]),
+        (F.col("event_id") % len(_RETRY_STATUSES) + 1).cast("int"),
+    )
+    return e.select(
+        "event_id",
+        status.cast("long").alias("status"),
+        _steps.retry_filter(status).cast("long").alias("retry_default"),
+        _steps.retry_filter(status, only=[429, 503]).cast("long")
+        .alias("retry_only_429_503"),
+        _steps.retry_filter(status, except_=[404]).cast("long")
+        .alias("retry_except_404"),
+    )
+
+
+def oracle_retry_manager() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN {s}" for i, s in enumerate(_RETRY_STATUSES)
+    )
+    return f"""
+WITH s AS (
+  SELECT event_id,
+         CAST(CASE event_id % {len(_RETRY_STATUSES)} {cases} END AS BIGINT) AS status
+  FROM events
+)
+SELECT event_id, status,
+       CAST(CASE WHEN status >= 400 THEN 1 ELSE 0 END AS BIGINT) AS retry_default,
+       CAST(CASE WHEN status IN (429, 503) THEN 1 ELSE 0 END AS BIGINT)
+         AS retry_only_429_503,
+       CAST(CASE WHEN status >= 400 AND status <> 404 THEN 1 ELSE 0 END AS BIGINT)
+         AS retry_except_404
+FROM s
+"""
+
+
+def q_cookie_jar_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CookieJar domain matching (src/Loader/Http/Cookies/CookieJar.php:
+    95-130): cookies are keyed by registrable domain and sent to any host
+    under it; host-scoped cookies only match their exact host.  Broadcast
+    join of the (tiny) jar against the request stream."""
+    d = _docs(spark, sf_dir)
+    reqs = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % graph.NHOSTS).cast("string"),
+            F.lit("." + graph.DOMAIN),
+        ).alias("host"),
+    )
+    jar = spark.createDataFrame(
+        [(graph.DOMAIN, "sid"), (f"h3.{graph.DOMAIN}", "pref")],
+        "domain STRING, cookie_name STRING",
+    )
+    cond = (F.col("host") == F.col("domain")) | F.col("host").endswith(
+        F.concat(F.lit("."), F.col("domain"))
+    )
+    return reqs.join(F.broadcast(jar), cond).select("doc_id", "cookie_name")
+
+
+ORACLE_COOKIES = f"""
+SELECT doc_id, 'sid' AS cookie_name FROM documents
+UNION ALL
+SELECT doc_id, 'pref' FROM documents WHERE doc_id % {graph.NHOSTS} = 3
+"""
+
+
+_PROXIES = ["http://proxy0:8080", "http://proxy1:8080", "http://proxy2:8080"]
+
+
+def q_proxy_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProxyManager round-robin (src/Loader/Http/ProxyManager.php:32-45):
+    the k-th request uses proxies[k % n]."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", _steps.proxy_for(F.col("doc_id"), _PROXIES).alias("proxy")
+    )
+
+
+def oracle_proxy() -> str:
+    cases = " ".join(f"WHEN {i} THEN '{p}'" for i, p in enumerate(_PROXIES))
+    return f"""
+SELECT doc_id, CASE doc_id % {len(_PROXIES)} {cases} END AS proxy
+FROM documents
+"""
+
+
+def q_filter_string_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringLengthFilter — 6 comparison ops on strlen (byte length, PHP
+    strlen; src/Steps/Filters/Enums/StringLengthFilterRule.php:19-31)."""
+    d = _docs(spark, sf_dir)
+    n = F.octet_length(F.col("text"))
+    return d.filter(
+        (n > 120) & (n <= 200) & (F.octet_length(F.col("lang")) == 2)
+    ).select("doc_id", n.cast("long").alias("text_bytes"))
+
+
+ORACLE_FILTER_STRLEN = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS text_bytes
+FROM documents
+WHERE strlen(text) > 120 AND strlen(text) <= 200
+  AND strlen(lang) = 2
+"""
+
+
+_IVF = dict(n_queries=10, k=5, n_centroids=8, nprobe=2)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = _ann.ivf_topk(emb, **_IVF)
+    return out.select("query_id", F.col("rank").alias("nn_rank"), "neighbor_id")
+
+
+def oracle_ivf_topk() -> str:
+    nq, k = _IVF["n_queries"], _IVF["k"]
+    nc, npr = _IVF["n_centroids"], _IVF["nprobe"]
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id - {nq} AS cent_id, v AS cv FROM e
+         WHERE vec_id >= {nq} AND vec_id < {nq + nc}),
+assigned AS (
+  SELECT neighbor_id, cv, cent_id FROM (
+    SELECT c.vec_id AS neighbor_id, c.v AS cv, ct.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+             ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cent_id) AS arn
+    FROM (SELECT * FROM e WHERE vec_id >= {nq}) c CROSS JOIN cent ct
+  ) WHERE arn = 1
+),
+probes AS (
+  SELECT query_id, qv, cent_id FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, ct.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cent_id) AS qrn
+    FROM (SELECT * FROM e WHERE vec_id < {nq}) q CROSS JOIN cent ct
+  ) WHERE qrn <= {npr}
+),
+s AS (
+  SELECT p.query_id, a.neighbor_id,
+         list_cosine_similarity(p.qv, a.cv) AS sim
+  FROM probes p JOIN assigned a USING (cent_id)
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS nn_rank, neighbor_id
+FROM r WHERE rnk <= {k}
+"""
+
+
+_EXTRA4_QUERIES = {
+    "json_each": q_json_each,
+    "xml_extract": q_xml_extract,
+    "csv_column_mapping": q_csv_column_mapping,
+    "paginate_query_params": q_paginate_query_params,
+    "http_headers_merge": q_http_headers_merge,
+    "retry_manager": q_retry_manager,
+    "cookie_jar_match": q_cookie_jar_match,
+    "proxy_rotation": q_proxy_rotation,
+    "filter_string_length": q_filter_string_length,
+    "ann_ivf_topk": q_ann_ivf_topk,
+}
+
+_EXTRA4_ORACLES = {
+    "json_each": ORACLE_JSON_EACH,
+    "xml_extract": ORACLE_XML,
+    "csv_column_mapping": ORACLE_CSV_MAP,
+    "paginate_query_params": ORACLE_PQP,
+    "http_headers_merge": ORACLE_HEADERS,
+    "retry_manager": oracle_retry_manager(),
+    "cookie_jar_match": ORACLE_COOKIES,
+    "proxy_rotation": oracle_proxy(),
+    "filter_string_length": ORACLE_FILTER_STRLEN,
+    "ann_ivf_topk": oracle_ivf_topk(),
+}
+
+_PREV4_QUERIES = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _PREV4_QUERIES()
+    out.update(_EXTRA4_QUERIES)
+    return out
+
+
+_PREV4_ORACLES = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _PREV4_ORACLES()
+    out.update(_EXTRA4_ORACLES)
+    return out
