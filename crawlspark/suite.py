@@ -1835,3 +1835,136 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _PREV4_ORACLES()
     out.update(_EXTRA4_ORACLES)
     return out
+
+
+# --------------------------------------------------------------------------
+# round 5: sitemap withData, Html::each
+# --------------------------------------------------------------------------
+
+
+def q_sitemap_with_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap::getUrlsFromSitemap()->withData() (src/Steps/Sitemap/
+    GetUrlsFromSitemap.php:31-37,75-91): per <url> node emit
+    (url, lastmod, changefreq, priority).  Four parallel native xpath
+    pulls zipped + exploded — all JVM, one pass over the body."""
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    n = (F.lit(1) + doc % 3).cast("int")
+    freq = F.element_at(
+        F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+        (doc % 3 + 1).cast("int"),
+    )
+    entry = lambda i: F.concat(
+        F.lit("<url><loc>http://h"), (doc % graph.NHOSTS).cast("string"),
+        F.lit("." + graph.DOMAIN + "/d/"), doc.cast("string"), F.lit("-"),
+        i.cast("string"),
+        F.lit("</loc><lastmod>2026-01-0"), ((doc + i) % 9 + 1).cast("string"),
+        F.lit("</lastmod><changefreq>"), freq,
+        F.lit("</changefreq><priority>0."), (i % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    body = F.concat(
+        F.lit("<urlset>"),
+        F.array_join(F.transform(F.sequence(F.lit(1), n), entry), ""),
+        F.lit("</urlset>"),
+    )
+    z = F.arrays_zip(
+        F.xpath(body, F.lit("urlset/url/loc/text()")).alias("url"),
+        F.xpath(body, F.lit("urlset/url/lastmod/text()")).alias("lastmod"),
+        F.xpath(body, F.lit("urlset/url/changefreq/text()")).alias("changefreq"),
+        F.xpath(body, F.lit("urlset/url/priority/text()")).alias("priority"),
+    )
+    # two-step: materialize the zipped array first — referencing doc_id from
+    # inside the transform() lambda next to a same-select alias of doc_id
+    # trips Spark's lateral-column-alias resolver (INTERNAL_ERROR)
+    return d.withColumn("z", z).select(
+        "doc_id", F.explode("z").alias("u")
+    ).select(
+        "doc_id", F.col("u.url").alias("url"), F.col("u.lastmod").alias("lastmod"),
+        F.col("u.changefreq").alias("changefreq"),
+        F.col("u.priority").alias("priority"),
+    )
+
+
+ORACLE_SITEMAP_DATA = f"""
+WITH x AS (
+  SELECT doc_id, unnest(generate_series(1, 1 + doc_id % 3)) AS i
+  FROM documents
+)
+SELECT doc_id,
+       'http://h' || CAST(doc_id % {graph.NHOSTS} AS VARCHAR) || '.{graph.DOMAIN}/d/'
+         || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR) AS url,
+       '2026-01-0' || CAST((doc_id + i) % 9 + 1 AS VARCHAR) AS lastmod,
+       CASE doc_id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+            ELSE 'monthly' END AS changefreq,
+       '0.' || CAST(i % 10 AS VARCHAR) AS priority
+FROM x
+"""
+
+
+def q_html_each(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Html::each(selector) with a mapped extraction (src/Steps/Dom.php:
+    60-75,154-175): one output record per matched node.  The per-node field
+    pulls are JVM regexp_extract_all over the body (our HTML path is
+    regex-based — no lxml in this container), zipped + exploded."""
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    n = (F.lit(1) + doc % 4).cast("int")
+    item = lambda i: F.concat(
+        F.lit('<div class="product"><h2>item-'), doc.cast("string"),
+        F.lit("-"), i.cast("string"), F.lit("</h2><span class=\"price\">"),
+        (doc * 10 + i * 3).cast("string"), F.lit("</span></div>"),
+    )
+    body = F.concat(
+        F.lit("<html><body>"),
+        F.array_join(F.transform(F.sequence(F.lit(1), n), item), ""),
+        F.lit("</body></html>"),
+    )
+    names = F.regexp_extract_all(body, F.lit(r"<h2>([^<]*)</h2>"), 1)
+    prices = F.regexp_extract_all(
+        body, F.lit(r'<span class="price">(\d+)</span>'), 1
+    )
+    z = F.arrays_zip(names.alias("name"), prices.alias("price"))
+    return d.withColumn("z", z).select(
+        "doc_id", F.explode("z").alias("m")
+    ).select(
+        "doc_id", F.col("m.name").alias("name"),
+        F.col("m.price").cast("long").alias("price"),
+    )
+
+
+ORACLE_HTML_EACH = """
+SELECT doc_id,
+       'item-' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR) AS name,
+       CAST(doc_id * 10 + i * 3 AS BIGINT) AS price
+FROM (SELECT doc_id, unnest(generate_series(1, 1 + doc_id % 4)) AS i
+      FROM documents)
+"""
+
+
+_EXTRA5_QUERIES = {
+    "sitemap_with_data": q_sitemap_with_data,
+    "html_each": q_html_each,
+}
+
+_EXTRA5_ORACLES = {
+    "sitemap_with_data": ORACLE_SITEMAP_DATA,
+    "html_each": ORACLE_HTML_EACH,
+}
+
+_PREV5_QUERIES = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _PREV5_QUERIES()
+    out.update(_EXTRA5_QUERIES)
+    return out
+
+
+_PREV5_ORACLES = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _PREV5_ORACLES()
+    out.update(_EXTRA5_ORACLES)
+    return out

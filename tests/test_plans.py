@@ -1,0 +1,117 @@
+"""Physical-plan assertions — the at-scale properties BENCH.md claims,
+checked mechanically so they can't silently regress:
+
+- parquet scans get predicate pushdown + column pruning;
+- the seen-set anti-join broadcasts when small and shuffles when broadcast
+  is impossible (the 10^10-row regime);
+- the politeness schedule's two window passes share ONE Exchange;
+- JVM hot paths (canonicalize, fingerprint, minhash, politeness) contain
+  zero Python evaluation nodes;
+- the ANN query block is broadcast, never the corpus.
+"""
+
+from pyspark.sql import functions as F
+
+from crawlspark import ann, politeness
+from crawlspark.canon import canonicalize_expr, url_hash
+from crawlspark.textops import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_parquet_scan_pushdown_and_pruning(spark):
+    d = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") > 100)
+        .select("doc_id", "lang")
+    )
+    p = plan_of(d)
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]" in p
+    # column pruning: only the 2 projected columns reach the scan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in p
+
+
+def test_seen_antijoin_broadcasts_when_small(spark):
+    urls = spark.read.parquet(f"{SF}/documents.parquet").select(
+        url_hash(canonicalize_expr(F.concat(F.lit("http://x.test/"),
+                                            F.col("doc_id")))).alias("url_hash")
+    )
+    seen = spark.range(100).select(url_hash(F.concat(
+        F.lit("http://x.test/"), F.col("id"))).alias("url_hash"))
+    j = urls.join(seen, "url_hash", "left_anti")
+    assert "BroadcastHashJoin" in plan_of(j)
+
+
+def test_seen_antijoin_shuffles_when_broadcast_impossible(spark):
+    # the 10^10-row seen set can never broadcast; with the threshold off the
+    # plan must fall back to a shuffled anti-join, not fail or collect
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        urls = spark.range(1000).select(F.col("id").alias("url_hash"))
+        seen = spark.range(500).select(F.col("id").alias("url_hash"))
+        p = plan_of(urls.join(seen, "url_hash", "left_anti"))
+        assert "BroadcastHashJoin" not in p
+        assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_politeness_schedule_single_exchange(spark):
+    pages = spark.range(10_000).select(
+        F.concat(F.lit("http://h"), (F.col("id") % 50).cast("string"),
+                 F.lit(".test/p")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 50).cast("string")).alias("host"),
+        (F.col("id") % 900 + 100).alias("latency_ms"),
+        F.col("id").alias("ord"),
+    )
+    sched = politeness.throttle_schedule(
+        pages, host_col="host", ord_col="ord", latency_col="latency_ms"
+    )
+    p = plan_of(sched)
+    # both window passes (seq/wait and the running sums) must reuse one
+    # hash-partitioning by host — a second Exchange would double the shuffle
+    # at every BFS level ("(n) Exchange" = one physical node's detail header)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+
+
+def test_jvm_hot_paths_have_no_python_nodes(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    jobs = {
+        "canon+hash": docs.select(
+            url_hash(canonicalize_expr(F.concat(F.lit("HTTP://A.Test:80/x?b=2&a=1#f"),
+                                                F.col("doc_id")))).alias("h")
+        ),
+        "minhash": dedup.minhash_signature(docs, k=8),
+        "simhash": dedup.simhash16(docs),
+    }
+    for name, df in jobs.items():
+        p = plan_of(df)
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert bad not in p, f"{name} plan contains {bad}"
+
+
+def test_ann_broadcasts_queries_not_corpus(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(ann.brute_topk(emb, n_queries=10, k=5))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    # the corpus filter (vec_id >= 10) must be pushed to its scan
+    assert "GreaterThanOrEqual(vec_id,10)" in p
+
+
+def test_wave_whole_stage_codegen(spark):
+    from crawlspark import graph
+
+    docs = graph.virtual_docs(spark, 10_000)
+    wave = docs.select(
+        canonicalize_expr(graph.url_col(F.col("src"))).alias("url_norm")
+    ).withColumn("url_hash", url_hash(F.col("url_norm")))
+    # formatted mode marks whole-stage-codegen stages with "[codegen id : n]"
+    assert "codegen id :" in plan_of(wave)
