@@ -35,6 +35,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # start AQE from a high partition count and let it coalesce DOWN:
+        # big BFS levels keep parallelism (measured +9% on the 100M probe —
+        # smaller sort buffers relieve single-JVM GC pressure), small levels
+        # still collapse to few partitions
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(max(8 * cores, 128)))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
