@@ -38,10 +38,36 @@ def _q_crawl_bfs_max_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_crawl_seen_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule observable #2: the final URL-seen set after the crawl
+    (ordering is observable #1, crawl_bfs).  Reference: loadedUrls in
+    HttpCrawl.php:45-53, golden-asserted in CrawlingTest.php:180-205."""
+    from pyspark.sql import functions as F
+
+    bfs = crawl_bfs(spark, sf_dir, CrawlConfig(max_depth=FLAGSHIP_DEPTH))
+    return bfs.select("url").distinct().orderBy("url")
+
+
+def _q_crawl_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-level crawl metrics (yieldedResponseCount per depth — reference
+    HttpCrawl.php:55,162,226; ours also feeds the lineage table)."""
+    from pyspark.sql import functions as F
+
+    bfs = crawl_bfs(spark, sf_dir, CrawlConfig(max_depth=FLAGSHIP_DEPTH))
+    return bfs.groupBy("depth").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.min("ord").alias("first_ord"),
+        F.max("ord").alias("last_ord"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {
         "crawl_bfs": _q_crawl_bfs,
         "crawl_bfs_max_outputs": _q_crawl_bfs_max_outputs,
+        "crawl_seen_set": _q_crawl_seen_set,
+        "crawl_metrics": _q_crawl_metrics,
     }
     out.update(suite.queries())
     return out
@@ -53,6 +79,17 @@ def oracle_sql() -> dict[str, str]:
         "crawl_bfs": bfs,
         "crawl_bfs_max_outputs": (
             "WITH full_bfs AS (\n" + bfs + "\n) SELECT * FROM full_bfs WHERE ord <= 100"
+        ),
+        "crawl_seen_set": (
+            "WITH full_bfs AS (\n" + bfs
+            + "\n) SELECT DISTINCT url FROM full_bfs ORDER BY url"
+        ),
+        "crawl_metrics": (
+            "WITH full_bfs AS (\n" + bfs + "\n) "
+            "SELECT depth, COUNT(*) AS n_urls, "
+            "COUNT(DISTINCT host) AS n_hosts, "
+            "MIN(ord) AS first_ord, MAX(ord) AS last_ord "
+            "FROM full_bfs GROUP BY depth"
         ),
     }
     out.update(suite.oracle_sql())
