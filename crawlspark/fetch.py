@@ -36,8 +36,14 @@ RESPONSE_SCHEMA = (
 )
 
 
-def _call(transport, url, cookie_header):
-    """Call a transport that may or may not accept the cookie kwarg."""
+def _call(transport, url, cookie_header, method="GET", req_body=None):
+    """Call a transport, degrading gracefully for simpler signatures."""
+    try:
+        return transport(
+            url, cookie_header=cookie_header, method=method, req_body=req_body
+        )
+    except TypeError:
+        pass
     try:
         return transport(url, cookie_header=cookie_header)
     except TypeError:
@@ -75,10 +81,22 @@ class DictTransport:
         self.pages = pages
         self.latency_s = latency_s
 
-    def __call__(self, url: str, cookie_header: str | None = None) -> FetchResult:
+    def __call__(
+        self,
+        url: str,
+        cookie_header: str | None = None,
+        method: str = "GET",
+        req_body: bytes | None = None,
+    ) -> FetchResult:
         if self.latency_s:
             time.sleep(self.latency_s)
-        status, body = self.pages.get(url, (404, b""))
+        # non-GET routes are keyed (method, url) — reference Http::post/put/
+        # patch/delete build method-specific requests (Http.php:42-79)
+        status, body = self.pages.get(
+            (method, url), self.pages.get(url, (404, b""))
+        )
+        if callable(body):
+            body = body(req_body)
         return FetchResult(status=status, body=body, effective_url=url)
 
 
@@ -90,14 +108,22 @@ class UrllibTransport:
         self.user_agent = user_agent
         self.timeout_s = timeout_s
 
-    def __call__(self, url: str, cookie_header: str | None = None) -> FetchResult:
+    def __call__(
+        self,
+        url: str,
+        cookie_header: str | None = None,
+        method: str = "GET",
+        req_body: bytes | None = None,
+    ) -> FetchResult:
         import urllib.error
         import urllib.request
 
         headers = {"User-Agent": self.user_agent}
         if cookie_header:
             headers["Cookie"] = cookie_header
-        req = urllib.request.Request(url, headers=headers)
+        req = urllib.request.Request(
+            url, headers=headers, method=method, data=req_body
+        )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
                 return FetchResult(
@@ -157,8 +183,14 @@ def fetch_stage(
                 cookie_header = (
                     "; ".join(f"{k}={v}" for k, v in jar.items()) or None
                 )
+                # optional per-row verb/body columns (Http::post/put/patch/
+                # delete, Http.php:42-79); absent columns default to GET
+                method = getattr(r, "method", None) or "GET"
+                req_body = getattr(r, "req_body", None)
+                if req_body is not None and not isinstance(req_body, bytes):
+                    req_body = bytes(req_body)
                 t0 = time.monotonic()
-                res = _call(transport, r.url, cookie_header)
+                res = _call(transport, r.url, cookie_header, method, req_body)
                 attempts = 1
                 # 429/503 retry with backoff; abort row after 2 retries
                 for wait_ms in retry_waits_ms:
@@ -167,7 +199,7 @@ def fetch_stage(
                     ra = res.retry_after_s
                     w = min(ra, 60) if ra else wait_ms / 1000.0
                     sleep(w)
-                    res = _call(transport, r.url, cookie_header)
+                    res = _call(transport, r.url, cookie_header, method, req_body)
                     attempts += 1
                 t1 = time.monotonic()
                 last_end[host] = t1

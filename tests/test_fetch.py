@@ -139,3 +139,30 @@ def test_hot_host_salting(spark):
     assert {r.pace_factor for r in cold} == {1}
     assert len({r.salt for r in hot}) > 1, "hot host spread over salts"
     assert {r.salt for r in cold} == {0}
+
+
+def test_fetch_stage_http_verbs_and_body(spark):
+    # Http::post/put/patch/delete (Http.php:42-79): per-row method + body
+    # columns; DictTransport routes (method, url) and can echo the body
+    pages = {
+        ("POST", "http://a.test/form"): (201, lambda b: b"saved:" + (b or b"")),
+        ("DELETE", "http://a.test/item"): (204, b""),
+        "http://a.test/page": (200, b"get-ok"),
+    }
+    rows = [
+        ("http://a.test/form", "a.test", 0, "POST", b"k=v"),
+        ("http://a.test/item", "a.test", 1, "DELETE", None),
+        ("http://a.test/page", "a.test", 2, None, None),  # defaults to GET
+    ]
+    df = spark.createDataFrame(
+        rows, "url STRING, host STRING, ord LONG, method STRING, req_body BINARY"
+    )
+    out = {r.url: r for r in fetch.fetch_stage(
+        df, transport_factory=lambda: fetch.DictTransport(pages),
+        cfg=PolitenessConfig(min_wait_ms=0, num_buckets=1),
+    ).collect()}
+    assert out["http://a.test/form"].status == 201
+    assert bytes(out["http://a.test/form"].body) == b"saved:k=v"
+    assert out["http://a.test/item"].status == 204
+    assert out["http://a.test/page"].status == 200
+    assert bytes(out["http://a.test/page"].body) == b"get-ok"
