@@ -64,3 +64,66 @@ def run_ingest_once(
         .start()
     )
     q.awaitTermination()
+
+
+# --------------------------------------------------------------------------
+# stateful per-host admission (applyInPandasWithState)
+# --------------------------------------------------------------------------
+
+ADMIT_OUTPUT_SCHEMA = (
+    "host STRING, url STRING, ord LONG, admitted BOOLEAN, host_seq LONG"
+)
+ADMIT_STATE_SCHEMA = "total_admitted LONG"
+
+
+def politeness_admission_stream(
+    links: DataFrame, budget_per_host: int
+) -> DataFrame:
+    """Continuous per-host admission control as a custom stateful operator.
+
+    The batch engine enforces politeness per wave (throttle_schedule); a
+    continuously-fed frontier needs the same cap as running state: each
+    host may admit at most ``budget_per_host`` URLs over the stream's
+    lifetime (the reference's maxOutputs budget, HttpCrawl.php:171-175,
+    crossed with the per-domain throttle ownership of Throttler.php —
+    one host's state lives on one partition, exactly like the batch
+    host-bucket repartition).
+
+    applyInPandasWithState keys state by host; per batch the group's rows
+    arrive as Arrow batches, are ranked in ord order, and rows beyond the
+    remaining budget come back admitted=false (downstream either defers or
+    drops them).  host_seq is the host's global 1-based admission number —
+    continuity across micro-batches is the state-carry proof the tests
+    assert."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def admit(key, pdfs, state: "GroupState"):
+        (host,) = key
+        total = state.get[0] if state.exists else 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        import numpy as np
+
+        batch = pd.concat(chunks).sort_values("ord")
+        seq = total + np.arange(1, len(batch) + 1, dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "host": host,
+                "url": batch["url"].values,
+                "ord": batch["ord"].values,
+                "admitted": seq <= budget_per_host,
+                "host_seq": seq,
+            }
+        )
+        state.update((int(total + len(batch)),))
+        yield out
+
+    return links.groupBy("host").applyInPandasWithState(
+        admit,
+        outputStructType=ADMIT_OUTPUT_SCHEMA,
+        stateStructType=ADMIT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

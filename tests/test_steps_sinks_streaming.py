@@ -147,3 +147,53 @@ def test_streaming_frontier_ingest(spark):
         assert {"url_hash", "host", "host_bucket"} <= set(out.columns)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_stateful_admission(spark, tmp_path):
+    """applyInPandasWithState politeness budget: per-host admission state
+    carries across micro-batches (maxFilesPerTrigger=1 forces one batch per
+    input file)."""
+    import json as _json
+    import os
+
+    from crawlspark import streaming
+
+    src = str(tmp_path / "links")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    # batch 1: h0 gets 3 urls, h1 gets 1; batch 2: h0 gets 2 more, h1 one
+    batches = [
+        [("h0", f"http://h0.test/{i}", i) for i in range(3)]
+        + [("h1", "http://h1.test/0", 0)],
+        [("h0", f"http://h0.test/{i}", i) for i in (3, 4)]
+        + [("h1", "http://h1.test/1", 1)],
+    ]
+    for bi, rows in enumerate(batches):
+        with open(f"{src}/b{bi}.json", "w") as f:
+            for host, url, ord_ in rows:
+                f.write(_json.dumps({"host": host, "url": url, "ord": ord_}) + "\n")
+
+    links = (
+        spark.readStream.schema("host STRING, url STRING, ord LONG")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = streaming.politeness_admission_stream(links, budget_per_host=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("admissions")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM admissions").collect()
+    assert len(rows) == 7
+    h0 = sorted((r for r in rows if r.host == "h0"), key=lambda r: r.ord)
+    # host_seq is continuous across the two micro-batches: 1..5
+    assert [r.host_seq for r in h0] == [1, 2, 3, 4, 5]
+    # budget 4: the 5th h0 URL is deferred
+    assert [r.admitted for r in h0] == [True, True, True, True, False]
+    h1 = sorted((r for r in rows if r.host == "h1"), key=lambda r: r.ord)
+    assert [(r.host_seq, r.admitted) for r in h1] == [(1, True), (2, True)]
