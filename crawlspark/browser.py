@@ -130,17 +130,26 @@ def browser_fetch_stage(
     actions: list[BrowserAction] | None = None,
     transport_factory=FakeBrowserTransport,
     cfg: politeness.PolitenessConfig | None = None,
+    sleep=None,
 ) -> DataFrame:
     """Browser-rendered fetch over the politeness-partitioned frontier.
 
-    Same shape as fetch.fetch_stage (one task per host-bucket partition,
-    rows walked in (host, ord) order) but the transport navigates a browser
-    and applies the action list per page; screenshots come back as a binary
-    column beside the body — ready for the image sink.  The transport is
-    built ONCE per task (a browser is expensive), rows stream through it in
-    Arrow batches."""
+    Same shape as fetch.fetch_stage: politeness_partition already sorts
+    each partition by (host_bucket, priority, crawl_ts), so rows arrive in
+    walk order; the task sleeps the throttle wait between same-host pages
+    (browser navigations honor the same per-host budget as plain fetches,
+    Throttler.php:125-197).  The transport navigates a browser and applies
+    the action list per page; screenshots come back as a binary column
+    beside the body — ready for the image sink.  The transport is built
+    ONCE per task (a browser is expensive)."""
+    import time as _time
+
     actions = actions or []
     action_descriptors = [(a.kind, tuple(a.args)) for a in actions]
+    cfg = cfg or politeness.PolitenessConfig()
+    sleep = sleep or _time.sleep
+    min_wait_s = cfg.min_wait_ms / 1000.0
+    factor = cfg.wait_factor
     queued = politeness.politeness_partition(
         frontier.withColumn("priority", frontier["ord"]).withColumn(
             "crawl_ts", frontier["ord"].cast("timestamp")
@@ -151,13 +160,26 @@ def browser_fetch_stage(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         transport = transport_factory()
         acts = [BrowserAction(k, tuple(a)) for k, a in action_descriptors]
+        last_end: dict[str, float] = {}
+        last_dur: dict[str, float] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            pdf = pdf.sort_values(["host", "ord"])
             out = []
             for row in pdf.itertuples(index=False):
+                host = row.host
+                now = _time.monotonic()
+                if host in last_end:
+                    wait = max(min_wait_s, factor * last_dur.get(host, 0.0))
+                    pace = getattr(row, "pace_factor", 1)
+                    remaining = last_end[host] + wait * pace - now
+                    if remaining > 0:
+                        sleep(remaining)
+                t0 = _time.monotonic()
                 status, body, eff, shot, fmt, applied = transport(row.url, acts)
+                t1 = _time.monotonic()
+                last_end[host] = t1
+                last_dur[host] = t1 - t0
                 out.append((row.url, row.host, row.ord, status, body, eff,
                             shot, fmt, applied))
             yield pd.DataFrame(

@@ -36,18 +36,34 @@ RESPONSE_SCHEMA = (
 )
 
 
-def _call(transport, url, cookie_header, method="GET", req_body=None):
-    """Call a transport, degrading gracefully for simpler signatures."""
+def _make_caller(transport):
+    """Adapt a transport to the full (url, cookie_header, method, req_body)
+    calling convention by inspecting its signature ONCE — never by catching
+    TypeError around the call, which would swallow a TypeError raised
+    *inside* the transport and silently retry with arguments dropped
+    (e.g. a POST re-issued as a GET)."""
+    import inspect
+
     try:
-        return transport(
-            url, cookie_header=cookie_header, method=method, req_body=req_body
+        params = inspect.signature(transport).parameters
+        names = set(params)
+        var_kw = any(
+            p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
         )
-    except TypeError:
-        pass
-    try:
-        return transport(url, cookie_header=cookie_header)
-    except TypeError:
-        return transport(url)
+    except (TypeError, ValueError):  # builtins / C callables: assume full
+        names, var_kw = {"cookie_header", "method", "req_body"}, False
+
+    def call(url, cookie_header, method="GET", req_body=None):
+        kwargs = {}
+        if var_kw or "cookie_header" in names:
+            kwargs["cookie_header"] = cookie_header
+        if var_kw or "method" in names:
+            kwargs["method"] = method
+        if var_kw or "req_body" in names:
+            kwargs["req_body"] = req_body
+        return transport(url, **kwargs)
+
+    return call
 
 
 @dataclass
@@ -162,6 +178,7 @@ def fetch_stage(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         transport = transport_factory()
+        caller = _make_caller(transport)
         last_end: dict[str, float] = {}
         last_dur: dict[str, float] = {}
         jars: dict[str, dict[str, str]] = {}  # registrable domain -> cookies
@@ -190,7 +207,7 @@ def fetch_stage(
                 if req_body is not None and not isinstance(req_body, bytes):
                     req_body = bytes(req_body)
                 t0 = time.monotonic()
-                res = _call(transport, r.url, cookie_header, method, req_body)
+                res = caller(r.url, cookie_header, method, req_body)
                 attempts = 1
                 # 429/503 retry with backoff; abort row after 2 retries
                 for wait_ms in retry_waits_ms:
@@ -199,7 +216,7 @@ def fetch_stage(
                     ra = res.retry_after_s
                     w = min(ra, 60) if ra else wait_ms / 1000.0
                     sleep(w)
-                    res = _call(transport, r.url, cookie_header, method, req_body)
+                    res = caller(r.url, cookie_header, method, req_body)
                     attempts += 1
                 t1 = time.monotonic()
                 last_end[host] = t1

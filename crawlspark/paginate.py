@@ -122,42 +122,43 @@ def paginate_query_params(
     join -> filter -> regexp_replace with no Python.  Returns
     (chain_id, page_ord, url) for every page actually requested.
     """
+    # anchor on [?&] and escape the param name so 'page' can never match
+    # inside 'perpage' and names with regex metachars (items[]) stay literal;
+    # the ${pfx} named-group backref is unambiguous when followed by digits
+    pfx = r"[?&]" + re.escape(param) + "="
+    rewrite_pat = "(?<pfx>" + pfx + r")\d+"
+    extract_pat = "(" + pfx + r")(\d+)"
     bodies = pages.select(
         F.col("url").alias("p_url"), F.col("body").cast("string").alias("p_body")
-    )
+    ).persist()
     cur = spark.createDataFrame(
         [(i, u) for i, u in enumerate(start_urls)], "chain_id LONG, url STRING"
     )
     visited = []
     for page_ord in range(max_pages):
-        step = cur.join(bodies, cur["url"] == bodies["p_url"], "left").select(
-            "chain_id", "url", "p_body"
-        )
+        # cur is always materialized (createDataFrame / localCheckpoint), so
+        # recording the visit from it costs nothing at final union time
         visited.append(
-            step.select(
+            cur.select(
                 "chain_id", F.lit(page_ord).cast("long").alias("page_ord"), "url"
             )
         )
-        alive = step.filter(F.col("p_body").isNotNull())
+        alive = cur.join(bodies, cur["url"] == bodies["p_url"], "inner")
         if stop_contains is not None:
             alive = alive.filter(~F.trim(F.col("p_body")).contains(stop_contains))
+        cur_num = F.regexp_extract(F.col("url"), extract_pat, 2).try_cast("long")
         nxt = alive.select(
             "chain_id",
             F.regexp_replace(
                 F.col("url"),
-                param + r"=(\d+)",
-                F.concat(
-                    F.lit(param + "="),
-                    (
-                        F.regexp_extract(F.col("url"), param + r"=(\d+)", 1)
-                        .cast("long") + by
-                    ).cast("string"),
-                ),
+                rewrite_pat,
+                F.concat(F.lit("${pfx}"), (cur_num + by).cast("string")),
             ).alias("url"),
-        )
+        ).filter(F.col("url").isNotNull())  # param missing/non-numeric -> chain ends
         cur = nxt.localCheckpoint(eager=True)
         if cur.count() == 0:
             break
+    bodies.unpersist()
     out = visited[0]
     for v in visited[1:]:
         out = out.unionByName(v)

@@ -147,9 +147,12 @@ def merge_headers_df(left, right, id_col: str = "row_id"):
     u = l.unionByName(r)
     dupw = Window.partitionBy(id_col, "header_name", "value").orderBy("side", "pos")
     rankw = Window.partitionBy(id_col, "header_name").orderBy("side", "pos")
+    # left rows are kept whole (merge never touches the base array, even if
+    # it repeats a value); only right rows dedup — against left AND earlier
+    # right rows (addTo's in_array check, HttpHeaders.php:50-58)
     return (
         u.withColumn("dup_rn", F.row_number().over(dupw))
-        .filter(F.col("dup_rn") == 1)
+        .filter((F.col("side") == 0) | (F.col("dup_rn") == 1))
         .withColumn("pos", F.row_number().over(rankw).cast("long"))
         .select(id_col, "header_name", "pos", "value")
     )

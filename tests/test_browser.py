@@ -8,6 +8,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from crawlspark import browser, images
+from crawlspark.politeness import PolitenessConfig
+
+NOWAIT = PolitenessConfig(min_wait_ms=0, num_buckets=4)
 
 
 def _frontier(spark, n=40, hosts=4):
@@ -25,7 +28,7 @@ def test_browser_stage_renders_and_screenshots(spark):
         browser.BrowserAction.scroll_down(500),
         browser.BrowserAction.screenshot(fmt="png"),
     ]
-    out = browser.browser_fetch_stage(_frontier(spark), actions).collect()
+    out = browser.browser_fetch_stage(_frontier(spark), actions, cfg=NOWAIT).collect()
     assert len(out) == 40
     for r in out:
         assert r.status == 200
@@ -44,16 +47,16 @@ def test_browser_stage_renders_and_screenshots(spark):
 
 
 def test_browser_stage_no_screenshot_action(spark):
-    out = browser.browser_fetch_stage(_frontier(spark, n=8), []).collect()
+    out = browser.browser_fetch_stage(_frontier(spark, n=8), [], cfg=NOWAIT).collect()
     assert all(r.screenshot is None and r.screenshot_fmt is None for r in out)
 
 
 def test_browser_screenshot_deterministic_across_runs(spark):
     a = [browser.BrowserAction.screenshot()]
     r1 = {r.url: bytes(r.screenshot)
-          for r in browser.browser_fetch_stage(_frontier(spark), a).collect()}
+          for r in browser.browser_fetch_stage(_frontier(spark), a, cfg=NOWAIT).collect()}
     r2 = {r.url: bytes(r.screenshot)
-          for r in browser.browser_fetch_stage(_frontier(spark), a).collect()}
+          for r in browser.browser_fetch_stage(_frontier(spark), a, cfg=NOWAIT).collect()}
     assert r1 == r2
 
 

@@ -119,3 +119,46 @@ def test_ivf_topk_partial_probe_recall(spark):
     assert len(a) == len(b) == 50
     recall = len(a & b) / len(b)
     assert recall >= 0.3  # sanity floor for 2/8 cells probed
+
+
+def test_merge_headers_keeps_left_duplicates(spark):
+    # merge never touches the base array — a repeated left value survives;
+    # right-side dedup still applies (HttpHeaders.php:27-61)
+    left = spark.createDataFrame(
+        [(1, "Accept", 1, "text/html"), (1, "Accept", 2, "text/html")],
+        "row_id LONG, header_name STRING, pos LONG, value STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, "Accept", 1, "text/html"), (1, "Accept", 2, "application/json")],
+        "row_id LONG, header_name STRING, pos LONG, value STRING",
+    )
+    out = steps.merge_headers_df(left, right, id_col="row_id")
+    got = sorted((r.pos, r.value) for r in out.collect())
+    assert got == [(1, "text/html"), (2, "text/html"), (3, "application/json")]
+
+
+def test_paginate_query_params_name_anchoring(spark):
+    # 'page' must not rewrite 'perpage' (anchored + escaped param regex)
+    rows = [
+        ("http://s.test/r?perpage=20&page=1", "x"),
+        ("http://s.test/r?perpage=20&page=2", "x END"),
+    ]
+    pages = spark.createDataFrame(rows, "url STRING, body STRING")
+    out = paginate_query_params(
+        spark, pages, ["http://s.test/r?perpage=20&page=1"],
+        param="page", stop_contains="END", max_pages=5,
+    )
+    urls = [r.url for r in out.orderBy("page_ord").collect()]
+    assert urls == [
+        "http://s.test/r?perpage=20&page=1",
+        "http://s.test/r?perpage=20&page=2",
+    ]
+
+
+def test_paginate_query_params_missing_param_ends_chain(spark):
+    # a URL without the param must not emit a phantom NULL follow-up row
+    pages = spark.createDataFrame([("http://s.test/a", "x")], "url STRING, body STRING")
+    out = paginate_query_params(spark, pages, ["http://s.test/a"],
+                                param="page", max_pages=5)
+    got = [(r.chain_id, r.page_ord, r.url) for r in out.collect()]
+    assert got == [(0, 0, "http://s.test/a")]

@@ -172,6 +172,9 @@ def test_streaming_stateful_admission(spark, tmp_path):
         with open(f"{src}/b{bi}.json", "w") as f:
             for host, url, ord_ in rows:
                 f.write(_json.dumps({"host": host, "url": url, "ord": ord_}) + "\n")
+        # the file source orders batches by modification time; same-second
+        # mtimes make batch order arbitrary -> pin them apart
+        os.utime(f"{src}/b{bi}.json", (1_700_000_000 + bi * 60,) * 2)
 
     links = (
         spark.readStream.schema("host STRING, url STRING, ord LONG")
