@@ -1,0 +1,111 @@
+"""End-to-end crawl -> image+caption table (the north-rule artifact).
+
+Composes the existing stages into the full flow a production run executes:
+
+  BFS crawl (exact ordering, seen-set)           frontier.crawl_bfs
+    -> map crawled URL back to its document       JVM regexp (no Python)
+    -> fetch + decode the page's image payload    images mapInPandas batch
+    -> validate: PSNR >= 40 dB vs reference       images.validate_images
+       pixels, caption exact equality
+    -> append to the results table in the         sinks (parquet stand-in
+       BASELINE input_hint schema                 for Iceberg)
+       (image_id, bytes, w, h, fmt, caption, phash) + crawl provenance
+
+Reference parity: the reference stores each yielded response as a Result
+row (src/Crawler.php:282-307); ours lands the image+caption payload of
+each yielded page with its (depth, ord) crawl provenance — the BASELINE
+per-row invariant (decoded-pixel allclose, caption equality) is asserted
+by the validation columns, not assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import images
+from .frontier import CrawlConfig, crawl_bfs
+
+RESULT_SCHEMA_COLS = [
+    "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+    "url", "depth", "ord",
+]
+
+
+def crawl_to_image_table(
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: CrawlConfig | None = None,
+) -> DataFrame:
+    """Run the BFS crawl, then fetch+validate each crawled page's image
+    payload; returns the input_hint-schema table with crawl provenance and
+    validation columns (valid, caption_ok, psnr_mdb).
+
+    The crawl result is joined to the payload generator on doc_id — an
+    equi-join Catalyst plans as broadcast or shuffled hash depending on
+    level size; the payload generation/validation is one Arrow-batched
+    stage per partition (no per-row Python)."""
+    cfg = cfg or CrawlConfig()
+    crawled = crawl_bfs(spark, sf_dir, cfg)
+    # crawled URL ends in its document id (graph.url_col): /d/<doc> or /x/<doc>
+    crawled = crawled.withColumn(
+        "doc_id", F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+    )
+    payload = images.generate_images(spark, sf_dir)
+    checks = images.validate_images(payload).select(
+        "image_id", "psnr_mdb", "lossless_ok", "phash_match"
+    )
+    validated = payload.join(checks, "image_id").withColumn(
+        "doc_id", F.regexp_extract("image_id", r"(\d+)$", 1).cast("long")
+    )
+    # BASELINE invariant: PSNR >= 40 dB for lossy, exact pixels for
+    # lossless, phash equality
+    valid = (
+        (F.col("psnr_mdb") >= 40_000)
+        & F.col("lossless_ok")
+        & F.col("phash_match")
+    )
+    # caption invariant: exact equality vs the reference derivation
+    # (first CAPTION_WORDS whitespace-normalized words of the document)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.split(F.trim("text"), r"\s+"), 1, images.CAPTION_WORDS), " "
+        ).alias("ref_caption"),
+    )
+    joined = crawled.join(validated, "doc_id").join(docs, "doc_id")
+    return joined.select(
+        *RESULT_SCHEMA_COLS,
+        valid.alias("valid"),
+        (F.col("caption") == F.col("ref_caption")).alias("caption_ok"),
+        "psnr_mdb",
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    cfg: CrawlConfig | None = None,
+) -> dict:
+    """Execute the pipeline, append to the results table, return metrics.
+
+    Refuses to land invalid payloads (PSNR gate or caption mismatch) — they
+    go to a quarantine table instead, like the reference suppresses
+    non-matching responses rather than yielding them."""
+    result = crawl_to_image_table(spark, sf_dir, cfg).cache()
+    ok = result.filter(F.col("valid") & F.col("caption_ok"))
+    bad = result.filter(~(F.col("valid") & F.col("caption_ok")))
+    ok.select(*RESULT_SCHEMA_COLS).write.mode("append").parquet(f"{out_dir}/results")
+    n_bad = bad.count()
+    if n_bad:
+        bad.select(*RESULT_SCHEMA_COLS).write.mode("append").parquet(
+            f"{out_dir}/quarantine"
+        )
+    metrics = {
+        "crawled": result.count(),
+        "landed": ok.count(),
+        "quarantined": n_bad,
+    }
+    result.unpersist()
+    return metrics

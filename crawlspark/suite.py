@@ -1968,3 +1968,67 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _PREV5_ORACLES()
     out.update(_EXTRA5_ORACLES)
     return out
+
+
+# --------------------------------------------------------------------------
+# round 6: end-to-end pipeline provenance (crawl -> validated image payloads)
+# --------------------------------------------------------------------------
+
+from . import pipeline as _pipeline  # noqa: E402
+from .frontier import CrawlConfig as _CrawlConfig  # noqa: E402
+
+
+def q_pipeline_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl->payload pipeline's SQL-expressible projection: one
+    validated image+caption row per crawled page, with crawl provenance.
+    Binary columns (bytes) and the numpy phash are excluded from the oracle
+    compare; validity booleans are asserted as all-true counts instead."""
+    t = _pipeline.crawl_to_image_table(spark, sf_dir, _CrawlConfig(max_depth=6))
+    return t.filter(F.col("valid") & F.col("caption_ok")).select(
+        "url", "depth", "ord", "image_id", "w", "h", "fmt", "caption"
+    )
+
+
+def oracle_pipeline() -> str:
+    from . import graph as _g
+    from .images import CAPTION_WORDS, FMTS
+
+    bfs = _g.bfs_oracle_sql(6)
+    fmt_cases = " ".join(f"WHEN {i} THEN '{f}'" for i, f in enumerate(FMTS))
+    return f"""
+WITH full_bfs AS (
+{bfs}
+), prov AS (
+  SELECT url, depth, ord,
+         CAST(regexp_extract(url, '/(\\d+)$', 1) AS BIGINT) AS doc_id
+  FROM full_bfs
+)
+SELECT p.url, p.depth, p.ord,
+       'img-' || CAST(p.doc_id AS VARCHAR) AS image_id,
+       CAST(32 + p.doc_id % 32 AS INT) AS w,
+       CAST(32 + p.doc_id % 24 AS INT) AS h,
+       CASE p.doc_id % 3 {fmt_cases} END AS fmt,
+       array_to_string(regexp_split_to_array(trim(d.text), '\\s+')[1:{CAPTION_WORDS}], ' ') AS caption
+FROM prov p JOIN documents d ON d.doc_id = p.doc_id
+"""
+
+
+_EXTRA6_QUERIES = {"pipeline_provenance": q_pipeline_provenance}
+_EXTRA6_ORACLES = {"pipeline_provenance": oracle_pipeline()}
+
+_PREV6_QUERIES = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _PREV6_QUERIES()
+    out.update(_EXTRA6_QUERIES)
+    return out
+
+
+_PREV6_ORACLES = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _PREV6_ORACLES()
+    out.update(_EXTRA6_ORACLES)
+    return out
