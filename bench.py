@@ -144,6 +144,16 @@ def run_headline(spark) -> dict[str, float]:
     )
     measure("sessionize", lambda: suite.q_sessionize(spark, SF_DIR).count())
     measure("keep_collect", lambda: suite.q_keep_collect(spark, SF_DIR).count())
+    # the complete artifact: crawl -> image payload fetch -> PSNR/caption
+    # validation -> input_hint rows (pipeline.py)
+    from crawlspark import pipeline
+
+    measure(
+        "pipeline_e2e",
+        lambda: pipeline.crawl_to_image_table(
+            spark, SF_DIR, CrawlConfig(max_depth=12)
+        ).filter(F.col("valid") & F.col("caption_ok")).count(),
+    )
     return qs
 
 
