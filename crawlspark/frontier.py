@@ -48,6 +48,11 @@ class CrawlConfig:
     checkpoint_dir: str | None = None
     # resume from the latest completed level in checkpoint_dir
     resume: bool = False
+    # at-scale budget enforcement (see BENCH.md skew probe): cap how many
+    # URLs of one host enter a single level; the excess DEFERS to the next
+    # level (politeness makes a hot host ~4 req/s anyway, so a huge per-level
+    # share would only serialize its partition's wall-clock).  None = off.
+    max_per_host_per_level: int | None = None
 
 
 def crawl_bfs(spark: SparkSession, sf_dir: str, cfg: CrawlConfig | None = None) -> DataFrame:
@@ -130,22 +135,44 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
         if ckpt:
             ckpt.save_level(0, frontier, seen, levels[0], {"base_ord": base})
 
+    deferred: DataFrame | None = None
     while not budget_hit and depth < cfg.max_depth:
         depth += 1
         # expand: (doc, rk) with rk = first-discovery key; groupBy-min gets a
         # map-side partial aggregate before the shuffle on doc
+        expanded = _expand(frontier, n)
+        if deferred is not None:
+            expanded = expanded.unionByName(deferred)
+            deferred = None
         cand = (
-            _expand(frontier, n)
+            expanded
             .groupBy("doc")
             .agg(F.min("rk").alias("rk"))
             .join(seen, "doc", "left_anti")
             .filter(~graph.blocked_col(F.col("doc")))
         )
+        if cfg.max_per_host_per_level is not None:
+            from pyspark.sql import Window
+
+            hw = Window.partitionBy(graph.host_id_col(F.col("doc"))).orderBy("rk")
+            ranked = cand.withColumn("hr", F.row_number().over(hw))
+            deferred = (
+                ranked.filter(F.col("hr") > cfg.max_per_host_per_level)
+                .select("doc", "rk")
+                .localCheckpoint(eager=True)
+            )
+            cand = ranked.filter(
+                F.col("hr") <= cfg.max_per_host_per_level
+            ).drop("hr")
         # materialize once: both the count and the rank read the checkpoint
         # (otherwise the expand+dedup+anti-join pipeline executes twice)
         cand = cand.localCheckpoint(eager=True)
         cnt = cand.count()
         if cnt == 0:
+            if deferred is not None and deferred.count() > 0:
+                # everything deferred; next level drains the backlog only
+                frontier = frontier.limit(0).localCheckpoint(eager=True)
+                continue
             break
         level = global_rank(cand, "rk", out="r", num_rows=cnt).select(
             "doc", (F.lit(base) + F.col("r")).alias("ord")

@@ -87,3 +87,37 @@ def test_bfs_max_outputs(spark, n_docs):
     got = _spark_bfs(spark, max_depth=6, max_outputs=25)
     assert len(got) == 25
     assert got == _expected(n_docs, max_depth=6, max_outputs=25)
+
+
+def test_max_per_host_per_level_caps_and_defers(spark):
+    from crawlspark.frontier import CrawlConfig, crawl_bfs_virtual
+    from crawlspark import graph
+    from pyspark.sql import functions as F
+
+    cap = 3
+    capped = crawl_bfs_virtual(
+        spark, 500, CrawlConfig(max_depth=12, num_seeds=20,
+                                max_per_host_per_level=cap)
+    ).cache()
+    # per (depth>0, host) never exceeds the cap (seeds at depth 0 are exempt)
+    over = (
+        capped.filter(F.col("depth") > 0)
+        .groupBy("depth", "host").count()
+        .filter(F.col("count") > cap).count()
+    )
+    assert over == 0
+    # no URL crawled twice despite deferral re-enqueueing
+    assert capped.select("url").distinct().count() == capped.count()
+    # deferral preserves reachability: given extra depth to drain the
+    # backlog, the capped crawl covers everything the uncapped one reaches
+    uncapped = crawl_bfs_virtual(
+        spark, 500, CrawlConfig(max_depth=12, num_seeds=20)
+    )
+    deep_capped = crawl_bfs_virtual(
+        spark, 500, CrawlConfig(max_depth=40, num_seeds=20,
+                                max_per_host_per_level=cap)
+    )
+    b = {r.url for r in uncapped.collect()}
+    a_deep = {r.url for r in deep_capped.collect()}
+    assert b <= a_deep
+    capped.unpersist()
