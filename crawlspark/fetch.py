@@ -154,18 +154,43 @@ class UrllibTransport:
             )
 
 
+class FetchMetrics:
+    """Loader-hook counters as Spark accumulators — the distributed analog
+    of the reference's beforeLoad/onSuccess/onError hooks
+    (src/Loader/Loader.php:20-63,86-118): executors increment during the
+    fetch task, the driver reads totals after the action completes."""
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        self.attempted = sc.accumulator(0)
+        self.succeeded = sc.accumulator(0)
+        self.errored = sc.accumulator(0)  # final status >= 400
+        self.retries = sc.accumulator(0)
+
+    def as_dict(self) -> dict:
+        return {
+            "attempted": self.attempted.value,
+            "succeeded": self.succeeded.value,
+            "errored": self.errored.value,
+            "retries": self.retries.value,
+        }
+
+
 def fetch_stage(
     frontier: DataFrame,
     transport_factory: Callable[[], Callable[[str], FetchResult]],
     cfg: politeness.PolitenessConfig | None = None,
     sleep: Callable[[float], None] = time.sleep,
     retry_waits_ms: tuple[int, ...] = politeness.RETRY_WAITS_MS,
+    metrics: FetchMetrics | None = None,
 ) -> DataFrame:
     """Fetch the frontier with per-host pacing.
 
     ``frontier`` needs (url, host, ord, latency_ms?); rows come back with
     status/body/effective_url.  ``transport_factory`` is called once per
     task (connection pools etc. live per executor, never serialized).
+    Pass a :class:`FetchMetrics` to get hook-style counters (read them
+    AFTER an action materializes the result).
     """
     cfg = cfg or politeness.PolitenessConfig()
     queued = politeness.politeness_partition(
@@ -219,6 +244,13 @@ def fetch_stage(
                     res = caller(r.url, cookie_header, method, req_body)
                     attempts += 1
                 t1 = time.monotonic()
+                if metrics is not None:
+                    metrics.attempted.add(1)
+                    metrics.retries.add(attempts - 1)
+                    if res.status >= 400:
+                        metrics.errored.add(1)
+                    else:
+                        metrics.succeeded.add(1)
                 last_end[host] = t1
                 last_dur[host] = t1 - t0
                 for sc in getattr(res, "set_cookies", ()) or ():

@@ -166,3 +166,23 @@ def test_fetch_stage_http_verbs_and_body(spark):
     assert out["http://a.test/item"].status == 204
     assert out["http://a.test/page"].status == 200
     assert bytes(out["http://a.test/page"].body) == b"get-ok"
+
+
+def test_fetch_metrics_accumulators(spark):
+    # loader-hook counters (Loader.php:20-63) as Spark accumulators
+    pages = {f"http://m.test/p{i}": (200 if i % 3 else 404, b"x") for i in range(12)}
+    rows = [(u, "m.test", i) for i, u in enumerate(pages)]
+    df = spark.createDataFrame(rows, "url STRING, host STRING, ord LONG")
+    m = fetch.FetchMetrics(spark)
+    out = fetch.fetch_stage(
+        df, transport_factory=lambda: fetch.DictTransport(pages),
+        cfg=PolitenessConfig(min_wait_ms=0, num_buckets=2),
+        metrics=m,
+    )
+    out.count()  # action materializes -> accumulators populated
+    got = m.as_dict()
+    n_err = sum(1 for i in range(12) if i % 3 == 0)
+    assert got["attempted"] == 12
+    assert got["errored"] == n_err
+    assert got["succeeded"] == 12 - n_err
+    assert got["retries"] == 0
