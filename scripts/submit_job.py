@@ -39,8 +39,23 @@ def main() -> None:
         F.count("*").alias("rows"),
         F.sum(F.xxhash64(F.col("ord"), F.col("url")) / F.lit(1e9)).alias("checksum"),
     ).collect()[0]
-    print(json.dumps({"rows": agg["rows"], "order_checksum": round(agg["checksum"], 3),
-                      "sf_dir": sf_dir, "max_depth": max_depth}))
+
+    # end-to-end pipeline through the same --py-files deployment: crawl ->
+    # image payload fetch -> PSNR/caption validation (pipeline.py)
+    from crawlspark import pipeline
+
+    t = pipeline.crawl_to_image_table(spark, sf_dir, CrawlConfig(max_depth=max_depth))
+    p = t.select(
+        F.count("*").alias("rows"),
+        F.sum(F.when(F.col("valid") & F.col("caption_ok"), 1).otherwise(0)).alias("ok"),
+        F.sum(F.xxhash64("image_id", "ord") / F.lit(1e9)).alias("checksum"),
+    ).collect()[0]
+    print(json.dumps({
+        "rows": agg["rows"], "order_checksum": round(agg["checksum"], 3),
+        "pipeline_rows": p["rows"], "pipeline_valid": p["ok"],
+        "pipeline_checksum": round(p["checksum"], 3),
+        "sf_dir": sf_dir, "max_depth": max_depth,
+    }))
     spark.stop()
 
 
