@@ -1,0 +1,206 @@
+"""The fluent Crawler facade — the reference's user-facing API, Spark-side.
+
+Reference shape (src/Crawler.php:128-165,203-220):
+
+    $crawler->input($seed);
+    $crawler->addStep(Http::get())
+            ->addStep(Html::getLinks())
+            ->addStep(...);
+    foreach ($crawler->run() as $result) ...
+
+Here the identical chain *declares* a DataFrame plan instead of driving a
+generator pipeline — Catalyst pipelines the narrow steps exactly like the
+reference's generators do (SURVEY.md §4), and the whole chain stays one
+logical plan until `run()`:
+
+    results = (Crawler(spark, pages=corpus_df)
+               .input("http://www.example.com/crawling/main")
+               .add_step(HttpGet())
+               .add_step(GetLinks())
+               .add_step(Where(lambda v: v.contains("sub")))
+               .add_step(Keep("link"))
+               .run())
+
+Internal row = the reference's Io tuple (src/Io.php:7-23) as columns:
+  _input_id  which seed this row descends from
+  _ord       stable output position (document order for link explosions)
+  value      the Io value (string, or response struct after HttpGet)
+  keep_*     carried-along result data (Io.keep)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import extract
+
+
+class Step:
+    """Operator: transform the (Io-shaped) DataFrame.  Mirror of
+    src/Steps/Step.php:40-67 — but a plan rewrite, not a generator."""
+
+    def apply(self, df: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+    # builder options shared by all steps (BaseStep.php)
+    def __init__(self):
+        self._max_outputs: int | None = None
+        self._unique: bool = False
+
+    def max_outputs(self, n: int):
+        self._max_outputs = n
+        return self
+
+    def unique_outputs(self):
+        self._unique = True
+        return self
+
+    def _post(self, df: DataFrame) -> DataFrame:
+        if self._unique:  # uniqueOutputs (BaseStep.php:185-197)
+            df = df.dropDuplicates(["value"])
+        if self._max_outputs is not None:  # maxOutputs (BaseStep.php:726-736)
+            df = (
+                df.orderBy("_input_id", "_ord")
+                .limit(self._max_outputs)
+            )
+        return df
+
+
+class HttpGet(Step):
+    """Http::get() against the page corpus (the deterministic loader;
+    a live deployment swaps fetch.fetch_stage in).  value: url string ->
+    response struct (url, status, body).  Error responses (>=400) are
+    suppressed unless yield_error_responses (HttpBase.php:260-277)."""
+
+    def __init__(self, pages: DataFrame, yield_error_responses: bool = False):
+        super().__init__()
+        self.pages = pages
+        self.yield_errors = yield_error_responses
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        p = self.pages.select(
+            F.col("url").alias("_p_url"), "status", F.col("body").cast("string").alias("_body")
+        )
+        out = df.join(p, df["value"] == p["_p_url"], "inner")
+        if not self.yield_errors:
+            out = out.filter(F.col("status") < 400)
+        out = out.withColumn(
+            "value",
+            F.struct(
+                F.col("value").alias("url"),
+                F.col("status").alias("status"),
+                F.col("_body").alias("body"),
+            ),
+        ).drop("_p_url", "status", "_body")
+        return self._post(out)
+
+
+class GetLinks(Step):
+    """Html::getLinks() — all <a> hrefs resolved against the page URL,
+    document order, one output per link (GetLinks.php:16-33); value:
+    response struct -> url string."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        resolve = extract.make_resolve_links_udf(keep_fragment=False)
+        links = resolve(
+            F.col("value.url"),
+            extract.extract_base_href_udf(F.col("value.body")),
+            extract.extract_links_udf(F.col("value.body")),
+        )
+        out = (
+            df.withColumn("_links", links)
+            .select(
+                "*", F.posexplode("_links").alias("_lpos", "_link")
+            )
+            .withColumn("_ord", F.col("_ord") * 1000 + F.col("_lpos"))
+            .withColumn("value", F.col("_link.url"))
+            .drop("_links", "_lpos", "_link")
+        )
+        return self._post(out)
+
+
+class Title(Step):
+    """Html::metaData()['title'] — value: response struct -> title string."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return self._post(
+            df.withColumn("value", extract.extract_title_udf(F.col("value.body")))
+        )
+
+
+class Where(Step):
+    """where(Filter) — drop rows whose value fails the predicate
+    (Filterable.php:16-78).  fn: Column -> boolean Column."""
+
+    def __init__(self, fn):
+        super().__init__()
+        self.fn = fn
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return self._post(df.filter(self.fn(F.col("value"))))
+
+
+class Refine(Step):
+    """refineOutput(fn) — value: fn(value) (BaseStep.php:199-220)."""
+
+    def __init__(self, fn):
+        super().__init__()
+        self.fn = fn
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return self._post(df.withColumn("value", self.fn(F.col("value"))))
+
+
+class Keep(Step):
+    """keepAs(alias) — copy the current value into the final Result under
+    ``alias`` (BaseStep.php:124-161); the pipeline continues unchanged."""
+
+    def __init__(self, alias: str):
+        super().__init__()
+        self.alias = alias
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        return self._post(df.withColumn(f"keep_{self.alias}", F.col("value")))
+
+
+class Crawler:
+    """Crawler::input/inputs/addStep/run (src/Crawler.php)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._inputs: list = []
+        self._steps: list[Step] = []
+
+    def input(self, value):
+        self._inputs.append(value)  # Crawler.php:128-134
+        return self
+
+    def inputs(self, values):
+        self._inputs.extend(values)  # Crawler.php:139-143
+        return self
+
+    def add_step(self, step: Step):
+        self._steps.append(step)  # Crawler.php:150-165
+        return self
+
+    def run(self) -> DataFrame:
+        """Build the plan and return the Results DataFrame: one row per
+        final output, kept columns (Io.keep) de-prefixed, plus ``value``
+        and the stable output order ``ord`` (Crawler.php:282-307)."""
+        df = self.spark.createDataFrame(
+            [(i, i, v) for i, v in enumerate(self._inputs)],
+            "_input_id LONG, _ord LONG, value STRING",
+        )
+        for step in self._steps:
+            df = step.apply(df)
+        keeps = [c for c in df.columns if c.startswith("keep_")]
+        cols = [F.col(c).alias(c[len("keep_"):]) for c in keeps]
+        # distributed rank over the (seed, document-order) key — no
+        # single-partition window even for huge result sets.  _ord keys are
+        # distinct per _input_id by construction (posexplode positions).
+        from .ranks import global_rank
+
+        df = df.withColumn("_rk", F.col("_input_id") * F.lit(10**12) + F.col("_ord"))
+        ranked = global_rank(df, "_rk", out="ord")
+        return ranked.select(*cols, "value", F.col("ord").cast("long"))

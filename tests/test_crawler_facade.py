@@ -1,0 +1,87 @@
+"""Fluent Crawler facade: the reference's user API as a DataFrame plan.
+
+Mirrors the canonical usage from the reference README/tests:
+input -> Http::get -> Html::getLinks -> filters/refiners/keep -> run."""
+
+from pyspark.sql import functions as F
+
+from crawlspark import fixture
+from crawlspark.crawler import (
+    Crawler, GetLinks, HttpGet, Keep, Refine, Title, Where,
+)
+
+B = fixture.B
+
+
+def test_fetch_extract_filter_keep_chain(spark):
+    pages = fixture.pages_df(spark)
+    out = (
+        Crawler(spark)
+        .input(f"{B}/crawling/main")
+        .add_step(Keep("seed"))
+        .add_step(HttpGet(pages))
+        .add_step(GetLinks())
+        .add_step(Where(lambda v: v.contains("sub")))
+        .run()
+        .orderBy("ord")
+        .collect()
+    )
+    # document order; fragment links resolve to sub2 so it repeats (one
+    # output per <a>, GetLinks.php:16-33 — dedup is uniqueOutputs' job)
+    assert [r.value for r in out] == [
+        f"{B}/crawling/sub1", f"{B}/crawling/sub2",
+        f"{B}/crawling/sub2", f"{B}/crawling/sub2",
+    ]
+    assert {r.seed for r in out} == {f"{B}/crawling/main"}
+    assert [r.ord for r in out] == [1, 2, 3, 4]
+
+
+def test_multi_seed_order_and_title(spark):
+    pages = fixture.pages_df(spark)
+    out = (
+        Crawler(spark)
+        .inputs([f"{B}/crawling/sub1", f"{B}/crawling/sub2"])
+        .add_step(HttpGet(pages))
+        .add_step(Title())
+        .run()
+        .orderBy("ord")
+        .collect()
+    )
+    # seed order preserved (reference runs seeds in list order)
+    assert len(out) == 2
+    assert out[0].ord == 1 and out[1].ord == 2
+
+
+def test_error_responses_suppressed_unless_opted_in(spark):
+    pages = spark.createDataFrame(
+        [("http://e.test/ok", 200, None, "text/html", "<html></html>"),
+         ("http://e.test/gone", 404, None, "text/html", "")],
+        "url STRING, status INT, redirect_to STRING, content_type STRING, body STRING",
+    )
+    base = Crawler(spark).inputs(["http://e.test/ok", "http://e.test/gone"])
+    suppressed = base.add_step(HttpGet(pages)).run().collect()
+    assert [r.value.url for r in suppressed] == ["http://e.test/ok"]
+    yielded = (
+        Crawler(spark)
+        .inputs(["http://e.test/ok", "http://e.test/gone"])
+        .add_step(HttpGet(pages, yield_error_responses=True))
+        .run()
+        .collect()
+    )
+    assert len(yielded) == 2  # HttpBase.php:260-277 yieldErrorResponses
+
+
+def test_refine_unique_max_outputs(spark):
+    pages = fixture.pages_df(spark)
+    out = (
+        Crawler(spark)
+        .input(f"{B}/crawling/main")
+        .add_step(HttpGet(pages))
+        .add_step(GetLinks().unique_outputs().max_outputs(2))
+        .add_step(Refine(lambda v: F.upper(v)))
+        .run()
+        .orderBy("ord")
+        .collect()
+    )
+    assert len(out) == 2
+    assert all(r.value == r.value.upper() for r in out)
