@@ -204,3 +204,114 @@ class Crawler:
         df = df.withColumn("_rk", F.col("_input_id") * F.lit(10**12) + F.col("_ord"))
         ranked = global_rank(df, "_rk", out="ord")
         return ranked.select(*cols, "value", F.col("ord").cast("long"))
+
+
+class GetLink(Step):
+    """Html::getLink() — only the FIRST matching link (GetLink.php:43-288);
+    value: response struct -> url string (rows with no links drop)."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        resolve = extract.make_resolve_links_udf(keep_fragment=False)
+        links = resolve(
+            F.col("value.url"),
+            extract.extract_base_href_udf(F.col("value.body")),
+            extract.extract_links_udf(F.col("value.body")),
+        )
+        out = (
+            df.withColumn("_first", F.element_at(links, 1))
+            .filter(F.col("_first").isNotNull())
+            .withColumn("value", F.col("_first.url"))
+            .drop("_first")
+        )
+        return self._post(out)
+
+
+class MetaData(Step):
+    """Html::metaData() (MetaData.php:36-61) — value: response struct ->
+    struct(title, meta map)."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        out = df.withColumn(
+            "value",
+            F.struct(
+                extract.extract_title_udf(F.col("value.body")).alias("title"),
+                extract.extract_meta_udf(F.col("value.body")).alias("meta"),
+            ),
+        )
+        return self._post(out)
+
+
+class Group(Step):
+    """Group — run sub-steps on the SAME input and zip the k-th outputs
+    into one record (src/Steps/Group.php:44-67,146-157).  Common case
+    (each sub-step yields one value per input) = one select with N
+    expressions; each sub-step contributes a named field."""
+
+    def __init__(self, **branches: Step):
+        super().__init__()
+        self.branches = branches
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        base = df.withColumn("_gid", F.monotonically_increasing_id())
+        out = base.select("_input_id", "_ord", "_gid",
+                          *[c for c in base.columns if c.startswith("keep_")])
+        for name, step in self.branches.items():
+            branch = step.apply(base).select(
+                F.col("_gid").alias(f"_g_{name}"), F.col("value").alias(name)
+            )
+            out = out.join(branch, out["_gid"] == branch[f"_g_{name}"], "left") \
+                     .drop(f"_g_{name}")
+        out = out.withColumn(
+            "value", F.struct(*[F.col(n) for n in self.branches])
+        ).drop(*self.branches.keys())
+        return self._post(out.drop("_gid"))
+
+
+class HttpCrawl(Step):
+    """Http::crawl() — the whole-site BFS as a chainable step
+    (HttpCrawl.php:19-180): value: seed url string -> response struct per
+    yielded page, in exact crawl order.  Wraps engine.crawl_site; builder
+    options mirror the reference's."""
+
+    def __init__(self, pages: DataFrame, robots: DataFrame | None = None,
+                 **cfg_kwargs):
+        super().__init__()
+        self.pages = pages
+        self.robots = robots
+        self.cfg_kwargs = cfg_kwargs
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from .engine import SiteCrawlConfig, crawl_site
+
+        spark = df.sparkSession
+        seeds = [
+            (r["_input_id"], r["value"])
+            for r in df.select("_input_id", "value").collect()
+        ]
+        outs = []
+        for input_id, seed_url in seeds:
+            crawled = crawl_site(
+                spark, self.pages, seed_url,
+                SiteCrawlConfig(**self.cfg_kwargs), robots=self.robots,
+            ).filter(F.col("yielded"))
+            outs.append(
+                crawled.select(
+                    F.lit(input_id).alias("_input_id"),
+                    F.col("ord").alias("_ord"),
+                    F.struct(
+                        F.col("effective_url").alias("url"),
+                        F.col("url").alias("requested_url"),
+                        F.col("depth").alias("depth"),
+                    ).alias("value"),
+                )
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        # re-attach kept columns from the seed rows
+        keeps = [c for c in df.columns if c.startswith("keep_")]
+        if keeps:
+            out = out.join(
+                df.select("_input_id", *keeps), "_input_id", "left"
+            )
+        return self._post(out)

@@ -85,3 +85,72 @@ def test_refine_unique_max_outputs(spark):
     )
     assert len(out) == 2
     assert all(r.value == r.value.upper() for r in out)
+
+
+def test_get_link_first_only(spark):
+    pages = fixture.pages_df(spark)
+    from crawlspark.crawler import GetLink
+
+    out = (
+        Crawler(spark)
+        .input(f"{B}/crawling/main")
+        .add_step(HttpGet(pages))
+        .add_step(GetLink())
+        .run()
+        .collect()
+    )
+    assert [r.value for r in out] == [f"{B}/crawling/sub1"]
+
+
+def test_metadata_struct(spark):
+    pages = fixture.pages_df(spark)
+    from crawlspark.crawler import MetaData
+
+    out = (
+        Crawler(spark)
+        .input(f"{B}/crawling/sub1")
+        .add_step(HttpGet(pages))
+        .add_step(MetaData())
+        .run()
+        .collect()
+    )
+    assert out[0].value.title == "foo"
+
+
+def test_group_zips_substeps(spark):
+    pages = fixture.pages_df(spark)
+    from crawlspark.crawler import GetLink, Group, Title
+
+    out = (
+        Crawler(spark)
+        .input(f"{B}/crawling/sub1")
+        .add_step(HttpGet(pages))
+        .add_step(Group(title=Title(), first_link=GetLink()))
+        .run()
+        .collect()
+    )
+    assert out[0].value.title == "foo"
+    # base href /crawling/ resolves 'sub1/sub1' (GetLink.php base handling)
+    assert out[0].value.first_link == f"{B}/crawling/sub1/sub1"
+
+
+def test_http_crawl_step_exact_order(spark):
+    pages = fixture.pages_df(spark)
+    from crawlspark.crawler import HttpCrawl
+
+    out = (
+        Crawler(spark)
+        .input(f"{B}/crawling/main")
+        .add_step(Keep("seed"))
+        .add_step(HttpCrawl(pages, max_depth=1))
+        .run()
+        .orderBy("ord")
+        .collect()
+    )
+    # depth(1): seed + its links (reference CrawlingTest depth semantics)
+    urls = [r.value.url for r in out]
+    assert urls[0] == f"{B}/crawling/main"
+    assert set(urls) == {
+        f"{B}/crawling/main", f"{B}/crawling/sub1", f"{B}/crawling/sub2",
+    }
+    assert {r.seed for r in out} == {f"{B}/crawling/main"}
