@@ -315,3 +315,73 @@ class HttpCrawl(Step):
                 df.select("_input_id", *keeps), "_input_id", "left"
             )
         return self._post(out)
+
+
+class JsonGet(Step):
+    """Json::get(mapping) — dot-notation property extraction from a JSON
+    value (src/Steps/Json.php:19-38); value: json string -> struct of the
+    mapped properties."""
+
+    def __init__(self, **mapping: str):
+        super().__init__()
+        self.mapping = mapping  # out_name -> dot path
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        fields = [
+            F.get_json_object(F.col("value"), "$." + path).alias(name)
+            for name, path in self.mapping.items()
+        ]
+        return self._post(df.withColumn("value", F.struct(*fields)))
+
+
+class JsonEach(Step):
+    """Json::each(path) — one output per element of a JSON array subtree
+    (src/Steps/Json.php:50-79); value: json string -> element json string."""
+
+    def __init__(self, path: str = ""):
+        super().__init__()
+        self.path = path
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        arr = F.from_json(
+            F.get_json_object(F.col("value"), "$." + self.path)
+            if self.path else F.col("value"),
+            "array<string>",
+        )
+        out = (
+            df.select("*", F.posexplode(arr).alias("_jpos", "_jel"))
+            .withColumn("_ord", F.col("_ord") * 1000 + F.col("_jpos"))
+            .withColumn("value", F.col("_jel"))
+            .drop("_jpos", "_jel")
+        )
+        return self._post(out)
+
+
+class Csv(Step):
+    """Csv::parseString with positional column mapping + skipFirstLine
+    (src/Steps/Csv.php:27-42,96-157); value: multi-line csv string ->
+    struct of mapped columns, one output per data line."""
+
+    def __init__(self, columns: dict[int, str], skip_first_line: bool = False,
+                 sep: str = ","):
+        super().__init__()
+        self.columns = columns
+        self.skip_first = skip_first_line
+        self.sep = sep
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        lines = F.split(F.col("value"), "\n")
+        out = df.select("*", F.posexplode(lines).alias("_lpos", "_line"))
+        if self.skip_first:
+            out = out.filter(F.col("_lpos") > 0)
+        parts = F.split(F.col("_line"), self.sep)
+        fields = [
+            F.element_at(parts, idx + 1).alias(name)
+            for idx, name in sorted(self.columns.items())
+        ]
+        out = (
+            out.withColumn("_ord", F.col("_ord") * 10000 + F.col("_lpos"))
+            .withColumn("value", F.struct(*fields))
+            .drop("_lpos", "_line")
+        )
+        return self._post(out)

@@ -154,3 +154,38 @@ def test_http_crawl_step_exact_order(spark):
         f"{B}/crawling/main", f"{B}/crawling/sub1", f"{B}/crawling/sub2",
     }
     assert {r.seed for r in out} == {f"{B}/crawling/main"}
+
+
+def test_json_get_and_each(spark):
+    from crawlspark.crawler import JsonEach, JsonGet
+
+    crawler = Crawler(spark).inputs(
+        ['{"items": ["a", "b"], "meta": {"n": 2}}']
+    )
+    out = (
+        crawler.add_step(JsonEach("items")).run().orderBy("ord").collect()
+    )
+    assert [r.value for r in out] == ["a", "b"]
+
+    out2 = (
+        Crawler(spark)
+        .input('{"meta": {"n": 2}, "name": "x"}')
+        .add_step(JsonGet(count="meta.n", name="name"))
+        .run()
+        .collect()
+    )
+    assert out2[0].value["count"] == "2" and out2[0].value["name"] == "x"
+
+
+def test_csv_positional_mapping(spark):
+    from crawlspark.crawler import Csv
+
+    out = (
+        Crawler(spark)
+        .input("id,name,age\n1,ann,30\n2,bob,41")
+        .add_step(Csv({0: "id", 2: "age"}, skip_first_line=True))
+        .run()
+        .orderBy("ord")
+        .collect()
+    )
+    assert [(r.value.id, r.value.age) for r in out] == [("1", "30"), ("2", "41")]
