@@ -23,9 +23,55 @@ ROBOTS_SCHEMA = (
 )
 
 
-def _longest_match_len(prefixes: Column, path: Column) -> Column:
-    """Length of the longest prefix in ``prefixes`` matching ``path`` (0 if none)."""
-    matched = F.filter(prefixes, lambda p: path.startswith(p))
+def _wildcard_matches(pattern: Column, path: Column) -> Column:
+    """Google-robots pattern match: ``*`` spans anything, trailing ``$``
+    anchors the end; otherwise a prefix match.  Pure Column expressions —
+    leftmost-greedy fold over the ``*``-separated segments via aggregate."""
+    anchored = pattern.endswith("$")
+    body = F.regexp_replace(pattern, r"\$$", "")
+    segs = F.split(body, r"\*", -1)
+    first = F.element_at(segs, 1)
+    init = F.when(path.startswith(first), F.length(first) + 1).otherwise(F.lit(-1))
+    # fold the remaining segments: acc = 1-based position after the match so
+    # far, -1 once any segment fails to appear in order
+    def step(acc, seg):
+        loc = F.call_function("locate", seg, path, acc)
+        return F.when(acc < 0, F.lit(-1)).otherwise(
+            F.when(loc > 0, loc + F.length(seg)).otherwise(F.lit(-1))
+        )
+
+    pos = F.aggregate(
+        F.slice(segs, F.lit(2), F.greatest(F.size(segs) - 1, F.lit(0))),
+        init.cast("int"), step,
+    )
+    matched = pos > 0
+    last = F.element_at(segs, -1)
+    # '$' anchor: the final segment must close out the path (greedy
+    # approximation: endswith; exact for the common '.../*.ext$' shapes)
+    return F.when(
+        anchored, matched & (path.endswith(last) | (F.length(last) == 0))
+        & (F.length(body) > 0)
+    ).otherwise(matched)
+
+
+def _is_wildcard(p: Column) -> Column:
+    return p.contains("*") | p.endswith("$")
+
+
+def _longest_match_len(prefixes: Column, path: Column,
+                       ignore_wildcard_rules: bool = False) -> Column:
+    """Specificity (pattern length) of the best rule matching ``path``
+    (0 if none).  Plain rules prefix-match; wildcard rules (``*``/``$``)
+    use :func:`_wildcard_matches` unless ``ignore_wildcard_rules``
+    (RobotsTxtHandler.php:26-57)."""
+    rules = prefixes
+    if ignore_wildcard_rules:
+        rules = F.filter(rules, lambda p: ~_is_wildcard(p))
+    matched = F.filter(
+        rules,
+        lambda p: F.when(_is_wildcard(p), _wildcard_matches(p, path))
+        .otherwise(path.startswith(p)),
+    )
     return F.coalesce(
         F.array_max(F.transform(matched, lambda p: F.length(p))), F.lit(0)
     )
@@ -37,9 +83,12 @@ def with_robots_allowed(
     host_col: str = "host",
     path_col: str = "path",
     user_agent_is_bot: bool = True,
+    ignore_wildcard_rules: bool = False,
     out: str = "robots_allowed",
 ) -> DataFrame:
-    """Add boolean ``robots_allowed``; broadcast-joins the rules table."""
+    """Add boolean ``robots_allowed``; broadcast-joins the rules table.
+    ``ignore_wildcard_rules`` mirrors RobotsTxtHandler::ignoreWildcardRules
+    (skip ``*``/``$`` rules entirely)."""
     if robots is None or not user_agent_is_bot:
         return frontier.withColumn(out, F.lit(True))
     rules = robots.select(
@@ -51,8 +100,10 @@ def with_robots_allowed(
         F.broadcast(rules), frontier[host_col] == F.col("__r_host"), "left"
     )
     path = F.col(path_col)
-    dis = _longest_match_len(F.coalesce(F.col("__dis"), F.array()), path)
-    alw = _longest_match_len(F.coalesce(F.col("__alw"), F.array()), path)
+    dis = _longest_match_len(F.coalesce(F.col("__dis"), F.array()), path,
+                             ignore_wildcard_rules)
+    alw = _longest_match_len(F.coalesce(F.col("__alw"), F.array()), path,
+                             ignore_wildcard_rules)
     allowed = (
         (path == "/robots.txt")  # always allowed
         | F.col("__r_host").isNull()  # no rules for host => allow all
