@@ -206,3 +206,20 @@ def make_resolve_links_udf(keep_fragment: bool):
         return pd.Series(out_rows)
 
     return resolve_links
+
+
+def sitemap_locs_auto(body_binary: Column) -> Column:
+    """Sitemap <loc> extraction tolerant of gzipped bodies (.xml.gz).
+
+    The reference transparently gunzips sitemap responses before parsing
+    (Utils/Gzip.php:12-43 magic-byte sniff, used by the step's
+    validateAndSanitizeToXmlDocumentInstance).  Here: sniff the 1f8b magic
+    on the binary column, route gzipped bodies through the Arrow decode
+    UDF, plain ones straight to the native xpath path."""
+    from .steps import gzip_decode_udf
+
+    is_gz = F.substring(body_binary, 1, 2) == bytes([0x1F, 0x8B])
+    text = F.when(
+        is_gz, gzip_decode_udf(body_binary).cast("string")
+    ).otherwise(body_binary.cast("string"))
+    return sitemap_locs_xpath(text)

@@ -162,3 +162,19 @@ def test_paginate_query_params_missing_param_ends_chain(spark):
                                 param="page", max_pages=5)
     got = [(r.chain_id, r.page_ord, r.url) for r in out.collect()]
     assert got == [(0, 0, "http://s.test/a")]
+
+
+def test_sitemap_locs_gzip_auto(spark):
+    # gzipped sitemap bodies decode transparently (Gzip.php magic sniff)
+    import gzip as _gzip
+
+    xml = (b'<?xml version="1.0"?><urlset xmlns="x">'
+           b"<url><loc>http://s.test/a</loc></url>"
+           b"<url><loc>http://s.test/b</loc></url></urlset>")
+    rows = [(1, xml), (2, _gzip.compress(xml))]
+    df = spark.createDataFrame(rows, "id LONG, body BINARY")
+    from crawlspark.extract import sitemap_locs_auto
+
+    got = {r.id: r.locs for r in df.select(
+        "id", sitemap_locs_auto(F.col("body")).alias("locs")).collect()}
+    assert got[1] == got[2] == ["http://s.test/a", "http://s.test/b"]
