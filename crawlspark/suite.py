@@ -2032,3 +2032,81 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _PREV6_ORACLES()
     out.update(_EXTRA6_ORACLES)
     return out
+
+
+# --------------------------------------------------------------------------
+# round 7: UrlRefiner authority ops
+# --------------------------------------------------------------------------
+
+
+def q_refine_url_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UrlRefiner withHost/withPort/withoutPort/withPath
+    (src/Steps/Refiners/Url/WithHost.php, WithPort.php, WithoutPort.php,
+    WithPath.php) — authority rebuild as pure Column expressions."""
+    doc = F.col("doc_id")
+    d = _docs(spark, sf_dir).select(
+        doc, canonicalize_expr(_messy_url(doc)).alias("url")
+    )
+    u = F.col("url")
+    scheme = F.substring_index(u, "://", 1)
+    rest = F.substring_index(u, "://", -1)
+    hostport = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
+    host = F.substring_index(hostport, ":", 1)
+    after = F.substring(rest, F.length(hostport) + 1, F.lit(2 ** 31 - 1))
+    path_q = F.when(after == "", F.lit("/")).otherwise(after)
+    return d.select(
+        "doc_id",
+        F.concat(scheme, F.lit("://mirror.example.org"), path_q).alias("with_host"),
+        F.concat(scheme, F.lit("://"), host, F.lit(":8443"), path_q).alias("with_port"),
+        F.concat(scheme, F.lit("://"), host, path_q).alias("without_port"),
+        F.concat(scheme, F.lit("://"), host, F.lit("/alt"),
+                 F.when(F.instr(path_q, "?") > 0,
+                        F.concat(F.lit("?"), F.substring_index(path_q, "?", -1)))
+                 .otherwise(F.lit(""))).alias("with_path"),
+    )
+
+
+ORACLE_REFINE_URL_AUTH = f"""
+WITH c AS ({ORACLE_CANON.strip()}),
+p AS (
+  SELECT doc_id,
+         split_part(url_norm, '://', 1) AS scheme,
+         split_part(split_part(split_part(url_norm, '://', 2), '/', 1), '?', 1) AS hostport,
+         substr(split_part(url_norm, '://', 2),
+                strlen(split_part(split_part(split_part(url_norm, '://', 2), '/', 1), '?', 1)) + 1) AS after
+  FROM c
+), q AS (
+  SELECT doc_id, scheme,
+         split_part(hostport, ':', 1) AS host,
+         CASE WHEN after = '' THEN '/' ELSE after END AS path_q
+  FROM p
+)
+SELECT doc_id,
+       scheme || '://mirror.example.org' || path_q AS with_host,
+       scheme || '://' || host || ':8443' || path_q AS with_port,
+       scheme || '://' || host || path_q AS without_port,
+       scheme || '://' || host || '/alt' ||
+         CASE WHEN instr(path_q, '?') > 0 THEN '?' || split_part(path_q, '?', 2)
+              ELSE '' END AS with_path
+FROM q
+"""
+
+_EXTRA7_QUERIES = {"refine_url_authority": q_refine_url_authority}
+_EXTRA7_ORACLES = {"refine_url_authority": ORACLE_REFINE_URL_AUTH}
+
+_PREV7_QUERIES = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _PREV7_QUERIES()
+    out.update(_EXTRA7_QUERIES)
+    return out
+
+
+_PREV7_ORACLES = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _PREV7_ORACLES()
+    out.update(_EXTRA7_ORACLES)
+    return out
