@@ -252,19 +252,34 @@ class Group(Step):
         self.branches = branches
 
     def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
         base = df.withColumn("_gid", F.monotonically_increasing_id())
-        out = base.select("_input_id", "_ord", "_gid",
-                          *[c for c in base.columns if c.startswith("keep_")])
+        # each branch: (_gid, _k, <name>) with _k = the branch's per-input
+        # output ordinal; zip = FULL OUTER join on (_gid, _k), so unequal
+        # branch lengths pad with null exactly like the reference's
+        # per-ordinal combination (Group.php:146-157)
+        ordw = Window.partitionBy("_gid").orderBy("_ord")
+        zipped = None
         for name, step in self.branches.items():
-            branch = step.apply(base).select(
-                F.col("_gid").alias(f"_g_{name}"), F.col("value").alias(name)
+            b = (
+                step.apply(base)
+                .select("_gid", "_ord", "value")
+                .withColumn("_k", F.row_number().over(ordw))
+                .select("_gid", "_k", F.col("value").alias(name))
             )
-            out = out.join(branch, out["_gid"] == branch[f"_g_{name}"], "left") \
-                     .drop(f"_g_{name}")
-        out = out.withColumn(
-            "value", F.struct(*[F.col(n) for n in self.branches])
-        ).drop(*self.branches.keys())
-        return self._post(out.drop("_gid"))
+            zipped = b if zipped is None else zipped.join(
+                b, on=["_gid", "_k"], how="full_outer"
+            )
+        keeps = [c for c in base.columns if c.startswith("keep_")]
+        out = (
+            base.select("_input_id", "_ord", "_gid", *keeps)
+            .join(zipped, "_gid", "inner")
+            .withColumn("_ord", F.col("_ord") * 1000 + F.col("_k"))
+            .withColumn("value", F.struct(*[F.col(n) for n in self.branches]))
+            .drop(*self.branches.keys(), "_k", "_gid")
+        )
+        return self._post(out)
 
 
 class HttpCrawl(Step):

@@ -189,3 +189,24 @@ def test_csv_positional_mapping(spark):
         .collect()
     )
     assert [(r.value.id, r.value.age) for r in out] == [("1", "30"), ("2", "41")]
+
+
+def test_group_zips_unequal_branch_lengths(spark):
+    # branch with fewer outputs pads with null per ordinal (Group zip)
+    pages = fixture.pages_df(spark)
+    from crawlspark.crawler import GetLinks, Group, Title
+
+    out = (
+        Crawler(spark)
+        .input(f"{B}/crawling/sub1")
+        .add_step(HttpGet(pages))
+        .add_step(Group(title=Title(), link=GetLinks()))
+        .run()
+        .orderBy("ord")
+        .collect()
+    )
+    # sub1 has 3 links; title yields once -> 3 records, title on the first
+    assert len(out) == 3
+    assert out[0].value.title == "foo"
+    assert out[1].value.title is None and out[2].value.title is None
+    assert out[0].value.link == f"{B}/crawling/sub1/sub1"
