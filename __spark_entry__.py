@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from crawlspark import graph, suite
+from crawlspark import graph, suite, suite2
 from crawlspark.frontier import CrawlConfig, crawl_bfs
 
 FLAGSHIP_DEPTH = 6
@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_metrics": _q_crawl_metrics,
     }
     out.update(suite.queries())
+    out.update(suite2.queries())
     return out
 
 
@@ -93,4 +94,5 @@ def oracle_sql() -> dict[str, str]:
         ),
     }
     out.update(suite.oracle_sql())
+    out.update(suite2.oracle_sql())
     return out

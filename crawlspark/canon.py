@@ -122,20 +122,82 @@ def canonicalize_keep_fragment_udf(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: _canon_py(u, keep_fragment=True))
 
 
+# Trimmed snapshot of the Mozilla Public Suffix List (publicsuffix.org,
+# public data): the multi-label suffixes a crawler actually meets — ccTLD
+# second-level registries plus the big shared-hosting suffixes.  The
+# reference gets full PSL semantics via crwlr/url; this snapshot covers the
+# same sameDomain/cookie decisions for the common web, and the short-SLD
+# heuristic below remains the fallback for suffixes outside the snapshot.
+TWO_PART_SUFFIXES = frozenset(
+    """
+    co.uk org.uk ac.uk gov.uk me.uk net.uk sch.uk ltd.uk plc.uk
+    com.au net.au org.au edu.au gov.au asn.au id.au
+    co.nz net.nz org.nz govt.nz ac.nz school.nz gen.nz geek.nz
+    co.jp ne.jp or.jp ac.jp ad.jp ed.jp go.jp gr.jp lg.jp
+    com.br net.br org.br gov.br edu.br art.br blog.br dev.br
+    com.cn net.cn org.cn gov.cn edu.cn ac.cn mil.cn
+    com.mx net.mx org.mx edu.mx gob.mx
+    co.in net.in org.in firm.in gen.in ind.in ac.in edu.in res.in gov.in nic.in
+    co.za net.za org.za web.za gov.za ac.za
+    co.kr ne.kr or.kr re.kr go.kr ac.kr pe.kr
+    com.tw net.tw org.tw edu.tw gov.tw idv.tw
+    com.hk net.hk org.hk edu.hk gov.hk idv.hk
+    com.sg net.sg org.sg edu.sg gov.sg per.sg
+    com.my net.my org.my edu.my gov.my
+    com.tr net.tr org.tr edu.tr gov.tr gen.tr web.tr bel.tr
+    com.ar net.ar org.ar edu.ar gob.ar int.ar mil.ar
+    com.co net.co org.co edu.co gov.co nom.co mil.co
+    co.il org.il net.il ac.il gov.il muni.il idf.il
+    co.th in.th or.th ac.th go.th net.th mi.th
+    com.ua net.ua org.ua edu.ua gov.ua in.ua
+    com.sa net.sa org.sa edu.sa gov.sa med.sa pub.sa
+    com.eg net.eg org.eg edu.eg gov.eg sci.eg
+    com.ng net.ng org.ng edu.ng gov.ng
+    com.pk net.pk org.pk edu.pk gov.pk
+    com.vn net.vn org.vn edu.vn gov.vn biz.vn info.vn
+    com.ph net.ph org.ph edu.ph gov.ph
+    com.id net.id or.id ac.id go.id web.id my.id biz.id sch.id
+    co.id
+    github.io gitlab.io bitbucket.io netlify.app vercel.app web.app
+    herokuapp.com appspot.com blogspot.com firebaseapp.com
+    azurewebsites.net cloudfront.net amazonaws.com wordpress.com
+    pages.dev workers.dev fly.dev repl.co glitch.me surge.sh
+    """.split()
+)
+THREE_PART_SUFFIXES = frozenset(
+    ["s3.amazonaws.com", "compute.amazonaws.com", "elb.amazonaws.com",
+     "cdn.cloudflare.net", "r2.cloudflarestorage.com"]
+)
+
+
 def registrable_domain(host: Column) -> Column:
     """Registrable domain for sameDomain()/cookie scoping (reference keys
     cookies + sameDomain checks by registrable domain,
-    src/Loader/Http/Cookies/CookieJar.php:95-130).
+    src/Loader/Http/Cookies/CookieJar.php:95-130, via crwlr/url's PSL).
 
-    Heuristic without a PSL dependency: last two labels, or last three when
-    the 2nd-level label is a known short SLD (co/com/net/org/gov/ac/edu).
+    Pure Column expressions: the trimmed PSL snapshot above decides the
+    multi-label suffixes (``user.github.io`` and ``foo.com.au`` are
+    registrable, not ``github.io``/``com.au``); hosts outside the snapshot
+    fall back to the short-SLD heuristic (last-3 labels when the 2nd-level
+    label is co/com/net/org/gov/ac/edu), then last-2.
     """
     parts = F.split(host, r"\.")
     n = F.size(parts)
     last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    sld = F.element_at(parts, -2)
-    need3 = (n >= 3) & sld.isin("co", "com", "net", "org", "gov", "ac", "edu")
     last3 = F.concat_ws(
         ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
     )
-    return F.when(n <= 2, host).otherwise(F.when(need3, last3).otherwise(last2))
+    last4 = F.concat_ws(
+        ".", F.element_at(parts, -4), F.element_at(parts, -3),
+        F.element_at(parts, -2), F.element_at(parts, -1),
+    )
+    sld = F.element_at(parts, -2)
+    psl3 = (n >= 4) & last3.isin(*sorted(THREE_PART_SUFFIXES))
+    psl2 = (n >= 3) & last2.isin(*sorted(TWO_PART_SUFFIXES))
+    heur3 = (n >= 3) & sld.isin("co", "com", "net", "org", "gov", "ac", "edu")
+    return (
+        F.when(n <= 2, host)
+        .when(psl3, last4)
+        .when(psl2 | heur3, last3)
+        .otherwise(last2)
+    )

@@ -36,9 +36,25 @@ from pyspark.sql import functions as F
 from . import extract
 
 
+class PreRunValidationError(Exception):
+    """Invalid step chain, detected BEFORE any Spark job runs (reference:
+    PreRunValidationException, src/Crawler.php:312-333)."""
+
+
 class Step:
     """Operator: transform the (Io-shaped) DataFrame.  Mirror of
-    src/Steps/Step.php:40-67 — but a plan rewrite, not a generator."""
+    src/Steps/Step.php:40-67 — but a plan rewrite, not a generator.
+
+    ``input_kind``/``output_kind`` drive the pre-run chain validation
+    (src/Steps/BaseStep.php:266-314 via StepOutputType): kinds are
+    'scalar' (a bare string value), 'response' (the struct HttpGet yields),
+    'record' (any keyed struct), or 'any'.
+    """
+
+    input_kind: str = "any"
+
+    def output_kind(self, input_kind: str) -> str:
+        return input_kind  # default: pass the value through unchanged
 
     def apply(self, df: DataFrame) -> DataFrame:  # pragma: no cover
         raise NotImplementedError
@@ -73,6 +89,11 @@ class HttpGet(Step):
     response struct (url, status, body).  Error responses (>=400) are
     suppressed unless yield_error_responses (HttpBase.php:260-277)."""
 
+    input_kind = "scalar"
+
+    def output_kind(self, input_kind: str) -> str:
+        return "response"
+
     def __init__(self, pages: DataFrame, yield_error_responses: bool = False):
         super().__init__()
         self.pages = pages
@@ -96,20 +117,114 @@ class HttpGet(Step):
         return self._post(out)
 
 
-class GetLinks(Step):
-    """Html::getLinks() — all <a> hrefs resolved against the page URL,
-    document order, one output per link (GetLinks.php:16-33); value:
-    response struct -> url string."""
+class _LinkStep(Step):
+    """Shared option surface of Html::getLink/getLinks
+    (GetLink.php:36-163): an optional CSS selector (matched elements must BE
+    <a> tags — non-anchors are ignored, GetLink.php:185-191), host/domain
+    scoping relative to the page URL, explicit host/domain allow-lists, and
+    withoutFragment() (the reference KEEPS fragments by default,
+    GetLink.php:36)."""
 
-    def apply(self, df: DataFrame) -> DataFrame:
-        resolve = extract.make_resolve_links_udf(keep_fragment=False)
+    input_kind = "response"
+
+    def output_kind(self, input_kind: str) -> str:
+        return "scalar"
+
+    def __init__(self, selector: str | None = None):
+        super().__init__()
+        self.selector = selector
+        self._same_domain: bool | None = None
+        self._same_host: bool | None = None
+        self._domains: list[str] | None = None
+        self._hosts: list[str] | None = None
+        self._with_fragment = True
+
+    def on_same_domain(self):
+        self._same_domain = True
+        return self
+
+    def not_on_same_domain(self):
+        self._same_domain = False
+        return self
+
+    def on_domain(self, domains):
+        self._domains = [domains] if isinstance(domains, str) else list(domains)
+        return self
+
+    def on_same_host(self):
+        self._same_host = True
+        return self
+
+    def not_on_same_host(self):
+        self._same_host = False
+        return self
+
+    def on_host(self, hosts):
+        self._hosts = [hosts] if isinstance(hosts, str) else list(hosts)
+        return self
+
+    def without_fragment(self):
+        self._with_fragment = False
+        return self
+
+    def _resolved_links(self) -> Column:
+        """array<struct<url,text,pos>> of resolved links passing every
+        configured criterion (matchesAdditionalCriteria, GetLink.php:205-236),
+        document order."""
+        from .canon import registrable_domain
+
+        raw = (
+            extract.make_selector_links_udf(self.selector)(F.col("value.body"))
+            if self.selector
+            else extract.extract_links_udf(F.col("value.body"))
+        )
+        resolve = extract.make_resolve_links_udf(keep_fragment=True)
         links = resolve(
             F.col("value.url"),
             extract.extract_base_href_udf(F.col("value.body")),
-            extract.extract_links_udf(F.col("value.body")),
+            raw,
         )
+        page_host = F.lower(F.parse_url(F.col("value.url"), F.lit("HOST")))
+        page_dom = registrable_domain(page_host)
+
+        def ok(l) -> Column:
+            lh = F.lower(F.parse_url(l["url"], F.lit("HOST")))
+            cond = F.lit(True)
+            if self._same_domain is True:
+                cond = cond & (registrable_domain(lh) == page_dom)
+            elif self._same_domain is False:
+                cond = cond & (registrable_domain(lh) != page_dom)
+            if self._same_host is True:
+                cond = cond & (lh == page_host)
+            elif self._same_host is False:
+                cond = cond & (lh != page_host)
+            if self._domains is not None:
+                cond = cond & registrable_domain(lh).isin(*self._domains)
+            if self._hosts is not None:
+                cond = cond & lh.isin(*self._hosts)
+            return cond
+
+        links = F.filter(links, ok)
+        if not self._with_fragment:
+            links = F.transform(
+                links,
+                lambda l: F.struct(
+                    F.substring_index(l["url"], "#", 1).alias("url"),
+                    l["text"].alias("text"),
+                    l["pos"].alias("pos"),
+                ),
+            )
+        return links
+
+
+class GetLinks(_LinkStep):
+    """Html::getLinks() — all matching <a> hrefs resolved against the page
+    URL, document order, one output per link (GetLinks.php:16-33); value:
+    response struct -> url string."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
         out = (
-            df.withColumn("_links", links)
+            df.withColumn("_links", self._resolved_links())
             .select(
                 "*", F.posexplode("_links").alias("_lpos", "_link")
             )
@@ -122,6 +237,11 @@ class GetLinks(Step):
 
 class Title(Step):
     """Html::metaData()['title'] — value: response struct -> title string."""
+
+    input_kind = "response"
+
+    def output_kind(self, input_kind: str) -> str:
+        return "scalar"
 
     def apply(self, df: DataFrame) -> DataFrame:
         return self._post(
@@ -154,14 +274,22 @@ class Refine(Step):
 
 class Keep(Step):
     """keepAs(alias) — copy the current value into the final Result under
-    ``alias`` (BaseStep.php:124-161); the pipeline continues unchanged."""
+    ``alias``; ``Keep()`` with NO alias is the reference's keep(): spread the
+    current RECORD's fields into the Result (BaseStep.php:124-161).  A bare
+    keep() on a scalar-yielding step is rejected by the pre-run validation
+    (BaseStep.php:272-282: scalar outputs need a key)."""
 
-    def __init__(self, alias: str):
+    def __init__(self, alias: str | None = None):
         super().__init__()
         self.alias = alias
 
     def apply(self, df: DataFrame) -> DataFrame:
-        return self._post(df.withColumn(f"keep_{self.alias}", F.col("value")))
+        if self.alias is not None:
+            return self._post(df.withColumn(f"keep_{self.alias}", F.col("value")))
+        out = df
+        for fld in df.schema["value"].dataType.fields:
+            out = out.withColumn(f"keep_{fld.name}", F.col(f"value.{fld.name}"))
+        return self._post(out)
 
 
 class Crawler:
@@ -184,10 +312,36 @@ class Crawler:
         self._steps.append(step)  # Crawler.php:150-165
         return self
 
+    def _validate_steps(self) -> None:
+        """validateSteps analog (src/Crawler.php:312-333 +
+        src/Steps/BaseStep.php:266-314): reject invalid chains BEFORE any
+        Spark job — input-kind mismatches and bare keep() of scalar
+        outputs raise :class:`PreRunValidationError` with the step number."""
+        kind = "scalar"  # initial inputs are strings
+        for i, step in enumerate(self._steps):
+            need = getattr(step, "input_kind", "any")
+            if need != "any" and kind != need:
+                raise PreRunValidationError(
+                    f"Pre-Run validation error in step number {i + 1}: "
+                    f"{type(step).__name__} expects {need!r} input but the "
+                    f"previous step yields {kind!r} outputs"
+                )
+            if isinstance(step, Keep) and step.alias is None and kind == "scalar":
+                raise PreRunValidationError(
+                    f"Pre-Run validation error in step number {i + 1}: "
+                    "keeping data from a step that yields scalar value "
+                    "outputs requires a key — use Keep('name') "
+                    "(reference keepAs(), BaseStep.php:266-282)"
+                )
+            kind = step.output_kind(kind)
+
     def run(self) -> DataFrame:
         """Build the plan and return the Results DataFrame: one row per
         final output, kept columns (Io.keep) de-prefixed, plus ``value``
-        and the stable output order ``ord`` (Crawler.php:282-307)."""
+        and the stable output order ``ord`` (Crawler.php:282-307).
+        Raises :class:`PreRunValidationError` on an invalid chain before
+        any Spark job starts."""
+        self._validate_steps()
         df = self.spark.createDataFrame(
             [(i, i, v) for i, v in enumerate(self._inputs)],
             "_input_id LONG, _ord LONG, value STRING",
@@ -206,19 +360,16 @@ class Crawler:
         return ranked.select(*cols, "value", F.col("ord").cast("long"))
 
 
-class GetLink(Step):
-    """Html::getLink() — only the FIRST matching link (GetLink.php:43-288);
-    value: response struct -> url string (rows with no links drop)."""
+class GetLink(_LinkStep):
+    """Html::getLink() — only the FIRST matching link (GetLink.php:43-288,
+    same option surface as GetLinks); value: response struct -> url string
+    (rows with no matching link drop)."""
 
     def apply(self, df: DataFrame) -> DataFrame:
-        resolve = extract.make_resolve_links_udf(keep_fragment=False)
-        links = resolve(
-            F.col("value.url"),
-            extract.extract_base_href_udf(F.col("value.body")),
-            extract.extract_links_udf(F.col("value.body")),
-        )
         out = (
-            df.withColumn("_first", F.element_at(links, 1))
+            # try_element_at: an empty match array is a dropped row, not an
+            # ANSI INVALID_ARRAY_INDEX error
+            df.withColumn("_first", F.try_element_at(self._resolved_links(), F.lit(1)))
             .filter(F.col("_first").isNotNull())
             .withColumn("value", F.col("_first.url"))
             .drop("_first")
@@ -229,6 +380,11 @@ class GetLink(Step):
 class MetaData(Step):
     """Html::metaData() (MetaData.php:36-61) — value: response struct ->
     struct(title, meta map)."""
+
+    input_kind = "response"
+
+    def output_kind(self, input_kind: str) -> str:
+        return "record"
 
     def apply(self, df: DataFrame) -> DataFrame:
         out = df.withColumn(
@@ -251,33 +407,43 @@ class Group(Step):
         super().__init__()
         self.branches = branches
 
+    def output_kind(self, input_kind: str) -> str:
+        return "record"
+
     def apply(self, df: DataFrame) -> DataFrame:
         from pyspark.sql import Window
 
-        base = df.withColumn("_gid", F.monotonically_increasing_id())
-        # each branch: (_gid, _k, <name>) with _k = the branch's per-input
-        # output ordinal; zip = FULL OUTER join on (_gid, _k), so unequal
+        # the zip key is the input row's (_input_id, _ord) — deterministic
+        # under shuffles, unlike monotonically_increasing_id() on an
+        # unmaterialized plan (which can re-evaluate differently per branch
+        # subtree).  Steps rewrite _ord, so snapshot it under _g_ord first.
+        base = df.withColumn("_g_in", F.col("_input_id")).withColumn(
+            "_g_ord", F.col("_ord")
+        )
+        gkey = ["_g_in", "_g_ord"]
+        # each branch: (gkey, _k, <name>) with _k = the branch's per-input
+        # output ordinal; zip = FULL OUTER join on (gkey, _k), so unequal
         # branch lengths pad with null exactly like the reference's
         # per-ordinal combination (Group.php:146-157)
-        ordw = Window.partitionBy("_gid").orderBy("_ord")
+        ordw = Window.partitionBy(*gkey).orderBy("_ord")
         zipped = None
         for name, step in self.branches.items():
             b = (
                 step.apply(base)
-                .select("_gid", "_ord", "value")
+                .select(*gkey, "_ord", "value")
                 .withColumn("_k", F.row_number().over(ordw))
-                .select("_gid", "_k", F.col("value").alias(name))
+                .select(*gkey, "_k", F.col("value").alias(name))
             )
             zipped = b if zipped is None else zipped.join(
-                b, on=["_gid", "_k"], how="full_outer"
+                b, on=gkey + ["_k"], how="full_outer"
             )
         keeps = [c for c in base.columns if c.startswith("keep_")]
         out = (
-            base.select("_input_id", "_ord", "_gid", *keeps)
-            .join(zipped, "_gid", "inner")
+            base.select("_input_id", "_ord", *gkey, *keeps)
+            .join(zipped, gkey, "inner")
             .withColumn("_ord", F.col("_ord") * 1000 + F.col("_k"))
             .withColumn("value", F.struct(*[F.col(n) for n in self.branches]))
-            .drop(*self.branches.keys(), "_k", "_gid")
+            .drop(*self.branches.keys(), "_k", *gkey)
         )
         return self._post(out)
 
@@ -287,6 +453,11 @@ class HttpCrawl(Step):
     (HttpCrawl.php:19-180): value: seed url string -> response struct per
     yielded page, in exact crawl order.  Wraps engine.crawl_site; builder
     options mirror the reference's."""
+
+    input_kind = "scalar"
+
+    def output_kind(self, input_kind: str) -> str:
+        return "record"
 
     def __init__(self, pages: DataFrame, robots: DataFrame | None = None,
                  **cfg_kwargs):
@@ -299,30 +470,26 @@ class HttpCrawl(Step):
         from .engine import SiteCrawlConfig, crawl_site
 
         spark = df.sparkSession
-        seeds = [
-            (r["_input_id"], r["value"])
-            for r in df.select("_input_id", "value").collect()
-        ]
-        outs = []
-        for input_id, seed_url in seeds:
-            crawled = crawl_site(
-                spark, self.pages, seed_url,
-                SiteCrawlConfig(**self.cfg_kwargs), robots=self.robots,
-            ).filter(F.col("yielded"))
-            outs.append(
-                crawled.select(
-                    F.lit(input_id).alias("_input_id"),
-                    F.col("ord").alias("_ord"),
-                    F.struct(
-                        F.col("effective_url").alias("url"),
-                        F.col("url").alias("requested_url"),
-                        F.col("depth").alias("depth"),
-                    ).alias("value"),
-                )
-            )
-        out = outs[0]
-        for o in outs[1:]:
-            out = out.unionByName(o)
+        # ALL seeds go through ONE frontier (engine multi-seed crawl_site):
+        # no driver-side seed collect, no per-seed loop — 1,000 seeds is one
+        # BFS with per-seed scoping/ordering.  An empty input yields an
+        # empty result with the output schema (no IndexError).
+        seeds = df.select(
+            F.col("_input_id").alias("seed_id"), F.col("value").alias("url")
+        )
+        crawled = crawl_site(
+            spark, self.pages, seeds,
+            SiteCrawlConfig(**self.cfg_kwargs), robots=self.robots,
+        ).filter(F.col("yielded"))
+        out = crawled.select(
+            F.col("seed_id").alias("_input_id"),
+            F.col("ord").alias("_ord"),
+            F.struct(
+                F.col("effective_url").alias("url"),
+                F.col("url").alias("requested_url"),
+                F.col("depth").alias("depth"),
+            ).alias("value"),
+        )
         # re-attach kept columns from the seed rows
         keeps = [c for c in df.columns if c.startswith("keep_")]
         if keeps:
@@ -336,6 +503,11 @@ class JsonGet(Step):
     """Json::get(mapping) — dot-notation property extraction from a JSON
     value (src/Steps/Json.php:19-38); value: json string -> struct of the
     mapped properties."""
+
+    input_kind = "scalar"
+
+    def output_kind(self, input_kind: str) -> str:
+        return "record"
 
     def __init__(self, **mapping: str):
         super().__init__()
@@ -352,6 +524,8 @@ class JsonGet(Step):
 class JsonEach(Step):
     """Json::each(path) — one output per element of a JSON array subtree
     (src/Steps/Json.php:50-79); value: json string -> element json string."""
+
+    input_kind = "scalar"
 
     def __init__(self, path: str = ""):
         super().__init__()
@@ -373,30 +547,47 @@ class JsonEach(Step):
 
 
 class Csv(Step):
-    """Csv::parseString with positional column mapping + skipFirstLine
-    (src/Steps/Csv.php:27-42,96-157); value: multi-line csv string ->
-    struct of mapped columns, one output per data line."""
+    """Csv::parseString with positional column mapping, skipFirstLine and
+    quoted-field handling (src/Steps/Csv.php:27-42,96-157 — separator,
+    enclosure and escape are configurable like the reference's
+    separator/enclosure/escape); value: multi-line csv string -> struct of
+    mapped columns, one output per data line.  Parsing is JVM-side
+    ``from_csv`` (no regex-split: separators inside enclosures stay literal,
+    and metacharacter separators like '|' need no escaping)."""
+
+    input_kind = "scalar"
+
+    def output_kind(self, input_kind: str) -> str:
+        return "record"
 
     def __init__(self, columns: dict[int, str], skip_first_line: bool = False,
-                 sep: str = ","):
+                 sep: str = ",", enclosure: str = '"', escape: str = "\\"):
         super().__init__()
         self.columns = columns
         self.skip_first = skip_first_line
         self.sep = sep
+        self.enclosure = enclosure
+        self.escape = escape
 
     def apply(self, df: DataFrame) -> DataFrame:
         lines = F.split(F.col("value"), "\n")
         out = df.select("*", F.posexplode(lines).alias("_lpos", "_line"))
         if self.skip_first:
             out = out.filter(F.col("_lpos") > 0)
-        parts = F.split(F.col("_line"), self.sep)
+        width = max(self.columns) + 1
+        schema = ", ".join(f"_c{i} STRING" for i in range(width))
+        parsed = F.from_csv(
+            F.col("_line"), schema,
+            {"sep": self.sep, "quote": self.enclosure, "escape": self.escape},
+        )
+        out = out.withColumn("_parsed", parsed)
         fields = [
-            F.element_at(parts, idx + 1).alias(name)
+            F.col(f"_parsed._c{idx}").alias(name)
             for idx, name in sorted(self.columns.items())
         ]
         out = (
             out.withColumn("_ord", F.col("_ord") * 10000 + F.col("_lpos"))
             .withColumn("value", F.struct(*fields))
-            .drop("_lpos", "_line")
+            .drop("_lpos", "_line", "_parsed")
         )
         return self._post(out)

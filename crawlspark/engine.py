@@ -68,6 +68,13 @@ class SiteCrawlConfig:
     # yield 4xx/5xx responses too (reference Http step suppresses >=400
     # unless yieldErrorResponses(), HttpBase.php:260-277)
     yield_error_responses: bool = False
+    # partitioned cuckoo seen-filter threshold (see frontier.CrawlConfig):
+    # URL strings are fingerprinted with xxhash64 for the probe; the exact
+    # anti-join backstop still matches on the string, so collisions cannot
+    # drop an unseen URL.  None = never engage.
+    prefilter_min_seen: int | None = 2_000_000
+    prefilter_buckets: int | None = None
+    prefilter_capacity: int = 1 << 20
 
 
 @pandas_udf(StringType())
@@ -172,29 +179,51 @@ def _host_of(c: Column) -> Column:
 def crawl_site(
     spark: SparkSession,
     pages: DataFrame,
-    seed_url: str,
+    seed_url: "str | list[str] | DataFrame",
     cfg: SiteCrawlConfig | None = None,
     robots: DataFrame | None = None,
 ) -> DataFrame:
-    """Crawl the corpus from ``seed_url``.
+    """Crawl the corpus from one seed, a seed list, or a (seed_id, url)
+    DataFrame — ALL seeds advance in ONE frontier (one BFS loop total, no
+    per-seed driver iteration; reference runs seeds sequentially through the
+    step, HttpCrawl.php:145-178, with per-seed host/domain scoping pinned in
+    setHostOrDomain).
 
-    Returns one row per ATTEMPTED fetch, in crawl order:
-    (url, effective_url, host, depth long, ord long, loaded bool, yielded bool).
-    ``url`` is the requested URL (the reference TestLoader's loadedUrls
-    observable); ``effective_url`` is post-redirect (and post-canonical when
-    useCanonicalLinks) — the reference Result 'url' observable.
+    Returns one row per ATTEMPTED fetch, in per-seed crawl order:
+    (url, effective_url, host, depth long, ord long, loaded bool, yielded
+    bool) — plus a leading ``seed_id`` column when more than one seed was
+    given.  ``url`` is the requested URL (the reference TestLoader's
+    loadedUrls observable); ``effective_url`` is post-redirect (and
+    post-canonical when useCanonicalLinks) — the reference Result 'url'
+    observable.  The URL-seen set is scoped per seed (identical to the
+    reference whenever seed scopes are disjoint, which sameHost pinning
+    guarantees for distinct hosts); with ``max_outputs`` the global budget is
+    consumed in (seed_id, ord) priority per level, whereas the reference
+    exhausts seed k fully before seed k+1.
     """
     cfg = cfg or SiteCrawlConfig()
+
+    single_seed = isinstance(seed_url, str)
+    if isinstance(seed_url, DataFrame):
+        seeds = seed_url.select(
+            F.col("seed_id").cast("long"), F.col("url").alias("seed_url")
+        )
+    else:
+        urls = [seed_url] if single_seed else list(seed_url)
+        seeds = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "seed_id LONG, seed_url STRING"
+        )
 
     parsed = prepare_corpus(pages).persist()
     closure = redirect_closure(parsed).persist()
 
-    seed_parts = urlsplit(seed_url)
-    seed_host = (seed_parts.hostname or "").lower()
-    seed_domain_df = spark.createDataFrame([(seed_host,)], "h STRING").select(
-        registrable_domain(F.col("h")).alias("d")
-    )
-    seed_domain = seed_domain_df.collect()[0]["d"]
+    # per-seed scope pins (setHostOrDomain, HttpCrawl.php:185-198): a tiny
+    # broadcast relation, never collected
+    seeds_info = seeds.select(
+        "seed_id",
+        _host_of(F.col("seed_url")).alias("__seed_host"),
+        registrable_domain(_host_of(F.col("seed_url"))).alias("__seed_dom"),
+    ).localCheckpoint(eager=True)
 
     def matching_col(url: Column, text: Column) -> Column:
         conds = []
@@ -212,16 +241,26 @@ def crawl_site(
             out = out & c
         return out
 
-    def scope_col(url: Column) -> Column:
-        host = _host_of(url)
+    def scoped(cand: DataFrame, url_col: str) -> DataFrame:
+        """Keep rows inside their seed's host/domain scope."""
+        host = _host_of(F.col(url_col))
         if cfg.same_domain and not cfg.same_host:
-            return registrable_domain(host) == seed_domain
-        return host == seed_host
+            cond = registrable_domain(host) == F.col("__seed_dom")
+        else:
+            cond = host == F.col("__seed_host")
+        return (
+            cand.join(F.broadcast(seeds_info), "seed_id")
+            .filter(cond)
+            .drop("__seed_host", "__seed_dom")
+        )
 
-    seed_req = seed_url if cfg.keep_url_fragment else seed_url.split("#", 1)[0]
+    seed_req = F.when(
+        F.lit(cfg.keep_url_fragment), F.col("seed_url")
+    ).otherwise(_strip_frag(F.col("seed_url")))
     frontier = (
-        spark.createDataFrame([(seed_req,)], "url STRING")
+        seeds.select("seed_id", seed_req.alias("url"))
         .select(
+            "seed_id",
             "url",
             _strip_frag(F.col("url")).alias("fetch_url"),
             _host_of(F.col("url")).alias("host"),
@@ -236,9 +275,16 @@ def crawl_site(
         .localCheckpoint(eager=True)
     )
 
-    seen = spark.createDataFrame([], "id STRING").localCheckpoint(eager=True)
+    seen = spark.createDataFrame([], "seed_id LONG, id STRING").localCheckpoint(
+        eager=True
+    )
+    sfilter = None  # PartitionedSeenFilter once seen crosses the threshold
     out_levels: list[DataFrame] = []
-    base_ord = 1
+    # per-seed crawled-so-far offsets (== max ord per seed): tiny relation,
+    # broadcast into the rank join each level
+    bases = seeds.select("seed_id", F.lit(1).cast("long").alias("base")).localCheckpoint(
+        eager=True
+    )
     yielded_total = 0
     depth = 0
 
@@ -290,21 +336,21 @@ def crawl_site(
             F.coalesce(F.col("chain"), F.array()),
         )
         stale_ords = (
-            fetched.select("ord", F.explode(ids).alias("id"))
-            .join(seen, "id")
-            .select("ord")
+            fetched.select("seed_id", "ord", F.explode(ids).alias("id"))
+            .join(seen, ["seed_id", "id"])
+            .select("seed_id", "ord")
             .distinct()
             .withColumn("__stale", F.lit(True))
         )
-        w_load = Window.partitionBy("load_eff").orderBy("ord")
-        w_eff = Window.partitionBy("effective_url").orderBy("ord")
+        w_load = Window.partitionBy("seed_id", "load_eff").orderBy("ord")
+        w_eff = Window.partitionBy("seed_id", "effective_url").orderBy("ord")
         lvl = (
-            fetched.join(stale_ords, "ord", "left")
+            fetched.join(stale_ords, ["seed_id", "ord"], "left")
             .join(
-                seen.select(F.col("id").alias("effective_url")).withColumn(
-                    "__eff_seen", F.lit(True)
-                ),
-                "effective_url",
+                seen.select(
+                    "seed_id", F.col("id").alias("effective_url")
+                ).withColumn("__eff_seen", F.lit(True)),
+                ["seed_id", "effective_url"],
                 "left",
             )
             .withColumn("__rn_load", F.row_number().over(w_load))
@@ -335,7 +381,8 @@ def crawl_site(
         lvl = lvl.localCheckpoint(eager=True)
         out_levels.append(
             lvl.select(
-                "url", "effective_url", "host", "depth", "ord", "loaded", "yielded"
+                "seed_id", "url", "effective_url", "host", "depth", "ord",
+                "loaded", "yielded",
             )
         )
         yielded_total += lvl.filter("yielded").count()
@@ -345,6 +392,7 @@ def crawl_site(
         new_ids = (
             lvl.filter("fresh")
             .select(
+                "seed_id",
                 F.array_union(
                     F.array_union(
                         F.array(F.col("url"), F.col("effective_url"), F.col("final_fetch")),
@@ -358,12 +406,27 @@ def crawl_site(
                         & F.col("canonical_abs").isNotNull(),
                         F.array(F.col("canonical_abs")),
                     ).otherwise(F.array()),
-                ).alias("ids")
+                ).alias("ids"),
             )
-            .select(F.explode("ids").alias("id"))
+            .select("seed_id", F.explode("ids").alias("id"))
             .distinct()
         )
-        seen = seen.union(new_ids).distinct().localCheckpoint(eager=True)
+        seen = seen.unionByName(new_ids).distinct().localCheckpoint(eager=True)
+        if sfilter is not None:
+            sfilter.update(
+                new_ids.select(F.xxhash64("seed_id", "id").alias("kh")), "kh"
+            )
+        elif cfg.prefilter_min_seen is not None:
+            if seen.count() >= cfg.prefilter_min_seen:
+                from .seen import PartitionedSeenFilter
+
+                sfilter = PartitionedSeenFilter(
+                    spark, num_buckets=cfg.prefilter_buckets,
+                    capacity_per_bucket=cfg.prefilter_capacity,
+                )
+                sfilter.update(
+                    seen.select(F.xxhash64("seed_id", "id").alias("kh")), "kh"
+                )
 
         # ---- stop?
         if cfg.max_depth is not None and depth >= cfg.max_depth:
@@ -389,51 +452,73 @@ def crawl_site(
         cand = (
             lvl.filter("fresh")
             .select(
+                "seed_id",
                 F.col("ord").alias("parent_ord"),
                 resolve_udf(
                     F.col("final_fetch"), F.col("p_base"), links_src
                 ).alias("resolved"),
             )
-            .select("parent_ord", F.explode("resolved").alias("l"))
+            .select("seed_id", "parent_ord", F.explode("resolved").alias("l"))
             .select(
+                "seed_id",
                 F.col("l.url").alias("url"),
                 F.col("l.text").alias("text"),
                 F.col("l.pos").alias("pos"),
                 "parent_ord",
             )
         )
-        cand = cand.filter(scope_col(F.col("url")))
+        cand = scoped(cand, "url")
         m = matching_col(F.col("url"), F.col("text"))
         cand = cand.withColumn("matching", m)
         if not cfg.load_all_but_yield_only_matching:
             cand = cand.filter("matching")
-        cand = (
-            cand.groupBy("url")
-            .agg(
-                F.min(F.struct("parent_ord", "pos")).alias("rk"),
-                F.max("matching").alias("yield_flag"),
-            )
-            .join(seen.select(F.col("id").alias("url")), "url", "left_anti")
-            # the reference also refuses to re-add URLs sitting in the
-            # frontier currently being iterated (HttpCrawl.php:282)
-            .join(frontier.select("url"), "url", "left_anti")
+        cand = cand.groupBy("seed_id", "url").agg(
+            F.min(F.struct("parent_ord", "pos")).alias("rk"),
+            F.max("matching").alias("yield_flag"),
+        )
+        seen_urls = seen.select("seed_id", F.col("id").alias("url"))
+        if sfilter is not None:
+            cand = sfilter.prefiltered_antijoin(
+                cand.withColumn("__kh", F.xxhash64("seed_id", "url")),
+                seen_urls, "__kh", exact_key=["seed_id", "url"],
+            ).drop("__kh")
+        else:
+            cand = cand.join(seen_urls, ["seed_id", "url"], "left_anti")
+        # the reference also refuses to re-add URLs sitting in the
+        # frontier currently being iterated (HttpCrawl.php:282)
+        cand = cand.join(
+            frontier.select("seed_id", "url"), ["seed_id", "url"], "left_anti"
         )
         cnt = cand.count()
         if cnt == 0:
             break
-        ranked = global_rank(cand, "rk", out="r", num_rows=cnt).select(
+        if single_seed:
+            ranked = global_rank(cand, "rk", out="r", num_rows=cnt)
+        else:
+            # one window partition per seed: parallelism == number of seeds,
+            # each seed's level is one site's worth of URLs
+            wseed = Window.partitionBy("seed_id").orderBy("rk")
+            ranked = cand.withColumn(
+                "r", F.row_number().over(wseed).cast("long")
+            )
+        ranked = ranked.join(F.broadcast(bases), "seed_id").select(
+            "seed_id",
             "url",
-            (F.lit(base_ord) + F.col("r")).alias("ord"),
+            (F.col("base") + F.col("r")).alias("ord"),
             "yield_flag",
         )
         # maxOutputs mid-level cut: stop before the fetch whose predecessor
-        # yields exhaust the budget (reference HttpCrawl.php:226-231)
+        # yields exhaust the budget (reference HttpCrawl.php:226-231) —
+        # the exclusive prefix sum of yield_flag over crawl order runs
+        # through the distributed two-phase pattern (ranks.global_prefix_sum),
+        # so a huge budgeted level never collapses to one partition
         if cfg.max_outputs is not None:
+            from .ranks import global_prefix_sum
+
             remaining = cfg.max_outputs - yielded_total
-            wy = Window.orderBy("ord").rowsBetween(Window.unboundedPreceding, -1)
-            ranked = ranked.withColumn(
-                "__y_before",
-                F.coalesce(F.sum(F.col("yield_flag").cast("long")).over(wy), F.lit(0)),
+            order_cols = ["ord"] if single_seed else ["seed_id", "ord"]
+            ranked = global_prefix_sum(
+                ranked, order_cols, "yield_flag", out="__y_before", num_rows=cnt
             )
             ranked = ranked.filter(F.col("__y_before") < remaining).drop("__y_before")
             cnt = ranked.count()
@@ -441,6 +526,7 @@ def crawl_site(
                 break
         depth += 1
         frontier = ranked.select(
+            "seed_id",
             "url",
             _strip_frag(F.col("url")).alias("fetch_url"),
             _host_of(F.col("url")).alias("host"),
@@ -449,11 +535,23 @@ def crawl_site(
             F.lit(depth).cast("long").alias("depth"),
             "yield_flag",
         ).localCheckpoint(eager=True)
-        base_ord += cnt
+        bases = (
+            bases.join(
+                frontier.groupBy("seed_id").agg(F.count("*").alias("__c")),
+                "seed_id", "left",
+            )
+            .select(
+                "seed_id",
+                (F.col("base") + F.coalesce(F.col("__c"), F.lit(0))).alias("base"),
+            )
+            .localCheckpoint(eager=True)
+        )
 
     parsed.unpersist()
     closure.unpersist()
     out = out_levels[0]
     for lv in out_levels[1:]:
         out = out.unionByName(lv)
+    if single_seed:
+        out = out.drop("seed_id")
     return out

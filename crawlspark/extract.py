@@ -182,6 +182,38 @@ RESOLVED_LINK_SCHEMA = ArrayType(
 )
 
 
+def make_selector_links_udf(selector: str):
+    """Raw (href, text, pos) arrays for <a> elements matched DIRECTLY by the
+    CSS selector (reference GetLink.php:90-97,185-191: selector matches that
+    are not anchors are ignored).  Regex-backed CSS subset (crawlspark.cssq)."""
+    from . import cssq
+
+    cssq.parse_selector(selector)  # fail fast, like InvalidDomQueryException
+
+    @pandas_udf(LINK_SCHEMA)
+    def selector_links(bodies: pd.Series) -> pd.Series:
+        from . import cssq
+
+        def one(b):
+            if not b:
+                return []
+            out = []
+            for tag, attrs, inner in cssq.find_elements(b, selector):
+                if tag.lower() != "a":
+                    continue
+                href = cssq._attr(attrs, "href")
+                if href is None:
+                    continue
+                out.append(
+                    {"href": href, "text": normalize_text(inner), "pos": len(out)}
+                )
+            return out
+
+        return bodies.map(one)
+
+    return selector_links
+
+
 def make_resolve_links_udf(keep_fragment: bool):
     """Arrow pandas_udf resolving raw (href,text,pos) arrays against their
     page URL + base href; drops bad schemes; strips fragments unless kept

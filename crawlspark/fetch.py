@@ -81,11 +81,16 @@ _SHORT_SLD = {"co", "com", "net", "org", "gov", "ac", "edu"}
 
 
 def registrable_domain_py(host: str) -> str:
-    """Python twin of canon.registrable_domain (same heuristic)."""
+    """Python twin of canon.registrable_domain (same PSL snapshot +
+    short-SLD fallback — keep the two in lockstep)."""
+    from .canon import THREE_PART_SUFFIXES, TWO_PART_SUFFIXES
+
     parts = host.split(".")
     if len(parts) <= 2:
         return host
-    if parts[-2] in _SHORT_SLD:
+    if len(parts) >= 4 and ".".join(parts[-3:]) in THREE_PART_SUFFIXES:
+        return ".".join(parts[-4:])
+    if ".".join(parts[-2:]) in TWO_PART_SUFFIXES or parts[-2] in _SHORT_SLD:
         return ".".join(parts[-3:])
     return ".".join(parts[-2:])
 

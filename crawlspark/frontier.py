@@ -17,10 +17,13 @@ src/Steps/Loading/HttpCrawl.php:145-236) on Spark:
 - maxOutputs budget honored mid-crawl (HttpCrawl.php:171-175,226-231).
 
 Scale notes (10^10 frontier): each level is one shuffle on ``doc`` for the
-expand+dedup (map-side combine via groupBy-min), one anti-join against seen
-(bloom prefilter in :mod:`crawlspark.seen` cuts the shuffled volume), and a
-distributed two-phase rank (:mod:`crawlspark.ranks`).  Per-level
-``localCheckpoint`` truncates lineage so plan size stays O(1) in depth.
+expand+dedup (map-side combine via groupBy-min), one anti-join against seen —
+past ``CrawlConfig.prefilter_min_seen`` rows the
+:class:`crawlspark.seen.PartitionedSeenFilter` (bucket-keyed cuckoo states,
+cogroup-maintained, never on the driver) prunes candidates the filter proves
+unseen before they reach the anti-join exchange — and a distributed two-phase
+rank (:mod:`crawlspark.ranks`).  Per-level ``localCheckpoint`` truncates
+lineage so plan size stays O(1) in depth.
 """
 
 from __future__ import annotations
@@ -52,7 +55,19 @@ class CrawlConfig:
     # URLs of one host enter a single level; the excess DEFERS to the next
     # level (politeness makes a hot host ~4 req/s anyway, so a huge per-level
     # share would only serialize its partition's wall-clock).  None = off.
+    # NOTE: drained URLs are labeled with the depth of the level they are
+    # CRAWLED in, not their BFS discovery depth, and a backlog still deferred
+    # when the loop exits (max_depth / budget) is dropped — the loop logs the
+    # dropped count so callers can see the truncation.
     max_per_host_per_level: int | None = None
+    # partitioned cuckoo seen-filter (north_rule primary): once the seen set
+    # reaches this many rows, candidate MINUS seen runs through
+    # seen.PartitionedSeenFilter — rows the per-bucket filter proves unseen
+    # skip the anti-join shuffle; below the threshold the plain left_anti is
+    # cheaper (filter build/probe jobs don't amortize).  None = never.
+    prefilter_min_seen: int | None = 2_000_000
+    prefilter_buckets: int | None = None
+    prefilter_capacity: int = 1 << 20
 
 
 def crawl_bfs(spark: SparkSession, sf_dir: str, cfg: CrawlConfig | None = None) -> DataFrame:
@@ -135,9 +150,26 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
         if ckpt:
             ckpt.save_level(0, frontier, seen, levels[0], {"base_ord": base})
 
+    # partitioned cuckoo prefilter: created once `seen` crosses the
+    # threshold, seeded with the whole current seen set (distributed build),
+    # then maintained incrementally with each level's new docs
+    sfilter = None
+
     deferred: DataFrame | None = None
     while not budget_hit and depth < cfg.max_depth:
         depth += 1
+        if (
+            sfilter is None
+            and cfg.prefilter_min_seen is not None
+            and base >= cfg.prefilter_min_seen
+        ):
+            from .seen import PartitionedSeenFilter
+
+            sfilter = PartitionedSeenFilter(
+                spark, num_buckets=cfg.prefilter_buckets,
+                capacity_per_bucket=cfg.prefilter_capacity,
+            )
+            sfilter.update(seen, "doc")
         # expand: (doc, rk) with rk = first-discovery key; groupBy-min gets a
         # map-side partial aggregate before the shuffle on doc
         expanded = _expand(frontier, n)
@@ -148,9 +180,12 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
             expanded
             .groupBy("doc")
             .agg(F.min("rk").alias("rk"))
-            .join(seen, "doc", "left_anti")
             .filter(~graph.blocked_col(F.col("doc")))
         )
+        if sfilter is not None:
+            cand = sfilter.prefiltered_antijoin(cand, seen, "doc")
+        else:
+            cand = cand.join(seen, "doc", "left_anti")
         if cfg.max_per_host_per_level is not None:
             from pyspark.sql import Window
 
@@ -186,11 +221,21 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
         # checkpointed relation broadcasts into the anti-join (lazy unions
         # instead were 2x slower end-to-end)
         seen = seen.union(frontier.select("doc")).localCheckpoint(eager=True)
+        if sfilter is not None:
+            sfilter.update(frontier.select("doc"), "doc")
         level_rows = frontier.withColumn("depth", F.lit(depth).cast("long"))
         levels.append(level_rows)
         base += cnt
         if ckpt:
             ckpt.save_level(depth, frontier, seen, level_rows, {"base_ord": base})
+
+    if deferred is not None and (n_dropped := deferred.count()) > 0:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "crawl loop exited with %d deferred URLs still in the per-host "
+            "backlog (max_depth/budget hit before they drained)", n_dropped,
+        )
 
     if levels:
         out = levels[0]

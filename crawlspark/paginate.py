@@ -99,6 +99,230 @@ def _resolve_next(base_urls: pd.Series, hrefs: pd.Series) -> pd.Series:
     )
 
 
+def _make_pagination_links_udf(selector: str):
+    """(page_url, body) -> absolute pagination-link URLs, document order.
+    CSS-subset element match + <a href> collection (cssq), resolved against
+    the document URL honoring <base href> — one Arrow batch per partition."""
+    from pyspark.sql.types import ArrayType
+
+    from . import cssq  # validate selector eagerly (InvalidDomQueryException)
+
+    cssq.parse_selector(selector)
+
+    @pandas_udf(ArrayType(StringType()))
+    def links(urls: pd.Series, bodies: pd.Series) -> pd.Series:
+        from . import cssq, extract
+
+        def one(url, body):
+            if body is None:
+                return []
+            bm = extract._BASE_RE.search(body)
+            base = bm.group(2) if bm else None
+            hrefs = cssq.pagination_link_hrefs(body, selector)
+            out, seen_local = [], set()
+            for h in hrefs:
+                u = extract.resolve_url(url, base, h)
+                if u is not None and u not in seen_local:
+                    seen_local.add(u)
+                    out.append(u)
+            return out
+
+        return pd.Series([one(u, b) for u, b in zip(urls, bodies)])
+
+    return links
+
+
+def website_paginate(
+    spark: SparkSession,
+    pages: DataFrame,
+    start_urls: list[str],
+    selector: str,
+    max_pages: int = MAX_PAGES_DEFAULT,
+    stop_rule: StopRule | None = None,
+) -> DataFrame:
+    """SimpleWebsitePaginator: follow CSS-selected pagination links in FIFO
+    discovery order with per-chain URL dedup and parent-request inheritance
+    (reference: SimpleWebsitePaginator.php:57-74,110-215 — getNextRequest
+    builds the next request FROM the request of the page the link was found
+    on; ``found_on`` carries that provenance so a live transport reuses the
+    parent's method/headers).
+
+    Returns (chain_id long, page_ord long, url string, found_on string) for
+    every page requested; page_ord counts requests per chain (maxPages cap,
+    Paginator.php:12).  All chains advance together: one corpus join + one
+    Arrow link-extraction batch per step — the queue/loaded state lives in
+    array columns, nothing on the driver.
+    """
+    links_udf = _make_pagination_links_udf(selector)
+    bodies = pages.select(
+        F.col("url").alias("p_url"), F.col("body").cast("string").alias("p_body")
+    ).persist()
+    q_type = "array<struct<url:string,found_on:string>>"
+    cur = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(start_urls)], "chain_id LONG, url STRING"
+    ).select(
+        "chain_id", "url", F.lit(None).cast("string").alias("found_on"),
+        F.from_json(F.lit("[]"), q_type).alias("queue"),
+        F.from_json(F.lit("[]"), "array<string>").alias("loaded"),
+    )
+    visited = []
+    for page_ord in range(max_pages):
+        visited.append(
+            cur.select(
+                "chain_id", F.lit(page_ord).cast("long").alias("page_ord"),
+                "url", "found_on",
+            )
+        )
+        st = cur.join(bodies, cur["url"] == bodies["p_url"], "left").drop("p_url")
+        # processLoaded order (SimpleWebsitePaginator.php:79-98): mark the
+        # requested URL loaded FIRST, then collect pagination links
+        st = st.withColumn("loaded", F.array_union("loaded", F.array("url")))
+        st = st.withColumn("_links", links_udf(F.col("url"), F.col("p_body")))
+        known = F.array_union(
+            F.col("loaded"), F.transform("queue", lambda q: q["url"])
+        )
+        fresh = F.array_distinct(
+            F.filter("_links", lambda u: ~F.array_contains(known, u))
+        )
+        st = st.withColumn(
+            "queue",
+            F.concat(
+                "queue",
+                F.transform(
+                    fresh,
+                    lambda u: F.struct(
+                        u.alias("url"), F.col("url").alias("found_on")
+                    ),
+                ),
+            ),
+        )
+        if stop_rule is not None:
+            # a page matching the rule (or a failed load) finishes the chain
+            # AFTER being processed (StopRules/*.php: null response -> stop)
+            st = st.filter(
+                ~F.coalesce(stop_rule.stop_col(F.col("p_body")), F.lit(True))
+            )
+        head = F.element_at("queue", 1)
+        nxt = (
+            st.filter(F.size("queue") > 0)
+            .select(
+                "chain_id",
+                head["url"].alias("url"),
+                head["found_on"].alias("found_on"),
+                F.slice("queue", 2, F.greatest(F.size("queue") - 1, F.lit(0)))
+                .alias("queue"),
+                "loaded",
+            )
+        )
+        cur = nxt.localCheckpoint(eager=True)
+        if cur.count() == 0:
+            break
+    bodies.unpersist()
+    out = visited[0]
+    for v in visited[1:]:
+        out = out.unionByName(v)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Stop-rule family (reference: src/Steps/Loading/Http/Paginators/StopRules/*)
+# Each rule compiles to `stop_col(body) -> boolean Column`: TRUE = finish the
+# chain AFTER processing this page (the triggering page is still yielded,
+# Contains.php:17-25).  A missing page always stops (StopRule.php: null
+# respondedRequest -> shouldStop true) — the corpus inner-join encodes that.
+# --------------------------------------------------------------------------
+
+
+class StopRule:
+    def stop_col(self, body):  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class ContainsRule(StopRule):
+    """StopRules/Contains.php:17-25 — trimmed body contains the needle."""
+
+    def __init__(self, needle: str):
+        self.needle = needle
+
+    def stop_col(self, body):
+        return F.trim(body).contains(self.needle)
+
+
+class NotContainsRule(StopRule):
+    """StopRules/NotContains.php — trimmed body does NOT contain needle."""
+
+    def __init__(self, needle: str):
+        self.needle = needle
+
+    def stop_col(self, body):
+        return ~F.trim(body).contains(self.needle)
+
+
+class IsEmptyResponseRule(StopRule):
+    """StopRules/IsEmptyResponse.php — '' / '[]' / '{}' after trim."""
+
+    def stop_col(self, body):
+        t = F.trim(body)
+        return body.isNull() | t.isin("", "[]", "{}")
+
+
+class IsEmptyInJsonRule(StopRule):
+    """StopRules/IsEmptyInJson.php — PHP empty() on the dot-notation key:
+    missing, null, '', 0, '0', false, empty array/object all stop."""
+
+    def __init__(self, dot_key: str):
+        self.dot_key = dot_key
+
+    def stop_col(self, body):
+        v = F.get_json_object(F.trim(body), "$." + self.dot_key)
+        return (
+            v.isNull()
+            | v.isin("", "[]", "{}", "0", "false", "null")
+        )
+
+
+class _IsEmptyInDomRule(StopRule):
+    """StopRules/IsEmptyInDom.php:24-56 — no element matches the selector,
+    or every match has blank inner source.  Regex-backed CSS subset
+    (crawlspark.cssq); Arrow-batched probe."""
+
+    def __init__(self, selector: str):
+        from . import cssq
+
+        cssq.parse_selector(selector)  # validate eagerly, like the reference
+        self.selector = selector
+
+    def stop_col(self, body):
+        from pyspark.sql.types import BooleanType
+
+        sel = self.selector
+
+        @pandas_udf(BooleanType())
+        def empty_in_dom(bodies: pd.Series) -> pd.Series:
+            from . import cssq
+
+            def one(b):
+                if b is None:
+                    return True
+                try:
+                    inners = cssq.inner_htmls(b.strip(), sel)
+                except Exception:
+                    return True  # unparseable document stops (IsEmptyInDom.php:33-36)
+                return len(inners) == 0 or all(not i.strip() for i in inners)
+
+            return bodies.map(one)
+
+        return empty_in_dom(body)
+
+
+class IsEmptyInHtmlRule(_IsEmptyInDomRule):
+    """StopRules/IsEmptyInHtml.php"""
+
+
+class IsEmptyInXmlRule(_IsEmptyInDomRule):
+    """StopRules/IsEmptyInXml.php"""
+
+
 def paginate_query_params(
     spark: SparkSession,
     pages: DataFrame,
@@ -106,6 +330,7 @@ def paginate_query_params(
     param: str = "page",
     by: int = 1,
     stop_contains: str | None = None,
+    stop_rule: StopRule | None = None,
     max_pages: int = MAX_PAGES_DEFAULT,
 ) -> DataFrame:
     """QueryParamsPaginator::paramsInUrl().increase(param, by) with a
@@ -146,6 +371,8 @@ def paginate_query_params(
         alive = cur.join(bodies, cur["url"] == bodies["p_url"], "inner")
         if stop_contains is not None:
             alive = alive.filter(~F.trim(F.col("p_body")).contains(stop_contains))
+        if stop_rule is not None:
+            alive = alive.filter(~stop_rule.stop_col(F.col("p_body")))
         cur_num = F.regexp_extract(F.col("url"), extract_pat, 2).try_cast("long")
         nxt = alive.select(
             "chain_id",

@@ -40,35 +40,85 @@ def global_rank(
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(parts, F.col(key)).persist()
     try:
-        sizes = (
-            ranged.withColumn("__pid", F.spark_partition_id())
-            .groupBy("__pid")
-            .count()
-            .collect()
+        return _with_partition_offsets(
+            ranged,
+            order_cols=[key],
+            out=out,
+            part_val=F.count(F.lit(1)),
+            row_val=lambda w: F.row_number().over(w),
         )
-        counts = {r["__pid"]: r["count"] for r in sizes}
-        offsets, acc = {}, 0
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
-        spark = df.sparkSession
-        off_df = F.broadcast(
-            spark.createDataFrame(
-                [(int(p), int(o)) for p, o in offsets.items()], "__pid INT, __off LONG"
-            )
-        )
-        w = Window.partitionBy("__pid").orderBy(key)
-        out_df = (
-            ranged.withColumn("__pid", F.spark_partition_id())
-            .join(off_df, "__pid")
-            .withColumn(out, (F.col("__off") + F.row_number().over(w)).cast("long"))
-            .drop("__pid", "__off")
-        )
-        # materialize once, then release the range-partitioned intermediate;
-        # callers get an already-checkpointed DF (no second materialization)
-        out_df = out_df.localCheckpoint(eager=True)
+    finally:
         ranged.unpersist()
-        return out_df
-    except Exception:
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    val_col: str,
+    out: str = "prefix",
+    num_rows: int | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Add EXCLUSIVE running sum of ``val_col`` over the total order given by
+    ``order_cols`` (distinct composite keys assumed) — the distributed
+    replacement for ``sum(...) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING
+    TO -1)``, which collapses to a single partition.  Same two-phase shape as
+    :func:`global_rank`: range-partition on the order key, per-partition
+    sums -> driver prefix offsets, intra-partition running sum + offset."""
+    if num_rows is not None and num_rows <= SMALL_LEVEL_ROWS:
+        w = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, -1)
+        return df.withColumn(
+            out, F.coalesce(F.sum(F.col(val_col).cast("long")).over(w), F.lit(0))
+        )
+    parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *[F.col(c) for c in order_cols]).persist()
+    try:
+        v = F.col(val_col).cast("long")
+        inclusive = _with_partition_offsets(
+            ranged,
+            order_cols=order_cols,
+            out=out,
+            part_val=F.sum(v),
+            row_val=lambda w: F.sum(v).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        # exclusive = inclusive - own contribution
+        return inclusive.withColumn(out, F.col(out) - v)
+    finally:
         ranged.unpersist()
-        raise
+
+
+def _with_partition_offsets(ranged: DataFrame, order_cols, out: str,
+                            part_val, row_val) -> DataFrame:
+    """Shared two-phase machinery: per-partition aggregate ``part_val`` ->
+    driver-side prefix offsets (tiny: one row per partition) -> broadcast
+    offsets + intra-partition window ``row_val``.  Input must already be
+    range-partitioned on ``order_cols``; returns a localCheckpointed DF."""
+    sizes = (
+        ranged.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(part_val.alias("__v"))
+        .collect()
+    )
+    totals = {r["__pid"]: r["__v"] for r in sizes}
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += int(totals[pid] or 0)
+    spark = ranged.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "__pid INT, __off LONG"
+        )
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    out_df = (
+        ranged.withColumn("__pid", F.spark_partition_id())
+        .join(off_df, "__pid")
+        .withColumn(out, (F.col("__off") + row_val(w)).cast("long"))
+        .drop("__pid", "__off")
+    )
+    # materialize once, then release the range-partitioned intermediate;
+    # callers get an already-checkpointed DF (no second materialization)
+    return out_df.localCheckpoint(eager=True)

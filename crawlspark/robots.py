@@ -45,13 +45,23 @@ def _wildcard_matches(pattern: Column, path: Column) -> Column:
         init.cast("int"), step,
     )
     matched = pos > 0
+    nseg = F.size(segs)
     last = F.element_at(segs, -1)
-    # '$' anchor: the final segment must close out the path (greedy
-    # approximation: endswith; exact for the common '.../*.ext$' shapes)
-    return F.when(
-        anchored, matched & (path.endswith(last) | (F.length(last) == 0))
-        & (F.length(body) > 0)
-    ).otherwise(matched)
+    # '$' anchor (exact Google semantics): a no-'*' pattern must equal the
+    # whole path; with '*', the LAST segment must sit at the very end and the
+    # preceding segments must fit leftmost-greedy BEFORE it (folding the last
+    # segment too would reject e.g. '/a*b$' on '/axbyb', where only the
+    # final 'b' occurrence anchors)
+    pos_mid = F.aggregate(
+        F.slice(segs, F.lit(2), F.greatest(nseg - 2, F.lit(0))),
+        init.cast("int"), step,
+    )
+    anchored_match = F.when(nseg == 1, path == body).otherwise(
+        (pos_mid > 0)
+        & path.endswith(last)
+        & (pos_mid <= F.length(path) - F.length(last) + 1)
+    )
+    return F.when(anchored, anchored_match).otherwise(matched)
 
 
 def _is_wildcard(p: Column) -> Column:

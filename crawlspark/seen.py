@@ -132,12 +132,44 @@ class CuckooFilter:
 
     # -- ops ---------------------------------------------------------------
     def insert_batch(self, keys) -> int:
-        keys = np.asarray(keys, dtype=np.uint64)
-        inserted = 0
-        for k in keys:  # per-key kick loops; batch-vectorized probe first
+        """Bulk insert; returns how many of the UNIQUE keys are present
+        afterwards (== len(unique) unless the table saturated).
+
+        Vectorized fast path: keys already present are skipped, then empty
+        slots are claimed with numpy scatters (first-occurrence-per-bucket
+        wins each pass); only keys still homeless after the 2-bucket x
+        4-slot sweep fall back to the per-key kick loop.
+        """
+        keys = np.unique(np.asarray(keys, dtype=np.uint64))
+        n = len(keys)
+        if n == 0:
+            return 0
+        fp = self._fp(keys)
+        i1 = self._i1(keys)
+        i2 = self._i2(i1, fp)
+        t = self.table
+        present = (t[i1] == fp[:, None]).any(axis=1) | (t[i2] == fp[:, None]).any(axis=1)
+        pending = ~present
+        for ib in (i1, i2):
+            for s in range(self.SLOTS):
+                idx = np.flatnonzero(pending)
+                if len(idx) == 0:
+                    break
+                empty = t[ib[idx], s] == 0
+                cand = idx[empty]
+                if len(cand) == 0:
+                    continue
+                # several pending keys may share a bucket: first one wins the
+                # slot this pass, the rest retry the next slot / bucket
+                _, first = np.unique(ib[cand], return_index=True)
+                win = cand[first]
+                t[ib[win], s] = fp[win]
+                pending[win] = False
+        placed = int(n - pending.sum())
+        for k in keys[pending]:  # collisions only: per-key kick loop
             if self._insert_one(int(k)):
-                inserted += 1
-        return inserted
+                placed += 1
+        return placed
 
     def _insert_one(self, key: int) -> bool:
         fp = int(self._fp(np.array([key], dtype=np.uint64))[0])
@@ -284,3 +316,139 @@ def cuckoo_prefiltered_antijoin(
     maybe = flagged.filter(F.col("__maybe")).drop("__maybe")
     survivors = maybe.join(seen.select(key).distinct(), key, "left_anti")
     return definitely_new.unionByName(survivors)
+
+
+# --------------------------------------------------------------------------
+# PartitionedSeenFilter: the scale-clean seen-set layer (north_rule primary).
+# Filter states are a bucket-keyed DataFrame maintained and probed with
+# cogroup/applyInPandas — they are co-partitioned with the frontier on the
+# bucket key and NEVER visit the driver (no collect, no broadcast of state).
+# --------------------------------------------------------------------------
+
+SEEN_STATE_SCHEMA = "bucket INT, state BINARY, n_keys LONG, saturated BOOLEAN"
+
+
+class PartitionedSeenFilter:
+    """Distributed cuckoo-filter seen set over a LONG key column.
+
+    One :class:`CuckooFilter` per bucket (``bucket = pmod(key, num_buckets)``),
+    serialized into a ``(bucket, state, n_keys, saturated)`` DataFrame that is
+    localCheckpointed per update — executor memory, O(state)/num_buckets per
+    partition, nothing on the driver.  A bucket whose filter overflows is
+    marked ``saturated`` and degrades to the exact anti-join for its rows, so
+    the layer is exact by construction at any fill level:
+
+    - probe says "absent"  -> key was never inserted (cuckoo: no false
+      negatives) -> row skips the anti-join shuffle entirely,
+    - probe says "maybe" or bucket saturated -> exact anti-join backstop.
+
+    The states table doubles as the lineage snapshot for resume (checkpoint
+    writes it next to the frontier/seen parquet).
+    """
+
+    #: plan-audit counter: how many prefiltered anti-joins were *declared*
+    #: (tests assert the BFS loop engages the filter past the threshold)
+    engagements = 0
+
+    def __init__(self, spark, num_buckets: int | None = None,
+                 capacity_per_bucket: int = 1 << 20):
+        self.spark = spark
+        self.num_buckets = int(
+            num_buckets or spark.sparkContext.defaultParallelism
+        )
+        self.capacity = int(capacity_per_bucket)
+        self.states: DataFrame = spark.createDataFrame([], SEEN_STATE_SCHEMA)
+
+    def bucket_col(self, key_col) -> "F.Column":
+        return F.pmod(F.col(key_col) if isinstance(key_col, str) else key_col,
+                      F.lit(self.num_buckets)).cast("int")
+
+    def update(self, keys_df: DataFrame, key: str) -> None:
+        """Merge new keys into the per-bucket states (one cogroup job).
+
+        Buckets untouched by ``keys_df`` pass through unchanged; buckets with
+        no prior state get a fresh filter.  Insert overflow sets ``saturated``
+        permanently for the bucket.
+        """
+        cap = self.capacity
+        kb = keys_df.select(F.col(key).alias("k")).withColumn(
+            "bucket", self.bucket_col("k")
+        )
+
+        def merge(kt, new_keys: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
+            if state.empty:
+                cf = CuckooFilter(capacity=cap)
+                n0, sat = 0, False
+            else:
+                cf = CuckooFilter.from_bytes(bytes(state["state"].iloc[0]))
+                n0 = int(state["n_keys"].iloc[0])
+                sat = bool(state["saturated"].iloc[0])
+            if len(new_keys):
+                ks = np.unique(
+                    new_keys["k"].to_numpy(dtype=np.int64).view(np.uint64)
+                )
+                placed = cf.insert_batch(ks)
+                sat = sat or placed < len(ks)
+                n0 += len(ks)
+            return pd.DataFrame(
+                {"bucket": [int(kt[0])], "state": [cf.to_bytes()],
+                 "n_keys": [n0], "saturated": [sat]}
+            )
+
+        new_states = (
+            kb.groupBy("bucket")
+            .cogroup(self.states.groupBy("bucket"))
+            .applyInPandas(merge, SEEN_STATE_SCHEMA)
+        )
+        self.states = new_states.localCheckpoint(eager=True)
+
+    def flag_maybe(self, frontier: DataFrame, key: str) -> DataFrame:
+        """Cogroup probe: frontier + ``__maybe`` (false = provably unseen).
+        One shuffle of the frontier on the bucket key; states co-partition."""
+        fb = frontier.withColumn("bucket", self.bucket_col(key))
+
+        def probe(kt, rows: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
+            if rows.empty:
+                return rows.assign(__maybe=pd.Series([], dtype=bool))
+            if state.empty:
+                return rows.assign(__maybe=False)  # no keys ever -> all new
+            if bool(state["saturated"].iloc[0]):
+                return rows.assign(__maybe=True)  # exact backstop for bucket
+            cf = CuckooFilter.from_bytes(bytes(state["state"].iloc[0]))
+            ks = rows[key].to_numpy(dtype=np.int64).view(np.uint64)
+            return rows.assign(__maybe=cf.contains_batch(ks))
+
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in fb.schema.fields
+        ) + ", __maybe BOOLEAN"
+        return (
+            fb.groupBy("bucket")
+            .cogroup(self.states.groupBy("bucket"))
+            .applyInPandas(probe, schema)
+            .drop("bucket")
+        )
+
+    def prefiltered_antijoin(self, frontier: DataFrame, seen: DataFrame,
+                             key: str,
+                             exact_key: "str | list[str] | None" = None,
+                             ) -> DataFrame:
+        """``frontier`` MINUS ``seen``; rows whose bucket filter proves
+        absence never reach the anti-join exchange.
+
+        ``key`` is the LONG probe column (insert/update must use the same
+        derivation).  When the true identity is a string (URL), pass its
+        column as ``exact_key``: the probe still runs on the hash (no false
+        negatives — hashing is deterministic), but the backstop anti-join
+        matches on the exact string so a hash collision can never drop an
+        unseen row.  ``seen`` must carry ``exact_key`` (or ``key``)."""
+        PartitionedSeenFilter.engagements += 1
+        out_cols = list(frontier.columns)
+        # materialize the probe ONCE: both union branches read it, and an
+        # unmaterialized cogroup would re-run the Python probe per branch
+        flagged = self.flag_maybe(frontier, key).localCheckpoint(eager=True)
+        new = flagged.filter(~F.col("__maybe")).select(*out_cols)
+        maybe = flagged.filter(F.col("__maybe")).select(*out_cols)
+        jk = exact_key or key
+        jk = [jk] if isinstance(jk, str) else list(jk)
+        survivors = maybe.join(seen.select(*jk).distinct(), jk, "left_anti")
+        return new.unionByName(survivors)

@@ -1,0 +1,186 @@
+"""Round-2 oracle-checked queries: paginator stop rules, SimpleWebsitePaginator.
+
+Same contract as :mod:`crawlspark.suite` (queries() + oracle_sql()), merged by
+``__spark_entry__``.  Inputs are synthesized deterministically from the sf
+tables so the DuckDB oracles can reconstruct expected outputs in closed form.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import graph
+from . import paginate as _paginate
+
+_CHAINS = 40
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# Http::paginate stop-rule family (StopRules/IsEmptyInJson.php etc.)
+# --------------------------------------------------------------------------
+
+def q_paginate_stop_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryParamsPaginator + IsEmptyInJson('items') stop rule: chain c's
+    JSON API serves items on pages 1..1+c%5 and an empty items array after;
+    the empty page IS still requested (stop AFTER processing,
+    StopRules/IsEmptyInJson.php + Contains.php:17-25 semantics)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < _CHAINS)
+    doc = F.col("doc_id")
+    last = (F.lit(1) + doc % 5).cast("int")
+    pages = d.select(
+        doc.alias("chain"), last.alias("last"),
+        F.explode(F.sequence(F.lit(1), last + 1)).alias("p"),
+    ).select(
+        F.concat(
+            F.lit("http://h"), (F.col("chain") % graph.NHOSTS).cast("string"),
+            F.lit("." + graph.DOMAIN + "/api/"), F.col("chain").cast("string"),
+            F.lit("?page="), F.col("p").cast("string"),
+        ).alias("url"),
+        F.when(
+            F.col("p") <= F.col("last"),
+            F.concat(F.lit('{"items": ['), F.col("p").cast("string"), F.lit("]}")),
+        ).otherwise(F.lit('{"items": []}')).alias("body"),
+    )
+    starts = [
+        f"http://h{c % graph.NHOSTS}.{graph.DOMAIN}/api/{c}?page=1"
+        for c in range(_CHAINS)
+    ]
+    return _paginate.paginate_query_params(
+        spark, pages, starts, param="page", by=1,
+        stop_rule=_paginate.IsEmptyInJsonRule("items"), max_pages=10,
+    )
+
+
+ORACLE_PAGINATE_STOP = f"""
+WITH c AS (
+  SELECT doc_id AS chain_id, unnest(generate_series(1, 2 + doc_id % 5)) AS p
+  FROM documents WHERE doc_id < {_CHAINS}
+)
+SELECT chain_id, CAST(p - 1 AS BIGINT) AS page_ord,
+       'http://h' || CAST(chain_id % {graph.NHOSTS} AS VARCHAR)
+       || '.{graph.DOMAIN}/api/' || CAST(chain_id AS VARCHAR)
+       || '?page=' || CAST(p AS VARCHAR) AS url
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# SimpleWebsitePaginator (CSS-selected links, FIFO, parent provenance)
+# --------------------------------------------------------------------------
+
+def _cat_url(chain, p):
+    return F.concat(
+        F.lit("http://h"), (chain % graph.NHOSTS).cast("string"),
+        F.lit("." + graph.DOMAIN + "/cat/"), chain.cast("string"),
+        F.lit("?p="), p.cast("string"),
+    )
+
+
+def q_website_paginator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleWebsitePaginator('.pagination'): chain c's page i links to
+    pages i+1 and i+2 (clamped to 3+c%4); FIFO discovery visits pages in
+    numeric order, each exactly once, with found_on = the page the link was
+    FIRST discovered on (parent-request inheritance,
+    SimpleWebsitePaginator.php:57-74,187-215)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < _CHAINS)
+    doc = F.col("doc_id")
+    last = (F.lit(3) + doc % 4).cast("int")
+    base = d.select(
+        doc.alias("chain"), last.alias("last"),
+        F.explode(F.sequence(F.lit(0), last)).alias("p"),
+    )
+    link = lambda n: F.when(  # noqa: E731
+        n <= F.col("last"),
+        F.concat(
+            F.lit('<a href="/cat/'), F.col("chain").cast("string"),
+            F.lit('?p='), n.cast("string"), F.lit('">n</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    pages = base.select(
+        _cat_url(F.col("chain"), F.col("p")).alias("url"),
+        F.concat(
+            F.lit('<html><body><div class="pagination">'),
+            link(F.col("p") + 1), link(F.col("p") + 2),
+            F.lit("</div></body></html>"),
+        ).alias("body"),
+    )
+    starts = [
+        f"http://h{c % graph.NHOSTS}.{graph.DOMAIN}/cat/{c}?p=0"
+        for c in range(_CHAINS)
+    ]
+    return _paginate.website_paginate(spark, pages, starts, ".pagination")
+
+
+ORACLE_WEBSITE_PAGINATOR = f"""
+WITH c AS (
+  SELECT doc_id AS chain_id, unnest(generate_series(0, 3 + doc_id % 4)) AS p
+  FROM documents WHERE doc_id < {_CHAINS}
+)
+SELECT chain_id, CAST(p AS BIGINT) AS page_ord,
+       'http://h' || CAST(chain_id % {graph.NHOSTS} AS VARCHAR)
+       || '.{graph.DOMAIN}/cat/' || CAST(chain_id AS VARCHAR)
+       || '?p=' || CAST(p AS VARCHAR) AS url,
+       CASE WHEN p = 0 THEN NULL ELSE
+         'http://h' || CAST(chain_id % {graph.NHOSTS} AS VARCHAR)
+         || '.{graph.DOMAIN}/cat/' || CAST(chain_id AS VARCHAR)
+         || '?p=' || CAST(CASE WHEN p = 1 THEN 0 ELSE p - 2 END AS VARCHAR)
+       END AS found_on
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# Csv enclosure/escape (src/Steps/Csv.php:96-157)
+# --------------------------------------------------------------------------
+
+def q_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Csv::parseString with quoted fields: embedded separators and escaped
+    quotes inside the enclosure must stay literal (reference Csv.php
+    separator/enclosure/escape handling).  Parsing is JVM from_csv; the
+    oracle reconstructs the expected fields by formula."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    line = F.concat(
+        F.lit('"'), F.col("c_name"), F.lit(', \\"Inc\\""'),
+        F.lit(","), F.col("c_custkey").cast("string"),
+        F.lit(","), F.col("c_mktsegment"),
+    )
+    parsed = F.from_csv(
+        line, "name STRING, custkey BIGINT, segment STRING",
+        {"sep": ",", "quote": '"', "escape": "\\"},
+    )
+    return c.select(parsed.alias("p")).select(
+        F.col("p.name").alias("name"),
+        F.col("p.custkey").alias("custkey"),
+        F.col("p.segment").alias("segment"),
+    )
+
+
+ORACLE_CSV_QUOTED = """
+SELECT c_name || ', "Inc"' AS name,
+       CAST(c_custkey AS BIGINT) AS custkey,
+       c_mktsegment AS segment
+FROM customer
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "paginate_stop_rules": q_paginate_stop_rules,
+        "website_paginator": q_website_paginator,
+        "csv_quoted": q_csv_quoted,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "paginate_stop_rules": ORACLE_PAGINATE_STOP,
+        "website_paginator": ORACLE_WEBSITE_PAGINATOR,
+        "csv_quoted": ORACLE_CSV_QUOTED,
+    }

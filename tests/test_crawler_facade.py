@@ -26,11 +26,12 @@ def test_fetch_extract_filter_keep_chain(spark):
         .orderBy("ord")
         .collect()
     )
-    # document order; fragment links resolve to sub2 so it repeats (one
-    # output per <a>, GetLinks.php:16-33 — dedup is uniqueOutputs' job)
+    # document order, one output per <a> (GetLinks.php:16-33); the reference
+    # KEEPS url fragments by default (GetLink.php:36 withFragment=true) —
+    # withoutFragment() opts out
     assert [r.value for r in out] == [
         f"{B}/crawling/sub1", f"{B}/crawling/sub2",
-        f"{B}/crawling/sub2", f"{B}/crawling/sub2",
+        f"{B}/crawling/sub2#fragment1", f"{B}/crawling/sub2#fragment2",
     ]
     assert {r.seed for r in out} == {f"{B}/crawling/main"}
     assert [r.ord for r in out] == [1, 2, 3, 4]
@@ -210,3 +211,122 @@ def test_group_zips_unequal_branch_lengths(spark):
     assert out[0].value.title == "foo"
     assert out[1].value.title is None and out[2].value.title is None
     assert out[0].value.link == f"{B}/crawling/sub1/sub1"
+
+
+def test_http_crawl_100_seeds_single_frontier(spark):
+    """Multi-seed crawl: 100 seeds advance in ONE engine frontier (no
+    per-seed driver loop), per-seed ordering preserved and scoping pinned
+    per seed host (reference setHostOrDomain per input)."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.crawler import HttpCrawl
+
+    n_seeds, chain = 100, 3
+    rows = []
+    for h in range(n_seeds):
+        base = f"http://h{h}.multi.test"
+        for p in range(chain):
+            nxt = (
+                f'<a href="/p{p + 1}">next</a>' if p + 1 < chain else ""
+            )
+            # also a cross-host link that per-seed sameHost scoping must drop
+            leak = f'<a href="http://h{(h + 1) % n_seeds}.multi.test/p0">x</a>'
+            rows.append(
+                (f"{base}/p{p}", 200, None, "text/html",
+                 f"<html><body>{nxt}{leak}</body></html>")
+            )
+    pages = spark.createDataFrame(
+        rows,
+        "url STRING, status INT, redirect_to STRING, content_type STRING, body STRING",
+    )
+    seeds = [f"http://h{h}.multi.test/p0" for h in range(n_seeds)]
+    out = (
+        Crawler(spark)
+        .inputs(seeds)
+        .add_step(HttpCrawl(pages, max_depth=5))
+        .run()
+        .orderBy("ord")
+        .collect()
+    )
+    assert len(out) == n_seeds * chain
+    by_seed = {}
+    for r in out:
+        host = r.value.url.split("/")[2]
+        by_seed.setdefault(host, []).append(r.value.url)
+    assert len(by_seed) == n_seeds
+    for h in range(n_seeds):
+        urls = by_seed[f"h{h}.multi.test"]
+        # per-seed crawl order: p0, p1, p2 — no cross-host leakage
+        assert urls == [f"http://h{h}.multi.test/p{p}" for p in range(chain)]
+
+
+def test_http_crawl_empty_input_returns_empty(spark):
+    """All seeds filtered out upstream -> empty result, not IndexError."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.crawler import HttpCrawl, Where
+
+    pages = fixture.pages_df(spark)
+    out = (
+        Crawler(spark)
+        .input(f"{B}/crawling/main")
+        .add_step(Where(lambda v: v.contains("no-such-seed")))
+        .add_step(HttpCrawl(pages, max_depth=1))
+        .run()
+    )
+    assert out.count() == 0
+
+
+def test_get_links_options(spark):
+    """GetLink(s) option surface (GetLink.php:102-163): host/domain scoping
+    relative to the page, allow-lists, withoutFragment, CSS selector."""
+    from crawlspark.crawler import GetLink, GetLinks
+
+    body = (
+        '<a href="/local#sec">L</a>'
+        '<a href="http://sub.site.test/s">S</a>'
+        '<a href="http://other.test/o">O</a>'
+        '<a class="next" href="http://site.test/next">N</a>'
+        '<div class="wrap"><a href="/inwrap">W</a></div>'
+    )
+    pages = spark.createDataFrame(
+        [("http://site.test/page", 200, body)], "url STRING, status INT, body STRING"
+    )
+
+    def run(step):
+        return [
+            r.value
+            for r in Crawler(spark)
+            .input("http://site.test/page")
+            .add_step(HttpGet(pages))
+            .add_step(step)
+            .run()
+            .orderBy("ord")
+            .collect()
+        ]
+
+    assert run(GetLinks()) == [
+        "http://site.test/local#sec", "http://sub.site.test/s",
+        "http://other.test/o", "http://site.test/next",
+        "http://site.test/inwrap",
+    ]
+    assert run(GetLinks().without_fragment())[0] == "http://site.test/local"
+    assert run(GetLinks().on_same_host()) == [
+        "http://site.test/local#sec", "http://site.test/next",
+        "http://site.test/inwrap",
+    ]
+    assert run(GetLinks().not_on_same_host()) == [
+        "http://sub.site.test/s", "http://other.test/o",
+    ]
+    # sub.site.test shares the registrable domain site.test with the page
+    assert run(GetLinks().on_same_domain()) == [
+        "http://site.test/local#sec", "http://sub.site.test/s",
+        "http://site.test/next", "http://site.test/inwrap",
+    ]
+    assert run(GetLinks().not_on_same_domain()) == ["http://other.test/o"]
+    assert run(GetLinks().on_host("other.test")) == ["http://other.test/o"]
+    assert run(GetLinks().on_domain(["other.test"])) == ["http://other.test/o"]
+    # CSS selector: matched element must BE the <a> (non-anchor .wrap ignored)
+    assert run(GetLinks(".next")) == ["http://site.test/next"]
+    assert run(GetLink(".wrap")) == []  # div matched, not an anchor -> no link
+    assert run(GetLink()) == ["http://site.test/local#sec"]

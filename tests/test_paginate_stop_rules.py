@@ -1,0 +1,190 @@
+"""Paginator stop-rule family + SimpleWebsitePaginator.
+
+Mirrors reference tests: StopRules/*.php semantics and
+SimpleWebsitePaginatorTest.php (FIFO discovery order, per-chain dedup,
+selector-matches-the-link-itself vs wrapper-element, maxPages cap).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark import cssq
+from crawlspark.paginate import (
+    ContainsRule,
+    IsEmptyInHtmlRule,
+    IsEmptyInJsonRule,
+    IsEmptyInXmlRule,
+    IsEmptyResponseRule,
+    NotContainsRule,
+    paginate_query_params,
+    website_paginate,
+)
+
+
+# ---- cssq engine (no spark) ----------------------------------------------
+
+def test_cssq_class_selector_wrapper_and_self():
+    body = (
+        '<div class="pagination"><a href="/p2">Next</a> <a href="/p3">x</a></div>'
+        '<a class="nextPageLink" href="/p9">Self</a>'
+    )
+    assert cssq.pagination_link_hrefs(body, ".pagination") == ["/p2", "/p3"]
+    # selector matching the link itself (SimpleWebsitePaginatorTest.php:124-133)
+    assert cssq.pagination_link_hrefs(body, ".nextPageLink") == ["/p9"]
+
+
+def test_cssq_descendant_id_and_tag():
+    body = '<nav id="pg"><span><a href="/a">1</a></span></nav><a href="/b">2</a>'
+    assert cssq.pagination_link_hrefs(body, "#pg") == ["/a"]
+    assert cssq.pagination_link_hrefs(body, "nav a") == ["/a"]
+    assert [i.strip() for i in cssq.inner_htmls(body, "span")] == ['<a href="/a">1</a>']
+
+
+def test_cssq_fragment_hrefs_skipped():
+    body = '<div class="pagination"><a href="#top">t</a><a href="/p2">n</a></div>'
+    assert cssq.pagination_link_hrefs(body, ".pagination") == ["/p2"]
+
+
+def test_cssq_nested_same_tag_inner():
+    body = "<div class='o'><div>in</div>tail</div>"
+    assert cssq.inner_htmls(body, ".o") == ["<div>in</div>tail"]
+
+
+def test_cssq_rejects_unsupported_selector():
+    with pytest.raises(ValueError):
+        cssq.parse_selector("a > b")
+
+
+# ---- stop rules over columns ---------------------------------------------
+
+def _stops(spark, rule, bodies):
+    df = spark.createDataFrame([(b,) for b in bodies], "body STRING")
+    return [r["s"] for r in df.select(rule.stop_col(F.col("body")).alias("s")).collect()]
+
+
+def test_stop_rule_family(spark):
+    assert _stops(spark, ContainsRule("END"), ["has END here", "nope"]) == [True, False]
+    assert _stops(spark, NotContainsRule("more"), ["more...", "done"]) == [False, True]
+    assert _stops(spark, IsEmptyResponseRule(), ["  ", "[]", "{}", '{"a":1}']) == [
+        True, True, True, False,
+    ]
+    assert _stops(
+        spark,
+        IsEmptyInJsonRule("data.items"),
+        [
+            '{"data": {"items": [1]}}',
+            '{"data": {"items": []}}',
+            '{"data": {}}',
+            '{"data": {"items": 0}}',
+        ],
+    ) == [False, True, True, True]
+    assert _stops(
+        spark,
+        IsEmptyInHtmlRule(".listing"),
+        [
+            '<div class="listing"><p>x</p></div>',
+            '<div class="listing">   </div>',
+            "<div>no listing</div>",
+        ],
+    ) == [False, True, True]
+    assert _stops(
+        spark,
+        IsEmptyInXmlRule("items"),
+        ["<r><items><i>1</i></items></r>", "<r><items></items></r>"],
+    ) == [False, True]
+
+
+def test_query_params_paginator_is_empty_in_json_stop(spark):
+    # JSON API: pages 0..3 have items, page 4 returns empty items
+    pages = spark.range(0, 6).select(
+        F.concat(F.lit("https://api.ex.com/list?page="), F.col("id")).alias("url"),
+        F.when(F.col("id") < 4, F.lit('{"items": [1,2]}'))
+        .otherwise(F.lit('{"items": []}'))
+        .alias("body"),
+    )
+    out = paginate_query_params(
+        spark, pages, ["https://api.ex.com/list?page=0"],
+        param="page", stop_rule=IsEmptyInJsonRule("items"),
+    )
+    urls = [r["url"] for r in out.orderBy("page_ord").collect()]
+    # the empty page IS still requested (stop AFTER processing), then ends
+    assert urls == [f"https://api.ex.com/list?page={i}" for i in range(5)]
+
+
+# ---- SimpleWebsitePaginator ----------------------------------------------
+
+def _listing_corpus(spark, n, links_per_page=2):
+    """page i's pagination block links to i+1..i+links_per_page (clamped) —
+    FIFO discovery from page 0 visits pages in numeric order."""
+    i = F.col("id")
+    links = F.concat_ws(
+        "",
+        *[
+            F.when(
+                i + k < n,
+                F.concat(
+                    F.lit('<a href="/listing?page='), (i + k).cast("string"),
+                    F.lit('">p</a>'),
+                ),
+            ).otherwise(F.lit(""))
+            for k in range(1, links_per_page + 1)
+        ],
+    )
+    body = F.concat(
+        F.lit('<html><body><div class="pagination">'), links,
+        F.lit("</div></body></html>"),
+    )
+    return spark.range(n).select(
+        F.concat(F.lit("https://www.example.com/listing?page="), i.cast("string"))
+        .alias("url"),
+        body.alias("body"),
+    )
+
+
+def test_website_paginator_fifo_dedup_order(spark):
+    pages = _listing_corpus(spark, 8)
+    out = website_paginate(
+        spark, pages, ["https://www.example.com/listing?page=0"], ".pagination"
+    ).orderBy("page_ord").collect()
+    urls = [r["url"] for r in out]
+    assert urls == [
+        f"https://www.example.com/listing?page={i}" for i in range(8)
+    ], "FIFO discovery order with dedup must visit each page exactly once"
+    # parent-request provenance: page 2 was first found on page 0 (links 1,2)
+    found_on = {r["url"]: r["found_on"] for r in out}
+    assert found_on["https://www.example.com/listing?page=2"].endswith("page=0")
+    assert found_on["https://www.example.com/listing?page=3"].endswith("page=1")
+
+
+def test_website_paginator_max_pages(spark):
+    pages = _listing_corpus(spark, 20)
+    out = website_paginate(
+        spark, pages, ["https://www.example.com/listing?page=0"], ".pagination",
+        max_pages=3,
+    )
+    assert out.count() == 3  # maxPages cap (Paginator.php:12)
+
+
+def test_website_paginator_no_links_finishes(spark):
+    pages = spark.createDataFrame(
+        [("https://www.example.com/listing", '<div class="listing"></div>')],
+        "url STRING, body STRING",
+    )
+    out = website_paginate(
+        spark, pages, ["https://www.example.com/listing"], ".pagination"
+    )
+    assert out.count() == 1  # initial page only
+
+
+def test_website_paginator_multi_chain_batch(spark):
+    pages = _listing_corpus(spark, 6)
+    starts = [
+        "https://www.example.com/listing?page=0",
+        "https://www.example.com/listing?page=3",
+    ]
+    out = website_paginate(spark, pages, starts, ".pagination")
+    per_chain = {
+        r["chain_id"]: r["cnt"]
+        for r in out.groupBy("chain_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per_chain == {0: 6, 1: 3}  # chain 1 starts at page 3 -> visits 3,4,5

@@ -66,6 +66,33 @@ def test_ignore_wildcard_rules_mode(spark):
     assert got == {"/a/x": True, "/b/x": False}
 
 
+def test_dollar_without_star_is_exact_match(spark):
+    # Google semantics: 'Disallow: /a$' matches ONLY the exact path '/a' —
+    # the old startswith+endswith heuristic wrongly blocked '/ab/a'
+    got = _gate(
+        spark, {"disallow": ["/a$"]},
+        ["/a", "/ab/a", "/a/b", "/xa"],
+    )
+    assert got == {"/a": False, "/ab/a": True, "/a/b": True, "/xa": True}
+
+
+def test_dollar_with_star_anchors_last_occurrence(spark):
+    # '/a*b$' on '/axbyb': the '*' must span to the FINAL 'b' — a
+    # leftmost-greedy fold of the last segment would miss this match
+    got = _gate(
+        spark, {"disallow": ["/a*b$"]},
+        ["/axbyb", "/axb/c", "/ab"],
+    )
+    assert got == {"/axbyb": False, "/axb/c": True, "/ab": False}
+
+
+def test_dollar_segments_must_fit_before_anchor(spark):
+    # '/ab*b$' needs a 'b' at the end AFTER the '/ab' prefix — '/ab' alone
+    # cannot satisfy both (overlap is not allowed)
+    got = _gate(spark, {"disallow": ["/ab*b$"]}, ["/ab", "/abxb", "/abb"])
+    assert got == {"/ab": True, "/abxb": False, "/abb": False}
+
+
 def test_plain_prefixes_unchanged(spark):
     got = _gate(
         spark, {"disallow": ["/private"], "allow": ["/private/ok"]},
