@@ -56,7 +56,19 @@ class CrawlCheckpoint:
             json.dump({"level": level, **meta}, f)
         os.replace(tmp, f"{self.root}/meta.json")  # atomic commit of the level
 
+    def save_filter_states(self, level: int, states: DataFrame) -> None:
+        """Snapshot the PartitionedSeenFilter's per-bucket cuckoo states
+        (north_rule lineage: 'seen-filter state') so resume rehydrates the
+        filter instead of rebuilding it from the full seen set."""
+        states.write.mode("overwrite").parquet(self._p("seen_filter", level))
+
     # -- read ---------------------------------------------------------------
+    def load_filter_states(self, spark: SparkSession, level: int) -> DataFrame | None:
+        path = self._p("seen_filter", level)
+        if not os.path.exists(path):
+            return None
+        return spark.read.parquet(path)
+
     def latest(self) -> dict | None:
         path = f"{self.root}/meta.json"
         if not os.path.exists(path):

@@ -30,6 +30,7 @@ Internal row = the reference's Io tuple (src/Io.php:7-23) as columns:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -590,4 +591,152 @@ class Csv(Step):
             .withColumn("value", F.struct(*fields))
             .drop("_lpos", "_line", "_parsed")
         )
+        return self._post(out)
+
+
+class Dom(Step):
+    """Dom extraction step (src/Steps/Dom.php:44-160 + Html/DomQuery.php):
+    select base nodes with a CSS selector (``each``/``first``/``last``/root)
+    and extract a record per node via a mapping of name -> selector spec.
+
+    Spec grammar (subset of the reference's CssSelector targets,
+    DomQuery.php:122-156): ``".title"`` = normalized text of the first
+    descendant match; ``".link @href"`` = attribute; ``".box @html"`` =
+    inner HTML.  value: response struct -> record struct, one output per
+    matched node in document order (Dom::each semantics).
+    """
+
+    input_kind = "response"
+
+    def output_kind(self, input_kind: str) -> str:
+        return "record"
+
+    def __init__(self, each: str | None = None, first: str | None = None,
+                 last: str | None = None):
+        super().__init__()
+        if sum(x is not None for x in (each, first, last)) > 1:
+            raise ValueError("use only one of each/first/last")
+        self.base = each or first or last
+        self.mode = "each" if each else ("first" if first else
+                                         ("last" if last else "root"))
+        self.mapping: dict[str, str] = {}
+        if self.base:
+            from . import cssq
+
+            cssq.parse_selector(self.base)
+
+    def extract(self, mapping: dict[str, str]):
+        from . import cssq
+
+        for spec in mapping.values():
+            sel = spec.partition("@")[0].strip()
+            if sel:  # empty selector = the base node itself
+                cssq.parse_selector(sel)
+        self.mapping = dict(mapping)
+        return self
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+        names = list(self.mapping)
+        specs = dict(self.mapping)
+        base_sel, mode = self.base, self.mode
+        schema = ArrayType(StructType([StructField(n, StringType()) for n in names]))
+
+        @pandas_udf(schema)
+        def extract_nodes(bodies: pd.Series) -> pd.Series:
+            from . import cssq, extract as ex
+
+            def target(inner: str, spec: str):
+                sel, _, attr = spec.partition("@")
+                sel, attr = sel.strip(), attr.strip()
+                hits = cssq.find_elements(inner, sel) if sel else [
+                    (None, "", inner)
+                ]
+                if not hits:
+                    return None
+                tag, attrs, node_inner = hits[0]
+                if not attr:
+                    return ex.normalize_text(node_inner)
+                if attr == "html":
+                    return node_inner
+                return cssq._attr(attrs, attr)
+
+            def one(b):
+                if not b:
+                    return []
+                if mode == "root":
+                    nodes = [b]
+                else:
+                    nodes = [inner for _t, _a, inner in
+                             cssq.find_elements(b, base_sel)]
+                    if mode == "first":
+                        nodes = nodes[:1]
+                    elif mode == "last":
+                        nodes = nodes[-1:]
+                return [{n: target(node, specs[n]) for n in names}
+                        for node in nodes]
+
+            return bodies.map(one)
+
+        out = (
+            df.withColumn("_nodes", extract_nodes(F.col("value.body")))
+            .select("*", F.posexplode("_nodes").alias("_npos", "_node"))
+            .withColumn("_ord", F.col("_ord") * 1000 + F.col("_npos"))
+            .withColumn("value", F.col("_node"))
+            .drop("_nodes", "_npos", "_node")
+        )
+        return self._post(out)
+
+
+class Paginate(Step):
+    """Http::get()->paginate(SimpleWebsitePaginator) as a chainable step
+    (src/Steps/Loading/Http/Paginate.php + SimpleWebsitePaginator.php):
+    value: start url string -> one response struct per visited page, FIFO
+    discovery order, per-input chains advancing together in one batched
+    loop.  ``stop_rule`` takes any :mod:`crawlspark.paginate` StopRule."""
+
+    input_kind = "scalar"
+
+    def output_kind(self, input_kind: str) -> str:
+        return "response"
+
+    def __init__(self, pages: DataFrame, selector: str,
+                 max_pages: int = 1000, stop_rule=None):
+        super().__init__()
+        self.pages = pages
+        self.selector = selector
+        self.max_pages = max_pages
+        self.stop_rule = stop_rule
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from .paginate import website_paginate
+
+        chains = df.select(
+            F.col("_input_id").alias("chain_id"), F.col("value").alias("url")
+        )
+        visited = website_paginate(
+            df.sparkSession, self.pages, chains, self.selector,
+            max_pages=self.max_pages, stop_rule=self.stop_rule,
+        )
+        p = self.pages.select(
+            F.col("url").alias("_p_url"), F.col("status").alias("_p_status"),
+            F.col("body").cast("string").alias("_p_body"),
+        )
+        out = (
+            visited.join(p, visited["url"] == p["_p_url"], "inner")
+            .select(
+                F.col("chain_id").alias("_input_id"),
+                F.col("page_ord").alias("_ord"),
+                F.struct(
+                    F.col("url").alias("url"),
+                    F.col("_p_status").alias("status"),
+                    F.col("_p_body").alias("body"),
+                ).alias("value"),
+            )
+        )
+        keeps = [c for c in df.columns if c.startswith("keep_")]
+        if keeps:
+            out = out.join(df.select("_input_id", *keeps), "_input_id", "left")
         return self._post(out)

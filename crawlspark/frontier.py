@@ -152,8 +152,26 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
 
     # partitioned cuckoo prefilter: created once `seen` crosses the
     # threshold, seeded with the whole current seen set (distributed build),
-    # then maintained incrementally with each level's new docs
+    # then maintained incrementally with each level's new docs.  On resume,
+    # the checkpointed per-bucket states rehydrate the filter directly —
+    # no O(|seen|) rebuild (north_rule: lineage carries seen-filter state).
     sfilter = None
+    if (
+        ckpt
+        and cfg.resume
+        and resumed_results is not None
+        and cfg.prefilter_min_seen is not None
+        and (meta or {}).get("prefilter_buckets")
+    ):
+        states = ckpt.load_filter_states(spark, depth)
+        if states is not None:
+            from .seen import PartitionedSeenFilter
+
+            sfilter = PartitionedSeenFilter.from_states(
+                spark, states,
+                num_buckets=int(meta["prefilter_buckets"]),
+                capacity_per_bucket=int(meta["prefilter_capacity"]),
+            )
 
     deferred: DataFrame | None = None
     while not budget_hit and depth < cfg.max_depth:
@@ -227,7 +245,12 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
         levels.append(level_rows)
         base += cnt
         if ckpt:
-            ckpt.save_level(depth, frontier, seen, level_rows, {"base_ord": base})
+            lvl_meta = {"base_ord": base}
+            if sfilter is not None:
+                lvl_meta["prefilter_buckets"] = sfilter.num_buckets
+                lvl_meta["prefilter_capacity"] = sfilter.capacity
+                ckpt.save_filter_states(depth, sfilter.states)
+            ckpt.save_level(depth, frontier, seen, level_rows, lvl_meta)
 
     if deferred is not None and (n_dropped := deferred.count()) > 0:
         import logging

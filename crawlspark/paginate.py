@@ -135,7 +135,7 @@ def _make_pagination_links_udf(selector: str):
 def website_paginate(
     spark: SparkSession,
     pages: DataFrame,
-    start_urls: list[str],
+    start_urls: "list[str] | DataFrame",
     selector: str,
     max_pages: int = MAX_PAGES_DEFAULT,
     stop_rule: StopRule | None = None,
@@ -158,9 +158,13 @@ def website_paginate(
         F.col("url").alias("p_url"), F.col("body").cast("string").alias("p_body")
     ).persist()
     q_type = "array<struct<url:string,found_on:string>>"
-    cur = spark.createDataFrame(
-        [(i, u) for i, u in enumerate(start_urls)], "chain_id LONG, url STRING"
-    ).select(
+    if isinstance(start_urls, DataFrame):  # (chain_id, url) — no driver list
+        starts = start_urls.select(F.col("chain_id").cast("long"), "url")
+    else:
+        starts = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(start_urls)], "chain_id LONG, url STRING"
+        )
+    cur = starts.select(
         "chain_id", "url", F.lit(None).cast("string").alias("found_on"),
         F.from_json(F.lit("[]"), q_type).alias("queue"),
         F.from_json(F.lit("[]"), "array<string>").alias("loaded"),

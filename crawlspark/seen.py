@@ -359,6 +359,18 @@ class PartitionedSeenFilter:
         self.capacity = int(capacity_per_bucket)
         self.states: DataFrame = spark.createDataFrame([], SEEN_STATE_SCHEMA)
 
+    @classmethod
+    def from_states(cls, spark, states: DataFrame, num_buckets: int,
+                    capacity_per_bucket: int) -> "PartitionedSeenFilter":
+        """Rehydrate from a checkpointed states table (north_rule: resume
+        restores the seen-filter state instead of rebuilding from |seen|).
+        ``num_buckets`` must match the value the states were built with —
+        the bucket assignment is pmod(key, num_buckets)."""
+        f = cls(spark, num_buckets=num_buckets,
+                capacity_per_bucket=capacity_per_bucket)
+        f.states = states.localCheckpoint(eager=True)
+        return f
+
     def bucket_col(self, key_col) -> "F.Column":
         return F.pmod(F.col(key_col) if isinstance(key_col, str) else key_col,
                       F.lit(self.num_buckets)).cast("int")

@@ -170,11 +170,67 @@ FROM customer
 """
 
 
+# --------------------------------------------------------------------------
+# Dom extraction step: CSS-selected nodes -> per-node records
+# (src/Steps/Dom.php:44-160, Html/DomQuery.php:122-156)
+# --------------------------------------------------------------------------
+
+def q_dom_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dom(each='.item').extract(name=text, link=@href) over a synthesized
+    listing corpus — one record per matched node, document order, via the
+    regex-backed CSS engine (crawlspark.cssq)."""
+    from .crawler import Dom
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    item = lambda v: F.concat(  # noqa: E731
+        F.lit('<li class="item"><span class="name">n'), v.cast("string"),
+        F.lit('</span><a class="lnk" href="/d/'), v.cast("string"),
+        F.lit('">x</a></li>'),
+    )
+    body = F.concat(
+        F.lit("<html><body><ul>"),
+        item(doc * 3 + 1), item(doc * 5 + 2),
+        F.lit("</ul></body></html>"),
+    )
+    io = d.select(
+        doc.alias("_input_id"),
+        doc.alias("_ord"),
+        F.struct(
+            F.lit("http://x.test/").alias("url"),
+            F.lit(200).alias("status"),
+            body.alias("body"),
+        ).alias("value"),
+    )
+    step = Dom(each=".item").extract({"name": ".name", "link": ".lnk @href"})
+    out = step.apply(io)
+    return out.select(
+        F.col("_input_id").alias("doc_id"),
+        (F.col("_ord") % 1000).cast("int").alias("pos"),
+        F.col("value.name").alias("name"),
+        F.col("value.link").alias("link"),
+    )
+
+
+ORACLE_DOM_EXTRACT = """
+SELECT doc_id, CAST(0 AS INTEGER) AS pos,
+       'n' || CAST(doc_id * 3 + 1 AS VARCHAR) AS name,
+       '/d/' || CAST(doc_id * 3 + 1 AS VARCHAR) AS link
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER) AS pos,
+       'n' || CAST(doc_id * 5 + 2 AS VARCHAR) AS name,
+       '/d/' || CAST(doc_id * 5 + 2 AS VARCHAR) AS link
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "paginate_stop_rules": q_paginate_stop_rules,
         "website_paginator": q_website_paginator,
         "csv_quoted": q_csv_quoted,
+        "dom_extract": q_dom_extract,
     }
 
 
@@ -183,4 +239,5 @@ def oracle_sql() -> dict[str, str]:
         "paginate_stop_rules": ORACLE_PAGINATE_STOP,
         "website_paginator": ORACLE_WEBSITE_PAGINATOR,
         "csv_quoted": ORACLE_CSV_QUOTED,
+        "dom_extract": ORACLE_DOM_EXTRACT,
     }

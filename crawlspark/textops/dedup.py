@@ -81,10 +81,19 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs: band-bucket join then exact-Jaccard verify.
 
     Returns (id_a, id_b, jaccard_permille) with id_a < id_b.
+
+    ``max_bucket_size`` caps each (band, band_hash) bucket before the
+    self-join: a degenerate bucket (boilerplate-identical docs at web scale)
+    would otherwise contribute O(B^2) candidate pairs and dominate the
+    stage.  Capping keeps the join bounded at cap^2 per bucket; the dropped
+    members of an over-full bucket are near-identical to the kept ones by
+    construction (same band hash), so recall loss is confined to exact
+    boilerplate clusters — the standard web-dedup trade.  None = uncapped.
     """
     rows = k // bands
     sigs = minhash_signature(df, text_col, id_col, k)
@@ -97,6 +106,15 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.posexplode(F.array(*band_cols)).alias("band", "band_hash"),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "band_hash").orderBy(id_col)
+        banded = (
+            banded.withColumn("__r", F.row_number().over(wb))
+            .filter(F.col("__r") <= max_bucket_size)
+            .drop("__r")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -64,3 +64,67 @@ def test_lineage_written(spark):
         assert {"host_bucket", "rows", "min_ord", "max_ord"} <= cols
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_resume_rehydrates_seen_filter_state(spark, monkeypatch):
+    """north_rule lineage: the checkpoint carries the partitioned
+    seen-filter state, and resume REHYDRATES it (no O(|seen|) rebuild) —
+    while the crawl output stays identical to an uninterrupted run."""
+    import os
+
+    from crawlspark.seen import PartitionedSeenFilter
+
+    pf = dict(prefilter_min_seen=1, prefilter_buckets=4,
+              prefilter_capacity=1 << 16)
+    full = rows_of(crawl_bfs(spark, SF_DIR, CrawlConfig(max_depth=5, **pf)))
+
+    d = tempfile.mkdtemp(prefix="ckpt-pf-")
+    try:
+        rows_of(
+            crawl_bfs(
+                spark, SF_DIR,
+                CrawlConfig(max_depth=2, checkpoint_dir=d, **pf),
+            )
+        )
+        assert os.path.exists(f"{d}/seen_filter/level=2"), (
+            "checkpoint must snapshot the per-bucket filter states"
+        )
+
+        # rehydration must go through from_states (once), after which the
+        # only update() calls are the incremental per-level frontiers —
+        # never a re-seed from the full seen set
+        hydrations = []
+        orig_from_states = PartitionedSeenFilter.from_states.__func__
+
+        def counting_from_states(cls, spark_, states, **kw):
+            hydrations.append(1)
+            return orig_from_states(cls, spark_, states, **kw)
+
+        monkeypatch.setattr(
+            PartitionedSeenFilter, "from_states",
+            classmethod(counting_from_states),
+        )
+        updates = []
+        orig_update = PartitionedSeenFilter.update
+
+        def counting_update(self, keys_df, key):
+            updates.append(keys_df.count())
+            return orig_update(self, keys_df, key)
+
+        monkeypatch.setattr(PartitionedSeenFilter, "update", counting_update)
+        resumed = rows_of(
+            crawl_bfs(
+                spark, SF_DIR,
+                CrawlConfig(max_depth=5, checkpoint_dir=d, resume=True, **pf),
+            )
+        )
+        assert resumed == full
+        assert hydrations == [1], "resume must rehydrate the filter from states"
+        # one incremental update per resumed level (3,4,5), each the size of
+        # that level's frontier — equal to full's per-depth row counts
+        per_depth = {}
+        for _u, dep, _o in full:
+            per_depth[dep] = per_depth.get(dep, 0) + 1
+        assert updates == [per_depth[3], per_depth[4], per_depth[5]], updates
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -330,3 +330,95 @@ def test_get_links_options(spark):
     assert run(GetLinks(".next")) == ["http://site.test/next"]
     assert run(GetLink(".wrap")) == []  # div matched, not an anchor -> no link
     assert run(GetLink()) == ["http://site.test/local#sec"]
+
+
+def test_dom_step_each_extract(spark):
+    """Dom::each(selector)->extract(mapping) (src/Steps/Dom.php:44-160):
+    one record per matched node, text/attribute/html targets."""
+    from crawlspark.crawler import Dom
+
+    body = (
+        '<div class="product"><h2 class="t">Widget  A</h2>'
+        '<a class="buy" href="/buy/1">buy</a></div>'
+        '<div class="product"><h2 class="t">Widget <b>B</b></h2>'
+        '<a class="buy" href="/buy/2">buy</a></div>'
+    )
+    pages = spark.createDataFrame(
+        [("http://shop.test/", 200, body)], "url STRING, status INT, body STRING"
+    )
+    out = (
+        Crawler(spark)
+        .input("http://shop.test/")
+        .add_step(HttpGet(pages))
+        .add_step(
+            Dom(each=".product").extract(
+                {"title": ".t", "href": ".buy @href", "raw": ".t @html"}
+            )
+        )
+        .run()
+        .orderBy("ord")
+        .collect()
+    )
+    assert [(r.value.title, r.value.href) for r in out] == [
+        ("Widget A", "/buy/1"), ("Widget B", "/buy/2"),
+    ]
+    assert out[1].value.raw == "Widget <b>B</b>"
+
+
+def test_dom_step_first_last_and_validation(spark):
+    from crawlspark.crawler import Dom, PreRunValidationError
+    import pytest
+
+    body = '<p class="x">one</p><p class="x">two</p>'
+    pages = spark.createDataFrame(
+        [("http://t.test/", 200, body)], "url STRING, status INT, body STRING"
+    )
+
+    def vals(step):
+        return [
+            r.value.v
+            for r in Crawler(spark)
+            .input("http://t.test/")
+            .add_step(HttpGet(pages))
+            .add_step(step)
+            .run()
+            .collect()
+        ]
+
+    assert vals(Dom(first=".x").extract({"v": ""})) == ["one"]
+    assert vals(Dom(last=".x").extract({"v": ""})) == ["two"]
+    # Dom needs a response input: pre-run validation rejects a raw string
+    with pytest.raises(PreRunValidationError):
+        Crawler(spark).input("x").add_step(Dom(each=".x")).run()
+
+
+def test_paginate_step_yields_response_per_page(spark):
+    """Http::get()->paginate('.pagination') as a chainable step: one
+    response per visited page per input chain, downstream steps compose."""
+    from crawlspark.crawler import Paginate, Title
+
+    rows = []
+    for c in range(3):
+        n = 2 + c  # chain c has 2+c pages
+        for p in range(n):
+            nxt = (
+                f'<div class="pagination"><a href="/c{c}?p={p + 1}">n</a></div>'
+                if p + 1 < n else ""
+            )
+            rows.append(
+                (f"http://pg.test/c{c}?p={p}", 200,
+                 f"<html><head><title>c{c}p{p}</title></head><body>{nxt}</body></html>")
+            )
+    pages = spark.createDataFrame(rows, "url STRING, status INT, body STRING")
+    out = (
+        Crawler(spark)
+        .inputs([f"http://pg.test/c{c}?p=0" for c in range(3)])
+        .add_step(Paginate(pages, ".pagination"))
+        .add_step(Title())
+        .run()
+        .orderBy("ord")
+        .collect()
+    )
+    assert [r.value for r in out] == [
+        "c0p0", "c0p1", "c1p0", "c1p1", "c1p2", "c2p0", "c2p1", "c2p2", "c2p3",
+    ]

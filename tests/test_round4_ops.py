@@ -178,3 +178,48 @@ def test_sitemap_locs_gzip_auto(spark):
     got = {r.id: r.locs for r in df.select(
         "id", sitemap_locs_auto(F.col("body")).alias("locs")).collect()}
     assert got[1] == got[2] == ["http://s.test/a", "http://s.test/b"]
+
+
+def test_minhash_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """A boilerplate-identical cluster lands in ONE LSH bucket; the
+    per-bucket cap must bound the self-join instead of exploding O(B^2)
+    (100 TB guard), while normal near-dup detection is unaffected."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.textops import dedup
+
+    n_clones = 60
+    clones = [(i, "the same boilerplate text repeated all over the web page")
+              for i in range(n_clones)]
+    distinct = [(100 + i, f"unique document number {i} about topic {i * 7}")
+                for i in range(10)]
+    df = spark.createDataFrame(clones + distinct, "doc_id LONG, text STRING")
+
+    capped = dedup.minhash_lsh_pairs(df, max_bucket_size=5)
+    uncapped = dedup.minhash_lsh_pairs(df, max_bucket_size=None)
+    # uncapped: all clone pairs = C(60,2); capped: at most C(5,2) per band
+    assert uncapped.count() == n_clones * (n_clones - 1) // 2
+    assert 0 < capped.count() <= 4 * 5 * 4 / 2
+    # pairs among the capped bucket's kept members are still found
+    kept = capped.select("id_a", "id_b").collect()
+    assert all(r.id_a < 60 and r.id_b < 60 for r in kept)
+
+
+def test_minhash_lsh_cap_no_effect_on_small_buckets(spark):
+    from crawlspark.textops import dedup
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "completely different words in this one here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    with_cap = sorted(
+        (r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(df).collect()
+    )
+    without = sorted(
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(df, max_bucket_size=None).collect()
+    )
+    assert with_cap == without
