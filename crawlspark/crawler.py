@@ -293,13 +293,61 @@ class Keep(Step):
         return self._post(out)
 
 
+class JsonFileStore:
+    """src/Stores/JsonFileStore.php:24-37 — Results written as JSON files."""
+
+    def __init__(self, path: str, mode: str = "append"):
+        self.path = path
+        self.mode = mode
+
+    def store(self, results: DataFrame) -> None:
+        from .sinks import write_json_store
+
+        write_json_store(results, self.path, self.mode)
+
+
+class SimpleCsvFileStore:
+    """src/Stores/SimpleCsvFileStore.php:24-79 — CSV with ' | '-joined
+    array columns, exactly like the reference."""
+
+    def __init__(self, path: str, mode: str = "append"):
+        self.path = path
+        self.mode = mode
+
+    def store(self, results: DataFrame) -> None:
+        from pyspark.sql import types as T
+
+        from .sinks import write_csv_store
+
+        df = results
+        vt = df.schema["value"].dataType if "value" in df.columns else None
+        if isinstance(vt, T.StructType):
+            # CSV is flat: spread the record's fields like the reference
+            # spreads Result properties (SimpleCsvFileStore.php:44-61)
+            others = [c for c in df.columns if c != "value"]
+            fields = [
+                F.col(f"value.{f.name}").alias(f.name)
+                for f in vt.fields
+                if f.name not in others
+            ]
+            df = df.select(*others, *fields)
+        write_csv_store(df, self.path, self.mode)
+
+
 class Crawler:
-    """Crawler::input/inputs/addStep/run (src/Crawler.php)."""
+    """Crawler::input/inputs/addStep/run (src/Crawler.php) — with
+    ``set_store``: every Result row also goes to the store while run()
+    still returns them (Crawler.php:303-306)."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._inputs: list = []
         self._steps: list[Step] = []
+        self._store = None
+
+    def set_store(self, store):
+        self._store = store  # Crawler::setStore (StoreInterface)
+        return self
 
     def input(self, value):
         self._inputs.append(value)  # Crawler.php:128-134
@@ -358,7 +406,10 @@ class Crawler:
 
         df = df.withColumn("_rk", F.col("_input_id") * F.lit(10**12) + F.col("_ord"))
         ranked = global_rank(df, "_rk", out="ord")
-        return ranked.select(*cols, "value", F.col("ord").cast("long"))
+        results = ranked.select(*cols, "value", F.col("ord").cast("long"))
+        if self._store is not None:
+            self._store.store(results)
+        return results
 
 
 class GetLink(_LinkStep):
@@ -739,4 +790,128 @@ class Paginate(Step):
         keeps = [c for c in df.columns if c.startswith("keep_")]
         if keeps:
             out = out.join(df.select("_input_id", *keeps), "_input_id", "left")
+        return self._post(out)
+
+
+class BotUserAgent:
+    """src/UserAgents/BotUserAgent.php — robots.txt rules BIND for bots."""
+
+    is_bot = True
+
+    def __init__(self, product: str, info_uri: str | None = None,
+                 version: str | None = None):
+        self.product = product
+        self.info_uri = info_uri
+        self.version = version
+
+    def __str__(self) -> str:  # "Mozilla/5.0 (compatible; Product/1.0; +uri)"
+        parts = [self.product + (f"/{self.version}" if self.version else "")]
+        if self.info_uri:
+            parts.append(f"+{self.info_uri}")
+        return f"Mozilla/5.0 (compatible; {'; '.join(parts)})"
+
+
+class UserAgent:
+    """src/UserAgents/UserAgent.php — a non-bot agent; robots rules are NOT
+    enforced (RobotsTxtHandler.php:43-52 only gates bot agents)."""
+
+    is_bot = False
+
+    def __init__(self, agent: str):
+        self.agent = agent
+
+    def __str__(self) -> str:
+        return self.agent
+
+
+class HttpCrawler(Crawler):
+    """src/HttpCrawler.php + AnonymousHttpCrawlerBuilder: a Crawler bound to
+    a loader (here: the page corpus + robots rules) and a user agent.  The
+    bound step factories save passing the corpus to every step:
+
+        HttpCrawler.make(spark, pages, robots=rules,
+                         user_agent=BotUserAgent("MyBot"))
+            .input(seed).add_step_get().add_step_crawl(max_depth=2).run()
+    """
+
+    def __init__(self, spark: SparkSession, pages: DataFrame,
+                 robots: DataFrame | None = None,
+                 user_agent: "BotUserAgent | UserAgent | None" = None):
+        super().__init__(spark)
+        self.pages = pages
+        self.robots = robots
+        self.user_agent = user_agent or BotUserAgent("crawlspark")
+
+    @classmethod
+    def make(cls, spark: SparkSession, pages: DataFrame, **kw) -> "HttpCrawler":
+        return cls(spark, pages, **kw)
+
+    def add_step_get(self, **kw):
+        return self.add_step(HttpGet(self.pages, **kw))
+
+    def add_step_crawl(self, **kw):
+        kw.setdefault("user_agent_is_bot", self.user_agent.is_bot)
+        return self.add_step(HttpCrawl(self.pages, robots=self.robots, **kw))
+
+    def add_step_paginate(self, selector: str, **kw):
+        return self.add_step(Paginate(self.pages, selector, **kw))
+
+
+class SubCrawler(Step):
+    """subCrawlerFor(for, builder) (src/Steps/BaseStep.php:316-390): for each
+    record output, feed the ``field`` property (a value or an array of
+    values) into a sub step-chain and replace the property with the ordered
+    ARRAY of sub-results (null when the sub-crawl yields nothing).
+
+    Deviation from the reference noted: the reference collapses a
+    single-result sub-crawl to a bare object; a Spark column has one static
+    type, so the property is always an array here.  All parents' sub-crawls
+    advance together — one distributed chain application, no per-row loop.
+    """
+
+    input_kind = "record"
+
+    def __init__(self, field: str, *steps: Step):
+        super().__init__()
+        self.field = field
+        self.steps = list(steps)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import types as T
+
+        vt = df.schema["value"].dataType
+        fld = F.col(f"value.{self.field}")
+        is_arr = isinstance(vt[self.field].dataType, T.ArrayType)
+        arr = fld if is_arr else F.when(fld.isNotNull(), F.array(fld))
+        parent = df.withColumn("_sc_ord", F.col("_ord"))
+        sub = parent.select(
+            "_input_id", "_sc_ord", F.posexplode(arr).alias("_pos", "_sv")
+        ).select(
+            "_input_id",
+            "_sc_ord",
+            # composite ord keeps sub-rows of different parents distinct for
+            # order-sensitive sub-steps (parent _ord is unique per input)
+            (F.col("_sc_ord") * 100000 + F.col("_pos")).alias("_ord"),
+            F.col("_sv").alias("value"),
+        )
+        for step in self.steps:
+            sub = step.apply(sub)
+        collected = (
+            sub.groupBy("_input_id", "_sc_ord")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_ord", "value"))),
+                    lambda s: s["value"],
+                ).alias("_sub_results")
+            )
+        )
+        out = parent.join(collected, ["_input_id", "_sc_ord"], "left")
+        new_value = F.struct(
+            *[
+                (F.col("_sub_results") if f.name == self.field
+                 else F.col(f"value.{f.name}")).alias(f.name)
+                for f in vt.fields
+            ]
+        )
+        out = out.withColumn("value", new_value).drop("_sc_ord", "_sub_results")
         return self._post(out)

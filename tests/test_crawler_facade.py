@@ -422,3 +422,105 @@ def test_paginate_step_yields_response_per_page(spark):
     assert [r.value for r in out] == [
         "c0p0", "c0p1", "c1p0", "c1p1", "c1p2", "c2p0", "c2p1", "c2p2", "c2p3",
     ]
+
+
+def test_set_store_writes_results_and_still_returns_them(spark, tmp_path):
+    """Crawler::setStore (Crawler.php:303-306): every Result row goes to the
+    store AND run() still returns it; the CSV store spreads record fields
+    and joins arrays with ' | ' like the reference."""
+    import json as jsonlib
+    import glob
+
+    from crawlspark.crawler import JsonFileStore, JsonGet, SimpleCsvFileStore
+
+    pages = fixture.pages_df(spark)
+    jdir = str(tmp_path / "jstore")
+    out = (
+        Crawler(spark)
+        .input(f"{B}/crawling/main")
+        .add_step(Keep("seed"))
+        .add_step(HttpGet(pages))
+        .add_step(GetLinks())
+        .set_store(JsonFileStore(jdir))
+        .run()
+    )
+    n = out.count()
+    stored = []
+    for f in glob.glob(f"{jdir}/part-*"):
+        with open(f) as fh:
+            stored += [jsonlib.loads(l) for l in fh if l.strip()]
+    assert len(stored) == n and n > 0
+    assert {r["seed"] for r in stored} == {f"{B}/crawling/main"}
+
+    cdir = str(tmp_path / "cstore")
+    (
+        Crawler(spark)
+        .input('{"title": "Widget", "price": "9.99"}')
+        .add_step(JsonGet(title="title", price="price"))
+        .set_store(SimpleCsvFileStore(cdir))
+        .run()
+    ).count()
+    csv_lines = []
+    for f in glob.glob(f"{cdir}/part-*.csv"):
+        with open(f) as fh:
+            csv_lines += fh.read().splitlines()
+    assert any("title" in l for l in csv_lines[:1])  # fields spread flat
+    assert any("Widget" in l for l in csv_lines)
+
+
+def test_http_crawler_builder_and_user_agents(spark):
+    """HttpCrawler::make + user agents (src/HttpCrawler.php,
+    src/UserAgents/*.php): bound step factories; robots rules bind for
+    BotUserAgent but NOT for a non-bot UserAgent
+    (RobotsTxtHandler.php:43-52)."""
+    from crawlspark.crawler import BotUserAgent, HttpCrawler, UserAgent
+
+    pages = fixture.pages_df(spark)
+    robots = fixture.robots_df(spark)
+    seed = f"{B}/not-allowed"
+
+    bot = (
+        HttpCrawler.make(spark, pages, robots=robots,
+                         user_agent=BotUserAgent("MyBot", version="1.0"))
+        .input(seed)
+        .add_step_crawl(max_depth=0)
+        .run()
+    )
+    assert bot.count() == 0  # /not-allowed blocked for the bot
+
+    human = (
+        HttpCrawler.make(spark, pages, robots=robots,
+                         user_agent=UserAgent("Mozilla/5.0 (X11; Linux)"))
+        .input(seed)
+        .add_step_crawl(max_depth=0)
+        .run()
+    )
+    assert human.count() == 1  # non-bot agents ignore robots rules
+    assert str(BotUserAgent("MyBot", "https://b.test", "2")) == (
+        "Mozilla/5.0 (compatible; MyBot/2; +https://b.test)"
+    )
+
+
+def test_sub_crawler_for_field(spark):
+    """subCrawlerFor (BaseStep.php:316-390): each record's 'link' property
+    is crawled by a sub-chain and replaced with the ordered sub-results;
+    records whose sub-crawl yields nothing get null."""
+    from crawlspark.crawler import GetLinks, Group, SubCrawler, Title
+
+    pages = fixture.pages_df(spark)
+    out = (
+        Crawler(spark)
+        .input(f"{B}/crawling/sub1")
+        .add_step(HttpGet(pages))
+        .add_step(Group(title=Title(), link=GetLinks().on_same_host()))
+        .add_step(SubCrawler("link", HttpGet(pages), Title()))
+        .run()
+        .orderBy("ord")
+        .collect()
+    )
+    # sub1's same-host links: sub1/sub1 (record 1); its sub-crawl fetches
+    # the page and titles it — SUB1_SUB1 has no <title> so Title yields null
+    by_title = {r.value.title: r.value.link for r in out}
+    assert "foo" in by_title
+    linked = by_title["foo"]
+    assert linked is not None and len(linked) == 1
