@@ -75,6 +75,13 @@ class SiteCrawlConfig:
     prefilter_min_seen: int | None = 2_000_000
     prefilter_buckets: int | None = None
     prefilter_capacity: int = 1 << 20
+    # attach the per-host fetch schedule to every level (north_rule: per-host
+    # politeness delays enforced in the crawl loop; reference Throttler.php
+    # waits between requests to one host).  Adds fetch_start_ms/fetch_end_ms
+    # (relative to the level's wave start) to the output; robots-blocked
+    # rows carry nulls.  Off by default: the schedule is an extra window
+    # pass per level and changes the output schema.
+    with_politeness: bool = False
 
 
 @pandas_udf(StringType())
@@ -302,6 +309,7 @@ def crawl_site(
             F.col("base_href").alias("p_base"),
             F.col("canonical_href").alias("p_canonical"),
             F.col("sitemap_locs").alias("p_locs"),
+            F.col("latency_ms").alias("p_latency"),
         )
         fetched = fetched.join(page_side, "final_fetch", "left")
         fetched = fetched.withColumn(
@@ -318,6 +326,22 @@ def crawl_site(
         if cfg.use_canonical_links:
             eff = F.coalesce(F.col("canonical_abs"), eff)
         fetched = fetched.withColumn("effective_url", eff)
+        if cfg.with_politeness:
+            # per-host FIFO schedule for this level's wave: one window pass
+            # keyed on host (the politeness subject is the SERVER, so the
+            # schedule spans seeds).  Blocked rows never fetch -> nulls.
+            from .politeness import throttle_schedule
+
+            allowed = throttle_schedule(
+                fetched.filter("robots_allowed").withColumn(
+                    "__lat", F.coalesce(F.col("p_latency"), F.lit(0))
+                ),
+                host_col="host", ord_col="ord", latency_col="__lat",
+            ).drop("__lat")
+            blocked = fetched.filter(~F.col("robots_allowed"))
+            for c in ("seq", "wait_ms", "fetch_start_ms", "fetch_end_ms"):
+                blocked = blocked.withColumn(c, F.lit(None).cast("long"))
+            fetched = allowed.unionByName(blocked)
         fetched = fetched.localCheckpoint(eager=True)
 
         # ---- staleness gate (reference wasAlreadyLoaded,
@@ -379,12 +403,13 @@ def crawl_site(
             )
         )
         lvl = lvl.localCheckpoint(eager=True)
-        out_levels.append(
-            lvl.select(
-                "seed_id", "url", "effective_url", "host", "depth", "ord",
-                "loaded", "yielded",
-            )
-        )
+        out_cols = [
+            "seed_id", "url", "effective_url", "host", "depth", "ord",
+            "loaded", "yielded",
+        ]
+        if cfg.with_politeness:
+            out_cols += ["seq", "wait_ms", "fetch_start_ms", "fetch_end_ms"]
+        out_levels.append(lvl.select(*out_cols))
         yielded_total += lvl.filter("yielded").count()
 
         # ---- seen update: requested + chain + effective + canonical ids

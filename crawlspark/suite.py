@@ -1520,11 +1520,15 @@ def q_csv_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("string"),
         )
     )
-    parts = F.split(line, ",")
-    parsed = d.select(doc.alias("line_no"), parts.alias("parts"))
+    # JVM from_csv (not regex split): separators inside enclosures stay
+    # literal, same parser as the facade Csv step (Csv.php:96-157)
+    parsed = d.select(
+        doc.alias("line_no"),
+        F.from_csv(line, "c0 STRING, c1 STRING, c2 STRING, c3 STRING").alias("p"),
+    )
     return parsed.filter(F.col("line_no") > 0).select(
-        F.element_at("parts", 1).cast("long").alias("id"),
-        F.element_at("parts", 3).alias("src"),
+        F.col("p.c0").cast("long").alias("id"),
+        F.col("p.c2").alias("src"),
     )
 
 

@@ -229,3 +229,76 @@ def run_pages(spark, pages_df, robots, seed, **kw):
     loaded = [r.url for r in rows if r.loaded]
     yielded = [r.effective_url for r in rows if r.yielded]
     return attempted, loaded, yielded
+
+
+def test_multi_seed_equals_sequential_per_seed(spark):
+    """Differential invariant: crawl_site with a seed LIST (one frontier)
+    must reproduce exactly what per-seed sequential crawls produce, for
+    disjoint-host seeds (the reference's sameHost pinning regime)."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.engine import SiteCrawlConfig, crawl_site
+
+    rows = []
+    for h in range(6):
+        base = f"http://s{h}.diff.test"
+        n = 2 + h % 3
+        for p in range(n):
+            links = "".join(
+                f'<a href="/p{q}">x</a>' for q in range(p + 1, min(p + 3, n))
+            )
+            rows.append((f"{base}/p{p}", 200, None, "text/html",
+                         f"<html><body>{links}</body></html>"))
+    pages = spark.createDataFrame(
+        rows,
+        "url STRING, status INT, redirect_to STRING, content_type STRING, body STRING",
+    )
+    seeds = [f"http://s{h}.diff.test/p0" for h in range(6)]
+    cfg = SiteCrawlConfig(max_depth=4)
+
+    multi = {
+        (r["seed_id"], r["url"], r["depth"], r["ord"], r["loaded"], r["yielded"])
+        for r in crawl_site(spark, pages, seeds, cfg).collect()
+    }
+    sequential = set()
+    for i, s in enumerate(seeds):
+        for r in crawl_site(spark, pages, s, SiteCrawlConfig(max_depth=4)).collect():
+            sequential.add(
+                (i, r["url"], r["depth"], r["ord"], r["loaded"], r["yielded"])
+            )
+    assert multi == sequential
+
+
+def test_crawl_site_with_politeness_schedule(spark):
+    """with_politeness: every level carries the per-host FIFO fetch schedule
+    (Throttler.php:49-55 min-wait floor); consecutive fetches of one host
+    within a level are spaced by >= max(min_wait, prev latency)."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.engine import SiteCrawlConfig, crawl_site
+    from crawlspark.politeness import MIN_WAIT_MS
+
+    rows = []
+    n = 8
+    for p in range(n):
+        links = "".join(f'<a href="/p{q}">x</a>' for q in range(n))
+        rows.append((f"http://pol.test/p{p}", 200, None, "text/html",
+                     f"<html><body>{links}</body></html>", 100 + 10 * p))
+    pages = spark.createDataFrame(
+        rows,
+        "url STRING, status INT, redirect_to STRING, content_type STRING, "
+        "body STRING, latency_ms LONG",
+    )
+    out = crawl_site(
+        spark, pages, "http://pol.test/p0",
+        SiteCrawlConfig(max_depth=2, with_politeness=True),
+    ).collect()
+    assert all(r["fetch_start_ms"] is not None for r in out if r["loaded"])
+    by_level: dict = {}
+    for r in out:
+        by_level.setdefault(r["depth"], []).append(r)
+    lvl1 = sorted(by_level[1], key=lambda r: r["seq"])
+    assert [r["seq"] for r in lvl1] == list(range(1, len(lvl1) + 1))
+    for a, b in zip(lvl1, lvl1[1:]):
+        gap = b["fetch_start_ms"] - a["fetch_start_ms"]
+        assert gap >= a["fetch_end_ms"] - a["fetch_start_ms"] + MIN_WAIT_MS - 1
