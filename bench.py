@@ -272,7 +272,13 @@ def scaling_level(cores: int, wave_n: int, img_n: int, reps: int,
         app_name=f"bench-scale-{cores}", cores=cores,
         shuffle_partitions=2 * cores,
         extra_conf={
-            "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cores}",
+            # keep the session factory's GC flags (extra_conf REPLACES the
+            # default extraJavaOptions) and pin JVM pools to the core budget
+            "spark.driver.extraJavaOptions": (
+                f"-XX:ActiveProcessorCount={cores} -XX:G1HeapRegionSize=32m "
+                "-XX:+UnlockDiagnosticVMOptions "
+                "-XX:GCLockerRetryAllocationCount=100"
+            ),
             "spark.sql.adaptive.enabled": "false",
             "spark.sql.autoBroadcastJoinThreshold": "-1",
         },

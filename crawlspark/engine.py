@@ -68,11 +68,11 @@ class SiteCrawlConfig:
     # yield 4xx/5xx responses too (reference Http step suppresses >=400
     # unless yieldErrorResponses(), HttpBase.php:260-277)
     yield_error_responses: bool = False
-    # partitioned cuckoo seen-filter threshold (see frontier.CrawlConfig):
-    # URL strings are fingerprinted with xxhash64 for the probe; the exact
-    # anti-join backstop still matches on the string, so collisions cannot
-    # drop an unseen URL.  None = never engage.
-    prefilter_min_seen: int | None = 2_000_000
+    # partitioned cuckoo seen-filter threshold (see frontier.CrawlConfig
+    # for the measured default): URL strings are fingerprinted with xxhash64
+    # for the probe; the exact anti-join backstop still matches on the
+    # string, so collisions cannot drop an unseen URL.  None = never engage.
+    prefilter_min_seen: int | None = 50_000_000
     prefilter_buckets: int | None = None
     prefilter_capacity: int = 1 << 20
     # attach the per-host fetch schedule to every level (north_rule: per-host

@@ -63,9 +63,13 @@ class CrawlConfig:
     # partitioned cuckoo seen-filter (north_rule primary): once the seen set
     # reaches this many rows, candidate MINUS seen runs through
     # seen.PartitionedSeenFilter — rows the per-bucket filter proves unseen
-    # skip the anti-join shuffle; below the threshold the plain left_anti is
-    # cheaper (filter build/probe jobs don't amortize).  None = never.
-    prefilter_min_seen: int | None = 2_000_000
+    # skip the anti-join exchange.  Default tuned by measurement (BENCH.md
+    # round-2 probes): below ~10^8 seen rows a single box's JVM hash
+    # anti-join beats the Arrow probe (ABAB min-of-reps: 64s plain vs 132s
+    # prefiltered at 20M), so the threshold sits where the seen relation
+    # stops being comfortably shuffle-able per level — the 10^9-10^10
+    # cluster regime the filter exists for.  None = never.
+    prefilter_min_seen: int | None = 50_000_000
     prefilter_buckets: int | None = None
     prefilter_capacity: int = 1 << 20
 

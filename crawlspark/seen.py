@@ -387,30 +387,42 @@ class PartitionedSeenFilter:
             "bucket", self.bucket_col("k")
         )
 
-        def merge(kt, new_keys: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
-            if state.empty:
+        def merge(kt, new_keys, state):
+            # Arrow tables, not pandas: state blobs and key arrays move
+            # zero-copy, no per-column object boxing (applyInArrow)
+            import pyarrow as pa
+
+            if state.num_rows == 0:
                 cf = CuckooFilter(capacity=cap)
                 n0, sat = 0, False
             else:
-                cf = CuckooFilter.from_bytes(bytes(state["state"].iloc[0]))
-                n0 = int(state["n_keys"].iloc[0])
-                sat = bool(state["saturated"].iloc[0])
-            if len(new_keys):
+                cf = CuckooFilter.from_bytes(state.column("state")[0].as_py())
+                n0 = int(state.column("n_keys")[0].as_py())
+                sat = bool(state.column("saturated")[0].as_py())
+            if new_keys.num_rows:
                 ks = np.unique(
-                    new_keys["k"].to_numpy(dtype=np.int64).view(np.uint64)
+                    new_keys.column("k")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    .view(np.uint64)
                 )
                 placed = cf.insert_batch(ks)
                 sat = sat or placed < len(ks)
                 n0 += len(ks)
-            return pd.DataFrame(
-                {"bucket": [int(kt[0])], "state": [cf.to_bytes()],
-                 "n_keys": [n0], "saturated": [sat]}
+            b = kt[0].as_py() if hasattr(kt[0], "as_py") else int(kt[0])
+            return pa.table(
+                {
+                    "bucket": pa.array([int(b)], pa.int32()),
+                    "state": pa.array([cf.to_bytes()], pa.binary()),
+                    "n_keys": pa.array([n0], pa.int64()),
+                    "saturated": pa.array([sat], pa.bool_()),
+                }
             )
 
         new_states = (
             kb.groupBy("bucket")
             .cogroup(self.states.groupBy("bucket"))
-            .applyInPandas(merge, SEEN_STATE_SCHEMA)
+            .applyInArrow(merge, SEEN_STATE_SCHEMA)
         )
         self.states = new_states.localCheckpoint(eager=True)
 
@@ -419,16 +431,44 @@ class PartitionedSeenFilter:
         One shuffle of the frontier on the bucket key; states co-partition."""
         fb = frontier.withColumn("bucket", self.bucket_col(key))
 
-        def probe(kt, rows: pd.DataFrame, state: pd.DataFrame) -> pd.DataFrame:
-            if rows.empty:
-                return rows.assign(__maybe=pd.Series([], dtype=bool))
-            if state.empty:
-                return rows.assign(__maybe=False)  # no keys ever -> all new
-            if bool(state["saturated"].iloc[0]):
-                return rows.assign(__maybe=True)  # exact backstop for bucket
-            cf = CuckooFilter.from_bytes(bytes(state["state"].iloc[0]))
-            ks = rows[key].to_numpy(dtype=np.int64).view(np.uint64)
-            return rows.assign(__maybe=cf.contains_batch(ks))
+        def probe(kt, rows, state):
+            # Arrow-native: passthrough columns append the verdict column
+            # zero-copy instead of round-tripping through pandas
+            import pyarrow as pa
+
+            def nullable(t):
+                if pa.types.is_struct(t):
+                    return pa.struct(
+                        [pa.field(f.name, nullable(f.type), nullable=True)
+                         for f in t]
+                    )
+                if pa.types.is_list(t):
+                    return pa.list_(nullable(t.value_type))
+                return t
+
+            # applyInArrow matches the declared (all-nullable) schema
+            # strictly; incoming groups may carry non-null struct fields
+            rows = rows.cast(
+                pa.schema(
+                    [pa.field(f.name, nullable(f.type), nullable=True)
+                     for f in rows.schema]
+                )
+            )
+            n = rows.num_rows
+            if n == 0 or state.num_rows == 0:
+                mask = np.zeros(n, dtype=bool)  # no keys ever -> all new
+            elif bool(state.column("saturated")[0].as_py()):
+                mask = np.ones(n, dtype=bool)  # exact backstop for bucket
+            else:
+                cf = CuckooFilter.from_bytes(state.column("state")[0].as_py())
+                ks = (
+                    rows.column(key)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    .view(np.uint64)
+                )
+                mask = cf.contains_batch(ks)
+            return rows.append_column("__maybe", pa.array(mask, pa.bool_()))
 
         schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in fb.schema.fields
@@ -436,7 +476,7 @@ class PartitionedSeenFilter:
         return (
             fb.groupBy("bucket")
             .cogroup(self.states.groupBy("bucket"))
-            .applyInPandas(probe, schema)
+            .applyInArrow(probe, schema)
             .drop("bucket")
         )
 

@@ -46,7 +46,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # single-JVM local mode concentrates every task's Arrow JNI-critical
+        # sections in one heap; G1's GCLocker then starves allocations under
+        # load (measured: 100M-doc probe crashes at 32 threads without
+        # these).  Multi-executor clusters don't hit this — each executor
+        # carries a handful of tasks.  Larger G1 regions keep Arrow's 4-32MB
+        # buffers out of the humongous path; the retry bump is the JDK's
+        # documented mitigation for GCLocker-starved allocation.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:G1HeapRegionSize=32m -XX:+UnlockDiagnosticVMOptions "
+            "-XX:GCLockerRetryAllocationCount=100",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -118,7 +118,10 @@ def test_prefilter_plan_shape(spark):
     f.update(seen, "k")
     frontier = spark.range(0, 1000).select(F.col("id").alias("k"))
     probe_plan = f.flag_maybe(frontier, "k")._jdf.queryExecution().toString()
-    assert "FlatMapCoGroupsInPandas" in probe_plan, probe_plan[:2000]
+    assert (
+        "FlatMapCoGroupsInArrow" in probe_plan
+        or "FlatMapCoGroupsInPandas" in probe_plan
+    ), probe_plan[:2000]
     # the full anti-join materializes the probe once (localCheckpoint), so
     # its own plan shows the exact backstop over the flagged relation
     out_plan = (
