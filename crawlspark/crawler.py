@@ -753,24 +753,38 @@ class Paginate(Step):
     def output_kind(self, input_kind: str) -> str:
         return "response"
 
-    def __init__(self, pages: DataFrame, selector: str,
-                 max_pages: int = 1000, stop_rule=None):
+    def __init__(self, pages: DataFrame, selector: str | None = None,
+                 max_pages: int = 1000, stop_rule=None,
+                 query_params: "list | None" = None):
+        """``selector`` -> SimpleWebsitePaginator; ``query_params`` (a list
+        of :func:`crawlspark.paginate.increase`/``decrease`` ops) ->
+        QueryParamsPaginator::paramsInUrl() (Paginator::queryParams(),
+        QueryParamsPaginator.php:28-38)."""
         super().__init__()
+        if (selector is None) == (query_params is None):
+            raise ValueError("pass exactly one of selector / query_params")
         self.pages = pages
         self.selector = selector
         self.max_pages = max_pages
         self.stop_rule = stop_rule
+        self.query_params = query_params
 
     def apply(self, df: DataFrame) -> DataFrame:
-        from .paginate import website_paginate
+        from .paginate import paginate_query_params, website_paginate
 
         chains = df.select(
             F.col("_input_id").alias("chain_id"), F.col("value").alias("url")
         )
-        visited = website_paginate(
-            df.sparkSession, self.pages, chains, self.selector,
-            max_pages=self.max_pages, stop_rule=self.stop_rule,
-        )
+        if self.query_params is not None:
+            visited = paginate_query_params(
+                df.sparkSession, self.pages, chains, ops=self.query_params,
+                max_pages=self.max_pages, stop_rule=self.stop_rule,
+            )
+        else:
+            visited = website_paginate(
+                df.sparkSession, self.pages, chains, self.selector,
+                max_pages=self.max_pages, stop_rule=self.stop_rule,
+            )
         p = self.pages.select(
             F.col("url").alias("_p_url"), F.col("status").alias("_p_status"),
             F.col("body").cast("string").alias("_p_body"),

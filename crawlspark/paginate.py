@@ -17,6 +17,7 @@ for all active chains at once).
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -327,6 +328,72 @@ class IsEmptyInXmlRule(_IsEmptyInDomRule):
     """StopRules/IsEmptyInXml.php"""
 
 
+@dataclass(frozen=True)
+class QueryParamOp:
+    """One Incrementor/Decrementor (QueryParams/Incrementor.php:22-38,
+    Decrementor.php:22-38): set ``param`` to (int)current + delta.  PHP
+    semantics kept exactly: a missing param or non-numeric value reads as
+    PHP's ``(int)`` cast (leading integer, else 0), and a missing param is
+    ADDED by Query::set — the chain does NOT end.  ``dot=True`` addresses a
+    nested query key ('page.number' -> ``page[number]=`` in the rendered
+    string, Adbar\\Dot over Query::toArray)."""
+
+    param: str
+    delta: int = 1
+    dot: bool = False
+
+    def rendered_name(self) -> str:
+        if not self.dot:
+            return self.param
+        head, *rest = self.param.split(".")
+        return head + "".join(f"[{p}]" for p in rest)
+
+
+def increase(param: str, by: int = 1, dot: bool = False) -> QueryParamOp:
+    """QueryParamsPaginator::increase / increaseUsingDotNotation."""
+    return QueryParamOp(param, by, dot)
+
+
+def decrease(param: str, by: int = 1, dot: bool = False) -> QueryParamOp:
+    """QueryParamsPaginator::decrease / decreaseUsingDotNotation."""
+    return QueryParamOp(param, -by, dot)
+
+
+def _apply_query_op(col, op: QueryParamOp, in_url: bool):
+    """Apply one manipulator to a query-carrying string column (the URL for
+    paramsInUrl, the form-encoded request body for paramsInBody) as pure JVM
+    regexp expressions — no Python in the per-step plan.
+
+    The anchor ([?&] in URLs, start-or-& in bodies) and re.escape keep
+    'page' from matching inside 'perpage' and make bracketed dot-notation
+    names ('page[number]') literal."""
+    name = op.rendered_name()
+    esc = re.escape(name)
+    anchor = r"[?&]" if in_url else r"(?:^|&)"
+    # PHP (int) on the current value: leading integer, else/missing 0
+    cur = F.coalesce(
+        F.regexp_extract(col, anchor + esc + r"=(-?\d+)", 1).try_cast("long"),
+        F.lit(0),
+    )
+    new_val = (cur + op.delta).cast("string")
+    present = col.rlike(anchor + esc + "=")
+    rewrite_pat = "(?<pfx>" + anchor + esc + ")=[^&]*"
+    replaced = F.regexp_replace(
+        col, rewrite_pat, F.concat(F.lit("${pfx}="), new_val)
+    )
+    pair = F.concat(F.lit(name + "="), new_val)
+    if in_url:
+        appended = F.when(
+            col.contains("?"), F.concat(col, F.lit("&"), pair)
+        ).otherwise(F.concat(col, F.lit("?"), pair))
+    else:
+        appended = F.when(
+            F.coalesce(F.length(col), F.lit(0)) > 0,
+            F.concat(col, F.lit("&"), pair),
+        ).otherwise(pair)
+    return F.when(present, replaced).otherwise(appended)
+
+
 def paginate_query_params(
     spark: SparkSession,
     pages: DataFrame,
@@ -336,57 +403,96 @@ def paginate_query_params(
     stop_contains: str | None = None,
     stop_rule: StopRule | None = None,
     max_pages: int = MAX_PAGES_DEFAULT,
+    ops: "list[QueryParamOp] | None" = None,
+    params_in_body: bool = False,
+    start_bodies: "list[str] | None" = None,
 ) -> DataFrame:
-    """QueryParamsPaginator::paramsInUrl().increase(param, by) with a
-    Contains stop rule.
+    """QueryParamsPaginator: paramsInUrl()/paramsInBody() with any chain of
+    increase/decrease manipulators (incl. dot notation) and a stop rule.
 
-    Reference: Paginators/QueryParamsPaginator.php:28-62 (Incrementor.php:
-    22-38 sets ``param`` to current+by each step) and StopRules/Contains.php:
-    17-25 (stop AFTER processing a page whose trimmed body contains the
-    needle; a missing page also stops).  ``maxPages`` default 1000
-    (Paginator.php:12).
+    Reference: Paginators/QueryParamsPaginator.php:28-113 — getNextRequest
+    rewrites the query string of the URL (paramsInUrl) or of the
+    form-encoded request body (paramsInBody), applying every manipulator in
+    order; Incrementor/Decrementor set ``param`` to (int)current ± by, and
+    Query::set ADDS a missing param (current reads as 0).  Stop rules:
+    StopRules/Contains.php:17-25 (stop AFTER processing a matching page);
+    a missing page also stops.  ``maxPages`` default 1000 (Paginator.php:12).
 
     All chains advance together (one corpus join per step); the query-param
-    rewrite is a JVM regexp on the URL, so the per-step plan is
-    join -> filter -> regexp_replace with no Python.  Returns
-    (chain_id, page_ord, url) for every page actually requested.
+    rewrite is a JVM regexp, so the per-step plan is join -> filter ->
+    regexp_replace with no Python.  Returns (chain_id, page_ord, url) —
+    plus req_body when params_in_body — for every page actually requested.
+    For paramsInBody the corpus must carry (url, req_body, body): the
+    request identity is url+body, matching the reference where the paginated
+    POST body selects the page.
     """
-    # anchor on [?&] and escape the param name so 'page' can never match
-    # inside 'perpage' and names with regex metachars (items[]) stay literal;
-    # the ${pfx} named-group backref is unambiguous when followed by digits
-    pfx = r"[?&]" + re.escape(param) + "="
-    rewrite_pat = "(?<pfx>" + pfx + r")\d+"
-    extract_pat = "(" + pfx + r")(\d+)"
-    bodies = pages.select(
-        F.col("url").alias("p_url"), F.col("body").cast("string").alias("p_body")
-    ).persist()
-    cur = spark.createDataFrame(
-        [(i, u) for i, u in enumerate(start_urls)], "chain_id LONG, url STRING"
-    )
+    if ops is None:
+        ops = [QueryParamOp(param, by)]
+    bodies_cols = [
+        F.col("url").alias("p_url"),
+        F.col("body").cast("string").alias("p_body"),
+    ]
+    if params_in_body:
+        bodies_cols.insert(1, F.col("req_body").cast("string").alias("p_req"))
+    bodies = pages.select(*bodies_cols).persist()
+    if params_in_body:
+        if isinstance(start_urls, DataFrame):  # (chain_id, url[, req_body])
+            cur = start_urls
+            if "req_body" not in cur.columns:
+                cur = cur.withColumn("req_body", F.lit(""))
+            cur = cur.select(
+                F.col("chain_id").cast("long"), "url",
+                F.coalesce(F.col("req_body").cast("string"), F.lit(""))
+                .alias("req_body"),
+            ).localCheckpoint(eager=True)
+        else:
+            sb = start_bodies or [""] * len(start_urls)
+            cur = spark.createDataFrame(
+                [(i, u, b) for i, (u, b) in enumerate(zip(start_urls, sb))],
+                "chain_id LONG, url STRING, req_body STRING",
+            )
+        out_cols = ["chain_id", "url", "req_body"]
+        join_cond = lambda c: (c["url"] == bodies["p_url"]) & (  # noqa: E731
+            c["req_body"] == bodies["p_req"]
+        )
+        target = "req_body"
+    else:
+        if isinstance(start_urls, DataFrame):  # (chain_id, url) — no driver list
+            cur = start_urls.select(
+                F.col("chain_id").cast("long"), "url"
+            ).localCheckpoint(eager=True)
+        else:
+            cur = spark.createDataFrame(
+                [(i, u) for i, u in enumerate(start_urls)],
+                "chain_id LONG, url STRING",
+            )
+        out_cols = ["chain_id", "url"]
+        join_cond = lambda c: c["url"] == bodies["p_url"]  # noqa: E731
+        target = "url"
     visited = []
     for page_ord in range(max_pages):
         # cur is always materialized (createDataFrame / localCheckpoint), so
         # recording the visit from it costs nothing at final union time
         visited.append(
             cur.select(
-                "chain_id", F.lit(page_ord).cast("long").alias("page_ord"), "url"
+                "chain_id",
+                F.lit(page_ord).cast("long").alias("page_ord"),
+                *out_cols[1:],
             )
         )
-        alive = cur.join(bodies, cur["url"] == bodies["p_url"], "inner")
+        alive = cur.join(bodies, join_cond(cur), "inner")
         if stop_contains is not None:
             alive = alive.filter(~F.trim(F.col("p_body")).contains(stop_contains))
         if stop_rule is not None:
             alive = alive.filter(~stop_rule.stop_col(F.col("p_body")))
-        cur_num = F.regexp_extract(F.col("url"), extract_pat, 2).try_cast("long")
+        q = F.col(target)
+        for op in ops:
+            q = _apply_query_op(q, op, in_url=not params_in_body)
         nxt = alive.select(
-            "chain_id",
-            F.regexp_replace(
-                F.col("url"),
-                rewrite_pat,
-                F.concat(F.lit("${pfx}"), (cur_num + by).cast("string")),
-            ).alias("url"),
-        ).filter(F.col("url").isNotNull())  # param missing/non-numeric -> chain ends
-        cur = nxt.localCheckpoint(eager=True)
+            "chain_id", *[c for c in out_cols[1:] if c != target],
+            q.alias(target),
+        ).filter(F.col(target).isNotNull())
+        cur = nxt.select(*out_cols).localCheckpoint(eager=True)
         if cur.count() == 0:
             break
     bodies.unpersist()

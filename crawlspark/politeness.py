@@ -36,8 +36,21 @@ MAX_RETRY_AFTER_MS = 60_000
 
 @dataclass
 class PolitenessConfig:
-    min_wait_ms: int = MIN_WAIT_MS
-    wait_factor: float = 1.0  # deterministic lower bound of [1.0x, 2.0x]
+    """Full Throttler surface (Throttler.php:43-56,168-196): the wait before
+    request k+1 to a host is rand(from, to) clamped to [min, max], where
+    from/to are each a fixed duration (Microseconds) or a multiple of the
+    previous response's duration (MultipleOf; defaults 1.0x..2.0x).  A Spark
+    schedule must be deterministic, so ``wait_point`` picks a fixed point in
+    [from, to] instead of rand(): 0.0 = the from bound (default), 1.0 = the
+    to bound, 0.5 = midpoint."""
+
+    min_wait_ms: int = MIN_WAIT_MS  # waitAtLeast, default 0.25s
+    wait_factor: float = 1.0  # MultipleOf from
+    wait_to_factor: float = 2.0  # MultipleOf to
+    wait_from_ms: int | None = None  # fixed from (waitBetween), overrides factor
+    wait_to_ms: int | None = None  # fixed to (waitBetween), overrides factor
+    max_wait_ms: int | None = None  # waitAtMax cap
+    wait_point: float = 0.0  # deterministic point in [from, to]
     num_buckets: int = 1024
     hot_threshold: int = 100_000  # rows per host per level before salting
     salt: int = 8
@@ -59,12 +72,21 @@ def throttle_schedule(
     cfg = cfg or PolitenessConfig()
     w = Window.partitionBy(host_col).orderBy(ord_col)
     prev_lat = F.lag(latency_col).over(w)
-    wait = F.when(prev_lat.isNull(), F.lit(0)).otherwise(
-        F.greatest(
-            F.lit(cfg.min_wait_ms),
-            (prev_lat * cfg.wait_factor).cast("long"),
-        )
+    frm = (
+        F.lit(cfg.wait_from_ms).cast("double")
+        if cfg.wait_from_ms is not None
+        else prev_lat * cfg.wait_factor
     )
+    to = (
+        F.lit(cfg.wait_to_ms).cast("double")
+        if cfg.wait_to_ms is not None
+        else prev_lat * cfg.wait_to_factor
+    )
+    base = (frm + cfg.wait_point * (to - frm)).cast("long")
+    clamped = F.greatest(F.lit(cfg.min_wait_ms).cast("long"), base)
+    if cfg.max_wait_ms is not None:
+        clamped = F.least(F.lit(cfg.max_wait_ms).cast("long"), clamped)
+    wait = F.when(prev_lat.isNull(), F.lit(0)).otherwise(clamped)
     df = frontier.withColumn("seq", F.row_number().over(w).cast("long"))
     df = df.withColumn("wait_ms", wait.cast("long"))
     cum_lat_prev = F.coalesce(
@@ -141,7 +163,9 @@ def throttle_schedule_in_task(
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", seq LONG, wait_ms LONG, fetch_start_ms LONG, fetch_end_ms LONG"
-    min_wait, factor = cfg.min_wait_ms, cfg.wait_factor
+    min_wait, max_wait = cfg.min_wait_ms, cfg.max_wait_ms
+    f_from, f_to, point = cfg.wait_factor, cfg.wait_to_factor, cfg.wait_point
+    fix_from, fix_to = cfg.wait_from_ms, cfg.wait_to_ms
 
     def sched(batches):
         # accumulate the partition (bounded: one host_bucket's wave share),
@@ -153,7 +177,18 @@ def throttle_schedule_in_task(
         g = pdf.groupby(host_col, sort=False)
         pdf["seq"] = g.cumcount() + 1
         prev_lat = g[latency_col].shift(1)
-        wait = (prev_lat * factor).clip(lower=min_wait).fillna(0).astype("int64")
+        frm = (
+            pd.Series(float(fix_from), index=pdf.index)
+            if fix_from is not None else prev_lat * f_from
+        )
+        to = (
+            pd.Series(float(fix_to), index=pdf.index)
+            if fix_to is not None else prev_lat * f_to
+        )
+        wait = (frm + point * (to - frm)).clip(lower=min_wait)
+        if max_wait is not None:
+            wait = wait.clip(upper=max_wait)
+        wait = wait.where(prev_lat.notna(), 0).fillna(0).astype("int64")
         pdf["wait_ms"] = wait
         cum_lat_prev = g[latency_col].cumsum() - pdf[latency_col]
         cum_wait = wait.groupby(pdf[host_col], sort=False).cumsum()

@@ -71,6 +71,55 @@ FROM c
 """
 
 
+def q_paginate_qp_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryParamsPaginator::paramsInBody().decreaseUsingDotNotation(
+    'page.number'): the page selector lives in the form-encoded POST body
+    (request identity = url + body, QueryParamsPaginator.php:40-54,87-113),
+    the nested key renders as page[number]=, and chains walk DOWN from the
+    last page; the final request (page 0) is still issued and finds no page
+    — stop-on-missing, like the reference's dead getNextRequest."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < _CHAINS)
+    doc = F.col("doc_id")
+    last = (F.lit(1) + doc % 5).cast("int")
+    pages = d.select(
+        doc.alias("chain"), last.alias("last"),
+        F.explode(F.sequence(F.lit(1), last)).alias("p"),
+    ).select(
+        F.concat(
+            F.lit("http://h"), (F.col("chain") % graph.NHOSTS).cast("string"),
+            F.lit("." + graph.DOMAIN + "/search/"), F.col("chain").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("page[number]="), F.col("p").cast("string"), F.lit("&size=10")
+        ).alias("req_body"),
+        F.lit("results").alias("body"),
+    )
+    starts, start_bodies = [], []
+    for c in range(_CHAINS):
+        starts.append(f"http://h{c % graph.NHOSTS}.{graph.DOMAIN}/search/{c}")
+        start_bodies.append(f"page[number]={1 + c % 5}&size=10")
+    return _paginate.paginate_query_params(
+        spark, pages, starts,
+        ops=[_paginate.decrease("page.number", 1, dot=True)],
+        params_in_body=True, start_bodies=start_bodies, max_pages=10,
+    )
+
+
+ORACLE_QP_BODY = f"""
+WITH c AS (
+  SELECT doc_id AS chain_id, 1 + doc_id % 5 AS last,
+         unnest(generate_series(0, 1 + doc_id % 5)) AS page_ord
+  FROM documents WHERE doc_id < {_CHAINS}
+)
+SELECT chain_id, CAST(page_ord AS BIGINT) AS page_ord,
+       'http://h' || CAST(chain_id % {graph.NHOSTS} AS VARCHAR)
+       || '.{graph.DOMAIN}/search/' || CAST(chain_id AS VARCHAR) AS url,
+       'page[number]=' || CAST(last - page_ord AS VARCHAR) || '&size=10'
+         AS req_body
+FROM c
+"""
+
+
 # --------------------------------------------------------------------------
 # SimpleWebsitePaginator (CSS-selected links, FIFO, parent provenance)
 # --------------------------------------------------------------------------
@@ -228,6 +277,7 @@ FROM documents
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "paginate_stop_rules": q_paginate_stop_rules,
+        "paginate_qp_body": q_paginate_qp_body,
         "website_paginator": q_website_paginator,
         "csv_quoted": q_csv_quoted,
         "dom_extract": q_dom_extract,
@@ -237,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "paginate_stop_rules": ORACLE_PAGINATE_STOP,
+        "paginate_qp_body": ORACLE_QP_BODY,
         "website_paginator": ORACLE_WEBSITE_PAGINATOR,
         "csv_quoted": ORACLE_CSV_QUOTED,
         "dom_extract": ORACLE_DOM_EXTRACT,

@@ -147,3 +147,36 @@ def test_same_domain_crawl_scopes_by_psl_suffix(spark):
     )
     urls = sorted(r["url"] for r in out.collect())
     assert urls == ["http://www.x.github.io/q", "http://x.github.io/"]
+
+
+def test_throttle_full_surface_fixed_bounds_and_max(spark):
+    """waitBetween(fixed from/to) + waitAtMax + deterministic wait_point
+    (Throttler.php:60-84,168-186: wait = point-in-[from,to] clamped to
+    [min, max])."""
+    rows = [("h1", 1, 100), ("h1", 2, 900), ("h1", 3, 50)]
+    df = spark.createDataFrame(rows, "host STRING, ord LONG, latency_ms LONG")
+    # fixed bounds 300..700, midpoint -> 500 for every non-first fetch
+    cfg = politeness.PolitenessConfig(
+        wait_from_ms=300, wait_to_ms=700, wait_point=0.5
+    )
+    out = {r.seq: r for r in politeness.throttle_schedule(df, cfg=cfg).collect()}
+    assert out[1].wait_ms == 0
+    assert out[2].wait_ms == 500 and out[3].wait_ms == 500
+    # multiple bounds 1x..2x at the to-bound, capped by waitAtMax(1000)
+    cfg2 = politeness.PolitenessConfig(wait_point=1.0, max_wait_ms=1000)
+    out2 = {r.seq: r for r in politeness.throttle_schedule(df, cfg=cfg2).collect()}
+    assert out2[2].wait_ms == 250   # max(min=250, 2.0*100)
+    assert out2[3].wait_ms == 1000  # 2.0*900 capped at waitAtMax
+
+
+def test_throttle_full_surface_in_task_matches_window(spark):
+    rows = [(f"h{i % 7}", i, 50 + (i * 37) % 600) for i in range(300)]
+    df = spark.createDataFrame(rows, "host STRING, ord LONG, latency_ms LONG")
+    cfg = politeness.PolitenessConfig(
+        wait_point=0.25, max_wait_ms=800, num_buckets=16
+    )
+    a = sorted(map(tuple, politeness.throttle_schedule(df, cfg=cfg).select(
+        "host", "ord", "wait_ms", "fetch_start_ms").collect()))
+    b = sorted(map(tuple, politeness.throttle_schedule_in_task(df, cfg=cfg).select(
+        "host", "ord", "wait_ms", "fetch_start_ms").collect()))
+    assert a == b

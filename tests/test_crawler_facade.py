@@ -524,3 +524,34 @@ def test_sub_crawler_for_field(spark):
     assert "foo" in by_title
     linked = by_title["foo"]
     assert linked is not None and len(linked) == 1
+
+
+def test_paginate_step_query_params_mode(spark):
+    """Http::get()->paginate(Paginator::queryParams()->inUrl()
+    ->increase('page')) as a chainable step: the QueryParamsPaginator walks
+    ?page=N until the page is missing or a stop rule fires."""
+    from crawlspark.crawler import Paginate, Title
+    from crawlspark.paginate import ContainsRule, increase
+
+    rows = []
+    for c in range(2):
+        n = 2 + c
+        for p in range(1, n + 1):
+            body = "LAST" if p == n else "more"
+            rows.append(
+                (f"http://qp.test/c{c}?page={p}", 200,
+                 f"<html><head><title>c{c}p{p}</title></head>"
+                 f"<body>{body}</body></html>")
+            )
+    pages = spark.createDataFrame(rows, "url STRING, status INT, body STRING")
+    out = (
+        Crawler(spark)
+        .inputs([f"http://qp.test/c{c}?page=1" for c in range(2)])
+        .add_step(Paginate(pages, query_params=[increase("page")],
+                           stop_rule=ContainsRule("LAST")))
+        .add_step(Title())
+        .run()
+        .orderBy("ord")
+        .collect()
+    )
+    assert [r.value for r in out] == ["c0p1", "c0p2", "c1p1", "c1p2", "c1p3"]

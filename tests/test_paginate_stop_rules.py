@@ -188,3 +188,104 @@ def test_website_paginator_multi_chain_batch(spark):
         for r in out.groupBy("chain_id").agg(F.count("*").alias("cnt")).collect()
     }
     assert per_chain == {0: 6, 1: 3}  # chain 1 starts at page 3 -> visits 3,4,5
+
+
+# ---- QueryParamsPaginator manipulators (QueryParams/Incrementor.php:22-38,
+# Decrementor.php:22-38, QueryParamsPaginator.php:40-113) ------------------
+
+
+def test_query_param_missing_is_added_with_fallback_zero(spark):
+    """PHP (int)null == 0 and Query::set ADDS a missing param — the chain
+    continues with ?page=1 instead of dying (AbstractQueryParamManipulator
+    getCurrentValue fallback + Incrementor.php:34-37)."""
+    pages = spark.createDataFrame(
+        [("http://a.test/x", "d"), ("http://a.test/x?page=1", "d")],
+        "url STRING, body STRING",
+    )
+    out = paginate_query_params(
+        spark, pages, ["http://a.test/x"], param="page", by=1, max_pages=3
+    )
+    urls = [r["url"] for r in out.orderBy("page_ord").collect()]
+    assert urls == [
+        "http://a.test/x",
+        "http://a.test/x?page=1",
+        "http://a.test/x?page=2",  # requested, missing -> chain ends
+    ]
+
+
+def test_query_param_non_numeric_reads_as_php_int_cast(spark):
+    """(int)'abc' == 0, (int)'7abc' == 7 — set() replaces the raw value."""
+    pages = spark.createDataFrame(
+        [("http://a.test/x?page=abc", "d"), ("http://a.test/x?page=1", "d")],
+        "url STRING, body STRING",
+    )
+    out = paginate_query_params(
+        spark, pages, ["http://a.test/x?page=abc"], param="page", by=1,
+        max_pages=2,
+    )
+    urls = [r["url"] for r in out.orderBy("page_ord").collect()]
+    assert urls == ["http://a.test/x?page=abc", "http://a.test/x?page=1"]
+
+
+def test_query_params_multiple_manipulators_in_order(spark):
+    """QueryParamsPaginator chains manipulators: increase('page') +
+    decrease('offset', 10) both run per getNextRequest."""
+    from crawlspark.paginate import decrease, increase
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.test/l?page=1&offset=30", "d"),
+            ("http://a.test/l?page=2&offset=20", "d"),
+        ],
+        "url STRING, body STRING",
+    )
+    out = paginate_query_params(
+        spark, pages, ["http://a.test/l?page=1&offset=30"],
+        ops=[increase("page"), decrease("offset", 10)], max_pages=5,
+    )
+    urls = [r["url"] for r in out.orderBy("page_ord").collect()]
+    assert urls == [
+        "http://a.test/l?page=1&offset=30",
+        "http://a.test/l?page=2&offset=20",
+        "http://a.test/l?page=3&offset=10",  # requested, missing -> ends
+    ]
+
+
+def test_query_params_in_body_dot_notation(spark):
+    """paramsInBody + dot notation: request identity is url+body, the
+    nested key renders bracketed (page.number -> page[number]=)."""
+    from crawlspark.paginate import increase
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.test/s", f"page[number]={p}", "d")
+            for p in (1, 2)
+        ],
+        "url STRING, req_body STRING, body STRING",
+    )
+    out = paginate_query_params(
+        spark, pages, ["http://a.test/s"],
+        ops=[increase("page.number", dot=True)],
+        params_in_body=True, start_bodies=["page[number]=1"], max_pages=4,
+    )
+    rows = out.orderBy("page_ord").collect()
+    assert [r["req_body"] for r in rows] == [
+        "page[number]=1", "page[number]=2", "page[number]=3",
+    ]
+    assert all(r["url"] == "http://a.test/s" for r in rows)
+
+
+def test_query_param_name_never_matches_inside_longer_name(spark):
+    """increase('page') must not touch 'perpage' (anchored + escaped)."""
+    pages = spark.createDataFrame(
+        [("http://a.test/l?perpage=10&page=1", "d")], "url STRING, body STRING"
+    )
+    out = paginate_query_params(
+        spark, pages, ["http://a.test/l?perpage=10&page=1"], param="page",
+        by=1, max_pages=3,
+    )
+    urls = [r["url"] for r in out.orderBy("page_ord").collect()]
+    assert urls == [
+        "http://a.test/l?perpage=10&page=1",
+        "http://a.test/l?perpage=10&page=2",
+    ]

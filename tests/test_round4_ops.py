@@ -155,13 +155,15 @@ def test_paginate_query_params_name_anchoring(spark):
     ]
 
 
-def test_paginate_query_params_missing_param_ends_chain(spark):
-    # a URL without the param must not emit a phantom NULL follow-up row
+def test_paginate_query_params_missing_param_is_added(spark):
+    # PHP semantics (AbstractQueryParamManipulator::getCurrentValue fallback
+    # + Query::set): a missing param reads as 0 and is ADDED — the next
+    # request is ?page=1, which here is a missing page and ends the chain
     pages = spark.createDataFrame([("http://s.test/a", "x")], "url STRING, body STRING")
     out = paginate_query_params(spark, pages, ["http://s.test/a"],
                                 param="page", max_pages=5)
-    got = [(r.chain_id, r.page_ord, r.url) for r in out.collect()]
-    assert got == [(0, 0, "http://s.test/a")]
+    got = sorted((r.chain_id, r.page_ord, r.url) for r in out.collect())
+    assert got == [(0, 0, "http://s.test/a"), (0, 1, "http://s.test/a?page=1")]
 
 
 def test_sitemap_locs_gzip_auto(spark):
