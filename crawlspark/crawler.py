@@ -408,6 +408,9 @@ class Crawler:
         ranked = global_rank(df, "_rk", out="ord")
         results = ranked.select(*cols, "value", F.col("ord").cast("long"))
         if self._store is not None:
+            # materialize once: the store write would otherwise execute the
+            # whole chain and the caller's first action would re-execute it
+            results = results.localCheckpoint(eager=True)
             self._store.store(results)
         return results
 
@@ -522,32 +525,55 @@ class HttpCrawl(Step):
         from .engine import SiteCrawlConfig, crawl_site
 
         spark = df.sparkSession
+        from .ranks import global_rank
+
         # ALL seeds go through ONE frontier (engine multi-seed crawl_site):
         # no driver-side seed collect, no per-seed loop — 1,000 seeds is one
         # BFS with per-seed scoping/ordering.  An empty input yields an
         # empty result with the output schema (no IndexError).
-        seeds = df.select(
-            F.col("_input_id").alias("seed_id"), F.col("value").alias("url")
+        #
+        # seed_id must be unique PER ROW, not per _input_id: a multi-output
+        # upstream step (GetLinks, JsonEach, ...) emits several seed rows
+        # with the same _input_id, and collapsing them onto one seed_id
+        # would merge distinct sub-crawls — per-seed sameHost scoping then
+        # leaks links across seeds.  (_input_id, _ord) is unique by
+        # construction, so the run()-style composite is a per-row key.
+        row_key = (F.col("_input_id") * F.lit(10**12) + F.col("_ord")).alias(
+            "seed_id"
         )
+        seeds = df.select(row_key, F.col("value").alias("url"))
         crawled = crawl_site(
             spark, self.pages, seeds,
             SiteCrawlConfig(**self.cfg_kwargs), robots=self.robots,
         ).filter(F.col("yielded"))
         out = crawled.select(
-            F.col("seed_id").alias("_input_id"),
-            F.col("ord").alias("_ord"),
+            "seed_id",
+            F.col("ord").alias("__crawl_ord"),
             F.struct(
                 F.col("effective_url").alias("url"),
                 F.col("url").alias("requested_url"),
                 F.col("depth").alias("depth"),
             ).alias("value"),
         )
-        # re-attach kept columns from the seed rows
+        # rebuild (_input_id, _ord): _input_id reverts to the ORIGINAL input
+        # id (keeps/grouping lineage), _ord becomes a dense global rank over
+        # (seed_id, crawl ord) — lexicographic in (upstream order, crawl
+        # order), so per-seed output blocks keep the upstream row order and
+        # the composite _rk in run() stays collision-free
+        out = global_rank(out, ["seed_id", "__crawl_ord"], out="__r")
         keeps = [c for c in df.columns if c.startswith("keep_")]
-        if keeps:
-            out = out.join(
-                df.select("_input_id", *keeps), "_input_id", "left"
+        seed_rows = df.select(
+            row_key, F.col("_input_id").alias("__orig_input"), *keeps
+        )
+        out = (
+            out.join(seed_rows, "seed_id")
+            .select(
+                F.col("__orig_input").alias("_input_id"),
+                F.col("__r").alias("_ord"),
+                "value",
+                *keeps,
             )
+        )
         return self._post(out)
 
 
@@ -771,10 +797,16 @@ class Paginate(Step):
 
     def apply(self, df: DataFrame) -> DataFrame:
         from .paginate import paginate_query_params, website_paginate
+        from .ranks import global_rank
 
-        chains = df.select(
-            F.col("_input_id").alias("chain_id"), F.col("value").alias("url")
+        # chain_id must be unique PER ROW (same reasoning as HttpCrawl):
+        # a multi-output upstream step would otherwise merge distinct chains
+        # onto one chain_id — colliding (chain_id, page_ord) pairs and a
+        # row-multiplying keeps join
+        row_key = (F.col("_input_id") * F.lit(10**12) + F.col("_ord")).alias(
+            "chain_id"
         )
+        chains = df.select(row_key, F.col("value").alias("url"))
         if self.query_params is not None:
             visited = paginate_query_params(
                 df.sparkSession, self.pages, chains, ops=self.query_params,
@@ -792,8 +824,8 @@ class Paginate(Step):
         out = (
             visited.join(p, visited["url"] == p["_p_url"], "inner")
             .select(
-                F.col("chain_id").alias("_input_id"),
-                F.col("page_ord").alias("_ord"),
+                "chain_id",
+                F.col("page_ord").alias("__page_ord"),
                 F.struct(
                     F.col("url").alias("url"),
                     F.col("_p_status").alias("status"),
@@ -801,9 +833,22 @@ class Paginate(Step):
                 ).alias("value"),
             )
         )
+        # dense global _ord over (chain, page) — lexicographic in (upstream
+        # row order, page order); _input_id reverts to the original input id
+        out = global_rank(out, ["chain_id", "__page_ord"], out="__r")
         keeps = [c for c in df.columns if c.startswith("keep_")]
-        if keeps:
-            out = out.join(df.select("_input_id", *keeps), "_input_id", "left")
+        chain_rows = df.select(
+            row_key, F.col("_input_id").alias("__orig_input"), *keeps
+        )
+        out = (
+            out.join(chain_rows, "chain_id")
+            .select(
+                F.col("__orig_input").alias("_input_id"),
+                F.col("__r").alias("_ord"),
+                "value",
+                *keeps,
+            )
+        )
         return self._post(out)
 
 

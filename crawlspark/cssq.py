@@ -58,8 +58,13 @@ _VOID_TAGS = frozenset(
 
 
 def _attr(attrs: str, name: str) -> str | None:
+    # anchor the attribute NAME start: without (?<![\w-]) a lookup of 'href'
+    # would match inside 'data-href' / 'xhref' and return the wrong value
     m = re.search(
-        name + r"""\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", attrs, re.IGNORECASE
+        r"(?<![\w-])" + re.escape(name)
+        + r"""\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""",
+        attrs,
+        re.IGNORECASE,
     )
     if not m:
         return None
@@ -103,14 +108,24 @@ def find_elements(source: str, sel: str) -> list[tuple[str, str, str]]:
     (tag, attrs-string, inner-source).  Descendant chains search inside the
     previous level's matched elements."""
     chain = parse_selector(sel)
-    regions = [source]
+    # regions carry their absolute offset into `source` so a descendant
+    # level can dedup by element position: when nested ancestors BOTH match
+    # the previous level (e.g. 'div p' on <div><div><p>), their inner
+    # regions overlap and the same element would otherwise be returned once
+    # per ancestor; CSS (and the reference DomQuery) match each element once
+    regions: list[tuple[int, str]] = [(0, source)]
     for level, s in enumerate(chain):
-        hits: list[tuple[str, str, str]] = []
-        for region in regions:
+        hits: list[tuple[int, str, str, str, int]] = []
+        seen_pos: set[int] = set()
+        for off, region in regions:
             for m in _TAG_OPEN_RE.finditer(region):
                 tag = m.group(1)
                 if not _matches(s, tag, m.group(2)):
                     continue
+                abs_start = off + m.start()
+                if abs_start in seen_pos:
+                    continue
+                seen_pos.add(abs_start)
                 end = _element_end(region, m, tag)
                 close_len = (
                     0
@@ -118,12 +133,14 @@ def find_elements(source: str, sel: str) -> list[tuple[str, str, str]]:
                     else len(tag) + 3
                 )
                 inner = region[m.end(): max(m.end(), end - close_len)]
-                hits.append((tag, m.group(2), inner))
+                hits.append((abs_start, tag, m.group(2), inner, off + m.end()))
+        # true document order even when overlapping regions interleave
+        hits.sort(key=lambda h: h[0])
         if level < len(chain) - 1:
-            regions = [h[2] for h in hits]
+            regions = [(h[4], h[3]) for h in hits]
         else:
-            return hits
-    return hits
+            return [(t, a, i) for _p, t, a, i, _io in hits]
+    return []
 
 
 def inner_htmls(source: str, sel: str) -> list[str]:

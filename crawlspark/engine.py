@@ -285,6 +285,9 @@ def crawl_site(
     seen = spark.createDataFrame([], "seed_id LONG, id STRING").localCheckpoint(
         eager=True
     )
+    seen_ub = 0  # running upper bound on |seen| (cross-level dup ids counted
+    # twice, so the prefilter can only engage EARLY — harmless, it is exact
+    # via the anti-join backstop); avoids an O(|seen|) count job per level
     sfilter = None  # PartitionedSeenFilter once seen crosses the threshold
     out_levels: list[DataFrame] = []
     # per-seed crawled-so-far offsets (== max ord per seed): tiny relation,
@@ -336,7 +339,9 @@ def crawl_site(
                 fetched.filter("robots_allowed").withColumn(
                     "__lat", F.coalesce(F.col("p_latency"), F.lit(0))
                 ),
-                host_col="host", ord_col="ord", latency_col="__lat",
+                # ord is unique only per seed: seed_id breaks cross-seed ties
+                # deterministically when seeds share a host
+                host_col="host", ord_col=["ord", "seed_id"], latency_col="__lat",
             ).drop("__lat")
             blocked = fetched.filter(~F.col("robots_allowed"))
             for c in ("seq", "wait_ms", "fetch_start_ms", "fetch_end_ms"):
@@ -442,7 +447,8 @@ def crawl_site(
                 new_ids.select(F.xxhash64("seed_id", "id").alias("kh")), "kh"
             )
         elif cfg.prefilter_min_seen is not None:
-            if seen.count() >= cfg.prefilter_min_seen:
+            seen_ub += new_ids.count()  # O(level) job, not O(|seen|)
+            if seen_ub >= cfg.prefilter_min_seen:
                 from .seen import PartitionedSeenFilter
 
                 sfilter = PartitionedSeenFilter(

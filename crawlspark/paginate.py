@@ -279,10 +279,17 @@ class IsEmptyInJsonRule(StopRule):
         self.dot_key = dot_key
 
     def stop_col(self, body):
-        v = F.get_json_object(F.trim(body), "$." + self.dot_key)
-        return (
-            v.isNull()
-            | v.isin("", "[]", "{}", "0", "false", "null")
+        # VARIANT round-trip (parse_json -> variant_get -> to_json)
+        # disambiguates typed vs string values, which get_json_object can't:
+        # {"items": false} re-renders as false (PHP-empty) while
+        # {"items": "false"} re-renders as "false" — a non-empty string that
+        # PHP empty() keeps (the reference continues paginating on it)
+        sub = F.try_variant_get(
+            F.try_parse_json(F.trim(body)), "$." + self.dot_key, "variant"
+        )
+        r = F.to_json(sub)
+        return r.isNull() | r.isin(
+            "null", "false", "0", "0.0", '"0"', '""', "[]", "{}"
         )
 
 

@@ -59,7 +59,7 @@ class PolitenessConfig:
 def throttle_schedule(
     frontier: DataFrame,
     host_col: str = "host",
-    ord_col: str = "ord",
+    ord_col: "str | list[str]" = "ord",
     latency_col: str = "latency_ms",
     cfg: PolitenessConfig | None = None,
 ) -> DataFrame:
@@ -70,7 +70,11 @@ def throttle_schedule(
     wave start, per host).  Pure window functions — one shuffle on host.
     """
     cfg = cfg or PolitenessConfig()
-    w = Window.partitionBy(host_col).orderBy(ord_col)
+    # ord_col may be a list when a single column is not a total order within
+    # a host (e.g. multi-seed crawls where ord is only unique per seed):
+    # ties in the FIFO window would make seq/wait nondeterministic
+    ord_cols = [ord_col] if isinstance(ord_col, str) else list(ord_col)
+    w = Window.partitionBy(host_col).orderBy(*ord_cols)
     prev_lat = F.lag(latency_col).over(w)
     frm = (
         F.lit(cfg.wait_from_ms).cast("double")
@@ -141,7 +145,7 @@ def politeness_partition(
 def throttle_schedule_in_task(
     frontier: DataFrame,
     host_col: str = "host",
-    ord_col: str = "ord",
+    ord_col: "str | list[str]" = "ord",
     latency_col: str = "latency_ms",
     cfg: PolitenessConfig | None = None,
 ) -> DataFrame:
@@ -157,8 +161,9 @@ def throttle_schedule_in_task(
     df = frontier.withColumn(
         "host_bucket", host_bucket(F.col(host_col), cfg.num_buckets)
     )
+    ord_cols = [ord_col] if isinstance(ord_col, str) else list(ord_col)
     df = df.repartition(cfg.num_buckets, "host_bucket").sortWithinPartitions(
-        host_col, ord_col
+        host_col, *ord_cols
     )
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields

@@ -23,26 +23,28 @@ SMALL_LEVEL_ROWS = 250_000
 
 def global_rank(
     df: DataFrame,
-    key: str,
+    key: "str | list[str]",
     out: str = "rank",
     num_rows: int | None = None,
     partitions: int | None = None,
 ) -> DataFrame:
-    """Add 1-based dense global rank ``out`` ordered by unique column ``key``.
+    """Add 1-based dense global rank ``out`` ordered by ``key`` (one column
+    or a composite list ordered lexicographically).
 
-    Assumes ``key`` values are distinct (the BFS rank key is distinct by
+    Assumes key values are distinct (the BFS rank key is distinct by
     construction: min over a set of unique (parent_ord, pos) pairs).
     """
+    keys = [key] if isinstance(key, str) else list(key)
     if num_rows is not None and num_rows <= SMALL_LEVEL_ROWS:
-        w = Window.orderBy(key)
+        w = Window.orderBy(*keys)
         return df.withColumn(out, F.row_number().over(w).cast("long"))
 
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, F.col(key)).persist()
+    ranged = df.repartitionByRange(parts, *[F.col(k) for k in keys]).persist()
     try:
         return _with_partition_offsets(
             ranged,
-            order_cols=[key],
+            order_cols=keys,
             out=out,
             part_val=F.count(F.lit(1)),
             row_val=lambda w: F.row_number().over(w),

@@ -555,3 +555,63 @@ def test_paginate_step_query_params_mode(spark):
         .collect()
     )
     assert [r.value for r in out] == ["c0p1", "c0p2", "c1p1", "c1p2", "c1p3"]
+
+
+def test_http_crawl_multi_output_upstream_seeds_stay_scoped(spark):
+    """A multi-output upstream step (GetLinks) emits several seed rows per
+    input; each must crawl as its OWN sub-crawl with its own sameHost scope
+    — collapsing them onto one seed id leaked cross-host links (regression:
+    seed_id was _input_id, not per-row)."""
+    from crawlspark.crawler import GetLinks, HttpCrawl, HttpGet
+
+    pages = spark.createDataFrame([
+        ("http://hub.test/", 200,
+         '<a href="http://a.test/p0">a</a><a href="http://b.test/p0">b</a>'),
+        ("http://a.test/p0", 200,
+         '<a href="http://b.test/leak">x</a><a href="/p1">y</a>'),
+        ("http://a.test/p1", 200, "end"),
+        ("http://b.test/p0", 200, '<a href="/q1">z</a>'),
+        ("http://b.test/q1", 200, "end"),
+        ("http://b.test/leak", 200, "LEAKED"),
+    ], "url STRING, status INT, body STRING")
+    out = (
+        Crawler(spark).input("http://hub.test/")
+        .add_step(HttpGet(pages)).add_step(GetLinks())
+        .add_step(HttpCrawl(pages, max_depth=3))
+        .run().orderBy("ord").collect()
+    )
+    urls = [r.value.url for r in out]
+    assert "http://b.test/leak" not in urls
+    # per-seed blocks in upstream link order
+    assert urls == ["http://a.test/p0", "http://a.test/p1",
+                    "http://b.test/p0", "http://b.test/q1"]
+
+
+def test_paginate_multi_output_upstream_chains_and_keeps(spark):
+    """Several chain rows per input (GetLinks upstream) must paginate as
+    separate chains, and kept columns must re-attach per chain row without
+    row multiplication (regression: chain_id was _input_id)."""
+    from crawlspark.crawler import GetLinks, HttpGet, Keep, Paginate, Title
+
+    pages = spark.createDataFrame([
+        ("http://hub.test/", 200,
+         '<a href="http://x.test/l?p=0">x</a><a href="http://y.test/l?p=0">y</a>'),
+        ("http://x.test/l?p=0", 200,
+         '<html><head><title>x0</title></head><body>'
+         '<div class="pagination"><a href="/l?p=1">n</a></div></body></html>'),
+        ("http://x.test/l?p=1", 200,
+         "<html><head><title>x1</title></head><body></body></html>"),
+        ("http://y.test/l?p=0", 200,
+         "<html><head><title>y0</title></head><body></body></html>"),
+    ], "url STRING, status INT, body STRING")
+    out = (
+        Crawler(spark).input("http://hub.test/")
+        .add_step(HttpGet(pages)).add_step(GetLinks()).add_step(Keep("link"))
+        .add_step(Paginate(pages, ".pagination"))
+        .add_step(Title())
+        .run().orderBy("ord").collect()
+    )
+    assert [r.value for r in out] == ["x0", "x1", "y0"]
+    assert [r.link for r in out] == [
+        "http://x.test/l?p=0", "http://x.test/l?p=0", "http://y.test/l?p=0",
+    ]

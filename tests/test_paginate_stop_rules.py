@@ -289,3 +289,45 @@ def test_query_param_name_never_matches_inside_longer_name(spark):
         "http://a.test/l?perpage=10&page=1",
         "http://a.test/l?perpage=10&page=2",
     ]
+
+
+# ---- regression: cssq attribute/descendant fixes + IsEmptyInJson typing --
+
+
+def test_cssq_attr_name_anchored():
+    # 'href' must not match inside 'data-href' / 'xhref'
+    assert cssq._attr(' data-href="#wrong" href="/real"', "href") == "/real"
+    assert cssq._attr(' xhref="/no"', "href") is None
+    assert cssq._attr(' data-class="item"', "class") is None
+
+
+def test_cssq_descendant_no_duplicates_and_document_order():
+    # nested matching ancestors must yield the element ONCE (CSS semantics)
+    els = cssq.find_elements('<div><div><p class="x">t</p></div></div>', "div p")
+    assert [i for _t, _a, i in els] == ["t"]
+    src = '<div><p>a</p><div><p>b</p></div></div><div><p>c</p></div>'
+    assert [i for _t, _a, i in cssq.find_elements(src, "div p")] == ["a", "b", "c"]
+
+
+def test_is_empty_in_json_string_vs_typed(spark):
+    """PHP empty(): typed false/null/0/[] stop, but the STRINGS "false" /
+    "null" / "0.1" are non-empty and must continue (variant round-trip
+    disambiguates what get_json_object cannot)."""
+    from crawlspark.paginate import IsEmptyInJsonRule
+
+    rule = IsEmptyInJsonRule("items")
+    rows = [
+        ('{"items": false}', True), ('{"items": null}', True),
+        ('{"items": 0}', True), ('{"items": "0"}', True),
+        ('{"items": []}', True), ('{"items": {}}', True),
+        ('{"items": ""}', True), ('{"x": 1}', True),
+        ('{"items": "false"}', False), ('{"items": "null"}', False),
+        ('{"items": [0]}', False), ('{"items": "ok"}', False),
+        ('{"items": 5}', False),
+    ]
+    df = spark.createDataFrame([(b,) for b, _ in rows], "body STRING")
+    got = [
+        bool(r.s) for r in df.select(
+            rule.stop_col(F.col("body")).alias("s")).collect()
+    ]
+    assert got == [e for _, e in rows]
