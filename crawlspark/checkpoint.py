@@ -45,8 +45,14 @@ class CrawlCheckpoint:
         frontier.write.mode("overwrite").parquet(self._p("frontier", level))
         seen.write.mode("overwrite").parquet(self._p("seen", level))
         results.write.mode("overwrite").parquet(self._p("results", level))
+        from .graph import host_id_col
+
+        # host assignment comes from graph.host_id_col (single source of
+        # truth: doc % NHOSTS) — a local constant would silently diverge if
+        # NHOSTS changes and the lineage counts would stop matching the
+        # actual per-host distribution
         lineage = (
-            frontier.groupBy((F.col("doc") % 10).alias("host_bucket"))
+            frontier.groupBy(host_id_col(F.col("doc")).alias("host_bucket"))
             .agg(F.count("*").alias("rows"), F.min("ord").alias("min_ord"),
                  F.max("ord").alias("max_ord"))
         )

@@ -27,6 +27,7 @@ reference: src/Steps/Dom/Node.php:108-120).
 
 from __future__ import annotations
 
+import re
 import zlib
 from collections.abc import Iterator
 
@@ -34,6 +35,16 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# caption words split on JAVA \s (ASCII whitespace), NOT Python's Unicode
+# str.split(): the pipeline's reference-caption rederivation is a Spark
+# split(text, '\\s+') and the two must agree byte-for-byte on text
+# containing Unicode whitespace (U+00A0 etc.)
+_ASCII_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def caption_words(text: str | None) -> list[str]:
+    return [w for w in _ASCII_WS_RE.split((text or "").strip()) if w]
 
 IMAGE_SCHEMA = (
     "image_id STRING, bytes BINARY, w INT, h INT, fmt STRING, "
@@ -90,12 +101,18 @@ def fmt_for(doc_id: int) -> str:
     return FMTS[doc_id % 3]
 
 
-def generate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+def generate_images(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Build the input_hint images table deterministically from documents.
 
     One mapInPandas pass: pixel synth + encode + phash per Arrow batch; no
-    per-row Python at the DataFrame level."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    per-row Python at the DataFrame level.  Pass ``docs`` (doc_id, text) to
+    generate for a SUBSET — e.g. only crawled documents — instead of paying
+    the codec work for the whole corpus."""
+    if docs is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs.select("doc_id", "text")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -105,16 +122,17 @@ def generate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = dims_for(doc_id)
                 fmt = fmt_for(doc_id)
                 px = _pixels(doc_id, w, h)
-                caption = " ".join((text or "").split()[:CAPTION_WORDS])
+                caption = " ".join(caption_words(text)[:CAPTION_WORDS])
+                enc = _encode(px, fmt)  # once: encode dominates the loop
                 rows.append(
                     {
                         "image_id": f"img-{doc_id}",
-                        "bytes": _encode(px, fmt),
+                        "bytes": enc,
                         "w": w,
                         "h": h,
                         "fmt": fmt,
                         "caption": caption,
-                        "phash": _phash64(px if fmt == "png" else _decode(_encode(px, fmt), w, h)),
+                        "phash": _phash64(px if fmt == "png" else _decode(enc, w, h)),
                     }
                 )
             yield pd.DataFrame(rows)
@@ -167,18 +185,28 @@ def phash_hamming(a, b):
 
 
 def near_dup_images_by_phash(images: DataFrame, max_dist: int = 6) -> DataFrame:
-    """Near-duplicate image pairs by phash hamming distance, banded:
-    join on 16-bit phash bands first (LSH-style) to avoid the full cross
-    product, then verify distance."""
+    """Near-duplicate image pairs by phash hamming distance, banded with
+    EXACT recall: the 64 bits split into max_dist+1 bands, so by pigeonhole
+    any pair within max_dist differs in at most max_dist bands and must
+    share at least one band verbatim — every qualifying pair enters the
+    candidate join (a fixed 4x16-bit banding only guaranteed recall for
+    distance <= 3).  Candidates then verify the true distance."""
+    nb = max_dist + 1
+    widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
+    starts = [sum(widths[:i]) for i in range(nb)]
     bands = [
-        (F.shiftrightunsigned(F.col("phash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(
-            f"b{i}"
-        )
-        for i in range(4)
+        (
+            F.shiftrightunsigned(F.col("phash"), starts[i]).bitwiseAND(
+                # width 64 (max_dist=0, single band): mask is all-ones, and
+                # (1<<64)-1 overflows a JVM long — use -1 (same bit pattern)
+                F.lit((1 << widths[i]) - 1 if widths[i] < 64 else -1)
+            )
+        ).alias(f"b{i}")
+        for i in range(nb)
     ]
     withb = images.select("image_id", "phash", *bands)
     pairs = None
-    for i in range(4):
+    for i in range(nb):
         a = withb.select(
             F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a"),
             F.col(f"b{i}").alias("band"),
@@ -256,16 +284,17 @@ def generate_images_virtual(spark: SparkSession, n: int) -> DataFrame:
                 w, h = dims_for(doc_id)
                 fmt = fmt_for(doc_id)
                 px = _pixels(doc_id, w, h)
+                enc = _encode(px, fmt)  # once: encode dominates the loop
                 rows.append(
                     {
                         "image_id": f"img-{doc_id}",
-                        "bytes": _encode(px, fmt),
+                        "bytes": enc,
                         "w": w,
                         "h": h,
                         "fmt": fmt,
                         "caption": f"virtual image {doc_id}",
                         "phash": _phash64(
-                            px if fmt == "png" else _decode(_encode(px, fmt), w, h)
+                            px if fmt == "png" else _decode(enc, w, h)
                         ),
                     }
                 )

@@ -51,7 +51,14 @@ def crawl_to_image_table(
     crawled = crawled.withColumn(
         "doc_id", F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
     )
-    payload = images.generate_images(spark, sf_dir)
+    # generate payloads ONLY for crawled documents (left-semi before the
+    # codec stage): a shallow crawl over a huge corpus must not pay the
+    # encode/decode/phash work for rows the final inner join would discard
+    all_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    crawled_docs = all_docs.join(
+        crawled.select("doc_id"), "doc_id", "left_semi"
+    )
+    payload = images.generate_images(spark, sf_dir, docs=crawled_docs)
     checks = images.validate_images(payload).select(
         "image_id", "psnr_mdb", "lossless_ok", "phash_match"
     )
@@ -67,17 +74,21 @@ def crawl_to_image_table(
     )
     # caption invariant: exact equality vs the reference derivation
     # (first CAPTION_WORDS whitespace-normalized words of the document)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = all_docs.select(
         "doc_id",
         F.array_join(
             F.slice(F.split(F.trim("text"), r"\s+"), 1, images.CAPTION_WORDS), " "
         ).alias("ref_caption"),
     )
     joined = crawled.join(validated, "doc_id").join(docs, "doc_id")
+    # NULL-safe: a NULL text makes ref_caption NULL and '' == NULL is NULL
+    # under three-valued logic — such a row must land in the quarantine
+    # bucket, not vanish from both filters
+    caption_ok = F.coalesce(F.col("caption") == F.col("ref_caption"), F.lit(False))
     return joined.select(
         *RESULT_SCHEMA_COLS,
-        valid.alias("valid"),
-        (F.col("caption") == F.col("ref_caption")).alias("caption_ok"),
+        F.coalesce(valid, F.lit(False)).alias("valid"),
+        caption_ok.alias("caption_ok"),
         "psnr_mdb",
     )
 

@@ -248,24 +248,31 @@ class CuckooFilter:
 # applyInPandas, probed inside mapInPandas, exact anti-join backstop
 # --------------------------------------------------------------------------
 
-FILTER_STATE_SCHEMA = "bucket INT, state BINARY, n_keys LONG"
+FILTER_STATE_SCHEMA = (
+    "bucket INT, state BINARY, n_keys LONG, saturated BOOLEAN"
+)
 
 
 def build_partitioned_cuckoo(
     seen: DataFrame, key: str, bucket_col: str, capacity_per_bucket: int = 1 << 20
 ) -> DataFrame:
     """One cuckoo filter per bucket (serialized state rows) — this is the
-    seen-filter state the lineage table snapshots for resume."""
+    seen-filter state the lineage table snapshots for resume.  A bucket
+    whose keys overflow the filter (insert kicks exhausted) is marked
+    ``saturated``: the probe must treat it as all-maybe so the exact
+    anti-join backstop covers it — silently ignoring the overflow would be
+    a FALSE NEGATIVE (an already-seen URL re-emitted)."""
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        cf = CuckooFilter(capacity=max(len(pdf) * 2, 1024))
-        keys = pdf[key].to_numpy(dtype=np.int64).view(np.uint64)
-        cf.insert_batch(keys)
+        cf = CuckooFilter(capacity=max(min(len(pdf) * 2, capacity_per_bucket), 1024))
+        keys = np.unique(pdf[key].to_numpy(dtype=np.int64).view(np.uint64))
+        placed = cf.insert_batch(keys)
         return pd.DataFrame(
             {
                 "bucket": [int(pdf[bucket_col].iloc[0])],
                 "state": [cf.to_bytes()],
                 "n_keys": [len(pdf)],
+                "saturated": [bool(placed < len(keys))],
             }
         )
 
@@ -285,7 +292,9 @@ def cuckoo_prefiltered_antijoin(
     Exact by construction (cuckoo has no false negatives)."""
     spark = frontier.sparkSession
     states = build_partitioned_cuckoo(seen, key, bucket_col).collect()
-    bc = spark.sparkContext.broadcast({r["bucket"]: bytes(r["state"]) for r in states})
+    bc = spark.sparkContext.broadcast(
+        {r["bucket"]: (bytes(r["state"]), bool(r["saturated"])) for r in states}
+    )
 
     def probe(batches):
         filters: dict[int, CuckooFilter] = {}
@@ -294,9 +303,14 @@ def cuckoo_prefiltered_antijoin(
                 continue
             maybe = np.zeros(len(pdf), dtype=bool)
             for b, idx in pdf.groupby(bucket_col).groups.items():
-                blob = bc.value.get(int(b))
-                if blob is None:
+                entry = bc.value.get(int(b))
+                if entry is None:
                     maybe[pdf.index.get_indexer(idx)] = False  # empty bucket: new
+                    continue
+                blob, saturated = entry
+                if saturated:
+                    # overflowed filter: all-maybe, exact backstop decides
+                    maybe[pdf.index.get_indexer(idx)] = True
                     continue
                 if int(b) not in filters:
                     filters[int(b)] = CuckooFilter.from_bytes(blob)
@@ -429,7 +443,9 @@ class PartitionedSeenFilter:
     def flag_maybe(self, frontier: DataFrame, key: str) -> DataFrame:
         """Cogroup probe: frontier + ``__maybe`` (false = provably unseen).
         One shuffle of the frontier on the bucket key; states co-partition."""
-        fb = frontier.withColumn("bucket", self.bucket_col(key))
+        # collision-safe working column: a frontier that already carries a
+        # 'bucket' column (host-bucketed candidates) must pass through intact
+        fb = frontier.withColumn("__seen_bucket", self.bucket_col(key))
 
         def probe(kt, rows, state):
             # Arrow-native: passthrough columns append the verdict column
@@ -474,10 +490,10 @@ class PartitionedSeenFilter:
             f"{f.name} {f.dataType.simpleString()}" for f in fb.schema.fields
         ) + ", __maybe BOOLEAN"
         return (
-            fb.groupBy("bucket")
+            fb.groupBy("__seen_bucket")
             .cogroup(self.states.groupBy("bucket"))
             .applyInArrow(probe, schema)
-            .drop("bucket")
+            .drop("__seen_bucket")
         )
 
     def prefiltered_antijoin(self, frontier: DataFrame, seen: DataFrame,

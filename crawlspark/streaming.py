@@ -34,17 +34,20 @@ def frontier_ingest(
 ) -> DataFrame:
     """Canonicalize -> fingerprint -> in-watermark exact dedup.
 
-    ``dropDuplicates`` keyed on url_hash with an event-time watermark bounds
-    the streaming state — the cross-batch seen-set stays in the batch-side
-    anti-join (the stream only removes the duplicate storm around discovery
-    time, which is where almost all dupes occur)."""
+    ``dropDuplicatesWithinWatermark`` keyed on url_hash bounds the streaming
+    state: Spark evicts a key's dedup state once the watermark passes it.
+    (Plain ``dropDuplicates`` on a non-event-time subset keeps EVERY key
+    forever even under withWatermark — unbounded state at 10^10 URLs.)  The
+    cross-batch seen-set stays in the batch-side anti-join; the stream only
+    removes the duplicate storm around discovery time, which is where almost
+    all dupes occur."""
     out = (
         links.withColumn("url_norm", canonicalize_expr(F.col("url")))
         .withColumn("url_hash", url_hash(F.col("url_norm")))
         .withColumn("host", F.parse_url("url_norm", F.lit("HOST")))
         .withColumn("host_bucket", host_bucket(F.col("host"), num_buckets))
         .withWatermark("discovered_at", watermark)
-        .dropDuplicates(["url_hash"])
+        .dropDuplicatesWithinWatermark(["url_hash"])
     )
     return out
 

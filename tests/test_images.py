@@ -89,3 +89,27 @@ def test_codec_roundtrip_fused(spark):
         f = rows[r.image_id]
         assert (f.psnr_mdb, f.lossless_ok) == (r.psnr_mdb, r.lossless_ok)
         assert f.phash == gen[r.image_id].phash  # same decoded-pixel hash
+
+
+def test_near_dup_phash_recall_across_bands(spark):
+    """Pigeonhole banding (max_dist+1 bands) must find a pair whose
+    differing bits land in DIFFERENT 16-bit quarters — the old fixed 4-band
+    join missed any pair with >= 1 differing bit per band (regression)."""
+    # distance 4: one bit flipped in each 16-bit quarter
+    a = 0x0123456789ABCDEF
+    b = a ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))
+    df = spark.createDataFrame(
+        [("ia", a - (1 << 64) if a >= 1 << 63 else a),
+         ("ib", b - (1 << 64) if b >= 1 << 63 else b)],
+        "image_id STRING, phash LONG",
+    )
+    pairs = images.near_dup_images_by_phash(df, max_dist=6).collect()
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 4
+
+
+def test_caption_words_ascii_whitespace_only():
+    """caption_words must match Java \\s (the Spark rederivation in the
+    pipeline): U+00A0 is NOT a separator on either side."""
+    assert images.caption_words("foo bar baz") == ["foo bar", "baz"]
+    assert images.caption_words("  a\tb\nc  ") == ["a", "b", "c"]
+    assert images.caption_words(None) == []

@@ -46,3 +46,25 @@ def test_pipeline_provenance_matches_crawl(spark, tmp_path):
     crawled = {(r.url, r.depth, r.ord) for r in crawl_bfs(spark, SF, cfg).collect()}
     got = {(r.url, r.depth, r.ord) for r in table.collect()}
     assert got == crawled  # one payload row per crawled page, same provenance
+
+
+def test_pipeline_null_text_quarantined_not_dropped(spark, tmp_path):
+    """NULL document text makes ref_caption NULL; under three-valued logic
+    '' == NULL is NULL and the row used to vanish from BOTH the landed and
+    quarantine filters (regression).  It must quarantine, and the metric
+    counts must sum."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.pipeline import run_pipeline
+
+    docs = spark.range(0, 30).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("word "), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    sf = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    m = run_pipeline(spark, sf, str(tmp_path / "out"), CrawlConfig(max_depth=3))
+    assert m["crawled"] == m["landed"] + m["quarantined"]
+    assert m["quarantined"] > 0  # the NULL-text docs

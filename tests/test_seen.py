@@ -63,3 +63,46 @@ def test_partitioned_cuckoo_prefiltered_antijoin(spark):
         r.k for r in cuckoo_prefiltered_antijoin(frontier, seen, "k", "bucket").collect()
     )
     assert got == sorted(i for i in range(8000) if i % 3 != 0)
+
+
+def test_build_partitioned_cuckoo_saturation_stays_exact(spark):
+    """A bucket whose keys overflow capacity_per_bucket must mark saturated
+    and fall back to the exact anti-join — never emit a seen key as new
+    (regression: overflow was silently ignored -> false negatives)."""
+    from crawlspark.seen import build_partitioned_cuckoo, cuckoo_prefiltered_antijoin
+
+    seen = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("bucket")
+    )
+    states = {
+        r["bucket"]: r for r in build_partitioned_cuckoo(
+            seen, "k", "bucket", capacity_per_bucket=1 << 10
+        ).collect()
+    }
+    assert all(r["saturated"] for r in states.values())  # 2500 keys >> 1024
+    frontier = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("bucket")
+    )
+    got = sorted(
+        r.k for r in cuckoo_prefiltered_antijoin(
+            frontier, seen, "k", "bucket"
+        ).collect()
+    )
+    assert got == list(range(5000, 10000))  # exact despite saturation
+
+
+def test_flag_maybe_preserves_caller_bucket_column(spark):
+    """A frontier already carrying a 'bucket' column must pass through the
+    probe intact (regression: the working column shadowed and dropped it)."""
+    from crawlspark.seen import PartitionedSeenFilter
+
+    f = PartitionedSeenFilter(spark, num_buckets=4, capacity_per_bucket=1 << 12)
+    f.update(spark.range(0, 100).select(F.col("id").alias("k")), "k")
+    frontier = spark.range(50, 150).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("bucket")
+    )
+    out = f.flag_maybe(frontier, "k")
+    assert "bucket" in out.columns
+    rows = {r["k"]: (r["bucket"], r["__maybe"]) for r in out.collect()}
+    assert all(rows[k][0] == k % 7 for k in range(50, 150))  # intact values
+    assert all(rows[k][1] for k in range(50, 100))  # seen -> maybe
