@@ -97,11 +97,14 @@ def _canon_py(u: str, keep_fragment: bool) -> str:
 
     try:
         parts = urlsplit(u)
+        # .port defers validation: a malformed port ('http://h:abc/',
+        # 'http://h:99999/') raises HERE, not at urlsplit — one bad crawled
+        # link must not kill the whole Arrow batch/task
+        port = parts.port
     except ValueError:
         return u
     scheme = parts.scheme.lower()
     host = (parts.hostname or "").lower()
-    port = parts.port
     netloc = host
     if port is not None and str(port) != DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{host}:{port}"

@@ -68,6 +68,19 @@ class CrawlCheckpoint:
         filter instead of rebuilding it from the full seen set."""
         states.write.mode("overwrite").parquet(self._p("seen_filter", level))
 
+    def save_deferred(self, level: int, deferred: DataFrame) -> None:
+        """Snapshot the per-host backlog (max_per_host_per_level excess)
+        pending for the NEXT level: without it a crash+resume silently
+        drops those URLs while an uninterrupted run would crawl them."""
+        deferred.write.mode("overwrite").parquet(self._p("deferred", level))
+
+    def load_deferred(self, spark: SparkSession, level: int) -> DataFrame | None:
+        path = self._p("deferred", level)
+        if not os.path.exists(path):
+            return None
+        df = spark.read.parquet(path)
+        return df if df.limit(1).count() else None
+
     # -- read ---------------------------------------------------------------
     def load_filter_states(self, spark: SparkSession, level: int) -> DataFrame | None:
         path = self._p("seen_filter", level)

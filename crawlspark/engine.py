@@ -65,6 +65,10 @@ class SiteCrawlConfig:
     input_is_sitemap: bool = False
     max_outputs: int | None = None
     user_agent_is_bot: bool = True
+    # crawler UA string for robots GROUP selection (Google semantics: the
+    # group whose token appears in the UA, longest wins; '*' fallback).
+    # None = every group applies (merged per host).
+    user_agent: str | None = None
     # yield 4xx/5xx responses too (reference Http step suppresses >=400
     # unless yieldErrorResponses(), HttpBase.php:260-277)
     yield_error_responses: bool = False
@@ -179,6 +183,20 @@ def _path_of(c: Column) -> Column:
     return F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit("/"))
 
 
+def _robots_path_of(c: Column) -> Column:
+    """Path for ROBOTS matching: path + '?query' when a query is present —
+    Google robots semantics match patterns like 'Disallow: /*?sessionid='
+    against path+query, while the crawl-scope path filters use the bare
+    path (reference pathStartsWith on Url::path)."""
+    q = F.parse_url(c, F.lit("QUERY"))
+    return F.concat(
+        _path_of(c),
+        F.when(q.isNotNull() & (q != ""), F.concat(F.lit("?"), q)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
 def _host_of(c: Column) -> Column:
     return F.lower(F.parse_url(c, F.lit("HOST")))
 
@@ -271,7 +289,7 @@ def crawl_site(
             "url",
             _strip_frag(F.col("url")).alias("fetch_url"),
             _host_of(F.col("url")).alias("host"),
-            _path_of(F.col("url")).alias("path"),
+            _robots_path_of(F.col("url")).alias("path"),
             F.lit(1).cast("long").alias("ord"),
             F.lit(0).cast("long").alias("depth"),
             (
@@ -300,7 +318,8 @@ def crawl_site(
 
     while True:
         f = with_robots_allowed(
-            frontier, robots, user_agent_is_bot=cfg.user_agent_is_bot
+            frontier, robots, user_agent_is_bot=cfg.user_agent_is_bot,
+            user_agent=cfg.user_agent,
         )
         fetched = f.join(closure, "fetch_url", "left").withColumn(
             "final_fetch", F.coalesce(F.element_at("chain", -1), F.col("fetch_url"))
@@ -408,6 +427,28 @@ def crawl_site(
             )
         )
         lvl = lvl.localCheckpoint(eager=True)
+        if cfg.max_outputs is not None:
+            # cap THIS level's yields in crawl order too — the reference
+            # stops mid-iteration the moment maxOutputs is reached
+            # (HttpCrawl.php:171-175), so the SEED level must not yield all
+            # seeds when max_outputs < #seeds (budget checks between levels
+            # alone overshoot)
+            from .ranks import global_prefix_sum
+
+            remaining = cfg.max_outputs - yielded_total
+            n_lvl = lvl.count()
+            order_cols = ["ord"] if single_seed else ["seed_id", "ord"]
+            lvl = (
+                global_prefix_sum(
+                    lvl.withColumn("__y", F.col("yielded").cast("int")),
+                    order_cols, "__y", out="__y_before", num_rows=n_lvl,
+                )
+                .withColumn(
+                    "yielded",
+                    F.col("yielded") & (F.col("__y_before") < remaining),
+                )
+                .drop("__y", "__y_before")
+            )
         out_cols = [
             "seed_id", "url", "effective_url", "host", "depth", "ord",
             "loaded", "yielded",
@@ -561,7 +602,7 @@ def crawl_site(
             "url",
             _strip_frag(F.col("url")).alias("fetch_url"),
             _host_of(F.col("url")).alias("host"),
-            _path_of(F.col("url")).alias("path"),
+            _robots_path_of(F.col("url")).alias("path"),
             "ord",
             F.lit(depth).cast("long").alias("depth"),
             "yield_flag",

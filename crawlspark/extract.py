@@ -49,14 +49,20 @@ LINK_SCHEMA = ArrayType(
     )
 )
 
+# attribute VALUES may be quoted or unquoted (<a href=/about> is valid and
+# common in minified HTML); the quoted alternative is tried first
 _A_RE = re.compile(
-    r"<a\s[^>]*?href\s*=\s*([\"'])(.*?)\1[^>]*>(.*?)</a>",
+    r"<a\s[^>]*?href\s*=\s*(?:([\"'])(.*?)\1|([^\s>]+))[^>]*>(.*?)</a>",
     re.IGNORECASE | re.DOTALL,
 )
-_BASE_RE = re.compile(r"<base\s[^>]*?href\s*=\s*([\"'])(.*?)\1", re.IGNORECASE)
+_BASE_RE = re.compile(
+    r"<base\s[^>]*?href\s*=\s*(?:([\"'])(.*?)\1|([^\s>]+))", re.IGNORECASE
+)
 _CANONICAL_RE = re.compile(
-    r"<link\s[^>]*?rel\s*=\s*([\"'])canonical\1[^>]*?href\s*=\s*([\"'])(.*?)\2"
-    r"|<link\s[^>]*?href\s*=\s*([\"'])(.*?)\4[^>]*?rel\s*=\s*([\"'])canonical\6",
+    r"<link\s[^>]*?rel\s*=\s*([\"'])?canonical\1?[^>]*?href\s*=\s*"
+    r"(?:([\"'])(.*?)\2|([^\s>]+))"
+    r"|<link\s[^>]*?href\s*=\s*(?:([\"'])(.*?)\5|([^\s>]+))"
+    r"[^>]*?rel\s*=\s*([\"'])?canonical\8?",
     re.IGNORECASE,
 )
 _TAG_RE = re.compile(r"<[^>]+>")
@@ -64,8 +70,8 @@ _WS_RE = re.compile(r"\s+")
 _LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.IGNORECASE | re.DOTALL)
 _TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
 _META_RE = re.compile(
-    r"<meta\s[^>]*?(?:name|property)\s*=\s*([\"'])(.*?)\1[^>]*?"
-    r"content\s*=\s*([\"'])(.*?)\3",
+    r"<meta\s[^>]*?(?:name|property)\s*=\s*(?:([\"'])(.*?)\1|([^\s>]+))[^>]*?"
+    r"content\s*=\s*(?:([\"'])(.*?)\4|([^\s>]+))",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -82,7 +88,8 @@ def _extract_links_one(body: str) -> list[dict]:
         return []
     out = []
     for i, m in enumerate(_A_RE.finditer(body)):
-        out.append({"href": m.group(2), "text": normalize_text(m.group(3)), "pos": i})
+        href = m.group(2) if m.group(2) is not None else m.group(3)
+        out.append({"href": href, "text": normalize_text(m.group(4)), "pos": i})
     return out
 
 
@@ -97,7 +104,9 @@ def extract_base_href_udf(bodies: pd.Series) -> pd.Series:
         if not b:
             return None
         m = _BASE_RE.search(b)
-        return m.group(2) if m else None
+        if not m:
+            return None
+        return m.group(2) if m.group(2) is not None else m.group(3)
 
     return bodies.map(one)
 
@@ -110,7 +119,10 @@ def extract_canonical_udf(bodies: pd.Series) -> pd.Series:
         m = _CANONICAL_RE.search(b)
         if not m:
             return None
-        return m.group(3) if m.group(3) is not None else m.group(5)
+        for g in (3, 4, 6, 7):
+            if m.group(g) is not None:
+                return m.group(g)
+        return None
 
     return bodies.map(one)
 
@@ -131,7 +143,11 @@ def extract_meta_udf(bodies: pd.Series) -> pd.Series:
     def one(b):
         if not b:
             return {}
-        return {m.group(2): m.group(4) for m in _META_RE.finditer(b)}
+        return {
+            (m.group(2) if m.group(2) is not None else m.group(3)):
+            (m.group(5) if m.group(5) is not None else m.group(6))
+            for m in _META_RE.finditer(b)
+        }
 
     return bodies.map(one)
 

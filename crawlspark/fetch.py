@@ -157,6 +157,12 @@ class UrllibTransport:
                 status=e.code, body=b"", effective_url=url,
                 retry_after_s=int(ra) if ra and ra.isdigit() else None,
             )
+        except (urllib.error.URLError, OSError, TimeoutError):
+            # DNS failure / refused connection / socket timeout: the
+            # reference loader turns these into error responses via its
+            # onError hook (Loader.php:86-118) — one dead URL must not
+            # kill the whole mapInPandas task.  status 0 = network error.
+            return FetchResult(status=0, body=b"", effective_url=url)
 
 
 class FetchMetrics:
@@ -204,7 +210,18 @@ def fetch_stage(
         host_col="host", priority_col="priority", ts_col="crawl_ts", cfg=cfg,
     )
     min_wait_s = cfg.min_wait_ms / 1000.0
-    factor = cfg.wait_factor
+    max_wait_s = cfg.max_wait_ms / 1000.0 if cfg.max_wait_ms is not None else None
+    f_from, f_to, point = cfg.wait_factor, cfg.wait_to_factor, cfg.wait_point
+    fix_from_s = cfg.wait_from_ms / 1000.0 if cfg.wait_from_ms is not None else None
+    fix_to_s = cfg.wait_to_ms / 1000.0 if cfg.wait_to_ms is not None else None
+
+    def _wait_s(prev_dur: float) -> float:
+        # same formula as throttle_schedule (full Throttler surface:
+        # fixed-or-multiple from/to, deterministic point, min/max clamps)
+        frm = fix_from_s if fix_from_s is not None else f_from * prev_dur
+        to = fix_to_s if fix_to_s is not None else f_to * prev_dur
+        w = max(min_wait_s, frm + point * (to - frm))
+        return min(max_wait_s, w) if max_wait_s is not None else w
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         transport = transport_factory()
@@ -220,7 +237,7 @@ def fetch_stage(
                 # throttle: wait max(min_wait, factor*last_duration) since
                 # the host's previous fetch finished (Throttler.php:125-197)
                 if host in last_end:
-                    wait = max(min_wait_s, factor * last_dur.get(host, 0.0))
+                    wait = _wait_s(last_dur.get(host, 0.0))
                     pace = r.pace_factor if hasattr(r, "pace_factor") else 1
                     remaining = last_end[host] + wait * pace - now
                     if remaining > 0:
@@ -236,8 +253,13 @@ def fetch_stage(
                 req_body = getattr(r, "req_body", None)
                 if req_body is not None and not isinstance(req_body, bytes):
                     req_body = bytes(req_body)
-                t0 = time.monotonic()
+                # time each ATTEMPT separately: the throttle multiple and
+                # elapsed_ms reflect the final response duration, not the
+                # 10s/60s retry backoff sleeps (a 429 sequence would
+                # otherwise inflate the next same-host wait to ~70s)
+                a0 = time.monotonic()
                 res = caller(r.url, cookie_header, method, req_body)
+                a1 = time.monotonic()
                 attempts = 1
                 # 429/503 retry with backoff; abort row after 2 retries
                 for wait_ms in retry_waits_ms:
@@ -246,18 +268,19 @@ def fetch_stage(
                     ra = res.retry_after_s
                     w = min(ra, 60) if ra else wait_ms / 1000.0
                     sleep(w)
+                    a0 = time.monotonic()
                     res = caller(r.url, cookie_header, method, req_body)
+                    a1 = time.monotonic()
                     attempts += 1
-                t1 = time.monotonic()
                 if metrics is not None:
                     metrics.attempted.add(1)
                     metrics.retries.add(attempts - 1)
-                    if res.status >= 400:
+                    if res.status >= 400 or res.status == 0:
                         metrics.errored.add(1)
                     else:
                         metrics.succeeded.add(1)
-                last_end[host] = t1
-                last_dur[host] = t1 - t0
+                last_end[host] = a1
+                last_dur[host] = a1 - a0
                 for sc in getattr(res, "set_cookies", ()) or ():
                     kv = sc.split(";", 1)[0]
                     if "=" in kv:
@@ -271,7 +294,7 @@ def fetch_stage(
                         "status": int(res.status),
                         "body": res.body,
                         "effective_url": res.effective_url,
-                        "elapsed_ms": int((t1 - t0) * 1000),
+                        "elapsed_ms": int((a1 - a0) * 1000),
                         "attempts": attempts,
                     }
                 )

@@ -124,12 +124,16 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
         ckpt = CrawlCheckpoint(cfg.checkpoint_dir)
 
     resumed_results = None
+    resumed_deferred = None
     if ckpt and cfg.resume and (meta := ckpt.latest()) is not None:
         depth = int(meta["level"])
         base = int(meta["base_ord"])
         frontier = ckpt.load_frontier(spark, depth).localCheckpoint(eager=True)
         seen = ckpt.load_seen(spark, depth).localCheckpoint(eager=True)
         resumed_results = ckpt.load_results(spark, depth)
+        resumed_deferred = ckpt.load_deferred(spark, depth)
+        if resumed_deferred is not None:
+            resumed_deferred = resumed_deferred.localCheckpoint(eager=True)
         levels: list[DataFrame] = []
         budget_hit = cfg.max_outputs is not None and base >= cfg.max_outputs
     else:
@@ -146,9 +150,19 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
                 )
                 .localCheckpoint(eager=True)
             )
+        if cfg.max_outputs is not None and cfg.num_seeds > cfg.max_outputs:
+            # the reference stops the moment maxOutputs is reached — the
+            # seed level itself must truncate, not emit every seed
+            frontier = frontier.filter(
+                F.col("ord") <= cfg.max_outputs
+            ).localCheckpoint(eager=True)
         seen = frontier.select("doc").localCheckpoint(eager=True)
         levels = [frontier.withColumn("depth", F.lit(0).cast("long"))]
-        base = cfg.num_seeds  # rows crawled so far == max ord
+        base = (
+            cfg.num_seeds
+            if cfg.max_outputs is None
+            else min(cfg.num_seeds, cfg.max_outputs)
+        )
         budget_hit = cfg.max_outputs is not None and base >= cfg.max_outputs
         depth = 0
         if ckpt:
@@ -177,7 +191,7 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
                 capacity_per_bucket=int(meta["prefilter_capacity"]),
             )
 
-    deferred: DataFrame | None = None
+    deferred: DataFrame | None = resumed_deferred
     while not budget_hit and depth < cfg.max_depth:
         depth += 1
         if (
@@ -254,6 +268,15 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
                 lvl_meta["prefilter_buckets"] = sfilter.num_buckets
                 lvl_meta["prefilter_capacity"] = sfilter.capacity
                 ckpt.save_filter_states(depth, sfilter.states)
+            if deferred is not None:
+                # the backlog pending for the NEXT level is part of this
+                # level's state — resume must drain it, not drop it
+                ckpt.save_deferred(depth, deferred)
+            else:
+                ckpt.save_deferred(
+                    depth,
+                    spark.createDataFrame([], "doc LONG, rk LONG"),
+                )
             ckpt.save_level(depth, frontier, seen, level_rows, lvl_meta)
 
     if deferred is not None and (n_dropped := deferred.count()) > 0:

@@ -118,7 +118,10 @@ def _make_pagination_links_udf(selector: str):
             if body is None:
                 return []
             bm = extract._BASE_RE.search(body)
-            base = bm.group(2) if bm else None
+            base = (
+                (bm.group(2) if bm.group(2) is not None else bm.group(3))
+                if bm else None
+            )
             hrefs = cssq.pagination_link_hrefs(body, selector)
             out, seen_local = [], set()
             for h in hrefs:

@@ -40,8 +40,15 @@ def _wildcard_matches(pattern: Column, path: Column) -> Column:
             F.when(loc > 0, loc + F.length(seg)).otherwise(F.lit(-1))
         )
 
+    def _mid(arr):
+        # drop EMPTY segments (consecutive '**', leading/trailing '*'):
+        # '*' already spans anything, and locate('', path, acc) returns 1 in
+        # Spark — an empty segment would RESET the fold position and make
+        # '/abc**a' match '/abc'
+        return F.filter(arr, lambda s: s != "")
+
     pos = F.aggregate(
-        F.slice(segs, F.lit(2), F.greatest(F.size(segs) - 1, F.lit(0))),
+        _mid(F.slice(segs, F.lit(2), F.greatest(F.size(segs) - 1, F.lit(0)))),
         init.cast("int"), step,
     )
     matched = pos > 0
@@ -53,7 +60,7 @@ def _wildcard_matches(pattern: Column, path: Column) -> Column:
     # segment too would reject e.g. '/a*b$' on '/axbyb', where only the
     # final 'b' occurrence anchors)
     pos_mid = F.aggregate(
-        F.slice(segs, F.lit(2), F.greatest(nseg - 2, F.lit(0))),
+        _mid(F.slice(segs, F.lit(2), F.greatest(nseg - 2, F.lit(0)))),
         init.cast("int"), step,
     )
     anchored_match = F.when(nseg == 1, path == body).otherwise(
@@ -95,16 +102,35 @@ def with_robots_allowed(
     user_agent_is_bot: bool = True,
     ignore_wildcard_rules: bool = False,
     out: str = "robots_allowed",
+    user_agent: str | None = None,
 ) -> DataFrame:
     """Add boolean ``robots_allowed``; broadcast-joins the rules table.
     ``ignore_wildcard_rules`` mirrors RobotsTxtHandler::ignoreWildcardRules
-    (skip ``*``/``$`` rules entirely)."""
+    (skip ``*``/``$`` rules entirely).
+
+    ``user_agent`` selects the applicable rule GROUP per host (Google
+    robots semantics): groups whose user-agent token appears in the
+    crawler's UA string, most-specific (longest token) wins; '*' is the
+    fallback.  With ``user_agent=None`` every group applies.  Either way
+    the rules collapse to ONE row per host before the join — a host with
+    several user-agent groups must not duplicate frontier rows."""
     if robots is None or not user_agent_is_bot:
         return frontier.withColumn(out, F.lit(True))
-    rules = robots.select(
-        F.col("host").alias("__r_host"),
-        F.col("disallow_prefixes").alias("__dis"),
-        F.col("allow_prefixes").alias("__alw"),
+    r = robots
+    if user_agent is not None:
+        ual = user_agent.lower()
+        spec = F.when(F.col("user_agent") == "*", F.lit(0)).otherwise(
+            F.when(
+                F.lit(ual).contains(F.lower(F.col("user_agent"))),
+                F.length("user_agent"),
+            ).otherwise(F.lit(-1))
+        )
+        r = r.withColumn("__spec", spec).filter(F.col("__spec") >= 0)
+        mx = r.groupBy("host").agg(F.max("__spec").alias("__mx"))
+        r = r.join(mx, "host").filter(F.col("__spec") == F.col("__mx"))
+    rules = r.groupBy(F.col("host").alias("__r_host")).agg(
+        F.flatten(F.collect_list("disallow_prefixes")).alias("__dis"),
+        F.flatten(F.collect_list("allow_prefixes")).alias("__alw"),
     )
     joined = frontier.join(
         F.broadcast(rules), frontier[host_col] == F.col("__r_host"), "left"

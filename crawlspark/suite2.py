@@ -12,7 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import graph
+from . import graph, robots
 from . import paginate as _paginate
 
 _CHAINS = 40
@@ -274,6 +274,70 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# robots.txt: user-agent group selection + Google wildcard patterns
+# --------------------------------------------------------------------------
+
+def q_robots_ua_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host robots GROUP selection (RobotsTxtHandler.php:43-97 delegates
+    to crwlr/robots-txt group matching; Google semantics: the group whose
+    user-agent token appears in the crawler's UA wins, longest token first,
+    '*' as fallback).  Every host publishes three groups — '*' (blocks all
+    /d/), 'spark' (blocks /x/), and 'crawlspark' (blocks /d/<host-digit>) —
+    and the crawler UA contains both tokens, so the LONGEST ('crawlspark')
+    must be the one applied: /x/ pages come back allowed, /d/ pages are
+    blocked only when the doc id starts with its host digit."""
+    pages = graph.pages(spark, sf_dir).withColumn(
+        "path", F.parse_url(F.col("url"), F.lit("PATH"))
+    )
+    rows = []
+    for hid in range(graph.NHOSTS):
+        h = f"h{hid}.{graph.DOMAIN}"
+        rows.append((h, "*", ["/d/"], [], []))
+        rows.append((h, "spark", ["/x/"], [], []))
+        rows.append((h, "crawlspark", [f"/d/{hid}"], [], []))
+    rules = spark.createDataFrame(rows, robots.ROBOTS_SCHEMA)
+    out = robots.with_robots_allowed(
+        pages, rules,
+        user_agent="Mozilla/5.0 (compatible; CrawlSpark/2.0; spark fetcher)",
+    )
+    return out.filter("robots_allowed").select("url")
+
+
+ORACLE_ROBOTS_UA_GROUP = f"""
+SELECT {graph._URL_SQL} AS url
+FROM (SELECT doc_id AS doc FROM documents)
+WHERE doc % {graph.BLOCKED_MOD} = {graph.BLOCKED_RESIDUE}
+   OR CAST(doc AS VARCHAR) NOT LIKE CAST(doc % {graph.NHOSTS} AS VARCHAR) || '%'
+"""
+
+
+def q_robots_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google wildcard robots rules through the full gate: 'Disallow:
+    /d/*1$' blocks /d/ paths ending in 1, but the LONGER 'Allow: /d/*11$'
+    (longest-match wins, RobotsTxtHandler longest-rule semantics) re-admits
+    paths ending in 11; /x/ paths match neither pattern and pass."""
+    pages = graph.pages(spark, sf_dir).withColumn(
+        "path", F.parse_url(F.col("url"), F.lit("PATH"))
+    )
+    hosts = [f"h{i}.{graph.DOMAIN}" for i in range(graph.NHOSTS)]
+    rules = spark.createDataFrame(
+        [(h, "*", ["/d/*1$"], ["/d/*11$"], []) for h in hosts],
+        robots.ROBOTS_SCHEMA,
+    )
+    out = robots.with_robots_allowed(pages, rules)
+    return out.filter("robots_allowed").select("url")
+
+
+ORACLE_ROBOTS_WILDCARD = f"""
+SELECT {graph._URL_SQL} AS url
+FROM (SELECT doc_id AS doc FROM documents)
+WHERE doc % {graph.BLOCKED_MOD} = {graph.BLOCKED_RESIDUE}
+   OR CAST(doc AS VARCHAR) NOT LIKE '%1'
+   OR CAST(doc AS VARCHAR) LIKE '%11'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "paginate_stop_rules": q_paginate_stop_rules,
@@ -281,6 +345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "website_paginator": q_website_paginator,
         "csv_quoted": q_csv_quoted,
         "dom_extract": q_dom_extract,
+        "robots_ua_group": q_robots_ua_group,
+        "robots_wildcard": q_robots_wildcard,
     }
 
 
@@ -291,4 +357,6 @@ def oracle_sql() -> dict[str, str]:
         "website_paginator": ORACLE_WEBSITE_PAGINATOR,
         "csv_quoted": ORACLE_CSV_QUOTED,
         "dom_extract": ORACLE_DOM_EXTRACT,
+        "robots_ua_group": ORACLE_ROBOTS_UA_GROUP,
+        "robots_wildcard": ORACLE_ROBOTS_WILDCARD,
     }

@@ -180,3 +180,19 @@ def test_throttle_full_surface_in_task_matches_window(spark):
     b = sorted(map(tuple, politeness.throttle_schedule_in_task(df, cfg=cfg).select(
         "host", "ord", "wait_ms", "fetch_start_ms").collect()))
     assert a == b
+
+
+def test_canonicalize_malformed_port_does_not_crash(spark):
+    """One malformed port must yield the URL unchanged, not kill the Arrow
+    batch (urlsplit defers port validation to the .port property)."""
+    from crawlspark import canon
+
+    assert canon._canon_py("http://h:abc/x", False) == "http://h:abc/x"
+    assert canon._canon_py("http://h:99999/", False) == "http://h:99999/"
+    df = spark.createDataFrame(
+        [("http://h:abc/x",), ("http://ok.test/A?b=1&a=2",)], "url STRING"
+    )
+    got = {r.url: r.c for r in df.select(
+        "url", canon.canonicalize_udf(F.col("url")).alias("c")).collect()}
+    assert got["http://h:abc/x"] == "http://h:abc/x"
+    assert got["http://ok.test/A?b=1&a=2"] == "http://ok.test/A?a=2&b=1"

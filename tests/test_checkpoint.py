@@ -128,3 +128,30 @@ def test_resume_rehydrates_seen_filter_state(spark, monkeypatch):
         assert updates == [per_depth[3], per_depth[4], per_depth[5]], updates
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_resume_drains_deferred_backlog(spark):
+    """With max_per_host_per_level, the per-host backlog pending at the
+    kill point must survive the checkpoint: resume == uninterrupted run
+    (regression: deferred rows existed only in memory and were dropped)."""
+    cfg_kw = dict(max_per_host_per_level=3, num_seeds=4)
+    full = rows_of(
+        crawl_bfs(spark, SF_DIR, CrawlConfig(max_depth=5, **cfg_kw))
+    )
+    d = tempfile.mkdtemp(prefix="ckpt-")
+    try:
+        rows_of(
+            crawl_bfs(
+                spark, SF_DIR,
+                CrawlConfig(max_depth=2, checkpoint_dir=d, **cfg_kw),
+            )
+        )
+        resumed = rows_of(
+            crawl_bfs(
+                spark, SF_DIR,
+                CrawlConfig(max_depth=5, checkpoint_dir=d, resume=True, **cfg_kw),
+            )
+        )
+        assert resumed == full
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -121,3 +121,16 @@ def test_max_per_host_per_level_caps_and_defers(spark):
     a_deep = {r.url for r in deep_capped.collect()}
     assert b <= a_deep
     capped.unpersist()
+
+
+def test_max_outputs_truncates_seed_level(spark):
+    """max_outputs < num_seeds must stop INSIDE the seed level (the
+    reference stops the moment the budget is reached; regression: all
+    seeds were emitted before the first budget check)."""
+    from crawlspark.frontier import CrawlConfig, crawl_bfs_virtual
+
+    out = crawl_bfs_virtual(
+        spark, 1000, CrawlConfig(num_seeds=10, max_outputs=3, max_depth=4)
+    ).collect()
+    assert len(out) == 3
+    assert sorted(r.ord for r in out) == [1, 2, 3]

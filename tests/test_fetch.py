@@ -186,3 +186,42 @@ def test_fetch_metrics_accumulators(spark):
     assert got["errored"] == n_err
     assert got["succeeded"] == 12 - n_err
     assert got["retries"] == 0
+
+
+def test_urllib_transport_network_error_yields_error_response():
+    """DNS failure / refused connection must become a status-0 error
+    response, not an exception that kills the whole mapInPandas task
+    (reference onError hook, Loader.php:86-118)."""
+    t = fetch.UrllibTransport(timeout_s=2)
+    res = t("http://nonexistent-host.invalid/", None, "GET", None)
+    assert res.status == 0
+    assert res.body == b""
+
+
+def test_retry_backoff_does_not_inflate_throttle_duration(spark):
+    """elapsed_ms and the next same-host wait must reflect the FINAL
+    attempt's duration, not the retry backoff sleeps (regression: a 429
+    sequence inflated the next wait to the backoff total)."""
+    import time as _time
+
+    class SlowRetry:
+        def __init__(self):
+            self.n = 0
+
+        def __call__(self, url):
+            self.n += 1
+            if self.n == 1:
+                return fetch.FetchResult(status=429, body=b"", effective_url=url)
+            return fetch.FetchResult(status=200, body=b"ok", effective_url=url)
+
+    df = spark.createDataFrame(
+        [("http://a.test/x", "a.test", 1)], "url STRING, host STRING, ord LONG"
+    ).coalesce(1)
+    out = fetch.fetch_stage(
+        df, transport_factory=lambda: SlowRetry(),
+        cfg=PolitenessConfig(min_wait_ms=0, num_buckets=1),
+        retry_waits_ms=(1000, 2000),  # 1s backoff before the 2nd attempt
+    ).collect()
+    assert out[0].status == 200 and out[0].attempts == 2
+    # final attempt is instantaneous; the 1s backoff sleep must not leak in
+    assert out[0].elapsed_ms < 500

@@ -103,3 +103,57 @@ def test_plain_prefixes_unchanged(spark):
         "/private/ok/y": True,
         "/robots.txt": True,  # always allowed
     }
+
+
+def test_multi_user_agent_groups_no_row_duplication(spark):
+    """A host with several user-agent groups must produce ONE verdict per
+    frontier row (regression: the host-only join duplicated every row) and
+    the applicable group must be the crawler's (longest token, '*'
+    fallback)."""
+    frontier = spark.createDataFrame(
+        [("h.test", "/a"), ("h.test", "/x")], "host STRING, path STRING"
+    )
+    rules = spark.createDataFrame(
+        [
+            ("h.test", "*", ["/x"], [], []),
+            ("h.test", "mybot", ["/a"], [], []),
+        ],
+        robots.ROBOTS_SCHEMA,
+    )
+    # crawler UA contains 'mybot' -> the named group applies, not '*'
+    out = robots.with_robots_allowed(
+        frontier, rules, user_agent="Mozilla/5.0 (compatible; MyBot/1.0)"
+    )
+    got = {r.path: r.robots_allowed for r in out.collect()}
+    assert out.count() == 2  # no duplication
+    assert got == {"/a": False, "/x": True}
+    # UA with no named match -> '*' group
+    out2 = robots.with_robots_allowed(frontier, rules, user_agent="OtherBot")
+    got2 = {r.path: r.robots_allowed for r in out2.collect()}
+    assert out2.count() == 2
+    assert got2 == {"/a": True, "/x": False}
+    # user_agent=None merges all groups, still one row per frontier row
+    out3 = robots.with_robots_allowed(frontier, rules)
+    assert out3.count() == 2
+    assert {r.path: r.robots_allowed for r in out3.collect()} == {
+        "/a": False, "/x": False,
+    }
+
+
+def test_consecutive_stars_do_not_reset_position(spark):
+    """'/abc**a' must NOT match '/abc' (regression: an empty '*'-segment
+    reset the fold to position 1 and refound earlier text)."""
+    got = _gate(
+        spark, {"disallow": ["/abc**a"]}, ["/abc", "/abcza", "/zabc"]
+    )
+    assert got == {"/abc": True, "/abcza": False, "/zabc": True}
+
+
+def test_query_string_participates_in_matching(spark):
+    """Google robots semantics match against path+query: a frontier whose
+    path column carries '?query' must hit 'Disallow: /*?sessionid=' rules."""
+    got = _gate(
+        spark, {"disallow": ["/*?sessionid="]},
+        ["/p?sessionid=1", "/p", "/p?other=1"],
+    )
+    assert got == {"/p?sessionid=1": False, "/p": True, "/p?other=1": True}
