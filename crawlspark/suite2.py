@@ -338,6 +338,137 @@ WHERE doc % {graph.BLOCKED_MOD} = {graph.BLOCKED_RESIDUE}
 """
 
 
+# --------------------------------------------------------------------------
+# dedup: transitive near-dup group assignment (distributed CC)
+# --------------------------------------------------------------------------
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup-group assignment: the pair relation's connected
+    components with min-id representatives, computed by the alternating
+    large-star/small-star algorithm (dedup.connected_components — the step
+    after LSH/phash pair generation that actual dedup needs, since near-dup
+    similarity is not transitive but the drop-policy must be).
+
+    The edge set is a deterministic block-local functional graph over
+    doc_id — two families u -> blk + (a*u + c) % 64 within u's 64-id block
+    — giving components with cycles, pendant trees and varied sizes that
+    the oracle can replay in closed form and chase with a recursive CTE."""
+    from .textops import dedup as _dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    doc = F.col("doc_id")
+    blk = (doc - doc % 64)
+    e1 = docs.select(doc.alias("id_a"), (blk + (5 * doc + 3) % 64).alias("id_b"))
+    e2 = docs.filter(doc % 3 == 0).select(
+        doc.alias("id_a"), (blk + (17 * doc + 11) % 64).alias("id_b")
+    )
+    edges = (
+        e1.union(e2)
+        .filter(F.col("id_a") != F.col("id_b"))
+        # the last block is partial: drop edges to nonexistent doc ids
+        .join(docs.select(doc.alias("id_b")), "id_b", "semi")
+    )
+    cc = _dedup.connected_components(edges)
+    return docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+
+
+ORACLE_DEDUP_COMPONENTS = """
+WITH RECURSIVE
+n AS (SELECT doc_id FROM documents),
+e0 AS (
+  SELECT doc_id AS a, (doc_id // 64) * 64 + (5 * doc_id + 3) % 64 AS b FROM n
+  UNION ALL
+  SELECT doc_id, (doc_id // 64) * 64 + (17 * doc_id + 11) % 64
+  FROM n WHERE doc_id % 3 = 0
+),
+e AS (SELECT a, b FROM e0 WHERE a <> b AND b IN (SELECT doc_id FROM n)),
+sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM n
+  UNION
+  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup: the full MinHash-LSH pair pipeline, end to end vs the oracle
+# --------------------------------------------------------------------------
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete near-dup pair pipeline (shingle -> minhash -> band ->
+    bucket join -> exact-Jaccard verify) oracle-checked end to end:
+    every doc_id % 5 == 0 gets a one-word-appended variant at id+10000
+    (jaccard >= 0.88 against its original by construction), and both
+    engines must emit the identical verified pair set.  Band keys use the
+    replayable mode (raw band-value strings) so candidate generation is
+    bit-for-bit reproducible in DuckDB."""
+    from .textops import dedup as _dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" ztail")).alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    return _dedup.minhash_lsh_pairs(
+        corpus, k=8, bands=4, jaccard_threshold=0.5,
+        replayable_band_key=True,
+    )
+
+
+def _oracle_lsh_pairs() -> str:
+    from .textops import dedup as _dedup
+
+    p = _dedup.HASH_P
+    shingle = (
+        "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
+        "for i in range(1, len(w) - 1)])"
+    )
+    md5h = "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)"
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hs, h -> "
+        f"({_dedup.MINHASH_A[i]}*h + {_dedup.MINHASH_B[i]}) % {p})) AS m{i}"
+        for i in range(8)
+    )
+    bkeys = ", ".join(
+        f"CAST(m{2 * i} AS VARCHAR) || ',' || CAST(m{2 * i + 1} AS VARCHAR)"
+        for i in range(4)
+    )
+    band_eq = " OR ".join(f"a.bkeys[{i + 1}] = b.bkeys[{i + 1}]" for i in range(4))
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text || ' ztail' FROM documents WHERE doc_id % 5 = 0
+),
+sh AS (
+  SELECT doc_id, {shingle} AS s_list
+  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM corpus)
+),
+h AS (
+  SELECT doc_id, s_list, list_transform(s_list, s -> {md5h}) AS hs FROM sh
+),
+sig AS (SELECT doc_id, s_list, {sig_cols} FROM h),
+banded AS (SELECT doc_id, s_list, [{bkeys}] AS bkeys FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.s_list AS sa, b.s_list AS sb
+  FROM banded a JOIN banded b
+    ON a.doc_id < b.doc_id AND ({band_eq})
+)
+SELECT id_a, id_b,
+       CAST(floor(1000 * len(list_intersect(sa, sb))
+                  / len(list_distinct(sa || sb))) AS BIGINT) AS jaccard_permille
+FROM cand
+WHERE floor(1000 * len(list_intersect(sa, sb))
+            / len(list_distinct(sa || sb))) >= 500
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "paginate_stop_rules": q_paginate_stop_rules,
@@ -347,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dom_extract": q_dom_extract,
         "robots_ua_group": q_robots_ua_group,
         "robots_wildcard": q_robots_wildcard,
+        "dedup_components": q_dedup_components,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
     }
 
 
@@ -359,4 +492,6 @@ def oracle_sql() -> dict[str, str]:
         "dom_extract": ORACLE_DOM_EXTRACT,
         "robots_ua_group": ORACLE_ROBOTS_UA_GROUP,
         "robots_wildcard": ORACLE_ROBOTS_WILDCARD,
+        "dedup_components": ORACLE_DEDUP_COMPONENTS,
+        "minhash_lsh_pairs": _oracle_lsh_pairs(),
     }

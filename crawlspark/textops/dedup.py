@@ -82,6 +82,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = 10_000,
+    replayable_band_key: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs: band-bucket join then exact-Jaccard verify.
 
@@ -94,11 +95,22 @@ def minhash_lsh_pairs(
     members of an over-full bucket are near-identical to the kept ones by
     construction (same band hash), so recall loss is confined to exact
     boilerplate clusters — the standard web-dedup trade.  None = uncapped.
+
+    ``replayable_band_key`` buckets on the band's raw value string instead
+    of its murmur hash: identical candidate sets in any engine (the DuckDB
+    oracle replays it verbatim), at the price of a wider shuffle key.  The
+    production default hashes — murmur collisions only ADD candidates,
+    which the exact-Jaccard verify then filters the same way.
     """
     rows = k // bands
+
+    def band_key(cols):
+        joined = F.concat_ws(",", *cols)
+        return joined if replayable_band_key else F.hash(joined)
+
     sigs = minhash_signature(df, text_col, id_col, k)
     band_cols = [
-        F.hash(F.concat_ws(",", *[F.element_at("sig", i * rows + j + 1) for j in range(rows)]))
+        band_key([F.element_at("sig", i * rows + j + 1) for j in range(rows)])
         .alias("band_hash")
         for i in range(bands)
     ]
@@ -161,6 +173,118 @@ def pairwise_ngram_jaccard(
     return j.select(
         F.col("id").alias("doc_id"),
         F.floor(inter * 1000 / union).cast("long").alias("jaccard_permille"),
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Distributed connected components over a pair table — the group-
+    assignment step a dedup pipeline runs AFTER pair generation (LSH or
+    phash buckets emit near-dup PAIRS; dropping all-but-one doc per
+    transitive cluster needs the components).
+
+    Alternating large-star / small-star (Kiveris, Lattanzi, Mirrokni,
+    Rastogi, Vassilvitskii — "Connected Components in MapReduce and
+    Beyond", SoCC 2014): each round is two groupBy-min + join passes over
+    the edge list, components collapse to stars in O(log n) rounds, and no
+    per-component state ever concentrates on one task — unlike label
+    propagation, whose round count is the component DIAMETER, or
+    driver-side union-find, which doesn't distribute at all.
+
+    Returns (node, component) for every node that appears in ``edges``,
+    where component = the smallest node id in the node's component
+    (including the representative itself).  Isolated docs never enter a
+    pair table; callers keep them with a left join + coalesce(component,
+    own id).
+
+    Node ids must be orderable and hashable (long or string both work).
+    Each round localCheckpoints the edge set: the loop's plan stays O(1)
+    in round count, matching the BFS frontier discipline
+    (frontier.py:99-211).
+    """
+    u, v = "__u", "__v"
+    # orient (hi, lo): both star steps below preserve the invariant, so the
+    # convergence compare sees a canonical form
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias(u),
+            F.least(F.col(src), F.col(dst)).alias(v),
+        )
+        .filter(F.col(u) != F.col(v))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col(u).alias("node"))
+        .union(e.select(v))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # -- large-star: every neighbor v > u links to min(N(u) + {u})
+        sym = e.select(u, v).union(e.select(F.col(v).alias(u), F.col(u).alias(v)))
+        mins = sym.groupBy(u).agg(F.min(v).alias("__m0")).select(
+            u, F.least(F.col("__m0"), F.col(u)).alias("__m")
+        )
+        large = (
+            sym.join(mins, u)
+            .filter(F.col(v) > F.col(u))
+            .select(F.col(v).alias(u), F.col("__m").alias(v))
+            .filter(F.col(u) != F.col(v))
+            .distinct()
+        )
+        # -- small-star: u and all smaller neighbors link to their min
+        smins = large.groupBy(u).agg(F.min(v).alias("__m"))
+        joined = large.join(smins, u)
+        small = (
+            joined.select(F.col(u), F.col("__m").alias(v))
+            .union(
+                joined.filter(F.col(v) != F.col("__m")).select(
+                    F.col(v).alias(u), F.col("__m").alias(v)
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # converged when the (distinct, oriented) edge set is unchanged —
+        # exact compare, not a checksum: anti-join + count equality
+        same_count = small.count() == e.count()
+        e_old = e
+        e = small
+        if same_count and small.join(e_old, [u, v], "left_anti").isEmpty():
+            break
+
+    # fixpoint edges are stars (node -> component min); roots and isolated
+    # members of 2-cycles appear only on the v side
+    labels = e.select(F.col(u).alias("node"), F.col(v).alias("component"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )
+
+
+def assign_components(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    out: str = "component",
+) -> DataFrame:
+    """Attach a component id to EVERY row of ``df``: docs in a near-dup
+    cluster get the cluster's min id, isolated docs get their own id.
+    ``keep = (component == doc_id)`` is then the standard keep-one-per-
+    cluster dedup policy."""
+    cc = connected_components(edges, src, dst)
+    return (
+        df.join(cc, df[id_col] == cc["node"], "left")
+        .drop("node")
+        .withColumn(out, F.coalesce(F.col(out), F.col(id_col)))
     )
 
 
