@@ -469,6 +469,56 @@ WHERE floor(1000 * len(list_intersect(sa, sb))
 """
 
 
+# --------------------------------------------------------------------------
+# image payload: the north-rule per-row invariants as an oracle row
+# --------------------------------------------------------------------------
+
+def q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule image invariants, per row, through the REAL distributed
+    codec path (generate_images -> validate_images, two Arrow-batched
+    mapInPandas stages): lossless roundtrip for png, PSNR >= 40 dB for lossy
+    formats, phash recomputed from decoded pixels equal to the stored phash,
+    and caption equality vs the re-derivation from the document text.  The
+    oracle states the invariant (all three booleans TRUE) plus the
+    SQL-derivable metadata — any codec / phash / caption drift anywhere in
+    the distributed path flips a boolean and fails the value hash."""
+    from . import images as _images
+
+    imgs = _images.generate_images(spark, sf_dir)
+    v = _images.validate_images(imgs)
+    ref_caption = F.concat_ws(
+        " ",
+        F.slice(
+            F.split(F.trim(F.regexp_replace("text", r"[ \t\n\x0B\f\r]+", " ")), " "),
+            1, _images.CAPTION_WORDS,
+        ),
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias("image_id"),
+        ref_caption.alias("ref_caption"),
+    )
+    return v.join(docs, "image_id").select(
+        "image_id", "fmt", "lossless_ok", "phash_match",
+        (F.col("psnr_mdb") >= 40_000).alias("psnr_ok"),
+        (F.col("caption") == F.col("ref_caption")).alias("caption_ok"),
+    )
+
+
+def _oracle_image_invariants() -> str:
+    from .images import FMTS
+
+    fmt_cases = " ".join(f"WHEN {i} THEN '{f}'" for i, f in enumerate(FMTS))
+    return f"""
+SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+       CASE doc_id % 3 {fmt_cases} END AS fmt,
+       TRUE AS lossless_ok,
+       TRUE AS phash_match,
+       TRUE AS psnr_ok,
+       TRUE AS caption_ok
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "paginate_stop_rules": q_paginate_stop_rules,
@@ -480,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_wildcard": q_robots_wildcard,
         "dedup_components": q_dedup_components,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "image_invariants": q_image_invariants,
     }
 
 
@@ -494,4 +545,5 @@ def oracle_sql() -> dict[str, str]:
         "robots_wildcard": ORACLE_ROBOTS_WILDCARD,
         "dedup_components": ORACLE_DEDUP_COMPONENTS,
         "minhash_lsh_pairs": _oracle_lsh_pairs(),
+        "image_invariants": _oracle_image_invariants(),
     }
