@@ -910,6 +910,9 @@ class HttpCrawler(Crawler):
 
     def add_step_crawl(self, **kw):
         kw.setdefault("user_agent_is_bot", self.user_agent.is_bot)
+        # robots GROUP selection needs the UA string (longest matching
+        # token wins, '*' fallback) — without it every group merges
+        kw.setdefault("user_agent", str(self.user_agent))
         return self.add_step(HttpCrawl(self.pages, robots=self.robots, **kw))
 
     def add_step_paginate(self, selector: str, **kw):

@@ -427,12 +427,15 @@ def crawl_site(
             )
         )
         lvl = lvl.localCheckpoint(eager=True)
-        if cfg.max_outputs is not None:
-            # cap THIS level's yields in crawl order too — the reference
-            # stops mid-iteration the moment maxOutputs is reached
-            # (HttpCrawl.php:171-175), so the SEED level must not yield all
-            # seeds when max_outputs < #seeds (budget checks between levels
-            # alone overshoot)
+        if cfg.max_outputs is not None and depth == 0:
+            # the reference stops the moment maxOutputs is reached
+            # (HttpCrawl.php:171-175): seeds past the budget point are never
+            # LOADED, so drop those rows entirely (not just unflag them) —
+            # matching frontier._crawl's seed truncation and the loadedUrls
+            # observable.  Deeper levels never need this pass: the pre-fetch
+            # frontier cut below already keeps at most `remaining` yield
+            # flags per level, and yields <= flags, so the in-level prefix
+            # sum could never bind there.
             from .ranks import global_prefix_sum
 
             remaining = cfg.max_outputs - yielded_total
@@ -443,10 +446,7 @@ def crawl_site(
                     lvl.withColumn("__y", F.col("yielded").cast("int")),
                     order_cols, "__y", out="__y_before", num_rows=n_lvl,
                 )
-                .withColumn(
-                    "yielded",
-                    F.col("yielded") & (F.col("__y_before") < remaining),
-                )
+                .filter(F.col("__y_before") < remaining)
                 .drop("__y", "__y_before")
             )
         out_cols = [

@@ -58,12 +58,13 @@ _A_RE = re.compile(
 _BASE_RE = re.compile(
     r"<base\s[^>]*?href\s*=\s*(?:([\"'])(.*?)\1|([^\s>]+))", re.IGNORECASE
 )
-_CANONICAL_RE = re.compile(
-    r"<link\s[^>]*?rel\s*=\s*([\"'])?canonical\1?[^>]*?href\s*=\s*"
-    r"(?:([\"'])(.*?)\2|([^\s>]+))"
-    r"|<link\s[^>]*?href\s*=\s*(?:([\"'])(.*?)\5|([^\s>]+))"
-    r"[^>]*?rel\s*=\s*([\"'])?canonical\8?",
-    re.IGNORECASE,
+# canonical <link> detection is two-phase (find tags, then parse attributes
+# left-to-right) rather than one regex: a single pattern can't stop
+# 'rel=canonical' INSIDE an unquoted href value ('<link href=/p?rel=canonical-x>')
+# from satisfying the rel clause, nor distinguish rel="canonicalize"
+_LINK_TAG_RE = re.compile(r"<link(?=[\s/>])[^>]*>", re.IGNORECASE | re.DOTALL)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z][\w-]*)\s*=\s*(?:([\"'])(.*?)\2|([^\s>]+))", re.DOTALL
 )
 _TAG_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"\s+")
@@ -111,20 +112,24 @@ def extract_base_href_udf(bodies: pd.Series) -> pd.Series:
     return bodies.map(one)
 
 
+def _canonical_one(b: str) -> str | None:
+    for tag in _LINK_TAG_RE.finditer(b):
+        attrs = {
+            m.group(1).lower(): (
+                m.group(3) if m.group(3) is not None else m.group(4)
+            )
+            for m in _ATTR_RE.finditer(tag.group(0))
+        }
+        # rel is a space-separated token list per the HTML spec; exact-token
+        # match so rel="canonicalize" does not count
+        if "canonical" in (attrs.get("rel") or "").lower().split():
+            return attrs.get("href")
+    return None
+
+
 @pandas_udf(StringType())
 def extract_canonical_udf(bodies: pd.Series) -> pd.Series:
-    def one(b):
-        if not b:
-            return None
-        m = _CANONICAL_RE.search(b)
-        if not m:
-            return None
-        for g in (3, 4, 6, 7):
-            if m.group(g) is not None:
-                return m.group(g)
-        return None
-
-    return bodies.map(one)
+    return bodies.map(lambda b: _canonical_one(b) if b else None)
 
 
 @pandas_udf(StringType())

@@ -161,8 +161,11 @@ class UrllibTransport:
             # DNS failure / refused connection / socket timeout: the
             # reference loader turns these into error responses via its
             # onError hook (Loader.php:86-118) — one dead URL must not
-            # kill the whole mapInPandas task.  status 0 = network error.
-            return FetchResult(status=0, body=b"", effective_url=url)
+            # kill the whole mapInPandas task.  Status 599 (the de-facto
+            # network-connect-timeout code) keeps every downstream
+            # 'error <=> status >= 400' gate correct (yield suppression,
+            # retry_filter, metrics) without a special sentinel.
+            return FetchResult(status=599, body=b"", effective_url=url)
 
 
 class FetchMetrics:
@@ -275,7 +278,7 @@ def fetch_stage(
                 if metrics is not None:
                     metrics.attempted.add(1)
                     metrics.retries.add(attempts - 1)
-                    if res.status >= 400 or res.status == 0:
+                    if res.status >= 400 or res.status <= 0:
                         metrics.errored.add(1)
                     else:
                         metrics.succeeded.add(1)

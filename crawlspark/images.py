@@ -44,7 +44,23 @@ _ASCII_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def caption_words(text: str | None) -> list[str]:
-    return [w for w in _ASCII_WS_RE.split((text or "").strip()) if w]
+    # no .strip(): Python str.strip() removes UNICODE whitespace (U+00A0
+    # etc.) which the Spark twin below cannot see — leading/trailing ASCII
+    # runs already yield empty tokens that the filter drops
+    return [w for w in _ASCII_WS_RE.split(text or "") if w]
+
+
+def ref_caption_col(text) -> "F.Column":
+    """Spark-side byte-for-byte twin of ``caption_words`` + join: ASCII-WS
+    tokenization (Unicode whitespace stays INSIDE words), first
+    CAPTION_WORDS words joined by single spaces.  Every re-derivation of
+    the reference caption (pipeline caption_ok gate, oracle queries) must
+    go through this one expression or the generator and the validator
+    drift apart."""
+    words = F.filter(
+        F.split(text, "[ \\t\\n\\x0B\\f\\r]+"), lambda w: w != ""
+    )
+    return F.array_join(F.slice(words, 1, CAPTION_WORDS), " ")
 
 IMAGE_SCHEMA = (
     "image_id STRING, bytes BINARY, w INT, h INT, fmt STRING, "

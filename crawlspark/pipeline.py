@@ -75,10 +75,7 @@ def crawl_to_image_table(
     # caption invariant: exact equality vs the reference derivation
     # (first CAPTION_WORDS whitespace-normalized words of the document)
     docs = all_docs.select(
-        "doc_id",
-        F.array_join(
-            F.slice(F.split(F.trim("text"), r"\s+"), 1, images.CAPTION_WORDS), " "
-        ).alias("ref_caption"),
+        "doc_id", images.ref_caption_col(F.col("text")).alias("ref_caption")
     )
     joined = crawled.join(validated, "doc_id").join(docs, "doc_id")
     # NULL-safe: a NULL text makes ref_caption NULL and '' == NULL is NULL

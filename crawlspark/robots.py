@@ -141,7 +141,10 @@ def with_robots_allowed(
     alw = _longest_match_len(F.coalesce(F.col("__alw"), F.array()), path,
                              ignore_wildcard_rules)
     allowed = (
-        (path == "/robots.txt")  # always allowed
+        # always allowed — the path column may carry '?query' (crawl_site
+        # feeds path+query for Google-style pattern matching), so compare
+        # the pre-query part, not the whole string
+        (F.split_part(path, F.lit("?"), F.lit(1)) == "/robots.txt")
         | F.col("__r_host").isNull()  # no rules for host => allow all
         | (dis == 0)
         | (alw >= dis)  # longest-match wins

@@ -401,22 +401,23 @@ SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete near-dup pair pipeline (shingle -> minhash -> band ->
     bucket join -> exact-Jaccard verify) oracle-checked end to end:
-    every doc_id % 5 == 0 gets a one-word-appended variant at id+10000
-    (jaccard >= 0.88 against its original by construction), and both
+    every doc_id % 5 == 0 gets a one-word-appended variant at -(doc_id+1)
+    (negative ids can never collide with real doc ids at ANY scale factor;
+    jaccard >= 0.88 against its original by construction), and both
     engines must emit the identical verified pair set.  Band keys use the
-    replayable mode (raw band-value strings) so candidate generation is
-    bit-for-bit reproducible in DuckDB."""
+    replayable mode (raw band-value strings) and the bucket cap is off so
+    candidate generation is bit-for-bit reproducible in DuckDB."""
     from .textops import dedup as _dedup
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     variants = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 10000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat("text", F.lit(" ztail")).alias("text"),
     )
     corpus = docs.unionByName(variants)
     return _dedup.minhash_lsh_pairs(
         corpus, k=8, bands=4, jaccard_threshold=0.5,
-        replayable_band_key=True,
+        max_bucket_size=None, replayable_band_key=True,
     )
 
 
@@ -443,7 +444,7 @@ def _oracle_lsh_pairs() -> str:
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000, text || ' ztail' FROM documents WHERE doc_id % 5 = 0
+  SELECT -doc_id - 1, text || ' ztail' FROM documents WHERE doc_id % 5 = 0
 ),
 sh AS (
   SELECT doc_id, {shingle} AS s_list
@@ -486,16 +487,9 @@ def q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     imgs = _images.generate_images(spark, sf_dir)
     v = _images.validate_images(imgs)
-    ref_caption = F.concat_ws(
-        " ",
-        F.slice(
-            F.split(F.trim(F.regexp_replace("text", r"[ \t\n\x0B\f\r]+", " ")), " "),
-            1, _images.CAPTION_WORDS,
-        ),
-    )
     docs = _docs(spark, sf_dir).select(
         F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias("image_id"),
-        ref_caption.alias("ref_caption"),
+        _images.ref_caption_col(F.col("text")).alias("ref_caption"),
     )
     return v.join(docs, "image_id").select(
         "image_id", "fmt", "lossless_ok", "phash_match",

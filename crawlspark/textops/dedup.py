@@ -207,6 +207,14 @@ def connected_components(
     (frontier.py:99-211).
     """
     u, v = "__u", "__v"
+    # nodes come from the RAW pair table: a node whose only edge is a
+    # self-loop still "appears in edges" and must get (node, node)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(dst))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # orient (hi, lo): both star steps below preserve the invariant, so the
     # convergence compare sees a canonical form
     e = (
@@ -215,12 +223,6 @@ def connected_components(
             F.least(F.col(src), F.col(dst)).alias(v),
         )
         .filter(F.col(u) != F.col(v))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    nodes = (
-        e.select(F.col(u).alias("node"))
-        .union(e.select(v))
         .distinct()
         .localCheckpoint(eager=True)
     )

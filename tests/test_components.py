@@ -76,6 +76,13 @@ def test_two_large_blocks_disjoint(spark):
     _check(spark, pairs)
 
 
+def test_self_loop_only_node_still_returned(spark):
+    """A node whose only edge is a self-loop appears in the pair table and
+    must get (node, node) — the docstring contract (regression: the
+    self-loop filter ran before the node set was built)."""
+    _check(spark, [(5, 5), (1, 2)])
+
+
 def test_assign_components_keeps_isolated_docs(spark):
     docs = spark.createDataFrame(
         [(i,) for i in range(10)], "doc_id LONG"

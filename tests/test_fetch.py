@@ -189,12 +189,14 @@ def test_fetch_metrics_accumulators(spark):
 
 
 def test_urllib_transport_network_error_yields_error_response():
-    """DNS failure / refused connection must become a status-0 error
-    response, not an exception that kills the whole mapInPandas task
-    (reference onError hook, Loader.php:86-118)."""
+    """DNS failure / refused connection must become a status-599 error
+    response (>= 400 so every downstream error gate — yield suppression,
+    retry_filter, metrics — treats it as an error), not an exception that
+    kills the whole mapInPandas task (reference onError hook,
+    Loader.php:86-118)."""
     t = fetch.UrllibTransport(timeout_s=2)
     res = t("http://nonexistent-host.invalid/", None, "GET", None)
-    assert res.status == 0
+    assert res.status == 599
     assert res.body == b""
 
 

@@ -113,3 +113,30 @@ def test_caption_words_ascii_whitespace_only():
     assert images.caption_words("foo bar baz") == ["foo bar", "baz"]
     assert images.caption_words("  a\tb\nc  ") == ["a", "b", "c"]
     assert images.caption_words(None) == []
+
+
+def test_ref_caption_col_matches_caption_words(spark):
+    """The Spark re-derivation (images.ref_caption_col) must agree
+    byte-for-byte with the generator's caption_words on adversarial
+    whitespace: LEADING/trailing Unicode whitespace stays in the word on
+    both sides (regression: Python .strip() removed U+00A0 while the Java
+    regex could not)."""
+    texts = [
+        "plain words here and more tokens to fill the caption up fully",
+        " leading nbsp word stays attached here ok right now yes sir",
+        "trailing nbsp  inner joined word more pad pad pad pad pad",
+        "  \t mixed\nascii\x0bws \f everywhere \r done pad pad pad pad",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    got = [
+        r["c"]
+        for r in df.select(
+            images.ref_caption_col(F.col("text")).alias("c")
+        ).collect()
+    ]
+    expect = [
+        " ".join(images.caption_words(t)[: images.CAPTION_WORDS])
+        for t in texts
+    ]
+    assert got == expect

@@ -149,6 +149,21 @@ def test_consecutive_stars_do_not_reset_position(spark):
     assert got == {"/abc": True, "/abcza": False, "/zabc": True}
 
 
+def test_robots_txt_always_allowed_even_with_query(spark):
+    """'/robots.txt' stays reachable under 'Disallow: /' even when the
+    path column carries a query string (crawl_site feeds path+query for
+    Google-style matching; regression: the exact-equality clause missed)."""
+    got = _gate(
+        spark, {"disallow": ["/"]},
+        ["/robots.txt", "/robots.txt?token=1", "/page"],
+    )
+    assert got == {
+        "/robots.txt": True,
+        "/robots.txt?token=1": True,
+        "/page": False,
+    }
+
+
 def test_query_string_participates_in_matching(spark):
     """Google robots semantics match against path+query: a frontier whose
     path column carries '?query' must hit 'Disallow: /*?sessionid=' rules."""
