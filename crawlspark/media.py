@@ -1,0 +1,262 @@
+"""Audio / video payload paths: opaque binary columns with typed metadata,
+decode / feature-extract / frame-sample / resize as Arrow-batched
+mapInPandas stages — the multimodal plumbing a training-data pipeline needs
+beyond images (images.py is the image twin).
+
+No media codec library ships in this container, so — exactly like
+images.py — the codec is a clearly-marked deterministic stand-in and
+everything Spark-side (schemas, binary columns, batch shapes, partitioning,
+UDF signatures) is real and is what would surround ffmpeg/libsndfile in
+production:
+
+CODEC NOTE (deterministic fake, honest math):
+- audio "pcm"  = zlib(int16 little-endian samples)        -> lossless
+- video "rawv" = zlib(n_frames * h * w * 3 uint8 frames)  -> lossless
+Samples/pixels are a deterministic function of the media id (seeded
+PCG64), so every invariant (roundtrip equality, feature values, frame
+pixels) is reproducible anywhere.  A real decoder drops in by replacing
+_encode_*/_decode_* only.
+
+Scale notes: every stage is one mapInPandas pass (no per-row Python at the
+DataFrame level, no driver collect); frame sampling explodes INSIDE the
+Arrow batch so one task turns its videos into frame rows locally; features
+are integer-quantized (milli-units) so results are bit-stable across
+platforms.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .images import caption_words
+
+AUDIO_SCHEMA = (
+    "audio_id STRING, bytes BINARY, sample_rate INT, n_samples INT, "
+    "fmt STRING, caption STRING"
+)
+VIDEO_SCHEMA = (
+    "video_id STRING, bytes BINARY, w INT, h INT, n_frames INT, fps INT, "
+    "fmt STRING"
+)
+FRAME_SCHEMA = "video_id STRING, frame_idx INT, bytes BINARY, w INT, h INT, fmt STRING"
+AUDIO_FEATURES_SCHEMA = (
+    "audio_id STRING, duration_ms BIGINT, rms_milli BIGINT, zcr_milli BIGINT, "
+    "roundtrip_ok BOOLEAN"
+)
+CAPTION_WORDS_AUDIO = 10
+
+
+# -- deterministic fake codec -------------------------------------------------
+
+def _audio_samples(seed: int, n: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(-(1 << 15), 1 << 15, size=n, dtype=np.int64).astype(np.int16)
+
+
+def _encode_audio(samples: np.ndarray) -> bytes:
+    return zlib.compress(samples.astype("<i2").tobytes(), level=1)
+
+
+def _decode_audio(b: bytes) -> np.ndarray:
+    return np.frombuffer(zlib.decompress(b), dtype="<i2")
+
+
+def _video_frames(seed: int, n_frames: int, w: int, h: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(n_frames, h, w, 3), dtype=np.uint8)
+
+
+def _encode_video(frames: np.ndarray) -> bytes:
+    return zlib.compress(frames.tobytes(), level=1)
+
+
+def _decode_video(b: bytes, n_frames: int, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(zlib.decompress(b), dtype=np.uint8).reshape(n_frames, h, w, 3)
+
+
+# -- deterministic per-doc metadata (closed form, SQL-replayable) -------------
+
+def audio_rate_for(doc_id: int) -> int:
+    return (8000, 16000, 44100)[doc_id % 3]
+
+
+def audio_len_for(doc_id: int) -> int:
+    return 1024 + doc_id % 512
+
+
+def video_dims_for(doc_id: int) -> tuple[int, int]:
+    return 16 + doc_id % 16, 16 + doc_id % 12
+
+
+def video_frames_for(doc_id: int) -> int:
+    return 4 + doc_id % 5
+
+
+# -- generators (documents -> media tables) -----------------------------------
+
+def generate_audio(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Audio twin of images.generate_images: one mapInPandas pass building
+    (audio_id, bytes, sample_rate, n_samples, fmt, caption) from the
+    documents table; metadata is a closed-form function of doc_id so
+    oracles can replay it."""
+    if docs is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs.select("doc_id", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                n = audio_len_for(doc_id)
+                rows.append(
+                    {
+                        "audio_id": f"aud-{doc_id}",
+                        "bytes": _encode_audio(_audio_samples(doc_id, n)),
+                        "sample_rate": audio_rate_for(doc_id),
+                        "n_samples": n,
+                        "fmt": "pcm",
+                        "caption": " ".join(
+                            caption_words(text)[:CAPTION_WORDS_AUDIO]
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(gen, AUDIO_SCHEMA)
+
+
+def generate_video(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    if docs is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs.select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = video_dims_for(doc_id)
+                nf = video_frames_for(doc_id)
+                rows.append(
+                    {
+                        "video_id": f"vid-{doc_id}",
+                        "bytes": _encode_video(_video_frames(doc_id, nf, w, h)),
+                        "w": w,
+                        "h": h,
+                        "n_frames": nf,
+                        "fps": 24,
+                        "fmt": "rawv",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(gen, VIDEO_SCHEMA)
+
+
+# -- operators -----------------------------------------------------------------
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """Decode + feature-extract in one Arrow pass: duration (exact integer
+    math from metadata), RMS energy and zero-crossing rate over the DECODED
+    samples, both quantized to milli-units for cross-platform bit
+    stability, plus a lossless-roundtrip check against the regenerated
+    reference (the per-row invariant discipline of images.validate_images)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                s = _decode_audio(r.bytes).astype(np.float64)
+                n = len(s)
+                rms = float(np.sqrt((s * s).mean())) if n else 0.0
+                zc = int((np.signbit(s[1:]) != np.signbit(s[:-1])).sum()) if n > 1 else 0
+                doc_id = int(r.audio_id.split("-", 1)[1])
+                ref = _audio_samples(doc_id, audio_len_for(doc_id))
+                rows.append(
+                    {
+                        "audio_id": r.audio_id,
+                        "duration_ms": n * 1000 // int(r.sample_rate),
+                        "rms_milli": int(round(rms * 1000)),
+                        "zcr_milli": zc * 1000 // max(n - 1, 1),
+                        "roundtrip_ok": bool(
+                            n == int(r.n_samples)
+                            and np.array_equal(_decode_audio(r.bytes), ref)
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return audio.mapInPandas(feats, AUDIO_FEATURES_SCHEMA)
+
+
+def sample_frames(video: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling: every ``every``-th frame of each video becomes an
+    image row (png-style lossless bytes) — the explode happens INSIDE the
+    Arrow batch, so a task converts its videos to frames locally with no
+    extra shuffle.  Output plugs straight into the image operators
+    (images.validate_images-style checks, phash near-dup)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                frames = _decode_video(r.bytes, int(r.n_frames), int(r.w), int(r.h))
+                for idx in range(0, int(r.n_frames), every):
+                    rows.append(
+                        {
+                            "video_id": r.video_id,
+                            "frame_idx": idx,
+                            "bytes": zlib.compress(frames[idx].tobytes(), level=1),
+                            "w": int(r.w),
+                            "h": int(r.h),
+                            "fmt": "png",
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return video.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def resize_frames(frames: DataFrame, factor: int = 2) -> DataFrame:
+    """Block-mean downscale by an integer factor (deterministic, the
+    honest-math stand-in for a real resampler): each output pixel is the
+    mean of a factor x factor block, edges truncated.  Same schema out,
+    new dims."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                w, h = int(r.w), int(r.h)
+                px = np.frombuffer(zlib.decompress(r.bytes), dtype=np.uint8).reshape(
+                    h, w, 3
+                )
+                nh, nw = h // factor, w // factor
+                t = px[: nh * factor, : nw * factor].reshape(
+                    nh, factor, nw, factor, 3
+                )
+                small = t.mean(axis=(1, 3)).astype(np.uint8)
+                rows.append(
+                    {
+                        "video_id": r.video_id,
+                        "frame_idx": int(r.frame_idx),
+                        "bytes": zlib.compress(small.tobytes(), level=1),
+                        "w": nw,
+                        "h": nh,
+                        "fmt": r.fmt,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return frames.mapInPandas(work, FRAME_SCHEMA)

@@ -513,6 +513,59 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# audio/video payloads: frame-sample plan + decoded invariants as oracle rows
+# --------------------------------------------------------------------------
+
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the real distributed path (generate_video ->
+    sample_frames, Arrow-batched in-task explode): every 2nd frame of each
+    per-doc video becomes a row.  The oracle replays the closed-form
+    metadata (n_frames = 4 + doc%5, dims 16+doc%16 x 16+doc%12) — a wrong
+    batch shape, off-by-one in the stride, or dropped video fails the
+    row/hash compare."""
+    from . import media as _media
+
+    video = _media.generate_video(spark, sf_dir)
+    return _media.sample_frames(video, every=2).select(
+        "video_id", "frame_idx", "w", "h"
+    )
+
+
+ORACLE_VIDEO_FRAME_SAMPLE = """
+SELECT 'vid-' || CAST(doc_id AS VARCHAR) AS video_id,
+       CAST(unnest(generate_series(0, (4 + doc_id % 5) - 1, 2)) AS INT)
+         AS frame_idx,
+       CAST(16 + doc_id % 16 AS INT) AS w,
+       CAST(16 + doc_id % 12 AS INT) AS h
+FROM documents
+"""
+
+
+def q_audio_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode + feature invariants per row: exact integer duration
+    from metadata, and the lossless-roundtrip check (decoded samples ==
+    regenerated reference) asserted TRUE through the distributed path.
+    RMS/ZCR are numpy-computed (not SQL-replayable) and are covered by the
+    numpy-differential pytest instead."""
+    from . import media as _media
+
+    audio = _media.generate_audio(spark, sf_dir)
+    return _media.audio_features(audio).select(
+        "audio_id", "duration_ms", "roundtrip_ok"
+    )
+
+
+ORACLE_AUDIO_INVARIANTS = """
+SELECT 'aud-' || CAST(doc_id AS VARCHAR) AS audio_id,
+       (1024 + doc_id % 512) * 1000
+         // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             ELSE 44100 END) AS duration_ms,
+       TRUE AS roundtrip_ok
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "paginate_stop_rules": q_paginate_stop_rules,
@@ -525,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "image_invariants": q_image_invariants,
+        "video_frame_sample": q_video_frame_sample,
+        "audio_invariants": q_audio_invariants,
     }
 
 
@@ -540,4 +595,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": ORACLE_DEDUP_COMPONENTS,
         "minhash_lsh_pairs": _oracle_lsh_pairs(),
         "image_invariants": _oracle_image_invariants(),
+        "video_frame_sample": ORACLE_VIDEO_FRAME_SAMPLE,
+        "audio_invariants": ORACLE_AUDIO_INVARIANTS,
     }
