@@ -566,6 +566,37 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# winnowing fingerprints (MOSS): rolling k-gram hash + window minima
+# --------------------------------------------------------------------------
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local fingerprints (k=8 char-grams, window w=4) over the
+    documents table — the distinct window-minimum hash set per doc with
+    first positions, bit-for-bit vs the oracle's list-comprehension
+    replay."""
+    from .textops import quality as _quality
+
+    return _quality.winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+
+
+ORACLE_WINNOW_FINGERPRINT = """
+WITH g AS (
+  SELECT doc_id,
+         [CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 8)) AS BIGINT)
+          for i in range(1, length(text) - 8 + 2)] AS hs
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         unnest([list_min(hs[j:j+3]) for j in range(1, len(hs) - 4 + 2)]) AS fp,
+         unnest(generate_series(1, len(hs) - 4 + 1)) AS pos
+  FROM g
+)
+SELECT doc_id, fp, MIN(pos) AS first_pos FROM w GROUP BY doc_id, fp
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "paginate_stop_rules": q_paginate_stop_rules,
@@ -580,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_invariants": q_image_invariants,
         "video_frame_sample": q_video_frame_sample,
         "audio_invariants": q_audio_invariants,
+        "winnow_fingerprint": q_winnow_fingerprint,
     }
 
 
@@ -597,4 +629,5 @@ def oracle_sql() -> dict[str, str]:
         "image_invariants": _oracle_image_invariants(),
         "video_frame_sample": ORACLE_VIDEO_FRAME_SAMPLE,
         "audio_invariants": ORACLE_AUDIO_INVARIANTS,
+        "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
     }

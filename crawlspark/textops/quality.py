@@ -96,7 +96,56 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint: hash of the first 64 chars + length (a cheap
-    rolling-hash stand-in, replayable in SQL)."""
+    whole-document stand-in; winnow_fingerprints below is the real
+    rolling-hash local-fingerprint operator)."""
     t = F.col(text_col)
     fp = base_hash(F.concat(F.substring(t, 1, 64), F.length(t).cast("string")))
     return df.select("doc_id", fp.alias("fingerprint"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-char gram, then keep the
+    minimum hash of each w-gram window; the distinct minima are the doc's
+    fingerprint set, with the guarantee that any shared substring of
+    length >= k + w - 1 between two documents produces at least one shared
+    fingerprint.  Overlap of fingerprint sets is the plagiarism/near-dup
+    signal at local (passage) granularity, where MinHash is global.
+
+    Returns (id, fp, first_pos) — one row per distinct fingerprint with
+    its first window position.  Pure Column expressions (two HOF
+    transforms + posexplode + groupBy), integer-exact and replayed
+    bit-for-bit by the DuckDB oracle.  The per-doc gram array is O(doc
+    length) inside one task — no shuffle until the final distinct-set
+    groupBy on (id, fp)."""
+    d = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    n_grams = F.length("__t") - k + 1
+    # sequence(1, 0) would DESCEND in Spark — guard short docs to empty
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: base_hash(F.col("__t").substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    d = d.withColumn("__hs", grams)
+    n_win = F.size("__hs") - w + 1
+    mins = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda j: F.array_min(F.slice(F.col("__hs"), j, w)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    d = d.withColumn("__mins", mins)
+    return (
+        d.select(F.col(id_col), F.posexplode("__mins").alias("pos0", "fp"))
+        .groupBy(id_col, "fp")
+        .agg((F.min("pos0") + 1).cast("long").alias("first_pos"))
+    )

@@ -98,6 +98,31 @@ def test_assign_components_keeps_isolated_docs(spark):
                    3: 3, 5: 5, 6: 6, 8: 8}
 
 
+def test_winnowing_guarantee_shared_substring(spark):
+    """The winnowing guarantee (Schleimer et al. SIGMOD'03): two documents
+    sharing a substring of length >= k + w - 1 share at least one
+    fingerprint; disjoint-alphabet documents share none."""
+    from crawlspark.textops import quality
+
+    k, w = 8, 4
+    shared = "zqxjvkwpbmfg"  # len 12 >= k + w - 1 = 11
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa " + shared + " bbbb cccc dddd"),
+            (2, "eeee ffff " + shared + " gggg"),
+            (3, "hhhh iiii jjjj kkkk llll mmmm nnnn"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    fps = quality.winnow_fingerprints(df, k=k, w=w).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
 def test_lsh_pairs_to_groups_composition(spark):
     """The production composition: MinHash-LSH pairs -> components ->
     keep-one-per-cluster, vs union-find over the SAME pair set."""
