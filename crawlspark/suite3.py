@@ -1,0 +1,290 @@
+"""Round-2 continuation queries: training-data curation operators.
+
+PII scrubbing, Gopher-style repetition signals, deterministic hash sampling,
+and language-stratified sampling (crawlspark.textops.curate) — the curation
+stages a crawl->training-data pipeline runs after dedup/quality.  Same
+contract as :mod:`crawlspark.suite` (queries() + oracle_sql()), merged by
+``__spark_entry__``.
+
+Reference scope note: crwlrsoft/crawler stops at extraction
+(src/Steps/Html.php, src/Steps/Refiners/*); these are the post-extraction
+curation layer the assignment adds on top.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .textops import curate
+from .textops.dedup import BASE_HASH_SQL
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (emails / IPv4s / phone numbers -> placeholders + counts)
+# --------------------------------------------------------------------------
+
+def _pii_text(doc: Column) -> Column:
+    """Deterministic PII-laced text from doc_id: ~1/3 of docs get an email,
+    ~1/4 an IPv4, ~1/5 a phone number, prepended to the document words."""
+    s = doc.cast("string")
+    email = F.when(
+        doc % 3 == 0,
+        F.concat(F.lit("mail bob."), s, F.lit("@ex-"), (doc % 7).cast("string"),
+                 F.lit(".org ")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        doc % 4 == 0,
+        F.concat(F.lit("host 10."), (doc % 250).cast("string"), F.lit(".0."),
+                 (doc % 9).cast("string"), F.lit(" ")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        doc % 5 == 0,
+        F.concat(F.lit("tel +49-555-"), ((doc % 9000) + 1000).cast("string"),
+                 F.lit(" ")),
+    ).otherwise(F.lit(""))
+    return F.concat(email, ip, phone, F.substring(F.col("text"), 1, 64))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a deterministically PII-laced corpus: emails /
+    IPv4s / phone numbers replaced by placeholders, per-doc match counts
+    kept.  Pure JVM regexp expressions — a narrow map stage that fuses into
+    the scan at 100 TB (no UDF, no shuffle)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _pii_text(F.col("doc_id")).alias("text")
+    )
+    return curate.pii_scrub(d)
+
+
+_PII_TEXT_SQL = """
+  CASE WHEN doc_id % 3 = 0 THEN 'mail bob.' || CAST(doc_id AS VARCHAR)
+       || '@ex-' || CAST(doc_id % 7 AS VARCHAR) || '.org ' ELSE '' END
+  || CASE WHEN doc_id % 4 = 0 THEN 'host 10.' || CAST(doc_id % 250 AS VARCHAR)
+       || '.0.' || CAST(doc_id % 9 AS VARCHAR) || ' ' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0 THEN 'tel +49-555-'
+       || CAST(doc_id % 9000 + 1000 AS VARCHAR) || ' ' ELSE '' END
+  || substr(text, 1, 64)
+"""
+
+ORACLE_PII_SCRUB = f"""
+WITH src AS (SELECT doc_id, {_PII_TEXT_SQL} AS t FROM documents),
+cnt AS (
+  SELECT doc_id, t,
+         CAST(len(regexp_extract_all(t, '{curate.EMAIL_RE}')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(t, '{curate.IPV4_RE}')) AS BIGINT) AS n_ip,
+         CAST(len(regexp_extract_all(t, '{curate.PHONE_RE}')) AS BIGINT) AS n_phone
+  FROM src
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '{curate.EMAIL_RE}', '<EMAIL>', 'g'),
+           '{curate.IPV4_RE}', '<IP>', 'g'),
+         '{curate.PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       n_email, n_ip, n_phone,
+       n_email + n_ip + n_phone AS n_pii
+FROM cnt
+"""
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021 repetition filters)
+# --------------------------------------------------------------------------
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals: duplicate-word ratio (array-side, no
+    shuffle) and most-frequent unigram/bigram share (explode -> map-side
+    combined groupBy), integer permille, plus the Gopher keep verdict."""
+    return curate.repetition_signals(_docs(spark, sf_dir))
+
+
+ORACLE_REPETITION = f"""
+WITH w AS (
+  SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS nd, ws
+  FROM w
+),
+uni AS (
+  SELECT doc_id, MAX(c) AS mu FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(ws) AS tok FROM w)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+),
+bgl AS (
+  SELECT doc_id,
+         [ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))] AS bgs
+  FROM w WHERE len(ws) >= 2
+),
+bi AS (
+  SELECT doc_id, MAX(c) AS mb FROM (
+    SELECT doc_id, bg, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(bgs) AS bg FROM bgl)
+    GROUP BY doc_id, bg
+  ) GROUP BY doc_id
+),
+j AS (
+  SELECT base.doc_id, n, nd,
+         CAST(FLOOR((n - nd) * 1000 / n) AS BIGINT) AS dup_pm,
+         CAST(FLOOR(COALESCE(mu, 0) * 1000 / n) AS BIGINT) AS uni_pm,
+         CAST(FLOOR(COALESCE(mb, 0) * 1000 / GREATEST(n - 1, 1)) AS BIGINT)
+           AS bi_pm
+  FROM base LEFT JOIN uni USING (doc_id) LEFT JOIN bi USING (doc_id)
+)
+SELECT doc_id, n AS n_words, nd AS n_distinct_words,
+       dup_pm AS dup_word_permille,
+       uni_pm AS top_unigram_permille,
+       bi_pm AS top_bigram_permille,
+       uni_pm <= {curate.TOP_UNIGRAM_MAX_PERMILLE}
+         AND bi_pm <= {curate.TOP_BIGRAM_MAX_PERMILLE} AS keep
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash sampling + language-stratified sampling
+# --------------------------------------------------------------------------
+
+_SAMPLE_PERMILLE = 125
+_STRATA_K = 20
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 12.5% hash sample of documents: salted key-hash bucket
+    < permille.  Unlike df.sample it is stable under repartitioning and
+    resume; a pure narrow filter (fuses into the scan, zero shuffle)."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return curate.hash_sample(d, "doc_id", _SAMPLE_PERMILLE)
+
+
+ORACLE_HASH_SAMPLE = f"""
+SELECT doc_id, lang,
+       {BASE_HASH_SQL.format(x="'s1' || CAST(doc_id AS VARCHAR)")} % 1000
+         AS sample_bucket
+FROM documents
+WHERE {BASE_HASH_SQL.format(x="'s1' || CAST(doc_id AS VARCHAR)")} % 1000
+      < {_SAMPLE_PERMILLE}
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deterministic top-k docs per language: rank = salted id-hash,
+    two-phase (per-partition top-k then exact window on survivors) so no
+    stratum funnels through a single task at 100 TB."""
+    return curate.stratified_sample(_docs(spark, sf_dir), "lang", _STRATA_K)
+
+
+ORACLE_STRATIFIED = f"""
+WITH r AS (
+  SELECT lang, doc_id,
+         {BASE_HASH_SQL.format(x="'strat' || CAST(doc_id AS VARCHAR)")}
+           AS rank_hash
+  FROM documents
+),
+rn AS (
+  SELECT lang, doc_id, rank_hash,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY rank_hash, doc_id) AS BIGINT) AS rn
+  FROM r
+)
+SELECT * FROM rn WHERE rn <= {_STRATA_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (fixed token-budget training bins)
+# --------------------------------------------------------------------------
+
+_PACK_CAPACITY = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: docs laid out in deterministic salted-hash order,
+    running token prefix sum, bin boundary wherever the total crosses a
+    capacity multiple.  Two-phase distributed prefix sum (per-partition
+    partials + broadcast offsets) — no single-partition window over the
+    corpus."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    return curate.pack_sequences(d, capacity=_PACK_CAPACITY)
+
+
+ORACLE_PACK = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+         {BASE_HASH_SQL.format(x="'pack' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (
+           ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(FLOOR((cum_tokens - n_tokens) / {_PACK_CAPACITY}) AS BIGINT)
+         AS bin_id
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# Source-mix rebalancing (down-sample sources to target shares)
+# --------------------------------------------------------------------------
+
+_MIX = {"src0": 1000, "src1": 500, "src2": 250, "src3": 125}
+
+
+def q_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix rebalancing: per-source keep-permille compiled into a
+    literal map filter (narrow, fuses into the scan); sources missing from
+    the mix are dropped.  Same salted-hash draw as hash_sample, so the
+    subset is stable under re-runs and repartitioning."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return curate.rebalance_sources(d, _MIX)
+
+
+def _oracle_rebalance() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {p}" for s, p in _MIX.items()
+    )
+    bucket = BASE_HASH_SQL.format(x="'mix' || CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, source, {bucket} % 1000 AS sample_bucket
+FROM documents
+WHERE {bucket} % 1000 < CASE source {cases} ELSE 0 END
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "pii_scrub": q_pii_scrub,
+        "repetition_signals": q_repetition_signals,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "rebalance_sources": q_rebalance_sources,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "pii_scrub": ORACLE_PII_SCRUB,
+        "repetition_signals": ORACLE_REPETITION,
+        "hash_sample": ORACLE_HASH_SAMPLE,
+        "stratified_sample": ORACLE_STRATIFIED,
+        "pack_sequences": ORACLE_PACK,
+        "rebalance_sources": _oracle_rebalance(),
+    }

@@ -1,0 +1,262 @@
+"""Training-data curation operators: PII scrubbing, Gopher-style repetition
+signals, deterministic hash sampling, language-stratified sampling.
+
+These are the dataset-curation stages a 100 TB crawl->training-data pipeline
+runs after dedup/quality: scrub PII spans, drop repetition-heavy docs
+(Gopher rules, Rae et al. 2021), then draw deterministic and per-language
+stratified samples.  Everything stays in JVM whole-stage codegen (regexp /
+array expressions; the repetition mode counts are one map-side-combined
+explode+groupBy) and every formula is integer-exact so the DuckDB oracle
+replays bit-for-bit.  Production would swap the md5-prefix hash for
+``xxhash64`` (same plan shape, cheaper hash) — see dedup.base_hash.
+
+Reference scope note: crwlrsoft/crawler stops at extraction (Steps/Html.php,
+Steps/Refiners/*); these operators are the post-extraction curation layer the
+assignment adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import base_hash
+
+# Regexes restricted to the Java-regex ∩ RE2 common dialect so Spark and the
+# DuckDB oracle match the exact same spans.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{2}-\d{3}-\d{4}"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / IPv4s / phone numbers, keeping per-doc match counts.
+
+    Email first (its local part may contain digits-and-dots the IP pattern
+    would otherwise bite into), then IP, then phone.  Pure regexp
+    expressions — no UDF, no shuffle; at 100 TB this is a narrow map stage
+    fused into the scan.
+    """
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(EMAIL_RE)).cast("long")
+    n_ip = F.regexp_count(t, F.lit(IPV4_RE)).cast("long")
+    n_phone = F.regexp_count(t, F.lit(PHONE_RE)).cast("long")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_email.alias("n_email"),
+        n_ip.alias("n_ip"),
+        n_phone.alias("n_phone"),
+        (n_email + n_ip + n_phone).alias("n_pii"),
+    )
+
+
+# Gopher-rule thresholds (permille): docs above either are repetition spam.
+TOP_UNIGRAM_MAX_PERMILLE = 120
+TOP_BIGRAM_MAX_PERMILLE = 100
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document, integer permille.
+
+    - ``dup_word_permille``: 1 - (#distinct words / #words) — array-side,
+      no shuffle.
+    - ``top_unigram_permille`` / ``top_bigram_permille``: share of the
+      most frequent unigram / bigram.  Mode counting is explode ->
+      groupBy(id, token) -> max — two shuffles, both map-side combined,
+      the honest distributed plan (an array-side O(distinct*n) fold would
+      be quadratic per doc and melt on long documents).
+    - ``keep``: the Gopher keep/drop verdict at the module thresholds.
+    """
+    d = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+    d = d.withColumn("__n", F.size("__w").cast("long")).withColumn(
+        "__nd", F.size(F.array_distinct("__w")).cast("long")
+    )
+    bigrams = F.when(
+        F.size("__w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__w") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("__w"), i.cast("int")),
+                F.element_at(F.col("__w"), (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.withColumn("__bg", bigrams).localCheckpoint(eager=False)
+
+    def _mode_cnt(frame: DataFrame, arr: str) -> DataFrame:
+        return (
+            frame.select(F.col(id_col), F.explode(arr).alias("__tok"))
+            .groupBy(id_col, "__tok")
+            .agg(F.count("*").alias("__c"))
+            .groupBy(id_col)
+            .agg(F.max("__c").alias("__mc"))
+        )
+
+    top_uni = _mode_cnt(d, "__w").withColumnRenamed("__mc", "__mu")
+    top_bi = _mode_cnt(d, "__bg").withColumnRenamed("__mc", "__mb")
+    out = (
+        d.select(id_col, "__n", "__nd")
+        .join(top_uni, id_col, "left")
+        .join(top_bi, id_col, "left")
+    )
+    n = F.col("__n")
+    top_uni_pm = F.floor(F.coalesce(F.col("__mu"), F.lit(0)) * 1000 / n).cast("long")
+    top_bi_pm = F.floor(
+        F.coalesce(F.col("__mb"), F.lit(0)) * 1000 / F.greatest(n - 1, F.lit(1))
+    ).cast("long")
+    dup_pm = F.floor((n - F.col("__nd")) * 1000 / n).cast("long")
+    return out.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.col("__nd").alias("n_distinct_words"),
+        dup_pm.alias("dup_word_permille"),
+        top_uni_pm.alias("top_unigram_permille"),
+        top_bi_pm.alias("top_bigram_permille"),
+        (
+            (top_uni_pm <= TOP_UNIGRAM_MAX_PERMILLE)
+            & (top_bi_pm <= TOP_BIGRAM_MAX_PERMILLE)
+        ).alias("keep"),
+    )
+
+
+def sample_bucket(key: Column, salt: str = "s1") -> Column:
+    """Deterministic 0..999 bucket for hash sampling (DuckDB-replayable)."""
+    return base_hash(F.concat(F.lit(salt), key.cast("string"))) % 1000
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, permille: int, salt: str = "s1"
+) -> DataFrame:
+    """Keep rows whose salted key-hash bucket < permille.
+
+    Deterministic (re-runs and resumes pick the identical sample — unlike
+    ``df.sample``), stable under repartitioning, and a pure narrow filter:
+    at 100 TB it fuses into the scan with zero shuffle.  Different salts
+    give independent samples; the same salt gives consistent joins across
+    tables sampled on the same key.
+    """
+    b = sample_bucket(F.col(key_col), salt)
+    return df.withColumn("sample_bucket", b.cast("long")).where(
+        F.col("sample_bucket") < permille
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    n_tokens_col: str = "n_tokens",
+    capacity: int = 2048,
+    id_col: str = "doc_id",
+    order_salt: str = "pack",
+    num_rows: int | None = None,
+) -> DataFrame:
+    """Assign docs to fixed-token-budget training bins (sequence packing).
+
+    Docs are laid out in a deterministic salted-hash order (so the packing
+    is reproducible and independent of partitioning), a running token
+    prefix sum is taken over that order, and ``bin_id = floor((cumsum - n)
+    / capacity)`` — i.e. a bin boundary falls wherever the running total
+    crosses a capacity multiple.  Bins can overflow by at most one doc
+    (the standard streaming first-fit relaxation: exact bin packing is
+    NP-hard and inherently sequential; this layout is what large training
+    pipelines actually run).  Docs longer than ``capacity`` occupy
+    ceil(n/capacity) bins' worth of budget but are never split here —
+    chunking is the tokenizer's job upstream.
+
+    Scale: the prefix sum is ONE global sort + running sum.  Spark plans
+    `sum() OVER (ORDER BY ...)` as a single-partition window, so this
+    delegates to :func:`crawlspark.ranks.global_prefix_sum` — the same
+    two-phase plan the BFS frontier rank uses (range-partition on the
+    order key, per-partition partial sums, broadcast offsets): no stage
+    sees more than one partition of rows.
+    """
+    h = base_hash(F.concat(F.lit(order_salt), F.col(id_col).cast("string")))
+    d = df.select(
+        F.col(id_col),
+        F.col(n_tokens_col).cast("long").alias("__n"),
+        h.alias("__h"),
+    )
+    from ..ranks import global_prefix_sum
+
+    start = global_prefix_sum(d, order_cols=["__h", id_col], val_col="__n",
+                              out="__start", num_rows=num_rows)
+    return start.select(
+        F.col(id_col),
+        F.col("__n").alias("n_tokens"),
+        (F.col("__start") + F.col("__n")).alias("cum_tokens"),
+        F.floor(F.col("__start") / capacity).cast("long").alias("bin_id"),
+    )
+
+
+def rebalance_sources(
+    df: DataFrame,
+    target_permille: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Down-sample each source to a target share of ITS OWN rows (permille
+    kept), e.g. {'web': 1000, 'forum': 250}: keep all web docs, a
+    deterministic quarter of forum docs.  Sources absent from the map are
+    dropped (permille 0).
+
+    The rate table is a literal map expression compiled into the filter —
+    a pure narrow map stage (no join, no shuffle) that fuses into the
+    parquet scan; the per-row draw is the same salted hash bucket as
+    :func:`hash_sample`, so samples stay consistent across re-runs,
+    resumes, and repartitioning.
+    """
+    rate = F.create_map(
+        *[F.lit(x) for kv in target_permille.items() for x in kv]
+    )[F.col(source_col)]
+    b = sample_bucket(F.col(id_col), salt)
+    return df.withColumn(
+        "sample_bucket", b.cast("long")
+    ).where(F.col("sample_bucket") < F.coalesce(rate, F.lit(0)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exact deterministic top-k per stratum (e.g. k docs per language).
+
+    Rank = salted hash of the id (ties broken by id), so the draw is
+    uniform-ish and reproducible.  Two-phase plan for scale: strata
+    cardinality is tiny (languages), so a single window partitioned by
+    stratum would funnel each stratum through ONE task.  Phase 1 takes the
+    per-(stratum, input-partition) top-k — parallel across the cluster —
+    which provably contains the global per-stratum top-k; phase 2 runs the
+    exact window on the surviving <= k * n_partitions rows only.
+    """
+    h = base_hash(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    d = df.select(F.col(strata_col), F.col(id_col), h.alias("rank_hash"))
+    part = F.spark_partition_id().alias("__p")
+    w1 = Window.partitionBy(strata_col, "__p").orderBy("rank_hash", id_col)
+    survivors = (
+        d.select("*", part)
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .drop("__p", "__r1")
+    )
+    w2 = Window.partitionBy(strata_col).orderBy("rank_hash", id_col)
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2).cast("long"))
+        .where(F.col("rn") <= k)
+    )

@@ -1,0 +1,191 @@
+"""Curation operators: PII scrub, repetition signals, hash/stratified sampling.
+
+Semantics checked against hand-computed expectations on tiny frames; plan
+shapes checked for the scale properties the docstrings claim (narrow filter
+for hash_sample, no single-partition window in stratified_sample phase 1).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark.textops import curate
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write bob@x.org or sue@y.co.uk now"),
+            (2, "server 10.0.0.1 and 192.168.1.254 up"),
+            (3, "call +49-555-1234 today"),
+            (4, "no pii here at all"),
+            (5, "mix a@b.io 1.2.3.4 +12-345-6789 end"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in curate.pii_scrub(df).collect()}
+    assert rows[1]["clean_text"] == "write <EMAIL> or <EMAIL> now"
+    assert rows[1]["n_email"] == 2 and rows[1]["n_pii"] == 2
+    assert rows[2]["clean_text"] == "server <IP> and <IP> up"
+    assert rows[2]["n_ip"] == 2
+    assert rows[3]["clean_text"] == "call <PHONE> today"
+    assert rows[3]["n_phone"] == 1
+    assert rows[4]["clean_text"] == "no pii here at all"
+    assert rows[4]["n_pii"] == 0
+    assert rows[5]["clean_text"] == "mix <EMAIL> <IP> <PHONE> end"
+    assert rows[5]["n_pii"] == 3
+
+
+def test_repetition_signals_exact(spark):
+    # doc 1: 'a a a b' -> n=4, nd=2, top unigram 'a' x3, top bigram 'a a' x2
+    # doc 2: all distinct -> keep
+    # doc 3: single word -> no bigrams, top_bigram 0
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "w x y z"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in curate.repetition_signals(df).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 4 and r1["n_distinct_words"] == 2
+    assert r1["dup_word_permille"] == 500
+    assert r1["top_unigram_permille"] == 750  # 3/4
+    assert r1["top_bigram_permille"] == 666  # 2/3 bigrams are 'a a'
+    assert not r1["keep"]
+    r2 = rows[2]
+    assert r2["top_unigram_permille"] == 250  # 1/4; > 120 permille -> drop
+    assert r2["keep"] is False
+    assert r2["dup_word_permille"] == 0
+    r3 = rows[3]
+    assert r3["n_words"] == 1 and r3["top_bigram_permille"] == 0
+
+
+def test_hash_sample_deterministic_and_stable(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s1 = curate.hash_sample(df, "k", 100)
+    got = sorted(r["k"] for r in s1.collect())
+    # deterministic across re-runs and repartitioning
+    again = sorted(
+        r["k"] for r in curate.hash_sample(df.repartition(13), "k", 100).collect()
+    )
+    assert got == again
+    # roughly 10% (binomial: 200 +- wide margin)
+    assert 130 <= len(got) <= 270
+    # different salt -> different sample
+    other = sorted(r["k"] for r in curate.hash_sample(df, "k", 100, salt="s2").collect())
+    assert got != other
+    # monotone: permille 50 sample is a subset of permille 100
+    sub = {r["k"] for r in curate.hash_sample(df, "k", 50).collect()}
+    assert sub <= set(got)
+
+
+def test_stratified_sample_exact_topk(spark):
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+    )
+    out = curate.stratified_sample(df, "lang", 5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # exactly k per stratum, ranks 1..k, and they are the globally smallest
+    # rank_hash ids of that stratum (verify one stratum brute-force)
+    for lang, rs in by_lang.items():
+        assert sorted(r["rn"] for r in rs) == [1, 2, 3, 4, 5]
+    brute = (
+        df.where(F.col("lang") == "0")
+        .select(
+            "doc_id",
+            curate.sample_bucket(F.col("doc_id"), "x").alias("_ignore"),
+        )
+        .count()
+    )
+    assert brute == 100
+    expected0 = (
+        df.where(F.col("lang") == "0")
+        .select(
+            "doc_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("strat"), F.col("doc_id").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .limit(5)
+        .collect()
+    )
+    got0 = sorted(
+        (r["rank_hash"], r["doc_id"]) for r in by_lang["0"]
+    )
+    assert got0 == sorted((r["h"], r["doc_id"]) for r in expected0)
+
+
+def test_pack_sequences_differential_and_stable(spark):
+    """Bin assignment matches a driver-side replay of the salted-hash
+    layout + running prefix sum, and is identical after repartitioning."""
+    import hashlib
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n_tokens")
+    )
+    out = curate.pack_sequences(df, capacity=100).collect()
+    got = {r["doc_id"]: (r["cum_tokens"], r["bin_id"]) for r in out}
+
+    def h(i):
+        return int(hashlib.md5(f"pack{i}".encode()).hexdigest()[:8], 16)
+
+    order = sorted(range(400), key=lambda i: (h(i), i))
+    cum, expect = 0, {}
+    for i in order:
+        n = i % 37 + 1
+        expect[i] = (cum + n, cum // 100)
+        cum += n
+    assert got == expect
+    again = {
+        r["doc_id"]: (r["cum_tokens"], r["bin_id"])
+        for r in curate.pack_sequences(df.repartition(17), capacity=100).collect()
+    }
+    assert again == expect
+    # bins overflow by at most one doc: every doc STARTS inside its bin
+    for i, (cum_i, b) in expect.items():
+        n = i % 37 + 1
+        assert b * 100 <= cum_i - n < (b + 1) * 100
+
+
+def test_rebalance_sources_rates_and_drops(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    out = curate.rebalance_sources(df, {"s0": 1000, "s1": 500, "s2": 0})
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src.get("s0", [])) == 1000  # permille 1000 keeps all
+    assert 380 <= len(by_src.get("s1", [])) <= 620  # ~half
+    assert "s2" not in by_src  # permille 0 drops
+    assert "s3" not in by_src  # absent from the mix drops
+    # plan is a pure narrow filter: no Exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_stratified_sample_no_global_window_on_full_input(spark):
+    """Phase 1 must window on (stratum, partition-id), so the full input is
+    never funneled through one task per stratum; the exact global window
+    only sees the <= k * n_partitions survivors."""
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    plan = curate.stratified_sample(df, "lang", 3)._jdf.queryExecution().executedPlan().toString()
+    # two windows: first partitioned by (lang, __p), second by lang only
+    assert plan.count("Window") >= 2
+    assert "__p" in plan
