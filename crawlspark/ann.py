@@ -203,3 +203,184 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
     )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance, doubles, summed in index order (so the DuckDB
+    oracle's list_sum comprehension replays the identical IEEE sequence)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _codebook_row(
+    embeddings: DataFrame, n_queries: int, ks: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """One-row DF holding the PQ codebook: the ``ks`` corpus vectors with the
+    smallest ids, ordered, as an array column (tiny — broadcast)."""
+    return (
+        embeddings.filter(
+            (F.col(id_col) >= n_queries) & (F.col(id_col) < n_queries + ks)
+        )
+        .select(F.struct((F.col(id_col) - n_queries).alias("c"),
+                         F.col(vec_col).alias("cv")).alias("e"))
+        .agg(F.sort_array(F.collect_list("e")).alias("cb"))
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    m: int = 4,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoder: split each corpus vector into ``m``
+    subvectors; each subspace's code is the argmin-L2 entry of that
+    subspace's codebook (ties -> lower code).  Returns
+    (neighbor_id, codes array<int>) — m small ints per doc instead of the
+    full float vector: the memory story that makes 10^10-vector ANN fit
+    in cluster RAM (64 floats -> 4 bytes here; real deployments use m=8..64
+    over 256-entry codebooks trained with k-means, same plan shape).
+
+    Plan: the codebook rides in as a broadcast one-row array; encoding is a
+    pure narrow map of array HOFs (no shuffle, no Python) over the
+    partitioned corpus.
+    """
+    corpus = embeddings.filter(F.col(id_col) >= n_queries).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    cb = _codebook_row(embeddings, n_queries, ks, id_col, vec_col)
+
+    def codes_expr(v: Column, cb_col: Column, sub_len: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.array_min(
+                F.transform(
+                    cb_col,
+                    lambda e: F.struct(
+                        _l2sq(
+                            F.slice(v, (j * sub_len + 1).cast("int"), sub_len.cast("int")),
+                            F.slice(e["cv"], (j * sub_len + 1).cast("int"), sub_len.cast("int")),
+                        ).alias("d"),
+                        e["c"].alias("c"),
+                    ),
+                )
+            )["c"].cast("int"),
+        )
+
+    sub_len = (F.size(F.col("cv")) / m).cast("int")
+    return corpus.crossJoin(F.broadcast(cb)).select(
+        "neighbor_id",
+        codes_expr(F.col("cv"), F.col("cb"), sub_len).alias("codes"),
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 4,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: corpus vectors are replaced by their
+    quantized reconstructions (codebook entry per subspace — numerically
+    identical to the classic per-subspace LUT sum, expressed as one L2 over
+    the reconstruction), queries stay exact.  Returns
+    (query_id, rank, neighbor_id), ranks 1..k by (approx dist asc, id asc).
+
+    Scale shape: corpus side carries only (id, codes) — the compressed
+    representation; reconstruction happens on the fly from the broadcast
+    codebook inside the scoring map stage.  Only the query block is
+    broadcast; the corpus never shuffles.
+    """
+    cb = _codebook_row(embeddings, n_queries, ks, id_col, vec_col)
+    encoded = pq_encode(embeddings, n_queries, m, ks, id_col, vec_col)
+    q = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    sub_len = (F.size(F.col("qv")) / m).cast("int")
+    recon = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.slice(
+                F.element_at(F.col("cb"), F.element_at(F.col("codes"), j + 1) + 1)["cv"],
+                (j * sub_len + 1).cast("int"),
+                sub_len.cast("int"),
+            ),
+        )
+    )
+    scored = (
+        encoded.crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id", "neighbor_id",
+            _l2sq(F.col("qv"), recon).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def pq_topk_rerank(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    shortlist: int = 100,
+    m: int = 4,
+    ks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC-style refine step: PQ asymmetric distance produces a per-query
+    shortlist of ``shortlist`` candidates from the compressed corpus, then the
+    exact L2 is recomputed for just those candidates and the true top-``k``
+    re-ranked.  Returns (query_id, rank, neighbor_id) by (exact L2^2 asc,
+    id asc).
+
+    Scale shape: the expensive exact pass touches only |Q| * shortlist rows —
+    the full-precision vectors are fetched for the shortlist via an equi-join
+    on the corpus id (partition-pruned / bucketable at scale), never scanned
+    whole.  This is the standard production composition (PQ scan -> exact
+    rerank); PQ alone over an untrained first-``ks`` codebook is a coarse
+    sieve, not a ranker.
+    """
+    cand = pq_topk(
+        embeddings, n_queries=n_queries, k=shortlist, m=m, ks=ks,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    corpus = embeddings.filter(F.col(id_col) >= n_queries).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    q = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    exact = (
+        cand.join(corpus, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", _l2sq(F.col("qv"), F.col("cv")).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

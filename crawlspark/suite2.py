@@ -498,6 +498,51 @@ def q_image_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image detection by phash hamming distance, banded
+    (pigeonhole-exact recall, images.near_dup_images_by_phash).  Fixture:
+    the REAL codec-path phashes (generate_images), plus planted copies for
+    every doc_id % 5 == 0 whose phash is flipped in 1 + doc_id % 2 known
+    bit positions (XOR mask built JVM-side).  Measured at sf0.01 the
+    original phashes sit >= 13 bits apart pairwise, so with <= 2 planted
+    bits every non-planted pair stays >= 9 > max_dist=6 away — the exact
+    expected pair set is the planted one, which the oracle states from
+    doc_id arithmetic alone."""
+    from . import images as _images
+
+    imgs = _images.generate_images(spark, sf_dir).select("image_id", "phash")
+    d = F.regexp_extract(F.col("image_id"), r"img-(\d+)", 1).cast("long")
+    copies = (
+        imgs.filter(d % 5 == 0)
+        .select(F.col("phash"), d.alias("d"))
+        .withColumn("p1", (F.col("d") % 64).cast("int"))
+        .withColumn("p2", ((F.col("p1") + 1 + (F.col("d") % 63).cast("int")) % 64).cast("int"))
+        .select(
+            F.concat(F.lit("dup-"), F.col("d").cast("string")).alias("image_id"),
+            F.col("phash").bitwiseXOR(
+                F.expr("shiftleft(CAST(1 AS BIGINT), p1)").bitwiseXOR(
+                    F.when(
+                        F.col("d") % 2 == 1,
+                        F.expr("shiftleft(CAST(1 AS BIGINT), p2)"),
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+            ).alias("phash"),
+        )
+    )
+    pairs = _images.near_dup_images_by_phash(
+        imgs.unionByName(copies), max_dist=6
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+ORACLE_IMAGE_NEAR_DUP = """
+SELECT 'dup-' || CAST(doc_id AS VARCHAR) AS id_a,
+       'img-' || CAST(doc_id AS VARCHAR) AS id_b,
+       CAST(1 + doc_id % 2 AS BIGINT) AS hamming
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
 def _oracle_image_invariants() -> str:
     from .images import FMTS
 
@@ -609,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "image_invariants": q_image_invariants,
+        "image_near_dup": q_image_near_dup,
         "video_frame_sample": q_video_frame_sample,
         "audio_invariants": q_audio_invariants,
         "winnow_fingerprint": q_winnow_fingerprint,
@@ -627,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": ORACLE_DEDUP_COMPONENTS,
         "minhash_lsh_pairs": _oracle_lsh_pairs(),
         "image_invariants": _oracle_image_invariants(),
+        "image_near_dup": ORACLE_IMAGE_NEAR_DUP,
         "video_frame_sample": ORACLE_VIDEO_FRAME_SAMPLE,
         "audio_invariants": ORACLE_AUDIO_INVARIANTS,
         "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,

@@ -268,6 +268,157 @@ WHERE {bucket} % 1000 < CASE source {cases} ELSE 0 END
 """
 
 
+# --------------------------------------------------------------------------
+# Product-quantization ANN (compressed-corpus similarity search)
+# --------------------------------------------------------------------------
+
+_PQ = {"n_queries": 10, "k": 5, "m": 4, "ks": 8}
+
+
+def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoder: each corpus vector -> m argmin-L2 subspace codes against
+    a deterministic codebook (first ks corpus vectors).  m small ints
+    replace the float vector — the compression that fits 10^10-vector ANN
+    in cluster RAM.  Narrow map stage, broadcast codebook, no shuffle."""
+    from . import ann as _ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    enc = _ann.pq_encode(emb, n_queries=_PQ["n_queries"], m=_PQ["m"], ks=_PQ["ks"])
+    # integer-stable projection for the hash compare
+    return enc.select(
+        "neighbor_id",
+        *[
+            F.element_at(F.col("codes"), j + 1).cast("long").alias(f"code_{j}")
+            for j in range(_PQ["m"])
+        ],
+    )
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: queries exact, corpus reconstructed
+    from its codes (== the classic per-subspace LUT sum); ranks by
+    (approx L2^2 asc, id asc).  Corpus side carries only (id, codes)."""
+    from . import ann as _ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = _ann.pq_topk(emb, **_PQ)
+    return out.select("query_id", F.col("rank").alias("nn_rank"), "neighbor_id")
+
+
+def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC refine: PQ asymmetric distance builds a per-query shortlist
+    (k=25 here), then the exact L2 is recomputed for just those candidates
+    and the true top-k re-ranked — the production PQ composition (the
+    full-precision vectors are fetched only for |Q| * shortlist rows)."""
+    from . import ann as _ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = _ann.pq_topk_rerank(
+        emb, n_queries=_PQ["n_queries"], k=_PQ["k"], shortlist=25,
+        m=_PQ["m"], ks=_PQ["ks"],
+    )
+    return out.select("query_id", F.col("rank").alias("nn_rank"), "neighbor_id")
+
+
+def _pq_oracle_common() -> str:
+    nq, ks, m = _PQ["n_queries"], _PQ["ks"], _PQ["m"]
+    # 64-dim embeddings, m subspaces -> sub = 16 dims, 1-based slices
+    return f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT list(v ORDER BY vec_id) AS cents, len(any_value(v)) // {m} AS sub
+       FROM e WHERE vec_id >= {nq} AND vec_id < {nq + ks}),
+enc AS (
+  SELECT c.vec_id AS neighbor_id, c.v,
+         [ CAST(list_position(
+             [ list_sum([ (c.v[i] - cc[i]) * (c.v[i] - cc[i])
+                          for i in range((j-1)*sub + 1, j*sub + 1) ])
+               for cc in cents ],
+             list_min(
+             [ list_sum([ (c.v[i] - cc[i]) * (c.v[i] - cc[i])
+                          for i in range((j-1)*sub + 1, j*sub + 1) ])
+               for cc in cents ])
+           ) - 1 AS INT)
+           for j in range(1, {m} + 1) ] AS codes
+  FROM (SELECT * FROM e WHERE vec_id >= {nq}) c, cb
+)
+"""
+
+
+def _oracle_pq_codes() -> str:
+    cols = ", ".join(
+        f"CAST(codes[{j + 1}] AS BIGINT) AS code_{j}" for j in range(_PQ["m"])
+    )
+    return f"WITH {_pq_oracle_common()} SELECT neighbor_id, {cols} FROM enc"
+
+
+def _oracle_pq_topk() -> str:
+    nq, k, m = _PQ["n_queries"], _PQ["k"], _PQ["m"]
+    return f"""
+WITH {_pq_oracle_common()},
+recon AS (
+  SELECT neighbor_id,
+         flatten([ cents[codes[j] + 1][((j-1)*sub + 1):(j*sub)]
+                   for j in range(1, {m} + 1) ]) AS vq
+  FROM enc, cb
+),
+s AS (
+  SELECT q.vec_id AS query_id, r.neighbor_id,
+         list_sum([ (q.v[i] - r.vq[i]) * (q.v[i] - r.vq[i])
+                    for i in range(1, len(q.v) + 1) ]) AS dist
+  FROM (SELECT * FROM e WHERE vec_id < {nq}) q, recon r
+),
+rk AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, neighbor_id ASC) AS rnk
+  FROM s
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS nn_rank, neighbor_id
+FROM rk WHERE rnk <= {k}
+"""
+
+
+def _oracle_pq_rerank(shortlist: int = 25) -> str:
+    nq, k, m = _PQ["n_queries"], _PQ["k"], _PQ["m"]
+    return f"""
+WITH {_pq_oracle_common()},
+recon AS (
+  SELECT neighbor_id,
+         flatten([ cents[codes[j] + 1][((j-1)*sub + 1):(j*sub)]
+                   for j in range(1, {m} + 1) ]) AS vq
+  FROM enc, cb
+),
+s AS (
+  SELECT q.vec_id AS query_id, r.neighbor_id,
+         list_sum([ (q.v[i] - r.vq[i]) * (q.v[i] - r.vq[i])
+                    for i in range(1, len(q.v) + 1) ]) AS dist
+  FROM (SELECT * FROM e WHERE vec_id < {nq}) q, recon r
+),
+short AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dist ASC, neighbor_id ASC) AS rnk
+        FROM s)
+  WHERE rnk <= {shortlist}
+),
+ex AS (
+  SELECT sh.query_id, sh.neighbor_id,
+         list_sum([ (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])
+                    for i in range(1, len(q.v) + 1) ]) AS dist
+  FROM short sh
+  JOIN e c ON c.vec_id = sh.neighbor_id
+  JOIN e q ON q.vec_id = sh.query_id
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS nn_rank, neighbor_id
+FROM (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, neighbor_id ASC) AS rnk
+      FROM ex)
+WHERE rnk <= {k}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pii_scrub": q_pii_scrub,
@@ -276,6 +427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "rebalance_sources": q_rebalance_sources,
+        "ann_pq_codes": q_ann_pq_codes,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_pq_rerank": q_ann_pq_rerank,
     }
 
 
@@ -287,4 +441,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": ORACLE_STRATIFIED,
         "pack_sequences": ORACLE_PACK,
         "rebalance_sources": _oracle_rebalance(),
+        "ann_pq_codes": _oracle_pq_codes(),
+        "ann_pq_topk": _oracle_pq_topk(),
+        "ann_pq_rerank": _oracle_pq_rerank(),
     }
