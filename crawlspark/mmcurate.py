@@ -1,0 +1,129 @@
+"""Multimodal training-data curation: image+caption pair filtering and
+aspect bucketing over the input_hint table (image_id, bytes, w, h, fmt,
+caption, phash).
+
+The reference crawler stops at fetching/extracting (src/Steps/Html.php,
+src/Steps/Loading/Http.php); these are the LAION-style curation stages a
+crawl->image-caption-training-data pipeline runs AFTER the payload table
+exists: drop pairs whose geometry or caption can't be trained on, and
+assign the survivors to aspect-ratio buckets so fixed-shape training
+batches don't mix portrait with landscape (SDXL-style bucketed training).
+
+Everything here is pure JVM column expressions over the already-decoded
+metadata columns — no UDF, no shuffle for the filter (a narrow map that
+fuses into the parquet scan at 100 TB; only the bucket STATS aggregate
+shuffles, map-side combined, by a 3-value key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# filter thresholds (LAION-400M-style heuristics, integer-exact)
+MIN_SIDE = 40            # least(w, h) >= MIN_SIDE
+MAX_ASPECT_NUM = 2       # aspect ratio within [1/2, 2]
+CAP_MIN_TOKENS = 3
+CAP_MAX_TOKENS = 32
+DIGIT_MAX_PERMILLE = 300  # digits / caption length <= 0.3
+
+
+def _n_caption_tokens(caption: Column) -> Column:
+    """Captions are single-space joined (images.ref_caption_col); empty
+    caption -> 0 tokens (split('') yields [''], size 1 — special-cased)."""
+    return F.when(caption == "", F.lit(0)).otherwise(
+        F.size(F.split(caption, " "))
+    ).cast("long")
+
+
+def keep_expr() -> Column:
+    """The caption_pair_filter keep verdict as one reusable Column over
+    (w, h, caption) — so aggregates can fold it in without a self-join."""
+    w, h, cap = F.col("w").cast("long"), F.col("h").cast("long"), F.col("caption")
+    n_tok = _n_caption_tokens(cap)
+    cap_len = F.length(cap).cast("long")
+    n_digits = cap_len - F.length(F.regexp_replace(cap, "[0-9]", ""))
+    digit_pm = F.when(cap_len == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(n_digits * 1000 / cap_len).cast("long")
+    )
+    return (
+        (MAX_ASPECT_NUM * w >= h) & (MAX_ASPECT_NUM * h >= w)
+        & (F.least(w, h) >= MIN_SIDE)
+        & (n_tok >= CAP_MIN_TOKENS) & (n_tok <= CAP_MAX_TOKENS)
+        & (digit_pm <= DIGIT_MAX_PERMILLE)
+    )
+
+
+def caption_pair_filter(imgs: DataFrame) -> DataFrame:
+    """Per-pair keep verdict with the individual signals kept for audit:
+
+    - ``ar_ok``     — aspect ratio within [1/2, 2], integer cross-multiply
+      (2*w >= h AND 2*h >= w): no float division, exact at any scale.
+    - ``size_ok``   — shorter side >= MIN_SIDE px.
+    - ``cap_ok``    — caption token count in [CAP_MIN_TOKENS, CAP_MAX_TOKENS].
+    - ``digit_ok``  — digit share of the caption <= 30% (boilerplate /
+      SKU-dump captions), integer permille.
+    - ``keep``      — AND of the above.
+
+    Input: any DataFrame with (image_id, w, h, caption).  Pure narrow
+    column expressions; at 100 TB this fuses into the scan with the
+    w/h/caption columns pruned from parquet.
+    """
+    w, h, cap = F.col("w").cast("long"), F.col("h").cast("long"), F.col("caption")
+    n_tok = _n_caption_tokens(cap)
+    cap_len = F.length(cap).cast("long")
+    n_digits = cap_len - F.length(F.regexp_replace(cap, "[0-9]", ""))
+    digit_pm = F.when(cap_len == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(n_digits * 1000 / cap_len).cast("long")
+    )
+    ar_ok = (MAX_ASPECT_NUM * w >= h) & (MAX_ASPECT_NUM * h >= w)
+    size_ok = F.least(w, h) >= MIN_SIDE
+    cap_ok = (n_tok >= CAP_MIN_TOKENS) & (n_tok <= CAP_MAX_TOKENS)
+    digit_ok = digit_pm <= DIGIT_MAX_PERMILLE
+    return imgs.select(
+        "image_id",
+        n_tok.alias("n_cap_tokens"),
+        digit_pm.alias("digit_permille"),
+        ar_ok.alias("ar_ok"),
+        size_ok.alias("size_ok"),
+        cap_ok.alias("cap_ok"),
+        digit_ok.alias("digit_ok"),
+        keep_expr().alias("keep"),
+    )
+
+
+def aspect_bucket_col(w: Column, h: Column) -> Column:
+    """SDXL-style aspect bucket, integer-exact thresholds (no float
+    division, so Spark and any SQL oracle agree bit-for-bit):
+
+    - 'tall'   : ar <  3/4   (4*w <  3*h)
+    - 'square' : 3/4 <= ar <= 4/3
+    - 'wide'   : ar >  4/3   (3*w >  4*h)
+    """
+    return (
+        F.when(4 * w < 3 * h, F.lit("tall"))
+        .when(3 * w > 4 * h, F.lit("wide"))
+        .otherwise(F.lit("square"))
+    )
+
+
+def aspect_bucket_stats(imgs: DataFrame) -> DataFrame:
+    """Assign every image to an aspect bucket and aggregate per-bucket batch
+    stats: pair count, kept-pair count (caption_pair_filter), and the pixel
+    envelope (min/max of each side) a loader would pad to.  One map-side
+    combined groupBy on a 3-value key — no skew risk by construction."""
+    w, h = F.col("w").cast("long"), F.col("h").cast("long")
+    return (
+        imgs.select("image_id", "w", "h",
+                    aspect_bucket_col(w, h).alias("bucket"),
+                    keep_expr().alias("keep"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.min("w").cast("long").alias("min_w"),
+            F.max("w").cast("long").alias("max_w"),
+            F.min("h").cast("long").alias("min_h"),
+            F.max("h").cast("long").alias("max_h"),
+        )
+    )

@@ -508,6 +508,15 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits every non-planted pair stays >= 9 > max_dist=6 away — the exact
     expected pair set is the planted one, which the oracle states from
     doc_id arithmetic alone."""
+    pairs = _planted_near_dup_pairs(spark, sf_dir)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _planted_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture: codec-path phashes + planted flipped copies for
+    doc_id % 5 == 0 (1 + doc_id % 2 known bit flips), through the banded
+    near-dup operator at max_dist=6.  Expected pair set = exactly the
+    planted (dup-d, img-d) pairs (originals >= 13 bits apart at sf0.01)."""
     from . import images as _images
 
     imgs = _images.generate_images(spark, sf_dir).select("image_id", "phash")
@@ -529,10 +538,7 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("phash"),
         )
     )
-    pairs = _images.near_dup_images_by_phash(
-        imgs.unionByName(copies), max_dist=6
-    )
-    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    return _images.near_dup_images_by_phash(imgs.unionByName(copies), max_dist=6)
 
 
 ORACLE_IMAGE_NEAR_DUP = """
@@ -540,6 +546,111 @@ SELECT 'dup-' || CAST(doc_id AS VARCHAR) AS id_a,
        'img-' || CAST(doc_id AS VARCHAR) AS id_b,
        CAST(1 + doc_id % 2 AS BIGINT) AS hamming
 FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def q_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-dedup GROUPING: the planted phash near-dup pairs fed through
+    distributed connected components (large-star/small-star,
+    textops.dedup.connected_components) — the step that turns pairwise
+    near-dup hits into keep-one-per-cluster groups.  Expected: each planted
+    pair collapses to a 2-node component whose representative is the
+    lexicographically smaller id ('dup-d' < 'img-d')."""
+    from .textops import dedup as _dedup
+
+    pairs = _planted_near_dup_pairs(spark, sf_dir)
+    return _dedup.connected_components(pairs, src="id_a", dst="id_b").select(
+        "node", "component"
+    )
+
+
+ORACLE_IMAGE_DEDUP_GROUPS = """
+SELECT 'dup-' || CAST(doc_id AS VARCHAR) AS node,
+       'dup-' || CAST(doc_id AS VARCHAR) AS component
+FROM documents WHERE doc_id % 5 = 0
+UNION ALL
+SELECT 'img-' || CAST(doc_id AS VARCHAR) AS node,
+       'dup-' || CAST(doc_id AS VARCHAR) AS component
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def q_image_caption_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image+caption pair curation over the codec-path payload
+    table: aspect ratio in [1/2, 2] (integer cross-multiply), shorter side
+    >= 40 px, caption token count in [3, 32], digit share <= 30%%.  Pure
+    JVM expressions (mmcurate.caption_pair_filter) — at 100 TB this is a
+    narrow map fused into the scan.  The oracle re-derives w/h from doc_id
+    (images.dims_for) and the caption from the document text."""
+    from . import images as _images
+    from . import mmcurate as _mm
+
+    return _mm.caption_pair_filter(_images.generate_images(spark, sf_dir))
+
+
+_ORACLE_CAPTION_SQL = """
+array_to_string(list_slice(
+  list_filter(str_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> ''),
+  1, 10), ' ')
+"""
+
+_ORACLE_MM_SIGNALS = f"""
+imgs AS (
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+         CAST(32 + doc_id % 32 AS BIGINT) AS w,
+         CAST(32 + doc_id % 24 AS BIGINT) AS h,
+         {_ORACLE_CAPTION_SQL} AS caption
+  FROM documents
+),
+sig AS (
+  SELECT image_id, w, h,
+         CAST(CASE WHEN caption = '' THEN 0
+              ELSE len(str_split(caption, ' ')) END AS BIGINT) AS n_cap_tokens,
+         CAST(CASE WHEN len(caption) = 0 THEN 0
+              ELSE FLOOR((len(caption) - len(regexp_replace(caption, '[0-9]', '', 'g')))
+                         * 1000 / len(caption)) END AS BIGINT) AS digit_permille
+  FROM imgs
+)
+"""
+
+ORACLE_IMAGE_CAPTION_FILTER = f"""
+WITH {_ORACLE_MM_SIGNALS}
+SELECT image_id, n_cap_tokens, digit_permille,
+       (2 * w >= h AND 2 * h >= w) AS ar_ok,
+       LEAST(w, h) >= 40 AS size_ok,
+       (n_cap_tokens >= 3 AND n_cap_tokens <= 32) AS cap_ok,
+       digit_permille <= 300 AS digit_ok,
+       (2 * w >= h AND 2 * h >= w) AND LEAST(w, h) >= 40
+         AND (n_cap_tokens >= 3 AND n_cap_tokens <= 32)
+         AND digit_permille <= 300 AS keep
+FROM sig
+"""
+
+
+def q_image_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDXL-style aspect-bucket batch stats: every pair assigned to
+    tall/square/wide by integer-exact thresholds (ar < 3/4, <= 4/3, > 4/3),
+    then per-bucket pair count, kept count, and the pad-to pixel envelope.
+    One map-side combined groupBy on a 3-value key."""
+    from . import images as _images
+    from . import mmcurate as _mm
+
+    return _mm.aspect_bucket_stats(_images.generate_images(spark, sf_dir))
+
+
+ORACLE_IMAGE_ASPECT_BUCKETS = f"""
+WITH {_ORACLE_MM_SIGNALS}
+SELECT CASE WHEN 4 * w < 3 * h THEN 'tall'
+            WHEN 3 * w > 4 * h THEN 'wide'
+            ELSE 'square' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN (2 * w >= h AND 2 * h >= w) AND LEAST(w, h) >= 40
+                      AND (n_cap_tokens >= 3 AND n_cap_tokens <= 32)
+                      AND digit_permille <= 300 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       MIN(w) AS min_w, MAX(w) AS max_w, MIN(h) AS min_h, MAX(h) AS max_h
+FROM sig
+GROUP BY 1
 """
 
 
@@ -655,6 +766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "image_invariants": q_image_invariants,
         "image_near_dup": q_image_near_dup,
+        "image_dedup_groups": q_image_dedup_groups,
+        "image_caption_filter": q_image_caption_filter,
+        "image_aspect_buckets": q_image_aspect_buckets,
         "video_frame_sample": q_video_frame_sample,
         "audio_invariants": q_audio_invariants,
         "winnow_fingerprint": q_winnow_fingerprint,
@@ -674,6 +788,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _oracle_lsh_pairs(),
         "image_invariants": _oracle_image_invariants(),
         "image_near_dup": ORACLE_IMAGE_NEAR_DUP,
+        "image_dedup_groups": ORACLE_IMAGE_DEDUP_GROUPS,
+        "image_caption_filter": ORACLE_IMAGE_CAPTION_FILTER,
+        "image_aspect_buckets": ORACLE_IMAGE_ASPECT_BUCKETS,
         "video_frame_sample": ORACLE_VIDEO_FRAME_SAMPLE,
         "audio_invariants": ORACLE_AUDIO_INVARIANTS,
         "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,

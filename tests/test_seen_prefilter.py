@@ -27,21 +27,28 @@ def test_vectorized_insert_matches_per_key():
 
 
 def test_vectorized_insert_10x_faster_than_per_key_loop():
+    """Best-of-3 on each side: a single reading swings ~3x with ambient
+    load on this shared box (measured — the same comparison reads 30x quiet
+    and <10x while a 32-core Spark suite runs), and min-of-reps is the
+    same noise filter bench.py uses."""
     rng = np.random.default_rng(11)
     n_loop = 100_000
     loop_keys = rng.integers(1, 1 << 62, size=n_loop, dtype=np.uint64)
-    per_key = CuckooFilter(capacity=2_000_000)
-    t0 = time.perf_counter()
-    for k in loop_keys:  # the old insert_batch shape
-        per_key._insert_one(int(k))
-    t_loop = time.perf_counter() - t0
-
     vec_keys = rng.integers(1, 1 << 62, size=1_000_000, dtype=np.uint64)
-    vec = CuckooFilter(capacity=2_000_000)
-    t0 = time.perf_counter()
-    vec.insert_batch(vec_keys)
-    t_vec = time.perf_counter() - t0
-    assert vec.contains_batch(vec_keys).all()
+
+    t_loop = t_vec = float("inf")
+    for _ in range(3):
+        per_key = CuckooFilter(capacity=2_000_000)
+        t0 = time.perf_counter()
+        for k in loop_keys:  # the old insert_batch shape
+            per_key._insert_one(int(k))
+        t_loop = min(t_loop, time.perf_counter() - t0)
+
+        vec = CuckooFilter(capacity=2_000_000)
+        t0 = time.perf_counter()
+        vec.insert_batch(vec_keys)
+        t_vec = min(t_vec, time.perf_counter() - t0)
+        assert vec.contains_batch(vec_keys).all()
 
     # per-key rate extrapolated to the same 1M keys must be >=10x slower
     projected_loop_1m = t_loop * (1_000_000 / n_loop)
