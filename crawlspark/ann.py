@@ -250,6 +250,8 @@ def pq_encode(
     full float vector: the memory story that makes 10^10-vector ANN fit
     in cluster RAM (64 floats -> 4 bytes here; real deployments use m=8..64
     over 256-entry codebooks trained with k-means, same plan shape).
+    Scheme: Jegou, Douze, Schmid, "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011 (public paper).
 
     Plan: the codebook rides in as a broadcast one-row array; encoding is a
     pure narrow map of array HOFs (no shuffle, no Python) over the
