@@ -117,3 +117,50 @@ def run_pipeline(
     }
     result.unpersist()
     return metrics
+
+
+def training_set(
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: CrawlConfig | None = None,
+) -> DataFrame:
+    """The complete crawl -> training-data flow, every stage engaged:
+
+      crawl_to_image_table (BFS + payload fetch + PSNR/caption validation)
+        -> multimodal pair curation      mmcurate.keep_expr (narrow, JVM)
+        -> phash near-dup pairs          images.near_dup_images_by_phash
+           (pigeonhole-banded, exact recall at max_dist=6)
+        -> dedup grouping                textops.dedup.connected_components
+        -> keep one row per group        component representative (min id)
+        -> aspect bucket assignment      mmcurate.aspect_bucket_col
+
+    Returns (image_id, depth, bucket): the canonical training rows with
+    crawl provenance and their batch bucket.  The dedup stages run on the
+    (image_id, phash) projection only — the payload bytes never enter the
+    pair join — and the curation filter runs before pair generation, so
+    dropped rows never pay the banding shuffle.
+    """
+    from . import mmcurate
+    from .textops.dedup import connected_components
+
+    t = crawl_to_image_table(spark, sf_dir, cfg)
+    ok = t.filter(F.col("valid") & F.col("caption_ok"))
+    kept = ok.filter(mmcurate.keep_expr())
+    pairs = images.near_dup_images_by_phash(
+        kept.select("image_id", "phash"), max_dist=6
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b").withColumnRenamed(
+        "node", "image_id"
+    )
+    canon = (
+        kept.join(comp, "image_id", "left")
+        .withColumn("group_rep", F.coalesce("component", "image_id"))
+        .filter(F.col("group_rep") == F.col("image_id"))
+    )
+    return canon.select(
+        "image_id",
+        "depth",
+        mmcurate.aspect_bucket_col(
+            F.col("w").cast("long"), F.col("h").cast("long")
+        ).alias("bucket"),
+    )

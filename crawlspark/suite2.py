@@ -575,6 +575,47 @@ FROM documents WHERE doc_id % 5 = 0
 """
 
 
+def q_pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end: BFS crawl -> image payload fetch + PSNR/caption
+    validation -> LAION-style pair curation -> phash near-dup dedup
+    grouping -> canonical training rows with aspect buckets
+    (pipeline.training_set).  The oracle replays the BFS reachability CTE,
+    the curation arithmetic from doc_id/text, and expects every kept row to
+    survive dedup as its own representative (original codec phashes are
+    >= 13 bits apart — any spurious banding pair would drop a row and fail
+    the hash)."""
+    from . import pipeline as _pipeline
+    from .frontier import CrawlConfig as _CC
+
+    return _pipeline.training_set(spark, sf_dir, _CC(max_depth=6))
+
+
+def _oracle_training_set() -> str:
+    from . import graph as _g
+
+    return f"""
+WITH full_bfs AS (
+{_g.bfs_oracle_sql(6)}
+), prov AS (
+  SELECT depth, CAST(regexp_extract(url, '/(\\d+)$', 1) AS BIGINT) AS doc_id
+  FROM full_bfs
+), {_ORACLE_MM_SIGNALS.lstrip()},
+kept AS (
+  SELECT s.image_id, p.depth, s.w, s.h
+  FROM sig s
+  JOIN prov p ON s.image_id = 'img-' || CAST(p.doc_id AS VARCHAR)
+  WHERE (2 * s.w >= s.h AND 2 * s.h >= s.w) AND LEAST(s.w, s.h) >= 40
+    AND (s.n_cap_tokens >= 3 AND s.n_cap_tokens <= 32)
+    AND s.digit_permille <= 300
+)
+SELECT image_id, depth,
+       CASE WHEN 4 * w < 3 * h THEN 'tall'
+            WHEN 3 * w > 4 * h THEN 'wide'
+            ELSE 'square' END AS bucket
+FROM kept
+"""
+
+
 def q_image_caption_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAION-style image+caption pair curation over the codec-path payload
     table: aspect ratio in [1/2, 2] (integer cross-multiply), shorter side
@@ -769,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup_groups": q_image_dedup_groups,
         "image_caption_filter": q_image_caption_filter,
         "image_aspect_buckets": q_image_aspect_buckets,
+        "pipeline_training_set": q_pipeline_training_set,
         "video_frame_sample": q_video_frame_sample,
         "audio_invariants": q_audio_invariants,
         "winnow_fingerprint": q_winnow_fingerprint,
@@ -791,6 +833,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dedup_groups": ORACLE_IMAGE_DEDUP_GROUPS,
         "image_caption_filter": ORACLE_IMAGE_CAPTION_FILTER,
         "image_aspect_buckets": ORACLE_IMAGE_ASPECT_BUCKETS,
+        "pipeline_training_set": _oracle_training_set(),
         "video_frame_sample": ORACLE_VIDEO_FRAME_SAMPLE,
         "audio_invariants": ORACLE_AUDIO_INVARIANTS,
         "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
