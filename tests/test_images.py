@@ -140,3 +140,39 @@ def test_ref_caption_col_matches_caption_words(spark):
         for t in texts
     ]
     assert got == expect
+
+
+def test_near_dup_banding_differential_vs_bruteforce(spark):
+    """Randomized differential: the banded operator's pair set must equal
+    the O(n^2) brute-force hamming pair set EXACTLY (both directions: no
+    missed pairs = the pigeonhole recall claim, no extra pairs = the
+    verify stage), across max_dist 0/3/6 on clustered random phashes."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    # 40 cluster centers, 2-3 members each perturbed by 0-4 random bit flips
+    vals = []
+    for c in range(40):
+        center = int(rng.integers(0, 1 << 63, dtype=np.int64))
+        for m in range(int(rng.integers(2, 4))):
+            v = center
+            for b in rng.choice(64, size=int(rng.integers(0, 5)), replace=False):
+                v ^= 1 << int(b)
+            vals.append(v - (1 << 64) if v >= (1 << 63) else v)
+    ids = [f"p{i:03d}" for i in range(len(vals))]
+    df = spark.createDataFrame(
+        list(zip(ids, vals)), "image_id string, phash long"
+    )
+    for max_dist in (0, 3, 6):
+        want = set()
+        for (ia, va), (ib, vb) in itertools.combinations(zip(ids, vals), 2):
+            d = bin((va ^ vb) & ((1 << 64) - 1)).count("1")
+            if d <= max_dist:
+                want.add((min(ia, ib), max(ia, ib), d))
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in images.near_dup_images_by_phash(df, max_dist=max_dist).collect()
+        }
+        assert got == want, f"max_dist={max_dist}: {got ^ want}"
