@@ -33,7 +33,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # caption words split on JAVA \s (ASCII whitespace), NOT Python's Unicode
@@ -200,40 +200,65 @@ def phash_hamming(a, b):
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
 
 
-def near_dup_images_by_phash(images: DataFrame, max_dist: int = 6) -> DataFrame:
+def near_dup_images_by_phash(
+    images: DataFrame,
+    max_dist: int = 6,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
     """Near-duplicate image pairs by phash hamming distance, banded with
     EXACT recall: the 64 bits split into max_dist+1 bands, so by pigeonhole
     any pair within max_dist differs in at most max_dist bands and must
     share at least one band verbatim — every qualifying pair enters the
     candidate join (a fixed 4x16-bit banding only guaranteed recall for
-    distance <= 3).  Candidates then verify the true distance."""
+    distance <= 3).  Candidates then verify the true distance.
+
+    Plan: one posexplode to (band_idx, band_val) rows, ONE self-join on
+    the pair, distinct, verify — a single exchange of (max_dist+1)*n
+    16-byte rows instead of max_dist+1 separate join stages.
+
+    Scale note — ``max_bucket_size``: nb = max_dist+1 bands over 64 bits
+    means bands of only 64/nb bits (9 at max_dist=6, so <= 1024 distinct
+    values per band index), and candidate volume is sum(bucket^2) per
+    band.  Real phash corpora cluster (most buckets tiny, boilerplate /
+    monochrome images piling into a few), so the cap bounds the degenerate
+    buckets exactly like minhash_lsh_pairs' cap: members dropped from an
+    over-full bucket can still pair through their OTHER nb-1 bands, so
+    recall loss is confined to pairs that are near-identical in every
+    band.  None = uncapped (exact recall, only safe when n / 2^band_bits
+    stays modest)."""
     nb = max_dist + 1
     widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
     starts = [sum(widths[:i]) for i in range(nb)]
-    bands = [
-        (
-            F.shiftrightunsigned(F.col("phash"), starts[i]).bitwiseAND(
-                # width 64 (max_dist=0, single band): mask is all-ones, and
-                # (1<<64)-1 overflows a JVM long — use -1 (same bit pattern)
-                F.lit((1 << widths[i]) - 1 if widths[i] < 64 else -1)
-            )
-        ).alias(f"b{i}")
+    band_vals = F.array(*[
+        F.shiftrightunsigned(F.col("phash"), starts[i]).bitwiseAND(
+            # width 64 (max_dist=0, single band): mask is all-ones, and
+            # (1<<64)-1 overflows a JVM long — use -1 (same bit pattern)
+            F.lit((1 << widths[i]) - 1 if widths[i] < 64 else -1)
+        )
         for i in range(nb)
-    ]
-    withb = images.select("image_id", "phash", *bands)
-    pairs = None
-    for i in range(nb):
-        a = withb.select(
-            F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a"),
-            F.col(f"b{i}").alias("band"),
+    ])
+    banded = images.select(
+        "image_id", "phash", F.posexplode(band_vals).alias("bi", "bv")
+    )
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("bi", "bv").orderBy("image_id")
+        banded = (
+            banded.withColumn("__r", F.row_number().over(wb))
+            .filter(F.col("__r") <= max_bucket_size)
+            .drop("__r")
         )
-        b = withb.select(
-            F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b"),
-            F.col(f"b{i}").alias("band"),
-        )
-        p = a.join(b, "band").filter(F.col("id_a") < F.col("id_b")).drop("band")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.distinct()
+    a = banded.select(
+        F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a"), "bi", "bv"
+    )
+    b = banded.select(
+        F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b"), "bi", "bv"
+    )
+    pairs = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+    )
     dist = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
     return pairs.select("id_a", "id_b", dist.alias("hamming")).filter(
         F.col("hamming") <= max_dist
