@@ -176,3 +176,20 @@ def test_near_dup_banding_differential_vs_bruteforce(spark):
             for r in images.near_dup_images_by_phash(df, max_dist=max_dist).collect()
         }
         assert got == want, f"max_dist={max_dist}: {got ^ want}"
+
+
+def test_near_dup_bucket_cap_bounds_degenerate_buckets(spark):
+    """20 identical phashes with max_bucket_size=5: every band bucket keeps
+    the 5 lowest ids, so exactly C(5,2)=10 pairs survive (the degenerate
+    O(n^2) blowup is bounded); uncapped returns all C(20,2)=190."""
+    df = spark.createDataFrame(
+        [(f"p{i:02d}", 12345) for i in range(20)], "image_id string, phash long"
+    )
+    capped = images.near_dup_images_by_phash(df, max_dist=6, max_bucket_size=5)
+    rows = capped.collect()
+    assert len(rows) == 10
+    kept_ids = {r["id_a"] for r in rows} | {r["id_b"] for r in rows}
+    assert kept_ids == {f"p{i:02d}" for i in range(5)}
+    assert all(r["hamming"] == 0 for r in rows)
+    full = images.near_dup_images_by_phash(df, max_dist=6, max_bucket_size=None)
+    assert full.count() == 190
