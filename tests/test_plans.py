@@ -164,3 +164,46 @@ def test_global_prefix_sum_plan_no_single_partition(spark):
     p = plan_of(shaped)
     assert "SinglePartition" not in p
     assert out.count() == 1000
+
+
+def test_mmcurate_filter_is_narrow_scan_fused(spark):
+    """caption_pair_filter must be a pure narrow projection: no Exchange,
+    no Python/Arrow nodes — at 100 TB it fuses into the parquet scan."""
+    from crawlspark import mmcurate
+
+    imgs = spark.createDataFrame(
+        [("a", 50, 50, "one two three")], "image_id string, w int, h int, caption string"
+    )
+    p = plan_of(mmcurate.caption_pair_filter(imgs))
+    assert "Exchange" not in p
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert bad not in p
+
+
+def test_mmcurate_bucket_stats_single_aggregate_exchange(spark):
+    """aspect_bucket_stats: exactly one shuffle (the partial->final agg on
+    the 3-value bucket key), map-side combined."""
+    import re
+
+    from crawlspark import mmcurate
+
+    imgs = spark.createDataFrame(
+        [("a", 50, 50, "one two three")], "image_id string, w int, h int, caption string"
+    )
+    p = plan_of(mmcurate.aspect_bucket_stats(imgs))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_phash_banding_plan_no_cartesian(spark):
+    """The banded near-dup pair join must be an equi-join on the exploded
+    (band_idx, band_val) key — never a cartesian/nested-loop product."""
+    from crawlspark import images as _images
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "image_id string, phash long"
+    )
+    p = plan_of(_images.near_dup_images_by_phash(df, max_dist=6))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
