@@ -130,3 +130,95 @@ def politeness_admission_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# continuous crawl: foreachBatch micro-batch BFS with persistent seen state
+# --------------------------------------------------------------------------
+
+def continuous_crawl(
+    spark: SparkSession,
+    seeds_dir: str,
+    state_dir: str,
+    n: int,
+    max_depth: int = 3,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Continuous crawling as a streaming job: seed batches arrive on a
+    file stream (Kafka in production); each micro-batch runs a depth-limited
+    BFS expansion against the CUMULATIVE cross-batch seen set, appends its
+    discoveries to ``state_dir/results`` and persists the updated seen set
+    to ``state_dir/seen``.
+
+    Semantics (the long-lived analog of the reference's one-shot crawl,
+    src/Steps/Loading/HttpCrawl.php:45-53 in-memory ``loadedUrls``): a page
+    crawled by ANY earlier batch is never re-crawled NOR re-expanded — its
+    outlinks were already followed when it was first loaded.  Batch 0's
+    output is therefore byte-identical to the batch engine's BFS from the
+    same seeds; later batches crawl only the frontier the earlier crawl
+    never reached.
+
+    Scale shape: the per-batch loop is the frontier.py level loop (explode
+    expansion, map-side-combined groupBy-min, anti-join against seen, all
+    localCheckpointed so plans stay O(1) in depth); the seen set lives in
+    the parquet state dir, not the driver, and the streaming checkpoint dir
+    makes seed delivery exactly-once across restarts."""
+    from . import graph
+    from .frontier import _expand
+
+    results_dir = f"{state_dir}/results"
+    seen_dir = f"{state_dir}/seen"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        try:
+            seen = spark.read.parquet(seen_dir).select("doc")
+        except Exception:
+            seen = spark.createDataFrame([], "doc LONG")
+        # materialize BEFORE the end-of-batch overwrite of seen_dir
+        seen = seen.localCheckpoint(eager=True)
+        # seeds are NOT robots-filtered — matching the batch engine
+        # (frontier._crawl seeds go straight to the frontier; only EXPANDED
+        # candidates pass the blocked gate)
+        frontier = (
+            batch.select("doc").distinct()
+            .join(seen, "doc", "left_anti")
+            .withColumn("ord", F.lit(1).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        levels: list[DataFrame] = []
+        depth = 0
+        while depth <= max_depth and frontier.count() > 0:
+            levels.append(
+                frontier.select("doc", F.lit(depth).cast("long").alias("depth"))
+            )
+            seen = seen.union(frontier.select("doc")).localCheckpoint(eager=True)
+            if depth == max_depth:
+                break
+            frontier = (
+                _expand(frontier, n)
+                .groupBy("doc")
+                .agg(F.min("rk").alias("ord"))
+                .filter(~graph.blocked_col(F.col("doc")))
+                .join(seen, "doc", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            depth += 1
+        if levels:
+            out = levels[0]
+            for lv in levels[1:]:
+                out = out.unionByName(lv)
+            out.withColumn("batch_id", F.lit(int(batch_id)).cast("long")).write.mode(
+                "append"
+            ).parquet(results_dir)
+        seen.write.mode("overwrite").parquet(seen_dir)
+
+    q = (
+        spark.readStream.schema("doc LONG")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(seeds_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{state_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
