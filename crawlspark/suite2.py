@@ -794,6 +794,101 @@ SELECT doc_id, fp, MIN(pos) AS first_pos FROM w GROUP BY doc_id, fp
 """
 
 
+
+
+# --------------------------------------------------------------------------
+# continuous crawl (streaming foreachBatch) as an oracle-checked query
+# --------------------------------------------------------------------------
+
+_CC_DEPTH = 3
+_CC_BATCHES = [[1, 2], [2, 333]]  # 333 is robots-blocked: seeds bypass the gate
+
+
+def q_continuous_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two seed micro-batches through streaming.continuous_crawl (foreachBatch
+    BFS with persistent cross-batch seen state): batch 0 crawls like the
+    batch engine; batch 1 crawls only what batch 0 never reached (a page
+    crawled by any earlier batch is neither re-crawled nor re-expanded).
+    The oracle replays both BFS phases in SQL sharing one cumulative seen
+    chain.  Returns (doc, depth, batch_id)."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from .streaming import continuous_crawl
+
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    root = _tempfile.mkdtemp(prefix="cc_query_")
+    seeds_dir = _os.path.join(root, "seeds")
+    state_dir = _os.path.join(root, "state")
+    _os.makedirs(seeds_dir)
+    for i, batch in enumerate(_CC_BATCHES):
+        p = _os.path.join(seeds_dir, f"b{i}.json")
+        with open(p, "w") as f:
+            for d in batch:
+                f.write(_json.dumps({"doc": d}) + "\n")
+        _os.utime(p, (1_000_000_000 + 100 * i,) * 2)
+    continuous_crawl(spark, seeds_dir, state_dir, n=n, max_depth=_CC_DEPTH)
+    return spark.read.parquet(f"{state_dir}/results").select(
+        "doc", "depth", "batch_id"
+    )
+
+
+def _oracle_continuous_crawl() -> str:
+    parts = [
+        "WITH nn AS (SELECT COUNT(*) AS c FROM documents),",
+        "edges AS (",
+        "  SELECT d.doc_id AS src, p.pos,",
+        "         CASE p.pos",
+        "           WHEN 0 THEN (2*d.doc_id + 1) % nn.c",
+        "           WHEN 1 THEN (2*d.doc_id + 2) % nn.c",
+        "           WHEN 2 THEN (5*d.doc_id + 3) % nn.c",
+        "           ELSE (d.doc_id + 17) % nn.c",
+        "         END AS dst",
+        "  FROM documents d CROSS JOIN nn",
+        "  CROSS JOIN (VALUES (0),(1),(2),(3)) AS p(pos)",
+        "),",
+        "seen_init AS (SELECT CAST(NULL AS BIGINT) AS doc WHERE FALSE),",
+    ]
+    prev_seen = "seen_init"
+    selects = []
+    for bi, batch in enumerate(_CC_BATCHES):
+        vals = ",".join(f"({d})" for d in batch)
+        l0 = f"b{bi}_l0"
+        parts += [
+            # seeds bypass the robots gate (batch-engine parity) but not
+            # the cross-batch seen set
+            f"{l0} AS (SELECT DISTINCT CAST(v AS BIGINT) AS doc",
+            f"  FROM (VALUES {vals}) t(v)",
+            f"  WHERE v NOT IN (SELECT doc FROM {prev_seen})),",
+            f"b{bi}_s0 AS (SELECT doc FROM {prev_seen}"
+            f" UNION ALL SELECT doc FROM {l0}),",
+        ]
+        selects.append(f"SELECT doc, CAST(0 AS BIGINT) AS depth,"
+                       f" CAST({bi} AS BIGINT) AS batch_id FROM {l0}")
+        for d in range(1, _CC_DEPTH + 1):
+            p = d - 1
+            parts += [
+                f"b{bi}_l{d} AS (",
+                f"  SELECT DISTINCT e.dst AS doc",
+                f"  FROM b{bi}_l{p} l JOIN edges e ON e.src = l.doc",
+                f"  WHERE e.dst NOT IN (SELECT doc FROM b{bi}_s{p})",
+                f"    AND e.dst % {graph.BLOCKED_MOD} <> {graph.BLOCKED_RESIDUE}",
+                "),",
+                f"b{bi}_s{d} AS (SELECT doc FROM b{bi}_s{p}"
+                f" UNION ALL SELECT doc FROM b{bi}_l{d}),",
+            ]
+            selects.append(f"SELECT doc, CAST({d} AS BIGINT) AS depth,"
+                           f" CAST({bi} AS BIGINT) AS batch_id FROM b{bi}_l{d}")
+        prev_seen = f"b{bi}_s{_CC_DEPTH}"
+    sql = "\n".join(parts)
+    # strip the trailing comma of the last CTE
+    sql = sql.rstrip()
+    assert sql.endswith("),")
+    sql = sql[:-1]
+    return sql + "\n" + " UNION ALL ".join(selects)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "paginate_stop_rules": q_paginate_stop_rules,
@@ -814,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": q_video_frame_sample,
         "audio_invariants": q_audio_invariants,
         "winnow_fingerprint": q_winnow_fingerprint,
+        "continuous_crawl": q_continuous_crawl,
     }
 
 
@@ -837,4 +933,5 @@ def oracle_sql() -> dict[str, str]:
         "video_frame_sample": ORACLE_VIDEO_FRAME_SAMPLE,
         "audio_invariants": ORACLE_AUDIO_INVARIANTS,
         "winnow_fingerprint": ORACLE_WINNOW_FINGERPRINT,
+        "continuous_crawl": _oracle_continuous_crawl(),
     }
