@@ -197,8 +197,12 @@ def fetch_stage(
     sleep: Callable[[float], None] = time.sleep,
     retry_waits_ms: tuple[int, ...] = politeness.RETRY_WAITS_MS,
     metrics: FetchMetrics | None = None,
+    use_cookies: bool = True,
 ) -> DataFrame:
     """Fetch the frontier with per-host pacing.
+
+    ``use_cookies=False`` is the loader's dontUseCookies()
+    (HttpLoader.php:206-210); the per-task jar is neither read nor fed.
 
     ``frontier`` needs (url, host, ord, latency_ms?); rows come back with
     status/body/effective_url.  ``transport_factory`` is called once per
@@ -231,7 +235,11 @@ def fetch_stage(
         caller = _make_caller(transport)
         last_end: dict[str, float] = {}
         last_dur: dict[str, float] = {}
-        jars: dict[str, dict[str, str]] = {}  # registrable domain -> cookies
+        # full-semantics per-task jar (cookies.PyCookieJar: registrable-
+        # domain keyed, attribute-aware shouldBeSentTo — Cookie.php:66-78)
+        from .cookies import PyCookieJar
+
+        jar = PyCookieJar()
         out = []
         for pdf in batches:
             for r in pdf.itertuples():
@@ -245,10 +253,10 @@ def fetch_stage(
                     remaining = last_end[host] + wait * pace - now
                     if remaining > 0:
                         sleep(remaining)
-                dom = registrable_domain_py(host)
-                jar = jars.setdefault(dom, {})
                 cookie_header = (
-                    "; ".join(f"{k}={v}" for k, v in jar.items()) or None
+                    jar.cookie_header(r.url, int(time.time()))
+                    if use_cookies
+                    else None
                 )
                 # optional per-row verb/body columns (Http::post/put/patch/
                 # delete, Http.php:42-79); absent columns default to GET
@@ -284,11 +292,15 @@ def fetch_stage(
                         metrics.succeeded.add(1)
                 last_end[host] = a1
                 last_dur[host] = a1 - a0
-                for sc in getattr(res, "set_cookies", ()) or ():
-                    kv = sc.split(";", 1)[0]
-                    if "=" in kv:
-                        k, v = kv.split("=", 1)
-                        jar[k.strip()] = v.strip()
+                if use_cookies:
+                    # reference adds from the post-redirect effective URI
+                    # (HttpLoader.php:662); invalid cookies are dropped by
+                    # the parser, matching the loader's catch-and-skip
+                    jar.add_from(
+                        res.effective_url or r.url,
+                        getattr(res, "set_cookies", ()) or (),
+                        received_at=int(time.time()),
+                    )
                 out.append(
                     {
                         "url": r.url,

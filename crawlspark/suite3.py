@@ -419,6 +419,219 @@ WHERE rnk <= {k}
 """
 
 
+# --------------------------------------------------------------------------
+# Full cookie semantics (src/Loader/Http/Cookies/Cookie.php:43-335,
+# CookieJar.php:25-130) — parse + validation + jar send-matching.
+#
+# Oracle style: planted ground truth.  The Spark side PARSES deterministic
+# Set-Cookie header strings generated from doc_id residues; the DuckDB
+# oracle re-derives every expected output (domain, expiry epoch,
+# invalid_reason, send decision) directly from the residue arithmetic —
+# an independent derivation, not a second parser.
+# --------------------------------------------------------------------------
+
+_COOKIE_NOW = 1_700_000_000  # fixed 'now' (2023-11-14T22:13:20Z): determinism
+_EXP_PAST = "Wed, 23-Feb-2022 10:13:41 GMT"  # epoch 1645611221 (dashed fmt)
+_EXP_FUTURE = "Fri, 01 Jan 2100 00:00:00 GMT"  # epoch 4102444800
+
+
+def _cookie_fixture(d: DataFrame) -> DataFrame:
+    """(doc_id, url, set_cookie): one deterministic Set-Cookie header per
+    document, spanning schemes, subdomains, prefixes and every attribute."""
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    scheme = F.when(doc % 2 == 0, F.lit("https")).otherwise(F.lit("http"))
+    sub = (
+        F.when(doc % 3 == 0, F.lit("www."))
+        .when(doc % 3 == 1, F.lit("sub.domain."))
+        .otherwise(F.lit(""))
+    )
+    host = F.concat(sub, F.lit("h"), (doc % 10).cast("string"), F.lit(".example.test"))
+    upath = (
+        F.when(doc % 4 == 0, F.lit("/a/b"))
+        .when(doc % 4 == 1, F.lit("/a"))
+        .when(doc % 4 == 2, F.lit("/"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(scheme, F.lit("://"), host, upath)
+    name = (
+        F.when(doc % 7 == 0, F.concat(F.lit("__Host-c"), s))
+        .when(doc % 7 == 1, F.concat(F.lit("__Secure-c"), s))
+        .otherwise(F.concat(F.lit("c"), s))
+    )
+    dom_attr = F.when(
+        doc % 5 == 0,
+        F.concat(
+            F.lit("; Domain="),
+            F.when(
+                doc % 10 < 5,
+                F.concat(F.lit("h"), (doc % 10).cast("string"), F.lit(".example.test")),
+            ).otherwise(F.lit("evil.test")),
+        ),
+    ).otherwise(F.lit(""))
+    path_attr = (
+        F.when(doc % 7 == 0, F.lit("; Path=/"))
+        .when(doc % 4 == 1, F.lit("; Path=/a"))
+        .otherwise(F.lit(""))
+    )
+    secure_attr = F.when(doc % 3 != 2, F.lit("; Secure")).otherwise(F.lit(""))
+    max_age_attr = F.when(
+        doc % 6 == 0,
+        F.when(doc % 12 == 0, F.lit("; Max-Age=600")).otherwise(F.lit("; Max-Age=-1")),
+    ).otherwise(F.lit(""))
+    expires_attr = F.when(
+        doc % 6 == 3,
+        F.when(doc % 12 == 3, F.lit(f"; Expires={_EXP_PAST}")).otherwise(
+            F.lit(f"; Expires={_EXP_FUTURE}")
+        ),
+    ).otherwise(F.lit(""))
+    samesite_attr = F.when(
+        doc % 9 == 0,
+        F.when(doc % 18 == 0, F.lit("; SameSite=Strict")).otherwise(
+            F.lit("; SameSite=Bogus")
+        ),
+    ).otherwise(F.lit(""))
+    httponly_attr = F.when(doc % 8 == 0, F.lit("; HttpOnly")).otherwise(F.lit(""))
+    header = F.concat(
+        name, F.lit("=v"), s, dom_attr, path_attr, secure_attr,
+        max_age_attr, expires_attr, samesite_attr, httponly_attr,
+    )
+    return d.select("doc_id", url.alias("url"), header.alias("set_cookie"))
+
+
+# shared residue arithmetic for the DuckDB oracle (c = cookie doc_id alias)
+_C_NAME = (
+    "CASE WHEN {c} % 7 = 0 THEN '__Host-c' || {c} "
+    "WHEN {c} % 7 = 1 THEN '__Secure-c' || {c} ELSE 'c' || {c} END"
+)
+_C_INVALID = """
+CASE
+  WHEN {c} % 5 = 0 AND {c} % 10 >= 5
+    THEN 'Setting cookie for this domain is not allowed'
+  WHEN {c} % 3 != 2 AND {c} % 2 = 1
+    THEN 'Secure flag on non-https document url'
+  WHEN {c} % 9 = 0 AND {c} % 18 != 0
+    THEN 'Invalid value for attribute SameSite'
+  WHEN {c} % 7 IN (0, 1) AND {c} % 2 = 1
+    THEN 'Cookie is prefixed with __Secure- or __Host- but was not sent via https'
+  WHEN {c} % 7 IN (0, 1) AND {c} % 3 = 2
+    THEN 'Cookie is prefixed with __Secure- or __Host- but Secure flag was not sent'
+  WHEN {c} % 7 = 0 AND {c} % 5 = 0
+    THEN 'Cookie with __Host- prefix must not contain a Domain attribute'
+  ELSE NULL
+END"""
+
+
+def q_cookie_set_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse + validate one Set-Cookie header per document — every
+    attribute (Domain/Path/Expires/Max-Age/Secure/HttpOnly/SameSite), the
+    __Secure-/__Host- prefix rules, and the reference's
+    InvalidCookieException family as an invalid_reason column.  Pure JVM
+    regexp/substring expressions: a narrow map that fuses into the scan."""
+    from . import cookies as ck
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    parsed = ck.parse_set_cookie(_cookie_fixture(d), received_at_col=_COOKIE_NOW)
+    return parsed.select(
+        "doc_id", "cookie_name", "cookie_value", "cookie_domain",
+        "cookie_path", "expires_ts", "max_age", "secure", "http_only",
+        "same_site", "invalid_reason",
+    ).orderBy("doc_id")
+
+
+ORACLE_COOKIE_PARSE = f"""
+SELECT
+  doc_id,
+  {_C_NAME.format(c="doc_id")} AS cookie_name,
+  'v' || doc_id AS cookie_value,
+  CASE WHEN doc_id % 5 = 0 THEN
+    CASE WHEN doc_id % 10 < 5
+         THEN 'h' || (doc_id % 10) || '.example.test'
+         ELSE 'evil.test' END
+  ELSE 'example.test' END AS cookie_domain,
+  CASE WHEN doc_id % 7 = 0 THEN '/'
+       WHEN doc_id % 4 = 1 THEN '/a'
+       ELSE NULL END AS cookie_path,
+  CASE WHEN doc_id % 6 = 3 THEN
+    CASE WHEN doc_id % 12 = 3 THEN 1645611221 ELSE 4102444800 END
+  ELSE NULL END AS expires_ts,
+  CASE WHEN doc_id % 6 = 0 THEN
+    CASE WHEN doc_id % 12 = 0 THEN 600 ELSE -1 END
+  ELSE NULL END AS max_age,
+  doc_id % 3 != 2 AS secure,
+  doc_id % 8 = 0 AS http_only,
+  CASE WHEN doc_id % 18 = 0 THEN 'Strict' ELSE 'Lax' END AS same_site,
+  {_C_INVALID.format(c="doc_id")} AS invalid_reason
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_cookie_send_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CookieJar end to end: build the jar from the valid subset of the
+    fixture (registrable-domain keyed, invalid cookies dropped), then
+    match every cookie against every document's target request with the
+    full shouldBeSentTo predicate (domain containment, __Host- exact
+    host, Secure vs scheme, path-prefix, Expires/Max-Age at a fixed
+    'now').  The jar is broadcast; the request stream never shuffles."""
+    from . import cookies as ck
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    jar_src = _cookie_fixture(d.filter(F.col("doc_id") % 13 == 5))
+    parsed = ck.parse_set_cookie(jar_src, received_at_col=_COOKIE_NOW)
+    jar = ck.build_jar(parsed, ord_col="doc_id")
+
+    doc = F.col("doc_id")
+    t_scheme = F.when(doc % 3 != 1, F.lit("https")).otherwise(F.lit("http"))
+    t_sub = (
+        F.when(doc % 3 == 0, F.lit("www."))
+        .when(doc % 3 == 1, F.lit("sub.domain."))
+        .otherwise(F.lit(""))
+    )
+    t_host = F.concat(
+        t_sub, F.lit("h"), (doc % 10).cast("string"), F.lit(".example.test")
+    )
+    t_path = (
+        F.when(doc % 4 == 0, F.lit("/a/b"))
+        .when(doc % 4 == 1, F.lit("/a"))
+        .when(doc % 4 == 2, F.lit("/"))
+        .otherwise(F.lit(""))
+    )
+    reqs = d.select(
+        F.col("doc_id").alias("req_doc"),
+        F.concat(t_scheme, F.lit("://"), t_host, t_path).alias("target"),
+    )
+    sent = ck.jar_matches(jar, reqs, url_col="target", now_s=_COOKIE_NOW)
+    return sent.select("req_doc", "cookie_name").orderBy("req_doc", "cookie_name")
+
+
+ORACLE_COOKIE_SEND = f"""
+WITH jar AS (
+  SELECT doc_id AS c FROM documents
+  WHERE doc_id % 13 = 5
+    AND ({_C_INVALID.format(c="doc_id")}) IS NULL
+)
+SELECT r.doc_id AS req_doc, {_C_NAME.format(c="c")} AS cookie_name
+FROM documents r CROSS JOIN jar
+WHERE
+  -- domain containment (substring quirk, Cookie.php:73): an attribute
+  -- domain 'hM.example.test' is contained iff the request's host digit
+  -- matches; the default 'example.test' is contained in every host
+  (CASE WHEN c % 5 = 0 THEN r.doc_id % 10 = c % 10 ELSE TRUE END)
+  -- __Host- prefix: exact received-host match (same digit AND same sub)
+  AND (c % 7 != 0 OR (r.doc_id % 10 = c % 10 AND r.doc_id % 3 = c % 3))
+  -- Secure cookie -> https target (fixture has no localhost)
+  AND (c % 3 = 2 OR r.doc_id % 3 != 1)
+  -- path rule: '/' needs any non-empty path; '/a' needs /a or /a/...
+  AND (CASE WHEN c % 7 = 0 THEN r.doc_id % 4 IN (0, 1, 2)
+            WHEN c % 4 = 1 THEN r.doc_id % 4 IN (0, 1)
+            ELSE TRUE END)
+  -- expiry at now=received_at: Max-Age=-1 and past Expires are dead
+  AND NOT ((c % 6 = 0 AND c % 12 != 0) OR (c % 6 = 3 AND c % 12 = 3))
+ORDER BY req_doc, cookie_name
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pii_scrub": q_pii_scrub,
@@ -430,6 +643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_codes": q_ann_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_pq_rerank": q_ann_pq_rerank,
+        "cookie_set_parse": q_cookie_set_parse,
+        "cookie_send_full": q_cookie_send_full,
     }
 
 
@@ -444,4 +659,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_codes": _oracle_pq_codes(),
         "ann_pq_topk": _oracle_pq_topk(),
         "ann_pq_rerank": _oracle_pq_rerank(),
+        "cookie_set_parse": ORACLE_COOKIE_PARSE,
+        "cookie_send_full": ORACLE_COOKIE_SEND,
     }
