@@ -30,9 +30,13 @@ Internal row = the reference's Io tuple (src/Io.php:7-23) as columns:
 
 from __future__ import annotations
 
+import re as _re
+import time as _time
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from . import extract
 
@@ -84,37 +88,295 @@ class Step:
         return df
 
 
+def _value_struct_names(df: DataFrame) -> list[str]:
+    vt = df.schema["value"].dataType
+    return list(vt.names) if isinstance(vt, T.StructType) else []
+
+
+def _template_col(df: DataFrame, template: str) -> Column:
+    """TemplateString::resolve against the value record's fields
+    (src/Utils/TemplateString.php:12-45): ``[crwl:name]`` -> field value,
+    quoted names unquoted, unknown names -> '' (the reference substitutes
+    an empty string).  Built at plan time into one concat."""
+    names = set(_value_struct_names(df))
+    parts = _re.split(r"\[crwl:(.+?)\]", template)
+    cols: list[Column] = []
+    for i, p in enumerate(parts):
+        if i % 2 == 0:
+            if p:
+                cols.append(F.lit(p))
+        else:
+            var = p.strip()
+            if len(var) >= 2 and var[0] == var[-1] and var[0] in ("'", '"'):
+                var = var[1:-1]
+            var = var.replace("\\'", "'").replace('\\"', '"')
+            if var in names:
+                cols.append(
+                    F.coalesce(F.col("value")[var].cast("string"), F.lit(""))
+                )
+            else:
+                cols.append(F.lit(""))
+    return F.concat(*cols) if cols else F.lit("")
+
+
+def _merge_header_maps(maps: list[Column]) -> Column:
+    """HttpHeaders::merge semantics on map columns: same header name from
+    two sources -> values joined with ', ' (the HTTP list form), else
+    whichever side has it (src/Utils/HttpHeaders.php merge/addTo)."""
+    merged = maps[0]
+    for m in maps[1:]:
+        merged = F.map_zip_with(
+            merged, m,
+            lambda k, v1, v2: F.when(
+                v1.isNotNull() & v2.isNotNull(), F.concat_ws(", ", v1, v2)
+            ).otherwise(F.coalesce(v1, v2)),
+        )
+    return merged
+
+
+class LoadingError(Exception):
+    """stopOnErrorResponse() hit an error response (reference
+    LoadingException via HttpLoader::loadOrFail, HttpLoader.php:173-199)."""
+
+
 class HttpGet(Step):
     """Http::get() against the page corpus (the deterministic loader;
-    a live deployment swaps fetch.fetch_stage in).  value: url string ->
-    response struct (url, status, body).  Error responses (>=400) are
-    suppressed unless yield_error_responses (HttpBase.php:260-277)."""
+    a live deployment swaps fetch.fetch_stage in).  value: url string or
+    record -> response struct (url, status, body).  Error responses
+    (>=400) are suppressed unless yield_error_responses
+    (HttpBase.php:260-277).
 
-    input_kind = "scalar"
+    Full HttpBase option surface (HttpBase.php:66-221):
+    - ``use_input_key_as_url/body/header/headers`` pull request
+      properties out of record inputs;
+    - a record input with a ``url``/``uri`` field is used automatically
+      (getUrlFromArrayInput, HttpBase.php:349-356);
+    - ``static_url`` resolves a ``[crwl:key]`` TemplateString per row;
+    - constructor ``body``/``headers`` values resolve templates too
+      (resolveVarsInRequestProperties, HttpBase.php:466-483);
+    - ``stop_on_error_response`` fails the whole run on any error
+      response (loadOrFail) — the batch analog raises LoadingError;
+    - ``cache=ResponseCache`` probes before the load and upserts after
+      (HttpLoader.php:543-609), ``skip_cache()`` bypasses the probe for
+      this step (HttpBase.php:171-176), ``write_only_cache`` never
+      probes but still writes (HttpLoader.php:270-275), and
+      ``cache_url_filter`` gates what is written
+      (cacheOnlyWhereUrl, HttpLoader.php:277-285).
+
+    When request-shaping options are used, the response struct carries
+    the resolved ``req_body``/``req_headers`` so downstream steps (and
+    tests) can observe the request that would go on the wire."""
+
+    input_kind = "any"
 
     def output_kind(self, input_kind: str) -> str:
         return "response"
 
-    def __init__(self, pages: DataFrame, yield_error_responses: bool = False):
+    def __init__(
+        self,
+        pages: DataFrame,
+        yield_error_responses: bool = False,
+        method: str = "GET",
+        body: str | None = None,
+        headers: dict[str, str] | None = None,
+        cache=None,
+        write_only_cache: bool = False,
+        cache_url_filter: Column | None = None,
+    ):
         super().__init__()
         self.pages = pages
         self.yield_errors = yield_error_responses
+        self.method = method
+        self.body = body
+        self.headers = dict(headers or {})
+        self.cache = cache
+        self.write_only_cache = write_only_cache
+        self.cache_url_filter = cache_url_filter
+        self._stop_on_error = False
+        self._static_url: str | None = None
+        self._use_as_url: str | None = None
+        self._use_as_body: str | None = None
+        self._use_as_header: dict[str, str] = {}
+        self._use_as_headers: str | None = None
+        self._skip_cache = False
+
+    # --- fluent options (each returns self, like the reference) ---
+    def stop_on_error_response(self):
+        self._stop_on_error = True
+        return self
+
+    def use_input_key_as_url(self, key: str):
+        self._use_as_url = key
+        return self
+
+    def use_input_key_as_body(self, key: str):
+        self._use_as_body = key
+        return self
+
+    def use_input_key_as_header(self, key: str, as_header: str | None = None):
+        self._use_as_header[key] = as_header or key
+        return self
+
+    def use_input_key_as_headers(self, key: str):
+        self._use_as_headers = key
+        return self
+
+    def static_url(self, url: str):
+        self._static_url = url
+        return self
+
+    def skip_cache(self):
+        self._skip_cache = True
+        return self
+
+    # --- request shaping ---
+    def _url_col(self, df: DataFrame) -> Column:
+        names = _value_struct_names(df)
+        if self._static_url is not None:
+            return _template_col(df, self._static_url)
+        if self._use_as_url is not None:
+            if self._use_as_url not in names:
+                raise PreRunValidationError(
+                    f"use_input_key_as_url({self._use_as_url!r}): input is "
+                    "not a record with that key"
+                )
+            return F.col("value")[self._use_as_url].cast("string")
+        for auto in ("url", "uri"):  # HttpBase.php:349-356
+            if auto in names:
+                return F.col("value")[auto].cast("string")
+        return F.col("value").cast("string")
+
+    def _req_body_col(self, df: DataFrame) -> Column | None:
+        names = _value_struct_names(df)
+        if self._use_as_body is not None:
+            if self._use_as_body not in names:
+                raise PreRunValidationError(
+                    f"use_input_key_as_body({self._use_as_body!r}): input "
+                    "is not a record with that key"
+                )
+            return F.col("value")[self._use_as_body].cast("string")
+        if self.body is not None:
+            return (
+                _template_col(df, self.body)
+                if names
+                else F.lit(self.body)
+            )
+        return None
+
+    def _req_headers_col(self, df: DataFrame) -> Column | None:
+        names = _value_struct_names(df)
+        maps: list[Column] = []
+        if self.headers:
+            entries: list[Column] = []
+            for h, v in self.headers.items():
+                entries.append(F.lit(h))
+                entries.append(_template_col(df, v) if names else F.lit(v))
+            maps.append(F.create_map(*entries))
+        if self._use_as_header:
+            entries = []
+            for key, header_name in self._use_as_header.items():
+                if key not in names:
+                    raise PreRunValidationError(
+                        f"use_input_key_as_header({key!r}): input is not a "
+                        "record with that key"
+                    )
+                entries.append(F.lit(header_name))
+                entries.append(F.col("value")[key].cast("string"))
+            maps.append(F.create_map(*entries))
+        if self._use_as_headers is not None:
+            if self._use_as_headers not in names:
+                raise PreRunValidationError(
+                    f"use_input_key_as_headers({self._use_as_headers!r}): "
+                    "input is not a record with that key"
+                )
+            maps.append(F.col("value")[self._use_as_headers])
+        if not maps:
+            return None
+        return _merge_header_maps(maps)
 
     def apply(self, df: DataFrame) -> DataFrame:
+        work = df.withColumn("_req_url", self._url_col(df))
+        req_body = self._req_body_col(df)
+        req_headers = self._req_headers_col(df)
+
         p = self.pages.select(
-            F.col("url").alias("_p_url"), "status", F.col("body").cast("string").alias("_body")
+            F.col("url").alias("_p_url"), "status",
+            F.col("body").cast("string").alias("_body"),
         )
-        out = df.join(p, df["value"] == p["_p_url"], "inner")
+
+        cache_hits = None
+        to_load = work
+        if self.cache is not None and not self._skip_cache and not self.write_only_cache:
+            from .sinks import request_key
+
+            keyed = work.withColumn(
+                "_rk_cache", request_key(self.method, F.col("_req_url"))
+            )
+            live = self.cache.read().select(
+                F.col("request_key").alias("_rk_cache"),
+                F.col("status").alias("_c_status"),
+                F.col("body").cast("string").alias("_c_body"),
+            )
+            cache_hits = (
+                keyed.join(F.broadcast(live), "_rk_cache", "inner")
+                .withColumn("status", F.col("_c_status"))
+                .withColumn("_body", F.col("_c_body"))
+                .drop("_rk_cache", "_c_status", "_c_body")
+            )
+            to_load = keyed.join(
+                F.broadcast(live.select("_rk_cache")), "_rk_cache", "left_anti"
+            ).drop("_rk_cache")
+
+        loaded = to_load.join(p, to_load["_req_url"] == p["_p_url"], "inner").drop(
+            "_p_url"
+        )
+
+        if self.cache is not None:
+            from .sinks import request_key
+
+            # upsert what was actually loaded (HttpLoader.php:543-609);
+            # checkpoint first so the upstream chain doesn't run twice —
+            # and so the probe's lazy parquet read is materialized BEFORE
+            # merge() swaps the cache files underneath it
+            if cache_hits is not None:
+                cache_hits = cache_hits.localCheckpoint(eager=True)
+            loaded = loaded.localCheckpoint(eager=True)
+            responses = loaded.select(
+                request_key(self.method, F.col("_req_url")).alias("request_key"),
+                F.col("_req_url").alias("url"),
+                "status",
+                F.col("_body").cast("binary").alias("body"),
+                F.lit(int(_time.time())).alias("stored_at"),
+            )
+            self.cache.merge(responses, url_filter=self.cache_url_filter)
+
+        out = loaded if cache_hits is None else loaded.unionByName(cache_hits)
+
+        if self._stop_on_error:
+            # loadOrFail (HttpLoader.php:173-199): any error response
+            # fails the run.  One cheap existence probe.
+            err = out.filter(F.col("status") >= 400).select("_req_url", "status")
+            first = err.limit(1).collect()
+            if first:
+                raise LoadingError(
+                    f"Failed to load {first[0]['_req_url']}: "
+                    f"status {first[0]['status']}"
+                )
         if not self.yield_errors:
             out = out.filter(F.col("status") < 400)
-        out = out.withColumn(
-            "value",
-            F.struct(
-                F.col("value").alias("url"),
-                F.col("status").alias("status"),
-                F.col("_body").alias("body"),
-            ),
-        ).drop("_p_url", "status", "_body")
+
+        resp_fields = [
+            F.col("_req_url").alias("url"),
+            F.col("status").alias("status"),
+            F.col("_body").alias("body"),
+        ]
+        if req_body is not None:
+            resp_fields.append(req_body.alias("req_body"))
+        if req_headers is not None:
+            resp_fields.append(req_headers.alias("req_headers"))
+        out = out.withColumn("value", F.struct(*resp_fields)).drop(
+            "_req_url", "status", "_body"
+        )
         return self._post(out)
 
 

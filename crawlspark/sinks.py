@@ -47,10 +47,22 @@ CACHE_SCHEMA = (
 class ResponseCache:
     """Fetch memoization table: probe before fetch (anti-join), merge after."""
 
-    def __init__(self, spark: SparkSession, path: str, ttl_s: int = DEFAULT_TTL_S):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        ttl_s: int = DEFAULT_TTL_S,
+        compress: bool = False,
+    ):
+        """``compress=True`` is the reference's FileCache::useCompression()
+        (FileCache.php:38-43, zlib): bodies are gzip'd on write and
+        sniff-decompressed on read, so mixed/legacy cache files still
+        read correctly (gzip magic check, like the reference's
+        isProbablyCompressed)."""
         self.spark = spark
         self.path = path
         self.ttl_s = ttl_s
+        self.compress = compress
 
     def _exists(self) -> bool:
         import os
@@ -61,12 +73,19 @@ class ResponseCache:
         return any(Path(self.path).rglob("*.parquet"))
 
     def read(self, now_s: int | None = None) -> DataFrame:
-        """Live (unexpired) cache rows."""
+        """Live (unexpired) cache rows (bodies transparently decompressed
+        when the store is compressed — gzip-magic sniff handles mixed
+        files)."""
         now_s = int(now_s if now_s is not None else time.time())
         if not self._exists():
             return self.spark.createDataFrame([], CACHE_SCHEMA)
         df = self.spark.read.parquet(self.path)
-        return df.filter(F.col("stored_at") >= now_s - self.ttl_s)
+        live = df.filter(F.col("stored_at") >= now_s - self.ttl_s)
+        if self.compress:
+            from .steps import gzip_decode_udf
+
+            live = live.withColumn("body", gzip_decode_udf(F.col("body")))
+        return live
 
     def probe(self, frontier: DataFrame, key: str = "request_key",
               now_s: int | None = None) -> tuple[DataFrame, DataFrame]:
@@ -89,6 +108,10 @@ class ResponseCache:
         if url_filter is not None:
             new = new.filter(url_filter)
         new = new.select(*[f.split(" ")[0] for f in CACHE_SCHEMA.split(", ")])
+        if self.compress:
+            from .steps import gzip_encode_udf
+
+            new = new.withColumn("body", gzip_encode_udf(F.col("body")))
         if self._exists():
             cur = self.spark.read.parquet(self.path)
             merged = cur.unionByName(new)

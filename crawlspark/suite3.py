@@ -632,6 +632,59 @@ ORDER BY req_doc, cookie_name
 """
 
 
+def q_http_request_shaping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HttpBase request shaping (HttpBase.php:93-143,194-198,466-483):
+    useInputKeyAsUrl pulls the URL out of a record input; constructor
+    body and header values resolve [crwl:key] TemplateStrings per row;
+    error responses are suppressed.  One equi-join against the corpus +
+    narrow maps — no UDF, no extra shuffle."""
+    from .crawler import HttpGet
+
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    d = _docs(spark, sf_dir).select("doc_id")
+    pages = d.select(
+        F.concat(F.lit("http://api.test/item/"), s).alias("url"),
+        F.when(doc % 7 == 0, F.lit(404)).otherwise(F.lit(200)).alias("status"),
+        F.lit(None).cast("string").alias("redirect_to"),
+        F.lit("application/json").alias("content_type"),
+        F.concat(F.lit("b"), s).alias("body"),
+    )
+    io = d.select(
+        doc.alias("_input_id"),
+        doc.alias("_ord"),
+        F.struct(
+            F.concat(F.lit("http://api.test/item/"), s).alias("link"),
+            F.concat(F.lit("t"), s).alias("tok"),
+        ).alias("value"),
+    )
+    http = HttpGet(
+        pages, body="q=[crwl:tok]", headers={"X-Tok": "pre-[crwl:tok]"}
+    ).use_input_key_as_url("link")
+    out = http.apply(io)
+    return out.select(
+        F.col("_input_id").alias("doc_id"),
+        F.col("value.url").alias("url"),
+        F.col("value.status").alias("status"),
+        F.col("value.body").alias("body"),
+        F.col("value.req_body").alias("req_body"),
+        F.element_at(F.col("value.req_headers"), "X-Tok").alias("x_tok"),
+    ).orderBy("doc_id")
+
+
+ORACLE_HTTP_SHAPING = """
+SELECT doc_id,
+       'http://api.test/item/' || doc_id AS url,
+       200 AS status,
+       'b' || doc_id AS body,
+       'q=t' || doc_id AS req_body,
+       'pre-t' || doc_id AS x_tok
+FROM documents
+WHERE doc_id % 7 != 0
+ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pii_scrub": q_pii_scrub,
@@ -645,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_rerank": q_ann_pq_rerank,
         "cookie_set_parse": q_cookie_set_parse,
         "cookie_send_full": q_cookie_send_full,
+        "http_request_shaping": q_http_request_shaping,
     }
 
 
@@ -661,4 +715,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_rerank": _oracle_pq_rerank(),
         "cookie_set_parse": ORACLE_COOKIE_PARSE,
         "cookie_send_full": ORACLE_COOKIE_SEND,
+        "http_request_shaping": ORACLE_HTTP_SHAPING,
     }
