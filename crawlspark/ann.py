@@ -386,3 +386,95 @@ def pq_topk_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication over the embedding column
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    eps_permille: int = 800,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then inside each cluster drop every example that is
+    semantically near-identical (cosine >= eps) to a higher-priority
+    member, where priority is similarity-to-centroid (the paper's
+    released pseudocode sorts cluster members by centroid similarity and
+    drops a row when any earlier member is within eps).
+
+    Scale shape (the reference crawler has no such operator; this is the
+    training-data addendum):
+    - codebook is deterministic here (the first ``n_centroids`` vectors)
+      so the whole computation replays in SQL; at 100 TB the codebook
+      comes from MLlib KMeans run once — the plan is identical;
+    - assignment is a broadcast of the codebook + one narrow pass over
+      the partitioned corpus (no shuffle);
+    - the intra-cluster pair generation is an equi-join on ``cent_id``
+      (AQE skew-splittable).  Per-cluster cost is quadratic in cluster
+      size — at real scale pick n_centroids so clusters stay bounded
+      (the paper uses 11k clusters for 233M docs), same discipline as
+      minhash_lsh_pairs' max_bucket_size;
+    - all comparisons happen on integer permille values so the DuckDB
+      oracle replays them exactly.
+
+    Returns (vec_id, cent_id, centroid_sim_permille, kept) for EVERY
+    input row — kept=false rows are the semantic duplicates to drop.
+    """
+    cent = embeddings.filter(
+        (F.col(id_col) >= 0) & (F.col(id_col) < n_centroids)
+    ).select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("centv"))
+    corpus = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    )
+    aw = Window.partitionBy("vid").orderBy(
+        F.col("csim_pm").desc(), F.col("cent_id").asc()
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select(
+            "vid", "v", "cent_id",
+            F.floor(cosine(F.col("v"), F.col("centv")) * 1000)
+            .cast("long").alias("csim_pm"),
+        )
+        .withColumn("arn", F.row_number().over(aw))
+        .filter(F.col("arn") == 1)
+        .drop("arn")
+    )
+    a = assigned.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"),
+        "cent_id", F.col("csim_pm").alias("pa"),
+    )
+    b = assigned.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+        "cent_id", F.col("csim_pm").alias("pb"),
+    )
+    higher_priority = (F.col("pb") > F.col("pa")) | (
+        (F.col("pb") == F.col("pa")) & (F.col("id_b") < F.col("id_a"))
+    )
+    dropped = (
+        a.join(b, "cent_id")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & higher_priority
+            & (
+                F.floor(cosine(F.col("va"), F.col("vb")) * 1000)
+                >= F.lit(eps_permille)
+            )
+        )
+        .select(F.col("id_a").alias("vid"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cent_id",
+            F.col("csim_pm").alias("centroid_sim_permille"),
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )

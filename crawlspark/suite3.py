@@ -685,6 +685,139 @@ ORDER BY doc_id
 """
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table with PLANTED semantic
+    near-duplicates (natural max intra-cluster cosine in this corpus is
+    ~0.49, so ground truth is planted like the phash bit-flip fixture):
+    every vec_id%9==0 gets a variant (id = -(vec_id+1)) whose last
+    coordinate is shifted by +0.5 — cosine to its source stays far above
+    the 0.8 threshold, everything else far below.  The operator must
+    keep exactly one of each planted pair (the centroid-closer one) and
+    keep all singletons."""
+    from . import ann as _ann2
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    variants = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (-(F.col("vec_id") + 1)).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 1, 63),
+            F.array(F.element_at("embedding", 64) + F.lit(0.5)),
+        ).alias("embedding"),
+    )
+    allv = emb.unionByName(variants)
+    return _ann2.semdedup(allv, n_centroids=8, eps_permille=800).orderBy(
+        "vec_id"
+    )
+
+
+ORACLE_SEMDEDUP = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+vart AS (
+  SELECT -(vec_id + 1) AS vec_id,
+         list_append(v[1:63], v[64] + 0.5) AS v
+  FROM base WHERE vec_id % 9 = 0
+),
+e AS (SELECT * FROM base UNION ALL SELECT * FROM vart),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id >= 0 AND vec_id < 8),
+ass AS (
+  SELECT vec_id, v, cent_id, pm FROM (
+    SELECT e.vec_id, e.v, c.cent_id,
+           CAST(floor(list_cosine_similarity(e.v, c.cv) * 1000) AS BIGINT) AS pm,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY CAST(floor(list_cosine_similarity(e.v, c.cv) * 1000) AS BIGINT) DESC,
+                      c.cent_id
+           ) AS rn
+    FROM e CROSS JOIN cent c)
+  WHERE rn = 1
+),
+drp AS (
+  SELECT DISTINCT a.vec_id FROM ass a JOIN ass b
+    ON a.cent_id = b.cent_id AND a.vec_id != b.vec_id
+   AND (b.pm > a.pm OR (b.pm = a.pm AND b.vec_id < a.vec_id))
+   AND floor(list_cosine_similarity(a.v, b.v) * 1000) >= 800
+)
+SELECT a.vec_id, a.cent_id, a.pm AS centroid_sim_permille,
+       d.vec_id IS NULL AS kept
+FROM ass a LEFT JOIN drp d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+"""
+
+
+_BOILER_TOP = "subscribe to our newsletter today now"
+_BOILER_BOT = "all rights reserved worldwide forever inc"
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (RefinedWeb line-dedup): documents are
+    re-chunked into 6-word paragraphs, with boilerplate paragraphs
+    planted on residues (doc%3 gets a newsletter banner, doc%4==1 a
+    copyright footer).  Frequent paragraphs (>= 5 distinct docs) must be
+    stripped from every doc while organic paragraphs survive in order.
+    The oracle replays chunking, counting and reassembly in SQL."""
+    from .textops.dedup import paragraph_dedup
+
+    doc = F.col("doc_id")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    # nullif(''): DuckDB's array_to_string([]) is NULL (skipped by
+    # concat_ws), Spark's array_join([]) is '' — align on NULL
+    chunks = [
+        F.nullif(F.array_join(F.slice(words, 1 + 6 * i, 6), " "), F.lit(""))
+        for i in range(4)
+    ]
+    parts = [
+        F.when(doc % 3 == 0, F.lit(_BOILER_TOP)).otherwise(F.lit(None)),
+        *chunks,
+        F.when(doc % 4 == 1, F.lit(_BOILER_BOT)).otherwise(F.lit(None)),
+    ]
+    ptext = F.concat_ws("\n\n", *parts)  # concat_ws skips NULLs
+    fixture = d.select("doc_id", ptext.alias("text"))
+    return paragraph_dedup(fixture, min_docs=5).orderBy("doc_id")
+
+
+ORACLE_PARAGRAPH_DEDUP = f"""
+WITH fixture AS (
+  SELECT doc_id,
+    concat_ws(chr(10)||chr(10),
+      CASE WHEN doc_id % 3 = 0 THEN '{_BOILER_TOP}' END,
+      array_to_string((string_split(text, ' '))[1:6], ' '),
+      array_to_string((string_split(text, ' '))[7:12], ' '),
+      array_to_string((string_split(text, ' '))[13:18], ' '),
+      array_to_string((string_split(text, ' '))[19:24], ' '),
+      CASE WHEN doc_id % 4 = 1 THEN '{_BOILER_BOT}' END
+    ) AS text
+  FROM documents
+),
+paras AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10)||chr(10))) AS para,
+         generate_subscripts(string_split(text, chr(10)||chr(10)), 1) AS pos
+  FROM fixture
+),
+freq AS (
+  SELECT para FROM paras GROUP BY para HAVING COUNT(DISTINCT doc_id) >= 5
+),
+kept AS (
+  SELECT p.* FROM paras p WHERE p.para NOT IN (SELECT para FROM freq)
+)
+SELECT t.doc_id,
+       COALESCE(k.clean_text, '') AS clean_text,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       t.n_total - COALESCE(k.n_kept, 0) AS n_removed
+FROM (SELECT doc_id, COUNT(*) AS n_total FROM paras GROUP BY doc_id) t
+LEFT JOIN (
+  SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+) k ON t.doc_id = k.doc_id
+ORDER BY t.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pii_scrub": q_pii_scrub,
@@ -699,6 +832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cookie_set_parse": q_cookie_set_parse,
         "cookie_send_full": q_cookie_send_full,
         "http_request_shaping": q_http_request_shaping,
+        "semdedup": q_semdedup,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 
 
@@ -716,4 +851,6 @@ def oracle_sql() -> dict[str, str]:
         "cookie_set_parse": ORACLE_COOKIE_PARSE,
         "cookie_send_full": ORACLE_COOKIE_SEND,
         "http_request_shaping": ORACLE_HTTP_SHAPING,
+        "semdedup": ORACLE_SEMDEDUP,
+        "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
     }

@@ -320,3 +320,63 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     for b in bits[1:]:
         sim = sim + b
     return df.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup (RefinedWeb / Falcon line-dedup stage,
+    Penedo et al. 2023, arXiv:2306.01116 §3.3): a paragraph that appears
+    verbatim in >= ``min_docs`` DISTINCT documents is boilerplate
+    (headers, nav, cookie banners) and is removed from every document;
+    each document keeps its remaining paragraphs in original order.
+
+    Scale shape: the explode is narrow; the frequency count is one
+    map-side-combined groupBy on a 32-bit paragraph hash; the removal
+    join is a BROADCAST anti-join against only the FREQUENT paragraphs
+    (heavy hitters are by construction few — bounded by |corpus| /
+    min_docs); reassembly is one groupBy(doc) with an order-preserving
+    sort_array(collect_list(struct(pos, para))).  Nothing touches the
+    driver; no UDF.
+
+    Returns (id_col, clean_text, n_kept, n_removed).
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    keyed = paras.withColumn("ph", base_hash(F.col("para")))
+    frequent = (
+        keyed.groupBy("ph")
+        .agg(F.countDistinct(id_col).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("ph")
+    )
+    kept = keyed.join(F.broadcast(frequent), "ph", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("para")))
+                ),
+                lambda x: x["para"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count("*").alias("n_total"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_total") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long").alias("n_removed"),
+        )
+    )

@@ -189,3 +189,28 @@ def test_stratified_sample_no_global_window_on_full_input(spark):
     # two windows: first partitioned by (lang, __p), second by lang only
     assert plan.count("Window") >= 2
     assert "__p" in plan
+
+
+def test_paragraph_dedup_order_and_full_removal(spark):
+    """RefinedWeb paragraph dedup: frequent paragraphs stripped from every
+    doc, remaining paragraphs keep original order, a doc that was ALL
+    boilerplate survives with empty clean_text (not dropped)."""
+    from crawlspark.textops.dedup import paragraph_dedup
+
+    boiler = "click here to subscribe"
+    rows = [
+        (1, f"{boiler}\n\nalpha one\n\nbeta two"),
+        (2, f"gamma three\n\n{boiler}\n\ndelta four"),
+        (3, f"{boiler}"),
+        (4, f"epsilon five\n\n{boiler}\n\nzeta six\n\nepsilon five"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, min_docs=3).collect()}
+    assert len(out) == 4
+    assert out[1]["clean_text"] == "alpha one\n\nbeta two"
+    assert out[2]["clean_text"] == "gamma three\n\ndelta four"
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    assert out[3]["n_removed"] == 1
+    # within-doc repeats are NOT cross-doc frequent -> kept, order intact
+    assert out[4]["clean_text"] == "epsilon five\n\nzeta six\n\nepsilon five"
+    assert out[4]["n_removed"] == 1
