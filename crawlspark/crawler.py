@@ -68,18 +68,113 @@ class Step:
     def __init__(self):
         self._max_outputs: int | None = None
         self._unique: bool = False
+        self._unique_key: str | None = None
+        self._use_input_key: str | None = None
+        self._keep_keys: list[str] | None | bool = False  # False = off
+        self._keep_as: str | None = None
+        self._keep_from_input: list[str] | None | bool = False
+        self._keep_input_as: str | None = None
+        self._output_key: str | None = None
+        self._exclude_from_group = False
 
     def max_outputs(self, n: int):
         self._max_outputs = n
         return self
 
-    def unique_outputs(self):
+    def unique_outputs(self, key: str | None = None):
+        # uniqueOutputs(?key) (BaseStep.php:192-197): with a key, identity
+        # is that key of a record output
         self._unique = True
+        self._unique_key = key
         return self
+
+    def use_input_key(self, key: str):
+        """useInputKey (BaseStep.php:178-183): the step consumes one key
+        of a record input instead of the whole record."""
+        self._use_input_key = key
+        return self
+
+    def keep(self, keys: str | list[str] | None = None):
+        """keep() (BaseStep.php:124-133): carry output data into the
+        Result — all record fields when keys is None, else the named
+        ones.  Scalar outputs need keep_as (pre-run validated)."""
+        self._keep_keys = [keys] if isinstance(keys, str) else keys
+        return self
+
+    def keep_as(self, key: str):
+        self._keep_as = key  # keepAs (BaseStep.php:135-140)
+        return self
+
+    def keep_from_input(self, keys: str | list[str] | None = None):
+        """keepFromInput (BaseStep.php:145-151): carry the step's INPUT
+        data into the Result (all fields / named fields of the record)."""
+        self._keep_from_input = [keys] if isinstance(keys, str) else keys
+        return self
+
+    def keep_input_as(self, key: str):
+        self._keep_input_as = key  # keepInputAs (BaseStep.php:156-161)
+        return self
+
+    def output_key(self, key: str):
+        """outputKey (BaseStep.php:222-227): yield only the named key of
+        a record output (record -> scalar)."""
+        self._output_key = key
+        return self
+
+    def exclude_from_group_output(self):
+        self._exclude_from_group = True  # Step.php:82-87
+        return self
+
+    # -- run()-loop hooks (Crawler.run drives these around apply) --
+    def _pre_apply(self, df: DataFrame) -> DataFrame:
+        names = _value_struct_names(df)
+        # keepFromInput/keepInputAs snapshot the INPUT value before the
+        # step rewrites it; keep_* columns ride along through any apply
+        if self._keep_input_as is not None:
+            df = df.withColumn(
+                f"keep_{self._keep_input_as}", F.col("value")
+            )
+        if self._keep_from_input is not False:
+            keys = self._keep_from_input
+            if keys is None:
+                keys = names
+            for k in keys:
+                df = df.withColumn(f"keep_{k}", F.col("value")[k])
+        if self._use_input_key is not None:
+            df = df.withColumn(
+                "value", F.col("value")[self._use_input_key]
+            )
+        return df
+
+    def _post_apply(self, df: DataFrame) -> DataFrame:
+        names = _value_struct_names(df)
+        if self._keep_as is not None:
+            df = df.withColumn(f"keep_{self._keep_as}", F.col("value"))
+        if self._keep_keys is not False:
+            keys = self._keep_keys
+            if keys is None:
+                keys = names
+            for k in keys:
+                df = df.withColumn(f"keep_{k}", F.col("value")[k])
+        if self._output_key is not None:
+            df = df.withColumn("value", F.col("value")[self._output_key])
+        return df
 
     def _post(self, df: DataFrame) -> DataFrame:
         if self._unique:  # uniqueOutputs (BaseStep.php:185-197)
-            df = df.dropDuplicates(["value"])
+            if self._unique_key is not None:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(
+                    F.col("value")[self._unique_key]
+                ).orderBy("_input_id", "_ord")
+                df = (
+                    df.withColumn("_uq", F.row_number().over(w))
+                    .filter("_uq = 1")
+                    .drop("_uq")
+                )
+            else:
+                df = df.dropDuplicates(["value"])
         if self._max_outputs is not None:  # maxOutputs (BaseStep.php:726-736)
             df = (
                 df.orderBy("_input_id", "_ord")
@@ -606,9 +701,18 @@ class Crawler:
         self._inputs: list = []
         self._steps: list[Step] = []
         self._store = None
+        self._output_hooks: list = []
 
     def set_store(self, store):
         self._store = store  # Crawler::setStore (StoreInterface)
+        return self
+
+    def output_hook(self, callback):
+        """Crawler::outputHook (Crawler.php:236-241).  The reference calls
+        the closure per output row; the batch analog calls it once per
+        step with (step_index, step, outputs_df) — same observability,
+        no per-row driver loop."""
+        self._output_hooks.append(callback)
         return self
 
     def input(self, value):
@@ -630,12 +734,22 @@ class Crawler:
         outputs raise :class:`PreRunValidationError` with the step number."""
         kind = "scalar"  # initial inputs are strings
         for i, step in enumerate(self._steps):
+            eff_kind = kind
+            if step._use_input_key is not None:
+                if kind not in ("record", "response", "any"):
+                    raise PreRunValidationError(
+                        f"Pre-Run validation error in step number {i + 1}: "
+                        f"useInputKey({step._use_input_key!r}) needs a "
+                        f"record input but the previous step yields "
+                        f"{kind!r} outputs"
+                    )
+                eff_kind = "scalar"
             need = getattr(step, "input_kind", "any")
-            if need != "any" and kind != need:
+            if need != "any" and eff_kind != need:
                 raise PreRunValidationError(
                     f"Pre-Run validation error in step number {i + 1}: "
                     f"{type(step).__name__} expects {need!r} input but the "
-                    f"previous step yields {kind!r} outputs"
+                    f"previous step yields {eff_kind!r} outputs"
                 )
             if isinstance(step, Keep) and step.alias is None and kind == "scalar":
                 raise PreRunValidationError(
@@ -644,7 +758,23 @@ class Crawler:
                     "outputs requires a key — use Keep('name') "
                     "(reference keepAs(), BaseStep.php:266-282)"
                 )
-            kind = step.output_kind(kind)
+            if step._keep_from_input is not False and step._keep_from_input is None \
+                    and kind == "scalar":
+                raise PreRunValidationError(
+                    f"Pre-Run validation error in step number {i + 1}: "
+                    "keepFromInput() of a scalar input requires a key — "
+                    "use keep_input_as('name') (BaseStep.php:283-297)"
+                )
+            kind = step.output_kind(eff_kind)
+            if step._keep_keys is not False and step._keep_keys is None \
+                    and kind in ("scalar",):
+                raise PreRunValidationError(
+                    f"Pre-Run validation error in step number {i + 1}: "
+                    "keep() of a scalar output requires a key — use "
+                    "keep_as('name') (BaseStep.php:266-282)"
+                )
+            if step._output_key is not None:
+                kind = "scalar"
 
     def run(self) -> DataFrame:
         """Build the plan and return the Results DataFrame: one row per
@@ -657,8 +787,12 @@ class Crawler:
             [(i, i, v) for i, v in enumerate(self._inputs)],
             "_input_id LONG, _ord LONG, value STRING",
         )
-        for step in self._steps:
+        for i, step in enumerate(self._steps):
+            df = step._pre_apply(df)
             df = step.apply(df)
+            df = step._post_apply(df)
+            for hook in self._output_hooks:
+                hook(i, step, df)
         keeps = [c for c in df.columns if c.startswith("keep_")]
         cols = [F.col(c).alias(c[len("keep_"):]) for c in keeps]
         # distributed rank over the (seed, document-order) key — no
@@ -675,6 +809,17 @@ class Crawler:
             results = results.localCheckpoint(eager=True)
             self._store.store(results)
         return results
+
+    def run_and_traverse(self) -> None:
+        """Crawler::runAndTraverse (Crawler.php:175-181): execute the
+        chain for its side effects (store writes, hooks) without handing
+        results back — one noop-sink action, nothing on the driver."""
+        self.run().write.mode("overwrite").format("noop").save()
+
+    def run_and_dump(self, n: int = 20) -> None:
+        """Crawler::runAndDump (Crawler.php:186-198): run and print the
+        first results (debug helper)."""
+        self.run().orderBy("ord").show(n, truncate=80)
 
 
 class GetLink(_LinkStep):
@@ -759,7 +904,10 @@ class Group(Step):
             base.select("_input_id", "_ord", *gkey, *keeps)
             .join(zipped, gkey, "inner")
             .withColumn("_ord", F.col("_ord") * 1000 + F.col("_k"))
-            .withColumn("value", F.struct(*[F.col(n) for n in self.branches]))
+            .withColumn("value", F.struct(*[
+                F.col(n) for n, s in self.branches.items()
+                if not s._exclude_from_group  # Step.php:82-87
+            ]))
             .drop(*self.branches.keys(), "_k", *gkey)
         )
         return self._post(out)
