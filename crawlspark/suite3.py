@@ -818,6 +818,41 @@ ORDER BY t.doc_id
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: documents with doc_id%17==0 act as the
+    held-out evaluation set; every training doc sharing an 8-gram with
+    them is flagged.  The small word vocabulary makes organic collisions
+    plentiful, so the oracle (full SQL replay of shingling + distinct +
+    matching) checks real overlap structure, not a planted bit."""
+    from .textops.curate import decontaminate
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 17 == 0)
+    return decontaminate(d, bench, n=8).orderBy("doc_id")
+
+
+ORACLE_DECONTAMINATE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(ws[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+        FROM w WHERE len(ws) >= 8)
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+hits AS (
+  SELECT g.doc_id, COUNT(*) AS n
+  FROM g JOIN bench USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n, 0) AS n_contaminated_ngrams,
+       COALESCE(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pii_scrub": q_pii_scrub,
@@ -834,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_request_shaping": q_http_request_shaping,
         "semdedup": q_semdedup,
         "paragraph_dedup": q_paragraph_dedup,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -853,4 +889,5 @@ def oracle_sql() -> dict[str, str]:
         "http_request_shaping": ORACLE_HTTP_SHAPING,
         "semdedup": ORACLE_SEMDEDUP,
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
+        "decontaminate": ORACLE_DECONTAMINATE,
     }

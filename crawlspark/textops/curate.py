@@ -260,3 +260,63 @@ def stratified_sample(
         survivors.withColumn("rn", F.row_number().over(w2).cast("long"))
         .where(F.col("rn") <= k)
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / The Pile: drop
+    training documents that share an n-gram with an evaluation set —
+    13-grams for GPT-3, 8 here to suit the small fixture corpus).
+
+    Scale shape: the benchmark side is tiny (eval suites are KBs-MBs) —
+    its distinct n-gram hashes BROADCAST; the corpus side is one narrow
+    explode + broadcast LEFT SEMI probe + map-side-combined per-doc
+    count.  The 100 TB corpus never shuffles on text, only the final
+    (doc_id, count) aggregate moves.
+
+    Returns (id_col, n_contaminated_ngrams, contaminated) for every doc.
+    """
+    from .dedup import shingles
+
+    # guard: F.sequence descends when stop < start, so docs shorter than
+    # n words must not reach the shingle builder (they can't match anyway)
+    bench_grams = (
+        benchmark.filter(F.size(F.split(F.col(bench_text_col), " ")) >= n)
+        .select(
+            F.explode(
+                shingles(F.split(F.col(bench_text_col), " "), n)
+            ).alias("gram")
+        )
+        .select(base_hash(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    doc_grams = (
+        docs.filter(F.size(F.split(F.col(text_col), " ")) >= n)
+        .select(
+            F.col(id_col),
+            F.explode(shingles(F.split(F.col(text_col), " "), n)).alias("gram"),
+        )
+        .select(id_col, base_hash(F.col("gram")).alias("gh"))
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated_ngrams", F.lit(0))
+            .cast("long").alias("n_contaminated_ngrams"),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0)
+            .alias("contaminated"),
+        )
+    )

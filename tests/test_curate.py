@@ -214,3 +214,27 @@ def test_paragraph_dedup_order_and_full_removal(spark):
     # within-doc repeats are NOT cross-doc frequent -> kept, order intact
     assert out[4]["clean_text"] == "epsilon five\n\nzeta six\n\nepsilon five"
     assert out[4]["n_removed"] == 1
+
+
+def test_decontaminate_flags_overlap_and_broadcasts(spark):
+    """Docs sharing an 8-gram with the benchmark are flagged (including
+    benchmark members themselves); disjoint docs pass; the benchmark side
+    broadcasts (corpus never shuffles on text)."""
+    from crawlspark.textops.curate import decontaminate
+
+    mk = lambda i, t: (i, t)
+    leak = "the quick brown fox jumps over the lazy dog today"
+    rows = [
+        mk(0, leak),                                  # benchmark member
+        mk(1, "prefix words " + leak),                # contains bench 8-gram
+        mk(2, "completely different words with no overlap at all here"),
+        mk(3, "short doc"),                           # < 8 words: never flagged
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    bench = docs.filter("doc_id = 0")
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=8).collect()}
+    assert out[0]["contaminated"] and out[1]["contaminated"]
+    assert not out[2]["contaminated"] and out[2]["n_contaminated_ngrams"] == 0
+    assert not out[3]["contaminated"]
+    plan = decontaminate(docs, bench, n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan  # bench n-gram set broadcast, semi-join probe
