@@ -137,6 +137,21 @@ def run_headline(spark) -> dict[str, float]:
         lambda: dedup.minhash_lsh_pairs(docs, k=16, bands=4,
                                         jaccard_threshold=0.5).count(),
     )
+    measure(
+        "paragraph_dedup",
+        lambda: dedup.paragraph_dedup(
+            docs.selectExpr(
+                "doc_id",
+                "concat_ws('\\n\\n', substr(text, 1, 60), substr(text, 61, 60), "
+                "substr(text, 121, 60)) AS text",
+            ),
+            min_docs=3,
+        ).count(),
+    )
+    measure(
+        "semdedup",
+        lambda: ann.semdedup(emb, n_centroids=16, eps_permille=800).count(),
+    )
     measure("ann_brute_topk", lambda: ann.brute_topk(emb, n_queries=50, k=10).count())
     measure(
         "images_generate_validate",

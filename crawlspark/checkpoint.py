@@ -61,6 +61,11 @@ class CrawlCheckpoint:
         with open(tmp, "w") as f:
             json.dump({"level": level, **meta}, f)
         os.replace(tmp, f"{self.root}/meta.json")  # atomic commit of the level
+        # snapshot-log entry: the level's full meta (counters included) so
+        # rollback can restore the EXACT state, not just the level pointer
+        os.makedirs(f"{self.root}/meta_history", exist_ok=True)
+        with open(f"{self.root}/meta_history/level={level}.json", "w") as f:
+            json.dump({"level": level, **meta}, f)
 
     def save_filter_states(self, level: int, states: DataFrame) -> None:
         """Snapshot the PartitionedSeenFilter's per-bucket cuckoo states
@@ -109,3 +114,54 @@ class CrawlCheckpoint:
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+    # -- snapshot management (Iceberg-table semantics on the stand-in) ------
+    def snapshots(self) -> list[dict]:
+        """Iceberg snapshot listing analog: one entry per committed level,
+        flagged with whether it is the current table state.  (A real
+        catalog exposes this as the `snapshots` metadata table; the
+        level-keyed layout already IS the snapshot log.)"""
+        import re as _re
+
+        res_dir = f"{self.root}/results"
+        if not os.path.isdir(res_dir):
+            return []
+        levels = sorted(
+            int(m.group(1))
+            for d in os.listdir(res_dir)
+            if (m := _re.match(r"level=(\d+)$", d))
+        )
+        cur = (self.latest() or {}).get("level")
+        return [{"level": d, "is_current": d == cur} for d in levels]
+
+    def rollback(self, level: int) -> None:
+        """Iceberg `rollback_to_snapshot` analog: make ``level`` the
+        current state again and expire every later level's data across
+        all concerns (frontier/seen/results/lineage/filter/deferred).
+        A subsequent resume continues from exactly this snapshot —
+        identical final ordering and seen set (tested)."""
+        import shutil
+
+        snaps = [s["level"] for s in self.snapshots()]
+        if level not in snaps:
+            raise ValueError(f"no snapshot at level {level}: have {snaps}")
+        hist = f"{self.root}/meta_history/level={level}.json"
+        if not os.path.exists(hist):
+            raise ValueError(
+                f"no meta history for level {level} — checkpoint predates "
+                "snapshot logging; cannot restore counters exactly"
+            )
+        for kind in ("frontier", "seen", "results", "lineage",
+                     "seen_filter", "deferred"):
+            base = f"{self.root}/{kind}"
+            if not os.path.isdir(base):
+                continue
+            for d in os.listdir(base):
+                if d.startswith("level=") and int(d.split("=")[1]) > level:
+                    shutil.rmtree(f"{base}/{d}", ignore_errors=True)
+        with open(hist) as f:
+            meta = json.load(f)
+        tmp = f"{self.root}/meta.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, f"{self.root}/meta.json")

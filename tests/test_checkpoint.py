@@ -155,3 +155,44 @@ def test_resume_drains_deferred_backlog(spark):
         assert resumed == full
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_snapshots_rollback_and_time_travel(spark):
+    """Iceberg-semantics on the checkpoint: snapshot listing shows every
+    committed level, load_results(upto) time-travels, and rollback +
+    resume reproduces the uninterrupted crawl exactly."""
+    import tempfile
+
+    from crawlspark.checkpoint import CrawlCheckpoint
+
+    full = rows_of(crawl_bfs(spark, SF_DIR, CrawlConfig(max_depth=5)))
+    with tempfile.TemporaryDirectory() as d:
+        rows_of(crawl_bfs(spark, SF_DIR, CrawlConfig(max_depth=4, checkpoint_dir=d)))
+        cp = CrawlCheckpoint(d)
+        snaps = cp.snapshots()
+        assert [s["level"] for s in snaps] == list(range(len(snaps)))
+        assert snaps[-1]["is_current"] and not snaps[0]["is_current"]
+        # time-travel: results as of level 2 == the depth<=2 slice of full
+        # (checkpoint results are (doc, ord, depth); ord is unique, so the
+        # (depth, ord) set identifies the slice exactly)
+        as_of = {
+            (r["depth"], r["ord"])
+            for r in cp.load_results(spark, 2).select("depth", "ord").collect()
+        }
+        expect = {(dep, o) for (_u, dep, o) in full if dep <= 2}
+        assert as_of == expect
+        # rollback to level 2, then resume to depth 5: identical crawl
+        cp.rollback(2)
+        assert cp.latest()["level"] == 2
+        assert [s["level"] for s in cp.snapshots()] == [0, 1, 2]
+        resumed = rows_of(
+            crawl_bfs(
+                spark, SF_DIR, CrawlConfig(max_depth=5, checkpoint_dir=d, resume=True)
+            )
+        )
+        assert resumed == full
+        # rollback to a non-existent snapshot is rejected
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            cp.rollback(99)

@@ -207,3 +207,37 @@ def test_phash_banding_plan_no_cartesian(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+
+
+def test_paragraph_dedup_plan_broadcast_antijoin_no_global_window(spark):
+    """The frequent-paragraph removal must be a BROADCAST anti-join (heavy
+    hitters are few) and reassembly must not use an unpartitioned window."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    p = plan_of(dedup.paragraph_dedup(docs, min_docs=3))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "Window" not in p  # order restored via sort_array, not a window
+    assert "partial_count" in p  # map-side combine on the freq agg
+
+
+def test_semdedup_plan_codebook_broadcast_partitioned_windows_only(spark):
+    """The codebook broadcasts (assignment is a narrow pass); every window
+    is partitioned (no single-partition collapse); the intra-cluster pair
+    join keys on cent_id."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_of(ann.semdedup(emb, n_centroids=4, eps_permille=800))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    # every window is the per-vector assignment argmin, partitioned by vid
+    # (no unpartitioned windowspecdefinition( without a leading column)
+    import re
+    specs = re.findall(r"windowspecdefinition\((\w*)", p)
+    assert specs and all(s.startswith("vid") for s in specs), specs
+
+
+def test_decontaminate_plan_bench_side_broadcast(spark):
+    from crawlspark.textops.curate import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    bench = docs.filter("doc_id % 17 = 0")
+    p = plan_of(decontaminate(docs, bench, n=8))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "partial_count" in p  # per-doc count map-side combined
