@@ -853,6 +853,80 @@ ORDER BY d.doc_id
 """
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. ExactSubstr, windowed
+    to 8-token grams): the small synthetic vocabulary makes organic
+    cross-doc window collisions plentiful, so the oracle (full SQL replay
+    of windowing, distinct-doc counting, semi-join flagging and
+    merged-interval coverage) exercises real overlap structure."""
+    from .textops.dedup import duplicate_spans
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return duplicate_spans(d, k=8, min_docs=2).orderBy("doc_id")
+
+
+ORACLE_DUPLICATE_SPANS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
+        FROM w WHERE len(ws) >= 8)
+),
+dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+f AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+cov AS (
+  SELECT doc_id, pos,
+         GREATEST(0, (pos + 8) - GREATEST(COALESCE(
+           MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), pos)
+         ) AS c
+  FROM f
+),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_dup_windows, SUM(c) AS dup_tokens
+  FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       CAST(GREATEST(len(t.ws) - 7, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
+FROM w t LEFT JOIN per p ON t.doc_id = p.doc_id
+ORDER BY t.doc_id
+"""
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM perplexity proxy (CCNet filter): per-token
+    -ln p(w) quantized to integer micro-nats before the per-doc mean, so
+    the value is bit-stable under any partitioning and the oracle replays
+    the whole two-pass plan (count -> cost -> mean) in SQL."""
+    from .textops.quality import unigram_logprob
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return unigram_logprob(d).orderBy("doc_id")
+
+
+ORACLE_UNIGRAM_LOGPROB = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+cnt AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+tot AS (SELECT SUM(c) AS t FROM cnt),
+per AS (
+  SELECT doc_id,
+         CAST(floor(-ln(c::DOUBLE / t::DOUBLE) * 1000000) AS BIGINT) AS cost
+  FROM toks JOIN cnt USING (w) CROSS JOIN tot
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(floor(SUM(cost)::DOUBLE / COUNT(*)) AS BIGINT) AS nll_micro_mean
+FROM per GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pii_scrub": q_pii_scrub,
@@ -870,6 +944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
+        "duplicate_spans": q_duplicate_spans,
+        "unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -890,4 +966,6 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": ORACLE_SEMDEDUP,
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
         "decontaminate": ORACLE_DECONTAMINATE,
+        "duplicate_spans": ORACLE_DUPLICATE_SPANS,
+        "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     }

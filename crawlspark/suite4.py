@@ -1,0 +1,187 @@
+"""Round-2 continuation queries, part 2: WARC archive ingestion + CDX.
+
+The WARC fixture is synthesized deterministically from the documents table
+(request/response record pairs, 10 docs per archive file), so the DuckDB
+oracle replays BOTH the fixture construction and the full parse (record
+split, WARC/HTTP header extraction, body recovery) in SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import warc
+from .textops.dedup import BASE_HASH_SQL
+
+_CR = "\r\n"
+_CR2 = "\r\n\r\n"
+
+
+def _warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WARC archive fixture: per doc a response record (404
+    on doc%13==0) preceded by a request record for doc%5==0; 10 docs per
+    file, concatenated in doc order."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    uri = F.concat(F.lit("https://h"), (doc % 7).cast("string"),
+                   F.lit(".example.com/p/"), s)
+    body = F.concat(F.lit("<html>"), F.substring("text", 1, 40), F.lit("</html>"))
+    status = F.when(doc % 13 == 0, F.lit("404")).otherwise(F.lit("200"))
+    date = F.concat(F.lit("2026-08-18T00:00:0"), (doc % 10).cast("string"), F.lit("Z"))
+    resp = F.concat(
+        F.lit("WARC/1.0" + _CR + "WARC-Type: response" + _CR + "WARC-Target-URI: "),
+        uri,
+        F.lit(_CR + "WARC-Date: "), date,
+        F.lit(_CR + "Content-Length: "), F.length(body).cast("string"),
+        F.lit(_CR2 + "HTTP/1.1 "), status,
+        F.lit(" OK" + _CR + "Content-Type: text/html; charset=utf-8" + _CR2),
+        body, F.lit(_CR2),
+    )
+    req = F.when(
+        doc % 5 == 0,
+        F.concat(
+            F.lit("WARC/1.0" + _CR + "WARC-Type: request" + _CR
+                  + "WARC-Target-URI: "),
+            uri,
+            F.lit(_CR2 + "GET /p/"), s,
+            F.lit(" HTTP/1.1" + _CR + "Host: h"), (doc % 7).cast("string"),
+            F.lit(".example.com" + _CR2),
+        ),
+    ).otherwise(F.lit(""))
+    recs = d.select(doc, F.floor(doc / 10).cast("long").alias("file_id"),
+                    F.concat(req, resp).alias("rec"))
+    return recs.groupBy("file_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "rec"))),
+                lambda x: x["rec"],
+            ),
+        ).alias("warc")
+    )
+
+
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record parse over the synthesized archives: record split on the
+    version line, WARC header fields, HTTP status/content-type peel, body
+    recovery with terminator strip — all JVM expressions (warc.parse_warc);
+    the oracle rebuilds the archives AND re-parses them in SQL."""
+    return warc.parse_warc(_warc_files(spark, sf_dir)).orderBy("file_id", "rec_pos")
+
+
+def q_warc_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index over the parsed archives: SURT keys, body digests, record
+    positions for the response records (warc.cdx_index)."""
+    return warc.cdx_index(warc.parse_warc(_warc_files(spark, sf_dir))).orderBy(
+        "surt", "target_uri", "file_id", "rec_pos"
+    )
+
+
+# the fixture + parse replay shared by both oracles
+_FIXTURE_AND_PARSE = f"""
+c AS (SELECT chr(13)||chr(10) AS cr, chr(13)||chr(10)||chr(13)||chr(10) AS cr2),
+base AS (
+  SELECT doc_id, doc_id // 10 AS file_id,
+         'https://h' || (doc_id % 7) || '.example.com/p/' || doc_id AS uri,
+         '<html>' || substr(text, 1, 40) || '</html>' AS body,
+         CASE WHEN doc_id % 13 = 0 THEN '404' ELSE '200' END AS status,
+         '2026-08-18T00:00:0' || (doc_id % 10) || 'Z' AS dt
+  FROM documents
+),
+rec AS (
+  SELECT doc_id, file_id,
+    CASE WHEN doc_id % 5 = 0 THEN
+      'WARC/1.0' || cr || 'WARC-Type: request' || cr || 'WARC-Target-URI: '
+      || uri || cr2 || 'GET /p/' || doc_id || ' HTTP/1.1' || cr
+      || 'Host: h' || (doc_id % 7) || '.example.com' || cr2
+    ELSE '' END
+    || 'WARC/1.0' || cr || 'WARC-Type: response' || cr || 'WARC-Target-URI: '
+    || uri || cr || 'WARC-Date: ' || dt
+    || cr || 'Content-Length: ' || length(body) || cr2 || 'HTTP/1.1 ' || status
+    || ' OK' || cr || 'Content-Type: text/html; charset=utf-8' || cr2
+    || body || cr2 AS r
+  FROM base CROSS JOIN c
+),
+files AS (
+  SELECT file_id, string_agg(r, '' ORDER BY doc_id) AS warc
+  FROM rec GROUP BY file_id
+),
+segs AS (
+  SELECT file_id, gs - 1 AS rec_pos, seg FROM (
+    SELECT file_id,
+           unnest(string_split(warc, 'WARC/1.0' || cr)) AS seg,
+           generate_subscripts(string_split(warc, 'WARC/1.0' || cr), 1) AS gs
+    FROM files CROSS JOIN c
+  ) WHERE gs >= 2
+),
+peeled AS (
+  SELECT file_id, rec_pos,
+         split_part(seg, cr2, 1) AS hdr,
+         substr(seg, length(split_part(seg, cr2, 1)) + 5) AS payload,
+         cr2
+  FROM segs CROSS JOIN c
+),
+parsed AS (
+  SELECT file_id, rec_pos,
+    NULLIF(regexp_extract(hdr, 'WARC-Type: ([^\\r\\n]+)', 1), '') AS warc_type,
+    NULLIF(regexp_extract(hdr, 'WARC-Target-URI: ([^\\r\\n]+)', 1), '') AS target_uri,
+    NULLIF(regexp_extract(hdr, 'WARC-Date: ([^\\r\\n]+)', 1), '') AS warc_date,
+    CAST(NULLIF(regexp_extract(hdr, 'Content-Length: ([^\\r\\n]+)', 1), '') AS BIGINT)
+      AS content_length,
+    CAST(NULLIF(regexp_extract(payload, '^HTTP/1\\.[01] (\\d{{3}})', 1), '') AS INTEGER)
+      AS http_status,
+    CASE WHEN regexp_extract(payload, '^HTTP/1\\.[01] (\\d{{3}})', 1) != '' THEN
+      NULLIF(regexp_extract(split_part(payload, cr2, 1),
+                            'Content-Type: ([^\\r\\n]+)', 1), '')
+    END AS content_type,
+    CASE WHEN regexp_extract(payload, '^HTTP/1\\.[01] (\\d{{3}})', 1) != '' THEN
+      regexp_replace(substr(payload, length(split_part(payload, cr2, 1)) + 5),
+                     '[\\r\\n]+$', '')
+    ELSE regexp_replace(payload, '[\\r\\n]+$', '')
+    END AS body
+  FROM peeled
+)
+"""
+
+ORACLE_WARC_PARSE = f"""
+WITH {_FIXTURE_AND_PARSE}
+SELECT file_id, rec_pos, warc_type, target_uri, warc_date, content_length,
+       http_status, content_type, body
+FROM parsed
+ORDER BY file_id, rec_pos
+"""
+
+ORACLE_WARC_CDX = f"""
+WITH {_FIXTURE_AND_PARSE}
+SELECT
+  array_to_string(list_reverse(string_split(lower(
+    regexp_extract(target_uri, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), '.')), ',')
+  || ')' ||
+  CASE WHEN regexp_extract(target_uri, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) = ''
+       THEN '/' ELSE lower(regexp_extract(target_uri,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)) END AS surt,
+  target_uri, warc_date, file_id, rec_pos,
+  {BASE_HASH_SQL.format(x='body')} AS digest,
+  CAST(length(body) AS BIGINT) AS length
+FROM parsed
+WHERE warc_type = 'response'
+ORDER BY surt, target_uri, file_id, rec_pos
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "warc_parse": q_warc_parse,
+        "warc_cdx": q_warc_cdx,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "warc_parse": ORACLE_WARC_PARSE,
+        "warc_cdx": ORACLE_WARC_CDX,
+    }

@@ -322,6 +322,93 @@ def simhash16(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return df.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplicate-span detection at k-token granularity
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499 — the ExactSubstr criterion, windowed to
+    token k-grams so it distributes): every k-token window is hashed; a
+    window whose text occurs in >= ``min_docs`` DISTINCT documents is a
+    duplicated span.  Per document we report the number of duplicated
+    windows and the MERGED-INTERVAL token coverage (a token covered by
+    three overlapping duplicated windows counts once) — the quantity a
+    span-removal pass would cut.
+
+    Scale shape: the window explode is narrow (one row per token
+    position, same volume as tokenization); duplicate discovery is one
+    map-side-combined groupBy on a 32-bit window hash + countDistinct
+    doc; flagging is a LEFT SEMI join on the hash (at 100 TB the
+    duplicated-hash relation is the small side once ``min_docs`` > 2 —
+    broadcast it; at min_docs=2 it shuffles, which is the
+    suffix-array-replacement trade).  Coverage merging is one
+    PARTITIONED window (per doc, ordered by position, running max of
+    span end) — integer-exact, order-safe, no UDF.
+
+    Returns (id, n_tokens, n_windows, n_dup_windows, dup_tokens), all
+    LONG; docs shorter than k tokens report zero windows.
+    """
+    words = F.split(F.col(text_col), " ")
+    d = df.select(F.col(id_col), words.alias("__ws"))
+    n = F.size("__ws")
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__ws"), i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = (
+        d.select(F.col(id_col), n.alias("__n"), F.posexplode_outer(grams)
+                 .alias("pos0", "g"))
+        .select(
+            F.col(id_col), F.col("__n"),
+            (F.col("pos0") + 1).alias("pos"),
+            base_hash(F.col("g")).alias("gh"),
+        )
+    )
+    dup = (
+        pos.filter(F.col("gh").isNotNull())
+        .groupBy("gh")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    flagged = pos.filter(F.col("gh").isNotNull()).join(dup, "gh", "left_semi")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + k).over(w)  # exclusive end of cover
+    new_cov = F.greatest(
+        F.lit(0),
+        (F.col("pos") + k) - F.greatest(F.coalesce(prev_end, F.lit(0)), F.col("pos")),
+    )
+    per_doc = flagged.withColumn("__cov", new_cov).groupBy(id_col).agg(
+        F.count("*").alias("n_dup_windows"),
+        F.sum("__cov").alias("dup_tokens"),
+    )
+    totals = d.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.greatest(n - k + 1, F.lit(0)).cast("long").alias("n_windows"),
+    )
+    return totals.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "n_windows",
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -103,6 +103,45 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", fp.alias("fingerprint"))
 
 
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3 — docs ranked by LM perplexity), reduced to a
+    corpus-trained UNIGRAM model so the whole thing is two DataFrame
+    passes: (1) token counts over the corpus (one map-side-combined
+    groupBy), (2) per-token cost ``-ln(cnt(w)/T)`` joined back onto the
+    token stream and averaged per document.  Low mean cost = typical
+    wording (fluent), high = rare-token soup (gibberish, boilerplate
+    codes) — the standard perplexity-filter signal without shipping an
+    external LM.
+
+    Determinism at scale: the per-token cost is quantized to integer
+    MICRO-nats BEFORE the per-doc sum — a float sum across partitions is
+    order-nondeterministic in its last bits, an integer sum is not, so
+    the result is bit-stable under any parallelism (and DuckDB replays
+    it exactly).  At 100 TB the count relation is heavy-tailed: broadcast
+    the top-V tokens and floor the tail to an OOV cost instead of the
+    full join (same plan shape, bounded build side).
+
+    Returns (id, n_tokens, nll_micro_mean): mean cost in micro-nats,
+    floor-divided, all LONG.
+    """
+    toks = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    cnt = toks.groupBy("w").agg(F.count("*").alias("__c"))
+    tot = cnt.agg(F.sum("__c").alias("__t"))
+    cost = F.floor(-F.log(F.col("__c") / F.col("__t")) * 1_000_000).cast("long")
+    per_tok = (
+        toks.join(cnt, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(F.col(id_col), cost.alias("__cost"))
+    )
+    return per_tok.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.floor(F.sum("__cost") / F.count("*")).cast("long").alias("nll_micro_mean"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,124 @@
+"""WARC web-archive ingestion + CDX indexing — the crawl-interchange
+source format (ISO 28500; the CommonCrawl distribution format).
+
+The reference consumes live HTTP responses (src/Loader/Http/HttpLoader.php);
+a web-scale training pipeline consumes the same responses from WARC dumps
+instead, so this module adds the archive-side source: record splitting,
+WARC/HTTP header parsing, and the standard CDX(J) index (SURT key, digest,
+offset) used to random-access archives.
+
+Everything is pure JVM Column expressions (split/substring_index/
+regexp_extract) — a narrow map stage that fuses into the file scan; no UDF,
+no shuffle until the caller aggregates.  At 100 TB the physical reading
+plan is: `spark.read.text` with
+``textinputformat.record.delimiter = "\\r\\n\\r\\nWARC/1.0\\r\\n"`` so the
+input format itself splits records at block boundaries (each task parses
+only its records), or range-reads driven by a CDX index for point lookups;
+this module's parser is the same expression tree either way.  Real
+CommonCrawl files are per-record gzip members — the codec layer
+(steps.gzip sniff) slots in front of the parser.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textops.dedup import base_hash
+
+CRLF = "\r\n"
+CRLF2 = "\r\n\r\n"
+
+
+def parse_warc(df: DataFrame, col: str = "warc", id_col: str = "file_id") -> DataFrame:
+    """Split WARC file bodies into records and parse WARC + HTTP headers.
+
+    One output row per record: (id_col, rec_pos, warc_type, target_uri,
+    warc_date, content_length, http_status, content_type, body).  For
+    ``response`` records the HTTP status line and headers are peeled off
+    and ``body`` is the entity body (record terminator stripped); records
+    without an HTTP payload (warcinfo, request) report the raw payload.
+
+    Record split is on the version line; header fields are single
+    regexp_extracts over the header block — Catalyst keeps the whole thing
+    in one whole-stage-codegen'd projection.
+    """
+    seg = F.col("__seg")
+    recs = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(col), r"WARC/1\.0\r\n")).alias(
+                "__p0", "__seg"
+            ),
+        )
+        .filter(F.col("__p0") >= 1)  # text before the first version line
+        .select(F.col(id_col), F.col("__p0").cast("long").alias("rec_pos"), seg)
+    )
+    hdrs = F.substring_index(seg, CRLF2, 1)
+    payload = F.substring(seg, F.length(hdrs) + F.lit(5), F.length(seg))
+
+    def hfield(name: str) -> Column:
+        return F.nullif(
+            F.regexp_extract(hdrs, name + r": ([^\r\n]+)", 1), F.lit("")
+        )
+
+    http_status = F.nullif(
+        F.regexp_extract(payload, r"^HTTP/1\.[01] (\d{3})", 1), F.lit("")
+    ).cast("int")
+    http_hdrs = F.substring_index(payload, CRLF2, 1)
+    http_body = F.substring(payload, F.length(http_hdrs) + F.lit(5), F.length(seg))
+    body = F.regexp_replace(
+        F.when(http_status.isNotNull(), http_body).otherwise(payload),
+        r"[\r\n]+$",
+        "",
+    )
+    content_type = F.nullif(
+        F.regexp_extract(http_hdrs, r"Content-Type: ([^\r\n]+)", 1), F.lit("")
+    )
+    return recs.select(
+        F.col(id_col),
+        "rec_pos",
+        hfield("WARC-Type").alias("warc_type"),
+        hfield("WARC-Target-URI").alias("target_uri"),
+        hfield("WARC-Date").alias("warc_date"),
+        hfield("Content-Length").cast("long").alias("content_length"),
+        http_status.alias("http_status"),
+        F.when(http_status.isNotNull(), content_type).alias("content_type"),
+        body.alias("body"),
+    )
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the canonical
+    web-archive index key: host labels reversed and comma-joined, then
+    ``)`` + path, all lowercased (``https://www.Example.com/a`` ->
+    ``com,example,www)/a``).  Pure Column expressions so the CDX build
+    stays JVM-side."""
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    rev = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+    return F.concat(
+        rev, F.lit(")"), F.when(path == "", F.lit("/")).otherwise(F.lower(path))
+    )
+
+
+def cdx_index(parsed: DataFrame, id_col: str = "file_id") -> DataFrame:
+    """CDX index over parsed WARC records: one row per ``response`` record
+    with (surt, target_uri, warc_date, file_id, rec_pos, digest, length).
+
+    The digest is the body content hash (dedup key across snapshots); at
+    100 TB the index is written sorted by (surt, warc_date) — a
+    repartitionByRange on surt gives the globally-ordered layout CDX
+    consumers binary-search."""
+    return (
+        parsed.filter(F.col("warc_type") == "response")
+        .select(
+            surt_key(F.col("target_uri")).alias("surt"),
+            "target_uri",
+            "warc_date",
+            F.col(id_col),
+            "rec_pos",
+            base_hash(F.col("body")).alias("digest"),
+            F.length("body").cast("long").alias("length"),
+        )
+    )
