@@ -271,6 +271,65 @@ CODEC_ROUNDTRIP_SCHEMA = (
 )
 
 
+PATCH_SCHEMA = (
+    "image_id STRING, py INT, px INT, patch BINARY, "
+    "mean_r_milli LONG, mean_g_milli LONG, mean_b_milli LONG"
+)
+
+
+def patchify(images: DataFrame, patch: int = 8) -> DataFrame:
+    """ViT-style patch extraction: cut each decoded image into
+    ``patch x patch`` non-overlapping RGB patches (partial edge patches
+    dropped, as ViT does) and emit one row per patch with the raw patch
+    bytes plus per-channel milli-means (integer-quantized so downstream
+    comparisons are bit-stable).
+
+    One Arrow-batched ``mapInPandas`` stage: decode + a single numpy
+    reshape/transpose produces ALL patches of an image at once (no
+    per-patch Python), and the per-channel means are one vectorized
+    reduction over the (ny, nx, P, P, 3) block view.  Output volume is
+    ~1x the decoded pixels, so the stage is narrow — patch rows inherit
+    the input partitioning and flow straight into a training-shard
+    writer without a shuffle."""
+    cols = images.select("image_id", "bytes", "w", "h")
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = patch
+        for pdf in batches:
+            out: dict[str, list] = {
+                "image_id": [], "py": [], "px": [], "patch": [],
+                "mean_r_milli": [], "mean_g_milli": [], "mean_b_milli": [],
+            }
+            for image_id, b, w, h in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"]
+            ):
+                w, h = int(w), int(h)
+                arr = _decode(bytes(b), w, h)
+                ny, nx = h // p, w // p
+                if ny == 0 or nx == 0:
+                    continue
+                blocks = (
+                    arr[: ny * p, : nx * p]
+                    .reshape(ny, p, nx, p, 3)
+                    .transpose(0, 2, 1, 3, 4)
+                )  # (ny, nx, p, p, 3)
+                # integer milli-means: sum*1000 // area — exact, no float
+                sums = blocks.sum(axis=(2, 3), dtype=np.int64)
+                milli = (sums * 1000 // (p * p)).reshape(ny * nx, 3)
+                flat = np.ascontiguousarray(blocks).reshape(ny * nx, -1)
+                npatch = ny * nx
+                out["image_id"].extend([image_id] * npatch)
+                out["py"].extend(np.repeat(np.arange(ny), nx).tolist())
+                out["px"].extend(np.tile(np.arange(nx), ny).tolist())
+                out["patch"].extend(flat[r].tobytes() for r in range(npatch))
+                out["mean_r_milli"].extend(milli[:, 0].tolist())
+                out["mean_g_milli"].extend(milli[:, 1].tolist())
+                out["mean_b_milli"].extend(milli[:, 2].tolist())
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(cut, PATCH_SCHEMA)
+
+
 def codec_roundtrip_virtual(spark: SparkSession, n: int) -> DataFrame:
     """Fused synth + encode + decode + validate in ONE mapInPandas stage.
 

@@ -107,6 +107,69 @@ def aspect_bucket_col(w: Column, h: Column) -> Column:
     )
 
 
+def shard_assign(
+    df: DataFrame,
+    size_col: str = "nbytes",
+    bucket_col: str = "bucket",
+    id_col: str = "image_id",
+    target_bytes: int = 1 << 20,
+) -> DataFrame:
+    """WebDataset-style shard packing: assign rows to size-bounded shard
+    files, per bucket, in deterministic id order — the layout a
+    sequential-read training loader wants (one tar per shard, buckets
+    kept apart so every batch is one aspect/source bucket).
+
+    A row's shard is ``floor(bytes_before_it_in_bucket / target_bytes)``:
+    shards fill to the boundary and the first row crossing it opens the
+    next shard, so every shard except a bucket's last holds >=
+    ``target_bytes`` and row order inside a shard is id order — the
+    standard offset-based packing (greedy first-fit needs sequential
+    state; offset packing is one PARTITIONED window, exact and
+    distributed).  Global shard ids then number (bucket, local shard)
+    pairs via a tiny bucket-level cumulative offset — the per-bucket
+    shard COUNTS (a handful of rows) are window-summed, never the data.
+
+    Returns (id, bucket, shard_ix local to the bucket, shard_uid global,
+    offset_in_shard bytes).  Integer-exact, SQL-replayable.
+    """
+    from pyspark.sql import Window
+
+    sz = F.col(size_col).cast("long")
+    w = (
+        Window.partitionBy(bucket_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(sz).over(w), F.lit(0))
+    rows = df.select(
+        F.col(id_col), F.col(bucket_col), sz.alias("__sz"),
+        before.alias("__before"),
+    ).withColumn("shard_ix", F.floor(F.col("__before") / target_bytes))
+    # bucket -> number of local shards, cumulated into a global base
+    counts = rows.groupBy(bucket_col).agg(
+        (F.max("shard_ix") + 1).alias("__n_shards")
+    )
+    wb = (
+        Window.orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = counts.select(
+        bucket_col,
+        F.coalesce(F.sum("__n_shards").over(wb), F.lit(0)).alias("__base"),
+    )
+    return (
+        rows.join(F.broadcast(bases), bucket_col)
+        .select(
+            id_col,
+            bucket_col,
+            F.col("shard_ix").cast("long").alias("shard_ix"),
+            (F.col("__base") + F.col("shard_ix")).cast("long").alias("shard_uid"),
+            (F.col("__before") - F.col("shard_ix") * target_bytes)
+            .cast("long").alias("offset_in_shard"),
+        )
+    )
+
+
 def aspect_bucket_stats(imgs: DataFrame) -> DataFrame:
     """Assign every image to an aspect bucket and aggregate per-bucket batch
     stats: pair count, kept-pair count (caption_pair_filter), and the pixel

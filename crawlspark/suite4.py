@@ -173,15 +173,93 @@ ORDER BY surt, target_uri, file_id, rec_pos
 """
 
 
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard packing (mmcurate.shard_assign) over a
+    documents-derived fixture (bucket = doc%3, size = text length,
+    4 KiB target): offset-based packing per bucket + global shard
+    numbering, replayed exactly by the SQL windows."""
+    from . import mmcurate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id"),
+        F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                     (F.col("doc_id") % 3 + 1).cast("int")).alias("bucket"),
+        F.length("text").alias("nbytes"),
+    )
+    return mmcurate.shard_assign(
+        d, size_col="nbytes", bucket_col="bucket", id_col="doc_id",
+        target_bytes=4096,
+    ).orderBy("doc_id")
+
+
+ORACLE_SHARD_ASSIGN = """
+WITH d AS (
+  SELECT doc_id,
+         ['a','b','c'][(doc_id % 3 + 1)::INT] AS bucket,
+         length(text)::BIGINT AS nbytes
+  FROM documents
+),
+rows_ AS (
+  SELECT doc_id, bucket, nbytes,
+         COALESCE(SUM(nbytes) OVER (PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM d
+),
+sh AS (SELECT *, before // 4096 AS shard_ix FROM rows_),
+counts AS (SELECT bucket, MAX(shard_ix) + 1 AS n_shards FROM sh GROUP BY bucket),
+bases AS (
+  SELECT bucket, COALESCE(SUM(n_shards) OVER (ORDER BY bucket
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+  FROM counts
+)
+SELECT s.doc_id, s.bucket,
+       s.shard_ix::BIGINT AS shard_ix,
+       (b.base + s.shard_ix)::BIGINT AS shard_uid,
+       (s.before - s.shard_ix * 4096)::BIGINT AS offset_in_shard
+FROM sh s JOIN bases b USING (bucket)
+ORDER BY s.doc_id
+"""
+
+
+def q_image_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch extraction over the synthesized image table: per-image
+    patch count and channel-mean aggregates.  The pixel payload comes from
+    the deterministic fake codec (not SQL-replayable), so this is a
+    rows-only gate entry; the per-patch values are pytest-verified against
+    hand-decoded pixels (tests/test_images_patchify.py)."""
+    from . import images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 200)
+    imgs = images.generate_images(spark, sf_dir, docs=docs)
+    return (
+        images.patchify(imgs, patch=8)
+        .groupBy("image_id")
+        .agg(
+            F.count("*").cast("long").alias("n_patches"),
+            F.sum("mean_r_milli").alias("sum_r_milli"),
+            F.sum("mean_g_milli").alias("sum_g_milli"),
+            F.sum("mean_b_milli").alias("sum_b_milli"),
+        )
+        .orderBy("image_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "warc_parse": q_warc_parse,
         "warc_cdx": q_warc_cdx,
+        "shard_assign": q_shard_assign,
+        "image_patchify": q_image_patchify,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # image_patchify is intentionally absent: the fake-codec pixel payload
+    # is not SQL-expressible, so the driver records the rows-only check
     return {
         "warc_parse": ORACLE_WARC_PARSE,
         "warc_cdx": ORACLE_WARC_CDX,
+        "shard_assign": ORACLE_SHARD_ASSIGN,
     }
