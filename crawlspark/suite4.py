@@ -246,12 +246,194 @@ def q_image_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chunk(words, start: int, n: int):
+    """6-word text chunk as one fixture line (empty-safe on both engines)."""
+    return F.array_join(F.slice(words, start, n), " ")
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page cleaning over a planted fixture: per doc 5 lines built
+    from its words — line1 ends '.', (doc%11==0 adds 'lorem ipsum'), line2
+    has no terminal punctuation (doc%13==0 also adds '{'), line3 ends '?',
+    line4 ends '!' unless doc%4==1 which mentions javascript, line5 is a
+    2-word stub.  The oracle replays line filtering, sentence counting and
+    the page rules with list expressions."""
+    from .textops.curate import c4_clean
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    doc, words = F.col("doc_id"), F.split(F.col("text"), " ")
+    line1 = F.concat(
+        _chunk(words, 1, 6),
+        F.when(doc % 11 == 0, F.lit(" lorem ipsum.")).otherwise(F.lit(".")),
+    )
+    line2 = F.concat(
+        _chunk(words, 7, 6),
+        F.when(doc % 13 == 0, F.lit(" {")).otherwise(F.lit("")),
+    )
+    line3 = F.concat(_chunk(words, 13, 6), F.lit("?"))
+    line4 = F.concat(
+        _chunk(words, 19, 6),
+        F.when(doc % 4 == 1, F.lit(" uses javascript.")).otherwise(F.lit("!")),
+    )
+    fixture = d.select(
+        "doc_id",
+        F.concat_ws("\n", line1, line2, line3, line4, F.lit("so short."))
+        .alias("text"),
+    )
+    return c4_clean(fixture, min_sentences=3).orderBy("doc_id")
+
+
+ORACLE_C4_CLEAN = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+fixture AS (
+  SELECT doc_id,
+    COALESCE(array_to_string(ws[1:6], ' '), '')
+      || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum.' ELSE '.' END
+    || chr(10) ||
+    COALESCE(array_to_string(ws[7:12], ' '), '')
+      || CASE WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END
+    || chr(10) ||
+    COALESCE(array_to_string(ws[13:18], ' '), '') || '?'
+    || chr(10) ||
+    COALESCE(array_to_string(ws[19:24], ' '), '')
+      || CASE WHEN doc_id % 4 = 1 THEN ' uses javascript.' ELSE '!' END
+    || chr(10) || 'so short.' AS text
+  FROM w
+),
+ln AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM fixture
+),
+kept AS (
+  SELECT doc_id, text, lines,
+    list_filter(lines, x ->
+      regexp_matches(x, '[.!?"]$')
+      AND len(list_filter(string_split(x, ' '), ww -> ww != '')) >= 3
+      AND NOT contains(lower(x), 'javascript')
+    ) AS kl
+  FROM ln
+),
+agg AS (
+  SELECT doc_id,
+         COALESCE(array_to_string(kl, chr(10)), '') AS clean_text,
+         len(lines)::BIGINT AS n_lines_total,
+         len(kl)::BIGINT AS n_lines_kept,
+         len(regexp_extract_all(COALESCE(array_to_string(kl, chr(10)), ''),
+                                '[.!?]'))::BIGINT AS n_sentences,
+         contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+         contains(text, '{') AS has_brace
+  FROM kept
+)
+SELECT doc_id, clean_text, n_lines_total, n_lines_kept, n_sentences,
+       has_lorem_ipsum, has_brace,
+       (NOT has_lorem_ipsum AND NOT has_brace AND n_sentences >= 3)
+         AS keep_page
+FROM agg ORDER BY doc_id
+"""
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher rule set over a planted fixture: per doc 4 lines with a
+    variable-length first line (5 + doc%40 words), a stopword prefix on
+    even docs, bullets on doc%6==0, a trailing ellipsis on doc%7==0,
+    '#' symbols on doc%9==0, and a numeric-word run on doc%17==0, so every
+    rule's verdict varies across the corpus.  The oracle replays all seven
+    rules with integer cross-multiplication."""
+    from .textops.curate import gopher_rules
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    doc, words = F.col("doc_id"), F.split(F.col("text"), " ")
+    line1 = F.concat(
+        F.when(doc % 2 == 0, F.lit("the of and ")).otherwise(F.lit("zz ")),
+        F.array_join(F.slice(words, 1, (F.lit(5) + doc % 40).cast("int")), " "),
+    )
+    line2 = F.concat(
+        F.when(doc % 6 == 0, F.lit("- ")).otherwise(F.lit("")),
+        _chunk(words, 7, 6),
+    )
+    line3 = F.concat(
+        _chunk(words, 13, 6),
+        F.when(doc % 7 == 0, F.lit("...")).otherwise(F.lit("")),
+    )
+    line4 = F.concat(
+        _chunk(words, 19, 6),
+        F.when(doc % 9 == 0, F.lit(" ## # ##")).otherwise(F.lit("")),
+        F.when(doc % 17 == 0, F.lit(" 1 2 3 4 5 6 7 8 9 10 11 12"))
+        .otherwise(F.lit("")),
+    )
+    fixture = d.select(
+        "doc_id", F.concat_ws("\n", line1, line2, line3, line4).alias("text")
+    )
+    return gopher_rules(fixture, min_words=30).orderBy("doc_id")
+
+
+ORACLE_GOPHER_RULES = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+fixture AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'the of and ' ELSE 'zz ' END)
+      || COALESCE(array_to_string(ws[1:(5 + doc_id % 40)::INT], ' '), '')
+    || chr(10) ||
+    (CASE WHEN doc_id % 6 = 0 THEN '- ' ELSE '' END)
+      || COALESCE(array_to_string(ws[7:12], ' '), '')
+    || chr(10) ||
+    COALESCE(array_to_string(ws[13:18], ' '), '')
+      || (CASE WHEN doc_id % 7 = 0 THEN '...' ELSE '' END)
+    || chr(10) ||
+    COALESCE(array_to_string(ws[19:24], ' '), '')
+      || (CASE WHEN doc_id % 9 = 0 THEN ' ## # ##' ELSE '' END)
+      || (CASE WHEN doc_id % 17 = 0 THEN ' 1 2 3 4 5 6 7 8 9 10 11 12'
+          ELSE '' END)
+    AS text
+  FROM w
+),
+m AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS wrds,
+    string_split(text, chr(10)) AS lines
+  FROM fixture
+),
+n AS (
+  SELECT doc_id,
+    len(wrds)::BIGINT AS nw,
+    list_sum(list_transform(wrds, x -> length(x)))::BIGINT AS total_chars,
+    len(regexp_extract_all(text, '#|\\.\\.\\.'))::BIGINT AS n_sym,
+    len(lines)::BIGINT AS nl,
+    len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]')))::BIGINT
+      AS n_bullet,
+    len(list_filter(lines, x -> suffix(x, '...')))::BIGINT AS n_ellipsis,
+    len(list_filter(wrds, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+      AS n_alpha,
+    len(list_distinct(list_intersect(list_transform(wrds, x -> lower(x)),
+        ['the','be','to','of','and','that','have','with'])))::BIGINT AS n_stop
+  FROM m
+)
+SELECT doc_id, nw AS n_words,
+  (nw >= 30 AND nw <= 100000) AS ok_word_count,
+  (3 * nw <= total_chars AND total_chars <= 10 * nw) AS ok_mean_word_len,
+  (10 * n_sym <= nw) AS ok_symbol_ratio,
+  (10 * n_bullet <= nl) AS ok_bullet_lines,
+  (10 * n_ellipsis <= 3 * nl) AS ok_ellipsis_lines,
+  (5 * n_alpha >= 4 * nw) AS ok_alpha_words,
+  (n_stop >= 2) AS ok_stopwords,
+  ((nw >= 30 AND nw <= 100000)
+   AND (3 * nw <= total_chars AND total_chars <= 10 * nw)
+   AND (10 * n_sym <= nw)
+   AND (10 * n_bullet <= nl)
+   AND (10 * n_ellipsis <= 3 * nl)
+   AND (5 * n_alpha >= 4 * nw)
+   AND (n_stop >= 2)) AS keep
+FROM n ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "warc_parse": q_warc_parse,
         "warc_cdx": q_warc_cdx,
         "shard_assign": q_shard_assign,
         "image_patchify": q_image_patchify,
+        "c4_clean": q_c4_clean,
+        "gopher_rules": q_gopher_rules,
     }
 
 
@@ -262,4 +444,6 @@ def oracle_sql() -> dict[str, str]:
         "warc_parse": ORACLE_WARC_PARSE,
         "warc_cdx": ORACLE_WARC_CDX,
         "shard_assign": ORACLE_SHARD_ASSIGN,
+        "c4_clean": ORACLE_C4_CLEAN,
+        "gopher_rules": ORACLE_GOPHER_RULES,
     }

@@ -133,6 +133,128 @@ def repetition_signals(
     )
 
 
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2):
+    keep only lines that end in terminal punctuation, have at least
+    ``min_words_per_line`` words, and don't mention javascript; drop whole
+    pages that contain ``lorem ipsum`` or a curly brace (code), or whose
+    cleaned text has fewer than ``min_sentences`` sentences.  (The paper's
+    bad-words list is licensing-encumbered; plug a blocklist join in front
+    if needed.  Its three-sentence-span dedup is :func:`crawlspark.textops.
+    dedup.duplicate_spans` at sentence granularity.)
+
+    All line logic is HOF array expressions over the split text — a
+    narrow whole-stage-codegen'd map; no shuffle, no UDF.
+
+    Returns (id, clean_text, n_lines_total, n_lines_kept, n_sentences,
+    has_lorem_ipsum, has_brace, keep_page).
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def line_ok(x: Column) -> Column:
+        n_words = F.size(F.filter(F.split(x, " "), lambda w: w != ""))
+        return (
+            x.rlike('[.!?"]$')
+            & (n_words >= min_words_per_line)
+            & ~F.lower(x).contains("javascript")
+        )
+
+    kept = F.filter(lines, line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit(r"[.!?]")).cast("long")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines_total"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        (~has_lorem & ~has_brace & (n_sent >= min_sentences)).alias("keep_page"),
+    )
+
+
+# Gopher quality-rule bounds (Rae et al. 2021, arXiv:2112.11446 A1.1)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+) -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al. 2021, A1.1),
+    complementing :func:`repetition_signals` (the same paper's repetition
+    section): word-count bounds, mean word length 3..10, symbol-to-word
+    ratio <= 0.1 (# or ...), at most 10% of lines starting with a bullet,
+    at most 30% ending with an ellipsis, >= 80% of words containing an
+    alphabetic character, and at least 2 distinct stop words present.
+
+    Every ratio is compared by integer cross-multiplication (no float
+    division), so the verdicts are bit-exact and the DuckDB oracle
+    replays them; the whole operator is one narrow projection.
+
+    Returns per-rule booleans + the combined ``keep``.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    nw = F.size(words).cast("long")
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_sym = F.regexp_count(t, F.lit(r"#|\.\.\.")).cast("long")
+    lines = F.split(t, "\n")
+    nl = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))
+    ).cast("long")
+    n_ellipsis = F.size(F.filter(lines, lambda x: x.endswith("..."))).cast("long")
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    ok_words = (nw >= min_words) & (nw <= max_words)
+    ok_mean_len = (3 * nw <= total_chars) & (total_chars <= 10 * nw)
+    ok_symbols = 10 * n_sym <= nw
+    ok_bullets = 10 * n_bullet <= nl
+    ok_ellipsis = 10 * n_ellipsis <= 3 * nl
+    ok_alpha = 5 * n_alpha >= 4 * nw
+    ok_stop = n_stop >= 2
+    return df.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        ok_words.alias("ok_word_count"),
+        ok_mean_len.alias("ok_mean_word_len"),
+        ok_symbols.alias("ok_symbol_ratio"),
+        ok_bullets.alias("ok_bullet_lines"),
+        ok_ellipsis.alias("ok_ellipsis_lines"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (
+            ok_words & ok_mean_len & ok_symbols & ok_bullets
+            & ok_ellipsis & ok_alpha & ok_stop
+        ).alias("keep"),
+    )
+
+
 def sample_bucket(key: Column, salt: str = "s1") -> Column:
     """Deterministic 0..999 bucket for hash sampling (DuckDB-replayable)."""
     return base_hash(F.concat(F.lit(salt), key.cast("string"))) % 1000
