@@ -1,0 +1,119 @@
+"""Link-graph analytics over the crawl: integer-exact PageRank.
+
+Web-scale pipelines rank hosts/pages to prioritize the frontier and to
+quality-weight training data (CommonCrawl publishes exactly this kind of
+rank).  PageRank here is the classic synchronous power iteration expressed
+as DataFrame joins:
+
+- per iteration ONE shuffle pattern: edges ⋈ ranks on src (narrow if both
+  sides are pre-partitioned on src — the edges relation is partitioned once
+  before the loop and reused), then a map-side-combined groupBy(dst) sum,
+  then a left join back onto the doc universe for teleport-only nodes,
+- ``localCheckpoint`` per iteration keeps the plan O(1) in iteration count
+  (same discipline as the BFS loop in frontier.py),
+- ALL arithmetic is integer (ranks live in ``scale`` units; divisions are
+  floor divisions), so results are bit-stable under any partitioning and a
+  SQL oracle replays them exactly — the same determinism discipline as
+  textops.quality.unigram_logprob.
+
+At 10^10 edges the join on src is the cost center: partition edges by src
+once (done), let AQE split skewed reducers, and keep ranks compact
+(two longs per doc).  Dangling nodes (no out-links) are handled by the
+teleport term only — the synthetic graph has none (constant out-degree 4),
+but the operator computes out-degrees from the edge list, not a constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import graph
+
+SCALE = 10**12
+
+
+def pagerank(
+    spark: SparkSession,
+    n: int,
+    iters: int = 3,
+    d_permille: int = 850,
+    edges_df: DataFrame | None = None,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Synchronous PageRank over the n-doc link graph (or ``edges_df``
+    with columns (src, dst)).  Returns (doc, rank_scaled) where
+    rank_scaled is the rank in 1/``scale`` units after ``iters``
+    iterations from the uniform start ``scale // n``:
+
+        r'(v) = base + d * sum_{u->v} (r(u) // outdeg(u)) // 1000
+        base  = (1000 - d) * (scale // n) // 1000
+    """
+    docs = spark.range(n).select(F.col("id").alias("doc"))
+    e = (edges_df or graph.edges_from(docs.select(F.col("doc").alias("src")), n)
+         ).select("src", "dst")
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    # partition the (edges ⋈ outdeg) relation on src ONCE; every iteration's
+    # ranks join then reuses this layout instead of re-shuffling the edges
+    e2 = e.join(outdeg, "src").repartition("src").localCheckpoint(eager=True)
+    base = (1000 - d_permille) * (scale // n) // 1000
+    ranks = docs.withColumn("r", F.lit(scale // n)).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            e2.join(ranks.withColumnRenamed("doc", "src"), "src")
+            .select(F.col("dst"), F.expr("r div od").alias("c"))
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            docs.join(sums, docs.doc == sums.dst, "left")
+            .select(
+                "doc",
+                (F.lit(base)
+                 + F.expr(f"({d_permille} * coalesce(s, 0)) div 1000")
+                 ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("doc", F.col("r").alias("rank_scaled"))
+
+
+def pagerank_oracle_sql(iters: int = 3, d_permille: int = 850,
+                        scale: int = SCALE) -> str:
+    """Unrolled-CTE SQL replay of :func:`pagerank` over the documents-sized
+    formula graph (same chained-CTE discipline as graph.bfs_oracle_sql)."""
+    dp = d_permille
+    parts = [
+        "WITH nn AS (SELECT COUNT(*) AS c FROM documents),",
+        "e AS (",
+        "  SELECT d.doc_id AS src,",
+        "         CASE p.pos",
+        "           WHEN 0 THEN (2*d.doc_id + 1) % nn.c",
+        "           WHEN 1 THEN (2*d.doc_id + 2) % nn.c",
+        "           WHEN 2 THEN (5*d.doc_id + 3) % nn.c",
+        "           ELSE (d.doc_id + 17) % nn.c",
+        "         END AS dst",
+        "  FROM documents d CROSS JOIN nn",
+        "  CROSS JOIN (VALUES (0),(1),(2),(3)) AS p(pos)",
+        "),",
+        "od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),",
+        f"bs AS (SELECT ({scale} // c) AS r0,"
+        f" ((1000 - {dp}) * ({scale} // c)) // 1000 AS base FROM nn),",
+        "r0 AS (SELECT doc_id AS doc, (SELECT r0 FROM bs) AS r FROM documents),",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts += [
+            f"s{i} AS (",
+            f"  SELECT e.dst AS doc, CAST(SUM(r{p}.r // od.od) AS BIGINT) AS s",
+            f"  FROM e JOIN od USING (src) JOIN r{p} ON r{p}.doc = e.src",
+            "  GROUP BY e.dst",
+            "),",
+            f"r{i} AS (SELECT d.doc_id AS doc, CAST((SELECT base FROM bs)"
+            f" + ({dp} * COALESCE(s{i}.s, 0)) // 1000 AS BIGINT) AS r",
+            f"  FROM documents d LEFT JOIN s{i} ON s{i}.doc = d.doc_id),",
+        ]
+    parts += [
+        f"fin AS (SELECT doc, r FROM r{iters})",
+        "SELECT doc, r AS rank_scaled FROM fin ORDER BY doc",
+    ]
+    return "\n".join(parts)

@@ -426,6 +426,16 @@ FROM n ORDER BY doc_id
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (3 power iterations, d=0.85) over the
+    formula link graph — the frontier-prioritization / quality-weighting
+    rank; the oracle unrolls the same iterations as chained CTEs."""
+    from .linkgraph import pagerank
+
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    return pagerank(spark, n, iters=3).orderBy("doc")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "warc_parse": q_warc_parse,
@@ -434,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_patchify": q_image_patchify,
         "c4_clean": q_c4_clean,
         "gopher_rules": q_gopher_rules,
+        "pagerank": q_pagerank,
     }
 
 
@@ -446,4 +457,11 @@ def oracle_sql() -> dict[str, str]:
         "shard_assign": ORACLE_SHARD_ASSIGN,
         "c4_clean": ORACLE_C4_CLEAN,
         "gopher_rules": ORACLE_GOPHER_RULES,
+        "pagerank": _pagerank_oracle(),
     }
+
+
+def _pagerank_oracle() -> str:
+    from .linkgraph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(iters=3)
