@@ -426,6 +426,18 @@ FROM n ORDER BY doc_id
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the corpus vocabulary (8 merges).
+    The merge sequence is data-dependent (each round's argmax feeds the
+    next round's plan) so there is no static SQL replay — rows-only gate
+    entry; the differential gate vs the textbook pure-Python BPE is
+    tests/test_bpe.py."""
+    from .textops.bpe import bpe_train_df
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    return bpe_train_df(d, n_merges=8)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (3 power iterations, d=0.85) over the
     formula link graph — the frontier-prioritization / quality-weighting
@@ -445,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "gopher_rules": q_gopher_rules,
         "pagerank": q_pagerank,
+        "bpe_merges": q_bpe_merges,
     }
 
 
