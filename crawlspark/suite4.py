@@ -426,6 +426,43 @@ FROM n ORDER BY doc_id
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights with docs doc_id%10==0 as the target
+    domain: hashed-bigram LM log-ratio per doc, micro-nat quantized; the
+    oracle replays feature hashing, Laplace counts and the weight sum."""
+    from .textops.curate import dsir_weights
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    target = d.filter(F.col("doc_id") % 10 == 0)
+    return dsir_weights(d, target).orderBy("doc_id")
+
+
+ORACLE_DSIR = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM w WHERE len(ws) >= 2)
+),
+f AS (SELECT doc_id, {BASE_HASH_SQL.format(x='gram')} % 10007 AS b FROM g),
+cr AS (SELECT b, COUNT(*) AS c_r FROM f GROUP BY b),
+ct AS (SELECT b, COUNT(*) AS c_t FROM f WHERE doc_id % 10 = 0 GROUP BY b),
+tot AS (SELECT (SELECT SUM(c_r) FROM cr) AS tr, (SELECT SUM(c_t) FROM ct) AS tt),
+wt AS (
+  SELECT cr.b,
+    CAST(floor(ln(
+      ((COALESCE(c_t, 0) + 1) * (tr + 10007))::DOUBLE /
+      ((COALESCE(c_r, 0) + 1) * (tt + 10007))::DOUBLE
+    ) * 1000000) AS BIGINT) AS w_micro
+  FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tot
+)
+SELECT f.doc_id, COUNT(*) AS n_feats,
+       CAST(SUM(w_micro) AS BIGINT) AS logw_micro
+FROM f JOIN wt USING (b)
+GROUP BY f.doc_id ORDER BY f.doc_id
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training over the corpus vocabulary (8 merges).
     The merge sequence is data-dependent (each round's argmax feeds the
@@ -458,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "pagerank": q_pagerank,
         "bpe_merges": q_bpe_merges,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -471,6 +509,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": ORACLE_C4_CLEAN,
         "gopher_rules": ORACLE_GOPHER_RULES,
         "pagerank": _pagerank_oracle(),
+        "dsir_weights": ORACLE_DSIR,
     }
 
 

@@ -255,6 +255,91 @@ def gopher_rules(
     )
 
 
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10007,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score every
+    raw document by its importance weight under hashed-bigram bag-of-ngrams
+    language models of the TARGET distribution vs the RAW distribution —
+    the standard way to up-sample "looks like the target domain" data at
+    corpus scale.  Per hashed feature bucket b (Laplace-smoothed):
+
+        w(b) = ln( (ct(b)+1)·(Tr+B) / ((cr(b)+1)·(Tt+B)) )   [micro-nats]
+
+    and a document's log-weight is the sum of w over its bigram
+    occurrences.  w(b) is quantized to integer micro-nats BEFORE the
+    per-doc sum (same order-stability discipline as unigram_logprob), so
+    results are bit-exact under any partitioning and SQL-replayable.
+
+    Plan shape: bigram explode is narrow; the two count relations are
+    map-side-combined groupBys bounded by ``buckets`` rows; the per-bucket
+    weight table (<= buckets rows) BROADCASTS onto the feature stream; one
+    final groupBy(doc) sum.  Nothing scales with |corpus| except narrow
+    passes.
+
+    Returns (id, n_feats, logw_micro) — resample by logw_micro rank or by
+    Gumbel top-k on it.
+    """
+    def feats(frame: DataFrame, keep_id: bool) -> DataFrame:
+        words = F.split(F.col(text_col), " ")
+        grams = F.when(
+            F.size(words) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(words, i.cast("int")),
+                    F.element_at(words, (i + 1).cast("int")),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        cols = [F.col(id_col)] if keep_id else []
+        ex = frame.select(*cols, F.explode(grams).alias("g"))
+        return ex.withColumn(
+            "b", F.pmod(base_hash(F.col("g")), F.lit(buckets))
+        ).drop("g")
+
+    raw_f = feats(df, keep_id=True)
+    tgt_f = feats(target, keep_id=False)
+    cr = raw_f.groupBy("b").agg(F.count("*").alias("cr"))
+    ct = tgt_f.groupBy("b").agg(F.count("*").alias("ct"))
+    tr = cr.agg(F.sum("cr").alias("tr"))
+    tt = ct.agg(F.sum("ct").alias("tt"))
+    wtab = (
+        cr.join(ct, "b", "full_outer")
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce("ct", F.lit(0)) + 1)
+                        * (F.col("tr") + buckets)
+                    ).cast("double")
+                    / (
+                        (F.coalesce("cr", F.lit(0)) + 1)
+                        * (F.col("tt") + buckets)
+                    ).cast("double")
+                )
+                * 1_000_000
+            ).cast("long").alias("w_micro"),
+        )
+    )
+    return (
+        raw_f.join(F.broadcast(wtab), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("w_micro").alias("logw_micro"),
+        )
+    )
+
+
 def sample_bucket(key: Column, salt: str = "s1") -> Column:
     """Deterministic 0..999 bucket for hash sampling (DuckDB-replayable)."""
     return base_hash(F.concat(F.lit(salt), key.cast("string"))) % 1000
