@@ -153,6 +153,14 @@ def run_headline(spark) -> dict[str, float]:
         lambda: ann.semdedup(emb, n_centroids=16, eps_permille=800).count(),
     )
     measure("ann_brute_topk", lambda: ann.brute_topk(emb, n_queries=50, k=10).count())
+    # iterative link-graph machinery at scale: 3 PageRank power iterations
+    # over the VIRTUAL_N-doc graph (4x edges), integer-exact
+    from crawlspark.linkgraph import pagerank
+
+    measure(
+        "pagerank_3it_2m",
+        lambda: pagerank(spark, VIRTUAL_N, iters=3).count(),
+    )
     measure(
         "images_generate_validate",
         lambda: images.validate_images(images.generate_images(spark, SF_DIR)).count(),

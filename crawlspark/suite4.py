@@ -463,6 +463,52 @@ GROUP BY f.doc_id ORDER BY f.doc_id
 """
 
 
+def q_bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 BM25 term weights (integer-exact scaling); the
+    oracle replays tf/df/dl, the scaled idf and tf-normalization, and the
+    partitioned top-k window."""
+    from .textops.quality import bm25_top_terms
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return bm25_top_terms(d, top_k=3).orderBy("doc_id", "rnk")
+
+
+ORACLE_BM25 = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x != '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_tokens FROM dl),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+    CAST(floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000) AS BIGINT)
+      AS idf,
+    (1000 * dl * n_docs) // t_tokens AS rel
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN sc JOIN dfq USING (term)
+),
+s2 AS (SELECT *, 250 + (750 * rel) // 1000 AS norm FROM s),
+s3 AS (
+  SELECT doc_id, term, tf,
+    (idf * ((22000 * tf * 1000000) // (10000 * tf + 12 * norm))) // 1000000
+      AS w_micro
+  FROM s2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY w_micro DESC, term) AS rnk
+  FROM s3
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       CAST(w_micro AS BIGINT) AS w_micro, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training over the corpus vocabulary (8 merges).
     The merge sequence is data-dependent (each round's argmax feeds the
@@ -496,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "bpe_merges": q_bpe_merges,
         "dsir_weights": q_dsir_weights,
+        "bm25_top_terms": q_bm25_top_terms,
     }
 
 
@@ -510,6 +557,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": ORACLE_GOPHER_RULES,
         "pagerank": _pagerank_oracle(),
         "dsir_weights": ORACLE_DSIR,
+        "bm25_top_terms": ORACLE_BM25,
     }
 
 

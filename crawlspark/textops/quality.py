@@ -142,6 +142,79 @@ def unigram_logprob(
     )
 
 
+def bm25_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document top-k BM25 term weights (Robertson/Okapi, k1=1.2,
+    b=0.75) — the keyword signature used for corpus search, near-dup
+    triage and topic-balance audits over a crawl.
+
+    All arithmetic is integer (idf and the tf normalization are scaled to
+    micro/milli units with floor divisions in a fixed order), so weights
+    are bit-stable under any partitioning and the oracle replays them:
+
+        rel_dl_milli = (1000 * dl * N) // T          (dl/avgdl in milli)
+        norm_milli   = 250 + (750 * rel_dl_milli) // 1000
+        tf_factor    = (22000 * tf * 10^6) // (10000 * tf + 12 * norm_milli)
+        idf_micro    = floor(10^6 * ln(1 + (N - df + 0.5)/(df + 0.5)))
+        w_micro      = (idf_micro * tf_factor) // 10^6
+
+    Plan shape: one groupBy((doc, term)) for tf (map-side combine), one
+    groupBy(term) for df over the already-reduced tf relation, scalars
+    (N, T) broadcast, and a PARTITIONED top-k window per doc.  The df
+    relation is vocabulary-sized — broadcast it when it fits, as here.
+
+    Returns (id, term, tf, w_micro, rnk) with rnk 1..top_k per doc.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.col(text_col), r"\s+"),
+                           lambda w: w != "")).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scal = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("t_tokens")
+    )
+    idf_micro = F.floor(
+        F.log(
+            1.0
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * 1_000_000
+    ).cast("long")
+    rel_dl_milli = F.expr("(1000 * dl * n_docs) div t_tokens")
+    norm_milli = F.lit(250) + F.expr("(750 * __rel) div 1000")
+    scored = (
+        tf.join(dl, id_col)
+        .crossJoin(F.broadcast(scal))
+        .join(F.broadcast(dfreq), "term")
+        .withColumn("__idf", idf_micro)
+        .withColumn("__rel", rel_dl_milli)
+        .withColumn("__norm", norm_milli)
+        .withColumn(
+            "__tff",
+            F.expr("(22000 * tf * 1000000) div (10000 * tf + 12 * __norm)"),
+        )
+        .withColumn("w_micro", F.expr("(__idf * __tff) div 1000000"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("w_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(id_col, "term", F.col("tf").cast("long").alias("tf"),
+                "w_micro", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
