@@ -276,3 +276,71 @@ def sitemap_locs_auto(body_binary: Column) -> Column:
         is_gz, gzip_decode_udf(body_binary).cast("string")
     ).otherwise(body_binary.cast("string"))
     return sitemap_locs_xpath(text)
+
+
+# --------------------------------------------------------------------------
+# main-content extraction (boilerplate block removal)
+# --------------------------------------------------------------------------
+
+BLOCK_SPLIT_RE = (
+    r"(?i)</?(?:p|div|h[1-6]|li|td|article|section|header|footer|nav|aside"
+    r"|ul|ol|table|tr|br)[^>]*>"
+)
+ANCHOR_TEXT_RE = r"(?i)<a[^>]*>(.*?)</a>"
+ANY_TAG_RE = r"<[^>]+>"
+
+
+def main_content_blocks(
+    df,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_len: int = 20,
+    max_link_density_permille: int = 500,
+):
+    """jusText-style main-content extraction (Pomikálek 2011's block
+    heuristic, reduced to its two load-bearing signals): split the page
+    into blocks at block-level tags, then keep blocks whose cleaned text
+    is long enough AND whose link density (anchor chars / text chars) is
+    below the threshold — navigation, footers, and link farms fail one of
+    the two.  The reference extracts by explicit selector
+    (src/Steps/Html.php); this is the selector-free variant a crawl uses
+    when no site-specific schema exists.
+
+    Pure HOF Column expressions (split -> per-block struct transform ->
+    filter -> ordered join) — a narrow map stage; the density comparison
+    is integer permille so the SQL oracle replays it exactly.
+
+    Returns (id, main_text, n_blocks, n_good).
+    """
+    html = F.col(html_col)
+    blocks = F.split(html, BLOCK_SPLIT_RE)
+
+    def block_struct(x):
+        clean = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(x, ANY_TAG_RE, " "), r"\s+", " "
+            )
+        )
+        link_chars = F.aggregate(
+            F.regexp_extract_all(x, F.lit(ANCHOR_TEXT_RE), 1),
+            F.lit(0),
+            lambda acc, s: acc + F.length(s),
+        )
+        return F.struct(clean.alias("t"), link_chars.alias("lc"))
+
+    bl = F.filter(
+        F.transform(blocks, block_struct), lambda b: b["t"] != ""
+    )
+    good = F.filter(
+        bl,
+        lambda b: (F.length(b["t"]) >= min_len)
+        & (1000 * b["lc"] <= max_link_density_permille * F.length(b["t"])),
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(F.transform(good, lambda b: b["t"]), "\n").alias(
+            "main_text"
+        ),
+        F.size(bl).cast("long").alias("n_blocks"),
+        F.size(good).cast("long").alias("n_good"),
+    )

@@ -509,6 +509,77 @@ FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk
 """
 
 
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate block removal over planted HTML (nav, link-dense block
+    on doc%5==0, tiny block, footer around two organic paragraphs); the
+    oracle replays block splitting, tag stripping, link-density permille
+    and ordered reassembly in SQL."""
+    from .extract import main_content_blocks
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    doc, words = F.col("doc_id"), F.split(F.col("text"), " ")
+    c1, c2 = _chunk(words, 1, 6), _chunk(words, 7, 6)
+    html = F.concat(
+        F.lit('<nav>home about</nav><p>'), c1, F.lit(".</p>"),
+        F.when(
+            doc % 5 == 0,
+            F.concat(F.lit('<p><a href="/x">'), c2, F.lit("</a></p>")),
+        ).otherwise(F.concat(F.lit("<p>"), c2, F.lit(".</p>"))),
+        F.lit("<p>tiny.</p><footer>(c) example</footer>"),
+    )
+    return main_content_blocks(
+        d.select("doc_id", html.alias("html"))
+    ).orderBy("doc_id")
+
+
+_BLOCK_RE_SQL = (
+    "(?i)</?(?:p|div|h[1-6]|li|td|article|section|header|footer|nav|aside"
+    "|ul|ol|table|tr|br)[^>]*>"
+)
+
+ORACLE_MAIN_CONTENT = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+fixture AS (
+  SELECT doc_id,
+    '<nav>home about</nav><p>'
+      || COALESCE(array_to_string(ws[1:6], ' '), '') || '.</p>'
+    || CASE WHEN doc_id % 5 = 0 THEN
+         '<p><a href="/x">' || COALESCE(array_to_string(ws[7:12], ' '), '')
+         || '</a></p>'
+       ELSE
+         '<p>' || COALESCE(array_to_string(ws[7:12], ' '), '') || '.</p>'
+       END
+    || '<p>tiny.</p><footer>(c) example</footer>' AS html
+  FROM w
+),
+seg AS (
+  SELECT doc_id, gs AS pos, s FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(html, '{_BLOCK_RE_SQL}')) AS s,
+           generate_subscripts(
+             regexp_split_to_array(html, '{_BLOCK_RE_SQL}'), 1) AS gs
+    FROM fixture)
+),
+cl AS (
+  SELECT doc_id, pos,
+    trim(regexp_replace(regexp_replace(s, '<[^>]+>', ' ', 'g'),
+                        '\\s+', ' ', 'g')) AS t,
+    COALESCE(list_sum(list_transform(
+      regexp_extract_all(s, '(?i)<a[^>]*>(.*?)</a>', 1),
+      x -> length(x))), 0) AS lc
+  FROM seg
+),
+ne AS (SELECT *, (length(t) >= 20 AND 1000 * lc <= 500 * length(t)) AS good
+       FROM cl WHERE t != '')
+SELECT doc_id,
+  COALESCE(string_agg(CASE WHEN good THEN t END, chr(10) ORDER BY pos), '')
+    AS main_text,
+  COUNT(*)::BIGINT AS n_blocks,
+  CAST(SUM(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS n_good
+FROM ne GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training over the corpus vocabulary (8 merges).
     The merge sequence is data-dependent (each round's argmax feeds the
@@ -543,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "dsir_weights": q_dsir_weights,
         "bm25_top_terms": q_bm25_top_terms,
+        "main_content": q_main_content,
     }
 
 
@@ -558,6 +630,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle(),
         "dsir_weights": ORACLE_DSIR,
         "bm25_top_terms": ORACLE_BM25,
+        "main_content": ORACLE_MAIN_CONTENT,
     }
 
 
