@@ -83,6 +83,56 @@ def pagerank(
     return ranks.select("doc", F.col("r").alias("rank_scaled"))
 
 
+def anchor_texts(
+    links: DataFrame,
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-target anchor-text profile: the ``top_k`` most frequent anchor
+    strings pointing at each URL — the classic link feature for search
+    indexing and query-generation corpora (anchor text describes the
+    TARGET better than the target's own text).
+
+    Two-level aggregation keeps hubs safe at scale: the first groupBy on
+    (dst, anchor) is map-side combined (a hub with 10^8 in-links reduces
+    to its distinct anchor strings before anything is collected), the
+    top-k window is partitioned by dst, and only <= top_k rows per target
+    are ever assembled into the profile string.
+
+    Returns (dst, n_anchor_variants, top_anchors) with top_anchors the
+    ``" | "``-joined top-k by (count desc, anchor asc).
+    """
+    from pyspark.sql import Window
+
+    counts = links.groupBy(dst_col, anchor_col).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy(dst_col).orderBy(
+        F.desc("n"), F.asc(anchor_col)
+    )
+    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    variants = counts.groupBy(dst_col).agg(
+        F.count("*").cast("long").alias("n_anchor_variants")
+    )
+    top = (
+        ranked.filter(F.col("rnk") <= top_k)
+        .groupBy(dst_col)
+        .agg(
+            F.concat_ws(
+                " | ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rnk", anchor_col))
+                    ),
+                    lambda x: x[anchor_col],
+                ),
+            ).alias("top_anchors")
+        )
+    )
+    return variants.join(top, dst_col)
+
+
 def pagerank_oracle_sql(iters: int = 3, d_permille: int = 850,
                         scale: int = SCALE) -> str:
     """Unrolled-CTE SQL replay of :func:`pagerank` over the documents-sized

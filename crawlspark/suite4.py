@@ -580,6 +580,60 @@ FROM ne GROUP BY doc_id ORDER BY doc_id
 """
 
 
+_ANCHOR_SET = ["click here", "read more", "details", "homepage", "see docs"]
+
+
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text profiles over the formula link graph with
+    deterministic anchor phrases ((src+dst)%5 picks one of five); the
+    oracle replays the two-level count, top-k window and ordered join."""
+    from . import graph
+    from .linkgraph import anchor_texts
+
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    e = graph.edges(spark, sf_dir, n)
+    anchor = F.element_at(
+        F.array(*[F.lit(a) for a in _ANCHOR_SET]),
+        ((F.col("src") + F.col("dst")) % 5 + 1).cast("int"),
+    )
+    links = e.select("dst", anchor.alias("anchor"))
+    return anchor_texts(links, top_k=2).orderBy("dst")
+
+
+ORACLE_ANCHOR_TEXTS = f"""
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+e AS (
+  SELECT d.doc_id AS src,
+         CASE p.pos
+           WHEN 0 THEN (2*d.doc_id + 1) % nn.c
+           WHEN 1 THEN (2*d.doc_id + 2) % nn.c
+           WHEN 2 THEN (5*d.doc_id + 3) % nn.c
+           ELSE (d.doc_id + 17) % nn.c
+         END AS dst
+  FROM documents d CROSS JOIN nn
+  CROSS JOIN (VALUES (0),(1),(2),(3)) AS p(pos)
+),
+a AS (
+  SELECT dst,
+    {str(_ANCHOR_SET).replace('"', "'")}[((src + dst) % 5 + 1)::INT] AS anchor
+  FROM e
+),
+c AS (SELECT dst, anchor, COUNT(*) AS n FROM a GROUP BY dst, anchor),
+v AS (SELECT dst, COUNT(*)::BIGINT AS n_anchor_variants FROM c GROUP BY dst),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY dst ORDER BY n DESC, anchor) AS rnk
+  FROM c
+),
+t AS (
+  SELECT dst, string_agg(anchor, ' | ' ORDER BY rnk) AS top_anchors
+  FROM r WHERE rnk <= 2 GROUP BY dst
+)
+SELECT v.dst, v.n_anchor_variants, t.top_anchors
+FROM v JOIN t USING (dst) ORDER BY dst
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training over the corpus vocabulary (8 merges).
     The merge sequence is data-dependent (each round's argmax feeds the
@@ -615,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "bm25_top_terms": q_bm25_top_terms,
         "main_content": q_main_content,
+        "anchor_texts": q_anchor_texts,
     }
 
 
@@ -631,6 +686,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": ORACLE_DSIR,
         "bm25_top_terms": ORACLE_BM25,
         "main_content": ORACLE_MAIN_CONTENT,
+        "anchor_texts": ORACLE_ANCHOR_TEXTS,
     }
 
 
