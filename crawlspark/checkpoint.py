@@ -58,14 +58,20 @@ class CrawlCheckpoint:
         )
         lineage.write.mode("overwrite").parquet(self._p("lineage", level))
         tmp = f"{self.root}/meta.json.tmp"
+        # snapshot-log entry FIRST (atomic tmp+replace, same discipline as
+        # meta.json): the level's full meta (counters included) so rollback
+        # can restore the EXACT state.  Writing it before the meta.json
+        # commit means a crash in between leaves an uncommitted level with
+        # history (harmless) rather than a committed level without (which
+        # could never be rolled back to).
+        os.makedirs(f"{self.root}/meta_history", exist_ok=True)
+        hist = f"{self.root}/meta_history/level={level}.json"
+        with open(hist + ".tmp", "w") as f:
+            json.dump({"level": level, **meta}, f)
+        os.replace(hist + ".tmp", hist)
         with open(tmp, "w") as f:
             json.dump({"level": level, **meta}, f)
         os.replace(tmp, f"{self.root}/meta.json")  # atomic commit of the level
-        # snapshot-log entry: the level's full meta (counters included) so
-        # rollback can restore the EXACT state, not just the level pointer
-        os.makedirs(f"{self.root}/meta_history", exist_ok=True)
-        with open(f"{self.root}/meta_history/level={level}.json", "w") as f:
-            json.dump({"level": level, **meta}, f)
 
     def save_filter_states(self, level: int, states: DataFrame) -> None:
         """Snapshot the PartitionedSeenFilter's per-bucket cuckoo states

@@ -144,7 +144,11 @@ def shard_assign(
     rows = df.select(
         F.col(id_col), F.col(bucket_col), sz.alias("__sz"),
         before.alias("__before"),
-    ).withColumn("shard_ix", F.floor(F.col("__before") / target_bytes))
+    ).withColumn(
+        # true integer division: exact at ANY cumulative offset (a double
+        # floor would lose low bits past 2^53 bytes in one bucket)
+        "shard_ix", F.expr(f"__before div {int(target_bytes)}")
+    )
     # bucket -> number of local shards, cumulated into a global base
     counts = rows.groupBy(bucket_col).agg(
         (F.max("shard_ix") + 1).alias("__n_shards")

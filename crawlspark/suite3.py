@@ -865,17 +865,18 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(d, k=8, min_docs=2).orderBy("doc_id")
 
 
-ORACLE_DUPLICATE_SPANS = """
+ORACLE_DUPLICATE_SPANS = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-g AS (
+g0 AS (
   SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS gram
   FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i
         FROM w WHERE len(ws) >= 8)
 ),
+g AS (SELECT doc_id, pos, {BASE_HASH_SQL.format(x='gram')} AS gh FROM g0),
 dup AS (
-  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+  SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
 ),
-f AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+f AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
 cov AS (
   SELECT doc_id, pos,
          GREATEST(0, (pos + 8) - GREATEST(COALESCE(

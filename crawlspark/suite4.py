@@ -14,10 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import warc
+from .extract import BLOCK_SPLIT_RE as _BLOCK_RE_SQL  # oracle shares the regex
 from .textops.dedup import BASE_HASH_SQL
 
-_CR = "\r\n"
-_CR2 = "\r\n\r\n"
+_CR = warc.CRLF
+_CR2 = warc.CRLF2
 
 
 def _warc_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,7 +227,7 @@ def q_image_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
     patch count and channel-mean aggregates.  The pixel payload comes from
     the deterministic fake codec (not SQL-replayable), so this is a
     rows-only gate entry; the per-patch values are pytest-verified against
-    hand-decoded pixels (tests/test_images_patchify.py)."""
+    hand-decoded pixels (tests/test_patchify_shards.py)."""
     from . import images
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -342,19 +343,22 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     doc, words = F.col("doc_id"), F.split(F.col("text"), " ")
+    # doc%6==0 docs are ALL-bullet (4/4 lines > 90% -> rule fails);
+    # everyone else has zero bullet lines
+    bullet = F.when(doc % 6 == 0, F.lit("- ")).otherwise(F.lit(""))
     line1 = F.concat(
+        bullet,
         F.when(doc % 2 == 0, F.lit("the of and ")).otherwise(F.lit("zz ")),
         F.array_join(F.slice(words, 1, (F.lit(5) + doc % 40).cast("int")), " "),
     )
-    line2 = F.concat(
-        F.when(doc % 6 == 0, F.lit("- ")).otherwise(F.lit("")),
-        _chunk(words, 7, 6),
-    )
+    line2 = F.concat(bullet, _chunk(words, 7, 6))
     line3 = F.concat(
+        bullet,
         _chunk(words, 13, 6),
         F.when(doc % 7 == 0, F.lit("...")).otherwise(F.lit("")),
     )
     line4 = F.concat(
+        bullet,
         _chunk(words, 19, 6),
         F.when(doc % 9 == 0, F.lit(" ## # ##")).otherwise(F.lit("")),
         F.when(doc % 17 == 0, F.lit(" 1 2 3 4 5 6 7 8 9 10 11 12"))
@@ -370,16 +374,19 @@ ORACLE_GOPHER_RULES = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 fixture AS (
   SELECT doc_id,
-    (CASE WHEN doc_id % 2 = 0 THEN 'the of and ' ELSE 'zz ' END)
+    (CASE WHEN doc_id % 6 = 0 THEN '- ' ELSE '' END)
+      || (CASE WHEN doc_id % 2 = 0 THEN 'the of and ' ELSE 'zz ' END)
       || COALESCE(array_to_string(ws[1:(5 + doc_id % 40)::INT], ' '), '')
     || chr(10) ||
     (CASE WHEN doc_id % 6 = 0 THEN '- ' ELSE '' END)
       || COALESCE(array_to_string(ws[7:12], ' '), '')
     || chr(10) ||
-    COALESCE(array_to_string(ws[13:18], ' '), '')
+    (CASE WHEN doc_id % 6 = 0 THEN '- ' ELSE '' END)
+      || COALESCE(array_to_string(ws[13:18], ' '), '')
       || (CASE WHEN doc_id % 7 = 0 THEN '...' ELSE '' END)
     || chr(10) ||
-    COALESCE(array_to_string(ws[19:24], ' '), '')
+    (CASE WHEN doc_id % 6 = 0 THEN '- ' ELSE '' END)
+      || COALESCE(array_to_string(ws[19:24], ' '), '')
       || (CASE WHEN doc_id % 9 = 0 THEN ' ## # ##' ELSE '' END)
       || (CASE WHEN doc_id % 17 = 0 THEN ' 1 2 3 4 5 6 7 8 9 10 11 12'
           ELSE '' END)
@@ -411,14 +418,14 @@ SELECT doc_id, nw AS n_words,
   (nw >= 30 AND nw <= 100000) AS ok_word_count,
   (3 * nw <= total_chars AND total_chars <= 10 * nw) AS ok_mean_word_len,
   (10 * n_sym <= nw) AS ok_symbol_ratio,
-  (10 * n_bullet <= nl) AS ok_bullet_lines,
+  (10 * n_bullet <= 9 * nl) AS ok_bullet_lines,
   (10 * n_ellipsis <= 3 * nl) AS ok_ellipsis_lines,
   (5 * n_alpha >= 4 * nw) AS ok_alpha_words,
   (n_stop >= 2) AS ok_stopwords,
   ((nw >= 30 AND nw <= 100000)
    AND (3 * nw <= total_chars AND total_chars <= 10 * nw)
    AND (10 * n_sym <= nw)
-   AND (10 * n_bullet <= nl)
+   AND (10 * n_bullet <= 9 * nl)
    AND (10 * n_ellipsis <= 3 * nl)
    AND (5 * n_alpha >= 4 * nw)
    AND (n_stop >= 2)) AS keep
@@ -531,11 +538,6 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", html.alias("html"))
     ).orderBy("doc_id")
 
-
-_BLOCK_RE_SQL = (
-    "(?i)</?(?:p|div|h[1-6]|li|td|article|section|header|footer|nav|aside"
-    "|ul|ol|table|tr|br)[^>]*>"
-)
 
 ORACLE_MAIN_CONTENT = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -674,8 +676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # image_patchify is intentionally absent: the fake-codec pixel payload
-    # is not SQL-expressible, so the driver records the rows-only check
+    # image_patchify and bpe_merges are intentionally absent: fake-codec
+    # pixels / data-dependent merge sequences are not SQL-expressible, so
+    # the driver records the rows-only check for those two
     return {
         "warc_parse": ORACLE_WARC_PARSE,
         "warc_cdx": ORACLE_WARC_CDX,

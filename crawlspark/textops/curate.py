@@ -199,7 +199,7 @@ def gopher_rules(
     """The full Gopher document-quality rule set (Rae et al. 2021, A1.1),
     complementing :func:`repetition_signals` (the same paper's repetition
     section): word-count bounds, mean word length 3..10, symbol-to-word
-    ratio <= 0.1 (# or ...), at most 10% of lines starting with a bullet,
+    ratio <= 0.1 (# or ...), at most 90% of lines starting with a bullet,
     at most 30% ending with an ellipsis, >= 80% of words containing an
     alphabetic character, and at least 2 distinct stop words present.
 
@@ -234,7 +234,8 @@ def gopher_rules(
     ok_words = (nw >= min_words) & (nw <= max_words)
     ok_mean_len = (3 * nw <= total_chars) & (total_chars <= 10 * nw)
     ok_symbols = 10 * n_sym <= nw
-    ok_bullets = 10 * n_bullet <= nl
+    # Gopher removes docs with MORE than 90% bullet-started lines
+    ok_bullets = 10 * n_bullet <= 9 * nl
     ok_ellipsis = 10 * n_ellipsis <= 3 * nl
     ok_alpha = 5 * n_alpha >= 4 * nw
     ok_stop = n_stop >= 2

@@ -349,6 +349,13 @@ def duplicate_spans(
     PARTITIONED window (per doc, ordered by position, running max of
     span end) — integer-exact, order-safe, no UDF.
 
+    Duplicate detection is on the WINDOW HASH, not the window text —
+    the standard web-scale approximation (shuffling hashes, not 8-gram
+    strings).  The md5-32 test hash collides at ~n^2/2^33 (a handful at
+    5k docs); production swaps xxhash64 where collisions are ~n^2/2^65,
+    i.e. negligible.  The oracle replays the same hash, so the gate is
+    exact w.r.t. these semantics at every scale.
+
     Returns (id, n_tokens, n_windows, n_dup_windows, dup_tokens), all
     LONG; docs shorter than k tokens report zero windows.
     """

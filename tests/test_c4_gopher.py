@@ -40,7 +40,8 @@ def test_gopher_rules_each_flag(spark):
             (1, fluent + "end."),
             (2, "short text only."),                    # word count fails
             (3, fluent + "# " * 20),                    # symbol ratio fails
-            (4, fluent + "\n- b\n- c\n- d\n- e\n- f"),  # bullet lines fail
+            # >90% of lines start with a bullet (10/10) -> rule fails
+            (4, "\n".join(["- the cats sat upon of mats and"] * 10)),
             (5, fluent + " ".join(str(i) for i in range(40))),  # alpha fails
             (6, ("zz qq ww ee rr tt yy uu ii oo " * 6)),  # no stopwords
         ],
