@@ -202,3 +202,70 @@ def throttle_schedule_in_task(
         yield pdf
 
     return df.mapInPandas(sched, out_schema)
+
+
+def recrawl_schedule(
+    history: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    hash_col: str = "content_hash",
+    min_interval: int = 3600,
+    max_interval: int = 30 * 86400,
+    streak_cap: int = 15,
+) -> DataFrame:
+    """Freshness-adaptive re-crawl scheduling (the Cho & Garcia-Molina
+    revisit-policy idea reduced to exponential backoff): per URL, order
+    its fetch history by timestamp; a fetch whose content hash differs
+    from the previous fetch is a CHANGE.  The run of unchanged fetches
+    since the last change drives the next revisit interval
+
+        next_interval = min(max_interval, min_interval << min(streak, cap))
+
+    so frequently-changing pages are revisited at ``min_interval`` while
+    static pages back off exponentially — the standard way a 10^10-URL
+    crawler keeps its recrawl budget proportional to observed churn.
+
+    One PARTITIONED window pass (per url, ordered by ts) plus one
+    map-side-combined groupBy; all integer arithmetic (bit shift, not
+    pow), so the schedule is bit-exact and SQL-replayable.
+
+    Returns (url, n_fetches, n_changes, unchanged_streak,
+    next_interval_s, next_fetch_ts); the first fetch of a URL counts as
+    a change (there was no prior content).
+    """
+    w = Window.partitionBy(url_col).orderBy("__ts")
+    rows = history.select(
+        F.col(url_col), F.col(ts_col).cast("long").alias("__ts"),
+        F.col(hash_col).alias("__h"),
+    ).withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__changed",
+        (F.col("__rn") == 1)
+        | (F.col("__h") != F.lag("__h").over(w)),
+    )
+    agg = rows.groupBy(url_col).agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum(F.col("__changed").cast("long")).alias("n_changes"),
+        F.max("__ts").alias("__last_ts"),
+        F.max(F.when(F.col("__changed"), F.col("__rn"))).alias("__last_chg"),
+    )
+    streak = (F.col("n_fetches") - F.col("__last_chg")).cast("long")
+    capped = F.least(streak, F.lit(int(streak_cap)))
+    interval = F.least(
+        F.lit(int(max_interval)).cast("long"),
+        F.expr(f"shiftleft(CAST({int(min_interval)} AS BIGINT), "
+               "CAST(__capped AS INT))"),
+    )
+    return (
+        agg.withColumn("__capped", capped)
+        .withColumn("unchanged_streak", streak)
+        .withColumn("next_interval_s", interval)
+        .select(
+            url_col,
+            "n_fetches",
+            "n_changes",
+            "unchanged_streak",
+            "next_interval_s",
+            (F.col("__last_ts") + F.col("next_interval_s"))
+            .cast("long").alias("next_fetch_ts"),
+        )
+    )

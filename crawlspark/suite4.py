@@ -636,6 +636,63 @@ FROM v JOIN t USING (dst) ORDER BY dst
 """
 
 
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-adaptive re-crawl scheduling over a synthesized fetch
+    history (6 fetches per URL; content changes for the first doc%6
+    fetches then freezes, so the unchanged streak varies 0..5 across the
+    corpus); the oracle replays the change detection, streak, and
+    bit-shift backoff."""
+    from .politeness import recrawl_schedule
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    doc = F.col("doc_id")
+    ks = spark.range(6).select(F.col("id").alias("k"))
+    h = d.crossJoin(F.broadcast(ks)).select(
+        F.concat(F.lit("https://h"), (doc % 7).cast("string"),
+                 F.lit(".example.com/p/"), doc.cast("string")).alias("url"),
+        (doc * 100000 + F.col("k") * 1000).alias("fetch_ts"),
+        F.least(F.col("k"), doc % 6).cast("long").alias("content_hash"),
+    )
+    return recrawl_schedule(h).orderBy("url")
+
+
+ORACLE_RECRAWL = """
+WITH h AS (
+  SELECT 'https://h' || (doc_id % 7) || '.example.com/p/' || doc_id AS url,
+         doc_id * 100000 + k * 1000 AS ts,
+         LEAST(k, doc_id % 6) AS ch
+  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k)
+),
+r AS (
+  SELECT url, ts, ch,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY ts) AS rn,
+         (ROW_NUMBER() OVER (PARTITION BY url ORDER BY ts) = 1
+          OR ch != LAG(ch) OVER (PARTITION BY url ORDER BY ts)) AS changed
+  FROM h
+),
+a AS (
+  SELECT url, COUNT(*)::BIGINT AS n_fetches,
+         CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changes,
+         MAX(ts) AS last_ts,
+         MAX(CASE WHEN changed THEN rn END) AS last_chg
+  FROM r GROUP BY url
+)
+SELECT url, n_fetches, n_changes,
+       (n_fetches - last_chg)::BIGINT AS unchanged_streak,
+       LEAST(CAST(2592000 AS BIGINT),
+             CAST(3600 AS BIGINT)
+               << LEAST(n_fetches - last_chg, 15)::INT)::BIGINT
+         AS next_interval_s,
+       (last_ts
+        + LEAST(CAST(2592000 AS BIGINT),
+                CAST(3600 AS BIGINT)
+                  << LEAST(n_fetches - last_chg, 15)::INT))::BIGINT
+         AS next_fetch_ts
+FROM a ORDER BY url
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training over the corpus vocabulary (8 merges).
     The merge sequence is data-dependent (each round's argmax feeds the
@@ -672,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top_terms": q_bm25_top_terms,
         "main_content": q_main_content,
         "anchor_texts": q_anchor_texts,
+        "recrawl_schedule": q_recrawl_schedule,
     }
 
 
@@ -690,6 +748,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top_terms": ORACLE_BM25,
         "main_content": ORACLE_MAIN_CONTENT,
         "anchor_texts": ORACLE_ANCHOR_TEXTS,
+        "recrawl_schedule": ORACLE_RECRAWL,
     }
 
 
