@@ -62,12 +62,21 @@ def throttle_schedule(
     ord_col: "str | list[str]" = "ord",
     latency_col: str = "latency_ms",
     cfg: PolitenessConfig | None = None,
+    delay_col: str | None = None,
 ) -> DataFrame:
     """Deterministic per-host fetch schedule for one frontier wave.
 
     Adds: seq (1-based position in the host's FIFO), wait_ms (throttle wait
     before this fetch), fetch_start_ms, fetch_end_ms (all relative to the
     wave start, per host).  Pure window functions — one shuffle on host.
+
+    ``delay_col`` names an optional per-row column (ms, nullable) carrying a
+    robots.txt ``Crawl-delay`` directive (see
+    :func:`crawlspark.robots.crawl_delay_for`): it raises the wait floor for
+    that host — the directive is a minimum gap, so the wait becomes
+    ``max(crawl_delay_ms, throttler wait)``, still inside the waitAtMax cap
+    only if the cap exceeds the directive (directives win over the cap:
+    obeying the site beats obeying our own ceiling).
     """
     cfg = cfg or PolitenessConfig()
     # ord_col may be a list when a single column is not a total order within
@@ -90,6 +99,10 @@ def throttle_schedule(
     clamped = F.greatest(F.lit(cfg.min_wait_ms).cast("long"), base)
     if cfg.max_wait_ms is not None:
         clamped = F.least(F.lit(cfg.max_wait_ms).cast("long"), clamped)
+    if delay_col is not None:
+        clamped = F.greatest(
+            clamped, F.coalesce(F.col(delay_col).cast("long"), F.lit(0))
+        )
     wait = F.when(prev_lat.isNull(), F.lit(0)).otherwise(clamped)
     df = frontier.withColumn("seq", F.row_number().over(w).cast("long"))
     df = df.withColumn("wait_ms", wait.cast("long"))

@@ -14,13 +14,143 @@ Column-expression prefix matching (no UDF).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 ROBOTS_SCHEMA = (
     "host STRING, user_agent STRING, disallow_prefixes ARRAY<STRING>, "
     "allow_prefixes ARRAY<STRING>, sitemaps ARRAY<STRING>"
 )
+
+
+def parse_robots_txt(
+    texts: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Raw robots.txt text → per-(host, user_agent) rules table.
+
+    The reference delegates this parse to the crwlr/robots-txt package
+    (RobotsTxtHandler.php uses ``RobotsTxt::parse``); semantics follow
+    RFC 9309 / the Google REP spec:
+
+    - a ``#`` starts a comment (to end of line); lines are trimmed,
+    - a directive is ``name: value`` — name case-insensitive, value may
+      itself contain ``:`` (Sitemap URLs),
+    - consecutive ``User-agent`` lines form ONE group header; the
+      Allow/Disallow/Crawl-delay rules that follow attach to every agent
+      named in the header (blank / unknown lines do not split a header),
+    - rules before any ``User-agent`` line belong to no group → dropped,
+    - empty Allow/Disallow values carry no rule (``Disallow:`` = allow
+      all) and are skipped,
+    - ``Sitemap`` is host-global (returned on every group row),
+    - ``Crawl-delay`` (non-standard, widely honored) is per group, in
+      seconds; the smallest value in a group wins.
+
+    Spark shape: one robots.txt per host (~10^6 rows at 10^10 URLs), so a
+    per-host ``posexplode`` of lines plus partitioned windows is cheap and
+    fully JVM-side (no UDF).  Output columns: ROBOTS_SCHEMA +
+    ``crawl_delay`` (double seconds, null when absent) — directly usable
+    by :func:`with_robots_allowed` and
+    :func:`crawlspark.politeness.throttle_schedule` (delay_col).
+    """
+    host = F.col(host_col)
+    lines = texts.select(
+        host.alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\r\n|\r|\n")).alias("pos", "__raw"),
+    )
+    line = F.trim(F.regexp_replace(F.col("__raw"), "#.*$", ""))
+    name = F.lower(F.trim(F.substring_index(line, ":", 1)))
+    value = F.when(
+        line.contains(":"),
+        F.trim(F.expr("substring(__line, locate(':', __line) + 1)")),
+    )
+    kind = (
+        F.when(name == "user-agent", F.lit("ua"))
+        .when(name == "allow", F.lit("allow"))
+        .when(name == "disallow", F.lit("disallow"))
+        .when(name == "crawl-delay", F.lit("delay"))
+        .when(name == "sitemap", F.lit("sitemap"))
+    )
+    d = (
+        lines.withColumn("__line", line)
+        .withColumn("kind", kind)
+        .withColumn("value", value)
+        .filter(F.col("kind").isNotNull() & F.col("value").isNotNull())
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    # a UA line opens a new group unless the previous directive line was
+    # also a UA line (consecutive UA lines share one header)
+    start = (F.col("kind") == "ua") & (
+        F.coalesce(F.lag("kind").over(w) != "ua", F.lit(True))
+    )
+    d = d.withColumn(
+        "grp",
+        F.sum(start.cast("int")).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    agents = (
+        d.filter((F.col("kind") == "ua") & (F.col("grp") > 0))
+        .select("host", "grp", F.col("value").alias("user_agent"))
+        .dropDuplicates(["host", "grp", "user_agent"])
+    )
+
+    def _ordered(kind_name: str) -> Column:
+        pairs = F.collect_list(
+            F.when(
+                (F.col("kind") == kind_name) & (F.col("value") != ""),
+                F.struct("pos", "value"),
+            )
+        )
+        return F.transform(F.array_sort(pairs), lambda s: s["value"])
+
+    rules = d.filter(F.col("grp") > 0).groupBy("host", "grp").agg(
+        _ordered("disallow").alias("disallow_prefixes"),
+        _ordered("allow").alias("allow_prefixes"),
+        F.min(
+            F.when(F.col("kind") == "delay", F.col("value").cast("double"))
+        ).alias("crawl_delay"),
+    )
+    sitemaps = d.filter(F.col("kind") == "sitemap").groupBy("host").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "value"))),
+            lambda s: s["value"],
+        ).alias("sitemaps")
+    )
+    out = (
+        agents.join(rules, ["host", "grp"])
+        .join(sitemaps, "host", "left")
+        .withColumn("sitemaps", F.coalesce("sitemaps", F.array()))
+    )
+    return out.select(
+        "host", "user_agent", "disallow_prefixes", "allow_prefixes",
+        "sitemaps", "crawl_delay",
+    )
+
+
+def crawl_delay_for(
+    robots: DataFrame, user_agent: str | None = None
+) -> DataFrame:
+    """Per-host Crawl-delay for one crawler UA → ``(host, crawl_delay_ms)``.
+
+    Group selection mirrors :func:`with_robots_allowed`: the group whose
+    user-agent token appears in the UA string wins (longest token most
+    specific), ``*`` is the fallback; hosts without a delay are omitted.
+    Feed the result into ``throttle_schedule(..., delay_col=...)`` after a
+    broadcast join — robots directives become the politeness floor.
+    """
+    r = robots.filter(F.col("crawl_delay").isNotNull())
+    if user_agent is not None:
+        ual = user_agent.lower()
+        spec = F.when(F.col("user_agent") == "*", F.lit(0)).otherwise(
+            F.when(
+                F.lit(ual).contains(F.lower(F.col("user_agent"))),
+                F.length("user_agent"),
+            ).otherwise(F.lit(-1))
+        )
+        r = r.withColumn("__spec", spec).filter(F.col("__spec") >= 0)
+        mx = r.groupBy("host").agg(F.max("__spec").alias("__mx"))
+        r = r.join(mx, "host").filter(F.col("__spec") == F.col("__mx"))
+    return r.groupBy("host").agg(
+        (F.min("crawl_delay") * 1000).cast("long").alias("crawl_delay_ms")
+    )
 
 
 def _wildcard_matches(pattern: Column, path: Column) -> Column:

@@ -693,6 +693,75 @@ FROM a ORDER BY url
 """
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt TEXT parsing (crwlr/robots-txt package semantics, RFC
+    9309 grouping): synthesized robots.txt bodies per host — comments,
+    pre-group stray rules, consecutive-UA headers, case-insensitive
+    directive names, empty Disallow, conditional Crawl-delay — parsed by
+    robots.parse_robots_txt; the oracle reconstructs the expected rules
+    directly from the generating arithmetic."""
+    from .robots import parse_robots_txt
+
+    hosts = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select((F.col("doc_id") % 40).alias("i"))
+        .distinct()
+    )
+    i = F.col("i")
+    s = i.cast("string")
+    body = F.concat_ws(
+        "\n",
+        F.concat(F.lit("# robots for host "), s),
+        F.lit("Disallow: /stray"),
+        F.lit(""),
+        F.lit("User-agent: *"),
+        F.concat(F.lit("Disallow: /private/"), s, F.lit("/")),
+        F.concat(F.lit("Allow: /private/"), s, F.lit("/ok  # inline comment")),
+        F.when(i % 2 == 0, F.concat(F.lit("Crawl-delay: "),
+                                    ((i % 5) + 1).cast("string"))),
+        F.concat(F.lit("Sitemap: http://h"), s, F.lit(".example.com/s.xml")),
+        F.lit(""),
+        F.lit("User-agent: googlebot"),
+        F.concat(F.lit("User-agent: bot-"), s),
+        F.concat(F.lit("DISALLOW: /g"), s),
+        F.lit("Disallow:"),
+        F.when(i % 3 == 0, F.concat(F.lit("Allow: /g"), s, F.lit("/ok"))),
+    )
+    texts = hosts.select(
+        F.concat(F.lit("h"), s, F.lit(".example.com")).alias("host"),
+        body.alias("body"),
+    )
+    p = parse_robots_txt(texts)
+    return p.select(
+        "host",
+        "user_agent",
+        F.array_join("disallow_prefixes", "|").alias("dis_rules"),
+        F.array_join("allow_prefixes", "|").alias("alw_rules"),
+        F.array_join("sitemaps", "|").alias("sitemap_urls"),
+        F.col("crawl_delay").cast("double").alias("crawl_delay_s"),
+    ).orderBy("host", "user_agent")
+
+
+ORACLE_ROBOTS_PARSE = """
+WITH h AS (SELECT DISTINCT doc_id % 40 AS i FROM documents),
+g AS (
+  SELECT i, 'h' || i || '.example.com' AS host,
+         '/private/' || i || '/' AS dis1, '/private/' || i || '/ok' AS alw1,
+         CASE WHEN i % 2 = 0 THEN CAST((i % 5) + 1 AS DOUBLE) END AS delay1,
+         '/g' || i AS dis2,
+         CASE WHEN i % 3 = 0 THEN '/g' || i || '/ok' ELSE '' END AS alw2,
+         'http://h' || i || '.example.com/s.xml' AS sm
+  FROM h
+)
+SELECT host, '*' AS user_agent, dis1 AS dis_rules, alw1 AS alw_rules,
+       sm AS sitemap_urls, delay1 AS crawl_delay_s FROM g
+UNION ALL
+SELECT host, 'googlebot', dis2, alw2, sm, NULL FROM g
+UNION ALL
+SELECT host, 'bot-' || i, dis2, alw2, sm, NULL FROM g
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training over the corpus vocabulary (8 merges).
     The merge sequence is data-dependent (each round's argmax feeds the
@@ -730,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "anchor_texts": q_anchor_texts,
         "recrawl_schedule": q_recrawl_schedule,
+        "robots_parse": q_robots_parse,
     }
 
 
@@ -749,6 +819,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": ORACLE_MAIN_CONTENT,
         "anchor_texts": ORACLE_ANCHOR_TEXTS,
         "recrawl_schedule": ORACLE_RECRAWL,
+        "robots_parse": ORACLE_ROBOTS_PARSE,
     }
 
 
