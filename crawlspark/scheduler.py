@@ -1,0 +1,111 @@
+"""Frontier scheduling: host-budget allocation + priority wave selection.
+
+The reference crawls strictly sequentially — its "scheduler" is the order in
+which HttpCrawl's loop pops URLs (src/Steps/Loading/HttpCrawl.php:203-236)
+under the Throttler's per-host waits.  At 10^10 frontier rows the equivalent
+is a *wave* scheduler: each cycle picks the next batch of URLs to fetch,
+respecting (a) a per-host budget (politeness: no host may dominate a wave),
+(b) URL priority (e.g. PageRank / sitemap <priority> / recrawl due-time),
+and (c) a global wave size matched to fleet capacity.  The north_star names
+this shape explicitly: a host-keyed priority queue re-expressed as salted
+repartition + sortWithinPartitions — :func:`crawlspark.politeness
+.politeness_partition` orders the chosen wave for execution; the functions
+here decide *which* rows enter the wave.
+
+All arithmetic is integer (bit-exact, SQL-replayable); both ops stay
+distributed — the per-host cut is a partitioned window, the global cut is
+the two-phase :func:`crawlspark.ranks.global_rank` (no single-partition
+window at any size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .ranks import global_rank
+
+_UNCAPPED = (1 << 62)
+
+
+def allocate_host_budgets(
+    host_stats: DataFrame,
+    total_budget: int,
+    weight_col: str = "weight",
+    host_col: str = "host",
+    min_budget: int = 1,
+    max_budget: int | None = None,
+) -> DataFrame:
+    """Split ``total_budget`` fetches across hosts proportionally to an
+    integer ``weight_col`` (host quality, backlog size, pagerank mass, ...):
+
+        budget_h = clamp(total * w_h div sum(w), min_budget, max_budget)
+
+    Floor division keeps it bit-exact (the sum of budgets may undershoot
+    ``total_budget`` by < n_hosts — the slack rolls into the next wave
+    rather than being redistributed nondeterministically).  ``host_stats``
+    is per-host (~10^6 rows at 10^10 URLs): one map-side-combined aggregate
+    for ``sum(w)`` broadcast back as a literal join — no wide shuffle.
+
+    Returns (host, budget:long).
+    """
+    w = F.col(weight_col).cast("long")
+    total_w = host_stats.agg(F.sum(w).alias("__tw"))
+    budget = F.expr(f"({int(total_budget)}L * __w) div __tw")
+    clamped = F.greatest(budget, F.lit(int(min_budget)).cast("long"))
+    if max_budget is not None:
+        clamped = F.least(clamped, F.lit(int(max_budget)).cast("long"))
+    return (
+        host_stats.select(F.col(host_col).alias("host"), w.alias("__w"))
+        .join(F.broadcast(total_w))
+        .select("host", clamped.alias("budget"))
+    )
+
+
+def select_wave(
+    frontier: DataFrame,
+    budgets: DataFrame | None = None,
+    wave_size: int | None = None,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    ts_col: str = "crawl_ts",
+    url_col: str = "url",
+) -> DataFrame:
+    """Pop the next fetch wave from the frontier — the distributed analog of
+    the reference's priority-queue loop.
+
+    Order within a host: priority DESC, then crawl_ts, then url (a total
+    order — ``url`` is unique in a deduplicated frontier).  Steps:
+
+    1. per-host rank (partitioned window — scales with hosts, not rows),
+    2. cut at the host's budget (broadcast join on the per-host budget
+       table from :func:`allocate_host_budgets`; hosts absent from the
+       table are uncapped),
+    3. global cut at ``wave_size`` by the same (priority DESC, ts, url)
+       order via the two-phase exact :func:`global_rank`.
+
+    Adds ``host_seq`` (1-based position in the host's queue) and
+    ``wave_rank`` (1-based global fetch order); rows beyond either cut are
+    dropped.  Feed the result to ``politeness_partition`` for execution
+    ordering and in-task pacing.
+    """
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(priority_col).desc(), F.col(ts_col), F.col(url_col)
+    )
+    df = frontier.withColumn("host_seq", F.row_number().over(w).cast("long"))
+    if budgets is not None:
+        df = df.join(
+            F.broadcast(budgets.withColumnRenamed("host", host_col)),
+            host_col,
+            "left",
+        )
+        df = df.filter(
+            F.col("host_seq") <= F.coalesce(F.col("budget"), F.lit(_UNCAPPED))
+        ).drop("budget")
+    if wave_size is None:
+        return df
+    df = df.withColumn("__negp", -F.col(priority_col).cast("long"))
+    ranked = global_rank(
+        df, ["__negp", ts_col, url_col], out="wave_rank"
+    ).drop("__negp")
+    return ranked.filter(F.col("wave_rank") <= int(wave_size))

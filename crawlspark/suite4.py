@@ -762,6 +762,90 @@ SELECT host, 'bot-' || i, dis2, alw2, sm, NULL FROM g
 """
 
 
+def _sched_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frontier fixture for the scheduler queries: one URL per
+    document, 13 hosts, integer priority/ts derived from doc_id."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    doc = F.col("doc_id")
+    return d.select(
+        F.concat(F.lit("https://h"), (doc % 13).cast("string"),
+                 F.lit(".example.com/p/"), doc.cast("string")).alias("url"),
+        F.concat(F.lit("h"), (doc % 13).cast("string")).alias("host"),
+        ((doc * 7) % 100).cast("long").alias("priority"),
+        (doc % 997).cast("long").alias("crawl_ts"),
+    )
+
+
+def q_host_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-budget allocation: proportional integer split of a
+    global fetch budget over host weights (backlog sizes here) with
+    min/max clamps — floor division keeps it bit-exact."""
+    from .scheduler import allocate_host_budgets
+
+    stats = _sched_frontier(spark, sf_dir).groupBy("host").agg(
+        F.count("*").alias("weight")
+    )
+    return allocate_host_budgets(
+        stats, total_budget=400, min_budget=5, max_budget=60
+    ).orderBy("host")
+
+
+ORACLE_HOST_BUDGETS = """
+WITH f AS (SELECT 'h' || (doc_id % 13) AS host FROM documents),
+s AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS w FROM f GROUP BY host),
+t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM s)
+SELECT host,
+       CAST(LEAST(GREATEST((400 * w) // tw, 5), 60) AS BIGINT) AS budget
+FROM s, t ORDER BY host
+"""
+
+
+def q_frontier_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority wave selection — the distributed pop of the reference's
+    sequential crawl loop (HttpCrawl.php:203-236): per-host rank by
+    (priority DESC, ts, url), cut at the allocated host budget, then an
+    exact global top-300 via the two-phase distributed rank (no
+    single-partition window)."""
+    from .scheduler import allocate_host_budgets, select_wave
+
+    f = _sched_frontier(spark, sf_dir)
+    budgets = allocate_host_budgets(
+        f.groupBy("host").agg(F.count("*").alias("weight")),
+        total_budget=400, min_budget=5, max_budget=60,
+    )
+    wave = select_wave(f, budgets=budgets, wave_size=300)
+    return wave.select(
+        "url", "host", "priority", "host_seq", "wave_rank"
+    ).orderBy("wave_rank")
+
+
+ORACLE_FRONTIER_WAVE = """
+WITH f AS (
+  SELECT 'https://h' || (doc_id % 13) || '.example.com/p/' || doc_id AS url,
+         'h' || (doc_id % 13) AS host,
+         CAST((doc_id * 7) % 100 AS BIGINT) AS priority,
+         CAST(doc_id % 997 AS BIGINT) AS crawl_ts
+  FROM documents
+),
+s AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS w FROM f GROUP BY host),
+t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM s),
+b AS (SELECT host, CAST(LEAST(GREATEST((400 * w) // tw, 5), 60) AS BIGINT)
+        AS budget FROM s, t),
+h AS (
+  SELECT f.*, CAST(ROW_NUMBER() OVER (
+           PARTITION BY host ORDER BY priority DESC, crawl_ts, url
+         ) AS BIGINT) AS host_seq
+  FROM f
+),
+c AS (SELECT h.* FROM h JOIN b USING (host) WHERE host_seq <= budget)
+SELECT url, host, priority, host_seq,
+       CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, crawl_ts, url)
+            AS BIGINT) AS wave_rank
+FROM c
+QUALIFY wave_rank <= 300
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training over the corpus vocabulary (8 merges).
     The merge sequence is data-dependent (each round's argmax feeds the
@@ -800,6 +884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "recrawl_schedule": q_recrawl_schedule,
         "robots_parse": q_robots_parse,
+        "host_budgets": q_host_budgets,
+        "frontier_wave_select": q_frontier_wave,
     }
 
 
@@ -820,6 +906,8 @@ def oracle_sql() -> dict[str, str]:
         "anchor_texts": ORACLE_ANCHOR_TEXTS,
         "recrawl_schedule": ORACLE_RECRAWL,
         "robots_parse": ORACLE_ROBOTS_PARSE,
+        "host_budgets": ORACLE_HOST_BUDGETS,
+        "frontier_wave_select": ORACLE_FRONTIER_WAVE,
     }
 
 
