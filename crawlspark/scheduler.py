@@ -109,3 +109,63 @@ def select_wave(
         df, ["__negp", ts_col, url_col], out="wave_rank"
     ).drop("__negp")
     return ranked.filter(F.col("wave_rank") <= int(wave_size))
+
+
+def url_template(url: "F.Column") -> "F.Column":
+    """Collapse the volatile parts of a URL into a structural template:
+    long hex runs (session ids, content hashes) → ``H``, digit runs
+    (ids, dates, page numbers) → ``N``, then query VALUES → ``V``
+    (param names stay).  Two regexp_replace + one — pure JVM codegen,
+    fuses into the scan.
+
+    ``/p/123?id=abc123def456ab&page=7`` → ``/p/N?id=H&page=N``.
+    """
+    t = F.regexp_replace(url, "[0-9a-f]{10,}", "H")
+    t = F.regexp_replace(t, "[0-9]+", "N")
+    return F.regexp_replace(t, "=[^&#=?]+", "=V")
+
+
+def detect_url_traps(
+    frontier: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    max_per_template: int = 10_000,
+    max_share_permille: int = 500,
+    min_host_urls: int = 100,
+) -> DataFrame:
+    """Spider-trap detection by URL template mining.
+
+    Crawler traps (calendar pages, session-id rewrites, infinite facet
+    combinations) generate unbounded URL sets that all share one structural
+    template; a sequential crawler burns politeness budget on them one URL
+    at a time, a 10^10-row frontier drowns in them.  This flags
+    (host, template) groups where the template's URL count exceeds
+    ``max_per_template`` OR exceeds ``max_share_permille`` of the host's
+    frontier (hosts under ``min_host_urls`` URLs are never flagged — small
+    hosts legitimately concentrate on one template).  Share compares by
+    integer cross-multiplication (bit-exact).
+
+    Spark shape: template is a narrow map fused into the scan; one
+    map-side-combined groupBy(host, template) + a per-host roll-up joined
+    back — two small shuffles over the *aggregated* relation, never a
+    re-shuffle of the raw frontier.  Returns (host, template, n_urls,
+    host_urls, trap:boolean); anti-join the frontier against the flagged
+    templates to quarantine them.
+    """
+    t = frontier.select(
+        F.col(host_col).alias("host"),
+        url_template(F.col(url_col)).alias("template"),
+    )
+    per_tpl = t.groupBy("host", "template").agg(
+        F.count("*").cast("long").alias("n_urls")
+    )
+    per_host = per_tpl.groupBy("host").agg(
+        F.sum("n_urls").alias("host_urls")
+    )
+    j = per_tpl.join(per_host, "host")
+    trap = (F.col("host_urls") >= int(min_host_urls)) & (
+        (F.col("n_urls") > int(max_per_template))
+        | (F.col("n_urls") * 1000 > F.col("host_urls") * int(max_share_permille))
+    )
+    return j.select("host", "template", "n_urls", "host_urls",
+                    trap.alias("trap"))

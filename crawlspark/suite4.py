@@ -846,6 +846,67 @@ QUALIFY wave_rank <= 300
 """
 
 
+def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spider-trap detection by URL template mining: every 4th doc is a
+    calendar-trap URL on one host (all collapsing to one template =
+    1000 permille of that host), the rest spread over 3 hosts x 17
+    letter-keyed sections (~59 permille per template).  The oracle
+    replays the template collapse (regexp chain) and the integer
+    cross-multiplied share rule."""
+    from .scheduler import detect_url_traps
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    doc = F.col("doc_id")
+    sec = F.substring(F.lit("abcdefghijklmnopq"), (doc % 17).cast("int") + 1, 1)
+    f = d.select(
+        F.when(doc % 4 == 0, F.lit("trap.example.com"))
+        .otherwise(F.concat(F.lit("h"), (doc % 3).cast("string"))).alias("host"),
+        F.when(
+            doc % 4 == 0,
+            F.concat(F.lit("https://trap.example.com/cal?y=2026&m="),
+                     (doc % 12).cast("string"), F.lit("&d="),
+                     (doc % 28).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("https://h"), (doc % 3).cast("string"),
+                     F.lit(".example.com/"), sec, F.lit("/p/"),
+                     doc.cast("string"))
+        ).alias("url"),
+    )
+    return detect_url_traps(f, min_host_urls=100).orderBy("host", "template")
+
+
+ORACLE_URL_TRAPS = """
+WITH f AS (
+  SELECT CASE WHEN doc_id % 4 = 0 THEN 'trap.example.com'
+              ELSE 'h' || (doc_id % 3) END AS host,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'https://trap.example.com/cal?y=2026&m=' || (doc_id % 12)
+                   || '&d=' || (doc_id % 28)
+              ELSE 'https://h' || (doc_id % 3) || '.example.com/'
+                   || substr('abcdefghijklmnopq', CAST(doc_id % 17 AS INT) + 1, 1)
+                   || '/p/' || doc_id END AS url
+  FROM documents
+),
+t AS (
+  SELECT host,
+         regexp_replace(regexp_replace(regexp_replace(
+             url, '[0-9a-f]{10,}', 'H', 'g'),
+             '[0-9]+', 'N', 'g'),
+             '=[^&#=?]+', '=V', 'g') AS template
+  FROM f
+),
+a AS (SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls
+      FROM t GROUP BY host, template),
+h AS (SELECT host, CAST(SUM(n_urls) AS BIGINT) AS host_urls
+      FROM a GROUP BY host)
+SELECT a.host, template, n_urls, host_urls,
+       (host_urls >= 100 AND (n_urls > 10000
+        OR n_urls * 1000 > host_urls * 500)) AS trap
+FROM a JOIN h USING (host)
+ORDER BY host, template
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training over the corpus vocabulary (8 merges).
     The merge sequence is data-dependent (each round's argmax feeds the
@@ -886,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "host_budgets": q_host_budgets,
         "frontier_wave_select": q_frontier_wave,
+        "url_traps": q_url_traps,
     }
 
 
@@ -908,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_parse": ORACLE_ROBOTS_PARSE,
         "host_budgets": ORACLE_HOST_BUDGETS,
         "frontier_wave_select": ORACLE_FRONTIER_WAVE,
+        "url_traps": ORACLE_URL_TRAPS,
     }
 
 
