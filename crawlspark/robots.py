@@ -125,6 +125,30 @@ def parse_robots_txt(
     )
 
 
+def robots_from_corpus(
+    pages: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """Discover and parse the ``/robots.txt`` pages inside a fetched corpus.
+
+    The reference lazily GETs ``scheme://host/robots.txt`` on the first
+    touch of a host and parses it (RobotsTxtHandler.php:76-99,
+    ``RobotsTxt::parse``); a batch engine does the robots wave up front —
+    filter the corpus (or a dedicated robots fetch pass) down to
+    ``/robots.txt`` responses, parse each body, and feed the rules table to
+    :func:`with_robots_allowed` / ``engine.crawl_site(robots=...)``.
+    Unparseable or missing robots simply yield no rules for the host —
+    allow-all, matching RobotsTxtHandler.php:91-93.
+    """
+    u = F.col(url_col)
+    texts = pages.filter(
+        F.lower(F.parse_url(u, F.lit("PATH"))) == "/robots.txt"
+    ).select(
+        F.lower(F.parse_url(u, F.lit("HOST"))).alias("host"),
+        F.col(body_col).alias("body"),
+    )
+    return parse_robots_txt(texts)
+
+
 def crawl_delay_for(
     robots: DataFrame, user_agent: str | None = None
 ) -> DataFrame:

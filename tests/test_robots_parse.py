@@ -91,6 +91,31 @@ def test_crawl_delay_for_selects_the_ua_group(spark):
     assert mine["crawl_delay_ms"] == 3_000
 
 
+def test_crawl_site_with_corpus_parsed_robots_matches_rules_table(spark):
+    """End-to-end: a corpus carrying its own /robots.txt page crawls
+    identically to one gated by the hand-built rules table."""
+    from crawlspark import fixture
+    from crawlspark.engine import crawl_site
+    from crawlspark.robots import robots_from_corpus
+
+    pages = fixture.pages_df(spark)
+    robots_page = spark.createDataFrame(
+        [(f"http://{fixture.HOST}/robots.txt", 200, None, "text/plain",
+          "User-agent: *\nDisallow: /not-allowed\n")],
+        pages.schema,
+    )
+    corpus = pages.union(robots_page)
+    seed = f"{fixture.B}/crawling/main"
+    via_text = crawl_site(
+        spark, corpus, seed, robots=robots_from_corpus(corpus, body_col="body")
+    )
+    via_table = crawl_site(spark, corpus, seed, robots=fixture.robots_df(spark))
+    cols = ["url", "depth", "ord", "loaded", "yielded"]
+    assert sorted(map(tuple, via_text.select(*cols).collect())) == sorted(
+        map(tuple, via_table.select(*cols).collect())
+    )
+
+
 def test_throttle_schedule_honors_crawl_delay_floor(spark):
     frontier = spark.createDataFrame(
         [("a", 1, 100, 5000), ("a", 2, 100, 5000), ("a", 3, 100, 5000),
