@@ -907,6 +907,92 @@ ORDER BY host, template
 """
 
 
+def q_refresh_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed incremental-crawl scheduling: fetch history →
+    recrawl_schedule (change-streak backoff) → due set at time T →
+    allocate_host_budgets over the due backlog → select_wave (priority =
+    observed change count, host-budget cut, global top-150).  The oracle
+    replays the whole chain in SQL."""
+    from .politeness import recrawl_schedule
+    from .scheduler import allocate_host_budgets, select_wave
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    doc = F.col("doc_id")
+    ks = spark.range(6).select(F.col("id").alias("k"))
+    h = d.crossJoin(F.broadcast(ks)).select(
+        F.concat(F.lit("https://h"), (doc % 7).cast("string"),
+                 F.lit(".example.com/p/"), doc.cast("string")).alias("url"),
+        (F.col("k") * 1000).alias("fetch_ts"),
+        F.least(F.col("k"), doc % 6).cast("long").alias("content_hash"),
+    )
+    sched = recrawl_schedule(h)
+    t_now = 5000 + 57600  # due iff unchanged_streak <= 4
+    due = sched.filter(F.col("next_fetch_ts") <= t_now).select(
+        "url",
+        F.substring_index(F.substring_index("url", "/", 3), "/", -1)
+        .alias("host"),
+        F.col("n_changes").alias("priority"),
+        F.col("next_fetch_ts").alias("crawl_ts"),
+    )
+    budgets = allocate_host_budgets(
+        due.groupBy("host").agg(F.count("*").alias("weight")),
+        total_budget=200, min_budget=5, max_budget=40,
+    )
+    wave = select_wave(due, budgets=budgets, wave_size=150)
+    return wave.select(
+        "url", "host", "priority", "crawl_ts", "host_seq", "wave_rank"
+    ).orderBy("wave_rank")
+
+
+ORACLE_REFRESH_WAVE = """
+WITH hist AS (
+  SELECT 'https://h' || (doc_id % 7) || '.example.com/p/' || doc_id AS url,
+         'h' || (doc_id % 7) || '.example.com' AS host,
+         k * 1000 AS ts, LEAST(k, doc_id % 6) AS ch
+  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k)
+),
+r AS (
+  SELECT url, host, ts, ch,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY ts) AS rn,
+         (ROW_NUMBER() OVER (PARTITION BY url ORDER BY ts) = 1
+          OR ch != LAG(ch) OVER (PARTITION BY url ORDER BY ts)) AS changed
+  FROM hist
+),
+a AS (
+  SELECT url, ANY_VALUE(host) AS host, COUNT(*)::BIGINT AS n_fetches,
+         CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         MAX(ts) AS last_ts, MAX(CASE WHEN changed THEN rn END) AS last_chg
+  FROM r GROUP BY url
+),
+due AS (
+  SELECT url, host, n_changes AS priority,
+         (last_ts + LEAST(CAST(2592000 AS BIGINT),
+            CAST(3600 AS BIGINT)
+              << LEAST(n_fetches - last_chg, 15)::INT))::BIGINT AS crawl_ts
+  FROM a
+  WHERE (last_ts + LEAST(CAST(2592000 AS BIGINT),
+           CAST(3600 AS BIGINT)
+             << LEAST(n_fetches - last_chg, 15)::INT)) <= 62600
+),
+s AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS w FROM due GROUP BY host),
+t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM s),
+b AS (SELECT host, CAST(LEAST(GREATEST((200 * w) // tw, 5), 40) AS BIGINT)
+        AS budget FROM s, t),
+hs AS (
+  SELECT due.*, CAST(ROW_NUMBER() OVER (
+           PARTITION BY host ORDER BY priority DESC, crawl_ts, url
+         ) AS BIGINT) AS host_seq
+  FROM due
+),
+c AS (SELECT hs.* FROM hs JOIN b USING (host) WHERE host_seq <= budget)
+SELECT url, host, priority, crawl_ts, host_seq,
+       CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, crawl_ts, url)
+            AS BIGINT) AS wave_rank
+FROM c
+QUALIFY wave_rank <= 150
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training over the corpus vocabulary (8 merges).
     The merge sequence is data-dependent (each round's argmax feeds the
@@ -948,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_budgets": q_host_budgets,
         "frontier_wave_select": q_frontier_wave,
         "url_traps": q_url_traps,
+        "refresh_wave": q_refresh_wave,
     }
 
 
@@ -971,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
         "host_budgets": ORACLE_HOST_BUDGETS,
         "frontier_wave_select": ORACLE_FRONTIER_WAVE,
         "url_traps": ORACLE_URL_TRAPS,
+        "refresh_wave": ORACLE_REFRESH_WAVE,
     }
 
 
