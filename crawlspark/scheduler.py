@@ -70,6 +70,7 @@ def select_wave(
     priority_col: str = "priority",
     ts_col: str = "crawl_ts",
     url_col: str = "url",
+    presalt: int | None = 16,
 ) -> DataFrame:
     """Pop the next fetch wave from the frontier — the distributed analog of
     the reference's priority-queue loop.
@@ -77,28 +78,45 @@ def select_wave(
     Order within a host: priority DESC, then crawl_ts, then url (a total
     order — ``url`` is unique in a deduplicated frontier).  Steps:
 
-    1. per-host rank (partitioned window — scales with hosts, not rows),
-    2. cut at the host's budget (broadcast join on the per-host budget
-       table from :func:`allocate_host_budgets`; hosts absent from the
-       table are uncapped),
-    3. global cut at ``wave_size`` by the same (priority DESC, ts, url)
+    1. per-host rank (partitioned window), cut at the host's budget
+       (broadcast join on the per-host budget table from
+       :func:`allocate_host_budgets`; hosts absent from the table are
+       uncapped),
+    2. global cut at ``wave_size`` by the same (priority DESC, ts, url)
        order via the two-phase exact :func:`global_rank`.
+
+    A per-host window puts the WHOLE host in one task — a hot host with
+    10^8 frontier rows is a straggler.  With a budget table present, a
+    salted two-phase cut runs first (``presalt`` sub-groups): rank within
+    (host, salt) and drop rows ranked past the host's budget — any such
+    row already has ≥ budget better-ordered rows *in its own salt group*,
+    so it cannot make the host's top-budget (exactness preserved).  The
+    exact per-host window then sees ≤ presalt × budget rows per host.
+    Uncapped hosts skip the pre-cut.  ``presalt=None`` disables.
 
     Adds ``host_seq`` (1-based position in the host's queue) and
     ``wave_rank`` (1-based global fetch order); rows beyond either cut are
     dropped.  Feed the result to ``politeness_partition`` for execution
     ordering and in-task pacing.
     """
-    w = Window.partitionBy(host_col).orderBy(
-        F.col(priority_col).desc(), F.col(ts_col), F.col(url_col)
-    )
-    df = frontier.withColumn("host_seq", F.row_number().over(w).cast("long"))
+    order = [F.col(priority_col).desc(), F.col(ts_col), F.col(url_col)]
+    df = frontier
     if budgets is not None:
         df = df.join(
             F.broadcast(budgets.withColumnRenamed("host", host_col)),
             host_col,
             "left",
         )
+        if presalt is not None and presalt > 1:
+            ws = Window.partitionBy(
+                host_col, F.pmod(F.xxhash64(url_col), F.lit(int(presalt)))
+            ).orderBy(*order)
+            df = df.withColumn("__pre", F.row_number().over(ws)).filter(
+                F.col("budget").isNull() | (F.col("__pre") <= F.col("budget"))
+            ).drop("__pre")
+    w = Window.partitionBy(host_col).orderBy(*order)
+    df = df.withColumn("host_seq", F.row_number().over(w).cast("long"))
+    if budgets is not None:
         df = df.filter(
             F.col("host_seq") <= F.coalesce(F.col("budget"), F.lit(_UNCAPPED))
         ).drop("budget")

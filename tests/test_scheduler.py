@@ -50,6 +50,28 @@ def test_select_wave_global_rank_and_size(spark):
     assert by_rank == {1: "u2", 2: "u1", 3: "v2"}
 
 
+def test_salted_precut_equals_naive(spark):
+    """The presalt pre-cut is exact: salted vs unsalted paths agree on a
+    frontier with a hot host and a mix of capped/uncapped hosts."""
+    rows = [("hot", f"u{i:04d}", i % 11, i % 7) for i in range(400)]
+    rows += [("cold", f"c{i}", i, 0) for i in range(20)]
+    rows += [("free", f"f{i}", i % 3, i) for i in range(30)]  # uncapped
+    df = spark.createDataFrame(
+        rows, "host string, url string, priority long, crawl_ts long"
+    )
+    budgets = spark.createDataFrame(
+        [("hot", 25), ("cold", 7)], "host string, budget long"
+    )
+
+    def run(presalt):
+        out = select_wave(df, budgets=budgets, wave_size=40, presalt=presalt)
+        return sorted(
+            (r["url"], r["host_seq"], r["wave_rank"]) for r in out.collect()
+        )
+
+    assert run(None) == run(8)
+
+
 def test_select_wave_composes_budget_then_size(spark):
     budgets = spark.createDataFrame([("a", 1)], "host string, budget long")
     out = select_wave(_frontier(spark), budgets=budgets, wave_size=2).collect()
