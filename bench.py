@@ -97,6 +97,32 @@ def frontier_wave(spark, n: int) -> int:
     return sched.select(F.count("*"), F.sum("fetch_end_ms")).collect()[0][0]
 
 
+def wave_select_skew(spark, n: int) -> int:
+    """Budgeted priority wave selection over an adversarially skewed
+    frontier: 50% of n URLs on ONE host, the rest over WAVE_HOSTS hosts —
+    exercises the salted two-phase budget pre-cut (without it the hot
+    host's 10^6-row window is a single straggler task)."""
+    from crawlspark import graph
+    from crawlspark.scheduler import allocate_host_budgets, select_wave
+
+    doc = F.col("src")
+    f = graph.virtual_docs(spark, n).select(
+        graph.url_col(doc).alias("url"),
+        F.when(doc % 2 == 0, F.lit("hot." + graph.DOMAIN)).otherwise(
+            F.concat(F.lit("h"), (doc % WAVE_HOSTS).cast("string"),
+                     F.lit("." + graph.DOMAIN))
+        ).alias("host"),
+        (doc % 100).cast("long").alias("priority"),
+        (doc % 9973).cast("long").alias("crawl_ts"),
+    )
+    budgets = allocate_host_budgets(
+        f.groupBy("host").agg(F.count("*").alias("weight")),
+        total_budget=200_000, min_budget=2, max_budget=5_000,
+    )
+    wave = select_wave(f, budgets=budgets, wave_size=100_000)
+    return wave.count()
+
+
 def run_headline(spark) -> dict[str, float]:
     from crawlspark import ann, images
     from crawlspark import suite
@@ -132,6 +158,7 @@ def run_headline(spark) -> dict[str, float]:
     )
     measure("frontier_wave_2m", lambda: frontier_wave(spark, VIRTUAL_N),
             capture_rows_as="_frontier_wave_rows")
+    measure("wave_select_skew_2m", lambda: wave_select_skew(spark, VIRTUAL_N))
     measure(
         "dedup_minhash_lsh",
         lambda: dedup.minhash_lsh_pairs(docs, k=16, bands=4,
