@@ -153,9 +153,15 @@ def parse_set_cookie(
     else:
         received_at = received_at_col.cast("long")
 
-    host = url_host(url)
-    scheme = url_scheme(url)
-    https = scheme == F.lit("https")
+    # bind host/https once as real columns (multi-use below: the PSL
+    # branches of for_domain alone reference host ~16 times — inlining a
+    # derived url expression that many times risks janino's 64 KB method
+    # limit and re-parses the url per use at run time)
+    df = df.withColumn("__sc_host", url_host(url)).withColumn(
+        "__sc_https", url_scheme(url) == F.lit("https")
+    )
+    host = F.col("__sc_host")
+    https = F.col("__sc_https")
 
     first = F.trim(F.substring_index(header, ";", 1))
     has_eq = F.locate("=", first) > 0
@@ -244,7 +250,7 @@ def parse_set_cookie(
         same_site.alias("same_site"),
         host.alias("received_from_host"),
         invalid.alias("invalid_reason"),
-    )
+    ).drop("__sc_host", "__sc_https")
 
 
 # ---------------------------------------------------------------------------
@@ -255,11 +261,24 @@ def parse_set_cookie(
 def should_send_col(target_url: Column, now_s: int | Column = 0) -> Column:
     """Predicate over parsed-cookie columns (as produced by
     :func:`parse_set_cookie`) deciding whether the cookie goes onto a
-    request for ``target_url``.  Use after a jar join."""
+    request for ``target_url``.  Use after a jar join.
+
+    Inlines the url parse into every predicate — fine when ``target_url``
+    is a plain column.  When it is a derived expression, prefer
+    :func:`jar_matches`, which binds the parsed pieces once (a deep url
+    expression repeated per predicate blows janino's 64 KB method limit
+    and re-parses the url per predicate at run time)."""
+    return should_send_parts(
+        url_host(target_url), url_scheme(target_url), url_path(target_url), now_s
+    )
+
+
+def should_send_parts(
+    t_host: Column, t_scheme: Column, t_path: Column,
+    now_s: int | Column = 0,
+) -> Column:
+    """shouldBeSentTo over pre-parsed target pieces (host, scheme, path)."""
     now = F.lit(now_s) if isinstance(now_s, int) else now_s
-    t_host = url_host(target_url)
-    t_scheme = url_scheme(target_url)
-    t_path = url_path(target_url)
     c_domain = F.col("cookie_domain")
     c_path = F.col("cookie_path")
 
@@ -313,11 +332,27 @@ def jar_matches(
     The jar is tiny relative to the request stream -> broadcast join; the
     request side never shuffles."""
     t_url = F.col(url_col)
-    reqs = requests.withColumn("__for_domain", for_domain(url_host(t_url)))
+    # bind the parsed target pieces ONCE as real columns; everything below
+    # references attributes, not re-inlined parse trees.  With the parse
+    # chain duplicated per predicate (~19 copies incl. for_domain's PSL
+    # branches), a derived url expression blew janino's 64 KB method limit
+    # (SortExec fell back to interpreted mode), and even a plain url column
+    # got re-parsed per predicate per row.  CollapseProject keeps multi-use
+    # non-cheap aliases as a separate Project, so codegen stays linear.
+    reqs = (
+        requests.withColumn("__t_host", url_host(t_url))
+        .withColumn("__t_scheme", url_scheme(t_url))
+        .withColumn("__t_path", url_path(t_url))
+        .withColumn("__for_domain", for_domain(F.col("__t_host")))
+    )
     joined = reqs.join(
         F.broadcast(jar), F.col("__for_domain") == F.col("jar_domain"), "inner"
     )
-    return joined.filter(should_send_col(t_url, now_s)).drop("__for_domain")
+    return joined.filter(
+        should_send_parts(
+            F.col("__t_host"), F.col("__t_scheme"), F.col("__t_path"), now_s
+        )
+    ).drop("__t_host", "__t_scheme", "__t_path", "__for_domain")
 
 
 # ---------------------------------------------------------------------------

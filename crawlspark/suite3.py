@@ -496,7 +496,15 @@ def _cookie_fixture(d: DataFrame) -> DataFrame:
         name, F.lit("=v"), s, dom_attr, path_attr, secure_attr,
         max_age_attr, expires_attr, samesite_attr, httponly_attr,
     )
-    return d.select("doc_id", url.alias("url"), header.alias("set_cookie"))
+    # materialize the synthesized columns (fixture-only): without the
+    # lineage cut, parse_set_cookie's validity predicate gets pushed down
+    # THROUGH these projections, substituting the full url/header synth
+    # expressions per use — the fully-inlined filter exceeds janino's
+    # 64 KB method limit and drops the stage to interpreted eval.  A real
+    # stored table presents plain columns and never hits this.
+    return d.select(
+        "doc_id", url.alias("url"), header.alias("set_cookie")
+    ).localCheckpoint(eager=False)
 
 
 # shared residue arithmetic for the DuckDB oracle (c = cookie doc_id alias)
