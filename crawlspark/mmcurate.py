@@ -194,3 +194,72 @@ def aspect_bucket_stats(imgs: DataFrame) -> DataFrame:
             F.max("h").cast("long").alias("max_h"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CLIP-score-style alignment filtering (LAION curation's primary filter)
+# ---------------------------------------------------------------------------
+
+ALIGN_THRESHOLD_MILLI = 280  # LAION-400M keeps CLIP cosine >= 0.28
+
+
+def caption_alignment(
+    pairs: DataFrame,
+    threshold_milli: int = ALIGN_THRESHOLD_MILLI,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Image<->caption alignment scoring + threshold filter — the shape of
+    LAION's CLIP-score curation (Schuhmann et al. 2021 §2.2: drop pairs
+    with cosine < 0.28) over embedding columns ALREADY IN the input_hint
+    table.  A production deployment scores with a learned two-tower model;
+    no model ships in this container, so the scorer is a DISCLOSED
+    deterministic stand-in with the same plan shape and cost profile:
+
+    - image tower: the stored 64-bit ``phash`` expanded to a +/-1 vector
+      (pixel-derived, computed once by the codec path — the "precomputed
+      image embedding" column);
+    - text tower: SimHash-style hashed bag-of-tokens — token t lands in
+      dimension ``md5_32(t) % 64`` with sign from hash bit 6;
+    - score: dot(image_vec, text_vec) in [-n_tokens, n_tokens]; the keep
+      rule compares ``1000 * dot >= threshold_milli * n_tokens`` by integer
+      cross-multiplication (bit-exact at any parallelism, SQL-replayable).
+
+    Pure JVM expressions over two stored columns: a narrow map fused into
+    the parquet scan — no shuffle, no UDF — exactly what a learned-embedding
+    dot product compiles to once embeddings are stored columns.  At 100 TB
+    the real-model variant swaps the text tower for a broadcast token
+    table or an Arrow-batched encoder UDF; the filter/threshold plan is
+    unchanged.
+
+    Returns (id, n_cap_tokens, align_dot, keep).
+    """
+    from .textops.dedup import base_hash
+
+    cap, phash = F.col(caption_col), F.col(phash_col)
+    toks = F.filter(F.split(cap, " "), lambda x: x != F.lit(""))
+    # +/-1 per phash bit, unrolled statically (shiftright needs a literal
+    # shift in the Python API; 64 small CASEs beat a dynamic-shift UDF)
+    img_bits = F.array(*[
+        F.when(F.shiftright(phash, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        for b in range(64)
+    ])
+
+    def contrib(acc: Column, t: Column) -> Column:
+        h = base_hash(t)
+        sign = F.when(
+            F.shiftright(h, 6).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1)).cast("long")
+        return acc + sign * F.element_at(img_bits, (h % 64 + 1).cast("int"))
+
+    n = F.size(toks).cast("long")
+    dot = F.aggregate(toks, F.lit(0).cast("long"), contrib)
+    return pairs.select(
+        F.col(id_col),
+        n.alias("n_cap_tokens"),
+        dot.alias("align_dot"),
+        ((n > 0) & (dot * 1000 >= F.lit(threshold_milli) * n)).alias("keep"),
+    )

@@ -1005,6 +1005,67 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_df(d, n_merges=8)
 
 
+def q_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score-style alignment filter (mmcurate.caption_alignment) over
+    an input_hint-shaped pair table: image tower = stored phash bits, text
+    tower = SimHash-style hashed caption bag-of-tokens, keep rule by
+    integer cross-multiplication at the LAION 0.28 threshold.  The gate
+    fixture derives phash arithmetically from doc_id (md5-based, so DuckDB
+    replays the WHOLE chain value-exactly); the codec-path composition
+    (real pixel-derived phash) is pytest-verified against a pure-Python
+    twin in tests/test_mmcurate.py."""
+    from . import images as _images
+    from . import mmcurate as _mm
+    from .textops.dedup import base_hash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    doc_s = F.col("doc_id").cast("string")
+    h1 = base_hash(F.concat(F.lit("ph1:"), doc_s)) % F.lit(2147483648)
+    h2 = base_hash(F.concat(F.lit("ph2:"), doc_s))
+    pairs = docs.select(
+        F.concat(F.lit("img-"), doc_s).alias("image_id"),
+        _images.ref_caption_col(F.col("text")).alias("caption"),
+        (h1 * F.lit(4294967296) + h2).cast("long").alias("phash"),
+    )
+    return _mm.caption_alignment(pairs)
+
+
+def _caption_alignment_oracle() -> str:
+    from .suite2 import _ORACLE_CAPTION_SQL
+
+    bh = BASE_HASH_SQL
+    sign = f"(CASE WHEN (({bh.format(x='t')} >> 6) & 1) = 1 THEN 1 ELSE -1 END)"
+    img_bit = (
+        f"(CASE WHEN ((phash >> ({bh.format(x='t')} % 64)) & 1) = 1 "
+        "THEN 1 ELSE -1 END)"
+    )
+    ph1 = bh.format(x="'ph1:' || CAST(doc_id AS VARCHAR)")
+    ph2 = bh.format(x="'ph2:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH pairs AS (
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+         {_ORACLE_CAPTION_SQL} AS caption,
+         ({ph1} % 2147483648) * 4294967296 + {ph2} AS phash
+  FROM documents
+),
+tok AS (
+  SELECT image_id, phash,
+         list_filter(str_split(caption, ' '), x -> x <> '') AS toks
+  FROM pairs
+),
+scored AS (
+  SELECT image_id,
+         CAST(len(toks) AS BIGINT) AS n_cap_tokens,
+         CAST(COALESCE(list_sum(list_transform(toks,
+              t -> {sign} * {img_bit})), 0) AS BIGINT) AS align_dot
+  FROM tok
+)
+SELECT image_id, n_cap_tokens, align_dot,
+       (n_cap_tokens > 0 AND 1000 * align_dot >= 280 * n_cap_tokens) AS keep
+FROM scored
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (3 power iterations, d=0.85) over the
     formula link graph — the frontier-prioritization / quality-weighting
@@ -1024,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "gopher_rules": q_gopher_rules,
         "pagerank": q_pagerank,
+        "caption_alignment": q_caption_alignment,
         "bpe_merges": q_bpe_merges,
         "dsir_weights": q_dsir_weights,
         "bm25_top_terms": q_bm25_top_terms,
@@ -1049,6 +1111,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": ORACLE_C4_CLEAN,
         "gopher_rules": ORACLE_GOPHER_RULES,
         "pagerank": _pagerank_oracle(),
+        "caption_alignment": _caption_alignment_oracle(),
         "dsir_weights": ORACLE_DSIR,
         "bm25_top_terms": ORACLE_BM25,
         "main_content": ORACLE_MAIN_CONTENT,
