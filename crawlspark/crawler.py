@@ -1116,7 +1116,7 @@ class Dom(Step):
         from . import cssq
 
         for spec in mapping.values():
-            sel = spec.partition("@")[0].strip()
+            sel, _attr = cssq.split_target_spec(spec)
             if sel:  # empty selector = the base node itself
                 cssq.parse_selector(sel)
         self.mapping = dict(mapping)
@@ -1136,8 +1136,7 @@ class Dom(Step):
             from . import cssq, extract as ex
 
             def target(inner: str, spec: str):
-                sel, _, attr = spec.partition("@")
-                sel, attr = sel.strip(), attr.strip()
+                sel, attr = cssq.split_target_spec(spec)
                 hits = cssq.find_elements(inner, sel) if sel else [
                     (None, "", inner)
                 ]

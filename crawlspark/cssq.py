@@ -4,12 +4,17 @@ The container has no lxml, so the DOM-flavored operators (IsEmptyInHtml /
 IsEmptyInXml stop rules, SimpleWebsitePaginator's pagination-links selector —
 reference: src/Steps/Loading/Http/Paginators/StopRules/IsEmptyInDom.php:24-56,
 SimpleWebsitePaginator.php:110-140) run on a deliberately small selector
-subset that covers the reference's own test usage (`.pagination`,
-`.nextPageLink`, `#id`, `tag`, `tag.class`, and one descendant combinator
-`A B`):
+subset that covers the reference's own test usage:
 
-- simple selector: ``tag``, ``.class``, ``#id``, ``tag.class``, ``tag#id``
-- descendant combinator: ``A B`` (one level of nesting search)
+- CSS: ``tag``, ``.class``, ``#id``, ``tag.class``, ``tag#id``,
+  ``[attr]``/``[attr=v]``/``[attr*=v]``, descendant (``A B``) and child
+  (``A > B``) combinators
+- XPath (reference Html/XPathQuery.php; every form its tests use):
+  ``//tag``, ``//*``, ``[@attr='v']``, ``[contains(@attr,'v')]``,
+  ``//a/b`` child steps — ``parse_selector`` routes any selector starting
+  with ``/`` through :func:`parse_xpath`, so every DOM-flavored operator
+  (Dom step, stop rules, paginators, GetLinks selector) accepts both
+  syntaxes, like the reference's DomQuery
 
 Matching is a linear scan that counts same-tag nesting to find the element's
 closing tag, so inner HTML extraction is exact for well-formed markup.
@@ -26,29 +31,138 @@ from dataclasses import dataclass
 @dataclass(frozen=True)
 class SimpleSelector:
     tag: str | None = None  # None = any tag
-    cls: str | None = None
+    cls: str | None = None  # CSS class-TOKEN membership
     id: str | None = None
+    # generic attribute predicates: (name, op, value) with op '=' (exact
+    # attribute equality — XPath [@a='v'] / CSS [a=v]) or '*=' (substring —
+    # XPath contains(@a,'v') / CSS [a*=v])
+    attrs: tuple = ()
+    # True = element must be a DIRECT child of the previous level's match
+    # (XPath '/' step, CSS '>' combinator); False = any descendant
+    child: bool = False
 
 
 _SIMPLE_RE = re.compile(
-    r"^([a-zA-Z][a-zA-Z0-9_-]*)?(?:\.([\w-]+)|#([\w-]+))?$"
+    r"^([a-zA-Z][a-zA-Z0-9_-]*|\*)?(?:\.([\w-]+)|#([\w-]+))?((?:\[[^\]]*\])*)$"
 )
+_CSS_ATTR_RE = re.compile(r"^\[\s*([\w-]+)\s*(?:(\*?=)\s*(?:'([^']*)'|\"([^\"]*)\"|([^\s\]]+)))?\s*\]$")
+
+
+def _parse_css_part(p: str, sel: str, child: bool) -> SimpleSelector:
+    m = _SIMPLE_RE.match(p)
+    if not m or not p:
+        raise ValueError(f"unsupported CSS selector: {sel!r}")
+    tag = m.group(1)
+    attrs = []
+    for br in re.findall(r"\[[^\]]*\]", m.group(4) or ""):
+        am = _CSS_ATTR_RE.match(br)
+        if not am:
+            raise ValueError(f"unsupported attribute selector in {sel!r}")
+        if am.group(2) is None:  # bare [attr] = attribute present
+            attrs.append((am.group(1), "*=", ""))
+        else:
+            val = next(g for g in am.groups()[2:] if g is not None)
+            attrs.append((am.group(1), am.group(2), val))
+    return SimpleSelector(
+        tag=None if tag in (None, "*") else tag,
+        cls=m.group(2), id=m.group(3), attrs=tuple(attrs), child=child,
+    )
 
 
 def parse_selector(sel: str) -> list[SimpleSelector]:
-    """Parse into a descendant chain (outermost first).  Raises ValueError
-    on syntax outside the supported subset — mirrors the reference's
-    InvalidDomQueryException for bad selectors (DomQuery.php)."""
+    """Parse into a matcher chain (outermost first).  Accepts the CSS
+    subset (``tag``/``.class``/``#id``/``[attr]``/``[attr=v]``/``[attr*=v]``,
+    descendant and ``>`` child combinators) and — when the string starts
+    with ``/`` — the XPath subset the reference's DomQuery supports
+    (Html/XPathQuery.php): ``//tag``, ``/child`` steps, ``[@attr='v']``,
+    ``[contains(@attr,'v')]``, ``*``.  Raises ValueError on syntax outside
+    the subset — mirrors the reference's InvalidDomQueryException."""
+    if sel.lstrip().startswith("/"):
+        return parse_xpath(sel)
     parts = sel.strip().split()
-    out = []
+    out: list[SimpleSelector] = []
+    child = False
     for p in parts:
-        m = _SIMPLE_RE.match(p)
-        if not m or not p:
-            raise ValueError(f"unsupported CSS selector: {sel!r}")
-        out.append(SimpleSelector(tag=m.group(1), cls=m.group(2), id=m.group(3)))
-    if not out:
-        raise ValueError("empty CSS selector")
+        if p == ">":
+            if not out or child:
+                raise ValueError(f"misplaced '>' in selector: {sel!r}")
+            child = True
+            continue
+        out.append(_parse_css_part(p, sel, child))
+        child = False
+    if child or not out:
+        raise ValueError(f"empty or dangling CSS selector: {sel!r}")
     return out
+
+
+_XPATH_STEP_RE = re.compile(r"^(\*|[a-zA-Z][\w-]*)((?:\[[^\]]*\])*)$")
+_XPATH_PRED_EQ_RE = re.compile(r"^\[@([\w-]+)\s*=\s*(?:'([^']*)'|\"([^\"]*)\")\]$")
+_XPATH_PRED_CONTAINS_RE = re.compile(
+    r"^\[contains\(\s*@([\w-]+)\s*,\s*(?:'([^']*)'|\"([^\"]*)\")\s*\)\]$"
+)
+
+
+def parse_xpath(xp: str) -> list[SimpleSelector]:
+    """XPath subset -> matcher chain: ``//a[@id='x']/b//c[contains(@class,
+    'v')]``.  ``//`` = descendant step, ``/`` = direct-child step; the
+    matching engine enforces both exactly (depth-tracked scan)."""
+    s = xp.strip()
+    out: list[SimpleSelector] = []
+    i = 0
+    while i < len(s):
+        if s[i] != "/":
+            raise ValueError(f"unsupported XPath (expected '/'): {xp!r}")
+        if s.startswith("//", i):
+            child, i = False, i + 2
+        else:
+            child, i = True, i + 1
+        j = s.find("/", i)
+        # '/' inside a [...] predicate belongs to the step, not a separator
+        while j != -1 and s.count("[", i, j) != s.count("]", i, j):
+            j = s.find("/", j + 1)
+        step, i = (s[i:], len(s)) if j == -1 else (s[i:j], j)
+        m = _XPATH_STEP_RE.match(step)
+        if not m or not step:
+            raise ValueError(f"unsupported XPath step {step!r} in {xp!r}")
+        attrs = []
+        sel_id = None
+        for br in re.findall(r"\[[^\]]*\]", m.group(2) or ""):
+            pm = _XPATH_PRED_EQ_RE.match(br)
+            if pm:
+                name = pm.group(1)
+                val = pm.group(2) if pm.group(2) is not None else pm.group(3)
+                if name == "id":
+                    sel_id = val
+                else:
+                    attrs.append((name, "=", val))
+                continue
+            pm = _XPATH_PRED_CONTAINS_RE.match(br)
+            if pm:
+                val = pm.group(2) if pm.group(2) is not None else pm.group(3)
+                attrs.append((pm.group(1), "*=", val))
+                continue
+            raise ValueError(f"unsupported XPath predicate {br!r} in {xp!r}")
+        out.append(SimpleSelector(
+            tag=None if m.group(1) == "*" else m.group(1),
+            id=sel_id, attrs=tuple(attrs), child=child,
+        ))
+    if not out:
+        raise ValueError("empty XPath")
+    return out
+
+
+def split_target_spec(spec: str) -> tuple[str, str]:
+    """Split an extract-target spec ``'SEL @attr'`` into (selector, attr).
+    Splits on the LAST ``' @'`` so ``@`` inside XPath predicates survives
+    (``\"//a[@id='two'] @href\"`` -> (``//a[@id='two']``, ``href``)); a bare
+    leading ``@attr`` targets the base node itself."""
+    s = spec.strip()
+    if s.startswith("@"):
+        return "", s[1:].strip()
+    if " @" in s:
+        sel, _, attr = s.rpartition(" @")
+        return sel.strip(), attr.strip()
+    return s, ""
 
 
 _TAG_OPEN_RE = re.compile(r"<([a-zA-Z][a-zA-Z0-9_-]*)((?:\s[^>]*?)?)(/?)>", re.DOTALL)
@@ -80,17 +194,25 @@ def _matches(sel: SimpleSelector, tag: str, attrs: str) -> bool:
             return False
     if sel.id is not None and _attr(attrs, "id") != sel.id:
         return False
+    for name, op, val in sel.attrs:
+        got = _attr(attrs, name)
+        if got is None:
+            return False
+        if op == "=" and got != val:
+            return False
+        if op == "*=" and val not in got:
+            return False
     return True
 
 
-def _element_end(source: str, open_match: re.Match, tag: str) -> int:
+def _element_end(source: str, open_end: int, tag: str, self_closed: bool) -> int:
     """Index just past the element's closing tag (nesting-aware); for void /
     self-closed elements, just past the open tag."""
-    if open_match.group(3) == "/" or tag.lower() in _VOID_TAGS:
-        return open_match.end()
+    if self_closed:
+        return open_end
     depth = 1
     pat = re.compile(r"<(/?)" + re.escape(tag) + r"(?=[\s/>])[^>]*>", re.IGNORECASE)
-    pos = open_match.end()
+    pos = open_end
     while depth:
         m = pat.search(source, pos)
         if not m:
@@ -103,10 +225,41 @@ def _element_end(source: str, open_match: re.Match, tag: str) -> int:
     return pos
 
 
+_ANY_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9_-]*)((?:\s[^>]*?)?)(/?)>", re.DOTALL
+)
+
+
+def _iter_matches(region: str, s: SimpleSelector):
+    """(open_start, open_end, tag, attrs, self_closed) of elements matching
+    ``s`` in document order.  Descendant steps scan open tags anywhere;
+    child steps track nesting depth and match only region-top-level
+    elements (XPath '/' and CSS '>' exact semantics)."""
+    if not s.child:
+        for m in _TAG_OPEN_RE.finditer(region):
+            tag = m.group(1)
+            self_closed = m.group(3) == "/" or tag.lower() in _VOID_TAGS
+            if _matches(s, tag, m.group(2)):
+                yield m.start(), m.end(), tag, m.group(2), self_closed
+        return
+    depth = 0
+    for m in _ANY_TAG_RE.finditer(region):
+        if m.group(1):  # closing tag
+            depth = max(0, depth - 1)
+            continue
+        tag, attrs = m.group(2), m.group(3) or ""
+        self_closed = m.group(4) == "/" or tag.lower() in _VOID_TAGS
+        if depth == 0 and _matches(s, tag, attrs):
+            yield m.start(), m.end(), tag, attrs, self_closed
+        if not self_closed:
+            depth += 1
+
+
 def find_elements(source: str, sel: str) -> list[tuple[str, str, str]]:
-    """All elements matching the selector, document order:
-    (tag, attrs-string, inner-source).  Descendant chains search inside the
-    previous level's matched elements."""
+    """All elements matching the selector (CSS or XPath subset), document
+    order: (tag, attrs-string, inner-source).  Each chain level searches
+    inside the previous level's matched elements (child steps only at the
+    region's top nesting level)."""
     chain = parse_selector(sel)
     # regions carry their absolute offset into `source` so a descendant
     # level can dedup by element position: when nested ancestors BOTH match
@@ -118,22 +271,15 @@ def find_elements(source: str, sel: str) -> list[tuple[str, str, str]]:
         hits: list[tuple[int, str, str, str, int]] = []
         seen_pos: set[int] = set()
         for off, region in regions:
-            for m in _TAG_OPEN_RE.finditer(region):
-                tag = m.group(1)
-                if not _matches(s, tag, m.group(2)):
-                    continue
-                abs_start = off + m.start()
+            for start, open_end, tag, attrs, self_closed in _iter_matches(region, s):
+                abs_start = off + start
                 if abs_start in seen_pos:
                     continue
                 seen_pos.add(abs_start)
-                end = _element_end(region, m, tag)
-                close_len = (
-                    0
-                    if (m.group(3) == "/" or tag.lower() in _VOID_TAGS)
-                    else len(tag) + 3
-                )
-                inner = region[m.end(): max(m.end(), end - close_len)]
-                hits.append((abs_start, tag, m.group(2), inner, off + m.end()))
+                end = _element_end(region, open_end, tag, self_closed)
+                close_len = 0 if self_closed else len(tag) + 3
+                inner = region[open_end: max(open_end, end - close_len)]
+                hits.append((abs_start, tag, attrs, inner, off + open_end))
         # true document order even when overlapping regions interleave
         hits.sort(key=lambda h: h[0])
         if level < len(chain) - 1:

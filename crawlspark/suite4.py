@@ -1005,6 +1005,62 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_df(d, n_merges=8)
 
 
+def q_dom_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dom step driven by XPATH selectors (reference Html/XPathQuery.php;
+    Dom::xPath — HtmlTest.php:58-77): child step ``/li`` excludes the
+    section-nested item, ``contains(@class,...)`` matches the multi-class
+    attribute, and the ``@href`` target splits correctly despite the ``@``
+    inside the predicate.  Same engine as the CSS path (cssq), same
+    Arrow-batched pandas_udf plan."""
+    from .crawler import Dom
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    doc = F.col("doc_id")
+    item = lambda v, cls: F.concat(  # noqa: E731
+        F.lit(f'<li class="{cls}"><span class="name">n'), v.cast("string"),
+        F.lit('</span><a class="lnk" href="/d/'), v.cast("string"),
+        F.lit('">x</a></li>'),
+    )
+    body = F.concat(
+        F.lit('<html><body><div id="list">'),
+        item(doc * 3 + 1, "item first"),
+        F.lit("<section>"), item(doc * 7 + 3, "item deep"), F.lit("</section>"),
+        item(doc * 5 + 2, "item"),
+        F.lit("</div></body></html>"),
+    )
+    io = d.select(
+        doc.alias("_input_id"),
+        doc.alias("_ord"),
+        F.struct(
+            F.lit("http://x.test/").alias("url"),
+            F.lit(200).alias("status"),
+            body.alias("body"),
+        ).alias("value"),
+    )
+    step = Dom(each="//div[@id='list']/li[contains(@class, 'item')]").extract(
+        {"name": "//span[@class='name']", "link": "//a[@class='lnk'] @href"}
+    )
+    return step.apply(io).select(
+        F.col("_input_id").alias("doc_id"),
+        (F.col("_ord") % 1000).cast("int").alias("pos"),
+        F.col("value.name").alias("name"),
+        F.col("value.link").alias("link"),
+    )
+
+
+ORACLE_DOM_XPATH = """
+SELECT doc_id, CAST(0 AS INTEGER) AS pos,
+       'n' || CAST(doc_id * 3 + 1 AS VARCHAR) AS name,
+       '/d/' || CAST(doc_id * 3 + 1 AS VARCHAR) AS link
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(1 AS INTEGER) AS pos,
+       'n' || CAST(doc_id * 5 + 2 AS VARCHAR) AS name,
+       '/d/' || CAST(doc_id * 5 + 2 AS VARCHAR) AS link
+FROM documents
+"""
+
+
 def q_caption_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLIP-score-style alignment filter (mmcurate.caption_alignment) over
     an input_hint-shaped pair table: image tower = stored phash bits, text
@@ -1086,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "pagerank": q_pagerank,
         "caption_alignment": q_caption_alignment,
+        "dom_xpath": q_dom_xpath,
         "bpe_merges": q_bpe_merges,
         "dsir_weights": q_dsir_weights,
         "bm25_top_terms": q_bm25_top_terms,
@@ -1112,6 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": ORACLE_GOPHER_RULES,
         "pagerank": _pagerank_oracle(),
         "caption_alignment": _caption_alignment_oracle(),
+        "dom_xpath": ORACLE_DOM_XPATH,
         "dsir_weights": ORACLE_DSIR,
         "bm25_top_terms": ORACLE_BM25,
         "main_content": ORACLE_MAIN_CONTENT,

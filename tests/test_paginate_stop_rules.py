@@ -51,8 +51,13 @@ def test_cssq_nested_same_tag_inner():
 
 
 def test_cssq_rejects_unsupported_selector():
+    # child combinator IS supported now (test_xpath.py); siblings and
+    # pseudo-classes remain outside the subset
+    assert [s.child for s in cssq.parse_selector("a > b")] == [False, True]
     with pytest.raises(ValueError):
-        cssq.parse_selector("a > b")
+        cssq.parse_selector("a ~ b")
+    with pytest.raises(ValueError):
+        cssq.parse_selector("li:nth-child(2)")
 
 
 # ---- stop rules over columns ---------------------------------------------
