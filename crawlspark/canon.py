@@ -173,6 +173,50 @@ THREE_PART_SUFFIXES = frozenset(
 )
 
 
+# Tracking / session query parameters that alias the same resource (public
+# knowledge: the utm_* convention plus the major ad-click and session ids).
+# Stripping them is standard crawler identity hygiene — every alias that
+# survives canonicalization is a duplicate fetch AND a duplicate seen-set
+# entry at 10^10-URL scale.  The reference reaches the same effect manually
+# via UrlRefiner::withQuery (src/Steps/Refiners/Url/WithQuery.php); this op
+# packages the crawl-specific default list.
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z0-9_]*|gclid|gclsrc|dclid|fbclid|msclkid|twclid|yclid|igshid"
+    r"|mc_eid|mc_cid|_ga|_gl|_hsenc|_hsmi|hsctatracking|oly_anon_id|oly_enc_id"
+    r"|vero_id|wickedid|rb_clickid|s_cid|ml_subscriber|ml_subscriber_hash"
+    r"|phpsessid|jsessionid|aspsessionid[a-z]*|sessionid|cfid|cftoken|zanpid)$"
+)
+# ';jsessionid=...' is carried in the PATH by Java servlet containers
+_JSESSIONID_PATH_RE = r"(?i);jsessionid=[^/?#]*"
+
+
+def strip_tracking_params(url_norm: Column) -> Column:
+    """Drop tracking/session query params (and the ``;jsessionid`` path
+    matrix parameter) from an already-canonicalized URL.
+
+    Pure Column expressions — split the query on '&', HOF-filter out names
+    matching :data:`TRACKING_PARAM_RE` (case-insensitive on the name only),
+    rejoin; '?' disappears when nothing survives.  Stays inside
+    WholeStageCodegen, so it fuses into the same narrow map as
+    :func:`canonicalize_expr` + :func:`url_hash` on the frontier hot path.
+    """
+    no_query = F.substring_index(url_norm, "?", 1)
+    query = F.when(
+        F.instr(url_norm, "?") > 0, F.substring_index(url_norm, "?", -1)
+    ).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda kv: ~F.lower(F.substring_index(kv, "=", 1)).rlike(
+            TRACKING_PARAM_RE
+        ),
+    )
+    new_query = F.array_join(kept, "&")
+    base = F.regexp_replace(no_query, _JSESSIONID_PATH_RE, "")
+    return F.when(
+        (query == "") | (new_query == ""), base
+    ).otherwise(F.concat(base, F.lit("?"), new_query))
+
+
 def registrable_domain(host: Column) -> Column:
     """Registrable domain for sameDomain()/cookie scoping (reference keys
     cookies + sameDomain checks by registrable domain,

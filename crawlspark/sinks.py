@@ -134,6 +134,66 @@ class ResponseCache:
         shutil.move(tmp, self.path)
 
 
+def write_results_table(
+    df: DataFrame,
+    path: str,
+    host_col: str = "host",
+    order_col: str = "ord",
+    num_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Host-bucketed, crawl-order-clustered results sink — the parquet
+    stand-in for the north-star's Iceberg image+caption results table
+    (``PARTITIONED BY (bucket(N, host))`` + ``WRITE ORDERED BY ord``).
+
+    Layout decisions, each a 100 TB property:
+
+    - ``host_bucket = pmod(xxhash64(host), N)`` partition directories: a
+      reader filtering on host prunes to ONE bucket directory (1/N of the
+      data) before any row is read; politeness/recrawl jobs that are
+      per-host by nature inherit host-locality from the layout instead of
+      re-shuffling the table.
+    - ONE ``repartition(N, host_bucket)`` before the write: exactly one
+      file per bucket per write commit (no small-file explosion — at 10^10
+      rows the alternative, per-task files x N dirs, melts the metadata
+      layer).
+    - ``sortWithinPartitions(host_bucket, host, ord)``: rows inside each
+      file are clustered by host then crawl order, so parquet row-group
+      min/max stats turn host + ord-range predicates into row-group skips.
+    """
+    out = df.withColumn(
+        "host_bucket", F.pmod(F.xxhash64(F.col(host_col)), F.lit(num_buckets))
+    )
+    (
+        out.repartition(num_buckets, "host_bucket")
+        .sortWithinPartitions("host_bucket", host_col, order_col)
+        .write.mode(mode)
+        .partitionBy("host_bucket")
+        .parquet(path)
+    )
+
+
+def read_results_for_host(
+    spark: SparkSession, path: str, host: str, num_buckets: int = 32
+) -> DataFrame:
+    """Read back one host's rows with partition pruning: the host predicate
+    is rewritten into its ``host_bucket`` partition filter, so the scan
+    touches 1/num_buckets of the files (asserted by the PartitionFilters
+    plan test), then the exact host filter runs on that slice."""
+    df = spark.read.parquet(path)
+    # Spark's xxhash64 is the seeded row-hash variant — derive the bucket
+    # with the SAME expression the writer used (a 1-row local-relation job;
+    # at plan time this is a literal, so the partition filter prunes).
+    bucket = (
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(host)), F.lit(num_buckets)).alias("b"))
+        .head()[0]
+    )
+    return df.where(
+        (F.col("host_bucket") == F.lit(int(bucket))) & (F.col("host") == host)
+    )
+
+
 def request_key(method, url, body=None):
     """Request fingerprint (reference: md5(serialize(method,uri,headers-Cookie,
     body)), src/Utils/RequestKey.php:26-42) — xxhash64 per north_rule."""

@@ -133,6 +133,81 @@ def politeness_admission_stream(
 
 
 # --------------------------------------------------------------------------
+# continuous image-payload validation (north-rule invariants as a stream)
+# --------------------------------------------------------------------------
+
+IMAGE_STREAM_SCHEMA = (
+    "image_id STRING, bytes BINARY, w INT, h INT, fmt STRING, "
+    "caption STRING, phash LONG"
+)  # == images.IMAGE_SCHEMA (the input_hint table shape)
+
+
+def image_validation_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    ref_captions: DataFrame,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Continuous payload validation: input_hint image rows arrive on a
+    parquet file stream (an Iceberg CDC feed / Kafka in production), the
+    north-rule per-row invariants — decoded-pixel allclose / PSNR >= 40 dB
+    for lossy, phash equality, exact caption equality — run per micro-batch
+    through the SAME Arrow ``mapInPandas`` stage the batch pipeline uses
+    (images.validate_images), and each batch appends passing rows to
+    ``out_dir/results`` and the rest to ``out_dir/quarantine`` with batch
+    provenance.
+
+    foreachBatch rather than a streaming join: the validation itself is
+    stateless per row, and the caption reference is a STATIC relation —
+    a static-batch join inside the batch closure needs no watermark and
+    reuses the batch plan (broadcast when small).  The streaming
+    checkpoint makes file delivery exactly-once across restarts; a batch's
+    two writes are idempotent per batch_id (re-run overwrites the same
+    provenance slice semantics an Iceberg MERGE would give)."""
+    from . import images
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        checks = images.validate_images(batch).select(
+            "image_id", "psnr_mdb", "lossless_ok", "phash_match"
+        )
+        validated = batch.join(checks, "image_id").join(
+            F.broadcast(ref_captions), "image_id", "left"
+        )
+        valid = (
+            (F.col("psnr_mdb") >= 40_000)
+            & F.col("lossless_ok")
+            & F.col("phash_match")
+        )
+        caption_ok = F.coalesce(
+            F.col("caption") == F.col("ref_caption"), F.lit(False)
+        )
+        out = validated.select(
+            "image_id", "fmt", "caption", "psnr_mdb",
+            F.coalesce(valid, F.lit(False)).alias("valid"),
+            caption_ok.alias("caption_ok"),
+            F.lit(int(batch_id)).cast("long").alias("batch_id"),
+        ).localCheckpoint(eager=True)  # one validation pass feeds both sinks
+        ok = out.filter(F.col("valid") & F.col("caption_ok"))
+        bad = out.filter(~(F.col("valid") & F.col("caption_ok")))
+        ok.write.mode("append").parquet(f"{out_dir}/results")
+        if bad.count():
+            bad.write.mode("append").parquet(f"{out_dir}/quarantine")
+
+    q = (
+        spark.readStream.schema(IMAGE_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# --------------------------------------------------------------------------
 # continuous crawl: foreachBatch micro-batch BFS with persistent seen state
 # --------------------------------------------------------------------------
 

@@ -1,0 +1,211 @@
+"""Round-2 continuation queries, part 3: URL tracking-param hygiene,
+temperature-scaled source mixing, the host-bucketed results-table sink
+(write -> partition-pruned read roundtrip), and frozen-table BPE encoding.
+
+Every query follows the house rules: deterministic fixtures derived from
+the parquet tables, DuckDB oracles replaying the identical computation in
+ANSI SQL, aligned column names/types on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import graph, sinks
+from .canon import canonicalize_expr, strip_tracking_params
+from .textops.bpe import bpe_encode_col, bpe_encode_oracle_sql
+from .textops.curate import temperature_sample
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# url_strip_tracking — tracking/session-param strip on canonical URLs
+# --------------------------------------------------------------------------
+
+def q_url_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """canonicalize -> strip utm_*/gclid/fbclid/... query params and the
+    ;jsessionid path matrix param (crawl identity hygiene: every surviving
+    alias is a duplicate fetch + seen-set entry at 10^10 URLs).  Four URL
+    shapes by doc_id % 4: clean / tracking-only query / mixed query /
+    jsessionid path + mixed query.  Pure Column expressions; the oracle
+    states the expected string arithmetically."""
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    base = F.concat(
+        F.lit("HTTP://H"), (doc % 10).cast("string"),
+        F.lit(".Example.TEST/p/"), s,
+    )
+    shape = doc % 4
+    raw = (
+        F.when(shape == 0, base)
+        .when(shape == 1, F.concat(
+            base, F.lit("?utm_source=s"), (doc % 5).cast("string"),
+            F.lit("&gclid=g"), s))
+        .when(shape == 2, F.concat(
+            base, F.lit("?z="), (doc % 7).cast("string"),
+            F.lit("&utm_campaign=c&a="), (doc % 3).cast("string")))
+        .otherwise(F.concat(
+            base, F.lit(";JSESSIONID=S"), s,
+            F.lit("?fbclid=f"), s, F.lit("&id="), (doc % 9).cast("string")))
+    )
+    return _docs(spark, sf_dir).select(
+        doc.alias("doc_id"),
+        strip_tracking_params(canonicalize_expr(raw)).alias("url_clean"),
+    )
+
+
+ORACLE_STRIP_TRACKING = """
+SELECT doc_id,
+  'http://h' || CAST(doc_id % 10 AS VARCHAR) || '.example.test/p/' ||
+  CAST(doc_id AS VARCHAR) ||
+  CASE CAST(doc_id % 4 AS INTEGER)
+    WHEN 2 THEN '?a=' || CAST(doc_id % 3 AS VARCHAR)
+             || '&z=' || CAST(doc_id % 7 AS VARCHAR)
+    WHEN 3 THEN '?id=' || CAST(doc_id % 9 AS VARCHAR)
+    ELSE ''
+  END AS url_clean
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# temperature_sample — T=0.5 source mixing with data-derived rates
+# --------------------------------------------------------------------------
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixing over a skewed synthetic source split
+    (60/30/10): keep-rate per source = sqrt(n_s/n_max) in permille,
+    derived from the observed counts in integer arithmetic (count ->
+    1-row max -> broadcast rate table -> salted-hash keep filter)."""
+    doc = F.col("doc_id")
+    src = (
+        F.when(doc % 10 < 6, F.lit("web"))
+        .when(doc % 10 < 9, F.lit("books"))
+        .otherwise(F.lit("code"))
+    )
+    d = _docs(spark, sf_dir).select(doc.alias("doc_id"), src.alias("source"))
+    return temperature_sample(d, source_col="source", id_col="doc_id").select(
+        "doc_id", "source", "keep_permille", "sample_bucket"
+    )
+
+
+ORACLE_TEMPERATURE = """
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 6 THEN 'web'
+              WHEN doc_id % 10 < 9 THEN 'books'
+              ELSE 'code' END AS source
+  FROM documents
+), c AS (
+  SELECT source, COUNT(*) AS n FROM src GROUP BY source
+), m AS (
+  SELECT MAX(n) AS nmax FROM c
+), r AS (
+  SELECT source,
+         CAST(FLOOR(SQRT(CAST(((1000000 * n) // nmax) AS DOUBLE))) AS BIGINT)
+           AS keep_permille
+  FROM c, m
+), b AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000 AS sample_bucket
+  FROM src
+)
+SELECT b.doc_id, b.source, r.keep_permille, b.sample_bucket
+FROM b JOIN r USING (source)
+WHERE sample_bucket < keep_permille
+"""
+
+
+# --------------------------------------------------------------------------
+# results_table — host-bucketed Iceberg-layout sink, write -> pruned read
+# --------------------------------------------------------------------------
+
+def q_results_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end sink roundtrip: write the page corpus host-bucketed +
+    crawl-order-clustered (sinks.write_results_table), read ONE host back
+    through the bucket-pruned path, return its rows.  The oracle states
+    the same host slice directly — equality proves the layout write and
+    the pruned read both preserve content."""
+    pages = graph.pages(spark, sf_dir).withColumn("ord", F.col("doc"))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/crawlspark_results_table_{tag}"
+    sinks.write_results_table(
+        pages.select("doc", "url", "host", "ord"), path, num_buckets=8
+    )
+    back = sinks.read_results_for_host(
+        spark, path, "h3.example.test", num_buckets=8
+    )
+    return back.select(F.col("doc").alias("doc_id"), "url", "ord")
+
+
+ORACLE_RESULTS_TABLE = f"""
+WITH p AS (SELECT doc_id AS doc FROM documents)
+SELECT doc AS doc_id, {graph._URL_SQL} AS url, doc AS ord
+FROM p WHERE doc % 10 = 3
+"""
+
+
+# --------------------------------------------------------------------------
+# bpe_encode — frozen merge table applied corpus-wide, UDF-free
+# --------------------------------------------------------------------------
+
+# Frozen tokenizer artifact: 16 merges trained once on the gate corpus
+# (bpe_train over sf0.01 documents.text; training itself is oracle'd by
+# q:bpe_merges' differential test).  Shipped as literals — encoding with a
+# FIXED vocabulary over varying corpora is the production op.
+FROZEN_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"),
+    ("o", "w"), ("ow", "</w>"), ("o", "r"), ("s", "t"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("i", "n"),
+    ("a", "</w>"), ("g", "</w>"), ("y", "</w>"), ("a", "r"),
+]
+_BPE_ROUNDS = 2
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the frozen BPE merge table to every document — pure Column
+    expressions (paren-framed symbol string + one literal replace per
+    merge per sweep), so the encoder fuses into the scan: no UDF, no
+    shuffle, narrow at any scale."""
+    toks = bpe_encode_col(F.col("text"), FROZEN_MERGES, rounds=_BPE_ROUNDS)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(toks, " ").alias("bpe_tokens"),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    expr = bpe_encode_oracle_sql("text", FROZEN_MERGES, rounds=_BPE_ROUNDS)
+    return f"""
+SELECT doc_id,
+       array_to_string({expr}, ' ') AS bpe_tokens,
+       CAST(len({expr}) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "url_strip_tracking": q_url_strip_tracking,
+        "temperature_sample": q_temperature_sample,
+        "results_table": q_results_table,
+        "bpe_encode": q_bpe_encode,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "url_strip_tracking": ORACLE_STRIP_TRACKING,
+        "temperature_sample": ORACLE_TEMPERATURE,
+        "results_table": ORACLE_RESULTS_TABLE,
+        "bpe_encode": _bpe_encode_oracle(),
+    }

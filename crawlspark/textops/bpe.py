@@ -23,6 +23,7 @@ records the rows-only check.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -119,6 +120,137 @@ def bpe_train_df(df: DataFrame, text_col: str = "text",
         [(r["rank"], r["left"], r["right"], r["pair_count"]) for r in rows],
         "rank LONG, left STRING, right STRING, pair_count LONG",
     )
+
+
+# -- encoder: apply a FROZEN merge table to a corpus ------------------------
+#
+# Training is data-dependent (no static SQL), but ENCODING with a fixed,
+# shipped merge table is the production-shaped op (the tokenizer is frozen;
+# the corpus varies) and it IS SQL-replayable, so it gets a full oracle.
+#
+# Representation trick: a doc becomes "(k)(e)(y)(</w>)(a)(g)(g)(</w>)..."
+# — every symbol wrapped in parens.  One BPE merge (a, b) is then ONE
+# literal string replace "(a)(b)" -> "(ab)": occurrences can't share
+# characters, so engine-native non-overlapping left-to-right replace() is
+# EXACTLY Sennrich's merge pass, bit-identical in Spark and DuckDB.
+# Cross-word false merges are impossible because no trained merge has
+# left == "</w>" (it's word-final by construction).  A full rank-order
+# sweep can expose new occurrences of earlier merges, so the sweep runs
+# ``rounds`` times; the differential test proves fixpoint at that depth.
+# Everything is narrow Column expressions — fuses into the scan, no UDF,
+# no shuffle, trivially right at 100 TB.
+
+
+def wrap_symbols(text) -> "F.Column":
+    """text -> '(c)(c)...(</w>)...' paren-framed symbol string."""
+    clean = F.trim(F.regexp_replace(
+        F.translate(text, "()", ""), r"\s+", " "
+    ))
+    wrapped = F.replace(
+        F.regexp_replace(clean, r"(.)", r"($1)"), F.lit("( )"), F.lit(f"({END})")
+    )
+    return F.when(clean == "", F.lit("")).otherwise(
+        F.concat(wrapped, F.lit(f"({END})"))
+    )
+
+
+def bpe_encode_col(text, merges: list[tuple[str, str]], rounds: int = 2):
+    """Encode ``text`` with a frozen merge table; returns the token array.
+
+    ``merges`` is the ranked [(left, right), ...] artifact from
+    :func:`bpe_train`; ``rounds`` full sweeps bound the rank-restart loop
+    of the textbook encoder.
+
+    Exactness caveat (disclosed): a bounded rank-order sweep matches the
+    textbook priority encoder unless the table contains a chain where a
+    HIGHER-rank merge must fire before a LOWER-rank one becomes newly
+    applicable (e.g. r0=(ab,c), r1=(a,b) on "abcd" with r2=(c,d): sweep
+    gives [ab, cd], priority gives [abc, d]).  tests/test_bpe.py
+    differential-asserts sweep == priority for the SHIPPED table on the
+    gate corpus; for arbitrary tables use :func:`bpe_encode_exact_udf`.
+    """
+    s = wrap_symbols(text)
+    for _ in range(rounds):
+        for a, b in merges:
+            s = F.replace(s, F.lit(f"({a})({b})"), F.lit(f"({a}{b})"))
+    return F.regexp_extract_all(s, F.lit(r"\(([^()]+)\)"), 1)
+
+
+def bpe_encode_oracle_sql(text_sql: str, merges: list[tuple[str, str]],
+                          rounds: int = 2) -> str:
+    """DuckDB expression replaying :func:`bpe_encode_col` bit-for-bit
+    (token array as a VARCHAR[] via regexp_extract_all)."""
+    clean = (
+        f"trim(regexp_replace(replace(replace({text_sql}, '(', ''), ')', ''),"
+        f" '\\s+', ' ', 'g'))"
+    )
+    wrapped = (
+        f"replace(regexp_replace({clean}, '(.)', '(\\1)', 'g'),"
+        f" '( )', '({END})')"
+    )
+    s = f"(CASE WHEN {clean} = '' THEN '' ELSE {wrapped} || '({END})' END)"
+    for _ in range(rounds):
+        for a, b in merges:
+            s = f"replace({s}, '({a})({b})', '({a}{b})')"
+    return f"regexp_extract_all({s}, '\\(([^()]+)\\)', 1)"
+
+
+def bpe_encode_exact_udf(merges: list[tuple[str, str]]):
+    """Exact textbook encoder as an Arrow-batched pandas_udf (the slow
+    path for merge tables where the bounded sweep diverges — see
+    :func:`bpe_encode_col`).  The merge table is captured in the closure
+    (broadcast with the task), work is per-batch vectorized at the word
+    level via a memo dict: Zipf means a batch encodes each distinct word
+    once."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def one(t):
+            if t is None:
+                return None
+            out: list[str] = []
+            for w in t.replace("(", "").replace(")", "").split():
+                if w not in memo:
+                    memo[w] = bpe_encode_py(w, merges)
+                out.extend(memo[w])
+            return out
+
+        return texts.map(one)
+
+    return enc
+
+
+def bpe_encode_py(text: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Textbook encoder twin: repeatedly apply the LOWEST-rank merge whose
+    pair occurs, exhaustively, until no trained pair remains (the
+    rank-restart loop the bounded sweep must converge to)."""
+    rank = {(a, b): i for i, (a, b) in enumerate(merges)}
+    out: list[str] = []
+    for w in text.replace("(", "").replace(")", "").split():
+        syms = list(w) + [END]
+        while True:
+            best, bi = None, None
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            a, b = merges[best]
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        out.extend(syms)
+    return out
 
 
 # -- pure-Python reference (differential-test twin) -------------------------

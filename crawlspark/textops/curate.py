@@ -436,6 +436,50 @@ def rebalance_sources(
     ).where(F.col("sample_bucket") < F.coalesce(rate, F.lit(0)))
 
 
+def temperature_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled source mixing at T = 0.5 (the multilingual-LM
+    recipe: sample source s with probability ∝ n_s^T, so small sources are
+    up-weighted relative to their share — mBERT/XLM-R exponent-smoothing,
+    Conneau & Lample 2019; unlike :func:`rebalance_sources` the rates are
+    DERIVED from the observed counts, not caller-supplied).
+
+    Keep-rate per source = sqrt(n_s / n_max) in permille: the largest
+    source keeps everything, a source 100x smaller keeps 1/10th of its
+    rows — i.e. its share of the mix grows 10x vs proportional sampling.
+
+    Exactness/scale: the rate is computed in INTEGER arithmetic —
+    ``floor(sqrt((10^6 * n_s) div n_max))`` — so the DuckDB oracle replays
+    it bit-for-bit (IEEE sqrt of an exact integer is correctly rounded in
+    both engines; the div is integer on both).  Plan: one map-side-combined
+    count over the corpus, a 1-row max, and a BROADCAST of the tiny rate
+    table back onto the big side — the keep filter itself is the same
+    deterministic salted hash bucket as :func:`hash_sample` (narrow,
+    resume-stable, no shuffle of the corpus).
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    nmax = counts.agg(F.max("__n").alias("__nmax"))
+    rates = (
+        counts.crossJoin(F.broadcast(nmax))
+        .select(
+            source_col,
+            F.floor(
+                F.sqrt(F.expr("(1000000 * __n) div __nmax").cast("double"))
+            ).cast("long").alias("keep_permille"),
+        )
+    )
+    b = sample_bucket(F.col(id_col), salt)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .withColumn("sample_bucket", b.cast("long"))
+        .where(F.col("sample_bucket") < F.col("keep_permille"))
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

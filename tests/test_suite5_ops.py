@@ -1,0 +1,193 @@
+"""Round-2 part-3 operators: tracking-param strip, temperature mixing,
+the host-bucketed results-table sink, and frozen-table BPE encoding."""
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from crawlspark import sinks
+from crawlspark.canon import canonicalize_expr, strip_tracking_params
+from crawlspark.suite5 import FROZEN_MERGES, _BPE_ROUNDS
+from crawlspark.textops.bpe import (
+    bpe_encode_col,
+    bpe_encode_exact_udf,
+    bpe_encode_py,
+)
+from crawlspark.textops.curate import temperature_sample
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# -- strip_tracking_params ---------------------------------------------------
+
+def _strip(spark, url):
+    return (
+        spark.range(1)
+        .select(strip_tracking_params(F.lit(url)).alias("u"))
+        .head()[0]
+    )
+
+
+def test_strip_tracking_cases(spark):
+    cases = {
+        # mixed: tracking params removed, real ones kept in place
+        "http://a.test/p?a=1&utm_source=x&z=2": "http://a.test/p?a=1&z=2",
+        # only tracking -> the '?' disappears too
+        "http://a.test/p?gclid=g&utm_campaign=c": "http://a.test/p",
+        # jsessionid path matrix param (case-insensitive)
+        "http://a.test/p;JSESSIONID=ABC?id=1": "http://a.test/p?id=1",
+        # name match is anchored: 'xutm_a' and 'autm' are NOT tracking
+        "http://a.test/p?xutm_a=1&autm=2": "http://a.test/p?xutm_a=1&autm=2",
+        # name match is on the NAME only, values are untouched
+        "http://a.test/p?q=utm_source": "http://a.test/p?q=utm_source",
+        # no query at all
+        "http://a.test/p": "http://a.test/p",
+        # fbclid / msclkid / session ids
+        "http://a.test/?fbclid=f&msclkid=m&phpsessid=s&keep=1":
+            "http://a.test/?keep=1",
+    }
+    for url, want in cases.items():
+        assert _strip(spark, url) == want, url
+
+
+def test_strip_tracking_composes_with_canonicalize(spark):
+    out = (
+        spark.range(1)
+        .select(
+            strip_tracking_params(
+                canonicalize_expr(
+                    F.lit("HTTP://Ex.COM:80/a;jsessionid=X?utm_b=1&b=2&a=1")
+                )
+            ).alias("u")
+        )
+        .head()[0]
+    )
+    assert out == "http://ex.com/a?a=1&b=2"
+
+
+# -- temperature_sample -------------------------------------------------------
+
+def test_temperature_rates_from_counts(spark):
+    # 400 web / 100 code: rates 1000 and floor(sqrt(250000)) = 500
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 400, F.lit("web")).otherwise(F.lit("code")).alias(
+            "source"
+        ),
+    )
+    out = temperature_sample(df).select("source", "keep_permille").distinct()
+    rates = {r["source"]: r["keep_permille"] for r in out.collect()}
+    assert rates == {"web": 1000, "code": 500}
+
+
+def test_temperature_sample_deterministic_and_upweights_small(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("big")).otherwise(F.lit("small")).alias(
+            "source"
+        ),
+    )
+    a = temperature_sample(df).select("doc_id").collect()
+    b = temperature_sample(df.repartition(7)).select("doc_id").collect()
+    assert sorted(r[0] for r in a) == sorted(r[0] for r in b)
+    kept = temperature_sample(df).groupBy("source").count().collect()
+    share = {r["source"]: r["count"] for r in kept}
+    # big keeps everything (rate 1000); small keeps ~sqrt(1/9) = 1/3 of its
+    # rows, i.e. its mix share rises from 10% toward ~27%
+    assert share["big"] == 900
+    assert 15 <= share["small"] <= 55
+
+
+# -- results table sink --------------------------------------------------------
+
+def test_results_table_roundtrip_layout_and_pruning(spark, tmp_path):
+    from crawlspark import graph
+
+    path = str(tmp_path / "results")
+    pages = graph.pages(spark, SF_DIR).withColumn("ord", F.col("doc"))
+    sinks.write_results_table(
+        pages.select("doc", "url", "host", "ord"), path, num_buckets=8
+    )
+    # one directory per NON-EMPTY bucket (10 hosts may not hit all 8),
+    # ONE data file per bucket per commit
+    n_buckets = (
+        pages.select(
+            F.pmod(F.xxhash64("host"), F.lit(8)).alias("b")
+        ).distinct().count()
+    )
+    dirs = sorted(glob.glob(os.path.join(path, "host_bucket=*")))
+    assert len(dirs) == n_buckets
+    for d in dirs:
+        files = [f for f in glob.glob(os.path.join(d, "*.parquet"))]
+        assert len(files) == 1, d
+
+    # full-content roundtrip
+    back = spark.read.parquet(path)
+    assert back.count() == pages.count()
+    orig = {(r["doc"], r["url"], r["ord"]) for r in pages.select(
+        "doc", "url", "ord").collect()}
+    got = {(r["doc"], r["url"], r["ord"]) for r in back.select(
+        "doc", "url", "ord").collect()}
+    assert got == orig
+
+    # the per-host read path prunes partitions: the scan's PartitionFilters
+    # must carry the host_bucket predicate
+    one = sinks.read_results_for_host(spark, path, "h3.example.test", 8)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "host_bucket" in plan.split(
+        "PartitionFilters", 1)[1].split("]", 1)[0]
+    rows = one.collect()
+    assert rows and all(r["host"] == "h3.example.test" for r in rows)
+    assert {r["doc"] % 10 for r in rows} == {3}
+
+
+# -- BPE encode ----------------------------------------------------------------
+
+def test_bpe_encode_matches_exact_encoder_on_corpus(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    sweep = docs.select(
+        "doc_id",
+        bpe_encode_col(F.col("text"), FROZEN_MERGES, rounds=_BPE_ROUNDS).alias(
+            "t"
+        ),
+    )
+    exact = docs.select(
+        "doc_id", bpe_encode_exact_udf(FROZEN_MERGES)(F.col("text")).alias("t")
+    )
+    a = {r["doc_id"]: r["t"] for r in sweep.collect()}
+    b = {r["doc_id"]: r["t"] for r in exact.collect()}
+    assert a == b
+
+
+def test_bpe_encode_fixpoint_at_shipped_rounds(spark):
+    # one extra sweep changes nothing -> the bounded sweep converged
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    r2 = bpe_encode_col(F.col("text"), FROZEN_MERGES, rounds=_BPE_ROUNDS)
+    r3 = bpe_encode_col(F.col("text"), FROZEN_MERGES, rounds=_BPE_ROUNDS + 1)
+    diff = docs.select(
+        F.when(r2 != r3, 1).otherwise(0).alias("d")
+    ).agg(F.sum("d")).head()[0]
+    assert diff == 0
+
+
+def test_bpe_encode_py_twin_known_case():
+    merges = [("e", "r"), ("er", "</w>"), ("s", "t")]
+    # ster: (e,r)->s t er </w>; (er,</w>)->s t er</w>; (s,t)->st er</w>
+    assert bpe_encode_py("ster er", merges) == ["st", "er</w>", "er</w>"]
+
+
+def test_bpe_sweep_divergence_case_documented(spark):
+    # the disclosed divergence shape: higher-rank merge creates a
+    # lower-rank opportunity the sweep only catches next round — the
+    # exact UDF is the authority there
+    merges = [("ab", "c"), ("a", "b"), ("c", "d")]
+    exact = bpe_encode_py("abcd", merges)
+    assert exact == ["abc", "d", "</w>"]
+    udf_out = (
+        spark.range(1)
+        .select(bpe_encode_exact_udf(merges)(F.lit("abcd")).alias("t"))
+        .head()[0]
+    )
+    assert list(udf_out) == exact
