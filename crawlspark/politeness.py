@@ -282,3 +282,41 @@ def recrawl_schedule(
             .cast("long").alias("next_fetch_ts"),
         )
     )
+
+
+def ip_group_admission(
+    df: DataFrame,
+    host_col: str = "host",
+    ord_col: str = "ord",
+    budget: int = 10,
+    n_groups: int = 64,
+    salt: str = "dns",
+) -> DataFrame:
+    """Server-level (IP-group) politeness: many small sites share one
+    server behind virtual hosting / a CDN edge, so per-HOST budgets alone
+    can still hammer one box with 500 polite hosts x 1 req.  Production
+    crawlers therefore ALSO cap per resolved IP (cf. the IRLbot and
+    Heritrix per-IP queue policies — public literature; the reference has
+    no DNS layer, it fetches one site).
+
+    Without a resolver in the sandbox, the host -> server map is the
+    deterministic salted hash ``ip_group = base_hash(salt || host) %
+    n_groups`` — swap in a real DNS-resolution table (host, ip) at
+    deploy time; everything downstream is keyed on the group id either
+    way.  Each group admits its first ``budget`` rows in crawl order;
+    the rest come back ``admitted = false`` for the next wave (same
+    deferral contract as the per-host frontier cap).
+
+    Plan: one partitioned window over ip_group — n_groups ~ O(number of
+    servers), so no single-partition stage; the group key is computed in
+    the same narrow map as canonicalize+hash on the frontier path.
+    """
+    from .textops.dedup import base_hash
+
+    g = base_hash(F.concat(F.lit(salt), F.col(host_col))) % n_groups
+    w = Window.partitionBy("ip_group").orderBy(ord_col, host_col)
+    return (
+        df.withColumn("ip_group", g.cast("long"))
+        .withColumn("ip_seq", F.row_number().over(w).cast("long"))
+        .withColumn("admitted", F.col("ip_seq") <= budget)
+    )

@@ -193,12 +193,107 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# pack_bpe — composition: frozen-table BPE tokenize -> sequence packing
+# --------------------------------------------------------------------------
+
+_PACK_BPE_CAPACITY = 256
+
+
+def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize->pack composition with REAL tokenizer counts: BPE-encode
+    every document with the frozen merge table (UDF-free Column fold), then
+    pack the resulting n_bpe_tokens into fixed-budget training bins via the
+    two-phase distributed prefix sum.  Whitespace counts (q:pack_sequences)
+    are the approximation; this is what the training pipeline actually
+    packs on."""
+    from .textops.curate import pack_sequences
+
+    toks = bpe_encode_col(F.col("text"), FROZEN_MERGES, rounds=_BPE_ROUNDS)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        d, capacity=_PACK_BPE_CAPACITY, order_salt="packbpe"
+    )
+
+
+def _pack_bpe_oracle() -> str:
+    expr = bpe_encode_oracle_sql("text", FROZEN_MERGES, rounds=_BPE_ROUNDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({expr}) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5('packbpe' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (
+           ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(FLOOR((cum_tokens - n_tokens) / {_PACK_BPE_CAPACITY}) AS BIGINT)
+         AS bin_id
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# ip_group_admission — server-level politeness over the page corpus
+# --------------------------------------------------------------------------
+
+def q_ip_group_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-server admission: hosts grouped by deterministic fake-DNS hash
+    (a resolver table at deploy time), each group admits its first
+    ``budget`` URLs in crawl order, the rest defer to the next wave.
+    Fixture fans the corpus out over 40 virtual hosts (doc % 40) so
+    groups genuinely share servers."""
+    from .politeness import ip_group_admission
+
+    doc = F.col("doc_id")
+    d = _docs(spark, sf_dir).select(
+        doc.alias("doc_id"),
+        F.concat(F.lit("v"), (doc % 40).cast("string"),
+                 F.lit(".example.test")).alias("host"),
+        doc.alias("ord"),
+    )
+    return ip_group_admission(d, budget=10, n_groups=8).select(
+        "doc_id", "host", "ip_group", "ip_seq", "admitted"
+    )
+
+
+ORACLE_IP_GROUP = """
+WITH d AS (
+  SELECT doc_id,
+         'v' || CAST(doc_id % 40 AS VARCHAR) || '.example.test' AS host,
+         doc_id AS ord
+  FROM documents
+), g AS (
+  SELECT *,
+         CAST(('0x' || substr(md5('dns' || host), 1, 8)) AS BIGINT) % 8
+           AS ip_group
+  FROM d
+)
+SELECT doc_id, host, ip_group,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY ip_group ORDER BY ord, host) AS BIGINT) AS ip_seq,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY ip_group ORDER BY ord, host) AS BIGINT) <= 10
+         AS admitted
+FROM g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_strip_tracking": q_url_strip_tracking,
         "temperature_sample": q_temperature_sample,
         "results_table": q_results_table,
         "bpe_encode": q_bpe_encode,
+        "pack_bpe": q_pack_bpe,
+        "ip_group_admission": q_ip_group_admission,
     }
 
 
@@ -208,4 +303,6 @@ def oracle_sql() -> dict[str, str]:
         "temperature_sample": ORACLE_TEMPERATURE,
         "results_table": ORACLE_RESULTS_TABLE,
         "bpe_encode": _bpe_encode_oracle(),
+        "pack_bpe": _pack_bpe_oracle(),
+        "ip_group_admission": ORACLE_IP_GROUP,
     }

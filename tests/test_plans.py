@@ -241,3 +241,61 @@ def test_decontaminate_plan_bench_side_broadcast(spark):
     p = plan_of(decontaminate(docs, bench, n=8))
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
     assert "partial_count" in p  # per-doc count map-side combined
+
+
+def test_strip_tracking_and_bpe_encode_narrow_jvm(spark):
+    """Both new string ops must be pure narrow Column maps: no Exchange,
+    no Python eval nodes — they fuse into the parquet scan."""
+    from crawlspark.canon import strip_tracking_params
+    from crawlspark.suite5 import FROZEN_MERGES
+    from crawlspark.textops.bpe import bpe_encode_col
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    stripped = docs.select(
+        strip_tracking_params(
+            F.concat(F.lit("http://h.test/p?a=1&utm_x="), F.col("doc_id"))
+        ).alias("u")
+    )
+    p = plan_of(stripped)
+    assert "Exchange" not in p
+    assert "Python" not in p
+
+    enc = docs.select(
+        bpe_encode_col(F.col("text"), FROZEN_MERGES, rounds=2).alias("t")
+    )
+    p2 = plan_of(enc)
+    assert "Exchange" not in p2
+    assert "Python" not in p2
+
+
+def test_temperature_sample_broadcasts_rate_table(spark):
+    """The derived rate table (O(#sources) rows) must reach the corpus via
+    a broadcast join — the corpus itself never shuffles."""
+    from crawlspark.textops.curate import temperature_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = temperature_sample(docs)
+    p = plan_of(out)
+    assert "BroadcastHashJoin" in p
+    # no shuffle of the big side: the only Exchanges feed the tiny
+    # count/max aggregates and the broadcast, never partition the corpus
+    # by source for a sort-merge join
+    assert "SortMergeJoin" not in p
+
+
+def test_ip_group_admission_window_is_partitioned(spark):
+    from crawlspark.politeness import ip_group_admission
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id"),
+        F.concat(F.lit("v"), (F.col("doc_id") % 40).cast("string")).alias(
+            "host"
+        ),
+        F.col("doc_id").alias("ord"),
+    )
+    out = ip_group_admission(docs, budget=5, n_groups=8)
+    p = plan_of(out)
+    assert "hashpartitioning(ip_group" in p
+    assert "SinglePartition" not in p
