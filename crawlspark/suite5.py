@@ -286,6 +286,44 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# quality_classifier — fastText-style hashed linear model, frozen artifact
+# --------------------------------------------------------------------------
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: the shipped hashed-linear weight
+    table scored over every document, keep decided by integer
+    cross-multiplication — pure Column HOFs, no UDF, no shuffle."""
+    from .textops.quality import classifier_score
+
+    return classifier_score(_docs(spark, sf_dir))
+
+
+def _quality_classifier_oracle() -> str:
+    from .textops.quality import FT_BUCKETS, FT_WEIGHTS_MICRO
+
+    wlist = "list_value(" + ", ".join(str(x) for x in FT_WEIGHTS_MICRO) + ")"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_sum(list_transform(toks,
+           t -> list_extract({wlist},
+             CAST(CAST(('0x' || substr(md5('ft' || t), 1, 8)) AS BIGINT)
+                  % {FT_BUCKETS} + 1 AS INTEGER)))), 0) AS BIGINT)
+           AS score_sum_micro
+  FROM t
+)
+SELECT doc_id, n_tokens, score_sum_micro,
+       score_sum_micro >= 0 AS keep
+FROM s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_strip_tracking": q_url_strip_tracking,
@@ -294,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "pack_bpe": q_pack_bpe,
         "ip_group_admission": q_ip_group_admission,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -305,4 +344,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _bpe_encode_oracle(),
         "pack_bpe": _pack_bpe_oracle(),
         "ip_group_admission": ORACLE_IP_GROUP,
+        "quality_classifier": _quality_classifier_oracle(),
     }

@@ -261,3 +261,61 @@ def winnow_fingerprints(
         .groupBy(id_col, "fp")
         .agg((F.min("pos0") + 1).cast("long").alias("first_pos"))
     )
+
+
+# Frozen hashed-linear classifier artifact (fastText-style, Joulin et al.
+# 2016 reduced to 1-dim: hashed bag-of-tokens -> averaged bucket weights ->
+# threshold).  The weight table is a SHIPPED artifact — derived once from a
+# stand-in training run (per-bucket integer micro-nat log-ratio of src0 vs
+# the rest over the gate corpus, +1 smoothing; a real deployment ships a
+# fastText .bin the same way).  64 buckets, micro-units, all arithmetic
+# integer so the DuckDB oracle replays bit-for-bit.
+FT_BUCKETS = 64
+FT_WEIGHTS_MICRO: list[int] = [
+    164322, 0, -116086, -270878, 0, -214927, 224892, 0, 0, 0, 0, 0, 0,
+    92605, -125359, -86961, 26349, 0, 0, 0, 0, 0, 0, 0, 0, 0, -96727, 0,
+    0, 0, 0, 70443, 147219, 0, 0, 58962, 0, 44959, 0, 0, -52248, 0,
+    -45028, 0, 0, -175676, 0, -164917, 38354, 0, -135506, 0, 164322,
+    -29867, 0, 0, 0, 0, 0, -169963, 0, 0, -82852, 0,
+]
+FT_SALT = "ft"
+
+
+def classifier_score(
+    df: DataFrame,
+    text_col: str = "text",
+    weights_micro: list[int] | None = None,
+    threshold_micro: int = 0,
+) -> DataFrame:
+    """Model-based quality filtering (the CCNet/LLaMA recipe: a linear
+    text classifier decides keep/drop; here the fastText-style hashed
+    bag-of-tokens form).  score = avg over tokens of
+    ``weights[base_hash(salt||token) % K]``; keep iff
+    ``score_sum_micro >= threshold_micro * n_tokens`` (integer
+    cross-multiplication — no float mean, so exact and replayable).
+
+    Plan: pure Column HOFs (split -> transform hash+array-index ->
+    aggregate sum) — a narrow map fusing into the scan, the weight table
+    a plan literal (the 100 TB shape: the model rides the closure, no
+    join, no shuffle, no UDF)."""
+    w = weights_micro if weights_micro is not None else FT_WEIGHTS_MICRO
+    k = len(w)
+    warr = F.array(*[F.lit(int(x)) for x in w])
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    per_tok = F.transform(
+        toks,
+        lambda t: F.element_at(
+            warr,
+            (base_hash(F.concat(F.lit(FT_SALT), t)) % k + 1).cast("int"),
+        ),
+    )
+    score = F.aggregate(
+        per_tok, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n = F.size(toks).cast("long")
+    return df.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        score.alias("score_sum_micro"),
+        (score >= F.lit(int(threshold_micro)) * n).alias("keep"),
+    )

@@ -191,3 +191,52 @@ def test_bpe_sweep_divergence_case_documented(spark):
         .head()[0]
     )
     assert list(udf_out) == exact
+
+
+# -- hashed-linear quality classifier -----------------------------------------
+
+def test_classifier_separates_target_source(spark):
+    from crawlspark.textops.quality import classifier_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = classifier_score(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    avg = {
+        r["is_tgt"]: r["m"]
+        for r in out.groupBy((F.col("source") == "src0").alias("is_tgt"))
+        .agg(F.avg(F.col("score_sum_micro") / F.col("n_tokens")).alias("m"))
+        .collect()
+    }
+    # the frozen weights came from a src0-vs-rest stand-in training run:
+    # target docs must score strictly higher on average
+    assert avg[True] > avg[False]
+
+
+def test_classifier_plan_is_narrow_jvm(spark):
+    from crawlspark.textops.quality import classifier_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = classifier_score(docs)._sc._jvm.PythonSQLUtils.explainString(
+        classifier_score(docs)._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in p
+    assert "Python" not in p
+
+
+def test_classifier_threshold_cross_multiply(spark):
+    from crawlspark.textops.quality import classifier_score
+
+    df = spark.createDataFrame(
+        [(1, "a a a a")], "doc_id LONG, text STRING"
+    )
+    # with a single-bucket weight table the score is n * w; threshold in
+    # micro-units-per-token gates exactly at w
+    out = classifier_score(
+        df, weights_micro=[7], threshold_micro=7
+    ).head()
+    assert out["score_sum_micro"] == 28 and bool(out["keep"]) is True
+    out2 = classifier_score(
+        df, weights_micro=[7], threshold_micro=8
+    ).head()
+    assert bool(out2["keep"]) is False
