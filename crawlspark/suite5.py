@@ -324,6 +324,181 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# lsh_incremental — dedup-index maintenance for a continuously-crawled corpus
+# --------------------------------------------------------------------------
+
+def q_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH: the standing corpus (doc_id % 3 != 0) is
+    already indexed; a new crawl batch (doc_id % 3 == 0 plus near-dup
+    variants of every doc_id % 10 == 1 at -(doc_id+1)) is signed, probed
+    against the index buckets, and exact-Jaccard verified — emitting only
+    pairs with a NEW side.  Replayable band keys, no bucket cap, so the
+    DuckDB oracle reproduces the candidate set bit-for-bit."""
+    from .textops import dedup as _dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    doc = F.col("doc_id")
+    index = docs.filter(doc % 3 != 0)
+    new_batch = docs.filter(doc % 3 == 0).unionByName(
+        docs.filter(doc % 10 == 1).select(
+            (-doc - 1).alias("doc_id"),
+            F.concat("text", F.lit(" ztail")).alias("text"),
+        )
+    )
+    return _dedup.minhash_lsh_incremental_pairs(
+        index, new_batch, k=8, bands=4, jaccard_threshold=0.5,
+        replayable_band_key=True,
+    )
+
+
+def _oracle_lsh_incremental() -> str:
+    from .textops import dedup as _dedup
+
+    p = _dedup.HASH_P
+    shingle = (
+        "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] "
+        "for i in range(1, len(w) - 1)])"
+    )
+    md5h = "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)"
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hs, h -> "
+        f"({_dedup.MINHASH_A[i]}*h + {_dedup.MINHASH_B[i]}) % {p})) AS m{i}"
+        for i in range(8)
+    )
+    bkeys = ", ".join(
+        f"CAST(m{2 * i} AS VARCHAR) || ',' || CAST(m{2 * i + 1} AS VARCHAR)"
+        for i in range(4)
+    )
+    band_eq = " OR ".join(
+        f"a.bkeys[{i + 1}] = b.bkeys[{i + 1}]" for i in range(4)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text, (doc_id % 3 = 0) AS is_new FROM documents
+  UNION ALL
+  SELECT -doc_id - 1, text || ' ztail', TRUE
+  FROM documents WHERE doc_id % 10 = 1
+),
+sh AS (
+  SELECT doc_id, is_new, {shingle} AS s_list
+  FROM (SELECT doc_id, is_new, str_split(text, ' ') AS w FROM corpus)
+),
+h AS (
+  SELECT doc_id, is_new, s_list,
+         list_transform(s_list, s -> {md5h}) AS hs FROM sh
+),
+sig AS (SELECT doc_id, is_new, s_list, {sig_cols} FROM h),
+banded AS (SELECT doc_id, is_new, s_list, [{bkeys}] AS bkeys FROM sig),
+cand AS (
+  SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS id_a,
+                  GREATEST(a.doc_id, b.doc_id) AS id_b
+  FROM banded a JOIN banded b
+    ON a.is_new AND a.doc_id <> b.doc_id AND ({band_eq})
+),
+v AS (
+  SELECT c.id_a, c.id_b, sa.s_list AS sa, sb.s_list AS sb
+  FROM cand c
+  JOIN banded sa ON sa.doc_id = c.id_a
+  JOIN banded sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+       CAST(floor(1000 * len(list_intersect(sa, sb))
+                  / len(list_distinct(sa || sb))) AS BIGINT) AS jaccard_permille
+FROM v
+WHERE floor(1000 * len(list_intersect(sa, sb))
+            / len(list_distinct(sa || sb))) >= 500
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup_keep_best — quality-aware representative selection per dedup group
+# --------------------------------------------------------------------------
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup drop policy end to end: transitive near-dup groups (the
+    closed-form block graph from q:dedup_components, chased by the
+    large-star/small-star CC) crossed with the hashed-linear quality
+    score — each group keeps its highest-scoring member (ties -> lowest
+    id).  The oracle replays components (recursive CTE), the classifier
+    sum, and the ranking window."""
+    from .textops import dedup as _dedup
+    from .textops.quality import classifier_score
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    doc = F.col("doc_id")
+    blk = doc - doc % 64
+    ids = docs.select("doc_id")
+    e1 = ids.select(doc.alias("id_a"), (blk + (5 * doc + 3) % 64).alias("id_b"))
+    e2 = ids.filter(doc % 3 == 0).select(
+        doc.alias("id_a"), (blk + (17 * doc + 11) % 64).alias("id_b")
+    )
+    edges = (
+        e1.union(e2)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .join(ids.select(doc.alias("id_b")), "id_b", "semi")
+    )
+    cc = _dedup.connected_components(edges)
+    assign = ids.join(cc, ids["doc_id"] == cc["node"], "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+    scores = classifier_score(docs).select(
+        "doc_id", F.col("score_sum_micro").alias("score")
+    )
+    return _dedup.keep_best_representative(assign, scores).select(
+        "doc_id", "component", "score", "rank_in_group", "keep"
+    )
+
+
+def _oracle_dedup_keep_best() -> str:
+    from .textops.quality import FT_BUCKETS, FT_WEIGHTS_MICRO
+
+    wlist = "list_value(" + ", ".join(str(x) for x in FT_WEIGHTS_MICRO) + ")"
+    return f"""
+WITH RECURSIVE
+n AS (SELECT doc_id FROM documents),
+e0 AS (
+  SELECT doc_id AS a, (doc_id // 64) * 64 + (5 * doc_id + 3) % 64 AS b FROM n
+  UNION ALL
+  SELECT doc_id, (doc_id // 64) * 64 + (17 * doc_id + 11) % 64
+  FROM n WHERE doc_id % 3 = 0
+),
+e AS (SELECT a, b FROM e0 WHERE a <> b AND b IN (SELECT doc_id FROM n)),
+sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM n
+  UNION
+  SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+),
+comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+t AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(COALESCE(list_sum(list_transform(toks,
+           t -> list_extract({wlist},
+             CAST(CAST(('0x' || substr(md5('ft' || t), 1, 8)) AS BIGINT)
+                  % {FT_BUCKETS} + 1 AS INTEGER)))), 0) AS BIGINT) AS score
+  FROM t
+),
+j AS (
+  SELECT c.doc_id, c.component, s.score
+  FROM comp c JOIN s ON s.doc_id = c.doc_id
+)
+SELECT doc_id, component, score,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY component ORDER BY score DESC, doc_id)
+         AS BIGINT) AS rank_in_group,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY component ORDER BY score DESC, doc_id)
+         AS BIGINT) = 1 AS keep
+FROM j
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_strip_tracking": q_url_strip_tracking,
@@ -333,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bpe": q_pack_bpe,
         "ip_group_admission": q_ip_group_admission,
         "quality_classifier": q_quality_classifier,
+        "lsh_incremental": q_lsh_incremental,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -345,4 +522,6 @@ def oracle_sql() -> dict[str, str]:
         "pack_bpe": _pack_bpe_oracle(),
         "ip_group_admission": ORACLE_IP_GROUP,
         "quality_classifier": _quality_classifier_oracle(),
+        "lsh_incremental": _oracle_lsh_incremental(),
+        "dedup_keep_best": _oracle_dedup_keep_best(),
     }

@@ -474,3 +474,134 @@ def paragraph_dedup(
             .cast("long").alias("n_removed"),
         )
     )
+
+
+def banded_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    replayable_band_key: bool = False,
+) -> DataFrame:
+    """(id, band, band_hash) — the persistable LSH index relation
+    :func:`minhash_lsh_pairs` buckets on, exposed so a continuous pipeline
+    can MAINTAIN it incrementally instead of re-signing the corpus."""
+    rows = k // bands
+
+    def band_key(cols):
+        joined = F.concat_ws(",", *cols)
+        return joined if replayable_band_key else F.hash(joined)
+
+    sigs = minhash_signature(df, text_col, id_col, k)
+    band_cols = [
+        band_key([F.element_at("sig", i * rows + j + 1) for j in range(rows)])
+        .alias("band_hash")
+        for i in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band", "band_hash"),
+    )
+
+
+def minhash_lsh_incremental_pairs(
+    index_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+    replayable_band_key: bool = False,
+    index_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup maintenance for a continuously-crawled corpus.
+
+    A standing corpus is already indexed — its banded signature table
+    (:func:`banded_signatures`) is a persisted relation; pass it as
+    ``index_bands`` (it is re-derived from ``index_docs`` if omitted, for
+    tests).  A new crawl batch then costs:
+
+    1. sign + band ONLY the new docs (O(|new|) hash work);
+    2. ONE bucket equi-join of the new bands against index ∪ new bands —
+       the index side is never re-signed and only its COLLIDING buckets
+       carry rows through the join;
+    3. exact-Jaccard verify, fetching shingle sets for just the candidate
+       index docs (left-semi before the text join — at 10^10 indexed docs
+       the full-text relation is the big one, and only O(|candidates|)
+       rows of it are ever read past the semi-join).
+
+    Returns verified pairs (id_a < id_b, jaccard_permille) where at least
+    one side is NEW — old×old pairs were already emitted when those docs
+    were indexed, so re-emitting them would double-count downstream
+    group assignment.
+    """
+    if index_bands is None:
+        index_bands = banded_signatures(
+            index_docs, text_col, id_col, k, bands, replayable_band_key
+        )
+    new_bands = banded_signatures(
+        new_docs, text_col, id_col, k, bands, replayable_band_key
+    )
+    all_bands = index_bands.unionByName(new_bands)
+    a = new_bands.alias("a")
+    b = all_bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    corpus = index_docs.unionByName(new_docs)
+    sh = corpus.select(
+        F.col(id_col), shingles(F.split(F.col(text_col), " ")).alias("sh")
+    )
+    # fetch text only for candidate docs (the scale property in step 3)
+    sh_a = sh.join(
+        cand.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.join(
+        cand.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    j = cand.join(sh_a, "id_a").join(sh_b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.floor(inter * 1000 / union).cast("long")
+    return j.select("id_a", "id_b", jac.alias("jaccard_permille")).filter(
+        F.col("jaccard_permille") >= int(jaccard_threshold * 1000)
+    )
+
+
+def keep_best_representative(
+    assign: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware dedup drop policy: within each transitive near-dup
+    group keep the HIGHEST-scoring member (ties -> lowest id), not the
+    arbitrary min-id representative — what production dedup actually does
+    (pair the component assignment with a quality signal so the best copy
+    of a boilerplate cluster survives).
+
+    One partitioned window over the component id; group cardinality is
+    bounded by dedup-cluster size, so no single-partition stage.  Returns
+    the assignment joined with (score, rank_in_group, keep)."""
+    from pyspark.sql import Window
+
+    j = assign.join(scores, id_col)
+    w = Window.partitionBy(comp_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return j.withColumn(
+        "rank_in_group", F.row_number().over(w).cast("long")
+    ).withColumn("keep", F.col("rank_in_group") == 1)

@@ -240,3 +240,82 @@ def test_classifier_threshold_cross_multiply(spark):
         df, weights_micro=[7], threshold_micro=8
     ).head()
     assert bool(out2["keep"]) is False
+
+
+# -- incremental LSH index maintenance ----------------------------------------
+
+def test_lsh_incremental_equals_full_restricted_to_new(spark, tmp_path):
+    from crawlspark.textops import dedup
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text").limit(300)
+    )
+    doc = F.col("doc_id")
+    index = docs.filter(doc % 3 != 0)
+    new_batch = docs.filter(doc % 3 == 0).unionByName(
+        docs.filter(doc % 10 == 1).select(
+            (-doc - 1).alias("doc_id"),
+            F.concat("text", F.lit(" ztail")).alias("text"),
+        )
+    )
+    kw = dict(k=8, bands=4, jaccard_threshold=0.5, replayable_band_key=True)
+
+    # the index is a PERSISTED relation: write the banded table, read it
+    # back, and feed it in — no re-signing of the standing corpus
+    idx_path = str(tmp_path / "lsh_index")
+    dedup.banded_signatures(index, k=8, bands=4,
+                            replayable_band_key=True).write.parquet(idx_path)
+    inc = dedup.minhash_lsh_incremental_pairs(
+        index, new_batch,
+        index_bands=spark.read.parquet(idx_path), **kw,
+    )
+    got = {(r["id_a"], r["id_b"], r["jaccard_permille"]) for r in inc.collect()}
+
+    # reference: full-batch pairs over the whole corpus, restricted to
+    # pairs touching a new doc
+    full = dedup.minhash_lsh_pairs(
+        index.unionByName(new_batch), max_bucket_size=None, **kw
+    )
+    new_ids = {r["doc_id"] for r in new_batch.select("doc_id").collect()}
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard_permille"])
+        for r in full.collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    assert got == want and got  # non-trivial: variants guarantee pairs
+
+    # and the decomposition is lossless: old-only pairs + incremental
+    # pairs == the full pair set
+    old_pairs = dedup.minhash_lsh_pairs(index, max_bucket_size=None, **kw)
+    old_set = {
+        (r["id_a"], r["id_b"], r["jaccard_permille"])
+        for r in old_pairs.collect()
+    }
+    full_set = {
+        (r["id_a"], r["id_b"], r["jaccard_permille"]) for r in full.collect()
+    }
+    assert old_set | got == full_set
+
+
+def test_keep_best_representative_policy(spark):
+    from crawlspark.textops.dedup import keep_best_representative
+
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9), (10, 9)],
+        "doc_id LONG, component LONG",
+    )
+    scores = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (7, -5), (9, 0), (10, 0)],
+        "doc_id LONG, score LONG",
+    )
+    out = {
+        r["doc_id"]: (r["rank_in_group"], r["keep"])
+        for r in keep_best_representative(assign, scores).collect()
+    }
+    # component 1: 2 and 3 tie at 90 -> lowest id (2) wins, not min-id (1)
+    assert out[2] == (1, True) and out[3] == (2, False) and out[1][1] is False
+    # singleton keeps itself even with a negative score
+    assert out[7] == (1, True)
+    # tie in component 9 -> doc 9 wins
+    assert out[9] == (1, True) and out[10] == (2, False)
