@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from crawlspark import graph, suite, suite2, suite3, suite4, suite5
+from crawlspark import graph, suite, suite2, suite3, suite4, suite5, suite6, suite7
 from crawlspark.frontier import CrawlConfig, crawl_bfs
 
 FLAGSHIP_DEPTH = 6
@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(suite3.queries())
     out.update(suite4.queries())
     out.update(suite5.queries())
+    out.update(suite6.queries())
+    out.update(suite7.queries())
     return out
 
 
@@ -101,4 +103,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(suite3.oracle_sql())
     out.update(suite4.oracle_sql())
     out.update(suite5.oracle_sql())
+    out.update(suite6.oracle_sql())
+    out.update(suite7.oracle_sql())
     return out

@@ -248,3 +248,40 @@ def registrable_domain(host: Column) -> Column:
         .when(psl2 | heur3, last3)
         .otherwise(last2)
     )
+
+
+def url_category(
+    url_norm: Column,
+    domain_categories: dict[str, str],
+    path_keyword_categories: dict[str, str] | None = None,
+) -> Column:
+    """UT1/RefinedWeb-style URL blocklist classification — the cheap
+    pre-fetch gate a training-data crawl runs before spending bandwidth:
+    category by registrable domain (exact match against a curated list),
+    else by path/query keyword, else 'ok'.  Domain match wins over
+    keyword match (list curators pin whole domains deliberately).
+
+    ``domain_categories`` / ``path_keyword_categories`` are small curated
+    dicts (UT1 ships ~4M domains — still a broadcast-size table; here a
+    literal CASE chain since test lists are tiny.  At the 4M-entry scale,
+    swap the chain for a broadcast-joined category table on
+    ``registrable_domain`` — same semantics, same one narrow stage).
+
+    Pure JVM Column expressions over the canonicalized URL: registrable
+    domain via the embedded PSL snapshot, keywords via ``contains`` on
+    the path+query — fused into the scan, no UDF, no shuffle.
+    """
+    host = host_expr(url_norm)
+    rdom = registrable_domain(host)
+    path_q = F.regexp_replace(url_norm, r"^[a-z+]+://[^/]*", "")
+    expr = None
+    for dom in sorted(domain_categories):
+        cond = rdom == F.lit(dom)
+        cat = F.lit(domain_categories[dom])
+        expr = F.when(cond, cat) if expr is None else expr.when(cond, cat)
+    for kw in sorted(path_keyword_categories or {}):
+        cond = path_q.contains(kw)
+        cat = F.lit(path_keyword_categories[kw])
+        expr = F.when(cond, cat) if expr is None else expr.when(cond, cat)
+    return (expr.otherwise(F.lit("ok"))
+            if expr is not None else F.lit("ok"))

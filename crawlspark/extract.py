@@ -344,3 +344,151 @@ def main_content_blocks(
         F.size(bl).cast("long").alias("n_blocks"),
         F.size(good).cast("long").alias("n_good"),
     )
+
+
+# --------------------------------------------------------------------------
+# image-crawl extraction: <img srcset> candidates + Google image sitemaps
+# --------------------------------------------------------------------------
+
+def img_srcset_candidates(
+    body: Column,
+    page_url: Column,
+    max_width: int = 800,
+) -> Column:
+    """Per-page `<img>` candidate selection for an image crawler: parse
+    every img tag's ``src`` / ``srcset`` (HTML spec §4.8.4.3 width
+    descriptors ``"url1 320w, url2 640w"``) and pick ONE fetch URL per
+    image under a pixel budget — the largest candidate whose width fits
+    ``max_width``, else the smallest available (never upscale the
+    budget), else the bare ``src``.
+
+    Everything is JVM higher-order functions over regexp_extract_all (no
+    UDF, no shuffle): at 100 TB of HTML this stays inside whole-stage
+    codegen next to the scan.  Relative candidate URLs are resolved with
+    the same cheap scheme/authority arithmetic as the fixture corpus
+    (absolute ``http...`` kept, ``/path`` joined to the page authority,
+    bare names joined to the page directory); full RFC 3986 resolution
+    lives in :func:`resolve_url` for real-page paths.
+
+    Returns array<struct<img_ord:int, chosen_url:string, chosen_w:long,
+    n_candidates:int>> — one entry per img tag in document order.
+    """
+    tag_arr = F.regexp_extract_all(body, F.lit(r"(?i)<img[^>]*>"), 0)
+    authority = F.regexp_extract(page_url, r"^(https?://[^/]+)", 1)
+    base_dir = F.regexp_replace(page_url, r"[^/]*$", "")
+
+    def resolve(u: Column) -> Column:
+        return (
+            F.when(u.rlike("^https?://"), u)
+            .when(u.startswith("/"), F.concat(authority, u))
+            .otherwise(F.concat(base_dir, u))
+        )
+
+    def parse_tag(tag: Column, i: Column) -> Column:
+        src = F.regexp_extract(tag, r'(?i)\bsrc\s*=\s*"([^"]*)"', 1)
+        srcset = F.regexp_extract(tag, r'(?i)\bsrcset\s*=\s*"([^"]*)"', 1)
+        cands = F.when(
+            srcset != "",
+            F.transform(
+                F.split(srcset, ","),
+                lambda e: F.struct(
+                    F.regexp_extract(F.trim(e), r"^(\S+)", 1).alias("url"),
+                    F.nullif(
+                        F.regexp_extract(F.trim(e), r"\s(\d+)w$", 1), F.lit("")
+                    ).cast("long").alias("w"),
+                ),
+            ),
+        ).otherwise(
+            F.array(F.struct(src.alias("url"),
+                             F.lit(None).cast("long").alias("w")))
+        )
+        fits = F.filter(cands, lambda c: c["w"].isNotNull()
+                        & (c["w"] <= max_width))
+        sized = F.filter(cands, lambda c: c["w"].isNotNull())
+        best = F.when(
+            F.size(fits) > 0,
+            F.element_at(F.array_sort(
+                F.transform(fits, lambda c: F.struct(
+                    c["w"].alias("w"), c["url"].alias("url")))), -1),
+        ).when(
+            F.size(sized) > 0,
+            F.element_at(F.array_sort(
+                F.transform(sized, lambda c: F.struct(
+                    c["w"].alias("w"), c["url"].alias("url")))), 1),
+        ).otherwise(
+            F.struct(F.lit(None).cast("long").alias("w"),
+                     src.alias("url"))
+        )
+        return F.struct(
+            i.cast("int").alias("img_ord"),
+            resolve(best["url"]).alias("chosen_url"),
+            best["w"].alias("chosen_w"),
+            F.size(cands).cast("int").alias("n_candidates"),
+        )
+
+    idx = F.sequence(F.lit(0), F.size(tag_arr) - 1)
+    return F.zip_with(tag_arr, idx, parse_tag)
+
+
+def sitemap_image_entries(body: Column) -> Column:
+    """Google image-sitemap extraction: per <url> block, the page <loc>
+    plus every <image:image> child's <image:loc> / <image:caption> —
+    the crawl entry point that yields (page, image, caption) rows
+    directly, before any HTML fetch (sitemaps.org image extension;
+    extends the reference's plain Sitemap::getUrlsFromSitemap,
+    src/Steps/Loading/Sitemap.php:27-61 which only reads <loc>).
+
+    Pure JVM: split on <url> blocks keeps each page's images aligned
+    with its own <loc> (two flat xpath() calls would lose the pairing
+    when image counts vary per page); regexp_extract_all + arrays_zip
+    inside each block.  Returns array<struct<page_url, image_url,
+    caption>> — one entry per image.
+    """
+    blocks = F.split(body, "<url>")
+    per_block = F.transform(
+        blocks,
+        lambda seg: F.transform(
+            F.arrays_zip(
+                F.regexp_extract_all(
+                    seg, F.lit(r"(?s)<image:loc>\s*(.*?)\s*</image:loc>"), 1
+                ).alias("image_url"),
+                F.regexp_extract_all(
+                    seg,
+                    F.lit(r"(?s)<image:caption>\s*(.*?)\s*</image:caption>"),
+                    1,
+                ).alias("caption"),
+            ),
+            lambda z: F.struct(
+                F.regexp_extract(seg, r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+                 .alias("page_url"),
+                z["image_url"].alias("image_url"),
+                z["caption"].alias("caption"),
+            ),
+        ),
+    )
+    return F.flatten(F.filter(per_block, lambda a: F.size(a) > 0))
+
+
+def extract_hreflang(body: Column) -> Column:
+    """``<link rel="alternate" hreflang="..." href="...">`` extraction —
+    the language-variant declaration (RFC 8288 + Google hreflang):
+    a page's alternate set links every language edition of the same
+    content.  Crawl use: fetch ONE edition per cluster for training
+    data (the rest are translations, near-dup in structure), or route
+    editions to per-language pipelines.
+
+    JVM-only: regexp_extract_all over link tags carrying hreflang,
+    then per-tag attribute pulls (order-tolerant for the two attrs).
+    Returns array<struct<hreflang:string, url:string>>.
+    """
+    tags = F.regexp_extract_all(
+        body, F.lit(r"(?i)<link\s[^>]*hreflang\s*=[^>]*>"), 0
+    )
+    return F.transform(
+        tags,
+        lambda t: F.struct(
+            F.regexp_extract(t, r'(?i)hreflang\s*=\s*"([^"]*)"', 1)
+             .alias("hreflang"),
+            F.regexp_extract(t, r'(?i)href\s*=\s*"([^"]*)"', 1).alias("url"),
+        ),
+    )

@@ -401,3 +401,37 @@ def generate_images_virtual(spark: SparkSession, n: int) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(gen, IMAGE_SCHEMA)
+
+
+def sniff_image_format(bytes_col) -> "F.Column":
+    """Magic-byte MIME sniff of an image ``binary`` column — the trust-
+    nothing check an image crawler runs before decode (Content-Type and
+    file extensions lie; WHATWG MIME-sniffing §6.1 image patterns):
+
+        FF D8 FF            -> jpeg
+        89 50 4E 47         -> png
+        47 49 46 38         -> gif
+        52 49 46 46 .. 57 45 42 50 (RIFF....WEBP) -> webp
+        42 4D               -> bmp
+
+    Pure JVM (hex of the first 16 bytes + prefix tests) so it fuses into
+    the scan — no UDF, no decode, no Python.  Returns 'unknown' for
+    anything else; rows where this disagrees with the table's declared
+    ``fmt`` are quarantined before the (expensive, Arrow-batched) decode
+    stage ever sees them.
+    """
+    if isinstance(bytes_col, str):
+        bytes_col = F.col(bytes_col)
+    head = F.hex(F.substring(bytes_col, 1, 16))
+    return (
+        F.when(head.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(head.startswith("89504E47"), F.lit("png"))
+        .when(head.startswith("47494638"), F.lit("gif"))
+        .when(
+            head.startswith("52494646")
+            & (F.substring(head, 17, 8) == "57454250"),
+            F.lit("webp"),
+        )
+        .when(head.startswith("424D"), F.lit("bmp"))
+        .otherwise(F.lit("unknown"))
+    )

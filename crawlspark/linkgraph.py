@@ -173,3 +173,131 @@ def pagerank_oracle_sql(iters: int = 3, d_permille: int = 850,
         "SELECT doc, r AS rank_scaled FROM fin ORDER BY doc",
     ]
     return "\n".join(parts)
+
+
+HITS_SCALE = 10**9
+
+
+def hits(
+    spark: SparkSession,
+    n: int,
+    iters: int = 2,
+    edges_df: DataFrame | None = None,
+    scale: int = HITS_SCALE,
+) -> DataFrame:
+    """Integer-exact HITS (Kleinberg 1999) over the n-doc link graph (or
+    ``edges_df`` with columns (src, dst)) — the hub/authority complement
+    to :func:`pagerank` for frontier prioritization: authorities are the
+    content pages worth fetching, hubs are the index/listing pages worth
+    re-crawling for link discovery.
+
+    Per iteration (synchronous update, L1 normalization):
+
+        a_raw(v) = sum_{u->v} h(u);   a(v) = a_raw(v) * scale div sum(a_raw)
+        h_raw(u) = sum_{u->v} a(v);   h(u) = h_raw(u) * scale div sum(h_raw)
+
+    ALL arithmetic is int64 (``scale`` = 10^9 keeps the worst product
+    a_raw * scale <= outdeg * scale^2 ~ 4e18 inside int64), so results
+    are bit-stable under any partitioning and the SQL oracle replays them
+    exactly — the same determinism discipline as :func:`pagerank`.
+
+    Spark shape (scale notes for 10^10 edges):
+    - the edge relation is materialized ONCE with ``localCheckpoint`` and
+      reused by both half-iterations; on a cluster it would live bucketed
+      by src (the hub join) with the dst join left to AQE,
+    - both joins hint SHUFFLE_HASH: the score side is two longs per doc,
+      always the small build side; sorting 10^10 edges per half-iteration
+      (sort-merge) would dominate otherwise,
+    - the L1 totals are single-row aggregates crossJoin-broadcast back —
+      no driver round-trip, no collect,
+    - ``localCheckpoint`` per half-iteration keeps the plan O(1) in
+      iteration count (frontier.py discipline).
+    """
+    docs = spark.range(n).select(F.col("id").alias("doc"))
+    e = (edges_df or graph.edges_from(docs.select(F.col("doc").alias("src")), n)
+         ).select("src", "dst").localCheckpoint(eager=True)
+    hubs = docs.withColumn("h", F.lit(scale // n)).localCheckpoint(eager=True)
+    auths = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hubs.withColumnRenamed("doc", "src").hint("SHUFFLE_HASH"),
+                   "src")
+            .groupBy("dst").agg(F.sum("h").alias("x"))
+        )
+        a_tot = a_raw.agg(F.sum("x").alias("t"))
+        auths = (
+            docs.join(a_raw, docs.doc == a_raw.dst, "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "doc",
+                F.expr(f"coalesce(x, 0L) * {scale} div t").alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        h_raw = (
+            e.join(auths.withColumnRenamed("doc", "dst").hint("SHUFFLE_HASH"),
+                   "dst")
+            .groupBy("src").agg(F.sum("a").alias("x"))
+        )
+        h_tot = h_raw.agg(F.sum("x").alias("t"))
+        hubs = (
+            docs.join(h_raw, docs.doc == h_raw.src, "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "doc",
+                F.expr(f"coalesce(x, 0L) * {scale} div t").alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        auths.join(hubs, "doc")
+        .select("doc", F.col("a").alias("auth_scaled"),
+                F.col("h").alias("hub_scaled"))
+    )
+
+
+def hits_oracle_sql(iters: int = 2, scale: int = HITS_SCALE) -> str:
+    """Unrolled-CTE SQL replay of :func:`hits` over the documents-sized
+    formula graph (chained-CTE discipline of pagerank_oracle_sql; every
+    SUM is cast back to BIGINT so DuckDB's HUGEINT promotion can't
+    diverge from Spark's int64 arithmetic)."""
+    parts = [
+        "WITH nn AS (SELECT COUNT(*) AS c FROM documents),",
+        "e AS (",
+        "  SELECT d.doc_id AS src,",
+        "         CASE p.pos",
+        "           WHEN 0 THEN (2*d.doc_id + 1) % nn.c",
+        "           WHEN 1 THEN (2*d.doc_id + 2) % nn.c",
+        "           WHEN 2 THEN (5*d.doc_id + 3) % nn.c",
+        "           ELSE (d.doc_id + 17) % nn.c",
+        "         END AS dst",
+        "  FROM documents d CROSS JOIN nn",
+        "  CROSS JOIN (VALUES (0),(1),(2),(3)) AS p(pos)",
+        "),",
+        f"h0 AS (SELECT d.doc_id AS doc, CAST({scale} // nn.c AS BIGINT) AS h"
+        "  FROM documents d CROSS JOIN nn),",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts += [
+            f"ar{i} AS (SELECT e.dst AS doc, CAST(SUM(h{p}.h) AS BIGINT) AS x",
+            f"  FROM e JOIN h{p} ON h{p}.doc = e.src GROUP BY e.dst),",
+            f"at{i} AS (SELECT CAST(SUM(x) AS BIGINT) AS t FROM ar{i}),",
+            f"a{i} AS (SELECT d.doc_id AS doc,",
+            f"  CAST(COALESCE(ar{i}.x, 0) * {scale} // (SELECT t FROM at{i})"
+            "   AS BIGINT) AS a",
+            f"  FROM documents d LEFT JOIN ar{i} ON ar{i}.doc = d.doc_id),",
+            f"hr{i} AS (SELECT e.src AS doc, CAST(SUM(a{i}.a) AS BIGINT) AS x",
+            f"  FROM e JOIN a{i} ON a{i}.doc = e.dst GROUP BY e.src),",
+            f"ht{i} AS (SELECT CAST(SUM(x) AS BIGINT) AS t FROM hr{i}),",
+            f"h{i} AS (SELECT d.doc_id AS doc,",
+            f"  CAST(COALESCE(hr{i}.x, 0) * {scale} // (SELECT t FROM ht{i})"
+            "   AS BIGINT) AS h",
+            f"  FROM documents d LEFT JOIN hr{i} ON hr{i}.doc = d.doc_id),",
+        ]
+    parts += [
+        f"fin AS (SELECT a{iters}.doc, a{iters}.a, h{iters}.h",
+        f"  FROM a{iters} JOIN h{iters} ON h{iters}.doc = a{iters}.doc)",
+        "SELECT doc, a AS auth_scaled, h AS hub_scaled FROM fin ORDER BY doc",
+    ]
+    return "\n".join(parts)

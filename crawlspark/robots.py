@@ -304,3 +304,63 @@ def with_robots_allowed(
         | (alw >= dis)  # longest-match wins
     )
     return joined.withColumn(out, allowed).drop("__r_host", "__dis", "__alw")
+
+
+def robots_meta_directives(
+    body: "F.Column",
+    x_robots_tag: "F.Column | None" = None,
+    bot_name: str = "crawlspark",
+) -> "F.Column":
+    """Page-level robots directives — the in-page counterpart of
+    robots.txt (Google robots-meta spec): ``<meta name="robots"
+    content="noindex, nofollow">`` plus the ``X-Robots-Tag`` response
+    header.  A bot-specific meta tag (``name="crawlspark"``) OVERRIDES
+    the generic ``robots`` tag for that bot (per spec: the most specific
+    applicable tag wins, directives are not merged across tags); the
+    header is additive (a directive from either source applies).
+
+    Crawl gating: ``noindex`` -> fetch but do not store/yield the page;
+    ``nofollow`` -> do not expand its outlinks into the frontier;
+    ``noarchive`` -> do not cache the response body.
+
+    Pure JVM regexp over the scan (no UDF).  Returns
+    struct<noindex:boolean, nofollow:boolean, noarchive:boolean>.
+    """
+    def content_of(name: str) -> "F.Column":
+        pat = (r'(?i)<meta\s[^>]*name\s*=\s*"' + name
+               + r'"[^>]*content\s*=\s*"([^"]*)"[^>]*>')
+        return F.regexp_extract(body, pat, 1)
+
+    specific = content_of(bot_name)
+    generic = content_of("robots")
+    meta = F.when(specific != "", specific).otherwise(generic)
+    header = x_robots_tag if x_robots_tag is not None else F.lit("")
+    combined = F.concat_ws(",", meta, F.coalesce(header, F.lit("")))
+    toks = F.transform(
+        F.split(F.lower(combined), ","), lambda t: F.trim(t)
+    )
+
+    def has(directive: str) -> "F.Column":
+        return F.array_contains(toks, directive)
+
+    none_all = has("none")  # "none" == noindex + nofollow (spec shorthand)
+    return F.struct(
+        (has("noindex") | none_all).alias("noindex"),
+        (has("nofollow") | none_all).alias("nofollow"),
+        has("noarchive").alias("noarchive"),
+    )
+
+
+def nofollow_outlinks(body: "F.Column") -> "F.Column":
+    """Hrefs of anchors carrying ``rel="nofollow"`` (attribute-order
+    tolerant within the tag) — subtract these from the frontier
+    expansion set; with page-level nofollow from
+    :func:`robots_meta_directives`, drop ALL outlinks instead.
+    Returns array<string>.
+    """
+    tags = F.regexp_extract_all(
+        body, F.lit(r'(?i)<a\s[^>]*rel\s*=\s*"[^"]*\bnofollow\b[^"]*"[^>]*>'), 0
+    )
+    return F.transform(
+        tags, lambda t: F.regexp_extract(t, r'(?i)href\s*=\s*"([^"]*)"', 1)
+    )

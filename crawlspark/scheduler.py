@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .ranks import global_rank
+from .ranks import global_prefix_sum, global_rank
 
 _UNCAPPED = (1 << 62)
 
@@ -187,3 +187,144 @@ def detect_url_traps(
     )
     return j.select("host", "template", "n_urls", "host_urls",
                     trap.alias("trap"))
+
+
+REP_TRAP_PENALTY_PERMILLE = 400
+REP_ERROR_WEIGHT_PERMILLE = 300
+REP_DUP_WEIGHT_PERMILLE = 300
+
+
+def host_reputation(
+    pages: DataFrame,
+    host_col: str = "host",
+    quality_col: str = "quality_permille",
+    error_col: str = "is_error",
+    dup_col: str = "is_dup",
+    trap_col: str = "is_trap",
+    min_pages: int = 1,
+) -> DataFrame:
+    """Per-host reputation rollup — the host-level prior that seeds
+    frontier priority for URLs the crawler has never fetched (a page-level
+    rank like PageRank can't score an unseen URL, its host's track record
+    can).  Production crawl schedulers keep exactly this table: it decides
+    which hosts deserve deeper crawls and which get throttled to a trickle.
+
+    Signals per host, all integer permille:
+    - mean page quality (classifier / heuristic score of fetched pages),
+    - error share (4xx/5xx fetch outcomes),
+    - duplicate share (pages that dedup removed),
+    - trap share (pages matching a mined trap template).
+
+      reputation = max(0, mean_quality
+                          - 300 * error_share  // 1000
+                          - 300 * dup_share    // 1000
+                          - 400 * trap_share   // 1000)
+
+    (shares in permille, so each penalty term is weight*share//1000.)
+
+    Spark shape: ONE map-side-combined groupBy over the page table — all
+    four signals are conditional-sum aggregates, so a host with 10^8
+    pages reduces to one row of longs per map partition before the
+    exchange; no window, no second pass.  Hosts with fewer than
+    ``min_pages`` keep reputation NULL (insufficient evidence — the
+    scheduler should fall back to the default-priority tier).
+
+    Returns (host, n_pages, mean_quality_permille, error_permille,
+    dup_permille, trap_permille, reputation_permille).
+    """
+    q = F.col(quality_col).cast("long")
+    agg = pages.groupBy(host_col).agg(
+        F.count("*").alias("n_pages"),
+        F.sum(q).alias("q_sum"),
+        F.sum(F.col(error_col).cast("long")).alias("n_err"),
+        F.sum(F.col(dup_col).cast("long")).alias("n_dup"),
+        F.sum(F.col(trap_col).cast("long")).alias("n_trap"),
+    )
+    n = F.col("n_pages")
+    mean_q = F.expr("q_sum div n_pages")
+    err_pm = F.expr("(1000 * n_err) div n_pages")
+    dup_pm = F.expr("(1000 * n_dup) div n_pages")
+    trap_pm = F.expr("(1000 * n_trap) div n_pages")
+    rep = F.greatest(
+        F.lit(0).cast("long"),
+        F.expr(
+            "q_sum div n_pages"
+            f" - ({REP_ERROR_WEIGHT_PERMILLE} * ((1000 * n_err) div n_pages))"
+            " div 1000"
+            f" - ({REP_DUP_WEIGHT_PERMILLE} * ((1000 * n_dup) div n_pages))"
+            " div 1000"
+            f" - ({REP_TRAP_PENALTY_PERMILLE} * ((1000 * n_trap) div n_pages))"
+            " div 1000"
+        ).cast("long"),
+    )
+    out = agg.select(
+        host_col,
+        n.cast("long").alias("n_pages"),
+        mean_q.alias("mean_quality_permille"),
+        err_pm.alias("error_permille"),
+        dup_pm.alias("dup_permille"),
+        trap_pm.alias("trap_permille"),
+        F.when(n >= min_pages, rep).alias("reputation_permille"),
+    )
+    return out
+
+
+def select_wave_by_bytes(
+    frontier: DataFrame,
+    host_byte_budget: int,
+    global_byte_budget: int | None = None,
+    host_col: str = "host",
+    bytes_col: str = "est_bytes",
+    priority_col: str = "priority",
+    ts_col: str = "crawl_ts",
+    url_col: str = "url",
+) -> DataFrame:
+    """Byte-budgeted wave selection — :func:`select_wave` counts URLs,
+    this counts BYTES: image crawls are bandwidth-bound, not URL-bound
+    (one 8 MB photo costs what 200 HTML pages cost), so per-host
+    politeness and fleet capacity are naturally expressed as byte
+    budgets over each URL's size estimate (Content-Length from a HEAD,
+    the cache's previous size, or the host's running mean).
+
+    Admission in (priority DESC, ts, url) order: a row enters while the
+    host's INCLUSIVE running byte total stays within ``host_byte_budget``
+    — except each host's first row, always admitted so a single object
+    larger than the whole budget starves nobody forever (it IS the
+    host's wave).  The optional global cut applies the same rule to the
+    fleet-wide byte total via the two-phase
+    :func:`crawlspark.ranks.global_prefix_sum` (exclusive prefix + own
+    size <= budget, or first row overall) — no single-partition window
+    at any size.
+
+    Returns admitted rows + ``host_bytes_before`` (exclusive per-host
+    prefix) and, with a global budget, ``wave_bytes_before``.
+    """
+    order = [F.col(priority_col).desc(), F.col(ts_col), F.col(url_col)]
+    v = F.col(bytes_col).cast("long")
+    wh = Window.partitionBy(host_col).orderBy(*order)
+    df = (
+        frontier
+        .withColumn("__seq", F.row_number().over(wh))
+        .withColumn(
+            "host_bytes_before",
+            F.coalesce(
+                F.sum(v).over(wh.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .filter(
+            (F.col("__seq") == 1)
+            | (F.col("host_bytes_before") + v <= F.lit(int(host_byte_budget)))
+        )
+        .drop("__seq")
+    )
+    if global_byte_budget is None:
+        return df
+    df = df.withColumn("__negp", -F.col(priority_col).cast("long"))
+    summed = global_prefix_sum(
+        df, ["__negp", ts_col, url_col], bytes_col, out="wave_bytes_before"
+    ).drop("__negp")
+    return summed.filter(
+        (F.col("wave_bytes_before") == 0)
+        | (F.col("wave_bytes_before") + v <= F.lit(int(global_byte_budget)))
+    )

@@ -201,3 +201,87 @@ def request_key(method, url, body=None):
     if body is not None:
         parts.append(body)
     return F.xxhash64(*parts)
+
+
+def revalidation_plan(
+    cache: DataFrame,
+    now_ts: int,
+    ttl_s: int = DEFAULT_TTL_S,
+) -> DataFrame:
+    """Conditional-GET revalidation planner over a cached-response table —
+    the scale extension of the reference's TTL-only FileCache
+    (Cache/FileCache.php:16,46: expired => refetch from scratch).  At
+    10^10 URLs a full refetch of every expired entry wastes the bandwidth
+    the origin already offers via validators, so expired entries with an
+    ETag or Last-Modified become cheap conditional requests instead
+    (RFC 9111 §4.3): expect a 304 + header refresh, not a body transfer.
+
+    Input columns: (url, etag:string|null, last_modified_ts:long|null,
+    fetched_ts:long).  Pure Column expressions — a narrow map over the
+    cache scan, no shuffle; the action split drives three downstream
+    paths (fresh: skip fetch; revalidate: conditional GET batch;
+    refetch: normal frontier admission).
+
+    Returns (url, age_s, action, cond_header, cond_value) where action in
+    ('fresh', 'revalidate', 'refetch'); ETag wins over Last-Modified when
+    both validators exist (RFC 9110 §13.1.2 preference order).
+    """
+    age = (F.lit(now_ts) - F.col("fetched_ts")).cast("long")
+    has_etag = F.col("etag").isNotNull()
+    has_lm = F.col("last_modified_ts").isNotNull()
+    expired = age >= F.lit(ttl_s)
+    action = (
+        F.when(~expired, F.lit("fresh"))
+        .when(has_etag | has_lm, F.lit("revalidate"))
+        .otherwise(F.lit("refetch"))
+    )
+    cond_header = (
+        F.when(expired & has_etag, F.lit("If-None-Match"))
+        .when(expired & has_lm, F.lit("If-Modified-Since"))
+    )
+    cond_value = (
+        F.when(expired & has_etag, F.col("etag"))
+        .when(expired & has_lm, F.col("last_modified_ts").cast("string"))
+    )
+    return cache.select(
+        "url",
+        age.alias("age_s"),
+        action.alias("action"),
+        cond_header.alias("cond_header"),
+        cond_value.alias("cond_value"),
+    )
+
+
+def revalidation_outcomes(
+    plan: DataFrame,
+    server: DataFrame,
+    now_ts: int,
+) -> DataFrame:
+    """Apply origin state to a revalidation plan: join the 'revalidate'
+    slice against the server's current validators and classify 304 (keep
+    cached body, refresh fetched_ts) vs 200 (body changed, full refetch).
+
+    ``server`` columns: (url, cur_etag:string|null, cur_modified_ts:long).
+    ETag comparison is exact string equality (strong validator);
+    Last-Modified revalidation succeeds when the origin's mtime is not
+    newer than the cached validator.  One equi-join on url — at scale the
+    'server' side is the conditional-fetch result batch, co-partitioned
+    by url hash with the plan slice.
+
+    Returns (url, status, new_fetched_ts).
+    """
+    p = plan.filter(F.col("action") == "revalidate")
+    j = p.join(server, "url")
+    not_modified = (
+        F.when(F.col("cond_header") == "If-None-Match",
+               F.col("cur_etag").isNotNull()
+               & (F.col("cur_etag") == F.col("cond_value")))
+        .otherwise(F.col("cur_modified_ts")
+                   <= F.col("cond_value").cast("long"))
+    )
+    return j.select(
+        "url",
+        F.when(not_modified, F.lit(304)).otherwise(F.lit(200))
+         .cast("int").alias("status"),
+        F.lit(now_ts).cast("long").alias("new_fetched_ts"),
+    )

@@ -572,3 +572,89 @@ def decontaminate(
             .alias("contaminated"),
         )
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping token-window chunking — the standard context-window
+    prep for embedding / pretraining pipelines (chunk_size tokens per
+    chunk, stride < chunk_size gives chunk_size - stride tokens of
+    overlap so no boundary context is lost).
+
+    Chunk starts are 0, stride, 2*stride, ... up to the LAST start that
+    still begins inside the document (start < n_tokens); the final chunk
+    is short if the tail has fewer than chunk_size tokens.  Empty docs
+    yield one empty chunk (chunk_id 0) so every input row is accounted
+    for downstream.
+
+    Spark shape: whitespace tokenize once, then sequence -> posexplode ->
+    slice — all JVM higher-order functions fused into one narrow map over
+    the scan (no shuffle, no UDF); at 100 TB this is embarrassingly
+    parallel and the only cost is the output fan-out itself.
+
+    Returns (id, chunk_id, start_tok, n_tok, chunk_text).
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    n = F.size(toks)
+    last_start = F.greatest(
+        F.lit(0),
+        F.floor((n - 1) / F.lit(stride)).cast("int") * F.lit(stride),
+    )
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"),
+                  F.posexplode(starts).alias("chunk_id", "start_tok"))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.least(
+                F.size("__toks") - F.col("start_tok"), F.lit(chunk_size)
+            ).cast("long").alias("n_tok"),
+            F.concat_ws(
+                " ", F.slice("__toks", F.col("start_tok") + 1, chunk_size)
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def chunk_tokens_oracle_sql(
+    chunk_size: int = 32, stride: int = 24, max_tokens: int = 4096,
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """DuckDB replay of :func:`chunk_tokens`.  DuckDB's generate_series
+    takes constant parameters only (no lateral column bounds), so starts
+    come from a constant position table up to ``max_tokens`` (must cover
+    the longest document — asserted generous for the test tables) cross
+    joined and filtered to each doc's real last start; 1-based inclusive
+    list_slice mirrors Spark's F.slice."""
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+         list_filter(str_split_regex({text_col}, '\\s+'), x -> x <> '')
+           AS toks
+  FROM {table}
+),
+gs AS (
+  SELECT generate_series AS start_tok
+  FROM generate_series(0, {max_tokens}, {stride})
+),
+s AS (
+  SELECT {id_col}, toks, start_tok,
+         CAST(start_tok // {stride} AS BIGINT) AS chunk_id
+  FROM t CROSS JOIN gs
+  WHERE start_tok <=
+    GREATEST(0, CAST(((len(toks) - 1) // {stride}) * {stride} AS BIGINT))
+)
+SELECT {id_col}, chunk_id, CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(LEAST(len(toks) - start_tok, {chunk_size}) AS BIGINT) AS n_tok,
+       COALESCE(list_aggregate(
+         list_slice(toks, start_tok + 1, start_tok + {chunk_size}),
+         'string_agg', ' '), '') AS chunk_text
+FROM s
+"""

@@ -16,6 +16,8 @@ from crawlspark import ann, politeness
 from crawlspark.canon import canonicalize_expr, url_hash
 from crawlspark.textops import dedup
 
+SF_DIR = "/root/testdata/sf0.001"
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -299,3 +301,55 @@ def test_ip_group_admission_window_is_partitioned(spark):
     p = plan_of(out)
     assert "hashpartitioning(ip_group" in p
     assert "SinglePartition" not in p
+
+
+def test_chunk_tokens_is_narrow_no_exchange(spark):
+    """Overlapping chunking must stay a pure narrow fan-out fused into
+    the scan: no Exchange, no Python eval node at any corpus size."""
+    from crawlspark.textops.curate import chunk_tokens
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    p = plan_of(chunk_tokens(df))
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_img_srcset_extraction_is_narrow(spark):
+    """srcset parse + candidate pick: regexp/HOF projection only."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.extract import img_srcset_candidates
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("body"),
+        F.lit("http://h.test/p/x.html").alias("page_url"),
+    )
+    p = plan_of(df.select(
+        img_srcset_candidates(F.col("body"), F.col("page_url")).alias("c")
+    ))
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_wave_by_bytes_single_host_exchange(spark):
+    """Per-host byte cut: ONE hash exchange on host (seq + running sum
+    share the window partitioning), nothing unpartitioned."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from crawlspark.scheduler import select_wave_by_bytes
+
+    doc = F.col("id")
+    frontier = spark.range(10_000).select(
+        F.concat(F.lit("h"), (doc % 50).cast("string")).alias("host"),
+        F.concat(F.lit("u"), doc.cast("string")).alias("url"),
+        (doc % 97).cast("long").alias("priority"),
+        (doc % 13).cast("long").alias("crawl_ts"),
+        (F.lit(1000) + doc % 5000).cast("long").alias("est_bytes"),
+    )
+    p = plan_of(select_wave_by_bytes(frontier, host_byte_budget=100_000))
+    assert len(_re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "SinglePartition" not in p, p
