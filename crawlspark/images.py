@@ -226,17 +226,7 @@ def near_dup_images_by_phash(
     recall loss is confined to pairs that are near-identical in every
     band.  None = uncapped (exact recall, only safe when n / 2^band_bits
     stays modest)."""
-    nb = max_dist + 1
-    widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
-    starts = [sum(widths[:i]) for i in range(nb)]
-    band_vals = F.array(*[
-        F.shiftrightunsigned(F.col("phash"), starts[i]).bitwiseAND(
-            # width 64 (max_dist=0, single band): mask is all-ones, and
-            # (1<<64)-1 overflows a JVM long — use -1 (same bit pattern)
-            F.lit((1 << widths[i]) - 1 if widths[i] < 64 else -1)
-        )
-        for i in range(nb)
-    ])
+    band_vals = _phash_bands(max_dist)
     banded = images.select(
         "image_id", "phash", F.posexplode(band_vals).alias("bi", "bv")
     )
@@ -434,4 +424,72 @@ def sniff_image_format(bytes_col) -> "F.Column":
         )
         .when(head.startswith("424D"), F.lit("bmp"))
         .otherwise(F.lit("unknown"))
+    )
+
+
+def _phash_bands(max_dist: int) -> "F.Column":
+    """array of (max_dist+1) band values for the 64-bit phash column —
+    shared by the batch near-dup join and the incremental index."""
+    nb = max_dist + 1
+    widths = [64 // nb + (1 if i < 64 % nb else 0) for i in range(nb)]
+    starts = [sum(widths[:i]) for i in range(nb)]
+    return F.array(*[
+        F.shiftrightunsigned(F.col("phash"), starts[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1 if widths[i] < 64 else -1)
+        )
+        for i in range(nb)
+    ])
+
+
+def phash_band_index(images: DataFrame, max_dist: int = 6) -> DataFrame:
+    """The phash LSH index as a persistable relation — the image-side
+    twin of textops.dedup.banded_signatures: (image_id, phash, bi, bv)
+    rows, one per band.  Write it partitioned/bucketed by (bi, bv) and a
+    nightly crawl batch probes it without re-banding the archive.
+    Pigeonhole recall as in :func:`near_dup_images_by_phash`: any pair
+    within ``max_dist`` shares at least one of the max_dist+1 bands."""
+    return images.select(
+        "image_id", "phash",
+        F.posexplode(_phash_bands(max_dist)).alias("bi", "bv"),
+    )
+
+
+def phash_incremental_pairs(
+    index: DataFrame,
+    new_images: DataFrame,
+    max_dist: int = 6,
+) -> DataFrame:
+    """Incremental image near-dup: band ONLY the new crawl batch and
+    probe the standing band index (new-vs-old) plus the batch itself
+    (new-vs-new) — the archive is never re-banded or re-joined against
+    itself, so a day's batch costs O(|batch| x bucket occupancy), not
+    O(|archive|).  Same discipline as
+    textops.dedup.minhash_lsh_incremental_pairs: emits exactly the pairs
+    that involve at least one new image; old-archive ∪ incremental =
+    full-batch pairs (lossless decomposition, proven in tests).
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, hamming <= max_dist.
+    """
+    nb = phash_band_index(new_images, max_dist=max_dist)
+    standing = index.unionByName(nb)
+    a = nb.select(F.col("image_id").alias("id_x"),
+                  F.col("phash").alias("ph_x"), "bi", "bv")
+    b = standing.select(F.col("image_id").alias("id_y"),
+                        F.col("phash").alias("ph_y"), "bi", "bv")
+    pairs = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("id_x") != F.col("id_y"))
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            F.when(F.col("id_x") < F.col("id_y"), F.col("ph_x"))
+             .otherwise(F.col("ph_y")).alias("ph_a"),
+            F.when(F.col("id_x") < F.col("id_y"), F.col("ph_y"))
+             .otherwise(F.col("ph_x")).alias("ph_b"),
+        )
+        .distinct()
+    )
+    dist = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return pairs.select("id_a", "id_b", dist.alias("hamming")).filter(
+        F.col("hamming") <= max_dist
     )

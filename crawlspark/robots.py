@@ -364,3 +364,38 @@ def nofollow_outlinks(body: "F.Column") -> "F.Column":
     return F.transform(
         tags, lambda t: F.regexp_extract(t, r'(?i)href\s*=\s*"([^"]*)"', 1)
     )
+
+
+ROBOTS_CACHE_MAX_AGE_S = 30 * 86_400
+
+
+def robots_fetch_policy(
+    status: "F.Column",
+    cache_age_s: "F.Column | None" = None,
+) -> "F.Column":
+    """Effective robots policy from the /robots.txt fetch outcome —
+    RFC 9309 §2.3.1 (the part robots PARSERS usually skip): a 2xx body
+    is parsed; 3xx is followed (the redirect target's body governs);
+    "unavailable" 4xx means allow-all (no robots file == no restrictions);
+    "unreachable" 5xx/network-error means treat the site as FULLY
+    DISALLOWED — except that a previously cached copy may be used while
+    it is younger than 30 days (RFC: "MAY use the cached copy for a
+    reasonable amount of time"; Google documents 30 days).
+
+    ``status``: HTTP status, 0 = network error.  Returns one of
+    'parse' / 'follow_redirect' / 'allow_all' / 'use_cached' /
+    'disallow_all'.  Pure Column CASE — fused into the per-host robots
+    scan (~10^6 rows at 10^10 URLs).
+    """
+    unreachable = (status >= 500) | (status == 0)
+    cached_ok = (
+        cache_age_s.isNotNull() & (cache_age_s < ROBOTS_CACHE_MAX_AGE_S)
+        if cache_age_s is not None else F.lit(False)
+    )
+    return (
+        F.when((status >= 200) & (status < 300), F.lit("parse"))
+        .when((status >= 300) & (status < 400), F.lit("follow_redirect"))
+        .when((status >= 400) & (status < 500), F.lit("allow_all"))
+        .when(unreachable & cached_ok, F.lit("use_cached"))
+        .otherwise(F.lit("disallow_all"))
+    )

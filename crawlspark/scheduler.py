@@ -328,3 +328,35 @@ def select_wave_by_bytes(
         (F.col("wave_bytes_before") == 0)
         | (F.col("wave_bytes_before") + v <= F.lit(int(global_byte_budget)))
     )
+
+
+def frontier_health(
+    frontier: DataFrame,
+    now_ts: int,
+    starvation_age_s: int = 86_400,
+    host_col: str = "host",
+    ts_col: str = "enqueued_ts",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Per-host frontier health rollup — the ops table a crawl fleet
+    watches: backlog size, oldest enqueued age, mean priority (integer),
+    and a starvation flag (oldest row older than ``starvation_age_s`` —
+    the host's budget or politeness floor is too tight for its inflow).
+
+    ONE map-side-combined groupBy over the frontier (count/min/sum
+    aggregates only) — safe to run on every wave boundary at 10^10 rows.
+    Returns (host, backlog, oldest_age_s, mean_priority, starved).
+    """
+    agg = frontier.groupBy(host_col).agg(
+        F.count("*").alias("backlog"),
+        F.min(F.col(ts_col).cast("long")).alias("__oldest"),
+        F.sum(F.col(priority_col).cast("long")).alias("__psum"),
+    )
+    oldest_age = (F.lit(int(now_ts)) - F.col("__oldest")).cast("long")
+    return agg.select(
+        host_col,
+        F.col("backlog").cast("long").alias("backlog"),
+        oldest_age.alias("oldest_age_s"),
+        F.expr("__psum div backlog").alias("mean_priority"),
+        (oldest_age > starvation_age_s).alias("starved"),
+    )

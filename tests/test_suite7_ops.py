@@ -143,3 +143,66 @@ def test_nofollow_outlinks(spark):
     got = (spark.range(1)
            .select(nofollow_outlinks(F.lit(body)).alias("u")).head().u)
     assert sorted(got) == ["/b", "/c"]
+
+
+def test_phash_incremental_lossless_decomposition(spark):
+    """old-archive pairs ∪ incremental(new batch) == full-batch pairs."""
+    from crawlspark.images import (
+        near_dup_images_by_phash,
+        phash_band_index,
+        phash_incremental_pairs,
+    )
+    base = 0x0123456789ABCDE0
+    old = spark.createDataFrame(
+        [(f"o{i}", base ^ (i << 40)) for i in range(6)],
+        "image_id STRING, phash LONG")
+    new = spark.createDataFrame(
+        [("n0", base ^ 1), ("n1", base ^ (1 << 40) ^ 2), ("n2", base ^ 3)],
+        "image_id STRING, phash LONG")
+    full = {(r.id_a, r.id_b, r.hamming) for r in
+            near_dup_images_by_phash(old.unionByName(new),
+                                     max_dist=6).collect()}
+    old_only = {(r.id_a, r.id_b, r.hamming) for r in
+                near_dup_images_by_phash(old, max_dist=6).collect()}
+    inc = {(r.id_a, r.id_b, r.hamming) for r in
+           phash_incremental_pairs(phash_band_index(old, max_dist=6), new,
+                                   max_dist=6).collect()}
+    assert old_only | inc == full
+    # incremental emits ONLY pairs touching the new batch
+    assert all(a.startswith("n") or b.startswith("n") for a, b, _ in inc)
+    # and new-vs-new pairs are found too
+    assert any(a.startswith("n") and b.startswith("n") for a, b, _ in inc)
+
+
+def test_frontier_health_hand_computed(spark):
+    from crawlspark.scheduler import frontier_health
+    f = spark.createDataFrame(
+        [("h1", 100, 10), ("h1", 500, 30), ("h2", 99_000, 7)],
+        "host STRING, enqueued_ts LONG, priority LONG")
+    out = {r.host: r for r in
+           frontier_health(f, now_ts=100_000,
+                           starvation_age_s=90_000).collect()}
+    assert out["h1"].backlog == 2
+    assert out["h1"].oldest_age_s == 99_900
+    assert out["h1"].mean_priority == 20
+    assert out["h1"].starved is True
+    assert out["h2"].oldest_age_s == 1_000 and out["h2"].starved is False
+
+
+def test_robots_fetch_policy_cases(spark):
+    from crawlspark.robots import robots_fetch_policy
+    df = spark.createDataFrame(
+        [(200, None), (307, None), (404, None), (403, None),
+         (503, 100), (503, 9_000_000), (503, None), (0, 50)],
+        "status INT, age LONG")
+    rows = df.select(
+        "status", "age",
+        robots_fetch_policy(F.col("status"), F.col("age")).alias("p")
+    ).collect()
+    got = [(r.status, r.age, r.p) for r in rows]
+    assert got == [
+        (200, None, "parse"), (307, None, "follow_redirect"),
+        (404, None, "allow_all"), (403, None, "allow_all"),
+        (503, 100, "use_cached"), (503, 9_000_000, "disallow_all"),
+        (503, None, "disallow_all"), (0, 50, "use_cached"),
+    ]
