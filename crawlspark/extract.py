@@ -492,3 +492,120 @@ def extract_hreflang(body: Column) -> Column:
             F.regexp_extract(t, r'(?i)href\s*=\s*"([^"]*)"', 1).alias("url"),
         ),
     )
+
+
+def image_caption_pairs(body: Column, page_url: Column) -> Column:
+    """(image_url, caption) pair mining from page HTML — the harvest
+    step of a LAION-style image+caption crawl (the input_hint table's
+    rows are born here).  Caption priority per figure-wrapped image:
+    ``<figcaption>`` beats the img's ``alt`` attribute (figcaption is
+    authored as a caption; alt is accessibility text) — standing
+    practice in web-scale image-text corpus construction; bare images
+    fall back to alt.  Images with NO caption source are dropped (an
+    uncaptioned image can't train an image-text pair).
+
+    JVM-only: figure blocks first (regexp_extract_all over
+    ``<figure>...</figure>``, non-greedy), then bare img tags NOT inside
+    a figure (computed by subtracting the figure-claimed img tags from
+    the page's full img set — arrays, no second scan).  Relative URLs
+    resolve with the page-authority arithmetic of
+    :func:`img_srcset_candidates`.
+
+    Returns array<struct<image_url:string, caption:string,
+    source:string>> with source in ('figcaption', 'alt').
+    """
+    authority = F.regexp_extract(page_url, r"^(https?://[^/]+)", 1)
+    base_dir = F.regexp_replace(page_url, r"[^/]*$", "")
+
+    def resolve(u: Column) -> Column:
+        return (
+            F.when(u.rlike("^https?://"), u)
+            .when(u.startswith("/"), F.concat(authority, u))
+            .otherwise(F.concat(base_dir, u))
+        )
+
+    figures = F.regexp_extract_all(
+        body, F.lit(r"(?is)<figure[^>]*>.*?</figure>"), 0
+    )
+    fig_pairs = F.filter(
+        F.transform(
+            figures,
+            lambda fig: F.struct(
+                F.regexp_extract(
+                    fig, r'(?i)<img\s[^>]*src\s*=\s*"([^"]*)"', 1
+                ).alias("u"),
+                F.trim(F.regexp_extract(
+                    fig, r"(?is)<figcaption[^>]*>(.*?)</figcaption>", 1
+                )).alias("cap"),
+                F.regexp_extract(
+                    fig, r'(?i)<img\s[^>]*alt\s*=\s*"([^"]*)"', 1
+                ).alias("alt"),
+            ),
+        ),
+        lambda p: p["u"] != "",
+    )
+    fig_imgs = F.transform(fig_pairs, lambda p: p["u"])
+    all_imgs = F.regexp_extract_all(
+        body, F.lit(r"(?i)<img\s[^>]*>"), 0
+    )
+    bare = F.filter(
+        F.transform(
+            all_imgs,
+            lambda t: F.struct(
+                F.regexp_extract(t, r'(?i)\bsrc\s*=\s*"([^"]*)"', 1)
+                 .alias("u"),
+                F.regexp_extract(t, r'(?i)\balt\s*=\s*"([^"]*)"', 1)
+                 .alias("alt"),
+            ),
+        ),
+        lambda p: (p["u"] != "") & ~F.array_contains(fig_imgs, p["u"]),
+    )
+    from_figs = F.transform(
+        fig_pairs,
+        lambda p: F.struct(
+            resolve(p["u"]).alias("image_url"),
+            F.when(p["cap"] != "", p["cap"]).otherwise(p["alt"])
+             .alias("caption"),
+            F.when(p["cap"] != "", F.lit("figcaption"))
+             .otherwise(F.lit("alt")).alias("source"),
+        ),
+    )
+    from_bare = F.transform(
+        bare,
+        lambda p: F.struct(
+            resolve(p["u"]).alias("image_url"),
+            p["alt"].alias("caption"),
+            F.lit("alt").alias("source"),
+        ),
+    )
+    return F.filter(
+        F.concat(from_figs, from_bare),
+        lambda p: p["caption"] != "",
+    )
+
+
+def og_image_meta(body: Column) -> Column:
+    """OpenGraph / Twitter-card hero-image metadata: og:image (+ width/
+    height when present) with twitter:image as fallback — the page's
+    nominated representative image, the second caption-pair source
+    after :func:`image_caption_pairs` (og:title/og:description serve as
+    the caption text).  Returns struct<image_url:string, width:long,
+    height:long, title:string> (image_url null when the page nominates
+    nothing).
+    """
+    def meta(prop: str) -> Column:
+        pat = (r'(?i)<meta\s[^>]*(?:property|name)\s*=\s*"' + prop
+               + r'"[^>]*content\s*=\s*"([^"]*)"')
+        return F.regexp_extract(body, pat, 1)
+
+    og = meta("og:image")
+    tw = meta("twitter:image")
+    url = F.when(og != "", og).when(tw != "", tw)
+    return F.struct(
+        url.alias("image_url"),
+        F.nullif(meta("og:image:width"), F.lit("")).cast("long")
+         .alias("width"),
+        F.nullif(meta("og:image:height"), F.lit("")).cast("long")
+         .alias("height"),
+        F.nullif(meta("og:title"), F.lit("")).alias("title"),
+    )
