@@ -285,3 +285,37 @@ def url_category(
         expr = F.when(cond, cat) if expr is None else expr.when(cond, cat)
     return (expr.otherwise(F.lit("ok"))
             if expr is not None else F.lit("ok"))
+
+
+def prefer_https_dedup(
+    urls: "DataFrame",
+    url_col: str = "url",
+) -> "DataFrame":
+    """Scheme-upgrade dedup: the same resource crawled as both
+    ``http://`` and ``https://`` is one page, not two — keep the https
+    edition (the upgrade every origin serving both intends) and fold the
+    reference counts.  Frontier hygiene at 10^10 URLs: without this,
+    every dual-scheme site doubles its seen-set and dedup load.
+
+    One partitioned window on the schemeless key (host+path+query), no
+    UDF.  Returns (schemeless_key, url, n_variants) — ``url`` the kept
+    edition, ``n_variants`` how many scheme editions were folded.
+    """
+    from pyspark.sql import DataFrame as _DF  # noqa: F401 (doc typing)
+    from pyspark.sql import Window
+
+    key = F.regexp_replace(F.col(url_col), r"^https?://", "//")
+    is_https = F.col(url_col).startswith("https://")
+    w = Window.partitionBy("schemeless_key")
+    df = urls.withColumn("schemeless_key", key)
+    return (
+        df.withColumn("n_variants", F.count("*").over(w).cast("long"))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                w.orderBy(is_https.desc(), F.col(url_col))
+            ),
+        )
+        .filter(F.col("__r") == 1)
+        .select("schemeless_key", url_col, "n_variants")
+    )

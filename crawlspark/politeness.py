@@ -320,3 +320,52 @@ def ip_group_admission(
         .withColumn("ip_seq", F.row_number().over(w).cast("long"))
         .withColumn("admitted", F.col("ip_seq") <= budget)
     )
+
+
+def bandwidth_throttle_schedule(
+    wave: DataFrame,
+    rate_bytes_per_s: int,
+    min_gap_ms: int = 100,
+    host_col: str = "host",
+    ord_col: str = "seq",
+    bytes_col: str = "est_bytes",
+) -> DataFrame:
+    """Bandwidth-aware per-host pacing — the byte-cost twin of
+    :func:`throttle_schedule`: the gap before fetch k is the time the
+    PREVIOUS response occupied the host's bandwidth allowance
+    (``prev_bytes * 1000 div rate``), floored at ``min_gap_ms``.  Image
+    crawls need this instead of fixed gaps: a 5 MB photo at a polite
+    1 MB/s earns its host a 5 s pause, a 2 kB robots probe only the
+    floor.
+
+    Integer arithmetic throughout (SQL-replayable), one shuffle on host,
+    both windows (lag + running sum) share the Exchange.  Returns the
+    wave plus gap_ms / fetch_start_ms / fetch_end_ms relative to the
+    host's wave start (transfer time = bytes * 1000 div rate).
+    """
+    w = Window.partitionBy(host_col).orderBy(ord_col)
+    v = F.col(bytes_col).cast("long")
+    rate = int(rate_bytes_per_s)
+    df = wave.withColumn("__prev_b", F.lag(v).over(w)).withColumn(
+        "__xfer", F.expr(f"{bytes_col} * 1000L div {rate}L")
+    )
+    gap = F.when(
+        F.col("__prev_b").isNull(), F.lit(0).cast("long")
+    ).otherwise(
+        F.greatest(
+            F.lit(int(min_gap_ms)).cast("long"),
+            F.expr(f"__prev_b * 1000L div {rate}L"),
+        )
+    )
+    df = df.withColumn("gap_ms", gap).drop("__prev_b")
+    cum = F.sum(F.col("gap_ms") + F.col("__xfer")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("fetch_end_ms", cum.cast("long"))
+        .withColumn(
+            "fetch_start_ms",
+            (F.col("fetch_end_ms") - F.col("__xfer")).cast("long"),
+        )
+        .drop("__xfer")
+    )

@@ -187,6 +187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_caption_pairs": q_img_caption_pairs,
         "og_images": q_og_images,
         "html_lang_check": q_html_lang_check,
+        "caption_harvest": q_caption_harvest,
+        "bandwidth_throttle": q_bandwidth_throttle,
+        "scheme_dedup": q_scheme_dedup,
     }
 
 
@@ -195,4 +198,250 @@ def oracle_sql() -> dict[str, str]:
         "img_caption_pairs": ORACLE_IMG_CAPTION_PAIRS,
         "og_images": ORACLE_OG_IMAGES,
         "html_lang_check": ORACLE_HTML_LANG,
+        "caption_harvest": _oracle_caption_harvest(),
+        "bandwidth_throttle": ORACLE_BANDWIDTH,
+        "scheme_dedup": ORACLE_SCHEME_DEDUP,
     }
+
+
+# --------------------------------------------------------------------------
+# caption_harvest — composed: mine -> canonicalize -> blocklist -> dedup
+# --------------------------------------------------------------------------
+
+_HARVEST_BLOCK = {"h4.test": "ads"}
+
+
+def q_caption_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed caption-harvest pipeline over a synthetic page
+    corpus: inline (figcaption/alt) pair mining + OpenGraph nominations
+    -> URL canonicalization with tracking-param strip -> registrable-
+    domain blocklist gate (h4.test pages' own images drop; the shared
+    CDN logo they also embed survives) -> per-image dedup keeping the
+    lowest-doc reference with a reference count.  Every stage is the
+    already-verified operator; the oracle replays the whole chain."""
+    from .canon import canonicalize_expr, strip_tracking_params, url_category
+
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    page_url = F.concat(F.lit("http://h"), (doc % 9).cast("string"),
+                        F.lit(".test/a/page.html"))
+    fig = (
+        F.when(doc % 3 == 0, F.concat(
+            F.lit('<figure><img src="f'), s,
+            F.lit('.jpg" alt="ignored"><figcaption>fig cap '),
+            (doc % 13).cast("string"), F.lit("</figcaption></figure>"),
+        ))
+        .when(doc % 3 == 1, F.concat(
+            F.lit('<figure><img src="g'), s, F.lit('.jpg" alt="galt '),
+            (doc % 7).cast("string"), F.lit('"></figure>'),
+        ))
+        .otherwise(F.lit(""))
+    )
+    og = F.when(doc % 4 == 0, F.concat(
+        F.lit('<meta property="og:image" content="http://c.test/o'), s,
+        F.lit('.jpg"><meta property="og:title" content="t'),
+        (doc % 11).cast("string"), F.lit('">'),
+    )).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("<html><head>"), og, F.lit("</head><body>"), fig,
+        F.lit('<img src="/b'), s, F.lit('.png?utm_source=s" alt="bare '),
+        (doc % 5).cast("string"), F.lit('">'),
+        F.lit('<img src="http://cdn.test/logo.png" alt="logo">'),
+        F.lit("</body></html>"),
+    )
+    pages = _docs(spark, sf_dir).select(
+        doc.alias("doc_id"), body.alias("body"), page_url.alias("page_url")
+    )
+    inline = pages.select(
+        "doc_id",
+        F.explode(image_caption_pairs(F.col("body"), F.col("page_url"))
+                  ).alias("p"),
+    ).select(
+        "doc_id", F.col("p.image_url").alias("raw_url"),
+        F.col("p.caption").alias("caption"), F.col("p.source").alias("source"),
+    )
+    ogm = og_image_meta(F.col("body"))
+    og_pairs = pages.select(
+        "doc_id", ogm["image_url"].alias("raw_url"),
+        ogm["title"].alias("caption"), F.lit("og").alias("source"),
+    ).filter(F.col("raw_url").isNotNull() & F.col("caption").isNotNull())
+    allp = inline.unionByName(og_pairs).select(
+        "doc_id", "caption", "source",
+        strip_tracking_params(canonicalize_expr(F.col("raw_url")))
+        .alias("image_url"),
+    )
+    gated = allp.filter(
+        url_category(F.col("image_url"), _HARVEST_BLOCK, {}) == "ok"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("image_url")
+    ranked = (
+        gated
+        .withColumn("n_refs", F.count("*").over(w).cast("long"))
+        .withColumn(
+            "__r",
+            F.row_number().over(w.orderBy("doc_id", "source", "caption")),
+        )
+        .filter(F.col("__r") == 1)
+    )
+    return ranked.select(
+        "image_url", "caption", "source",
+        F.col("doc_id").alias("from_doc"), "n_refs",
+    )
+
+
+def _oracle_caption_harvest() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id, 'http://h' || CAST(doc_id % 9 AS VARCHAR) || '.test'
+           AS auth
+  FROM documents
+),
+inline AS (
+  SELECT doc_id,
+         auth || '/a/f' || CAST(doc_id AS VARCHAR) || '.jpg' AS image_url,
+         'fig cap ' || CAST(doc_id % 13 AS VARCHAR) AS caption,
+         'figcaption' AS source
+  FROM d WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, auth || '/a/g' || CAST(doc_id AS VARCHAR) || '.jpg',
+         'galt ' || CAST(doc_id % 7 AS VARCHAR), 'alt'
+  FROM d WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id, auth || '/b' || CAST(doc_id AS VARCHAR) || '.png',
+         'bare ' || CAST(doc_id % 5 AS VARCHAR), 'alt'
+  FROM d
+  UNION ALL
+  SELECT doc_id, 'http://cdn.test/logo.png', 'logo', 'alt' FROM d
+  UNION ALL
+  SELECT doc_id, 'http://c.test/o' || CAST(doc_id AS VARCHAR) || '.jpg',
+         't' || CAST(doc_id % 11 AS VARCHAR), 'og'
+  FROM d WHERE doc_id % 4 = 0
+),
+gated AS (
+  SELECT * FROM inline WHERE doc_id % 9 <> 4
+     OR image_url NOT LIKE 'http://h4.test/%'
+),
+ranked AS (
+  SELECT image_url, caption, source, doc_id,
+         CAST(COUNT(*) OVER (PARTITION BY image_url) AS BIGINT) AS n_refs,
+         ROW_NUMBER() OVER (PARTITION BY image_url
+                            ORDER BY doc_id, source, caption) AS r
+  FROM gated
+)
+SELECT image_url, caption, source, CAST(doc_id AS BIGINT) AS from_doc,
+       n_refs
+FROM ranked WHERE r = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# bandwidth_throttle — byte-cost pacing per host
+# --------------------------------------------------------------------------
+
+_BW_RATE = 1_000_000  # 1 MB/s polite per-host allowance
+
+
+def q_bandwidth_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bandwidth_throttle_schedule over a 13-host wave with response
+    sizes 2 kB..2 MB at a 1 MB/s per-host allowance (min gap 100 ms):
+    big objects earn long pauses, small ones only the floor.  Lag +
+    running-sum windows replayed in SQL."""
+    from .politeness import bandwidth_throttle_schedule
+
+    doc = F.col("doc_id")
+    wave = _docs(spark, sf_dir).select(
+        doc.alias("doc_id"),
+        F.concat(F.lit("h"), (doc % 13).cast("string")).alias("host"),
+        doc.cast("long").alias("seq"),
+        (F.lit(2000) + (doc * 4099) % 2_000_000).cast("long")
+        .alias("est_bytes"),
+    )
+    out = bandwidth_throttle_schedule(
+        wave, rate_bytes_per_s=_BW_RATE, min_gap_ms=100
+    )
+    return out.select("doc_id", "host", "seq", "est_bytes", "gap_ms",
+                      "fetch_start_ms", "fetch_end_ms")
+
+
+ORACLE_BANDWIDTH = f"""
+WITH wave AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 13 AS VARCHAR) AS host,
+         CAST(doc_id AS BIGINT) AS seq,
+         CAST(2000 + (doc_id * 4099) % 2000000 AS BIGINT) AS est_bytes
+  FROM documents
+),
+g AS (
+  SELECT *,
+         LAG(est_bytes) OVER w AS prev_b,
+         est_bytes * 1000 // {_BW_RATE} AS xfer
+  FROM wave
+  WINDOW w AS (PARTITION BY host ORDER BY seq)
+),
+gg AS (
+  SELECT *,
+         CASE WHEN prev_b IS NULL THEN 0
+              ELSE GREATEST(100, prev_b * 1000 // {_BW_RATE}) END AS gap_ms
+  FROM g
+),
+c AS (
+  SELECT *,
+         CAST(SUM(gap_ms + xfer) OVER
+           (PARTITION BY host ORDER BY seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS fetch_end_ms
+  FROM gg
+)
+SELECT doc_id, host, seq, est_bytes, CAST(gap_ms AS BIGINT) AS gap_ms,
+       CAST(fetch_end_ms - xfer AS BIGINT) AS fetch_start_ms, fetch_end_ms
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# scheme_dedup — prefer the https edition of dual-scheme URLs
+# --------------------------------------------------------------------------
+
+def q_scheme_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prefer_https_dedup over a corpus where every 4th URL was crawled
+    under BOTH schemes (the https edition must win and fold the count)
+    and the rest under exactly one (doc%2 picks which)."""
+    from .canon import prefer_https_dedup
+
+    doc = F.col("doc_id")
+    path = F.concat(F.lit("site"), (doc % 31).cast("string"),
+                    F.lit(".test/p/"), doc.cast("string"))
+    single = F.when(doc % 2 == 0, F.concat(F.lit("http://"), path)
+                    ).otherwise(F.concat(F.lit("https://"), path))
+    d = _docs(spark, sf_dir).select(doc.alias("doc_id"), path.alias("path"),
+                                    single.alias("single_url"))
+    dual = d.filter(doc % 4 == 0).select(
+        F.explode(F.array(
+            F.concat(F.lit("http://"), F.col("path")),
+            F.concat(F.lit("https://"), F.col("path")),
+        )).alias("url")
+    )
+    rest = d.filter(doc % 4 != 0).select(F.col("single_url").alias("url"))
+    return prefer_https_dedup(dual.unionByName(rest))
+
+
+ORACLE_SCHEME_DEDUP = """
+WITH d AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 31 AS VARCHAR) || '.test/p/' ||
+           CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+)
+SELECT '//' || path AS schemeless_key,
+       'https://' || path AS url,
+       CAST(2 AS BIGINT) AS n_variants
+FROM d WHERE doc_id % 4 = 0
+UNION ALL
+SELECT '//' || path,
+       CASE WHEN doc_id % 2 = 0 THEN 'http://' || path
+            ELSE 'https://' || path END,
+       CAST(1 AS BIGINT)
+FROM d WHERE doc_id % 4 <> 0
+"""
