@@ -609,3 +609,95 @@ def og_image_meta(body: Column) -> Column:
          .alias("height"),
         F.nullif(meta("og:title"), F.lit("")).alias("title"),
     )
+
+
+def discover_feeds(body: Column) -> Column:
+    """RSS/Atom autodiscovery links (``<link rel="alternate"
+    type="application/rss+xml|atom+xml" href=...>``) — feeds are the
+    cheapest recrawl signal a site offers: one small fetch lists every
+    new content URL with timestamps, so feed-discovered hosts can skip
+    speculative BFS re-expansion entirely.  Returns
+    array<struct<feed_url:string, kind:string>> with kind 'rss'/'atom'.
+    JVM regexp over link tags; attribute order tolerant for type/href.
+    """
+    tags = F.regexp_extract_all(
+        body,
+        F.lit(r'(?i)<link\s[^>]*type\s*=\s*"application/(?:rss|atom)\+xml"'
+              r"[^>]*>"),
+        0,
+    )
+    return F.filter(
+        F.transform(
+            tags,
+            lambda t: F.struct(
+                F.regexp_extract(t, r'(?i)href\s*=\s*"([^"]*)"', 1)
+                 .alias("feed_url"),
+                F.when(
+                    F.lower(t).contains("application/rss+xml"), F.lit("rss")
+                ).otherwise(F.lit("atom")).alias("kind"),
+            ),
+        ),
+        lambda p: p["feed_url"] != "",
+    )
+
+
+def feed_items(body: Column) -> Column:
+    """Feed entry extraction for both syndication dialects: RSS
+    ``<item>`` (link/title/pubDate element text) and Atom ``<entry>``
+    (``<link href="...">`` attribute, title, updated).  The per-item
+    block split keeps each item's fields aligned (the same
+    misalignment hazard as sitemap_image_entries).  Returns
+    array<struct<url:string, title:string, published:string>>.
+    """
+    def items_of(block_pat: str, link_expr, title_pat: str,
+                 date_pat: str) -> Column:
+        blocks = F.regexp_extract_all(body, F.lit(block_pat), 0)
+        return F.transform(
+            blocks,
+            lambda b: F.struct(
+                link_expr(b).alias("url"),
+                F.trim(F.regexp_extract(b, title_pat, 1)).alias("title"),
+                F.trim(F.regexp_extract(b, date_pat, 1)).alias("published"),
+            ),
+        )
+    rss = items_of(
+        r"(?is)<item>.*?</item>",
+        lambda b: F.regexp_extract(b, r"(?is)<link>\s*(.*?)\s*</link>", 1),
+        r"(?is)<title>(.*?)</title>",
+        r"(?is)<pubDate>(.*?)</pubDate>",
+    )
+    atom = items_of(
+        r"(?is)<entry>.*?</entry>",
+        lambda b: F.regexp_extract(
+            b, r'(?i)<link\s[^>]*href\s*=\s*"([^"]*)"', 1),
+        r"(?is)<title>(.*?)</title>",
+        r"(?is)<updated>(.*?)</updated>",
+    )
+    return F.filter(F.concat(rss, atom), lambda p: p["url"] != "")
+
+
+def amp_canonical_fold(pages: "DataFrame", url_col: str = "url",
+                       body_col: str = "body") -> "DataFrame":
+    """AMP-edition folding: an AMP page (``<link rel="amphtml">`` on the
+    canonical, ``<link rel="canonical">`` back from the AMP copy) is the
+    same document twice — crawl hygiene folds each AMP URL onto its
+    canonical before dedup/seen accounting, exactly like the engine's
+    canonical-link dedup (engine.py) but as a standalone batch operator.
+
+    Per page: canon_target = the page's rel=canonical href (if any);
+    fold_url = canon_target when it differs from the page URL (an AMP or
+    otherwise non-canonical edition), else the page's own URL.  Returns
+    (url, fold_url, is_alternate).  Narrow map, no UDF.
+    """
+    canon = F.regexp_extract(
+        F.col(body_col),
+        r'(?i)<link\s[^>]*rel\s*=\s*"canonical"[^>]*href\s*=\s*"([^"]*)"',
+        1,
+    )
+    fold = F.when((canon != "") & (canon != F.col(url_col)), canon
+                  ).otherwise(F.col(url_col))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        fold.alias("fold_url"),
+        (fold != F.col(url_col)).alias("is_alternate"),
+    )
