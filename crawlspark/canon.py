@@ -319,3 +319,32 @@ def prefer_https_dedup(
         .filter(F.col("__r") == 1)
         .select("schemeless_key", url_col, "n_variants")
     )
+
+
+def fold_www_dedup(
+    urls: "DataFrame",
+    url_col: str = "url",
+) -> "DataFrame":
+    """www-prefix host-alias dedup — the DUST rule every crawler ships
+    first: ``www.example.com/p`` and ``example.com/p`` are one resource.
+    Keeps the bare-host edition when both were seen (shorter canonical),
+    folds counts like :func:`prefer_https_dedup`; compose the two (fold
+    www, then scheme) for full alias hygiene.
+
+    Returns (hostless_key, url, n_variants).
+    """
+    from pyspark.sql import Window
+
+    key = F.regexp_replace(F.col(url_col), r"^(https?://)www\.", r"$1")
+    is_www = F.col(url_col).rlike(r"^https?://www\.")
+    w = Window.partitionBy("hostless_key")
+    df = urls.withColumn("hostless_key", key)
+    return (
+        df.withColumn("n_variants", F.count("*").over(w).cast("long"))
+        .withColumn(
+            "__r",
+            F.row_number().over(w.orderBy(is_www.asc(), F.col(url_col))),
+        )
+        .filter(F.col("__r") == 1)
+        .select("hostless_key", url_col, "n_variants")
+    )

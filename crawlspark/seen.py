@@ -520,3 +520,23 @@ class PartitionedSeenFilter:
         jk = [jk] if isinstance(jk, str) else list(jk)
         survivors = maybe.join(seen.select(*jk).distinct(), jk, "left_anti")
         return new.unionByName(survivors)
+
+
+def filter_occupancy(states: DataFrame, capacity: int) -> DataFrame:
+    """Occupancy observable over the partitioned cuckoo states table
+    (bucket, state, n_keys, saturated) — the fleet-health view of the
+    north-rule seen structure: per-bucket load permille against the
+    configured capacity plus the saturation flag (a saturated bucket has
+    degraded to the exact anti-join backstop; a fleet with many is due
+    for a rebuild at 2x buckets).  Narrow projection over the states
+    relation (~num_buckets rows), no shuffle.
+
+    Returns (bucket, n_keys, load_permille, saturated).
+    """
+    return states.select(
+        "bucket",
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.expr(f"(1000 * n_keys) div {int(capacity)}L")
+        .alias("load_permille"),
+        "saturated",
+    )

@@ -658,3 +658,140 @@ SELECT {id_col}, chunk_id, CAST(start_tok AS BIGINT) AS start_tok,
          'string_agg', ' '), '') AS chunk_text
 FROM s
 """
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812) over a digit string, pure Column
+    HOFs: from the RIGHT, double every second digit (subtracting 9 when
+    the double exceeds 9) and require the total to divide by 10 — the
+    validity gate that separates real payment-card numbers from random
+    digit runs (scrubbing every 16-digit run would destroy order ids,
+    EANs, timestamps)."""
+    rev = F.reverse(digits)
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.length(digits)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == 0,
+            F.when(
+                (F.ascii(F.substring(rev, i.cast("int"), F.lit(1))) - 48) > 4,
+                2 * (F.ascii(F.substring(rev, i.cast("int"), F.lit(1))) - 48)
+                - 9,
+            ).otherwise(
+                2 * (F.ascii(F.substring(rev, i.cast("int"), F.lit(1))) - 48)
+            ),
+        ).otherwise(
+            F.ascii(F.substring(rev, i.cast("int"), F.lit(1))) - 48
+        ).cast("long"),
+    )
+    return (total % 10 == 0) & (F.length(digits) >= 13)
+
+
+def scrub_credit_cards(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Payment-card scrubbing with Luhn validation: 13-19 digit runs that
+    PASS the checksum are replaced with ``[CC]``; runs that fail it (order
+    numbers, timestamps) are left alone.  The extract -> validate ->
+    fold-replace chain is all Column HOFs (regexp_extract_all + aggregate)
+    — narrow map over the scan, the same plan class as :func:`pii_scrub`.
+
+    Returns (id, clean_text, n_cc).
+    """
+    t = F.col(text_col)
+    cands = F.array_distinct(
+        F.regexp_extract_all(t, F.lit(r"(?<!\d)\d{13,19}(?!\d)"), 0)
+    )
+    valid = F.filter(cands, luhn_valid)
+    clean = F.aggregate(
+        valid, t, lambda acc, c: F.replace(acc, c, F.lit("[CC]"))
+    )
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(valid).cast("long").alias("n_cc"),
+    )
+
+
+def vocab_stats(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-slice vocabulary statistics — the corpus-health diagnostics a
+    training-data pipeline tracks per language/source: token count, type
+    count (distinct words), hapax share (words seen once — high hapax =
+    noisy OCR / low dedup; low hapax = template spam), and the top
+    token's share.  All integer permille.
+
+    Two-level aggregation: explode -> groupBy(slice, word) is map-side
+    combined (a 10^11-token slice reduces to its vocabulary before the
+    exchange), then one groupBy(slice) over vocabulary-sized data.
+    Returns (group, n_tokens, n_types, hapax_permille,
+    top_token_permille).
+    """
+    words = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+        ).alias("w"),
+    )
+    wc = words.groupBy("g", "w").agg(F.count("*").alias("c"))
+    return (
+        wc.groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+            .alias("__hapax"),
+            F.max("c").cast("long").alias("__top"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_tokens",
+            "n_types",
+            F.expr("(1000 * __hapax) div n_types").alias("hapax_permille"),
+            F.expr("(1000 * __top) div n_tokens").alias("top_token_permille"),
+        )
+    )
+
+
+def epoch_plan(
+    sources: DataFrame,
+    total_docs_per_epoch: int,
+    source_col: str = "source",
+    n_docs_col: str = "n_docs",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Epoch sampling plan — the data-order planner for a training run:
+    split an epoch's document budget across sources proportionally to
+    integer mixture weights, then express each source's allotment as a
+    repeat rate against what the source actually holds
+    (repeat_permille > 1000 = the source is traversed more than once per
+    epoch — the small high-quality corpus upsampled; < 1000 = subsampled).
+
+        target_s = total * w_s div sum(w)
+        repeat_permille_s = 1000 * target_s div n_docs_s
+
+    One 1-row aggregate broadcast back (same shape as
+    scheduler.allocate_host_budgets); floor division keeps the plan
+    bit-exact, the <n_sources undershoot rolls into the next epoch.
+    Returns (source, n_docs, weight, target_docs, repeat_permille).
+    """
+    w = F.col(weight_col).cast("long")
+    tot = sources.agg(F.sum(w).alias("__tw"))
+    return (
+        sources.select(
+            F.col(source_col).alias("source"),
+            F.col(n_docs_col).cast("long").alias("n_docs"),
+            w.alias("weight"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "weight",
+            F.expr(f"({int(total_docs_per_epoch)}L * weight) div __tw")
+            .alias("target_docs"),
+            F.expr(
+                f"(1000 * (({int(total_docs_per_epoch)}L * weight)"
+                " div __tw)) div n_docs"
+            ).alias("repeat_permille"),
+        )
+    )
