@@ -319,3 +319,86 @@ def classifier_score(
         score.alias("score_sum_micro"),
         (score >= F.lit(int(threshold_micro)) * n).alias("keep"),
     )
+
+
+SOFT404_PHRASES = ["page not found", "404 error", "does not exist",
+                   "no longer available"]
+SOFT404_MAX_CHARS = 512
+
+
+def soft404_signals(
+    df: "DataFrame",
+    status_col: str = "status",
+    body_col: str = "body",
+) -> "DataFrame":
+    """Soft-404 detection — pages that return HTTP 200 but are really
+    error pages (the classic crawl-quality trap: they pollute the corpus
+    AND their outlinks re-seed the frontier with garbage).  Signals:
+    an error phrase ("page not found", ...), a near-empty body
+    (< SOFT404_MAX_CHARS), or an error-looking <title>; a 200-status row
+    with phrase+tiny or phrase+title is flagged.
+
+    Pure Column expressions fused into the scan.  Returns the input plus
+    (has_phrase, tiny_body, title_404, soft404).
+    """
+    body = F.lower(F.col(body_col))
+    has_phrase = F.lit(False)
+    for p in SOFT404_PHRASES:
+        has_phrase = has_phrase | body.contains(p)
+    tiny = F.length(body) < SOFT404_MAX_CHARS
+    title = F.lower(
+        F.regexp_extract(F.col(body_col), r"(?is)<title[^>]*>(.*?)</title>", 1)
+    )
+    title_404 = title.contains("404") | title.contains("not found")
+    soft = (F.col(status_col) == 200) & has_phrase & (tiny | title_404)
+    return df.select(
+        "*",
+        has_phrase.alias("has_phrase"),
+        tiny.alias("tiny_body"),
+        title_404.alias("title_404"),
+        soft.alias("soft404"),
+    )
+
+
+LINK_FARM_MIN_LINKS = 50
+LINK_FARM_MAX_HOST_DIVERSITY_PERMILLE = 100
+LINK_FARM_MIN_TEXT_PER_LINK = 20
+
+
+def link_farm_signals(
+    pages: "DataFrame",
+    id_col: str = "doc_id",
+    n_links_col: str = "n_links",
+    n_link_hosts_col: str = "n_link_hosts",
+    n_chars_col: str = "n_chars",
+) -> "DataFrame":
+    """Link-farm / SEO-spam scoring from per-page link statistics: flags
+    pages with many outlinks (>= 50), low target-host diversity
+    (distinct hosts <= 10% of links — a farm rotates few domains), and
+    thin text per link (< 20 chars/link — lists of anchors, no
+    content).  Integer permille arithmetic; a page is a farm when ALL
+    three hold (each alone is normal for hubs/portals).
+
+    The inputs are aggregates an extraction pass already produces
+    (count + approx-distinct of link hosts per page); this stage is a
+    narrow map.  Returns (id, n_links, host_diversity_permille,
+    chars_per_link, is_link_farm).
+    """
+    n = F.col(n_links_col).cast("long")
+    nh = F.col(n_link_hosts_col).cast("long")
+    nc = F.col(n_chars_col).cast("long")
+    diversity = F.expr(f"(1000 * {n_link_hosts_col}) div"
+                       f" greatest({n_links_col}, 1)")
+    per_link = F.expr(f"{n_chars_col} div greatest({n_links_col}, 1)")
+    farm = (
+        (n >= LINK_FARM_MIN_LINKS)
+        & (diversity <= LINK_FARM_MAX_HOST_DIVERSITY_PERMILLE)
+        & (per_link < LINK_FARM_MIN_TEXT_PER_LINK)
+    )
+    return pages.select(
+        F.col(id_col),
+        n.alias("n_links"),
+        diversity.cast("long").alias("host_diversity_permille"),
+        per_link.cast("long").alias("chars_per_link"),
+        farm.alias("is_link_farm"),
+    )
