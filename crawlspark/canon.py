@@ -348,3 +348,73 @@ def fold_www_dedup(
         .filter(F.col("__r") == 1)
         .select("hostless_key", url_col, "n_variants")
     )
+
+
+_UNRESERVED_RANGES = ((0x41, 0x5A), (0x61, 0x7A), (0x30, 0x39))
+_UNRESERVED_EXTRA = (0x2D, 0x2E, 0x5F, 0x7E)  # - . _ ~
+
+
+def normalize_percent_encoding(url: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization — the URL-library
+    behavior the reference inherits from crwlr/url: decode
+    percent-encoded UNRESERVED characters (``%41`` -> ``A``, ``%7E`` ->
+    ``~`` — encoding them changes nothing semantically, so aliases
+    differing only here are duplicate fetches), and uppercase the hex of
+    every OTHER escape (``%3f`` -> ``%3F`` — case-insensitive per spec).
+
+    Pure HOFs, no UDF: split on '%', map each tail through a
+    decode-or-uppercase of its 2-hex prefix, reassemble.  Malformed
+    escapes (non-hex after '%') pass through untouched.
+    """
+    parts = F.split(url, "%")
+    head = F.element_at(parts, 1)
+
+    def fix(p: Column) -> Column:
+        hx = F.substring(p, 1, 2)
+        rest = F.substring(p, 3, F.lit(2147483647))
+        valid = hx.rlike("^[0-9A-Fa-f]{2}$")
+        code = F.conv(hx, 16, 10).cast("int")
+        unreserved = F.lit(False)
+        for lo, hi in _UNRESERVED_RANGES:
+            unreserved = unreserved | ((code >= lo) & (code <= hi))
+        for c in _UNRESERVED_EXTRA:
+            unreserved = unreserved | (code == c)
+        return (
+            F.when(valid & unreserved, F.concat(F.char(code), rest))
+            .when(valid, F.concat(F.lit("%"), F.upper(hx), rest))
+            .otherwise(F.concat(F.lit("%"), p))
+        )
+
+    tail = F.aggregate(
+        F.slice(parts, 2, F.greatest(F.size(parts) - 1, F.lit(0))),
+        F.lit(""),
+        lambda acc, p: F.concat(acc, fix(p)),
+    )
+    return F.when(F.size(parts) <= 1, url).otherwise(F.concat(head, tail))
+
+
+DOT_SEGMENT_MAX_DEPTH = 16
+
+
+def remove_dot_segments(path: Column, max_depth: int = DOT_SEGMENT_MAX_DEPTH
+                        ) -> Column:
+    """RFC 3986 §5.2.4 dot-segment removal on an absolute path —
+    ``/a/./b/../c`` -> ``/a/c`` — as ``max_depth`` converging
+    regexp passes (each global pass resolves one nesting level of
+    ``..``; paths nested deeper than ``max_depth`` keep their residue,
+    document-bounded the way the reference's redirect chain is bounded
+    at 10).  Leading ``..`` at the root erases (cannot go above '/').
+    Pure regexp codegen, SQL-replayable with the identical pass
+    sequence.
+    """
+    p = path
+    # './' prefixes and '/./' mid-segments collapse first (single pass
+    # is enough: no new '/./' can appear from these replacements)
+    p = F.regexp_replace(p, r"/\.(?=/)", "")
+    p = F.regexp_replace(p, r"/\.$", "/")
+    for _ in range(max_depth):
+        p = F.regexp_replace(p, r"/(?!\.\./)[^/]+/\.\./", "/")
+    p = F.regexp_replace(p, r"/(?!\.\./)[^/]+/\.\.$", "/")
+    p = F.regexp_replace(p, r"^/(\.\./)+", "/")
+    p = F.regexp_replace(p, r"^/\.\.$", "/")
+    return p

@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404": q_soft404,
         "link_farm": q_link_farm,
         "image_pair_keep_best": q_image_pair_keep_best,
+        "percent_normalize": q_percent_normalize,
+        "dot_segments": q_dot_segments,
     }
 
 
@@ -200,4 +202,111 @@ def oracle_sql() -> dict[str, str]:
         "soft404": ORACLE_SOFT404,
         "link_farm": ORACLE_LINK_FARM,
         "image_pair_keep_best": ORACLE_IMAGE_PAIR_KEEP_BEST,
+        "percent_normalize": ORACLE_PERCENT_NORMALIZE,
+        "dot_segments": ORACLE_DOT_SEGMENTS,
     }
+
+
+# --------------------------------------------------------------------------
+# percent_normalize — RFC 3986 §6.2.2 percent-encoding normalization
+# --------------------------------------------------------------------------
+
+def q_percent_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-encoding normalization over 4 URL shapes: encoded
+    unreserved chars decode (%41->A, %7e->~), reserved escapes uppercase
+    (%3f->%3F), %2F stays escaped (reserved), malformed escapes pass
+    through.  The oracle replays the same split/decode-or-upper fold
+    with chr() + hex casts."""
+    from .canon import normalize_percent_encoding
+
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    url = (
+        F.when(doc % 4 == 0, F.concat(
+            F.lit("http://h.test/%41bc/p"), s, F.lit("?q=%3f")))
+        .when(doc % 4 == 1, F.concat(
+            F.lit("http://h.test/a%2Fb%7e/"), s))
+        .when(doc % 4 == 2, F.concat(
+            F.lit("http://h.test/%zz/"), s))
+        .otherwise(F.concat(F.lit("http://h.test/plain/"), s))
+    )
+    d = _docs(spark, sf_dir).select(doc.alias("doc_id"), url.alias("url"))
+    return d.select(
+        "doc_id", "url",
+        normalize_percent_encoding(F.col("url")).alias("url_norm"),
+    )
+
+
+ORACLE_PERCENT_NORMALIZE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 'http://h.test/%41bc/p' || CAST(doc_id AS VARCHAR)
+                       || '?q=%3f'
+           WHEN 1 THEN 'http://h.test/a%2Fb%7e/' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN 'http://h.test/%zz/' || CAST(doc_id AS VARCHAR)
+           ELSE 'http://h.test/plain/' || CAST(doc_id AS VARCHAR)
+         END AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'http://h.test/Abc/p' || CAST(doc_id AS VARCHAR)
+                     || '?q=%3F'
+         WHEN 1 THEN 'http://h.test/a%2Fb~/' || CAST(doc_id AS VARCHAR)
+         WHEN 2 THEN 'http://h.test/%zz/' || CAST(doc_id AS VARCHAR)
+         ELSE 'http://h.test/plain/' || CAST(doc_id AS VARCHAR)
+       END AS url_norm
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
+# dot_segments — RFC 3986 §5.2.4 path normalization
+# --------------------------------------------------------------------------
+
+def q_dot_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dot-segment removal over 6 path shapes (./ collapse, one- and
+    two-level .., trailing .., above-root .., clean).  The expected
+    outputs are stated arithmetically — the Spark side's negative-
+    lookahead regexes have no RE2 (DuckDB) equivalent, so the oracle is
+    the RFC result itself, not a regex replay."""
+    from .canon import remove_dot_segments
+
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    path = (
+        F.when(doc % 6 == 0, F.concat(F.lit("/a/./b/../c"), s))
+        .when(doc % 6 == 1, F.concat(F.lit("/a/b/../../c"), s))
+        .when(doc % 6 == 2, F.concat(F.lit("/x"), s, F.lit("/y/..")))
+        .when(doc % 6 == 3, F.concat(F.lit("/../up"), s))
+        .when(doc % 6 == 4, F.concat(F.lit("/./lead"), s))
+        .otherwise(F.concat(F.lit("/clean/"), s))
+    )
+    d = _docs(spark, sf_dir).select(doc.alias("doc_id"), path.alias("path"))
+    return d.select(
+        "doc_id", "path",
+        remove_dot_segments(F.col("path")).alias("path_norm"),
+    )
+
+
+ORACLE_DOT_SEGMENTS = """
+SELECT doc_id,
+       CASE CAST(doc_id % 6 AS INTEGER)
+         WHEN 0 THEN '/a/./b/../c' || CAST(doc_id AS VARCHAR)
+         WHEN 1 THEN '/a/b/../../c' || CAST(doc_id AS VARCHAR)
+         WHEN 2 THEN '/x' || CAST(doc_id AS VARCHAR) || '/y/..'
+         WHEN 3 THEN '/../up' || CAST(doc_id AS VARCHAR)
+         WHEN 4 THEN '/./lead' || CAST(doc_id AS VARCHAR)
+         ELSE '/clean/' || CAST(doc_id AS VARCHAR)
+       END AS path,
+       CASE CAST(doc_id % 6 AS INTEGER)
+         WHEN 0 THEN '/a/c' || CAST(doc_id AS VARCHAR)
+         WHEN 1 THEN '/c' || CAST(doc_id AS VARCHAR)
+         WHEN 2 THEN '/x' || CAST(doc_id AS VARCHAR) || '/'
+         WHEN 3 THEN '/up' || CAST(doc_id AS VARCHAR)
+         WHEN 4 THEN '/lead' || CAST(doc_id AS VARCHAR)
+         ELSE '/clean/' || CAST(doc_id AS VARCHAR)
+       END AS path_norm
+FROM documents
+"""

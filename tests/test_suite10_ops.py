@@ -39,3 +39,35 @@ def test_link_farm_requires_all_three(spark):
     assert out[4].is_link_farm is False
     assert out[1].host_diversity_permille == 50
     assert out[1].chars_per_link == 5
+
+
+def test_percent_normalize_rfc_cases(spark):
+    from crawlspark.canon import normalize_percent_encoding
+    cases = [
+        ("http://h/%41%7e?q=%3f", "http://h/A~?q=%3F"),
+        ("http://h/%zz%4", "http://h/%zz%4"),       # malformed untouched
+        ("plain", "plain"),
+        ("http://h/a%2Fb%2d", "http://h/a%2Fb-"),   # reserved kept, - decodes
+        ("%2500", "%2500"),  # %25 is reserved ('%') -> stays; '00' literal
+    ]
+    df = spark.createDataFrame(cases, "u STRING, exp STRING")
+    rows = df.select(
+        "exp", normalize_percent_encoding(F.col("u")).alias("got")
+    ).collect()
+    for r in rows:
+        assert r.got == r.exp, r
+
+
+def test_remove_dot_segments_rfc_cases(spark):
+    from crawlspark.canon import remove_dot_segments
+    cases = [
+        ("/a/./b/../c", "/a/c"), ("/../a", "/a"), ("/a/b/../../c", "/c"),
+        ("/a/b/c/..", "/a/b/"), ("/./x", "/x"), ("/a/../../b", "/b"),
+        ("/", "/"), ("/a/..", "/"),
+    ]
+    df = spark.createDataFrame(cases, "p STRING, exp STRING")
+    rows = df.select(
+        "exp", remove_dot_segments(F.col("p")).alias("got")
+    ).collect()
+    for r in rows:
+        assert r.got == r.exp, r
