@@ -418,3 +418,70 @@ def remove_dot_segments(path: Column, max_depth: int = DOT_SEGMENT_MAX_DEPTH
     p = F.regexp_replace(p, r"^/(\.\./)+", "/")
     p = F.regexp_replace(p, r"^/\.\.$", "/")
     return p
+
+
+def mine_droppable_params(
+    pages: "DataFrame",
+    host_col: str = "host",
+    url_col: str = "url",
+    hash_col: str = "content_hash",
+) -> "DataFrame":
+    """DUST-style learned tracking-param discovery — the data-driven
+    complement of the static :func:`strip_tracking_params` list: a query
+    parameter is droppable for a host when removing it NEVER changes the
+    content (all URLs sharing the same param-stripped base carry one
+    content hash).  Session ids, affiliate tags and site-local tracking
+    names that no static list knows get mined here; at 10^10 URLs every
+    learned drop collapses an alias family in the seen set.
+
+    Plan: explode each URL's param names (narrow), derive the
+    param-stripped base per (url, param), then two map-side-combined
+    aggregations — (host, param, base) -> distinct hashes, then
+    (host, param) -> is every base single-hash.  Returns (host, param,
+    n_urls, n_bases, droppable).
+    """
+    params = F.expr(
+        f"transform(split(coalesce(nullif(substring_index({url_col}, '?', -1),"
+        f" {url_col}), ''), '&'), p -> substring_index(p, '=', 1))"
+    )
+    exploded = pages.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("u"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.filter(params, lambda p: p != "")
+        ).alias("param"),
+    )
+    # base = url with THIS param (and its value) removed, '&&'/'?&' tidied
+    base = F.regexp_replace(
+        F.regexp_replace(
+            F.expr("regexp_replace(u, concat('([?&])', param, '=[^&#]*'),"
+                   " '$1')"),
+            r"[?&]&", "?"),
+        r"[?&]$", "")
+    per_base = (
+        exploded.withColumn("base", base)
+        .groupBy("host", "param", "base")
+        .agg(
+            F.countDistinct("h").alias("nh"),
+            F.count("*").alias("nu"),
+        )
+    )
+    return (
+        per_base.groupBy("host", "param")
+        .agg(
+            F.sum("nu").cast("long").alias("n_urls"),
+            F.count("*").cast("long").alias("n_bases"),
+            F.sum(F.when(F.col("nu") >= 2, 1).otherwise(0)).cast("long")
+            .alias("n_witnessed_bases"),
+            F.max("nh").alias("__max_nh"),
+        )
+        # droppable needs EVIDENCE: every base single-hash AND at least
+        # one base actually held >= 2 URLs (a singleton base proves
+        # nothing about the param)
+        .select(
+            "host", "param", "n_urls", "n_bases", "n_witnessed_bases",
+            ((F.col("__max_nh") == 1) & (F.col("n_witnessed_bases") > 0))
+            .alias("droppable"),
+        )
+    )

@@ -27,6 +27,7 @@ from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from . import politeness
 
@@ -317,3 +318,60 @@ def fetch_stage(
             yield pd.DataFrame(out)
 
     return queued.mapInPandas(run, RESPONSE_SCHEMA)
+
+
+CIRCUIT_OPEN_MIN_FAILS = 5
+CIRCUIT_OPEN_FAIL_PERMILLE = 500
+CIRCUIT_COOLDOWN_S = 600
+
+
+def circuit_breaker_state(
+    outcomes: DataFrame,
+    now_ts: int,
+    host_col: str = "host",
+    ok_col: str = "ok",
+    ts_col: str = "fetch_ts",
+    window_s: int = 3600,
+) -> DataFrame:
+    """Per-host circuit breaker from recent fetch outcomes — the fetch
+    layer's protection against hammering a failing origin (and wasting
+    wave slots on it): within the trailing ``window_s``,
+
+    - ``open``      — >= 5 failures AND failure share >= 50%, and the
+                      LAST failure is younger than the cooldown: send
+                      nothing;
+    - ``half_open`` — tripped, but the cooldown has passed since the
+                      last failure: send one probe fetch;
+    - ``closed``    — everything else: normal scheduling.
+
+    ONE map-side-combined aggregate over the outcome log (conditional
+    sums + max-ts); integer arithmetic, SQL-replayable.  Returns (host,
+    n_recent, n_fail, fail_permille, last_fail_age_s, state).
+    """
+    recent = outcomes.filter(
+        F.col(ts_col) >= F.lit(int(now_ts) - int(window_s))
+    )
+    agg = recent.groupBy(host_col).agg(
+        F.count("*").alias("n_recent"),
+        F.sum(F.when(~F.col(ok_col), 1).otherwise(0)).alias("n_fail"),
+        F.max(F.when(~F.col(ok_col), F.col(ts_col))).alias("__last_fail"),
+    )
+    fail_pm = F.expr("(1000 * n_fail) div n_recent")
+    last_age = (F.lit(int(now_ts)) - F.col("__last_fail")).cast("long")
+    tripped = (
+        (F.col("n_fail") >= CIRCUIT_OPEN_MIN_FAILS)
+        & (fail_pm >= CIRCUIT_OPEN_FAIL_PERMILLE)
+    )
+    state = (
+        F.when(tripped & (last_age < CIRCUIT_COOLDOWN_S), F.lit("open"))
+        .when(tripped, F.lit("half_open"))
+        .otherwise(F.lit("closed"))
+    )
+    return agg.select(
+        host_col,
+        F.col("n_recent").cast("long").alias("n_recent"),
+        F.col("n_fail").cast("long").alias("n_fail"),
+        fail_pm.cast("long").alias("fail_permille"),
+        last_age.alias("last_fail_age_s"),
+        state.alias("state"),
+    )
