@@ -485,3 +485,50 @@ def mine_droppable_params(
             .alias("droppable"),
         )
     )
+
+
+MIGRATION_MIN_REDIRECTS = 5
+MIGRATION_MIN_SHARE_PERMILLE = 900
+
+
+def detect_host_migrations(
+    redirects: "DataFrame",
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    status_col: str = "status",
+) -> "DataFrame":
+    """Whole-host migration detection from the redirect log: when >= 90%
+    of a host's permanent (301/308) redirects land on ONE other host
+    (and there are >= 5 of them), the site moved — the crawler should
+    rewrite its frontier/seen entries wholesale instead of discovering
+    the move one redirect at a time.
+
+    Two map-side-combined aggregations over the (already small) redirect
+    log: (src_host, dst_host) counts, then the per-src-host total joined
+    back; integer cross-multiplied share.  Returns (src_host, dst_host,
+    n_redirects, host_redirects, share_permille, migrated).
+    """
+    perm = redirects.filter(F.col(status_col).isin(301, 308))
+    hosts = perm.select(
+        host_expr(F.col(src_col)).alias("src_host"),
+        host_expr(F.col(dst_col)).alias("dst_host"),
+    ).filter(F.col("src_host") != F.col("dst_host"))
+    pair = hosts.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_redirects")
+    )
+    tot = pair.groupBy("src_host").agg(
+        F.sum("n_redirects").alias("host_redirects")
+    )
+    j = pair.join(tot, "src_host")
+    share = F.expr("(1000 * n_redirects) div host_redirects")
+    migrated = (
+        (F.col("n_redirects") >= MIGRATION_MIN_REDIRECTS)
+        & (share >= MIGRATION_MIN_SHARE_PERMILLE)
+    )
+    return j.select(
+        "src_host", "dst_host",
+        F.col("n_redirects").cast("long").alias("n_redirects"),
+        F.col("host_redirects").cast("long").alias("host_redirects"),
+        share.cast("long").alias("share_permille"),
+        migrated.alias("migrated"),
+    )

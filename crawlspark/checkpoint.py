@@ -171,3 +171,34 @@ class CrawlCheckpoint:
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, f"{self.root}/meta.json")
+
+
+def crawl_diff(
+    prev: "DataFrame",
+    cur: "DataFrame",
+    url_col: str = "url",
+    hash_col: str = "content_hash",
+) -> "DataFrame":
+    """Snapshot diff between two crawl generations — the change feed an
+    incremental pipeline consumes instead of reprocessing the whole
+    corpus: ``added`` (new URL), ``removed`` (gone), ``modified``
+    (content hash changed), ``unchanged``.  Downstream, only
+    added+modified re-enter extraction/dedup; removed tombstones the
+    results table.
+
+    One full-outer equi-join on url (both sides hash-partitioned the
+    same way; at Iceberg scale this is the two-snapshot merge-on-read
+    shape).  Returns (url, prev_hash, cur_hash, change).
+    """
+    p = prev.select(F.col(url_col).alias("url"),
+                    F.col(hash_col).alias("prev_hash"))
+    c = cur.select(F.col(url_col).alias("url"),
+                   F.col(hash_col).alias("cur_hash"))
+    j = p.join(c, "url", "full_outer")
+    change = (
+        F.when(F.col("prev_hash").isNull(), F.lit("added"))
+        .when(F.col("cur_hash").isNull(), F.lit("removed"))
+        .when(F.col("prev_hash") != F.col("cur_hash"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("url", "prev_hash", "cur_hash", change.alias("change"))

@@ -402,3 +402,63 @@ def link_farm_signals(
         per_link.cast("long").alias("chars_per_link"),
         farm.alias("is_link_farm"),
     )
+
+
+BOILERPLATE_MIN_DOCS = 4
+BOILERPLATE_MIN_SHARE_PERMILLE = 500
+
+
+def boilerplate_shingles(
+    docs: "DataFrame",
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> "DataFrame":
+    """Host-level boilerplate mining: the word k-grams that appear in
+    >= 50% of a host's pages (host has >= 4 pages) are template text —
+    nav bars, footers, cookie banners — the data-driven complement of
+    the block-heuristic main-content extractor: subtracting mined
+    shingles from every page of the host strips the template without
+    any per-page heuristics.
+
+    Plan: per-doc DISTINCT shingles first (array_distinct on the
+    HOF-built k-gram array — a shingle repeated within one page counts
+    once), then explode -> ONE map-side-combined groupBy(host, shingle)
+    with countDistinct docs, then the per-host page count broadcast
+    back.  Returns only the flagged rows: (host, shingle, n_docs_with,
+    host_docs, share_permille).
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    grams = F.when(
+        F.size(words) >= k,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j).cast("int"))
+                       for j in range(k)]
+            ),
+        )),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("doc"),
+        F.explode(grams).alias("shingle"),
+    )
+    per_shingle = exploded.groupBy("host", "shingle").agg(
+        F.countDistinct("doc").alias("n_docs_with")
+    )
+    per_host = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").alias("host_docs")
+    )
+    j = per_shingle.join(per_host, "host")
+    share = F.expr("(1000 * n_docs_with) div host_docs")
+    return j.filter(
+        (F.col("host_docs") >= BOILERPLATE_MIN_DOCS)
+        & (share >= BOILERPLATE_MIN_SHARE_PERMILLE)
+    ).select(
+        "host", "shingle",
+        F.col("n_docs_with").cast("long").alias("n_docs_with"),
+        F.col("host_docs").cast("long").alias("host_docs"),
+        share.cast("long").alias("share_permille"),
+    )
