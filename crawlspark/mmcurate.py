@@ -263,3 +263,72 @@ def caption_alignment(
         dot.alias("align_dot"),
         ((n > 0) & (dot * 1000 >= F.lit(threshold_milli) * n)).alias("keep"),
     )
+
+
+def interleave_doc(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    offsets_col: str = "img_offsets",
+    image_ids_col: str = "image_ids",
+) -> DataFrame:
+    """MMC4/OBELICS-style text-image interleaving: flatten each page
+    into the ordered sequence a multimodal trainer consumes — text
+    segments split at the images' token offsets, with the image refs
+    slotted between them.  ``img_offsets`` are 0-based token positions
+    (sorted, distinct); image k sits after the text tokens
+    [offset_{k-1}, offset_k).
+
+    Pure HOFs: one transform builds the 2k+1 interleaved entries per
+    doc (text/image alternating, empty text segments dropped), one
+    posexplode emits them — narrow fan-out, no shuffle, no UDF.
+    Returns (id, seq, kind, content) with kind in ('text', 'image') and
+    seq the 0-based position in the interleaved stream.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    offs = F.col(offsets_col)
+    imgs = F.col(image_ids_col)
+    k = F.size(offs)
+    # segment i covers tokens [prev_off, off_i); the final segment runs
+    # to the end of the doc
+    bounds = F.concat(offs, F.array(F.size(toks)))
+
+    def seg(i: Column) -> Column:
+        lo = F.when(i == 0, F.lit(0)).otherwise(
+            F.element_at(offs, i.cast("int"))
+        )
+        hi = F.element_at(bounds, (i + 1).cast("int"))
+        return F.concat_ws(
+            " ", F.slice(toks, lo.cast("int") + 1, (hi - lo).cast("int"))
+        )
+
+    entries = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), k),
+            lambda i: F.when(
+                i < k,
+                F.array(
+                    F.struct(F.lit("text").alias("kind"),
+                             seg(i).alias("content")),
+                    F.struct(F.lit("image").alias("kind"),
+                             F.element_at(imgs, (i + 1).cast("int"))
+                              .alias("content")),
+                ),
+            ).otherwise(
+                F.array(F.struct(F.lit("text").alias("kind"),
+                                 seg(i).alias("content")))
+            ),
+        )
+    )
+    nonempty = F.filter(
+        entries, lambda e: (e["kind"] == "image") | (e["content"] != "")
+    )
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(nonempty).alias("seq", "e"),
+    ).select(
+        id_col,
+        F.col("seq").cast("long").alias("seq"),
+        F.col("e.kind").alias("kind"),
+        F.col("e.content").alias("content"),
+    )

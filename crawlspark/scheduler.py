@@ -407,3 +407,72 @@ def prune_frontier(
             "left_anti",
         )
     return df.filter(F.col("__age_ok")).drop("__age_ok")
+
+
+RETRY_BASE_S = 60
+RETRY_MAX_S = 3600
+RETRY_MAX_ATTEMPTS = 4
+
+
+def wave_completion(
+    outcomes: DataFrame,
+    now_ts: int,
+    url_col: str = "url",
+    status_col: str = "status",
+    attempt_col: str = "attempt",
+    retry_after_col: str | None = "retry_after_s",
+) -> DataFrame:
+    """Post-wave frontier bookkeeping — what happens to every fetched
+    URL after its wave completes (the distributed twin of the
+    reference's per-response retry/ error handling around
+    RetryErrorResponseHandler):
+
+    - 2xx            -> ``done`` (leaves the frontier),
+    - 3xx            -> ``rewrite`` (redirect target re-enters, this
+                        URL folds into the seen set),
+    - 404 / 410      -> ``dead`` (permanent, never retried),
+    - 429 / 5xx      -> ``retry`` with exponential backoff
+                        base * 2^attempt capped at the max — unless the
+                        server sent Retry-After, which wins when LARGER
+                        (the origin's word beats our schedule); past
+                        max attempts -> ``dead``,
+    - anything else  -> ``dead``.
+
+    Narrow CASE map over the outcome batch; integer arithmetic.
+    Returns (url, status, attempt, disposition, requeue_at,
+    next_attempt).
+    """
+    st = F.col(status_col)
+    att = F.col(attempt_col).cast("long")
+    # SQL shiftleft (the Python API wants a literal bit count): exact
+    # integer 60 * 2^attempt, capped
+    backoff = F.least(
+        F.lit(RETRY_MAX_S).cast("long"),
+        F.expr(f"{RETRY_BASE_S}L * shiftleft(1L,"
+               f" cast({attempt_col} as int))").cast("long"),
+    )
+    ra = (
+        F.coalesce(F.col(retry_after_col).cast("long"), F.lit(0))
+        if retry_after_col is not None else F.lit(0).cast("long")
+    )
+    wait = F.greatest(backoff, ra)
+    retryable = (st == 429) | ((st >= 500) & (st < 600))
+    disposition = (
+        F.when((st >= 200) & (st < 300), F.lit("done"))
+        .when((st >= 300) & (st < 400), F.lit("rewrite"))
+        .when(st.isin(404, 410), F.lit("dead"))
+        .when(retryable & (att < RETRY_MAX_ATTEMPTS), F.lit("retry"))
+        .otherwise(F.lit("dead"))
+    )
+    requeue_at = F.when(
+        disposition == "retry", (F.lit(int(now_ts)) + wait).cast("long")
+    )
+    next_attempt = F.when(disposition == "retry", att + 1)
+    return outcomes.select(
+        url_col,
+        st.cast("int").alias("status"),
+        att.alias("attempt"),
+        disposition.alias("disposition"),
+        requeue_at.alias("requeue_at"),
+        next_attempt.alias("next_attempt"),
+    )

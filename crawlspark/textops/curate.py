@@ -795,3 +795,31 @@ def epoch_plan(
             ).alias("repeat_permille"),
         )
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_permille: int = 900,
+    val_permille: int = 50,
+    salt: str = "split1",
+) -> DataFrame:
+    """Reproducible three-way split — the eval-hygiene primitive every
+    training corpus needs: assignment is a pure function of (salt, id),
+    so it is stable under repartition, resume, re-crawl, and corpus
+    growth (a doc never migrates between splits when other docs arrive —
+    the property random shuffles don't have).
+
+    bucket = hash(salt||id) % 1000; [0, train) -> train,
+    [train, train+val) -> val, rest -> test.  Narrow map, SQL-replayable
+    via the md5-prefix hash.  Returns input + (split_bucket, split).
+    """
+    b = sample_bucket(F.col(id_col), salt=salt)
+    split = (
+        F.when(b < train_permille, F.lit("train"))
+        .when(b < train_permille + val_permille, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(
+        "*", b.cast("long").alias("split_bucket"), split.alias("split")
+    )
