@@ -493,3 +493,40 @@ def phash_incremental_pairs(
     return pairs.select("id_a", "id_b", dist.alias("hamming")).filter(
         F.col("hamming") <= max_dist
     )
+
+
+THUMB_MIN_SIDE = 64
+
+
+def thumbnail_pyramid_plan(
+    images: DataFrame,
+    min_side: int = THUMB_MIN_SIDE,
+) -> DataFrame:
+    """Thumbnail-pyramid planning — the serving-side prep an image
+    corpus runs after validation: per image, the halving levels
+    (w/2^k, h/2^k) down to (exclusive) ``min_side`` on the short edge,
+    with the byte estimate 3*w*h per level (raw RGB before codec).
+    Level 0 is the original.  Pure HOF fan-out over (w, h) — the decode
+    work this plan drives is the expensive Arrow stage, the plan itself
+    is free.  Returns (image_id, level, w, h, est_bytes).
+    """
+    # integer-exact level list: every k (halvings) where the short edge
+    # still meets min_side — level 0 (the original) always qualifies
+    dims = F.expr(
+        "transform("
+        "  filter(sequence(0, 12),"
+        f"    k -> (least(w, h) div shiftleft(1, k)) >= {int(min_side)}"
+        "        OR k = 0),"
+        "  k -> struct(CAST(w div shiftleft(1, k) AS BIGINT) AS w,"
+        "              CAST(h div shiftleft(1, k) AS BIGINT) AS h))"
+    )
+    return images.select(
+        "image_id",
+        F.posexplode(dims).alias("level", "d"),
+    ).select(
+        "image_id",
+        F.col("level").cast("int").alias("level"),
+        F.col("d.w").cast("int").alias("w"),
+        F.col("d.h").cast("int").alias("h"),
+        (F.col("d.w") * F.col("d.h") * 3).cast("long").alias("est_bytes"),
+    )

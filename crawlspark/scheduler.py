@@ -476,3 +476,26 @@ def wave_completion(
         requeue_at.alias("requeue_at"),
         next_attempt.alias("next_attempt"),
     )
+
+
+def wave_fairness(
+    wave: DataFrame,
+    host_col: str = "host",
+    scale: int = 1000,
+) -> DataFrame:
+    """Jain's fairness index over a wave's per-host allocation —
+    J = (sum x)^2 / (n * sum x^2) in 1/``scale`` units — the one-number
+    politeness audit: 1000 = perfectly even slots across hosts, ~scale/n
+    = one host took everything.  Two aggregates (per-host counts, then
+    the 1-row rollup); integer arithmetic.  Returns one row
+    (n_hosts, n_slots, fairness_scaled).
+    """
+    per_host = wave.groupBy(host_col).agg(F.count("*").alias("x"))
+    return per_host.agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.sum("x").cast("long").alias("n_slots"),
+        F.expr(
+            f"(sum(x) * sum(x) * {int(scale)}L)"
+            " div (count(*) * sum(x * x))"
+        ).cast("long").alias("fairness_scaled"),
+    )

@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wave_completion": q_wave_completion,
         "interleave": q_interleave,
         "split": q_split,
+        "wave_fairness": q_wave_fairness,
+        "thumb_pyramid": q_thumb_pyramid,
     }
 
 
@@ -188,4 +190,75 @@ def oracle_sql() -> dict[str, str]:
         "wave_completion": ORACLE_WAVE_COMPLETION,
         "interleave": ORACLE_INTERLEAVE,
         "split": ORACLE_SPLIT,
+        "wave_fairness": ORACLE_WAVE_FAIRNESS,
+        "thumb_pyramid": ORACLE_THUMB_PYRAMID,
     }
+
+
+# --------------------------------------------------------------------------
+# wave_fairness — Jain's index over per-host wave allocation
+# --------------------------------------------------------------------------
+
+def q_wave_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wave_fairness over a deliberately skewed wave (half the slots on
+    one hot host, the rest split across 10): the one-number politeness
+    audit, replayed by the oracle's aggregate arithmetic."""
+    from .scheduler import wave_fairness
+
+    doc = F.col("doc_id")
+    wave = _docs(spark, sf_dir).select(
+        F.when(doc % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("h"), (doc % 10).cast("string")))
+        .alias("host"),
+    )
+    return wave_fairness(wave)
+
+
+ORACLE_WAVE_FAIRNESS = """
+WITH w AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'hot'
+              ELSE 'h' || CAST(doc_id % 10 AS VARCHAR) END AS host
+  FROM documents
+),
+per AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS x FROM w GROUP BY host)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(x) AS BIGINT) AS n_slots,
+       CAST((SUM(x) * SUM(x) * 1000) // (COUNT(*) * SUM(x * x)) AS BIGINT)
+         AS fairness_scaled
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
+# thumb_pyramid — halving-level plan per image
+# --------------------------------------------------------------------------
+
+def q_thumb_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """thumbnail_pyramid_plan at min_side=16 over the input_hint dims
+    (32..63 x 32..55): every image gets level 0 and level 1; a level 2
+    (short edge >= 64 after one halving) never occurs at these dims —
+    the oracle enumerates k and filters by the same integer shifts."""
+    from .images import thumbnail_pyramid_plan
+
+    doc = F.col("doc_id")
+    dims = _docs(spark, sf_dir).select(
+        F.concat(F.lit("img-"), doc.cast("string")).alias("image_id"),
+        (F.lit(32) + doc % 32).cast("int").alias("w"),
+        (F.lit(32) + doc % 24).cast("int").alias("h"),
+    )
+    return thumbnail_pyramid_plan(dims, min_side=16)
+
+
+ORACLE_THUMB_PYRAMID = """
+WITH d AS (
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+         32 + doc_id % 32 AS w, 32 + doc_id % 24 AS h
+  FROM documents
+)
+SELECT image_id, CAST(k AS INTEGER) AS level,
+       CAST(w // (1 << k) AS INTEGER) AS w,
+       CAST(h // (1 << k) AS INTEGER) AS h,
+       CAST((w // (1 << k)) * (h // (1 << k)) * 3 AS BIGINT) AS est_bytes
+FROM d CROSS JOIN (VALUES (0), (1), (2), (3)) AS lv(k)
+WHERE k = 0 OR LEAST(w, h) // (1 << k) >= 16
+"""

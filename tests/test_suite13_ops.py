@@ -71,3 +71,33 @@ def test_split_stability_and_bounds(spark):
     again = {r.doc_id: r.split for r in train_val_test_split(df).collect()}
     for r in out:
         assert again[r.doc_id] == r.split
+
+
+def test_wave_fairness_bounds(spark):
+    from crawlspark.scheduler import wave_fairness
+    even = spark.createDataFrame(
+        [(f"h{i % 4}",) for i in range(40)], "host STRING")
+    r = wave_fairness(even).head()
+    assert r.n_hosts == 4 and r.n_slots == 40
+    assert r.fairness_scaled == 1000  # perfectly even
+    skew = spark.createDataFrame(
+        [("hot",)] * 37 + [("a",), ("b",), ("c",)], "host STRING")
+    r2 = wave_fairness(skew).head()
+    # heavily skewed: J ~ (40^2)/(4 * (37^2+3)) ~ 0.29
+    assert r2.fairness_scaled < 350
+
+
+def test_thumb_pyramid_levels(spark):
+    from crawlspark.images import thumbnail_pyramid_plan
+    imgs = spark.createDataFrame(
+        [("big", 256, 512), ("small", 40, 40), ("tiny", 8, 8)],
+        "image_id STRING, w INT, h INT")
+    out = {}
+    for r in thumbnail_pyramid_plan(imgs, min_side=64).collect():
+        out.setdefault(r.image_id, []).append((r.level, r.w, r.h))
+    # big: short edge 256 -> levels 0 (256x512), 1 (128x256), 2 (64x128)
+    assert sorted(out["big"]) == [(0, 256, 512), (1, 128, 256),
+                                  (2, 64, 128)]
+    # below min_side already: level 0 only (original always kept)
+    assert out["small"] == [(0, 40, 40)]
+    assert out["tiny"] == [(0, 8, 8)]
