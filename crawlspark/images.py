@@ -441,17 +441,36 @@ def _phash_bands(max_dist: int) -> "F.Column":
     ])
 
 
-def phash_band_index(images: DataFrame, max_dist: int = 6) -> DataFrame:
+def phash_band_index(
+    images: DataFrame,
+    max_dist: int = 6,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
     """The phash LSH index as a persistable relation — the image-side
     twin of textops.dedup.banded_signatures: (image_id, phash, bi, bv)
     rows, one per band.  Write it partitioned/bucketed by (bi, bv) and a
     nightly crawl batch probes it without re-banding the archive.
     Pigeonhole recall as in :func:`near_dup_images_by_phash`: any pair
-    within ``max_dist`` shares at least one of the max_dist+1 bands."""
-    return images.select(
+    within ``max_dist`` shares at least one of the max_dist+1 bands.
+
+    ``max_bucket_size`` caps degenerate buckets exactly like the batch
+    operator (monochrome/boilerplate images pile into a few band values
+    and would blow the probe join at archive scale); capped members can
+    still pair through their other bands, so recall loss is confined to
+    pairs near-identical in every band.  None = uncapped.
+    """
+    banded = images.select(
         "image_id", "phash",
         F.posexplode(_phash_bands(max_dist)).alias("bi", "bv"),
     )
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("bi", "bv").orderBy("image_id")
+        banded = (
+            banded.withColumn("__r", F.row_number().over(wb))
+            .filter(F.col("__r") <= max_bucket_size)
+            .drop("__r")
+        )
+    return banded
 
 
 def phash_incremental_pairs(
