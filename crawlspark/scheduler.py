@@ -499,3 +499,38 @@ def wave_fairness(
             " div (count(*) * sum(x * x))"
         ).cast("long").alias("fairness_scaled"),
     )
+
+
+AGING_STEP_S = 3600
+AGING_MAX_BOOST = 200
+
+
+def priority_aging(
+    frontier: DataFrame,
+    now_ts: int,
+    priority_col: str = "priority",
+    ts_col: str = "enqueued_ts",
+    step_s: int = AGING_STEP_S,
+    max_boost: int = AGING_MAX_BOOST,
+) -> DataFrame:
+    """Priority aging — the starvation fix :func:`frontier_health`'s
+    ``starved`` flag calls for: a row's effective priority grows by one
+    point per ``step_s`` of queue age, capped at ``max_boost``, so
+    low-priority URLs on busy hosts eventually win a wave slot instead
+    of waiting forever behind a steady stream of higher-priority
+    arrivals.  The cap keeps aged junk from outranking genuinely hot
+    pages.  Narrow map (integer arithmetic) — run it right before
+    select_wave.  Returns the frontier plus (age_boost,
+    aged_priority).
+    """
+    age = (F.lit(int(now_ts)) - F.col(ts_col)).cast("long")
+    boost = F.least(
+        F.lit(int(max_boost)).cast("long"),
+        F.expr(f"({int(now_ts)}L - {ts_col}) div {int(step_s)}L"),
+    )
+    boost = F.greatest(boost, F.lit(0).cast("long"))
+    return frontier.select(
+        "*",
+        boost.alias("age_boost"),
+        (F.col(priority_col).cast("long") + boost).alias("aged_priority"),
+    )

@@ -308,3 +308,30 @@ def content_store_stats(
         (F.sum(F.col(bytes_col).cast("long"))
          - F.min(F.col(bytes_col).cast("long"))).alias("bytes_saved"),
     )
+
+
+def shard_manifest(
+    assigned: DataFrame,
+    shard_col: str = "shard_id",
+    id_col: str = "image_id",
+    bytes_col: str = "nbytes",
+) -> DataFrame:
+    """Integrity manifest per training shard — what a data-delivery
+    handoff publishes next to the shard files: row count, total bytes,
+    and a content checksum (md5 over the ids in deterministic sorted
+    order, so any dropped/duplicated/renamed member changes it).  The
+    consumer re-derives the same three numbers after download; a
+    mismatch pins the broken shard without scanning payloads.
+
+    One map-side-combined groupBy; the checksum builds from
+    sort_array(collect_list(id)) — per-shard member lists are
+    shard-sized (bounded by the packer's byte target), never corpus-
+    sized.  Returns (shard_id, n_rows, total_bytes, checksum).
+    """
+    return assigned.groupBy(shard_col).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.col(bytes_col).cast("long")).alias("total_bytes"),
+        F.md5(
+            F.concat_ws("|", F.sort_array(F.collect_list(F.col(id_col))))
+        ).alias("checksum"),
+    )
