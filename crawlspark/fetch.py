@@ -375,3 +375,88 @@ def circuit_breaker_state(
         last_age.alias("last_fail_age_s"),
         state.alias("state"),
     )
+
+
+def range_fetch_plan(
+    objects: DataFrame,
+    chunk_bytes: int,
+    url_col: str = "url",
+    size_col: str = "est_bytes",
+    max_parts: int = 64,
+) -> DataFrame:
+    """Byte-range download plan for large objects (HTTP Range requests,
+    RFC 9110 §14): split each object into ``chunk_bytes`` parts so a
+    multi-GB video/image archive downloads as parallel resumable parts
+    — a failed part retries alone instead of restarting the object.
+    Objects at or under one chunk get a single full-object part with a
+    null range (plain GET — no Range header beats an open-ended one).
+
+    Pure HOF fan-out (sequence -> transform -> posexplode), bounded at
+    ``max_parts`` parts per object (bigger objects get proportionally
+    bigger tail parts rather than unbounded fan-out).  Returns
+    (url, part, range_start, range_end, part_bytes); range_end is
+    inclusive per the Range header convention.
+    """
+    size = F.col(size_col).cast("long")
+    cb = int(chunk_bytes)
+    n_parts = F.least(
+        F.lit(int(max_parts)).cast("long"),
+        F.expr(f"({size_col} + {cb - 1}) div {cb}"),
+    )
+    part_size = F.expr(f"({size_col} + __np - 1) div __np").cast("long")
+    plan = objects.withColumn("__np", F.greatest(n_parts, F.lit(1))) \
+        .withColumn("__ps", part_size)
+    parts = F.transform(
+        F.sequence(F.lit(0), F.col("__np").cast("int") - 1),
+        lambda i: F.struct(
+            (i.cast("long") * F.col("__ps")).alias("range_start"),
+            F.least(size - 1,
+                    (i.cast("long") + 1) * F.col("__ps") - 1)
+            .alias("range_end"),
+        ),
+    )
+    out = plan.select(
+        url_col, size.alias("__size"), F.col("__np"),
+        F.posexplode(parts).alias("part", "r"),
+    )
+    single = F.col("__np") == 1
+    return out.select(
+        url_col,
+        F.col("part").cast("int").alias("part"),
+        F.when(~single, F.col("r.range_start")).alias("range_start"),
+        F.when(~single, F.col("r.range_end")).alias("range_end"),
+        (F.when(single, F.col("__size"))
+         .otherwise(F.col("r.range_end") - F.col("r.range_start") + 1))
+        .cast("long").alias("part_bytes"),
+    )
+
+
+def rendezvous_assign(
+    urls: DataFrame,
+    fetchers: list[str],
+    url_col: str = "url",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing of URLs onto fetcher
+    nodes: each URL goes to argmax_f hash(url, f).  Unlike mod-N
+    hashing, adding or removing ONE fetcher remaps only ~1/N of the
+    URLs (the rows whose winner was the departed node) — connection
+    pools, DNS caches and per-host politeness state on the surviving
+    fetchers stay warm through fleet resizes.
+
+    The fetcher list is a literal array (fleet-sized, tiny); the argmax
+    is an aggregate HOF over it — narrow map, SQL-replayable via the
+    md5-prefix hash.  Returns input + (fetcher, weight).
+    """
+    from .textops.dedup import base_hash
+
+    def weight(f: str) -> F.Column:
+        return base_hash(F.concat(F.col(url_col), F.lit("#"), F.lit(f)))
+
+    pairs = F.array(*[
+        F.struct(weight(f).alias("w"), F.lit(f).alias("f"))
+        for f in fetchers
+    ])
+    best = F.array_max(pairs)
+    return urls.select(
+        "*", best["f"].alias("fetcher"), best["w"].alias("weight")
+    )

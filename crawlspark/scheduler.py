@@ -534,3 +534,48 @@ def priority_aging(
         boost.alias("age_boost"),
         (F.col(priority_col).cast("long") + boost).alias("aged_priority"),
     )
+
+
+def ucb_host_priority(
+    host_stats: DataFrame,
+    c_permille: int = 250,
+    host_col: str = "host",
+    quality_col: str = "mean_quality_permille",
+    fetches_col: str = "n_fetches",
+) -> DataFrame:
+    """UCB-style explore/exploit host scoring: exploitation is the
+    host's observed mean quality, exploration a bonus shrinking with
+    how often the host was already fetched relative to the fleet —
+
+        bonus = c * floor(sqrt(10^6 * total_fetches div n_fetches)) div 10^3
+        score = mean_quality + bonus
+
+    so an under-crawled host gets wave slots even if its observed
+    quality is middling (a few samples prove little), while a
+    heavily-crawled host must earn them on quality alone.  (UCB1's
+    ln(total) term is swapped for the integer-friendly ratio — the
+    monotone behavior is what matters for scheduling, and the formula
+    stays SQL-replayable; FLOOR(SQRT(exact integer)) agrees across
+    engines on IEEE doubles at these magnitudes, as in
+    temperature_sample.)
+
+    One 1-row total broadcast back; narrow arithmetic.  Returns (host,
+    n_fetches, mean_quality_permille, explore_bonus, ucb_score).
+    """
+    n = F.col(fetches_col).cast("long")
+    tot = host_stats.agg(F.sum(n).alias("__tot"))
+    bonus = F.expr(
+        f"({int(c_permille)} * CAST(FLOOR(SQRT(CAST((1000000 * __tot)"
+        f" div {fetches_col} AS DOUBLE))) AS BIGINT)) div 1000"
+    )
+    return (
+        host_stats.join(F.broadcast(tot))
+        .select(
+            host_col,
+            n.alias("n_fetches"),
+            F.col(quality_col).cast("long").alias("mean_quality_permille"),
+            bonus.cast("long").alias("explore_bonus"),
+            (F.col(quality_col).cast("long") + bonus).cast("long")
+            .alias("ucb_score"),
+        )
+    )
