@@ -532,3 +532,30 @@ def detect_host_migrations(
         share.cast("long").alias("share_permille"),
         migrated.alias("migrated"),
     )
+
+
+_LANG_CODES = ("en", "de", "fr", "es", "it", "pt", "nl", "ru", "ja", "zh")
+_LANG_CCTLD = {"de": "de", "fr": "fr", "es": "es", "it": "it", "nl": "nl",
+               "ru": "ru", "jp": "ja", "cn": "zh", "br": "pt", "pt": "pt"}
+
+
+def url_lang_hint(url_norm: Column) -> Column:
+    """Language hint from URL structure alone — the zero-fetch routing
+    signal a multilingual crawl uses before any content exists: a
+    leading path segment (``/de/...``), a language subdomain
+    (``de.example.com``), or the ccTLD.  Priority in that order (the
+    most specific declaration wins); 'und' (BCP 47 undetermined) when
+    nothing matches.  Pure regexp/CASE codegen.
+    """
+    path_seg = F.regexp_extract(url_norm, r"^[a-z+]+://[^/]+/([a-z]{2})(?:/|$)", 1)
+    sub = F.regexp_extract(url_norm, r"^[a-z+]+://([a-z]{2})\.", 1)
+    tld = F.regexp_extract(url_norm, r"^[a-z+]+://[^/]*\.([a-z]{2})(?::\d+)?(?:/|$)", 1)
+    in_codes = path_seg.isin(*_LANG_CODES)
+    sub_ok = sub.isin(*_LANG_CODES)
+    expr = F.when(in_codes, path_seg).when(sub_ok, sub)
+    tld_map = None
+    for cc, lang in sorted(_LANG_CCTLD.items()):
+        cond = tld == cc
+        tld_map = (F.when(cond, F.lit(lang)) if tld_map is None
+                   else tld_map.when(cond, F.lit(lang)))
+    return F.coalesce(expr, tld_map, F.lit("und"))

@@ -701,3 +701,40 @@ def amp_canonical_fold(pages: "DataFrame", url_col: str = "url",
         fold.alias("fold_url"),
         (fold != F.col(url_col)).alias("is_alternate"),
     )
+
+
+def meta_refresh(body: Column) -> Column:
+    """``<meta http-equiv="refresh" content="5;url=/next">`` extraction —
+    the third redirect mechanism after 3xx statuses and rel=canonical:
+    crawlers must honor it or they index interstitial stub pages and
+    miss the real content.  Returns struct<delay_s:long, url:string>
+    (url null when the tag only reloads the page itself; struct null
+    when absent).  Attribute-order tolerant, case-insensitive; the URL
+    part accepts the spec's optional quotes around the target.
+    """
+    # attribute order varies in the wild: try http-equiv-first, then
+    # content-first, take whichever matched
+    fwd = F.regexp_extract(
+        body,
+        r'(?i)<meta\s[^>]*http-equiv\s*=\s*"refresh"[^>]*'
+        r'content\s*=\s*"([^"]*)"',
+        1,
+    )
+    bwd = F.regexp_extract(
+        body,
+        r'(?i)<meta\s[^>]*content\s*=\s*"([^"]*)"[^>]*'
+        r'http-equiv\s*=\s*"refresh"',
+        1,
+    )
+    content = F.when(fwd != "", fwd).otherwise(bwd)
+    delay = F.nullif(
+        F.regexp_extract(content, r"^\s*(\d+)", 1), F.lit("")
+    ).cast("long")
+    url = F.nullif(
+        F.regexp_extract(content, r"(?i);\s*url\s*=\s*'?([^'\"]+?)'?\s*$", 1),
+        F.lit(""),
+    )
+    return F.when(
+        content != "",
+        F.struct(delay.alias("delay_s"), url.alias("url")),
+    )

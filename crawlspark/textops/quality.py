@@ -462,3 +462,35 @@ def boilerplate_shingles(
         F.col("host_docs").cast("long").alias("host_docs"),
         share.cast("long").alias("share_permille"),
     )
+
+
+PAGE_KIND_GALLERY_MIN_IMGS = 8
+PAGE_KIND_ARTICLE_MIN_WORDS = 150
+PAGE_KIND_NAV_MIN_LINKS = 30
+
+
+def classify_page_kind(
+    pages: "DataFrame",
+    n_imgs_col: str = "n_imgs",
+    n_words_col: str = "n_words",
+    n_links_col: str = "n_links",
+) -> "DataFrame":
+    """Coarse page-kind routing from extraction counts — which pipeline
+    a fetched page feeds: ``gallery`` (image-heavy, few words -> the
+    image+caption harvester), ``article`` (word-heavy -> the text
+    pipeline), ``nav`` (link-heavy, thin on both -> link extraction
+    only), ``stub`` (nothing much — candidates for soft-404 checks).
+    First match wins in that order.  Narrow CASE map.
+    Returns input + (page_kind).
+    """
+    imgs = F.col(n_imgs_col).cast("long")
+    words = F.col(n_words_col).cast("long")
+    links = F.col(n_links_col).cast("long")
+    kind = (
+        F.when((imgs >= PAGE_KIND_GALLERY_MIN_IMGS)
+               & (words < PAGE_KIND_ARTICLE_MIN_WORDS), F.lit("gallery"))
+        .when(words >= PAGE_KIND_ARTICLE_MIN_WORDS, F.lit("article"))
+        .when(links >= PAGE_KIND_NAV_MIN_LINKS, F.lit("nav"))
+        .otherwise(F.lit("stub"))
+    )
+    return pages.select("*", kind.alias("page_kind"))
