@@ -559,3 +559,31 @@ def url_lang_hint(url_norm: Column) -> Column:
         tld_map = (F.when(cond, F.lit(lang)) if tld_map is None
                    else tld_map.when(cond, F.lit(lang)))
     return F.coalesce(expr, tld_map, F.lit("und"))
+
+
+def full_canonical(url: Column) -> Column:
+    """The complete URL identity chain — every alias-collapsing stage
+    this module ships, composed in dependency order:
+
+    1. percent-encoding normalization (decode unreserved, upper the rest),
+    2. structural canonicalization (scheme/host lowercase, default-port
+       strip, query sort, fragment drop, '' path -> '/'),
+    3. dot-segment removal on the path,
+    4. tracking-param strip (static list; compose
+       :func:`mine_droppable_params`'s learned drops via a second
+       strip pass at the call site),
+    5. scheme upgrade (http -> https is NOT folded here — that needs
+       corpus evidence both schemes exist; see prefer_https_dedup) and
+       www-folding likewise stay corpus-level.
+
+    One narrow Column pipeline — the per-row half of identity; the
+    corpus-level half (scheme/www/DUST folds) runs as batch dedup ops.
+    """
+    u = normalize_percent_encoding(url)
+    u = canonicalize_expr(u)
+    scheme_auth = F.regexp_extract(u, r"^([a-z+]+://[^/]+)", 1)
+    rest = F.substring(u, F.length(scheme_auth) + 1, F.lit(2147483647))
+    path = F.substring_index(F.substring_index(rest, "?", 1), "#", 1)
+    tail = F.substring(rest, F.length(path) + 1, F.lit(2147483647))
+    u = F.concat(scheme_auth, remove_dot_segments(path), tail)
+    return strip_tracking_params(u)

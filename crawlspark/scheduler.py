@@ -579,3 +579,35 @@ def ucb_host_priority(
             .alias("ucb_score"),
         )
     )
+
+
+def freshness_histogram(
+    corpus: DataFrame,
+    now_ts: int,
+    ts_col: str = "last_fetch_ts",
+) -> DataFrame:
+    """Corpus freshness histogram in power-of-two age buckets — the
+    recrawl-capacity planning view: bucket k holds pages whose last
+    fetch is [2^k, 2^(k+1)) seconds old (bucket 0 = under 2 s).  A
+    healthy steady-state crawl shows mass concentrated at the recrawl
+    interval; a growing right tail means fetch capacity lost to the
+    frontier's growth.  One map-side-combined aggregate; share in
+    permille of the corpus.  Returns (age_bucket, n_pages,
+    share_permille).
+    """
+    age = F.greatest(
+        (F.lit(int(now_ts)) - F.col(ts_col)).cast("long"), F.lit(1)
+    )
+    bucket = F.floor(F.log2(age)).cast("int")
+    per = corpus.groupBy(bucket.alias("age_bucket")).agg(
+        F.count("*").alias("n_pages")
+    )
+    # total from the bucket relation itself (tiny): one plan, no second
+    # corpus pass, no driver round-trip
+    total = per.agg(F.sum("n_pages").alias("__tot"))
+    return per.join(F.broadcast(total)).select(
+        "age_bucket",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.expr("(1000 * n_pages) div __tot").cast("long")
+        .alias("share_permille"),
+    )
