@@ -738,3 +738,77 @@ def meta_refresh(body: Column) -> Column:
         content != "",
         F.struct(delay.alias("delay_s"), url.alias("url")),
     )
+
+
+def site_icons(body: Column, page_url: Column,
+               target_px: int = 180) -> Column:
+    """Site icon selection (``<link rel="icon" sizes="32x32">``,
+    ``apple-touch-icon``): pick the smallest declared icon that meets
+    ``target_px`` on the short side, else the largest available, else
+    the ``/favicon.ico`` convention — the thumbnail/branding asset an
+    image crawl stores per site.  Returns struct<icon_url:string,
+    declared_px:long, source:string> with source 'link' or 'default'.
+    Attribute parsing mirrors img_srcset_candidates; sizes="any"
+    (SVG) and missing sizes count as px null and lose to sized icons
+    that fit, but win over nothing.
+    """
+    authority = F.regexp_extract(page_url, r"^(https?://[^/]+)", 1)
+
+    def resolve(u: Column) -> Column:
+        return (
+            F.when(u.rlike("^https?://"), u)
+            .when(u.startswith("/"), F.concat(authority, u))
+            .otherwise(F.concat(
+                F.regexp_replace(page_url, r"[^/]*$", ""), u))
+        )
+
+    tags = F.regexp_extract_all(
+        body,
+        F.lit(r'(?i)<link\s[^>]*rel\s*=\s*"(?:shortcut\s+)?icon"[^>]*>'
+              r'|<link\s[^>]*rel\s*=\s*"apple-touch-icon"[^>]*>'),
+        0,
+    )
+    cands = F.filter(
+        F.transform(
+            tags,
+            lambda t: F.struct(
+                F.regexp_extract(t, r'(?i)href\s*=\s*"([^"]*)"', 1)
+                 .alias("u"),
+                F.nullif(
+                    F.regexp_extract(t, r'(?i)sizes\s*=\s*"(\d+)x\d+"', 1),
+                    F.lit(""),
+                ).cast("long").alias("px"),
+            ),
+        ),
+        lambda c: c["u"] != "",
+    )
+    fitting = F.filter(
+        cands, lambda c: c["px"].isNotNull() & (c["px"] >= target_px)
+    )
+    sized = F.filter(cands, lambda c: c["px"].isNotNull())
+    by_px = lambda arr: F.transform(  # noqa: E731
+        arr, lambda c: F.struct(c["px"].alias("px"), c["u"].alias("u"))
+    )
+    pick = (
+        F.when(F.size(fitting) > 0,
+               F.element_at(F.array_sort(by_px(fitting)), 1))
+        .when(F.size(sized) > 0,
+              F.element_at(F.array_sort(by_px(sized)), -1))
+        .when(F.size(cands) > 0,
+              F.struct(F.lit(None).cast("long").alias("px"),
+                       F.element_at(cands, 1)["u"].alias("u")))
+    )
+    return F.when(
+        pick.isNotNull(),
+        F.struct(
+            resolve(pick["u"]).alias("icon_url"),
+            pick["px"].alias("declared_px"),
+            F.lit("link").alias("source"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.concat(authority, F.lit("/favicon.ico")).alias("icon_url"),
+            F.lit(None).cast("long").alias("declared_px"),
+            F.lit("default").alias("source"),
+        )
+    )

@@ -369,3 +369,45 @@ def bandwidth_throttle_schedule(
         )
         .drop("__xfer")
     )
+
+
+CHANGE_RATE_INTERVALS_S = ((500, 21_600), (200, 86_400), (50, 604_800))
+CHANGE_RATE_DEFAULT_S = 2_592_000
+
+
+def host_change_rates(
+    diffs: "DataFrame",
+    host_col: str = "host",
+    change_col: str = "change",
+) -> "DataFrame":
+    """Per-host change-rate rollup over a crawl-diff feed
+    (checkpoint.crawl_diff output joined with the host): the observed
+    modified share in permille maps to a suggested recrawl interval —
+
+        >= 500 permille -> 6 h, >= 200 -> 1 d, >= 50 -> 7 d, else 30 d
+
+    the corpus-level prior that seeds :func:`recrawl_schedule`'s
+    per-page adaptive backoff (a page inherits its host's interval
+    until its own change history says otherwise).  One map-side-
+    combined aggregate + CASE.  Returns (host, n_pages, n_modified,
+    modified_permille, suggested_interval_s).
+    """
+    agg = diffs.groupBy(host_col).agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.when(F.col(change_col) == "modified", 1).otherwise(0))
+        .alias("n_modified"),
+    )
+    pm = F.expr("(1000 * n_modified) div n_pages")
+    interval = None
+    for thr, sec in CHANGE_RATE_INTERVALS_S:
+        cond = pm >= thr
+        interval = (F.when(cond, sec) if interval is None
+                    else interval.when(cond, sec))
+    interval = interval.otherwise(CHANGE_RATE_DEFAULT_S)
+    return agg.select(
+        host_col,
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_modified").cast("long").alias("n_modified"),
+        pm.cast("long").alias("modified_permille"),
+        interval.cast("long").alias("suggested_interval_s"),
+    )

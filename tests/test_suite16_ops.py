@@ -72,3 +72,43 @@ def test_freshness_histogram_buckets(spark):
     assert out[3].n_pages == 1       # age 9
     assert out[10].n_pages == 1      # age 1025
     assert out[1].share_permille == 400
+
+
+def test_site_icons_selection(spark):
+    from crawlspark.extract import site_icons
+    page = "http://h.test/deep/p.html"
+    cases = [
+        # smallest FITTING beats bigger fitting and smaller non-fitting
+        ('<link rel="icon" sizes="32x32" href="/s.png">'
+         '<link rel="apple-touch-icon" sizes="192x192" href="/m.png">'
+         '<link rel="icon" sizes="512x512" href="/l.png">',
+         "http://h.test/m.png", 192, "link"),
+        # none fit -> largest
+        ('<link rel="icon" sizes="16x16" href="/a.png">'
+         '<link rel="icon" sizes="64x64" href="/b.png">',
+         "http://h.test/b.png", 64, "link"),
+        # unsized only -> that link, relative resolves against page dir
+        ('<link rel="icon" href="rel.svg">',
+         "http://h.test/deep/rel.svg", None, "link"),
+        # nothing declared -> the /favicon.ico convention
+        ("<html></html>", "http://h.test/favicon.ico", None, "default"),
+    ]
+    df = spark.createDataFrame([(b,) for b, *_ in cases], "body STRING")
+    rows = df.select(
+        site_icons(F.col("body"), F.lit(page), target_px=180).alias("i")
+    ).select("i.*").collect()
+    for r, (_, url, px, src) in zip(rows, cases):
+        assert (r.icon_url, r.declared_px, r.source) == (url, px, src)
+
+
+def test_host_change_rates_tiers(spark):
+    from crawlspark.politeness import host_change_rates
+    rows = ([("hot", "modified")] * 6 + [("hot", "unchanged")] * 4
+            + [("weekly", "modified")] * 1 + [("weekly", "unchanged")] * 9
+            + [("static", "unchanged")] * 20)
+    df = spark.createDataFrame(rows, "host STRING, change STRING")
+    out = {r.host: r for r in host_change_rates(df).collect()}
+    assert out["hot"].suggested_interval_s == 21_600
+    assert out["weekly"].modified_permille == 100
+    assert out["weekly"].suggested_interval_s == 604_800
+    assert out["static"].suggested_interval_s == 2_592_000
