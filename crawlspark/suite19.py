@@ -1,0 +1,204 @@
+"""Round-2 continuation queries, part 17: hreflang reciprocity
+validation, due-set conditional revalidation, caption language routing.
+
+House rules: deterministic fixtures from the parquet tables, DuckDB
+oracles replaying the identical computation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import extract_hreflang
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# hreflang_reciprocal — one-way hreflang is spam/misconfiguration
+# --------------------------------------------------------------------------
+
+def q_hreflang_reciprocal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity check over hreflang declarations: (2k, 2k+1) en/de
+    pairs back-reference each other (valid); every 5th page also
+    declares an /xx/ orphan that never links back (invalid — search
+    engines ignore one-way hreflang, and so should the variant-folding
+    dedup).  One self-join of the declaration edge list on the reversed
+    pair."""
+    doc = F.col("doc_id")
+    pair = (doc - doc % 2).cast("string")
+    url_en = F.concat(F.lit("http://x.test/en/"), pair)
+    url_de = F.concat(F.lit("http://x.test/de/"), pair)
+    own = F.when(doc % 2 == 0, url_en).otherwise(url_de)
+    other = F.when(doc % 2 == 0, url_de).otherwise(url_en)
+    orphan = F.concat(F.lit("http://x.test/xx/"), doc.cast("string"))
+    body = F.concat(
+        F.lit('<link rel="alternate" hreflang="alt" href="'), other,
+        F.lit('">'),
+        F.when(doc % 5 == 0, F.concat(
+            F.lit('<link rel="alternate" hreflang="xx" href="'), orphan,
+            F.lit('">'))).otherwise(F.lit("")),
+    )
+    pages = _docs(spark, sf_dir).select(
+        doc.alias("doc_id"), own.alias("page_url"), body.alias("body")
+    )
+    decls = pages.select(
+        "doc_id", "page_url",
+        F.explode(
+            F.transform(extract_hreflang(F.col("body")), lambda a: a["url"])
+        ).alias("alt_url"),
+    )
+    back = decls.select(
+        F.col("page_url").alias("b_page"), F.col("alt_url").alias("b_alt")
+    ).distinct()
+    out = decls.join(
+        back,
+        (decls["alt_url"] == back["b_page"])
+        & (decls["page_url"] == back["b_alt"]),
+        "left",
+    )
+    return out.select(
+        "doc_id", "page_url", "alt_url",
+        F.col("b_page").isNotNull().alias("reciprocal"),
+    )
+
+
+ORACLE_HREFLANG_RECIP = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id - doc_id % 2 AS VARCHAR) AS pair,
+         doc_id % 2 AS side
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN side = 0 THEN 'http://x.test/en/' || pair
+            ELSE 'http://x.test/de/' || pair END AS page_url,
+       CASE WHEN side = 0 THEN 'http://x.test/de/' || pair
+            ELSE 'http://x.test/en/' || pair END AS alt_url,
+       TRUE AS reciprocal
+FROM d
+UNION ALL
+SELECT doc_id,
+       CASE WHEN side = 0 THEN 'http://x.test/en/' || pair
+            ELSE 'http://x.test/de/' || pair END,
+       'http://x.test/xx/' || CAST(doc_id AS VARCHAR),
+       FALSE
+FROM d WHERE doc_id % 5 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# due_revalidation — recrawl due set x cache validators -> request batch
+# --------------------------------------------------------------------------
+
+_DR_NOW = 10_000_000
+
+
+def q_due_revalidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed freshness chain: per-URL fetch history -> adaptive
+    recrawl schedule (change-streak backoff) -> the DUE slice at now ->
+    joined with cache validators -> conditional-GET plan.  Static pages
+    that backed off past now stay out of the batch entirely; due pages
+    with validators go out as cheap 304 candidates."""
+    from .politeness import recrawl_schedule
+    from .sinks import revalidation_plan
+
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    url = F.concat(F.lit("http://r.test/p/"), s)
+    # two fetches per url: changed for doc%3==0 (stays hot), unchanged
+    # otherwise (backs off)
+    h1 = _docs(spark, sf_dir).select(
+        url.alias("url"), F.lit(1_000_000).cast("long").alias("fetch_ts"),
+        F.concat(F.lit("v1-"), s).alias("content_hash"),
+    )
+    h2 = _docs(spark, sf_dir).select(
+        url.alias("url"), F.lit(5_000_000).cast("long").alias("fetch_ts"),
+        F.when(doc % 3 == 0, F.concat(F.lit("v2-"), s))
+        .otherwise(F.concat(F.lit("v1-"), s)).alias("content_hash"),
+    )
+    sched = recrawl_schedule(h1.unionByName(h2))
+    due = sched.filter(F.col("next_fetch_ts") <= _DR_NOW).select("url")
+    cache = _docs(spark, sf_dir).select(
+        url.alias("url"),
+        F.when(doc % 2 == 0, F.concat(F.lit("e"), s)).alias("etag"),
+        F.lit(None).cast("long").alias("last_modified_ts"),
+        F.lit(5_000_000).cast("long").alias("fetched_ts"),
+    )
+    plan = revalidation_plan(
+        cache.join(due, "url"), now_ts=_DR_NOW, ttl_s=3600
+    )
+    return plan.select("url", "action", "cond_header", "cond_value")
+
+
+def _oracle_due_revalidation() -> str:
+    # change-streak replay: doc%3==0 -> 2 changes, streak 0, interval
+    # 3600 -> due. else 1 change then unchanged -> streak 1, interval
+    # 7200 -> next = 5_000_000 + 7200 <= now -> ALSO due (now is far
+    # out).  Both tiers are due; the plan splits on the etag parity.
+    return f"""
+SELECT 'http://r.test/p/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 2 = 0 THEN 'revalidate' ELSE 'refetch' END
+         AS action,
+       CASE WHEN doc_id % 2 = 0 THEN 'If-None-Match' END AS cond_header,
+       CASE WHEN doc_id % 2 = 0 THEN 'e' || CAST(doc_id AS VARCHAR) END
+         AS cond_value
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# caption_langs — language routing of harvested captions
+# --------------------------------------------------------------------------
+
+def q_caption_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang_id over the harvested image captions (marker-based n-gram
+    heuristic on short text) — routes image+caption pairs to
+    per-language training mixes; fixture captions carry each language's
+    marker words."""
+    from .textops.quality import lang_id
+
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    cap = (
+        F.when(doc % 3 == 0, F.concat(F.lit("the cat and the hat "), s))
+        .when(doc % 3 == 1, F.concat(F.lit("der hund und die katze "), s))
+        .otherwise(F.concat(F.lit("le chat et la maison "), s))
+    )
+    pairs = _docs(spark, sf_dir).select(
+        doc.alias("doc_id"),
+        cap.alias("text"),
+    )
+    return lang_id(pairs, text_col="text").select(
+        F.concat(F.lit("img-"), F.col("doc_id").cast("string"))
+        .alias("image_id"),
+        F.col("pred_lang").alias("caption_lang"),
+    )
+
+
+ORACLE_CAPTION_LANGS = """
+SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+       CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END AS caption_lang
+FROM documents
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "hreflang_reciprocal": q_hreflang_reciprocal,
+        "due_revalidation": q_due_revalidation,
+        "caption_langs": q_caption_langs,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "hreflang_reciprocal": ORACLE_HREFLANG_RECIP,
+        "due_revalidation": _oracle_due_revalidation(),
+        "caption_langs": ORACLE_CAPTION_LANGS,
+    }
