@@ -353,3 +353,34 @@ def test_wave_by_bytes_single_host_exchange(spark):
     p = plan_of(select_wave_by_bytes(frontier, host_byte_budget=100_000))
     assert len(_re.findall(r"\(\d+\) Exchange", p)) == 1, p
     assert "SinglePartition" not in p, p
+
+
+def test_full_canonical_is_narrow(spark):
+    """The composed identity chain stays a pure projection: no Exchange,
+    no Python nodes — it runs fused into the 10^10-row frontier scan."""
+    from crawlspark.canon import full_canonical
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.concat(F.lit("http://h.test/a/./b/p"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("?utm_source=x&z=1")).alias("url")
+    )
+    p = plan_of(df.select(full_canonical(F.col("url")).alias("c")))
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_caption_and_feed_extractors_are_narrow(spark):
+    """Caption-pair mining and feed parsing: regexp/HOF projections only."""
+    from crawlspark.extract import feed_items, image_caption_pairs
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("text").alias("body"),
+        F.lit("http://h.test/p/x.html").alias("page_url"),
+    )
+    p1 = plan_of(df.select(image_caption_pairs(
+        F.col("body"), F.col("page_url")).alias("c")))
+    p2 = plan_of(df.select(feed_items(F.col("body")).alias("i")))
+    for p in (p1, p2):
+        assert "Exchange" not in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
