@@ -332,3 +332,52 @@ def interleave_doc(
         F.col("e.kind").alias("kind"),
         F.col("e.content").alias("content"),
     )
+
+
+SAFETY_WEIGHTS_MICRO = [
+    7919, -4621, 3313, -8272, 5501, -1289, 9043, -6133,
+    2711, -3359, 8887, -571, 4409, -9631, 1297, -7213,
+]
+SAFETY_REVIEW_MICRO = 20_000
+SAFETY_DROP_MICRO = 60_000
+
+
+def image_safety_route(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Safety-filter routing for an image corpus — the keep / review /
+    drop gate every public image dataset runs before release.  MODEL
+    STUB, real plumbing: a production deployment scores pixels with a
+    trained classifier inside the Arrow decode stage; this container has
+    no model (or image libs), so the score is a frozen hashed-linear
+    form over the phash nibbles (deterministic, integer, SQL-replayable)
+    — the thresholds, three-way routing, and downstream contract are
+    the real pipeline.  Swap ``score`` for the model logit and nothing
+    else changes.
+
+        score_micro = sum_k w[nibble_k(phash)] over the 16 nibbles
+        route = drop (>= 60k) / review (>= 20k) / keep
+
+    Returns (id, safety_micro, route).
+    """
+    nibbles = [
+        F.shiftrightunsigned(F.col(phash_col), 4 * k).bitwiseAND(F.lit(15))
+        for k in range(16)
+    ]
+    wlist = F.array(*[F.lit(w).cast("long") for w in SAFETY_WEIGHTS_MICRO])
+    score = None
+    for nib in nibbles:
+        term = F.element_at(wlist, (nib + 1).cast("int"))
+        score = term if score is None else score + term
+    route = (
+        F.when(score >= SAFETY_DROP_MICRO, F.lit("drop"))
+        .when(score >= SAFETY_REVIEW_MICRO, F.lit("review"))
+        .otherwise(F.lit("keep"))
+    )
+    return images.select(
+        F.col(id_col),
+        score.cast("long").alias("safety_micro"),
+        route.alias("route"),
+    )

@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_reciprocal": q_hreflang_reciprocal,
         "due_revalidation": q_due_revalidation,
         "caption_langs": q_caption_langs,
+        "safety_route": q_safety_route,
+        "head_tail": q_head_tail,
     }
 
 
@@ -201,4 +203,86 @@ def oracle_sql() -> dict[str, str]:
         "hreflang_reciprocal": ORACLE_HREFLANG_RECIP,
         "due_revalidation": _oracle_due_revalidation(),
         "caption_langs": ORACLE_CAPTION_LANGS,
+        "safety_route": _oracle_safety_route(),
+        "head_tail": ORACLE_HEAD_TAIL,
     }
+
+
+# --------------------------------------------------------------------------
+# safety_route — three-way image safety gate (stub model, real plumbing)
+# --------------------------------------------------------------------------
+
+def q_safety_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image_safety_route over an arithmetic phash fixture (Knuth
+    multiplicative spread — the codec phash itself is not
+    SQL-derivable): the frozen hashed-linear score + keep/review/drop
+    thresholds, nibble arithmetic replayed exactly by the oracle."""
+    from .mmcurate import image_safety_route
+
+    doc = F.col("doc_id")
+    imgs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("img-"), doc.cast("string")).alias("image_id"),
+        ((doc * 2654435761) % 9223372036854775783).cast("long")
+        .alias("phash"),
+    )
+    return image_safety_route(imgs)
+
+
+def _oracle_safety_route() -> str:
+    from .mmcurate import (
+        SAFETY_DROP_MICRO,
+        SAFETY_REVIEW_MICRO,
+        SAFETY_WEIGHTS_MICRO,
+    )
+
+    wlist = "list_value(" + ", ".join(str(w) for w in SAFETY_WEIGHTS_MICRO) + ")"
+    terms = " + ".join(
+        f"list_extract({wlist}, CAST(((ph >> {4 * k}) & 15) + 1 AS INTEGER))"
+        for k in range(16)
+    )
+    return f"""
+WITH p AS (
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+         (doc_id * 2654435761) % 9223372036854775783 AS ph
+  FROM documents
+),
+s AS (SELECT image_id, CAST({terms} AS BIGINT) AS score FROM p)
+SELECT image_id, score AS safety_micro,
+       CASE WHEN score >= {SAFETY_DROP_MICRO} THEN 'drop'
+            WHEN score >= {SAFETY_REVIEW_MICRO} THEN 'review'
+            ELSE 'keep' END AS route
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# head_tail — over-budget document truncation
+# --------------------------------------------------------------------------
+
+def q_head_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """truncate_head_tail over the corpus text (24+8 budget): long docs
+    keep their opening and conclusion with an ellipsis; short docs pass
+    through byte-identical."""
+    from .textops.curate import truncate_head_tail
+
+    return truncate_head_tail(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+ORACLE_HEAD_TAIL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       len(toks) > 32 AS truncated,
+       CASE WHEN len(toks) <= 32
+            THEN COALESCE(list_aggregate(toks, 'string_agg', ' '), '')
+            ELSE list_aggregate(list_slice(toks, 1, 24), 'string_agg', ' ')
+                 || ' ... ' ||
+                 list_aggregate(list_slice(toks, len(toks) - 7, len(toks)),
+                                'string_agg', ' ')
+       END AS text_out
+FROM t
+"""

@@ -823,3 +823,40 @@ def train_val_test_split(
     return df.select(
         "*", b.cast("long").alias("split_bucket"), split.alias("split")
     )
+
+
+def truncate_head_tail(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head_tokens: int = 24,
+    tail_tokens: int = 8,
+) -> DataFrame:
+    """Head+tail truncation for over-long documents — the
+    context-window strategy that beats plain head-truncation on
+    documents whose conclusions matter (papers, articles, contracts):
+    keep the first ``head_tokens`` and last ``tail_tokens`` tokens with
+    an ellipsis marker between; docs already within budget pass
+    through unchanged.  Pure HOF slices, narrow map.
+
+    Returns (id, n_tokens, truncated:boolean, text_out).
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    n = F.size(toks)
+    budget = head_tokens + tail_tokens
+    head = F.slice(toks, 1, head_tokens)
+    tail = F.slice(toks, n - tail_tokens + 1, tail_tokens)
+    out = F.when(
+        n <= budget, F.concat_ws(" ", toks)
+    ).otherwise(
+        F.concat_ws(
+            " ",
+            F.concat_ws(" ", head), F.lit("..."), F.concat_ws(" ", tail),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        (n > budget).alias("truncated"),
+        out.alias("text_out"),
+    )

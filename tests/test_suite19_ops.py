@@ -29,3 +29,39 @@ def test_hreflang_reciprocity_join(spark):
     assert got[("http://x/a", "http://x/b")] is True
     assert got[("http://x/b", "http://x/a")] is True
     assert got[("http://x/a", "http://x/c")] is False
+
+
+def test_image_safety_route_thresholds(spark):
+    from crawlspark.mmcurate import (
+        SAFETY_WEIGHTS_MICRO,
+        image_safety_route,
+    )
+
+    def score_py(ph):
+        return sum(SAFETY_WEIGHTS_MICRO[(ph >> (4 * k)) & 15]
+                   for k in range(16))
+
+    phs = [0, 0x1111111111111111, 0x0123456789ABCDEF, 77777777777]
+    df = spark.createDataFrame([(f"i{i}", p) for i, p in enumerate(phs)],
+                               "image_id STRING, phash LONG")
+    out = {r.image_id: r for r in image_safety_route(df).collect()}
+    for i, p in enumerate(phs):
+        exp = score_py(p)
+        r = out[f"i{i}"]
+        assert r.safety_micro == exp
+        exp_route = ("drop" if exp >= 60_000
+                     else "review" if exp >= 20_000 else "keep")
+        assert r.route == exp_route
+
+
+def test_truncate_head_tail(spark):
+    from crawlspark.textops.curate import truncate_head_tail
+    long = " ".join(f"w{i}" for i in range(100))
+    short = "just a few words"
+    df = spark.createDataFrame([(1, long), (2, short)],
+                               "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in
+           truncate_head_tail(df, head_tokens=5, tail_tokens=3).collect()}
+    assert out[1].truncated is True
+    assert out[1].text_out == "w0 w1 w2 w3 w4 ... w97 w98 w99"
+    assert out[2].truncated is False and out[2].text_out == short
