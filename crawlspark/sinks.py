@@ -335,3 +335,41 @@ def shard_manifest(
             F.concat_ws("|", F.sort_array(F.collect_list(F.col(id_col))))
         ).alias("checksum"),
     )
+
+
+INDEXNOW_BATCH_MAX = 10_000
+
+
+def indexnow_batches(
+    changed: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    batch_max: int = INDEXNOW_BATCH_MAX,
+) -> DataFrame:
+    """IndexNow-style change notification batching (the public
+    indexnow.org protocol: per-host POST of up to 10k changed URLs) —
+    the push side of freshness: after a wave lands, notify search
+    endpoints of exactly what changed instead of waiting to be
+    re-crawled.  Per host, URLs pack into batches of ``batch_max`` in
+    deterministic url order; a partitioned window (rank div max) — no
+    global ordering needed, hosts are independent.
+
+    Returns (host, batch_no, n_urls, urls) with urls the sorted
+    member array (bounded by batch_max per row).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(url_col)
+    ranked = changed.withColumn(
+        "__rn", F.row_number().over(w)
+    ).withColumn("__batch", F.expr(f"(__rn - 1) div {int(batch_max)}"))
+    return (
+        ranked.groupBy(host_col, "__batch")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.sort_array(F.collect_list(url_col)).alias("urls"),
+        )
+        .select(
+            host_col, F.col("__batch").alias("batch_no"), "n_urls", "urls"
+        )
+    )

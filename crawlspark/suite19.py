@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_langs": q_caption_langs,
         "safety_route": q_safety_route,
         "head_tail": q_head_tail,
+        "indexnow": q_indexnow,
+        "cloaking": q_cloaking,
     }
 
 
@@ -205,6 +207,8 @@ def oracle_sql() -> dict[str, str]:
         "caption_langs": ORACLE_CAPTION_LANGS,
         "safety_route": _oracle_safety_route(),
         "head_tail": ORACLE_HEAD_TAIL,
+        "indexnow": ORACLE_INDEXNOW,
+        "cloaking": ORACLE_CLOAKING,
     }
 
 
@@ -285,4 +289,107 @@ SELECT doc_id,
                                 'string_agg', ' ')
        END AS text_out
 FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# indexnow — per-host change-notification batches
+# --------------------------------------------------------------------------
+
+def q_indexnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """indexnow_batches at batch_max=40 over 5 hosts (~100 changed URLs
+    each -> 3 batches per host, last one short): deterministic url-order
+    packing, member arrays bounded per row.  Arrays compare exactly
+    (DuckDB rebuilds the same sorted slices)."""
+    from .sinks import indexnow_batches
+
+    doc = F.col("doc_id")
+    changed = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), (doc % 5).cast("string")).alias("host"),
+        F.concat(F.lit("http://h"), (doc % 5).cast("string"),
+                 F.lit(".test/c/"), F.lpad(doc.cast("string"), 4, "0"))
+        .alias("url"),
+    )
+    out = indexnow_batches(changed, batch_max=40)
+    return out.select(
+        "host", "batch_no", "n_urls",
+        F.concat_ws("|", F.col("urls")).alias("urls_joined"),
+    )
+
+
+ORACLE_INDEXNOW = """
+WITH c AS (
+  SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+         'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.test/c/' ||
+           lpad(CAST(doc_id AS VARCHAR), 4, '0') AS url
+  FROM documents
+),
+r AS (
+  SELECT host, url,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) AS rn
+  FROM c
+)
+SELECT host, CAST((rn - 1) // 40 AS BIGINT) AS batch_no,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       string_agg(url, '|' ORDER BY url) AS urls_joined
+FROM r GROUP BY host, (rn - 1) // 40
+"""
+
+
+# --------------------------------------------------------------------------
+# cloaking — UA-conditional content detection
+# --------------------------------------------------------------------------
+
+def q_cloaking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detect_cloaking over paired bot/browser fetch views: every 7th
+    URL serves a wholesale different page to the bot (cloaked); every
+    11th differs only by a nonce (hash differs, tiny skew — NOT
+    flagged); the rest are identical."""
+    from .textops.quality import detect_cloaking
+
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    url = F.concat(F.lit("http://c.test/p/"), s)
+    bot = _docs(spark, sf_dir).select(
+        url.alias("url"),
+        F.when(doc % 7 == 0, F.concat(F.lit("spamA"), s))
+        .when(doc % 11 == 0, F.concat(F.lit("nonceA"), s))
+        .otherwise(F.concat(F.lit("same"), s)).alias("content_hash"),
+        F.when(doc % 7 == 0, F.lit(500)).otherwise(F.lit(4000) + doc % 50)
+        .cast("long").alias("n_chars"),
+    )
+    browser = _docs(spark, sf_dir).select(
+        url.alias("url"),
+        F.when(doc % 7 == 0, F.concat(F.lit("realB"), s))
+        .when(doc % 11 == 0, F.concat(F.lit("nonceB"), s))
+        .otherwise(F.concat(F.lit("same"), s)).alias("content_hash"),
+        (F.lit(4000) + doc % 50 + F.when(doc % 11 == 0, 7).otherwise(0))
+        .cast("long").alias("n_chars"),
+    )
+    return detect_cloaking(bot, browser)
+
+
+ORACLE_CLOAKING = """
+WITH d AS (
+  SELECT doc_id,
+         'http://c.test/p/' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 7 = 0 THEN 'spamA' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 11 = 0 THEN 'nonceA' || CAST(doc_id AS VARCHAR)
+              ELSE 'same' || CAST(doc_id AS VARCHAR) END AS bot_hash,
+         CASE WHEN doc_id % 7 = 0 THEN 'realB' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 11 = 0 THEN 'nonceB' || CAST(doc_id AS VARCHAR)
+              ELSE 'same' || CAST(doc_id AS VARCHAR) END AS browser_hash,
+         CASE WHEN doc_id % 7 = 0 THEN 500
+              ELSE 4000 + doc_id % 50 END AS bl,
+         4000 + doc_id % 50 +
+           CASE WHEN doc_id % 11 = 0 THEN 7 ELSE 0 END AS rl
+  FROM documents
+)
+SELECT url, bot_hash, browser_hash,
+       CAST((1000 * abs(bl - rl)) // GREATEST(GREATEST(bl, rl), 1)
+         AS BIGINT) AS len_skew_permille,
+       bot_hash <> browser_hash
+         AND (1000 * abs(bl - rl)) // GREATEST(GREATEST(bl, rl), 1) > 300
+         AS cloaked
+FROM d
 """

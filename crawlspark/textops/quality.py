@@ -494,3 +494,44 @@ def classify_page_kind(
         .otherwise(F.lit("stub"))
     )
     return pages.select("*", kind.alias("page_kind"))
+
+
+def detect_cloaking(
+    bot_view: "DataFrame",
+    browser_view: "DataFrame",
+    url_col: str = "url",
+    hash_col: str = "content_hash",
+    len_col: str = "n_chars",
+    max_len_skew_permille: int = 300,
+) -> "DataFrame":
+    """Cloaking detection — pages that serve DIFFERENT content to the
+    crawler's bot user-agent than to a browser UA (the classic search
+    spam the reference's BotUserAgent/browser split makes possible to
+    probe): join the two fetch views on URL and flag rows whose content
+    hashes differ AND whose length skew exceeds the threshold (small
+    hash differences from timestamps/nonces are normal; wholesale
+    different pages are not).
+
+    One equi-join on url (both views hash-partition the same way).
+    Returns (url, bot_hash, browser_hash, len_skew_permille, cloaked).
+    """
+    b = bot_view.select(
+        F.col(url_col).alias("url"), F.col(hash_col).alias("bot_hash"),
+        F.col(len_col).cast("long").alias("__bl"),
+    )
+    r = browser_view.select(
+        F.col(url_col).alias("url"), F.col(hash_col).alias("browser_hash"),
+        F.col(len_col).cast("long").alias("__rl"),
+    )
+    j = b.join(r, "url")
+    skew = F.expr(
+        "(1000 * abs(__bl - __rl)) div greatest(greatest(__bl, __rl), 1)"
+    )
+    cloaked = (F.col("bot_hash") != F.col("browser_hash")) & (
+        skew > max_len_skew_permille
+    )
+    return j.select(
+        "url", "bot_hash", "browser_hash",
+        skew.cast("long").alias("len_skew_permille"),
+        cloaked.alias("cloaked"),
+    )

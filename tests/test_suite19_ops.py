@@ -65,3 +65,33 @@ def test_truncate_head_tail(spark):
     assert out[1].truncated is True
     assert out[1].text_out == "w0 w1 w2 w3 w4 ... w97 w98 w99"
     assert out[2].truncated is False and out[2].text_out == short
+
+
+def test_indexnow_batching(spark):
+    from crawlspark.sinks import indexnow_batches
+    changed = spark.createDataFrame(
+        [("h", f"http://h/{i:03d}") for i in range(7)]
+        + [("g", "http://g/only")],
+        "host STRING, url STRING")
+    out = {(r.host, r.batch_no): r for r in
+           indexnow_batches(changed, batch_max=3).collect()}
+    assert out[("h", 0)].n_urls == 3
+    assert out[("h", 0)].urls == [f"http://h/{i:03d}" for i in range(3)]
+    assert out[("h", 1)].n_urls == 3
+    assert out[("h", 2)].n_urls == 1     # short tail batch
+    assert out[("g", 0)].n_urls == 1
+
+
+def test_cloaking_needs_hash_and_skew(spark):
+    from crawlspark.textops.quality import detect_cloaking
+    bot = spark.createDataFrame(
+        [("u1", "ha", 500), ("u2", "hx", 4000), ("u3", "same", 4000)],
+        "url STRING, content_hash STRING, n_chars LONG")
+    browser = spark.createDataFrame(
+        [("u1", "hb", 4000),   # different hash + big skew -> cloaked
+         ("u2", "hy", 4010),   # different hash, tiny skew -> nonce, clean
+         ("u3", "same", 400)],  # same hash, big skew -> clean (no diff)
+        "url STRING, content_hash STRING, n_chars LONG")
+    out = {r.url: r.cloaked for r in
+           detect_cloaking(bot, browser).collect()}
+    assert out == {"u1": True, "u2": False, "u3": False}
