@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "head_tail": q_head_tail,
         "indexnow": q_indexnow,
         "cloaking": q_cloaking,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -209,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "head_tail": ORACLE_HEAD_TAIL,
         "indexnow": ORACLE_INDEXNOW,
         "cloaking": ORACLE_CLOAKING,
+        "corpus_report": ORACLE_CORPUS_REPORT,
     }
 
 
@@ -392,4 +394,63 @@ SELECT url, bot_hash, browser_hash,
          AND (1000 * abs(bl - rl)) // GREATEST(GREATEST(bl, rl), 1) > 300
          AS cloaked
 FROM d
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus_report — one-row executive summary (query #200)
+# --------------------------------------------------------------------------
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus health summary a pipeline posts after every
+    build: doc count, language count, dominant language + its permille
+    share, mean/max document length — all integer, two map-side-combined
+    aggregation levels (per-lang then rollup)."""
+    d = _docs(spark, sf_dir)
+    per_lang = d.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("ch"),
+        F.max("n_chars").alias("mx"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("lang"))
+    top = per_lang.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") == 1
+    ).select(F.col("lang").alias("top_lang"), F.col("n").alias("__topn"))
+    tot = per_lang.agg(
+        F.sum("n").alias("n_docs"), F.count("*").alias("n_langs"),
+        F.sum("ch").alias("__ch"), F.max("mx").alias("max_chars"),
+    )
+    return tot.crossJoin(F.broadcast(top)).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        "top_lang",
+        F.expr("(1000 * __topn) div n_docs").cast("long")
+        .alias("top_lang_permille"),
+        F.expr("__ch div n_docs").cast("long").alias("mean_chars"),
+        F.col("max_chars").cast("long").alias("max_chars"),
+    )
+
+
+ORACLE_CORPUS_REPORT = """
+WITH per AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS ch,
+         CAST(MAX(n_chars) AS BIGINT) AS mx
+  FROM documents GROUP BY lang
+),
+top AS (
+  SELECT lang AS top_lang, n AS topn
+  FROM per ORDER BY n DESC, lang LIMIT 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_langs,
+         CAST(SUM(ch) AS BIGINT) AS ch, MAX(mx) AS max_chars
+  FROM per
+)
+SELECT n_docs, n_langs, top_lang,
+       CAST((1000 * topn) // n_docs AS BIGINT) AS top_lang_permille,
+       CAST(ch // n_docs AS BIGINT) AS mean_chars, max_chars
+FROM tot, top
 """
