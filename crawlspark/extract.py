@@ -812,3 +812,30 @@ def site_icons(body: Column, page_url: Column,
             F.lit("default").alias("source"),
         )
     )
+
+
+def hidden_links(body: Column) -> Column:
+    """Honeypot link extraction — anchors a human cannot see
+    (``style="display:none"`` / ``visibility:hidden`` on the anchor
+    itself, or ``hidden`` attribute): sites plant these to catch naive
+    bots, and following one flags the crawler (and often poisons the
+    session).  The frontier must SUBTRACT these from expansion the same
+    way it subtracts rel=nofollow.  Returns array<string> of hrefs.
+    JVM regexp over anchor tags; inline-style detection only (computed
+    CSS needs a browser — the headless stage handles stylesheet-hidden
+    links).
+    """
+    tags = F.regexp_extract_all(
+        body,
+        F.lit(r'(?is)<a(?=\s)[^>]*?(?:style\s*=\s*"[^"]*'
+              r'(?:display\s*:\s*none|visibility\s*:\s*hidden)[^"]*"'
+              r'|\shidden(?:\s|>|=))[^>]*>'),
+        0,
+    )
+    return F.filter(
+        F.transform(
+            tags,
+            lambda t: F.regexp_extract(t, r'(?i)href\s*=\s*"([^"]*)"', 1),
+        ),
+        lambda u: u != "",
+    )

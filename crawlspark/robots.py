@@ -399,3 +399,34 @@ def robots_fetch_policy(
         .when(unreachable & cached_ok, F.lit("use_cached"))
         .otherwise(F.lit("disallow_all"))
     )
+
+
+def retry_after_seconds(
+    header: "F.Column",
+    now_ts: "F.Column | int",
+) -> "F.Column":
+    """Retry-After header parsing, BOTH forms (RFC 9110 §10.2.3): a
+    delta in seconds (``"120"``) or an HTTP-date (``"Wed, 21 Oct 2026
+    07:28:00 GMT"`` — the form proxies love and naive parsers drop,
+    silently hammering a host that asked for backoff).  Returns the
+    non-negative wait in seconds (null when absent/unparseable).
+    Pure expressions: a digit-check + to_timestamp with the IMF-fixdate
+    pattern.
+    """
+    now = F.lit(now_ts).cast("long") if isinstance(now_ts, int) else now_ts
+    delta = F.when(header.rlike(r"^\d+$"), header.cast("long"))
+    # Spark 3+'s parser rejects EEE/zzz in PARSE patterns — strip the
+    # fixed weekday prefix and the GMT suffix (IMF-fixdate is always
+    # GMT; the session runs UTC) and parse the middle
+    date_part = F.regexp_extract(
+        header,
+        r"^[A-Za-z]{3}, (\d{2} [A-Za-z]{3} \d{4} \d{2}:\d{2}:\d{2}) GMT$",
+        1,
+    )
+    ts = F.unix_timestamp(
+        F.to_timestamp(
+            F.when(date_part != "", date_part), "dd MMM yyyy HH:mm:ss"
+        )
+    )
+    from_date = F.when(ts.isNotNull(), F.greatest(ts - now, F.lit(0)))
+    return F.coalesce(delta, from_date).cast("long")

@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indexnow": q_indexnow,
         "cloaking": q_cloaking,
         "corpus_report": q_corpus_report,
+        "honeypot_links": q_honeypot_links,
+        "retry_after_forms": q_retry_after_forms,
     }
 
 
@@ -211,6 +213,8 @@ def oracle_sql() -> dict[str, str]:
         "indexnow": ORACLE_INDEXNOW,
         "cloaking": ORACLE_CLOAKING,
         "corpus_report": ORACLE_CORPUS_REPORT,
+        "honeypot_links": ORACLE_HONEYPOT,
+        "retry_after_forms": _oracle_retry_after(),
     }
 
 
@@ -453,4 +457,99 @@ SELECT n_docs, n_langs, top_lang,
        CAST((1000 * topn) // n_docs AS BIGINT) AS top_lang_permille,
        CAST(ch // n_docs AS BIGINT) AS mean_chars, max_chars
 FROM tot, top
+"""
+
+
+# --------------------------------------------------------------------------
+# honeypot_links — hidden anchors the frontier must not follow
+# --------------------------------------------------------------------------
+
+def q_honeypot_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hidden_links over a body with one visible anchor, a
+    display:none trap, a visibility:hidden trap (doc%2==0 only), a
+    bare-hidden-attribute trap, and an aria-hidden="true" anchor that
+    must NOT flag (it is invisible to screen readers, not to eyes)."""
+    from .extract import hidden_links
+
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    body = F.concat(
+        F.lit('<a href="/visible/'), s, F.lit('">ok</a>'),
+        F.lit('<a style="display:none" href="/trap-d/'), s,
+        F.lit('">t</a>'),
+        F.when(doc % 2 == 0, F.concat(
+            F.lit('<a style="visibility:hidden" href="/trap-v/'), s,
+            F.lit('">t</a>'))).otherwise(F.lit("")),
+        F.lit('<a hidden href="/trap-h/'), s, F.lit('">t</a>'),
+        F.lit('<a aria-hidden="true" href="/aria/'), s, F.lit('">a</a>'),
+    )
+    d = _docs(spark, sf_dir).select(doc.alias("doc_id"), body.alias("body"))
+    return d.select(
+        "doc_id", F.explode(hidden_links(F.col("body"))).alias("hidden_url")
+    )
+
+
+ORACLE_HONEYPOT = """
+SELECT doc_id, '/trap-d/' || CAST(doc_id AS VARCHAR) AS hidden_url
+FROM documents
+UNION ALL
+SELECT doc_id, '/trap-v/' || CAST(doc_id AS VARCHAR)
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, '/trap-h/' || CAST(doc_id AS VARCHAR)
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# retry_after_forms — delta-seconds AND HTTP-date Retry-After
+# --------------------------------------------------------------------------
+
+_RA_NOW = 1_750_000_000  # fixed epoch second (UTC session)
+
+
+def q_retry_after_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retry_after_seconds over all three header forms: a plain delta,
+    an IMF-fixdate built from a known future epoch (parse must recover
+    the exact delta), a PAST HTTP-date (clamps to 0), and garbage
+    (null).  The date string is generated from the same epoch the
+    oracle subtracts, so the expected wait is pure arithmetic."""
+    from .robots import retry_after_seconds
+
+    doc = F.col("doc_id")
+    future = F.lit(_RA_NOW) + 300 + doc % 1000
+    hdr = (
+        F.when(doc % 4 == 0, (F.lit(60) + doc % 120).cast("string"))
+        .when(doc % 4 == 1, F.concat(
+            F.from_unixtime(future, "EEE, dd MMM yyyy HH:mm:ss"),
+            F.lit(" GMT")))
+        .when(doc % 4 == 2, F.concat(
+            F.from_unixtime(F.lit(_RA_NOW - 500),
+                            "EEE, dd MMM yyyy HH:mm:ss"), F.lit(" GMT")))
+        .otherwise(F.lit("soon"))
+    )
+    d = _docs(spark, sf_dir).select(doc.alias("doc_id"), hdr.alias("header"))
+    return d.select(
+        "doc_id", "header",
+        retry_after_seconds(F.col("header"), _RA_NOW).alias("wait_s"),
+    )
+
+
+def _oracle_retry_after() -> str:
+    return f"""
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN CAST(60 + doc_id % 120 AS VARCHAR)
+         WHEN 1 THEN strftime(to_timestamp({_RA_NOW} + 300 + doc_id % 1000),
+                              '%a, %d %b %Y %H:%M:%S') || ' GMT'
+         WHEN 2 THEN strftime(to_timestamp({_RA_NOW - 500}),
+                              '%a, %d %b %Y %H:%M:%S') || ' GMT'
+         ELSE 'soon'
+       END AS header,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 60 + doc_id % 120
+         WHEN 1 THEN 300 + doc_id % 1000
+         WHEN 2 THEN 0
+       END AS wait_s
+FROM documents
 """

@@ -95,3 +95,30 @@ def test_cloaking_needs_hash_and_skew(spark):
     out = {r.url: r.cloaked for r in
            detect_cloaking(bot, browser).collect()}
     assert out == {"u1": True, "u2": False, "u3": False}
+
+
+def test_hidden_links_honeypots(spark):
+    from crawlspark.extract import hidden_links
+    body = ('<a href="/ok">v</a>'
+            '<a style="display:none" href="/d">t</a>'
+            '<a style="color:red; visibility:hidden" href="/v">t</a>'
+            '<a hidden href="/h">t</a>'
+            '<a hidden="hidden" href="/h2">t</a>'
+            '<a aria-hidden="true" href="/aria">not-a-trap</a>')
+    got = sorted(spark.range(1).select(
+        hidden_links(F.lit(body)).alias("u")).head().u)
+    assert got == ["/d", "/h", "/h2", "/v"]
+
+
+def test_retry_after_both_forms(spark):
+    from crawlspark.robots import retry_after_seconds
+    now = 1_750_000_000
+    df = spark.createDataFrame(
+        [("120",), ("Fri, 13 Jun 2025 20:31:40 GMT",), ("soon",)],
+        "h STRING")
+    rows = df.select(
+        retry_after_seconds(F.col("h"), now).alias("w")).collect()
+    assert rows[0].w == 120
+    # that date IS epoch 1749846700 (past) -> clamps to 0
+    assert rows[1].w == 0
+    assert rows[2].w is None
