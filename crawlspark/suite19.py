@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "honeypot_links": q_honeypot_links,
         "retry_after_forms": q_retry_after_forms,
+        "warc_revisits": q_warc_revisits,
+        "bitext": q_bitext,
     }
 
 
@@ -215,6 +217,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": ORACLE_CORPUS_REPORT,
         "honeypot_links": ORACLE_HONEYPOT,
         "retry_after_forms": _oracle_retry_after(),
+        "warc_revisits": ORACLE_WARC_REVISITS,
+        "bitext": ORACLE_BITEXT,
     }
 
 
@@ -552,4 +556,111 @@ SELECT doc_id,
          WHEN 2 THEN 0
        END AS wait_s
 FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# warc_revisits — response vs revisit record typing
+# --------------------------------------------------------------------------
+
+def q_warc_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warc_record_types over a fetch log where every doc%4==0 payload
+    is fetched three times (two later fetches become revisit records
+    pointing at the first URL by (ts, url) order); unique payloads stay
+    plain responses."""
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    base = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://w.test/a/"), s).alias("url"),
+        (F.lit(1000) + doc).cast("long").alias("fetch_ts"),
+        F.when(doc % 4 == 0, F.concat(F.lit("shared"), s))
+        .otherwise(F.concat(F.lit("uniq"), s)).alias("content_hash"),
+    )
+    dups = _docs(spark, sf_dir).filter(doc % 4 == 0).select(
+        F.explode(F.array(
+            F.concat(F.lit("http://w.test/b/"), s),
+            F.concat(F.lit("http://w.test/c/"), s),
+        )).alias("url"),
+        (F.lit(2000) + doc).cast("long").alias("fetch_ts"),
+        F.concat(F.lit("shared"), s).alias("content_hash"),
+    )
+    from .warc import warc_record_types
+
+    return warc_record_types(base.unionByName(dups))
+
+
+ORACLE_WARC_REVISITS = """
+SELECT 'http://w.test/a/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(1000 + doc_id AS BIGINT) AS fetch_ts,
+       CASE WHEN doc_id % 4 = 0 THEN 'shared' ELSE 'uniq' END
+         || CAST(doc_id AS VARCHAR) AS content_hash,
+       'response' AS record_type,
+       CAST(NULL AS VARCHAR) AS refers_to_url
+FROM documents
+UNION ALL
+SELECT 'http://w.test/' || p.p || '/' || CAST(doc_id AS VARCHAR),
+       CAST(2000 + doc_id AS BIGINT),
+       'shared' || CAST(doc_id AS VARCHAR),
+       'revisit',
+       'http://w.test/a/' || CAST(doc_id AS VARCHAR)
+FROM documents CROSS JOIN (VALUES ('b'), ('c')) AS p(p)
+WHERE doc_id % 4 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# bitext — translation-pair candidates from hreflang clusters
+# --------------------------------------------------------------------------
+
+def q_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bitext_candidates over 3-doc clusters (en pivot + de + fr):
+    de lengths stay plausible, every 3rd fr edition is a stub whose
+    ratio falls below 500 permille and gets flagged implausible."""
+    from .textops.curate import bitext_candidates
+
+    doc = F.col("doc_id")
+    g = (doc - doc % 3)
+    lang = (
+        F.when(doc % 3 == 0, F.lit("en"))
+        .when(doc % 3 == 1, F.lit("de")).otherwise(F.lit("fr"))
+    )
+    n_chars = (
+        F.when(doc % 3 == 0, F.lit(1000) + g % 500)
+        .when(doc % 3 == 1, F.lit(1200) + g % 500)
+        .otherwise(
+            F.when(g % 9 == 0, F.lit(100))  # stub fr edition
+            .otherwise(F.lit(900) + g % 500))
+    )
+    d = _docs(spark, sf_dir).select(
+        F.concat(F.lit("c"), g.cast("string")).alias("cluster_key"),
+        doc.alias("doc_id"), lang.alias("lang"),
+        n_chars.cast("long").alias("n_chars"),
+    )
+    return bitext_candidates(d)
+
+
+ORACLE_BITEXT = """
+WITH d AS (
+  SELECT doc_id, doc_id - doc_id % 3 AS g,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END AS lang,
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN 1000 + (doc_id - doc_id % 3) % 500
+           WHEN 1 THEN 1200 + (doc_id - doc_id % 3) % 500
+           ELSE CASE WHEN (doc_id - doc_id % 3) % 9 = 0 THEN 100
+                     ELSE 900 + (doc_id - doc_id % 3) % 500 END
+         END AS n_chars
+  FROM documents
+),
+pv AS (SELECT g, doc_id AS src_id, n_chars AS sl FROM d
+       WHERE lang = 'en'),
+other AS (SELECT g, doc_id AS tgt_id, lang AS tgt_lang, n_chars AS tl
+          FROM d WHERE lang <> 'en')
+SELECT 'c' || CAST(p.g AS VARCHAR) AS cluster_key,
+       p.src_id, 'en' AS src_lang, o.tgt_id, o.tgt_lang,
+       CAST((1000 * o.tl) // GREATEST(p.sl, 1) AS BIGINT)
+         AS len_ratio_permille,
+       (1000 * o.tl) // GREATEST(p.sl, 1) BETWEEN 500 AND 2000
+         AS plausible
+FROM pv p JOIN other o USING (g)
 """

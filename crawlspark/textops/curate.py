@@ -860,3 +860,52 @@ def truncate_head_tail(
         (n > budget).alias("truncated"),
         out.alias("text_out"),
     )
+
+
+BITEXT_MIN_RATIO_PERMILLE = 500
+BITEXT_MAX_RATIO_PERMILLE = 2000
+
+
+def bitext_candidates(
+    docs: DataFrame,
+    cluster_col: str = "cluster_key",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+    pivot_lang: str = "en",
+) -> DataFrame:
+    """Bitext candidate mining from language-variant clusters (the
+    CCMatrix/CCAligned shape, but structure-driven: hreflang clusters
+    already assert the documents are translations of each other) —
+    pair the cluster's pivot-language edition with every other
+    language edition, keeping pairs whose length ratio is plausible
+    for a translation (0.5x..2x — wildly different lengths mean one
+    side is a stub or an error page).
+
+    One self-join on the cluster key (pivot side filtered first, so
+    the join is pivot x other, not all-pairs); integer ratio in
+    permille.  Returns (cluster_key, src_id, src_lang, tgt_id,
+    tgt_lang, len_ratio_permille, plausible).
+    """
+    pivot = docs.filter(F.col(lang_col) == pivot_lang).select(
+        F.col(cluster_col).alias("cluster_key"),
+        F.col(id_col).alias("src_id"),
+        F.col(lang_col).alias("src_lang"),
+        F.col(len_col).cast("long").alias("__sl"),
+    )
+    other = docs.filter(F.col(lang_col) != pivot_lang).select(
+        F.col(cluster_col).alias("cluster_key"),
+        F.col(id_col).alias("tgt_id"),
+        F.col(lang_col).alias("tgt_lang"),
+        F.col(len_col).cast("long").alias("__tl"),
+    )
+    j = pivot.join(other, "cluster_key")
+    ratio = F.expr("(1000 * __tl) div greatest(__sl, 1)")
+    plausible = (ratio >= BITEXT_MIN_RATIO_PERMILLE) & (
+        ratio <= BITEXT_MAX_RATIO_PERMILLE
+    )
+    return j.select(
+        "cluster_key", "src_id", "src_lang", "tgt_id", "tgt_lang",
+        ratio.cast("long").alias("len_ratio_permille"),
+        plausible.alias("plausible"),
+    )

@@ -122,3 +122,39 @@ def cdx_index(parsed: DataFrame, id_col: str = "file_id") -> DataFrame:
             F.length("body").cast("long").alias("length"),
         )
     )
+
+
+def warc_record_types(
+    fetches: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """WARC record typing for an archive write — the ISO 28500 revisit
+    mechanism the CDX index assumes: the FIRST fetch of a given payload
+    digest writes a full ``response`` record; every later fetch with
+    the same digest writes a tiny ``revisit`` record pointing at the
+    original (refers_to).  This is what turns a 100 TB crawl into
+    ~60 TB of archive: mirrors and unchanged recrawls store headers
+    only.
+
+    One partitioned window over the digest (ordered by ts, then url for
+    a total order at equal timestamps).  Returns (url, fetch_ts,
+    content_hash, record_type, refers_to_url) — refers_to_url null on
+    originals.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(hash_col).orderBy(ts_col, url_col)
+    first_url = F.first(url_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rn = F.row_number().over(w)
+    return fetches.select(
+        url_col,
+        F.col(ts_col).cast("long").alias("fetch_ts"),
+        hash_col,
+        F.when(rn == 1, F.lit("response")).otherwise(F.lit("revisit"))
+        .alias("record_type"),
+        F.when(rn > 1, first_url).alias("refers_to_url"),
+    )

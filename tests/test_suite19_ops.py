@@ -122,3 +122,31 @@ def test_retry_after_both_forms(spark):
     # that date IS epoch 1749846700 (past) -> clamps to 0
     assert rows[1].w == 0
     assert rows[2].w is None
+
+
+def test_warc_record_types(spark):
+    from crawlspark.warc import warc_record_types
+    f = spark.createDataFrame(
+        [("u1", 100, "hA"), ("u2", 200, "hA"), ("u3", 150, "hA"),
+         ("u4", 100, "hB")],
+        "url STRING, fetch_ts LONG, content_hash STRING")
+    out = {r.url: r for r in warc_record_types(f).collect()}
+    # earliest fetch of hA is the response; later ones refer to it
+    assert out["u1"].record_type == "response"
+    assert out["u1"].refers_to_url is None
+    assert out["u3"].record_type == "revisit"
+    assert out["u3"].refers_to_url == "u1"
+    assert out["u2"].refers_to_url == "u1"
+    assert out["u4"].record_type == "response"
+
+
+def test_bitext_candidates(spark):
+    from crawlspark.textops.curate import bitext_candidates
+    d = spark.createDataFrame(
+        [("c1", 1, "en", 1000), ("c1", 2, "de", 1100), ("c1", 3, "fr", 100),
+         ("c2", 4, "de", 500)],   # no pivot -> no pairs
+        "cluster_key STRING, doc_id LONG, lang STRING, n_chars LONG")
+    out = {(r.src_id, r.tgt_id): r for r in bitext_candidates(d).collect()}
+    assert out[(1, 2)].plausible is True
+    assert out[(1, 3)].plausible is False   # stub: ratio 100 permille
+    assert all(k[0] == 1 for k in out)      # only pivot-anchored pairs
