@@ -202,3 +202,29 @@ def crawl_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select("url", "prev_hash", "cur_hash", change.alias("change"))
+
+
+def retention_sweep(
+    snapshots: "DataFrame",
+    keep_last: int,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+) -> "DataFrame":
+    """Archive retention: keep the newest ``keep_last`` captures per
+    URL, tombstone the rest — the storage GC that bounds a continuously
+    re-crawled archive (pair with :func:`crawl_diff`'s ``removed``
+    tombstones and the CAS store's refcounts before actually deleting
+    payload bytes).  One partitioned window per URL, newest-first with
+    the url as tiebreak... the timestamp alone suffices per URL since a
+    URL is fetched once per wave.  Returns every row annotated
+    (capture_rank, keep) rather than dropping — the sweep job deletes
+    ``NOT keep`` after the CAS refcount check.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(F.desc(ts_col))
+    rank = F.row_number().over(w)
+    return snapshots.select(
+        "*",
+        rank.cast("long").alias("capture_rank"),
+    ).withColumn("keep", F.col("capture_rank") <= int(keep_last))

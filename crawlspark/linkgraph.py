@@ -301,3 +301,36 @@ def hits_oracle_sql(iters: int = 2, scale: int = HITS_SCALE) -> str:
         "SELECT doc, a AS auth_scaled, h AS hub_scaled FROM fin ORDER BY doc",
     ]
     return "\n".join(parts)
+
+
+DEGREE_CAP_DEFAULT = 5_000
+
+
+def cap_out_degree(
+    edges: DataFrame,
+    cap: int = DEGREE_CAP_DEFAULT,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Supernode guard for graph jobs: a page with 10^6 outlinks (a
+    sitemap dump, a calendar, a link farm) turns every edges⋈ranks
+    shuffle partition it lands in into a straggler and floods PageRank
+    with near-zero contributions.  Keep each source's first ``cap``
+    out-edges in deterministic (dst) order and drop the rest — rank
+    quality is unaffected (contributions of r/10^6 are noise) while
+    the worst partition shrinks by orders of magnitude.
+
+    One partitioned window on src.  Returns the surviving edges plus
+    ``src_degree`` (the ORIGINAL degree, so downstream out-degree
+    normalization still divides by the true fan-out — dropping edges
+    must not inflate the survivors' contribution).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(src_col)
+    ranked = (
+        edges.withColumn("src_degree",
+                         F.count("*").over(w).cast("long"))
+        .withColumn("__r", F.row_number().over(w.orderBy(dst_col)))
+    )
+    return ranked.filter(F.col("__r") <= int(cap)).drop("__r")

@@ -202,6 +202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_after_forms": q_retry_after_forms,
         "warc_revisits": q_warc_revisits,
         "bitext": q_bitext,
+        "degree_cap": q_degree_cap,
+        "retention": q_retention,
     }
 
 
@@ -219,6 +221,8 @@ def oracle_sql() -> dict[str, str]:
         "retry_after_forms": _oracle_retry_after(),
         "warc_revisits": ORACLE_WARC_REVISITS,
         "bitext": ORACLE_BITEXT,
+        "degree_cap": ORACLE_DEGREE_CAP,
+        "retention": ORACLE_RETENTION,
     }
 
 
@@ -663,4 +667,82 @@ SELECT 'c' || CAST(p.g AS VARCHAR) AS cluster_key,
        (1000 * o.tl) // GREATEST(p.sl, 1) BETWEEN 500 AND 2000
          AS plausible
 FROM pv p JOIN other o USING (g)
+"""
+
+
+# --------------------------------------------------------------------------
+# degree_cap — supernode guard before graph jobs
+# --------------------------------------------------------------------------
+
+def q_degree_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cap_out_degree at cap=6 over a graph where every 10th source is
+    a supernode with 15 out-edges (keeps its first 6 by dst order,
+    src_degree still reports 15 so normalization stays honest) and the
+    rest have 3."""
+    from .linkgraph import cap_out_degree
+
+    doc = F.col("doc_id")
+    n_out = F.when(doc % 10 == 0, 15).otherwise(3)
+    edges = _docs(spark, sf_dir).select(
+        doc.alias("src"),
+        F.explode(F.sequence(F.lit(1), n_out)).alias("__k"),
+    ).select(
+        "src",
+        F.concat(F.lit("d"), F.lpad(F.col("__k").cast("string"), 2, "0"),
+                 F.lit("-"), F.col("src").cast("string")).alias("dst"),
+    )
+    return cap_out_degree(edges, cap=6)
+
+
+ORACLE_DEGREE_CAP = """
+WITH e AS (
+  SELECT doc_id AS src, k.generate_series AS k,
+         CASE WHEN doc_id % 10 = 0 THEN 15 ELSE 3 END AS n_out
+  FROM documents, generate_series(1, 15) AS k
+  WHERE k.generate_series <= CASE WHEN doc_id % 10 = 0 THEN 15 ELSE 3 END
+)
+SELECT src,
+       'd' || lpad(CAST(k AS VARCHAR), 2, '0') || '-' ||
+         CAST(src AS VARCHAR) AS dst,
+       CAST(n_out AS BIGINT) AS src_degree
+FROM e WHERE k <= 6
+"""
+
+
+# --------------------------------------------------------------------------
+# retention — keep-last-N capture sweep
+# --------------------------------------------------------------------------
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retention_sweep keep_last=2 over URLs with 1-4 captures
+    (doc%4+1): the newest two stay, older captures tombstone."""
+    from .checkpoint import retention_sweep
+
+    doc = F.col("doc_id")
+    caps = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://a.test/p/"), doc.cast("string")).alias("url"),
+        F.explode(F.sequence(F.lit(1), (doc % 4 + 1).cast("int")))
+        .alias("__c"),
+    ).select(
+        "url", (F.lit(1000) + F.col("__c") * 100).cast("long")
+        .alias("fetch_ts"),
+    )
+    return retention_sweep(caps, keep_last=2)
+
+
+ORACLE_RETENTION = """
+WITH c AS (
+  SELECT 'http://a.test/p/' || CAST(doc_id AS VARCHAR) AS url,
+         1000 + k.generate_series * 100 AS fetch_ts,
+         doc_id % 4 + 1 AS n_caps
+  FROM documents, generate_series(1, 4) AS k
+  WHERE k.generate_series <= doc_id % 4 + 1
+),
+r AS (
+  SELECT url, CAST(fetch_ts AS BIGINT) AS fetch_ts,
+         CAST(ROW_NUMBER() OVER (PARTITION BY url ORDER BY fetch_ts DESC)
+           AS BIGINT) AS capture_rank
+  FROM c
+)
+SELECT url, fetch_ts, capture_rank, capture_rank <= 2 AS keep FROM r
 """

@@ -150,3 +150,31 @@ def test_bitext_candidates(spark):
     assert out[(1, 2)].plausible is True
     assert out[(1, 3)].plausible is False   # stub: ratio 100 permille
     assert all(k[0] == 1 for k in out)      # only pivot-anchored pairs
+
+
+def test_cap_out_degree_preserves_true_degree(spark):
+    from crawlspark.linkgraph import cap_out_degree
+    edges = spark.createDataFrame(
+        [("hub", f"d{i:02d}") for i in range(10)] + [("small", "x")],
+        "src STRING, dst STRING")
+    out = cap_out_degree(edges, cap=4).collect()
+    hub = [r for r in out if r.src == "hub"]
+    assert len(hub) == 4
+    assert sorted(r.dst for r in hub) == ["d00", "d01", "d02", "d03"]
+    # original degree survives for honest normalization downstream
+    assert all(r.src_degree == 10 for r in hub)
+    small = [r for r in out if r.src == "small"]
+    assert len(small) == 1 and small[0].src_degree == 1
+
+
+def test_retention_sweep(spark):
+    from crawlspark.checkpoint import retention_sweep
+    snaps = spark.createDataFrame(
+        [("u", 100), ("u", 300), ("u", 200), ("v", 50)],
+        "url STRING, fetch_ts LONG")
+    out = {(r.url, r.fetch_ts): r for r in
+           retention_sweep(snaps, keep_last=2).collect()}
+    assert out[("u", 300)].keep is True and out[("u", 300)].capture_rank == 1
+    assert out[("u", 200)].keep is True
+    assert out[("u", 100)].keep is False
+    assert out[("v", 50)].keep is True
