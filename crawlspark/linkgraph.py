@@ -334,3 +334,55 @@ def cap_out_degree(
         .withColumn("__r", F.row_number().over(w.orderBy(dst_col)))
     )
     return ranked.filter(F.col("__r") <= int(cap)).drop("__r")
+
+
+LINK_EXCHANGE_MIN_EDGES = 5
+LINK_EXCHANGE_MIN_RECIP_PERMILLE = 800
+
+
+def detect_link_exchange(
+    host_edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Link-exchange (reciprocal linking scheme) detection at host
+    granularity: host pairs that send each other heavy, nearly
+    symmetric link traffic are trading rank, not citing content —
+    PageRank should damp the pair's edges before they launder
+    authority in both directions.
+
+    Aggregate to (src, dst) counts first (the raw edge list never
+    self-joins), then ONE equi-join of the aggregated relation against
+    its own reversal; flag pairs where both directions have >= 5 edges
+    and the smaller direction is >= 80% of the larger.  Each unordered
+    pair reports once (src < dst).  Returns (host_a, host_b, a_to_b,
+    b_to_a, symmetry_permille, exchange).
+    """
+    pair = (
+        host_edges.filter(F.col(src_col) != F.col(dst_col))
+        .groupBy(src_col, dst_col)
+        .agg(F.count("*").alias("n"))
+    )
+    rev = pair.select(
+        F.col(src_col).alias("__r_src"), F.col(dst_col).alias("__r_dst"),
+        F.col("n").alias("n_rev"),
+    )
+    j = pair.join(
+        rev,
+        (F.col(src_col) == F.col("__r_dst"))
+        & (F.col(dst_col) == F.col("__r_src")),
+    ).filter(F.col(src_col) < F.col(dst_col))
+    sym = F.expr("(1000 * least(n, n_rev)) div greatest(n, n_rev)")
+    exchange = (
+        (F.col("n") >= LINK_EXCHANGE_MIN_EDGES)
+        & (F.col("n_rev") >= LINK_EXCHANGE_MIN_EDGES)
+        & (sym >= LINK_EXCHANGE_MIN_RECIP_PERMILLE)
+    )
+    return j.select(
+        F.col(src_col).alias("host_a"),
+        F.col(dst_col).alias("host_b"),
+        F.col("n").cast("long").alias("a_to_b"),
+        F.col("n_rev").cast("long").alias("b_to_a"),
+        sym.cast("long").alias("symmetry_permille"),
+        exchange.alias("exchange"),
+    )

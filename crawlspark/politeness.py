@@ -411,3 +411,37 @@ def host_change_rates(
         pm.cast("long").alias("modified_permille"),
         interval.cast("long").alias("suggested_interval_s"),
     )
+
+
+def keepalive_connections(
+    schedule: "DataFrame",
+    keepalive_ms: int,
+    host_col: str = "host",
+    start_col: str = "fetch_start_ms",
+    end_col: str = "fetch_end_ms",
+) -> "DataFrame":
+    """Connection-churn estimate from a wave schedule: per host, a new
+    TCP/TLS connection is needed for the first fetch and after every
+    idle gap longer than the server's keep-alive timeout — the metric
+    that decides whether per-host politeness delays are quietly paying
+    a TLS handshake per request (wait > keep-alive means 100%% churn,
+    and the politeness config should know).
+
+    One partitioned window (lag of the previous fetch end).  Returns
+    (host, n_fetches, n_connections, churn_permille).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(start_col)
+    prev_end = F.lag(F.col(end_col)).over(w)
+    new_conn = (
+        prev_end.isNull()
+        | ((F.col(start_col) - prev_end) > int(keepalive_ms))
+    ).cast("long")
+    per = schedule.withColumn("__nc", new_conn)
+    return per.groupBy(host_col).agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum("__nc").cast("long").alias("n_connections"),
+        F.expr("(1000 * sum(__nc)) div count(*)").cast("long")
+        .alias("churn_permille"),
+    )

@@ -1,0 +1,190 @@
+"""Round-2 continuation queries, part 18: sitemap-vs-crawl coverage
+gap, keep-alive connection churn, link-exchange detection.
+
+House rules: deterministic fixtures from the parquet tables, DuckDB
+oracles replaying the identical computation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# coverage_gap — sitemap declarations vs what actually got crawled
+# --------------------------------------------------------------------------
+
+def q_coverage_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer accounting of a host's sitemap vs its crawl results:
+    declared-and-crawled, declared-never-crawled (the crawl misses the
+    site advertises), crawled-but-undeclared (discovered via links only
+    — the site's sitemap is stale).  One full-outer join on url."""
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    url = F.concat(F.lit("http://s.test/p/"), s)
+    sitemap = _docs(spark, sf_dir).filter(doc % 7 != 3).select(
+        url.alias("url")
+    )
+    crawled = _docs(spark, sf_dir).filter(doc % 5 != 0).select(
+        url.alias("url")
+    )
+    j = sitemap.withColumn("__s", F.lit(True)).join(
+        crawled.withColumn("__c", F.lit(True)), "url", "full_outer"
+    )
+    status = (
+        F.when(F.col("__s").isNotNull() & F.col("__c").isNotNull(),
+               F.lit("both"))
+        .when(F.col("__s").isNotNull(), F.lit("declared_only"))
+        .otherwise(F.lit("crawled_only"))
+    )
+    return j.select("url", status.alias("status"))
+
+
+ORACLE_COVERAGE_GAP = """
+SELECT 'http://s.test/p/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 7 <> 3 AND doc_id % 5 <> 0 THEN 'both'
+            WHEN doc_id % 7 <> 3 THEN 'declared_only'
+            ELSE 'crawled_only' END AS status
+FROM documents
+WHERE doc_id % 7 <> 3 OR doc_id % 5 <> 0
+"""
+
+
+# --------------------------------------------------------------------------
+# keepalive — connection-churn estimate from the wave schedule
+# --------------------------------------------------------------------------
+
+def q_keepalive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keepalive_connections at a 5 s timeout over a synthetic
+    schedule: hosts whose politeness gap exceeds keep-alive churn a
+    connection per fetch (1000 permille), tightly-paced hosts reuse
+    one."""
+    from .politeness import keepalive_connections
+
+    doc = F.col("doc_id")
+    # hosts h0..h3: 1 s gaps (reuse); h4..h7: 9 s gaps (churn)
+    host_id = doc % 8
+    seq = F.expr("doc_id div 8")
+    gap_ms = F.when(host_id <= 3, 1_000).otherwise(9_000)
+    start = (seq * (gap_ms + 500)).cast("long")
+    sched = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), host_id.cast("string")).alias("host"),
+        start.alias("fetch_start_ms"),
+        (start + 500).cast("long").alias("fetch_end_ms"),
+    )
+    return keepalive_connections(sched, keepalive_ms=5_000)
+
+
+ORACLE_KEEPALIVE = """
+WITH s AS (
+  SELECT 'h' || CAST(doc_id % 8 AS VARCHAR) AS host,
+         (doc_id // 8) *
+           (CASE WHEN doc_id % 8 <= 3 THEN 1000 ELSE 9000 END + 500)
+           AS st
+  FROM documents
+),
+g AS (
+  SELECT host, st,
+         LAG(st + 500) OVER (PARTITION BY host ORDER BY st) AS prev_end
+  FROM s
+),
+n AS (
+  SELECT host,
+         CASE WHEN prev_end IS NULL OR st - prev_end > 5000
+              THEN 1 ELSE 0 END AS nc
+  FROM g
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+       CAST(SUM(nc) AS BIGINT) AS n_connections,
+       CAST((1000 * SUM(nc)) // COUNT(*) AS BIGINT) AS churn_permille
+FROM n GROUP BY host
+"""
+
+
+# --------------------------------------------------------------------------
+# link_exchange — reciprocal linking schemes at host granularity
+# --------------------------------------------------------------------------
+
+def q_link_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detect_link_exchange over a host graph: the (x0, x1) pair trades
+    symmetric heavy traffic (~100 edges each way), (c, d) sits exactly
+    at the 5-edge floor with perfect symmetry (flags — the boundary is
+    inclusive), and the heavy one-way (a -> b) pair never reaches the
+    output at all (no reverse direction, the inner join drops it)."""
+    from .linkgraph import detect_link_exchange
+
+    doc = F.col("doc_id")
+    src = (
+        F.when(doc % 10 <= 1, F.lit("x0")).when(doc % 10 <= 3, F.lit("x1"))
+        .when(doc % 10 <= 6, F.lit("a"))
+        .when(doc % 10 == 7, F.lit("c")).otherwise(F.lit("d"))
+    )
+    dst = (
+        F.when(doc % 10 <= 1, F.lit("x1")).when(doc % 10 <= 3, F.lit("x0"))
+        .when(doc % 10 <= 6, F.lit("b"))
+        .when((doc % 10 == 7) & (doc % 100 != 7), F.lit("z"))
+        .when(doc % 10 == 7, F.lit("d"))
+        .when((doc % 10 > 7) & (doc % 100 != 98), F.lit("z"))
+        .otherwise(F.lit("c"))
+    )
+    edges = _docs(spark, sf_dir).select(
+        src.alias("src_host"), dst.alias("dst_host")
+    )
+    return detect_link_exchange(edges)
+
+
+ORACLE_LINK_EXCHANGE = """
+WITH e AS (
+  SELECT CASE WHEN doc_id % 10 <= 1 THEN 'x0'
+              WHEN doc_id % 10 <= 3 THEN 'x1'
+              WHEN doc_id % 10 <= 6 THEN 'a'
+              WHEN doc_id % 10 = 7 THEN 'c' ELSE 'd' END AS s,
+         CASE WHEN doc_id % 10 <= 1 THEN 'x1'
+              WHEN doc_id % 10 <= 3 THEN 'x0'
+              WHEN doc_id % 10 <= 6 THEN 'b'
+              WHEN doc_id % 10 = 7 AND doc_id % 100 <> 7 THEN 'z'
+              WHEN doc_id % 10 = 7 THEN 'd'
+              WHEN doc_id % 10 > 7 AND doc_id % 100 <> 98 THEN 'z'
+              ELSE 'c' END AS d
+  FROM documents
+),
+pair AS (
+  SELECT s, d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM e WHERE s <> d GROUP BY s, d
+),
+j AS (
+  SELECT p.s, p.d, p.n, r.n AS n_rev
+  FROM pair p JOIN pair r ON p.s = r.d AND p.d = r.s
+  WHERE p.s < p.d
+)
+SELECT s AS host_a, d AS host_b, n AS a_to_b, n_rev AS b_to_a,
+       CAST((1000 * LEAST(n, n_rev)) // GREATEST(n, n_rev) AS BIGINT)
+         AS symmetry_permille,
+       n >= 5 AND n_rev >= 5
+         AND (1000 * LEAST(n, n_rev)) // GREATEST(n, n_rev) >= 800
+         AS exchange
+FROM j
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "coverage_gap": q_coverage_gap,
+        "keepalive": q_keepalive,
+        "link_exchange": q_link_exchange,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "coverage_gap": ORACLE_COVERAGE_GAP,
+        "keepalive": ORACLE_KEEPALIVE,
+        "link_exchange": ORACLE_LINK_EXCHANGE,
+    }

@@ -178,3 +178,31 @@ def test_retention_sweep(spark):
     assert out[("u", 200)].keep is True
     assert out[("u", 100)].keep is False
     assert out[("v", 50)].keep is True
+
+
+def test_keepalive_connections(spark):
+    from crawlspark.politeness import keepalive_connections
+    sched = spark.createDataFrame(
+        # h1: gaps 1s (reuse after first); h2: 9s gaps (churn each time)
+        [("h1", 0, 500), ("h1", 1500, 2000), ("h1", 3000, 3500),
+         ("h2", 0, 500), ("h2", 9500, 10_000)],
+        "host STRING, fetch_start_ms LONG, fetch_end_ms LONG")
+    out = {r.host: r for r in
+           keepalive_connections(sched, keepalive_ms=5000).collect()}
+    assert out["h1"].n_connections == 1
+    assert out["h1"].churn_permille == 333
+    assert out["h2"].n_connections == 2
+    assert out["h2"].churn_permille == 1000
+
+
+def test_detect_link_exchange(spark):
+    from crawlspark.linkgraph import detect_link_exchange
+    edges = ([("x", "y")] * 10 + [("y", "x")] * 9      # symmetric, heavy
+             + [("a", "b")] * 20                        # one-way
+             + [("c", "d")] * 10 + [("d", "c")] * 2)    # asymmetric
+    df = spark.createDataFrame(edges, "src_host STRING, dst_host STRING")
+    out = {(r.host_a, r.host_b): r for r in
+           detect_link_exchange(df).collect()}
+    assert out[("x", "y")].exchange is True
+    assert out[("c", "d")].exchange is False   # symmetry 200 < 800
+    assert ("a", "b") not in out               # no reverse direction
