@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_gap": q_coverage_gap,
         "keepalive": q_keepalive,
         "link_exchange": q_link_exchange,
+        "harvest_roi": q_harvest_roi,
+        "bpe_fertility": q_bpe_fertility,
     }
 
 
@@ -187,4 +189,101 @@ def oracle_sql() -> dict[str, str]:
         "coverage_gap": ORACLE_COVERAGE_GAP,
         "keepalive": ORACLE_KEEPALIVE,
         "link_exchange": ORACLE_LINK_EXCHANGE,
+        "harvest_roi": ORACLE_HARVEST_ROI,
+        "bpe_fertility": _oracle_bpe_fertility(),
     }
+
+
+# --------------------------------------------------------------------------
+# harvest_roi — value per fetch by host (caption pairs per kilofetch)
+# --------------------------------------------------------------------------
+
+def q_harvest_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-budget ROI: per host, fetches spent vs caption pairs
+    harvested -> pairs per 1000 fetches — the number that reorders
+    host budgets next wave (a host yielding nothing per fetch is
+    politeness budget burned).  Fixture: galleries (doc%4==0 hosts
+    yield 3 pairs/fetch), articles (1), link hubs (0)."""
+    doc = F.col("doc_id")
+    host = F.concat(F.lit("h"), (doc % 12).cast("string"))
+    pairs = (
+        F.when(doc % 12 < 4, 3).when(doc % 12 < 8, 1).otherwise(0)
+    )
+    fetches = _docs(spark, sf_dir).select(
+        host.alias("host"), pairs.cast("long").alias("n_pairs")
+    )
+    agg = fetches.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum("n_pairs").cast("long").alias("n_pairs"),
+    )
+    return agg.select(
+        "host", "n_fetches", "n_pairs",
+        F.expr("(1000 * n_pairs) div n_fetches").cast("long")
+        .alias("pairs_per_kilofetch"),
+    )
+
+
+ORACLE_HARVEST_ROI = """
+WITH f AS (
+  SELECT 'h' || CAST(doc_id % 12 AS VARCHAR) AS host,
+         CASE WHEN doc_id % 12 < 4 THEN 3
+              WHEN doc_id % 12 < 8 THEN 1 ELSE 0 END AS n_pairs
+  FROM documents
+),
+a AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+         CAST(SUM(n_pairs) AS BIGINT) AS n_pairs
+  FROM f GROUP BY host
+)
+SELECT host, n_fetches, n_pairs,
+       CAST((1000 * n_pairs) // n_fetches AS BIGINT)
+         AS pairs_per_kilofetch
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# bpe_fertility — chars per BPE token by language slice
+# --------------------------------------------------------------------------
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: chars div BPE tokens per lang
+    slice (milli-chars-per-token) under the frozen merge table — the
+    multilingual-tokenizer health metric (a language with low fertility
+    pays more tokens per character of content, skewing compute and
+    context budgets).  Composes the frozen-table encoder with a
+    two-level aggregation."""
+    from .suite5 import _BPE_ROUNDS, FROZEN_MERGES
+    from .textops.bpe import bpe_encode_col
+
+    toks = bpe_encode_col(F.col("text"), FROZEN_MERGES, rounds=_BPE_ROUNDS)
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_toks"),
+    )
+    return d.groupBy("lang").agg(
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.expr("(1000 * sum(n_chars)) div sum(n_toks)").cast("long")
+        .alias("milli_chars_per_token"),
+    )
+
+
+def _oracle_bpe_fertility() -> str:
+    from .suite5 import _BPE_ROUNDS, FROZEN_MERGES
+    from .textops.bpe import bpe_encode_oracle_sql
+
+    expr = bpe_encode_oracle_sql("text", FROZEN_MERGES, rounds=_BPE_ROUNDS)
+    return f"""
+WITH t AS (
+  SELECT lang, length(text) AS n_chars, len({expr}) AS n_toks
+  FROM documents
+)
+SELECT lang,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST((1000 * SUM(n_chars)) // SUM(n_toks) AS BIGINT)
+         AS milli_chars_per_token
+FROM t GROUP BY lang
+"""
