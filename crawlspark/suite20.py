@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_exchange": q_link_exchange,
         "harvest_roi": q_harvest_roi,
         "bpe_fertility": q_bpe_fertility,
+        "split_leakage": q_split_leakage,
+        "url_decontamination": q_url_decontamination,
     }
 
 
@@ -191,6 +193,8 @@ def oracle_sql() -> dict[str, str]:
         "link_exchange": ORACLE_LINK_EXCHANGE,
         "harvest_roi": ORACLE_HARVEST_ROI,
         "bpe_fertility": _oracle_bpe_fertility(),
+        "split_leakage": ORACLE_SPLIT_LEAKAGE,
+        "url_decontamination": ORACLE_URL_DECON,
     }
 
 
@@ -286,4 +290,85 @@ SELECT lang,
        CAST((1000 * SUM(n_chars)) // SUM(n_toks) AS BIGINT)
          AS milli_chars_per_token
 FROM t GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# split_leakage — near-dup pairs straddling train/test splits
+# --------------------------------------------------------------------------
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene check the split alone can't give you: near-dup
+    PAIRS whose members landed in different splits leak training
+    signal into eval.  Planted pairs (doc, doc+1 for doc%6==0) cross
+    the hash-split boundary whenever the salt assigns the two ids
+    different splits; the report counts pairs per (split_a, split_b)
+    combination — the (train, test) row is the leak to fix by
+    moving WHOLE dedup clusters, not documents, between splits."""
+    from .textops.curate import train_val_test_split
+
+    doc = F.col("doc_id")
+    ids = _docs(spark, sf_dir).select("doc_id")
+    split = train_val_test_split(ids).select("doc_id", "split")
+    pairs = _docs(spark, sf_dir).filter(doc % 6 == 0).select(
+        doc.alias("id_a"), (doc + 1).alias("id_b")
+    ).join(ids.select(F.col("doc_id").alias("id_b")), "id_b", "semi")
+    a = split.select(F.col("doc_id").alias("id_a"),
+                     F.col("split").alias("split_a"))
+    b = split.select(F.col("doc_id").alias("id_b"),
+                     F.col("split").alias("split_b"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    return j.groupBy("split_a", "split_b").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
+ORACLE_SPLIT_LEAKAGE = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST(('0x' || substr(md5('split1' ||
+                 CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS b
+        FROM documents)
+),
+p AS (
+  SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+  WHERE doc_id % 6 = 0
+    AND doc_id + 1 IN (SELECT doc_id FROM documents)
+)
+SELECT sa.split AS split_a, sb.split AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p JOIN s sa ON sa.doc_id = p.id_a
+       JOIN s sb ON sb.doc_id = p.id_b
+GROUP BY sa.split, sb.split
+"""
+
+
+# --------------------------------------------------------------------------
+# url_decontamination — eval-set URL overlap removal accounting
+# --------------------------------------------------------------------------
+
+def q_url_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level decontamination (the cheap first pass before the
+    n-gram overlap check): canonical training URLs anti-joined against
+    the eval set's source URLs; the report keeps counts honest —
+    every 13th training URL is an eval source and must drop."""
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    train = _docs(spark, sf_dir).select(
+        doc.alias("doc_id"),
+        F.concat(F.lit("http://corpus.test/d/"), s).alias("url"),
+    )
+    evalset = _docs(spark, sf_dir).filter(doc % 13 == 0).select(
+        F.concat(F.lit("http://corpus.test/d/"), s).alias("url")
+    )
+    kept = train.join(evalset, "url", "left_anti")
+    return kept.select("doc_id", "url")
+
+
+ORACLE_URL_DECON = """
+SELECT doc_id, 'http://corpus.test/d/' || CAST(doc_id AS VARCHAR) AS url
+FROM documents WHERE doc_id % 13 <> 0
 """
