@@ -430,3 +430,29 @@ def retry_after_seconds(
     )
     from_date = F.when(ts.isNotNull(), F.greatest(ts - now, F.lit(0)))
     return F.coalesce(delta, from_date).cast("long")
+
+
+ROBOTS_PARSE_CAP_BYTES = 512 * 1024
+
+
+def cap_robots_body(body: "F.Column",
+                    cap_bytes: int = ROBOTS_PARSE_CAP_BYTES) -> "F.Column":
+    """RFC 9309 §2.5 size handling: a parser must process at least
+    500 KiB of robots.txt and MAY ignore the rest — unbounded files
+    (misconfigured endpoints serving HTML, log dumps at /robots.txt)
+    must not blow the per-host parse.  Truncate at the cap but never
+    mid-line: cut back to the last newline inside the cap so a
+    half-directive can't parse as a different rule (a truncated
+    'Disallow: /admin-stuff' must not become 'Disallow: /adm').
+    Compose in front of :func:`parse_robots_txt`.
+    """
+    head = F.substring(body, 1, int(cap_bytes))
+    # position of the last newline in the capped prefix
+    last_nl = F.length(head) - F.locate("\n", F.reverse(head)) + 1
+    has_nl = F.locate("\n", F.reverse(head)) > 0
+    truncated = F.length(body) > int(cap_bytes)
+    return (
+        F.when(~truncated, body)
+        .when(has_nl, F.substring(head, 1, last_nl))
+        .otherwise(F.lit(""))
+    )

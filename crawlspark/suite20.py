@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": q_bpe_fertility,
         "split_leakage": q_split_leakage,
         "url_decontamination": q_url_decontamination,
+        "robots_size_cap": q_robots_size_cap,
+        "mime_consistency": q_mime_consistency,
     }
 
 
@@ -195,6 +197,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_fertility": _oracle_bpe_fertility(),
         "split_leakage": ORACLE_SPLIT_LEAKAGE,
         "url_decontamination": ORACLE_URL_DECON,
+        "robots_size_cap": ORACLE_ROBOTS_SIZE_CAP,
+        "mime_consistency": ORACLE_MIME_CONSISTENCY,
     }
 
 
@@ -371,4 +375,98 @@ def q_url_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_URL_DECON = """
 SELECT doc_id, 'http://corpus.test/d/' || CAST(doc_id AS VARCHAR) AS url
 FROM documents WHERE doc_id % 13 <> 0
+"""
+
+
+# --------------------------------------------------------------------------
+# robots_size_cap — RFC 9309 oversized-robots truncation
+# --------------------------------------------------------------------------
+
+def q_robots_size_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cap_robots_body at a 40-byte cap (fixture-scaled stand-in for
+    the 500 KiB spec floor) composed into the robots parser: the
+    in-cap Disallow survives, the rule starting past the cap vanishes,
+    and the cut backs up to the last newline so no half-directive
+    parses as a shorter (wrong) rule."""
+    from .robots import cap_robots_body, parse_robots_txt
+
+    doc = F.col("doc_id")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /keep"), (doc % 9).cast("string"),
+        F.lit("\nDisallow: /dropped-rule-"), doc.cast("string"),
+        F.lit("\n"),
+    )
+    texts = _docs(spark, sf_dir).select(
+        F.concat(F.lit("h"), doc.cast("string")).alias("host"),
+        cap_robots_body(body, cap_bytes=40).alias("body"),
+    )
+    rules = parse_robots_txt(texts)
+    return rules.select(
+        "host", "user_agent",
+        F.concat_ws("|", F.col("disallow_prefixes")).alias("disallow"),
+    )
+
+
+ORACLE_ROBOTS_SIZE_CAP = """
+SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
+       '*' AS user_agent,
+       '/keep' || CAST(doc_id % 9 AS VARCHAR) AS disallow
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# mime_consistency — extension vs Content-Type vs magic bytes
+# --------------------------------------------------------------------------
+
+def q_mime_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-source MIME consensus per fetched object: URL extension,
+    declared Content-Type, magic-byte sniff — 2-of-3 majority names the
+    outlier source; three-way disagreement is a conflict row routed to
+    quarantine.  Four fixture shapes exercise each outcome."""
+    doc = F.col("doc_id")
+    v = doc % 4
+    ext = F.when(v == 3, F.lit("png")).otherwise(F.lit("jpeg"))
+    declared = F.when(v == 1, F.lit("webp")).otherwise(
+        F.when(v == 3, F.lit("gif")).otherwise(F.lit("jpeg")))
+    sniffed = F.when(v == 2, F.lit("png")).otherwise(
+        F.when(v == 3, F.lit("webp")).otherwise(F.lit("jpeg")))
+    d = _docs(spark, sf_dir).select(
+        doc.alias("doc_id"), ext.alias("ext_type"),
+        declared.alias("declared_type"), sniffed.alias("sniffed_type"),
+    )
+    e, c, s = (F.col("ext_type"), F.col("declared_type"),
+               F.col("sniffed_type"))
+    consensus = (
+        F.when((e == c) & (c == s), e)
+        .when(e == c, e).when(c == s, c).when(e == s, e)
+        .otherwise(F.lit("conflict"))
+    )
+    outlier = (
+        F.when((e == c) & (c == s), F.lit(None).cast("string"))
+        .when(e == c, F.lit("sniffed"))
+        .when(c == s, F.lit("ext"))
+        .when(e == s, F.lit("declared"))
+    )
+    return d.select(
+        "doc_id", "ext_type", "declared_type", "sniffed_type",
+        consensus.alias("consensus"), outlier.alias("outlier"),
+    )
+
+
+ORACLE_MIME_CONSISTENCY = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 3 THEN 'png' ELSE 'jpeg' END AS ext_type,
+       CASE WHEN doc_id % 4 = 1 THEN 'webp'
+            WHEN doc_id % 4 = 3 THEN 'gif' ELSE 'jpeg' END
+         AS declared_type,
+       CASE WHEN doc_id % 4 = 2 THEN 'png'
+            WHEN doc_id % 4 = 3 THEN 'webp' ELSE 'jpeg' END
+         AS sniffed_type,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'jpeg'
+         ELSE 'conflict' END AS consensus,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 1 THEN 'declared' WHEN 2 THEN 'sniffed' END AS outlier
+FROM documents
 """

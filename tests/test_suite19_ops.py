@@ -206,3 +206,22 @@ def test_detect_link_exchange(spark):
     assert out[("x", "y")].exchange is True
     assert out[("c", "d")].exchange is False   # symmetry 200 < 800
     assert ("a", "b") not in out               # no reverse direction
+
+
+def test_cap_robots_body_line_safe(spark):
+    from crawlspark.robots import cap_robots_body
+    body = "User-agent: *\nDisallow: /admin-stuff\nDisallow: /late\n"
+    df = spark.createDataFrame([(body,)], "b STRING")
+    # cap lands inside '/admin-stuff': the WHOLE half-line must go, not
+    # just its tail (a truncated prefix would parse as Disallow: /adm)
+    got = df.select(cap_robots_body(F.col("b"), cap_bytes=30).alias("c")
+                    ).head().c
+    assert got == "User-agent: *\n"
+    # under the cap: untouched
+    got2 = df.select(cap_robots_body(F.col("b"), cap_bytes=9999).alias("c")
+                     ).head().c
+    assert got2 == body
+    # no newline inside the cap at all -> nothing parseable survives
+    df3 = spark.createDataFrame([("x" * 100,)], "b STRING")
+    assert df3.select(cap_robots_body(F.col("b"), cap_bytes=10).alias("c")
+                      ).head().c == ""
