@@ -839,3 +839,73 @@ def hidden_links(body: Column) -> Column:
         ),
         lambda u: u != "",
     )
+
+
+def sitemap_video_entries(body: Column) -> Column:
+    """Video-sitemap extraction (sitemaps.org video extension):
+    per <url> block, the page <loc> with every <video:video> child's
+    content_loc / title / duration — the media-crawl analog of
+    :func:`sitemap_image_entries`, same block-split alignment
+    discipline.  Returns array<struct<page_url, video_url, title,
+    duration_s:long>>.
+    """
+    blocks = F.split(body, "<url>")
+    per_block = F.transform(
+        blocks,
+        lambda seg: F.transform(
+            F.arrays_zip(
+                F.regexp_extract_all(
+                    seg,
+                    F.lit(r"(?s)<video:content_loc>\s*(.*?)"
+                          r"\s*</video:content_loc>"), 1
+                ).alias("video_url"),
+                F.regexp_extract_all(
+                    seg,
+                    F.lit(r"(?s)<video:title>\s*(.*?)\s*</video:title>"), 1
+                ).alias("title"),
+                F.regexp_extract_all(
+                    seg,
+                    F.lit(r"(?s)<video:duration>\s*(\d+)"
+                          r"\s*</video:duration>"), 1
+                ).alias("duration"),
+            ),
+            lambda z: F.struct(
+                F.regexp_extract(seg, r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+                 .alias("page_url"),
+                z["video_url"].alias("video_url"),
+                z["title"].alias("title"),
+                z["duration"].cast("long").alias("duration_s"),
+            ),
+        ),
+    )
+    return F.flatten(F.filter(per_block, lambda a: F.size(a) > 0))
+
+
+def feed_enclosures(body: Column) -> Column:
+    """RSS ``<enclosure url type length>`` extraction — the podcast /
+    media-payload side of feed ingestion (:func:`feed_items` gives the
+    article links; enclosures give the audio/video files with declared
+    MIME type and byte size, which feeds straight into the byte-budget
+    wave).  Per-item block alignment as everywhere.  Returns
+    array<struct<item_url, media_url, media_type, length_bytes:long>>.
+    """
+    items = F.regexp_extract_all(body, F.lit(r"(?is)<item>.*?</item>"), 0)
+    per_item = F.transform(
+        items,
+        lambda it: F.struct(
+            F.regexp_extract(it, r"(?is)<link>\s*(.*?)\s*</link>", 1)
+             .alias("item_url"),
+            F.regexp_extract(
+                it, r'(?i)<enclosure\s[^>]*url\s*=\s*"([^"]*)"', 1)
+             .alias("media_url"),
+            F.regexp_extract(
+                it, r'(?i)<enclosure\s[^>]*type\s*=\s*"([^"]*)"', 1)
+             .alias("media_type"),
+            F.nullif(
+                F.regexp_extract(
+                    it, r'(?i)<enclosure\s[^>]*length\s*=\s*"(\d+)"', 1),
+                F.lit(""),
+            ).cast("long").alias("length_bytes"),
+        ),
+    )
+    return F.filter(per_item, lambda e: e["media_url"] != "")

@@ -185,6 +185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_decontamination": q_url_decontamination,
         "robots_size_cap": q_robots_size_cap,
         "mime_consistency": q_mime_consistency,
+        "sitemap_videos": q_sitemap_videos,
+        "podcast_enclosures": q_podcast_enclosures,
     }
 
 
@@ -199,6 +201,8 @@ def oracle_sql() -> dict[str, str]:
         "url_decontamination": ORACLE_URL_DECON,
         "robots_size_cap": ORACLE_ROBOTS_SIZE_CAP,
         "mime_consistency": ORACLE_MIME_CONSISTENCY,
+        "sitemap_videos": ORACLE_SITEMAP_VIDEOS,
+        "podcast_enclosures": ORACLE_PODCAST_ENCLOSURES,
     }
 
 
@@ -468,5 +472,118 @@ SELECT doc_id,
          ELSE 'conflict' END AS consensus,
        CASE CAST(doc_id % 4 AS INTEGER)
          WHEN 1 THEN 'declared' WHEN 2 THEN 'sniffed' END AS outlier
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# sitemap_videos — video-sitemap extension entries
+# --------------------------------------------------------------------------
+
+def q_sitemap_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemap_video_entries over sitemaps with one video per page plus
+    a second two-video page on even docs (variable per-page counts are
+    the alignment hazard, as with image sitemaps)."""
+    from .extract import sitemap_video_entries
+
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    p1 = F.concat(F.lit("http://v.test/w"), s)
+    block1 = F.concat(
+        F.lit("<url><loc>"), p1,
+        F.lit("</loc><video:video><video:content_loc>http://m.test/v"), s,
+        F.lit(".mp4</video:content_loc><video:title>t"),
+        (doc % 13).cast("string"),
+        F.lit("</video:title><video:duration>"),
+        (F.lit(30) + doc % 600).cast("string"),
+        F.lit("</video:duration></video:video></url>"),
+    )
+    p2 = F.concat(F.lit("http://v.test/x"), s)
+    block2 = F.when(doc % 2 == 0, F.concat(
+        F.lit("<url><loc>"), p2, F.lit("</loc>"),
+        F.lit("<video:video><video:content_loc>http://m.test/a"), s,
+        F.lit(".mp4</video:content_loc><video:title>a</video:title>"
+              "<video:duration>60</video:duration></video:video>"),
+        F.lit("<video:video><video:content_loc>http://m.test/b"), s,
+        F.lit(".mp4</video:content_loc><video:title>b</video:title>"
+              "<video:duration>90</video:duration></video:video></url>"),
+    )).otherwise(F.lit(""))
+    body = F.concat(F.lit("<urlset>"), block1, block2, F.lit("</urlset>"))
+    d = _docs(spark, sf_dir).select(doc.alias("doc_id"), body.alias("body"))
+    return d.select(
+        "doc_id",
+        F.explode(sitemap_video_entries(F.col("body"))).alias("e"),
+    ).select(
+        "doc_id",
+        F.col("e.page_url").alias("page_url"),
+        F.col("e.video_url").alias("video_url"),
+        F.col("e.title").alias("title"),
+        F.col("e.duration_s").alias("duration_s"),
+    )
+
+
+ORACLE_SITEMAP_VIDEOS = """
+SELECT doc_id,
+       'http://v.test/w' || CAST(doc_id AS VARCHAR) AS page_url,
+       'http://m.test/v' || CAST(doc_id AS VARCHAR) || '.mp4' AS video_url,
+       't' || CAST(doc_id % 13 AS VARCHAR) AS title,
+       CAST(30 + doc_id % 600 AS BIGINT) AS duration_s
+FROM documents
+UNION ALL
+SELECT doc_id, 'http://v.test/x' || CAST(doc_id AS VARCHAR),
+       'http://m.test/a' || CAST(doc_id AS VARCHAR) || '.mp4', 'a',
+       CAST(60 AS BIGINT)
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, 'http://v.test/x' || CAST(doc_id AS VARCHAR),
+       'http://m.test/b' || CAST(doc_id AS VARCHAR) || '.mp4', 'b',
+       CAST(90 AS BIGINT)
+FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# podcast_enclosures — RSS media payloads
+# --------------------------------------------------------------------------
+
+def q_podcast_enclosures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """feed_enclosures over podcast-style RSS: one audio enclosure per
+    item (type/length declared), plus an enclosure-less item every 3rd
+    doc that contributes nothing."""
+    from .extract import feed_enclosures
+
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    item1 = F.concat(
+        F.lit("<item><link>http://p.test/ep"), s,
+        F.lit('</link><enclosure url="http://cdn.test/ep'), s,
+        F.lit('.mp3" type="audio/mpeg" length="'),
+        (F.lit(1_000_000) + (doc % 97) * 1000).cast("string"),
+        F.lit('"/></item>'),
+    )
+    item2 = F.when(doc % 3 == 0, F.concat(
+        F.lit("<item><link>http://p.test/note"), s,
+        F.lit("</link><title>no media</title></item>"))).otherwise(F.lit(""))
+    body = F.concat(F.lit("<rss><channel>"), item1, item2,
+                    F.lit("</channel></rss>"))
+    d = _docs(spark, sf_dir).select(doc.alias("doc_id"), body.alias("body"))
+    return d.select(
+        "doc_id", F.explode(feed_enclosures(F.col("body"))).alias("e")
+    ).select(
+        "doc_id",
+        F.col("e.item_url").alias("item_url"),
+        F.col("e.media_url").alias("media_url"),
+        F.col("e.media_type").alias("media_type"),
+        F.col("e.length_bytes").alias("length_bytes"),
+    )
+
+
+ORACLE_PODCAST_ENCLOSURES = """
+SELECT doc_id,
+       'http://p.test/ep' || CAST(doc_id AS VARCHAR) AS item_url,
+       'http://cdn.test/ep' || CAST(doc_id AS VARCHAR) || '.mp3'
+         AS media_url,
+       'audio/mpeg' AS media_type,
+       CAST(1000000 + (doc_id % 97) * 1000 AS BIGINT) AS length_bytes
 FROM documents
 """

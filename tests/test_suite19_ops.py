@@ -225,3 +225,34 @@ def test_cap_robots_body_line_safe(spark):
     df3 = spark.createDataFrame([("x" * 100,)], "b STRING")
     assert df3.select(cap_robots_body(F.col("b"), cap_bytes=10).alias("c")
                       ).head().c == ""
+
+
+def test_sitemap_video_alignment(spark):
+    from crawlspark.extract import sitemap_video_entries
+    body = ("<urlset><url><loc>http://v/p1</loc>"
+            "<video:video><video:content_loc>m1.mp4</video:content_loc>"
+            "<video:title>one</video:title>"
+            "<video:duration>30</video:duration></video:video></url>"
+            "<url><loc>http://v/p2</loc></url>"  # no videos
+            "</urlset>")
+    got = (spark.range(1)
+           .select(F.explode(sitemap_video_entries(F.lit(body))).alias("e"))
+           .select("e.*").collect())
+    assert len(got) == 1
+    assert (got[0].page_url, got[0].video_url, got[0].duration_s) == (
+        "http://v/p1", "m1.mp4", 30)
+
+
+def test_feed_enclosures(spark):
+    from crawlspark.extract import feed_enclosures
+    body = ('<rss><item><link>http://p/e1</link>'
+            '<enclosure url="http://c/a.mp3" type="audio/mpeg" '
+            'length="123"/></item>'
+            "<item><link>http://p/e2</link></item></rss>")
+    got = (spark.range(1)
+           .select(F.explode(feed_enclosures(F.lit(body))).alias("e"))
+           .select("e.*").collect())
+    assert len(got) == 1
+    assert got[0].media_url == "http://c/a.mp3"
+    assert got[0].media_type == "audio/mpeg"
+    assert got[0].length_bytes == 123
