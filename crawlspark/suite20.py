@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_consistency": q_mime_consistency,
         "sitemap_videos": q_sitemap_videos,
         "podcast_enclosures": q_podcast_enclosures,
+        "media_frontier": q_media_frontier,
     }
 
 
@@ -203,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "mime_consistency": ORACLE_MIME_CONSISTENCY,
         "sitemap_videos": ORACLE_SITEMAP_VIDEOS,
         "podcast_enclosures": ORACLE_PODCAST_ENCLOSURES,
+        "media_frontier": ORACLE_MEDIA_FRONTIER,
     }
 
 
@@ -586,4 +588,106 @@ SELECT doc_id,
        'audio/mpeg' AS media_type,
        CAST(1000000 + (doc_id % 97) * 1000 AS BIGINT) AS length_bytes
 FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# media_frontier — unified media discovery across all source channels
+# --------------------------------------------------------------------------
+
+def q_media_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unified media frontier: image-sitemap entries, video-sitemap
+    entries and podcast enclosures union into one (media_url, kind,
+    page_url, est_bytes, priority) relation — images carry no declared
+    size (estimated at the corpus default), videos estimate from
+    duration, enclosures declare bytes exactly; a media URL discovered
+    through MULTIPLE channels keeps one row (the byte-richest source
+    wins: enclosure > video > image).  This is the relation
+    select_wave_by_bytes consumes for the payload crawl."""
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    # images: every doc; videos: doc%2==0; enclosures: doc%3==0.
+    # doc%6==0 URLs appear in BOTH video sitemap and enclosure channels.
+    img = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://m.test/i"), s, F.lit(".jpg"))
+        .alias("media_url"),
+        F.lit("image").alias("kind"),
+        F.concat(F.lit("http://v.test/p"), s).alias("page_url"),
+        F.lit(200_000).cast("long").alias("est_bytes"),
+        F.lit(1).alias("rank_src"),
+    )
+    vid = _docs(spark, sf_dir).filter(doc % 2 == 0).select(
+        F.concat(F.lit("http://m.test/av"), s, F.lit(".mp4"))
+        .alias("media_url"),
+        F.lit("video").alias("kind"),
+        F.concat(F.lit("http://v.test/p"), s).alias("page_url"),
+        ((F.lit(30) + doc % 600) * 250_000).cast("long").alias("est_bytes"),
+        F.lit(2).alias("rank_src"),
+    )
+    enc = _docs(spark, sf_dir).filter(doc % 3 == 0).select(
+        F.when(doc % 6 == 0,
+               F.concat(F.lit("http://m.test/av"), s, F.lit(".mp4")))
+        .otherwise(F.concat(F.lit("http://m.test/pod"), s, F.lit(".mp3")))
+        .alias("media_url"),
+        F.when(doc % 6 == 0, F.lit("video")).otherwise(F.lit("audio"))
+        .alias("kind"),
+        F.concat(F.lit("http://p.test/ep"), s).alias("page_url"),
+        (F.lit(900_000) + (doc % 97) * 1000).cast("long")
+        .alias("est_bytes"),
+        F.lit(3).alias("rank_src"),
+    )
+    from pyspark.sql import Window
+
+    allm = img.unionByName(vid).unionByName(enc)
+    w = Window.partitionBy("media_url")
+    best = (
+        allm.withColumn("n_sources", F.count("*").over(w).cast("long"))
+        .withColumn(
+            "__r",
+            F.row_number().over(w.orderBy(F.desc("rank_src"), "page_url")),
+        )
+        .filter(F.col("__r") == 1)
+    )
+    return best.select(
+        "media_url", "kind", "page_url", "est_bytes", "n_sources"
+    )
+
+
+ORACLE_MEDIA_FRONTIER = """
+WITH img AS (
+  SELECT 'http://m.test/i' || CAST(doc_id AS VARCHAR) || '.jpg' AS media_url,
+         'image' AS kind,
+         'http://v.test/p' || CAST(doc_id AS VARCHAR) AS page_url,
+         CAST(200000 AS BIGINT) AS est_bytes, 1 AS rank_src
+  FROM documents
+),
+vid AS (
+  SELECT 'http://m.test/av' || CAST(doc_id AS VARCHAR) || '.mp4',
+         'video', 'http://v.test/p' || CAST(doc_id AS VARCHAR),
+         CAST((30 + doc_id % 600) * 250000 AS BIGINT), 2
+  FROM documents WHERE doc_id % 2 = 0
+),
+enc AS (
+  SELECT CASE WHEN doc_id % 6 = 0
+              THEN 'http://m.test/av' || CAST(doc_id AS VARCHAR) || '.mp4'
+              ELSE 'http://m.test/pod' || CAST(doc_id AS VARCHAR) || '.mp3'
+         END,
+         CASE WHEN doc_id % 6 = 0 THEN 'video' ELSE 'audio' END,
+         'http://p.test/ep' || CAST(doc_id AS VARCHAR),
+         CAST(900000 + (doc_id % 97) * 1000 AS BIGINT), 3
+  FROM documents WHERE doc_id % 3 = 0
+),
+allm AS (
+  SELECT * FROM img UNION ALL SELECT * FROM vid UNION ALL SELECT * FROM enc
+),
+r AS (
+  SELECT media_url, kind, page_url, est_bytes,
+         CAST(COUNT(*) OVER (PARTITION BY media_url) AS BIGINT)
+           AS n_sources,
+         ROW_NUMBER() OVER (PARTITION BY media_url
+                            ORDER BY rank_src DESC, page_url) AS rn
+  FROM allm
+)
+SELECT media_url, kind, page_url, est_bytes, n_sources
+FROM r WHERE rn = 1
 """
