@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_videos": q_sitemap_videos,
         "podcast_enclosures": q_podcast_enclosures,
         "media_frontier": q_media_frontier,
+        "cas_gc": q_cas_gc,
+        "spam_propagation": q_spam_propagation,
     }
 
 
@@ -205,6 +207,8 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_videos": ORACLE_SITEMAP_VIDEOS,
         "podcast_enclosures": ORACLE_PODCAST_ENCLOSURES,
         "media_frontier": ORACLE_MEDIA_FRONTIER,
+        "cas_gc": ORACLE_CAS_GC,
+        "spam_propagation": ORACLE_SPAM_PROPAGATION,
     }
 
 
@@ -690,4 +694,141 @@ r AS (
 )
 SELECT media_url, kind, page_url, est_bytes, n_sources
 FROM r WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# cas_gc — delete eligibility: retention tombstones x CAS refcounts
+# --------------------------------------------------------------------------
+
+def q_cas_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-condition storage GC: a payload blob is deletable only
+    when EVERY capture referencing its hash is past retention — a blob
+    shared by a tombstoned capture AND a live one must stay.  Composes
+    retention_sweep (keep-last-2 per URL) with a per-hash all-dropped
+    check; fixture shares every doc%5==0 hash across two URLs with
+    different capture depths so both outcomes occur."""
+    from .checkpoint import retention_sweep
+
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    # URL A: 3 captures of hash H(doc); URL B (doc%5==0): 1 capture of
+    # the SAME hash -> B's capture stays in retention, blocking the GC
+    # of the blob even though A's oldest capture tombstones.
+    caps_a = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://g.test/a/"), s).alias("url"),
+        F.explode(F.array(F.lit(100), F.lit(200), F.lit(300)))
+        .alias("fetch_ts"),
+        F.concat(F.lit("H"), s).alias("content_hash"),
+    ).select("url", F.col("fetch_ts").cast("long").alias("fetch_ts"),
+             "content_hash")
+    caps_b = _docs(spark, sf_dir).filter(doc % 5 == 0).select(
+        F.concat(F.lit("http://g.test/b/"), s).alias("url"),
+        F.lit(150).cast("long").alias("fetch_ts"),
+        F.concat(F.lit("H"), s).alias("content_hash"),
+    )
+    swept = retention_sweep(caps_a.unionByName(caps_b), keep_last=2)
+    per_hash = swept.groupBy("content_hash").agg(
+        F.count("*").cast("long").alias("n_captures"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long")
+        .alias("n_live"),
+    )
+    return per_hash.select(
+        "content_hash", "n_captures", "n_live",
+        (F.col("n_live") == 0).alias("deletable"),
+    )
+
+
+ORACLE_CAS_GC = """
+WITH caps AS (
+  SELECT 'http://g.test/a/' || CAST(doc_id AS VARCHAR) AS url,
+         ts.t AS fetch_ts, 'H' || CAST(doc_id AS VARCHAR) AS content_hash
+  FROM documents CROSS JOIN (VALUES (100), (200), (300)) AS ts(t)
+  UNION ALL
+  SELECT 'http://g.test/b/' || CAST(doc_id AS VARCHAR), 150,
+         'H' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 5 = 0
+),
+r AS (
+  SELECT content_hash,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY fetch_ts DESC)
+           AS capture_rank
+  FROM caps
+)
+SELECT content_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_captures,
+       CAST(SUM(CASE WHEN capture_rank <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_live,
+       SUM(CASE WHEN capture_rank <= 2 THEN 1 ELSE 0 END) = 0 AS deletable
+FROM r GROUP BY content_hash
+"""
+
+
+# --------------------------------------------------------------------------
+# spam_propagation — one-hop guilt by association over host inlinks
+# --------------------------------------------------------------------------
+
+def q_spam_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank-lite, one hop: hosts receiving >= 60% of their inlinks
+    from seed-spam hosts become suspects (spam networks link densely to
+    each other; honest hosts get a trickle at most).  One aggregate
+    over the host edge list + a broadcast seed join; fixture: victims
+    v0/v1 get spam-majority inlinks, mixed/clean hosts stay below."""
+    doc = F.col("doc_id")
+    src = (
+        F.when(doc % 10 <= 3, F.concat(F.lit("spam"),
+                                       (doc % 2).cast("string")))
+        .otherwise(F.concat(F.lit("ok"), (doc % 7).cast("string")))
+    )
+    dst = (
+        F.when(doc % 10 <= 2, F.concat(F.lit("v"), (doc % 2).cast("string")))
+        .when(doc % 10 == 3, F.lit("mixed"))
+        .when(doc % 10 <= 6, F.lit("mixed"))
+        .otherwise(F.concat(F.lit("clean"), (doc % 3).cast("string")))
+    )
+    edges = _docs(spark, sf_dir).select(
+        src.alias("src_host"), dst.alias("dst_host")
+    )
+    seeds = spark.createDataFrame([("spam0",), ("spam1",)], "host STRING")
+    tagged = edges.join(
+        F.broadcast(seeds.select(F.col("host").alias("src_host"),
+                                 F.lit(True).alias("__spam"))),
+        "src_host", "left",
+    )
+    agg = tagged.groupBy("dst_host").agg(
+        F.count("*").cast("long").alias("n_inlinks"),
+        F.sum(F.when(F.col("__spam"), 1).otherwise(0)).cast("long")
+        .alias("n_spam_inlinks"),
+    )
+    share = F.expr("(1000 * n_spam_inlinks) div n_inlinks")
+    return agg.select(
+        "dst_host", "n_inlinks", "n_spam_inlinks",
+        share.cast("long").alias("spam_share_permille"),
+        (share >= 600).alias("suspect"),
+    )
+
+
+ORACLE_SPAM_PROPAGATION = """
+WITH e AS (
+  SELECT CASE WHEN doc_id % 10 <= 3
+              THEN 'spam' || CAST(doc_id % 2 AS VARCHAR)
+              ELSE 'ok' || CAST(doc_id % 7 AS VARCHAR) END AS s,
+         CASE WHEN doc_id % 10 <= 2
+              THEN 'v' || CAST(doc_id % 2 AS VARCHAR)
+              WHEN doc_id % 10 <= 6 THEN 'mixed'
+              ELSE 'clean' || CAST(doc_id % 3 AS VARCHAR) END AS d
+  FROM documents
+),
+a AS (
+  SELECT d AS dst_host,
+         CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+         CAST(SUM(CASE WHEN s IN ('spam0', 'spam1') THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_spam_inlinks
+  FROM e GROUP BY d
+)
+SELECT dst_host, n_inlinks, n_spam_inlinks,
+       CAST((1000 * n_spam_inlinks) // n_inlinks AS BIGINT)
+         AS spam_share_permille,
+       (1000 * n_spam_inlinks) // n_inlinks >= 600 AS suspect
+FROM a
 """
