@@ -43,6 +43,7 @@ def pagerank(
     d_permille: int = 850,
     edges_df: DataFrame | None = None,
     scale: int = SCALE,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Synchronous PageRank over the n-doc link graph (or ``edges_df``
     with columns (src, dst)).  Returns (doc, rank_scaled) where
@@ -60,7 +61,16 @@ def pagerank(
     # lives bucketed-by-src so iterations never re-exchange the edges
     e2 = e.join(outdeg, "src").repartition("src").localCheckpoint(eager=True)
     base = (1000 - d_permille) * (scale // n) // 1000
-    ranks = docs.withColumn("r", F.lit(scale // n)).localCheckpoint(eager=True)
+    # warm start (incremental recompute after a graph delta): resume the
+    # power iteration from checkpointed ranks instead of uniform — k more
+    # iterations from iteration j are bit-identical to j+k from scratch
+    # (the update is deterministic integer arithmetic), proven in the
+    # pagerank_warm gate query against the unrolled j+k oracle
+    ranks = (
+        init_ranks.select("doc", F.col("r").cast("long").alias("r"))
+        if init_ranks is not None
+        else docs.withColumn("r", F.lit(scale // n))
+    ).localCheckpoint(eager=True)
     for _ in range(iters):
         contrib = (
             e2.join(

@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frontier": q_media_frontier,
         "cas_gc": q_cas_gc,
         "spam_propagation": q_spam_propagation,
+        "pagerank_warm": q_pagerank_warm,
     }
 
 
@@ -209,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frontier": ORACLE_MEDIA_FRONTIER,
         "cas_gc": ORACLE_CAS_GC,
         "spam_propagation": ORACLE_SPAM_PROPAGATION,
+        "pagerank_warm": _oracle_pagerank_warm(),
     }
 
 
@@ -832,3 +834,30 @@ SELECT dst_host, n_inlinks, n_spam_inlinks,
        (1000 * n_spam_inlinks) // n_inlinks >= 600 AS suspect
 FROM a
 """
+
+
+# --------------------------------------------------------------------------
+# pagerank_warm — incremental warm-start iteration equivalence
+# --------------------------------------------------------------------------
+
+def q_pagerank_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start PageRank: 3 iterations, checkpoint the ranks, then
+    ONE more iteration resumed from them — the incremental-recompute
+    path a nightly graph refresh uses.  The oracle is the plain
+    4-iteration unroll: bit-identical results prove warm start loses
+    nothing (integer arithmetic has no drift to hide)."""
+    from .linkgraph import pagerank
+
+    n = _docs(spark, sf_dir).count()
+    warm = pagerank(spark, n, iters=3)
+    cont = pagerank(
+        spark, n, iters=1,
+        init_ranks=warm.select("doc", F.col("rank_scaled").alias("r")),
+    )
+    return cont.orderBy("doc")
+
+
+def _oracle_pagerank_warm() -> str:
+    from .linkgraph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(iters=4)

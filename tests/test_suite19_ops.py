@@ -256,3 +256,17 @@ def test_feed_enclosures(spark):
     assert got[0].media_url == "http://c/a.mp3"
     assert got[0].media_type == "audio/mpeg"
     assert got[0].length_bytes == 123
+
+
+def test_pagerank_warm_start_equivalence(spark):
+    from crawlspark.linkgraph import pagerank
+    n = 40
+    cold = {r.doc: r.rank_scaled for r in
+            pagerank(spark, n, iters=4).collect()}
+    warm3 = pagerank(spark, n, iters=3)
+    resumed = {r.doc: r.rank_scaled for r in pagerank(
+        spark, n, iters=1,
+        init_ranks=warm3.selectExpr("doc", "rank_scaled as r"),
+    ).collect()}
+    # integer arithmetic: 3+1 warm == 4 cold, bit for bit
+    assert resumed == cold
