@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cas_gc": q_cas_gc,
         "spam_propagation": q_spam_propagation,
         "pagerank_warm": q_pagerank_warm,
+        "seen_hit_rate": q_seen_hit_rate,
+        "declared_charset": q_declared_charset,
     }
 
 
@@ -211,6 +213,8 @@ def oracle_sql() -> dict[str, str]:
         "cas_gc": ORACLE_CAS_GC,
         "spam_propagation": ORACLE_SPAM_PROPAGATION,
         "pagerank_warm": _oracle_pagerank_warm(),
+        "seen_hit_rate": ORACLE_SEEN_HIT_RATE,
+        "declared_charset": ORACLE_DECLARED_CHARSET,
     }
 
 
@@ -861,3 +865,94 @@ def _oracle_pagerank_warm() -> str:
     from .linkgraph import pagerank_oracle_sql
 
     return pagerank_oracle_sql(iters=4)
+
+
+# --------------------------------------------------------------------------
+# seen_hit_rate — dedup efficiency per discovery wave
+# --------------------------------------------------------------------------
+
+def q_seen_hit_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seen-set hit rate per wave: of the URLs each wave discovers, how
+    many were already crawled — the number that says when a crawl is
+    saturating its seed neighborhood (hit rate climbing toward 1000
+    permille) vs still expanding.  Fixture: later waves rediscover
+    progressively more of the seen set."""
+    doc = F.col("doc_id")
+    wave = (doc % 5).alias("wave_no")
+    # wave w rediscovers known URLs at roughly w/5 rate
+    known = (doc % 5) > (doc % 7 % 5)
+    discoveries = _docs(spark, sf_dir).select(
+        wave, known.alias("already_seen")
+    )
+    agg = discoveries.groupBy("wave_no").agg(
+        F.count("*").cast("long").alias("n_discovered"),
+        F.sum(F.when(F.col("already_seen"), 1).otherwise(0)).cast("long")
+        .alias("n_known"),
+    )
+    return agg.select(
+        F.col("wave_no").cast("int").alias("wave_no"),
+        "n_discovered", "n_known",
+        F.expr("(1000 * n_known) div n_discovered").cast("long")
+        .alias("hit_permille"),
+    )
+
+
+ORACLE_SEEN_HIT_RATE = """
+WITH d AS (
+  SELECT CAST(doc_id % 5 AS INTEGER) AS wave_no,
+         doc_id % 5 > (doc_id % 7) % 5 AS already_seen
+  FROM documents
+),
+a AS (
+  SELECT wave_no, CAST(COUNT(*) AS BIGINT) AS n_discovered,
+         CAST(SUM(CASE WHEN already_seen THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_known
+  FROM d GROUP BY wave_no
+)
+SELECT wave_no, n_discovered, n_known,
+       CAST((1000 * n_known) // n_discovered AS BIGINT) AS hit_permille
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# declared_charset — meta charset / http-equiv content-type extraction
+# --------------------------------------------------------------------------
+
+def q_declared_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-charset extraction for the decode step: HTML5
+    <meta charset="...">, legacy http-equiv Content-Type with a charset
+    parameter, both lowercased; pages declaring nothing fall back to
+    utf-8 (the WHATWG default in practice)."""
+    doc = F.col("doc_id")
+    body = (
+        F.when(doc % 4 == 0, F.lit('<meta charset="UTF-8">'))
+        .when(doc % 4 == 1,
+              F.lit('<meta http-equiv="Content-Type" '
+                    'content="text/html; charset=ISO-8859-1">'))
+        .when(doc % 4 == 2, F.lit('<meta CHARSET="windows-1251">'))
+        .otherwise(F.lit("<html><body>none</body></html>"))
+    )
+    d = _docs(spark, sf_dir).select(doc.alias("doc_id"), body.alias("body"))
+    m1 = F.regexp_extract(
+        F.col("body"), r'(?i)<meta\s+charset\s*=\s*"([^"]+)"', 1)
+    m2 = F.regexp_extract(
+        F.col("body"),
+        r'(?i)<meta\s[^>]*content\s*=\s*"[^"]*charset=([^";\s]+)', 1)
+    charset = F.lower(
+        F.when(m1 != "", m1).when(m2 != "", m2).otherwise(F.lit("utf-8"))
+    )
+    return d.select(
+        "doc_id", charset.alias("charset"),
+        ((m1 != "") | (m2 != "")).alias("declared"),
+    )
+
+
+ORACLE_DECLARED_CHARSET = """
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+         WHEN 2 THEN 'windows-1251' ELSE 'utf-8' END AS charset,
+       doc_id % 4 <> 3 AS declared
+FROM documents
+"""
