@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_warm": q_pagerank_warm,
         "seen_hit_rate": q_seen_hit_rate,
         "declared_charset": q_declared_charset,
+        "data_uri_images": q_data_uri_images,
+        "paginate_synthesis": q_paginate_synthesis,
     }
 
 
@@ -215,6 +217,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_warm": _oracle_pagerank_warm(),
         "seen_hit_rate": ORACLE_SEEN_HIT_RATE,
         "declared_charset": ORACLE_DECLARED_CHARSET,
+        "data_uri_images": ORACLE_DATA_URI,
+        "paginate_synthesis": ORACLE_PAGINATE_SYNTH,
     }
 
 
@@ -955,4 +959,99 @@ SELECT doc_id,
          WHEN 2 THEN 'windows-1251' ELSE 'utf-8' END AS charset,
        doc_id % 4 <> 3 AS declared
 FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# data_uri_images — inline base64 images (already in hand, never fetch)
+# --------------------------------------------------------------------------
+
+def q_data_uri_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline data-URI image accounting: pages embedding
+    data:image/...;base64 payloads already delivered those bytes — the
+    frontier must NOT queue them as fetches, and the decoded size
+    estimate (3/4 of the base64 length) feeds storage planning.  One
+    regexp_extract_all + HOF arithmetic."""
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    b64len = (F.lit(400) + (doc % 50) * 4)
+    body = F.concat(
+        F.lit('<img src="data:image/png;base64,'),
+        F.repeat(F.lit("A"), b64len.cast("int")), F.lit('">'),
+        F.when(doc % 3 == 0, F.concat(
+            F.lit('<img src="data:image/jpeg;base64,'),
+            F.repeat(F.lit("B"), 120), F.lit('">'))).otherwise(F.lit("")),
+        F.lit('<img src="/real/'), s, F.lit('.png">'),
+    )
+    d = _docs(spark, sf_dir).select(doc.alias("doc_id"), body.alias("body"))
+    uris = F.regexp_extract_all(
+        F.col("body"),
+        F.lit(r'data:image/([a-z]+);base64,([A-Za-z0-9+/=]+)'), 0,
+    )
+    entries = F.transform(
+        uris,
+        lambda u: F.struct(
+            F.regexp_extract(u, r"data:image/([a-z]+);", 1).alias("fmt"),
+            ((F.length(F.substring_index(u, ",", -1)) * 3) / 4)
+            .cast("long").alias("est_bytes"),
+        ),
+    )
+    return d.select(
+        "doc_id", F.posexplode(entries).alias("idx", "e")
+    ).select(
+        "doc_id", F.col("idx").cast("int").alias("idx"),
+        F.col("e.fmt").alias("fmt"),
+        F.col("e.est_bytes").alias("est_bytes"),
+    )
+
+
+ORACLE_DATA_URI = """
+SELECT doc_id, CAST(0 AS INTEGER) AS idx, 'png' AS fmt,
+       CAST(((400 + (doc_id % 50) * 4) * 3) // 4 AS BIGINT) AS est_bytes
+FROM documents
+UNION ALL
+SELECT doc_id, 1, 'jpeg', CAST((120 * 3) // 4 AS BIGINT)
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# paginate_synthesis — page=N families expand without fetching
+# --------------------------------------------------------------------------
+
+def q_paginate_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination synthesis: a URL carrying page=N spawns candidates
+    N+1..N+3 (capped) without waiting for each page to link the next —
+    the frontier shortcut for known-paginated families (synthesized
+    rows carry provenance so a 404 on page N+1 stops the family).
+    Pure HOF sequence fan-out."""
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    page_no = (doc % 7 + 1)
+    url = F.concat(F.lit("http://l.test/list"), (doc % 20).cast("string"),
+                   F.lit("?page="), page_no.cast("string"))
+    d = _docs(spark, sf_dir).select(
+        doc.alias("doc_id"), url.alias("url"),
+        page_no.cast("int").alias("page_no"),
+    )
+    nxt = F.transform(
+        F.sequence(F.col("page_no") + 1, F.col("page_no") + 3),
+        lambda p: F.concat(
+            F.regexp_replace(F.col("url"), r"page=\d+$", ""),
+            F.lit("page="), p.cast("string"),
+        ),
+    )
+    return d.select(
+        "doc_id", "url", F.explode(nxt).alias("candidate_url")
+    )
+
+
+ORACLE_PAGINATE_SYNTH = """
+SELECT doc_id,
+       'http://l.test/list' || CAST(doc_id % 20 AS VARCHAR) || '?page=' ||
+         CAST(doc_id % 7 + 1 AS VARCHAR) AS url,
+       'http://l.test/list' || CAST(doc_id % 20 AS VARCHAR) || '?page=' ||
+         CAST(doc_id % 7 + 1 + k.generate_series AS VARCHAR)
+         AS candidate_url
+FROM documents, generate_series(1, 3) AS k
 """
