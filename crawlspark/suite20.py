@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "declared_charset": q_declared_charset,
         "data_uri_images": q_data_uri_images,
         "paginate_synthesis": q_paginate_synthesis,
+        "picture_source": q_picture_source,
+        "open_redirects": q_open_redirects,
     }
 
 
@@ -219,6 +221,8 @@ def oracle_sql() -> dict[str, str]:
         "declared_charset": ORACLE_DECLARED_CHARSET,
         "data_uri_images": ORACLE_DATA_URI,
         "paginate_synthesis": ORACLE_PAGINATE_SYNTH,
+        "picture_source": ORACLE_PICTURE_SOURCE,
+        "open_redirects": ORACLE_OPEN_REDIRECTS,
     }
 
 
@@ -1054,4 +1058,129 @@ SELECT doc_id,
          CAST(doc_id % 7 + 1 + k.generate_series AS VARCHAR)
          AS candidate_url
 FROM documents, generate_series(1, 3) AS k
+"""
+
+
+# --------------------------------------------------------------------------
+# picture_source — modern responsive-image format preference
+# --------------------------------------------------------------------------
+
+def q_picture_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<picture> element handling: prefer the AVIF <source>, then WebP,
+    else the <img> fallback — the format-negotiation dance a modern
+    image crawler replays offline (fetching the JPEG fallback when an
+    AVIF exists wastes 40% of the bytes).  Pure regexp over picture
+    blocks."""
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    avif = F.when(doc % 3 == 0, F.concat(
+        F.lit('<source type="image/avif" srcset="/a'), s,
+        F.lit('.avif">'))).otherwise(F.lit(""))
+    webp = F.when(doc % 2 == 0, F.concat(
+        F.lit('<source type="image/webp" srcset="/w'), s,
+        F.lit('.webp">'))).otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("<picture>"), avif, webp,
+        F.lit('<img src="/f'), s, F.lit('.jpg"></picture>'),
+    )
+    d = _docs(spark, sf_dir).select(doc.alias("doc_id"), body.alias("body"))
+    pick_avif = F.regexp_extract(
+        F.col("body"),
+        r'(?i)<source\s[^>]*type\s*=\s*"image/avif"[^>]*srcset\s*=\s*"([^"]+)"',
+        1)
+    pick_webp = F.regexp_extract(
+        F.col("body"),
+        r'(?i)<source\s[^>]*type\s*=\s*"image/webp"[^>]*srcset\s*=\s*"([^"]+)"',
+        1)
+    fallback = F.regexp_extract(
+        F.col("body"), r'(?i)<img\s[^>]*src\s*=\s*"([^"]+)"', 1)
+    chosen = (
+        F.when(pick_avif != "", pick_avif)
+        .when(pick_webp != "", pick_webp)
+        .otherwise(fallback)
+    )
+    fmt = (
+        F.when(pick_avif != "", F.lit("avif"))
+        .when(pick_webp != "", F.lit("webp")).otherwise(F.lit("jpeg"))
+    )
+    return d.select("doc_id", chosen.alias("chosen_url"),
+                    fmt.alias("chosen_fmt"))
+
+
+ORACLE_PICTURE_SOURCE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0
+              THEN '/a' || CAST(doc_id AS VARCHAR) || '.avif'
+            WHEN doc_id % 2 = 0
+              THEN '/w' || CAST(doc_id AS VARCHAR) || '.webp'
+            ELSE '/f' || CAST(doc_id AS VARCHAR) || '.jpg' END
+         AS chosen_url,
+       CASE WHEN doc_id % 3 = 0 THEN 'avif'
+            WHEN doc_id % 2 = 0 THEN 'webp' ELSE 'jpeg' END AS chosen_fmt
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# open_redirects — redirect-param URLs pointing off-domain
+# --------------------------------------------------------------------------
+
+def q_open_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-redirect detection: URLs whose redirect/url/next query param
+    carries an ABSOLUTE target on a different registrable domain — the
+    links spammers plant to launder their targets through a reputable
+    host, and a frontier following them credits the wrong site.
+    Same-domain and relative-path targets stay clean."""
+    from .canon import host_expr, registrable_domain
+
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    target = (
+        F.when(doc % 4 == 0, F.lit("http%3A%2F%2Fevil.test%2Fx"))
+        .when(doc % 4 == 1, F.lit("http%3A%2F%2Fgood.test%2Fy"))
+        .when(doc % 4 == 2, F.lit("%2Flocal%2Fpath"))
+        .otherwise(F.lit(""))
+    )
+    url = F.when(
+        doc % 4 == 3,
+        F.concat(F.lit("http://good.test/p/"), s),
+    ).otherwise(
+        F.concat(F.lit("http://good.test/go?redirect="), target,
+                 F.lit("&id="), s)
+    )
+    d = _docs(spark, sf_dir).select(doc.alias("doc_id"), url.alias("url"))
+    raw = F.regexp_extract(
+        F.col("url"), r"[?&](?:redirect|url|next)=([^&#]+)", 1)
+    # minimal %-decode for the scheme/host probe (:/ are enough here)
+    decoded = F.replace(
+        F.replace(F.lower(raw), F.lit("%3a"), F.lit(":")),
+        F.lit("%2f"), F.lit("/"),
+    )
+    is_abs = decoded.startswith("http://") | decoded.startswith("https://")
+    tgt_dom = registrable_domain(host_expr(decoded))
+    own_dom = registrable_domain(host_expr(F.col("url")))
+    flagged = (raw != "") & is_abs & (tgt_dom != own_dom)
+    return d.select(
+        "doc_id", "url",
+        F.when(raw != "", decoded).alias("redirect_target"),
+        flagged.alias("open_redirect"),
+    )
+
+
+ORACLE_OPEN_REDIRECTS = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 = 3
+            THEN 'http://good.test/p/' || CAST(doc_id AS VARCHAR)
+            ELSE 'http://good.test/go?redirect=' ||
+              CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN 'http%3A%2F%2Fevil.test%2Fx'
+                WHEN 1 THEN 'http%3A%2F%2Fgood.test%2Fy'
+                ELSE '%2Flocal%2Fpath' END
+              || '&id=' || CAST(doc_id AS VARCHAR) END AS url,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'http://evil.test/x'
+         WHEN 1 THEN 'http://good.test/y'
+         WHEN 2 THEN '/local/path' END AS redirect_target,
+       doc_id % 4 = 0 AS open_redirect
+FROM documents
 """
