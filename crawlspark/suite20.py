@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paginate_synthesis": q_paginate_synthesis,
         "picture_source": q_picture_source,
         "open_redirects": q_open_redirects,
+        "lazy_images": q_lazy_images,
     }
 
 
@@ -223,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
         "paginate_synthesis": ORACLE_PAGINATE_SYNTH,
         "picture_source": ORACLE_PICTURE_SOURCE,
         "open_redirects": ORACLE_OPEN_REDIRECTS,
+        "lazy_images": ORACLE_LAZY_IMAGES,
     }
 
 
@@ -1182,5 +1184,55 @@ SELECT doc_id,
          WHEN 1 THEN 'http://good.test/y'
          WHEN 2 THEN '/local/path' END AS redirect_target,
        doc_id % 4 = 0 AS open_redirect
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# lazy_images — data-src / noscript fallbacks hiding the real image URL
+# --------------------------------------------------------------------------
+
+def q_lazy_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy-loading extraction: JS-lazyloaded images carry a 1px
+    placeholder in src and the REAL URL in data-src (or a <noscript>
+    twin) — a crawler reading only src harvests placeholders.  Per
+    img: effective_url = data-src if present else src, plus where it
+    came from; the noscript twin corroborates (n_sources)."""
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    lazy = F.when(doc % 2 == 0, F.concat(
+        F.lit('<img src="/1px.gif" data-src="/real/'), s,
+        F.lit('.jpg" loading="lazy">'
+              '<noscript><img src="/real/'), s,
+        F.lit('.jpg"></noscript>'))).otherwise(
+        F.concat(F.lit('<img src="/plain/'), s, F.lit('.jpg">')))
+    d = _docs(spark, sf_dir).select(
+        doc.alias("doc_id"), lazy.alias("body")
+    )
+    data_src = F.regexp_extract(
+        F.col("body"), r'(?i)<img\s[^>]*data-src\s*=\s*"([^"]+)"', 1)
+    plain_src = F.regexp_extract(
+        F.col("body"), r'(?i)<img\s(?![^>]*data-src)[^>]*src\s*=\s*"([^"]+)"',
+        1)
+    noscript = F.regexp_extract(
+        F.col("body"),
+        r'(?is)<noscript>.*?<img\s[^>]*src\s*=\s*"([^"]+)".*?</noscript>', 1)
+    effective = F.when(data_src != "", data_src).otherwise(plain_src)
+    source = F.when(data_src != "", F.lit("data-src")).otherwise(F.lit("src"))
+    corroborated = (noscript != "") & (noscript == effective)
+    return d.select(
+        "doc_id", effective.alias("effective_url"), source.alias("source"),
+        corroborated.alias("noscript_corroborated"),
+    )
+
+
+ORACLE_LAZY_IMAGES = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0
+            THEN '/real/' || CAST(doc_id AS VARCHAR) || '.jpg'
+            ELSE '/plain/' || CAST(doc_id AS VARCHAR) || '.jpg' END
+         AS effective_url,
+       CASE WHEN doc_id % 2 = 0 THEN 'data-src' ELSE 'src' END AS source,
+       doc_id % 2 = 0 AS noscript_corroborated
 FROM documents
 """
