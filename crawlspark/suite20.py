@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "picture_source": q_picture_source,
         "open_redirects": q_open_redirects,
         "lazy_images": q_lazy_images,
+        "shard_integrity": q_shard_integrity,
+        "snippets": q_snippets,
     }
 
 
@@ -225,6 +227,8 @@ def oracle_sql() -> dict[str, str]:
         "picture_source": ORACLE_PICTURE_SOURCE,
         "open_redirects": ORACLE_OPEN_REDIRECTS,
         "lazy_images": ORACLE_LAZY_IMAGES,
+        "shard_integrity": ORACLE_SHARD_INTEGRITY,
+        "snippets": ORACLE_SNIPPETS,
     }
 
 
@@ -1235,4 +1239,117 @@ SELECT doc_id,
        CASE WHEN doc_id % 2 = 0 THEN 'data-src' ELSE 'src' END AS source,
        doc_id % 2 = 0 AS noscript_corroborated
 FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# shard_integrity — no document may land in two shards
+# --------------------------------------------------------------------------
+
+def q_shard_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard integrity invariant: a document assigned to more
+    than one shard would be seen twice per epoch (silent upsampling).
+    The fixture plants doc%50==0 ids into a second shard; the report
+    lists every violator with its shard set — an empty result is the
+    healthy state the delivery gate asserts."""
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    a = _docs(spark, sf_dir).select(
+        F.concat(F.lit("d"), s).alias("doc"),
+        F.concat(F.lit("shard-"), (doc % 16).cast("string")).alias("shard"),
+    )
+    b = _docs(spark, sf_dir).filter(doc % 50 == 0).select(
+        F.concat(F.lit("d"), s).alias("doc"),
+        F.concat(F.lit("shard-"), ((doc + 1) % 16).cast("string"))
+        .alias("shard"),
+    )
+    assigned = a.unionByName(b)
+    dup = assigned.groupBy("doc").agg(
+        F.countDistinct("shard").cast("long").alias("n_shards"),
+        F.concat_ws("|", F.sort_array(F.collect_set("shard")))
+        .alias("shards"),
+    )
+    return dup.filter(F.col("n_shards") > 1)
+
+
+ORACLE_SHARD_INTEGRITY = """
+WITH v AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0)
+SELECT 'd' || CAST(doc_id AS VARCHAR) AS doc,
+       CAST(2 AS BIGINT) AS n_shards,
+       CASE WHEN doc_id % 16 < (doc_id + 1) % 16
+            THEN 'shard-' || CAST(doc_id % 16 AS VARCHAR) || '|shard-' ||
+                 CAST((doc_id + 1) % 16 AS VARCHAR)
+            ELSE 'shard-' || CAST((doc_id + 1) % 16 AS VARCHAR) ||
+                 '|shard-' || CAST(doc_id % 16 AS VARCHAR) END AS shards
+FROM v
+"""
+
+
+# --------------------------------------------------------------------------
+# snippets — word-boundary truncated index snippets
+# --------------------------------------------------------------------------
+
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERP-style snippet generation: the first words of each document
+    up to an 80-char budget, cut at a WORD boundary with an ellipsis
+    (mid-word cuts read broken); in-budget docs pass whole.  Pure HOF
+    fold over the token array."""
+    doc = F.col("doc_id")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    # longest prefix of tokens whose joined length stays <= 80
+    prefix = F.aggregate(
+        toks,
+        F.struct(F.lit("").alias("acc"), F.lit(False).alias("stop")),
+        lambda st, w: F.when(
+            st["stop"]
+            | ((F.length(st["acc"]) + F.length(w) + 1) > 80),
+            F.struct(st["acc"].alias("acc"), F.lit(True).alias("stop")),
+        ).otherwise(
+            F.struct(
+                F.when(st["acc"] == "", w)
+                .otherwise(F.concat(st["acc"], F.lit(" "), w)).alias("acc"),
+                F.lit(False).alias("stop"),
+            )
+        ),
+    )
+    snippet = F.when(
+        prefix["stop"], F.concat(prefix["acc"], F.lit(" ..."))
+    ).otherwise(prefix["acc"])
+    return _docs(spark, sf_dir).select(
+        doc.alias("doc_id"), snippet.alias("snippet"),
+        prefix["stop"].alias("truncated"),
+    )
+
+
+ORACLE_SNIPPETS = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, k.generate_series AS pos,
+         toks[k.generate_series] AS word
+  FROM t, generate_series(1, 4096) AS k
+  WHERE k.generate_series <= len(toks)
+),
+c AS (
+  SELECT doc_id, pos,
+         SUM(length(word)) OVER (PARTITION BY doc_id ORDER BY pos)
+           + pos - 1 AS joined_len
+  FROM w
+),
+k AS (
+  SELECT t.doc_id,
+         COALESCE((SELECT MAX(pos) FROM c
+                   WHERE c.doc_id = t.doc_id AND joined_len <= 80), 0) AS k,
+         len(t.toks) AS n, t.toks
+  FROM t
+)
+SELECT doc_id,
+       COALESCE(list_aggregate(list_slice(toks, 1, k), 'string_agg', ' '),
+                '')
+         || CASE WHEN k < n THEN ' ...' ELSE '' END AS snippet,
+       k < n AS truncated
+FROM k
 """

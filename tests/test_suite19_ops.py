@@ -270,3 +270,44 @@ def test_pagerank_warm_start_equivalence(spark):
     ).collect()}
     # integer arithmetic: 3+1 warm == 4 cold, bit for bit
     assert resumed == cold
+
+
+def test_snippet_word_boundary(spark):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from crawlspark.suite20 import q_snippets  # noqa: F401 (fixture reuse)
+    from pyspark.sql import functions as FF
+    # direct check of the fold semantics on controlled text
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "x " * 100)],
+        "doc_id LONG, text STRING")
+    toks = FF.filter(FF.split(FF.col("text"), r"\s+"), lambda w: w != "")
+    prefix = FF.aggregate(
+        toks,
+        FF.struct(FF.lit("").alias("acc"), FF.lit(False).alias("stop")),
+        lambda st, w: FF.when(
+            st["stop"] | ((FF.length(st["acc"]) + FF.length(w) + 1) > 80),
+            FF.struct(st["acc"].alias("acc"), FF.lit(True).alias("stop")),
+        ).otherwise(FF.struct(
+            FF.when(st["acc"] == "", w)
+            .otherwise(FF.concat(st["acc"], FF.lit(" "), w)).alias("acc"),
+            FF.lit(False).alias("stop"))),
+    )
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", prefix["acc"].alias("a"), prefix["stop"].alias("s")
+    ).collect()}
+    assert out[1].a == "alpha beta gamma" and out[1].s is False
+    # 100 'x' tokens: 40 fit in 80 chars (40*2-1=79), 41st would hit 81
+    assert out[2].s is True
+    assert len(out[2].a) <= 80 and out[2].a.split(" ") == ["x"] * 40
+
+
+def test_shard_integrity_violations(spark):
+    from pyspark.sql import functions as FF
+    assigned = spark.createDataFrame(
+        [("d1", "s1"), ("d1", "s2"), ("d2", "s1"), ("d3", "s3"),
+         ("d3", "s3")],  # same-shard twice is NOT a violation
+        "doc STRING, shard STRING")
+    dup = assigned.groupBy("doc").agg(
+        FF.countDistinct("shard").alias("n")).filter(FF.col("n") > 1)
+    assert [r.doc for r in dup.collect()] == ["d1"]
