@@ -452,11 +452,15 @@ def mine_droppable_params(
             F.filter(params, lambda p: p != "")
         ).alias("param"),
     )
-    # base = url with THIS param (and its value) removed, '&&'/'?&' tidied
+    # base = url with THIS param (and its value) removed, '&&'/'?&' tidied.
+    # The param name is DATA interpolated into a regex pattern: names like
+    # PHP's 'ids[]' are valid query keys but invalid Java regexes, so every
+    # non-[A-Za-z0-9_] char is backslash-escaped before the concat.
     base = F.regexp_replace(
         F.regexp_replace(
-            F.expr("regexp_replace(u, concat('([?&])', param, '=[^&#]*'),"
-                   " '$1')"),
+            F.expr("regexp_replace(u, concat('([?&])',"
+                   " regexp_replace(param, '([^a-zA-Z0-9_])', '\\\\\\\\$1'),"
+                   " '=[^&#]*'), '$1')"),
             r"[?&]&", "?"),
         r"[?&]$", "")
     per_base = (

@@ -214,15 +214,17 @@ def retention_sweep(
     URL, tombstone the rest — the storage GC that bounds a continuously
     re-crawled archive (pair with :func:`crawl_diff`'s ``removed``
     tombstones and the CAS store's refcounts before actually deleting
-    payload bytes).  One partitioned window per URL, newest-first with
-    the url as tiebreak... the timestamp alone suffices per URL since a
-    URL is fetched once per wave.  Returns every row annotated
-    (capture_rank, keep) rather than dropping — the sweep job deletes
-    ``NOT keep`` after the CAS refcount check.
+    payload bytes).  One partitioned window per URL, newest-first; ties
+    on fetch_ts (two captures in the same wave, clock-coarse stores)
+    break on xxhash64 of the full row, so capture_rank/keep are
+    deterministic across runs regardless of partition layout.  Returns
+    every row annotated (capture_rank, keep) rather than dropping — the
+    sweep job deletes ``NOT keep`` after the CAS refcount check.
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(url_col).orderBy(F.desc(ts_col))
+    tiebreak = F.xxhash64(*[F.col(c) for c in snapshots.columns])
+    w = Window.partitionBy(url_col).orderBy(F.desc(ts_col), F.desc(tiebreak))
     rank = F.row_number().over(w)
     return snapshots.select(
         "*",

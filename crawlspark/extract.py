@@ -426,8 +426,10 @@ def img_srcset_candidates(
             F.size(cands).cast("int").alias("n_candidates"),
         )
 
-    idx = F.sequence(F.lit(0), F.size(tag_arr) - 1)
-    return F.zip_with(tag_arr, idx, parse_tag)
+    # transform's (element, index) lambda — NOT sequence(0, size-1) +
+    # zip_with, whose descending [0, -1] on an imageless page would pad
+    # the empty tag array with two phantom null-url structs.
+    return F.transform(tag_arr, lambda tag, i: parse_tag(tag, i))
 
 
 def sitemap_image_entries(body: Column) -> Column:

@@ -163,9 +163,13 @@ def image_validation_stream(
     stateless per row, and the caption reference is a STATIC relation —
     a static-batch join inside the batch closure needs no watermark and
     reuses the batch plan (broadcast when small).  The streaming
-    checkpoint makes file delivery exactly-once across restarts; a batch's
-    two writes are idempotent per batch_id (re-run overwrites the same
-    provenance slice semantics an Iceberg MERGE would give)."""
+    checkpoint makes file delivery exactly-once across restarts; each
+    batch's two writes land in a ``batch_id=N`` partition via dynamic
+    partition overwrite, so a crash between a write and the checkpoint
+    commit replays the batch INTO THE SAME partition (replacing it, not
+    appending duplicates) — the parquet analog of an Iceberg MERGE on
+    the batch key.  Validation is deterministic per row, so a replayed
+    batch rewrites byte-identical partitions."""
     from . import images
 
     def process(batch: DataFrame, batch_id: int) -> None:
@@ -191,9 +195,15 @@ def image_validation_stream(
         ).localCheckpoint(eager=True)  # one validation pass feeds both sinks
         ok = out.filter(F.col("valid") & F.col("caption_ok"))
         bad = out.filter(~(F.col("valid") & F.col("caption_ok")))
-        ok.write.mode("append").parquet(f"{out_dir}/results")
+        # dynamic partition overwrite on batch_id: a replayed batch
+        # replaces its own partition instead of appending duplicates
+        (ok.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(f"{out_dir}/results"))
         if bad.count():
-            bad.write.mode("append").parquet(f"{out_dir}/quarantine")
+            (bad.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(f"{out_dir}/quarantine"))
 
     q = (
         spark.readStream.schema(IMAGE_STREAM_SCHEMA)

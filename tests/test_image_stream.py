@@ -51,3 +51,32 @@ def test_image_validation_stream_two_batches(spark, tmp_path):
 
     # two micro-batches, provenance recorded
     assert landed.select("batch_id").distinct().count() == 2
+
+
+def test_image_validation_stream_replay_idempotent(spark, tmp_path):
+    """Replaying a batch (crash between write and checkpoint commit,
+    simulated with a fresh checkpoint dir over the same out_dir) must
+    REPLACE its batch_id partition, not append duplicates (ADVICE r2)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    imgs = images.generate_images(spark, SF_DIR, docs=docs).localCheckpoint(
+        eager=True
+    )
+    src = str(tmp_path / "src")
+    imgs.coalesce(1).write.mode("append").parquet(src)
+    ref = docs.select(
+        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias(
+            "image_id"
+        ),
+        images.ref_caption_col(F.col("text")).alias("ref_caption"),
+    )
+    out = str(tmp_path / "out")
+    streaming.image_validation_stream(
+        spark, src, out, str(tmp_path / "ckpt1"), ref
+    )
+    n_first = spark.read.parquet(f"{out}/results").count()
+    streaming.image_validation_stream(
+        spark, src, out, str(tmp_path / "ckpt2"), ref
+    )
+    landed = spark.read.parquet(f"{out}/results")
+    assert landed.count() == n_first
+    assert landed.select("image_id").distinct().count() == n_first

@@ -51,3 +51,22 @@ def test_circuit_breaker_states(spark):
     assert out["cool.test"].state == "half_open"
     # stale failures fell out of the window entirely
     assert out["old.test"].state == "closed" and out["old.test"].n_fail == 0
+
+
+def test_param_mining_regex_metachar_names(spark):
+    """Param names are data, not regex: 'ids[]' (PHP array params) and
+    dotted names must mine cleanly instead of aborting the job with
+    INVALID_PARAMETER_VALUE.PATTERN (ADVICE r2)."""
+    pages = spark.createDataFrame(
+        [("h", "http://h/p?ids[]=1&x=2", "c1"),
+         ("h", "http://h/p?ids[]=9&x=2", "c1"),
+         ("h", "http://h/p?ids[]=1&x=3", "c2"),
+         ("h", "http://h/q?s.id=7", "c3")],
+        "host STRING, url STRING, content_hash STRING")
+    out = {r.param: r for r in mine_droppable_params(pages).collect()}
+    # ids[] never changes content within a base -> droppable
+    assert out["ids[]"].droppable is True
+    # x flips the hash within its base -> content-bearing
+    assert out["x"].droppable is False
+    # dotted name parses as a literal, singleton base -> unwitnessed
+    assert out["s.id"].droppable is False

@@ -311,3 +311,22 @@ def test_shard_integrity_violations(spark):
     dup = assigned.groupBy("doc").agg(
         FF.countDistinct("shard").alias("n")).filter(FF.col("n") > 1)
     assert [r.doc for r in dup.collect()] == ["d1"]
+
+
+def test_retention_sweep_equal_ts_deterministic(spark):
+    """Equal-timestamp captures (same wave / coarse clock) must get the
+    SAME capture_rank on every run: the window tiebreaks on a full-row
+    hash, not partition luck (ADVICE r2)."""
+    from crawlspark.checkpoint import retention_sweep
+
+    rows = [("http://t.test/p", 100, f"H{i}") for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "url STRING, fetch_ts LONG, content_hash STRING")
+    runs = []
+    for n_part in (1, 4, 7):
+        swept = retention_sweep(df.repartition(n_part), keep_last=3)
+        runs.append(sorted(
+            (r.content_hash, r.capture_rank, r.keep)
+            for r in swept.collect()))
+    assert runs[0] == runs[1] == runs[2]
+    assert sum(1 for _, _, k in runs[0] if k) == 3

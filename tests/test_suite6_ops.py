@@ -301,3 +301,18 @@ def test_sniff_image_format_magics(spark):
     ).collect()
     for r in rows:
         assert r.got == r.exp, r
+
+
+def test_srcset_imageless_page_empty_array(spark):
+    """A page with zero <img> tags must yield an EMPTY candidate array,
+    not two phantom structs from sequence(0,-1) zip_with padding
+    (ADVICE r2)."""
+    from crawlspark.extract import img_srcset_candidates
+    n = (
+        spark.range(1)
+        .select(F.size(img_srcset_candidates(
+            F.lit("<p>plain text, no images</p>"),
+            F.lit("http://h.test/d/page.html"))).alias("n"))
+        .collect()[0].n
+    )
+    assert n == 0
