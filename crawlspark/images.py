@@ -549,3 +549,109 @@ def thumbnail_pyramid_plan(
         F.col("d.h").cast("int").alias("h"),
         (F.col("d.w") * F.col("d.h") * 3).cast("long").alias("est_bytes"),
     )
+
+
+# --------------------------------------------------------------------------
+# dihedral-canonical phash: mirror/rotation-invariant image identity
+# --------------------------------------------------------------------------
+
+_DIHEDRAL_MAPS = None
+
+
+def _dihedral_grids(bits: np.ndarray) -> list[np.ndarray]:
+    """The 8 dihedral-group orientations of (n, 8, 8) bit grids, in the
+    FIXED order the oracle SQL generator replays: identity, hflip,
+    vflip, rot180, transpose, transpose+hflip, transpose+vflip,
+    transpose+rot180."""
+    t = bits.swapaxes(1, 2)
+    return [
+        bits, bits[:, :, ::-1], bits[:, ::-1, :], bits[:, ::-1, ::-1],
+        t, t[:, :, ::-1], t[:, ::-1, :], t[:, ::-1, ::-1],
+    ]
+
+
+def dihedral_index_maps() -> list[list[tuple[int, int]]]:
+    """For each orientation, the source (row, col) feeding output bit
+    (r, c) in row-major order — consumed by the oracle SQL generator so
+    SQL and numpy share ONE definition of the group."""
+    maps = []
+    for g in _dihedral_grids(np.arange(64, dtype=np.int64).reshape(1, 8, 8)):
+        flat = g.reshape(64)
+        maps.append([(int(v) // 8, int(v) % 8) for v in flat])
+    return maps
+
+
+def dihedral_phash_struct(phash_col) -> "F.Column":
+    """Mirror/rotation-canonical perceptual hash: reposted web images
+    are routinely FLIPPED (memes, product shots, art mirrors), which
+    scrambles a raw 64-bit grid hash — every dihedral variant of the
+    image yields a different phash and near-dup banding misses the
+    pair.  Canonicalizing the HASH costs nothing at fetch time: the
+    8x8 bit grid of the mean-hash commutes with the image's dihedral
+    transforms, so min over the 8 grid permutations (as unsigned
+    64-bit values) is a flip/rotation-invariant identity.
+
+    One Arrow-vectorized pandas_udf over the int64 column — unpack to
+    (n, 8, 8) bit grids, 8 numpy views, repack with disjoint-bit
+    weights, unsigned min; no per-row Python.  At 10^10 images this is
+    a narrow scan-fused stage.
+
+    Returns struct<canonical_phash:long, n_orientations:int> —
+    n_orientations counts DISTINCT variants (1/2/4 for self-symmetric
+    grids; symmetric logos collapse hard).
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("canonical_phash LONG, n_orientations INT")
+    def canon(ph: pd.Series) -> pd.DataFrame:
+        k = ph.to_numpy(dtype=np.int64).astype(np.uint64)
+        if len(k) == 0:
+            return pd.DataFrame({
+                "canonical_phash": pd.Series([], dtype="int64"),
+                "n_orientations": pd.Series([], dtype="int32"),
+            })
+        shifts = (np.uint64(8) * np.arange(8, dtype=np.uint64))
+        rows = (k[:, None] >> shifts) & np.uint64(0xFF)
+        bits = ((rows[:, :, None] >> np.arange(8, dtype=np.uint64))
+                & np.uint64(1)).astype(np.uint8)  # (n, row, col)
+        w = np.uint64(1) << (
+            np.uint64(8) * np.arange(8, dtype=np.uint64)[:, None]
+            + np.arange(8, dtype=np.uint64)[None, :]
+        )
+        vals = np.stack(
+            [ (g.astype(np.uint64) * w).sum(axis=(1, 2), dtype=np.uint64)
+              for g in _dihedral_grids(bits) ],
+            axis=1,
+        )  # (n, 8) raw uint64 per orientation
+        s = np.sort(vals, axis=1)
+        nor = (1 + (s[:, 1:] != s[:, :-1]).sum(axis=1)).astype(np.int32)
+        return pd.DataFrame({
+            "canonical_phash": s[:, 0].astype(np.int64),
+            "n_orientations": nor,
+        })
+
+    return canon(phash_col)
+
+
+def phash_hflip(phash_col) -> "F.Column":
+    """The horizontal-mirror variant of a 64-bit grid phash (orientation
+    1 of :func:`dihedral_phash_struct`) — fixture/test helper for
+    planting mirrored reposts."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("long")
+    def flip(ph: pd.Series) -> pd.Series:
+        k = ph.to_numpy(dtype=np.int64).astype(np.uint64)
+        shifts = (np.uint64(8) * np.arange(8, dtype=np.uint64))
+        rows = (k[:, None] >> shifts) & np.uint64(0xFF)
+        bits = ((rows[:, :, None] >> np.arange(8, dtype=np.uint64))
+                & np.uint64(1)).astype(np.uint8)
+        g = bits[:, :, ::-1]
+        w = np.uint64(1) << (
+            np.uint64(8) * np.arange(8, dtype=np.uint64)[:, None]
+            + np.arange(8, dtype=np.uint64)[None, :]
+        )
+        v = (g.astype(np.uint64) * w).sum(axis=(1, 2), dtype=np.uint64)
+        return pd.Series(v.astype(np.int64))
+
+    return flip(phash_col)

@@ -396,3 +396,246 @@ def detect_link_exchange(
         sym.cast("long").alias("symmetry_permille"),
         exchange.alias("exchange"),
     )
+
+
+OPIC_SCALE = 10**12
+
+
+def opic(
+    spark: SparkSession,
+    n: int,
+    waves: int = 4,
+    k: int | None = None,
+    edges_df: DataFrame | None = None,
+    scale: int = OPIC_SCALE,
+) -> DataFrame:
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobena, WWW 2003): the crawl-native importance estimator that needs
+    NO full-graph power iteration.  Every page carries ``cash`` and
+    ``hist``; each wave the crawler greedily fetches the ``k`` pages
+    holding the most cash, banks that cash into their history, and
+    deals it equally to their out-links.  ``hist + cash`` converges to
+    (unnormalized) page importance WHILE the crawl runs — importance
+    estimates arrive wave-by-wave instead of after an offline PageRank
+    over the finished graph (the reference has no ranking at all; its
+    frontier is FIFO, src/Steps/Loading/HttpCrawl.php:45-53).
+
+    Determinism/exactness: integer arithmetic throughout (cash in
+    1/``scale`` units, floor-div distribution), selection ties break on
+    doc id, so a SQL oracle replays the greedy schedule bit-exactly —
+    same discipline as :func:`pagerank`.
+
+    Scale shape (10^10-doc frontier): the per-wave top-k is
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver —
+    never a global sort or single-partition window); the selected set
+    (<= k rows) broadcasts into both the flag join and the edge join,
+    so each wave's only wide op is the map-side-combined inflow
+    groupBy(dst); state localCheckpoints per wave keeping the plan O(1)
+    in wave count.  Dangling selected pages bank their cash but deal
+    nothing (the virtual-page redistribution of the paper is a teleport
+    refinement, not needed on the dangling-free synthetic graph).
+
+    Returns (doc, cash, hist, importance) with importance = cash + hist.
+    """
+    docs = spark.range(n).select(F.col("id").alias("doc"))
+    e = (edges_df or graph.edges_from(
+        docs.select(F.col("doc").alias("src")), n)).select("src", "dst")
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    e2 = e.join(outdeg, "src").repartition("src").localCheckpoint(eager=True)
+    if k is None:
+        k = max(n // 20, 1)
+    st = docs.select(
+        "doc",
+        F.lit(scale // n).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+    ).localCheckpoint(eager=True)
+    for _ in range(waves):
+        sel = (
+            st.orderBy(F.desc("cash"), F.asc("doc")).limit(k)
+            .select("doc", F.col("cash").alias("__scash"))
+        )
+        inflow = (
+            e2.join(
+                F.broadcast(sel.select(F.col("doc").alias("src"),
+                                       F.col("__scash"))),
+                "src",
+            )
+            .select("dst", F.expr("__scash div od").alias("c"))
+            .groupBy("dst").agg(F.sum("c").alias("inflow"))
+        )
+        st = (
+            st.join(F.broadcast(sel.select("doc").withColumn(
+                "__sel", F.lit(True))), "doc", "left")
+            .join(inflow, st.doc == inflow.dst, "left")
+            .select(
+                "doc",
+                (F.when(F.col("__sel").isNotNull(), F.lit(0))
+                 .otherwise(F.col("cash"))
+                 + F.coalesce(F.col("inflow"), F.lit(0))
+                 ).cast("long").alias("cash"),
+                (F.col("hist")
+                 + F.when(F.col("__sel").isNotNull(), F.col("cash"))
+                 .otherwise(F.lit(0))).cast("long").alias("hist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return st.select(
+        "doc", "cash", "hist",
+        (F.col("cash") + F.col("hist")).cast("long").alias("importance"),
+    )
+
+
+def opic_oracle_sql(waves: int = 4, scale: int = OPIC_SCALE) -> str:
+    """Unrolled-CTE SQL replay of :func:`opic` over the documents-sized
+    formula graph (k = greatest(n // 20, 1), same greedy schedule)."""
+    parts = [
+        "WITH nn AS (SELECT COUNT(*) AS c FROM documents),",
+        "kk AS (SELECT GREATEST(c // 20, 1) AS k FROM nn),",
+        "e AS (",
+        "  SELECT d.doc_id AS src,",
+        "         CASE p.pos",
+        "           WHEN 0 THEN (2*d.doc_id + 1) % nn.c",
+        "           WHEN 1 THEN (2*d.doc_id + 2) % nn.c",
+        "           WHEN 2 THEN (5*d.doc_id + 3) % nn.c",
+        "           ELSE (d.doc_id + 17) % nn.c",
+        "         END AS dst",
+        "  FROM documents d CROSS JOIN nn",
+        "  CROSS JOIN (VALUES (0),(1),(2),(3)) AS p(pos)",
+        "),",
+        "od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),",
+        f"st0 AS (SELECT doc_id AS doc, (SELECT {scale} // c FROM nn) AS cash,"
+        " CAST(0 AS BIGINT) AS hist FROM documents),",
+    ]
+    for i in range(1, waves + 1):
+        p = i - 1
+        parts += [
+            f"sel{i} AS (SELECT doc, cash, hist,",
+            "  ROW_NUMBER() OVER (ORDER BY cash DESC, doc)"
+            " <= (SELECT k FROM kk) AS sel",
+            f"  FROM st{p}),",
+            f"inf{i} AS (SELECT e.dst AS doc,",
+            "  CAST(SUM(s.cash // od.od) AS BIGINT) AS inflow",
+            f"  FROM sel{i} s JOIN e ON e.src = s.doc JOIN od USING (src)",
+            "  WHERE s.sel GROUP BY e.dst),",
+            f"st{i} AS (SELECT s.doc,",
+            "  CAST(CASE WHEN s.sel THEN 0 ELSE s.cash END"
+            f" + COALESCE(i.inflow, 0) AS BIGINT) AS cash,",
+            "  CAST(s.hist + CASE WHEN s.sel THEN s.cash ELSE 0 END"
+            " AS BIGINT) AS hist",
+            f"  FROM sel{i} s LEFT JOIN inf{i} i USING (doc)),",
+        ]
+    parts += [
+        f"fin AS (SELECT doc, cash, hist FROM st{waves})",
+        "SELECT doc, cash, hist, CAST(cash + hist AS BIGINT) AS importance",
+        "FROM fin ORDER BY doc",
+    ]
+    return "\n".join(parts)
+
+
+def trustrank(
+    spark: SparkSession,
+    n: int,
+    seed_mod: int = 50,
+    iters: int = 3,
+    d_permille: int = 850,
+    edges_df: DataFrame | None = None,
+    scale: int = SCALE,
+) -> DataFrame:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004):
+    personalized PageRank whose teleport mass lands ONLY on a vetted
+    seed whitelist, so trust decays with link distance from known-good
+    pages and spam farms (which no trusted page links to) starve — the
+    frontier-demotion complement to :func:`pagerank` (spam_propagation
+    is the one-hop version; this is the fixpoint).
+
+    Same integer discipline as pagerank: trust in 1/``scale`` units,
+    floor-div distribution, bit-stable under any partitioning.  Seeds =
+    docs with ``doc % seed_mod == 0`` (a deterministic stand-in for the
+    human-vetted list); t0 = scale // |T| on seeds, 0 elsewhere;
+
+        t'(v) = d * sum_{u->v} (t(u) // od(u)) // 1000
+                + [v in T] * (1000 - d) * (scale // |T|) // 1000
+
+    Scale shape: identical to pagerank — SHUFFLE_HASH edge join against
+    the compact trust relation, map-side-combined groupBy(dst),
+    localCheckpoint per iteration; the seed flag is an arithmetic
+    predicate, not a join.  Returns (doc, trust_scaled).
+    """
+    docs = spark.range(n).select(F.col("id").alias("doc"))
+    e = (edges_df or graph.edges_from(
+        docs.select(F.col("doc").alias("src")), n)).select("src", "dst")
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    e2 = e.join(outdeg, "src").repartition("src").localCheckpoint(eager=True)
+    n_seeds = (n + seed_mod - 1) // seed_mod  # docs 0, m, 2m, ... < n
+    seed = (F.col("doc") % seed_mod == 0).cast("long")
+    base = (1000 - d_permille) * (scale // n_seeds) // 1000
+    ranks = docs.select(
+        "doc", (seed * (scale // n_seeds)).cast("long").alias("r")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            e2.join(
+                ranks.withColumnRenamed("doc", "src").hint("SHUFFLE_HASH"),
+                "src",
+            )
+            .select(F.col("dst"), F.expr("r div od").alias("c"))
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            docs.join(sums, docs.doc == sums.dst, "left")
+            .select(
+                "doc",
+                (seed * base
+                 + F.expr(f"({d_permille} * coalesce(s, 0)) div 1000")
+                 ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("doc", F.col("r").alias("trust_scaled"))
+
+
+def trustrank_oracle_sql(seed_mod: int = 50, iters: int = 3,
+                         d_permille: int = 850, scale: int = SCALE) -> str:
+    """Unrolled-CTE SQL replay of :func:`trustrank` over the
+    documents-sized formula graph."""
+    dp = d_permille
+    parts = [
+        "WITH nn AS (SELECT COUNT(*) AS c FROM documents),",
+        f"ns AS (SELECT (c + {seed_mod} - 1) // {seed_mod} AS t FROM nn),",
+        "e AS (",
+        "  SELECT d.doc_id AS src,",
+        "         CASE p.pos",
+        "           WHEN 0 THEN (2*d.doc_id + 1) % nn.c",
+        "           WHEN 1 THEN (2*d.doc_id + 2) % nn.c",
+        "           WHEN 2 THEN (5*d.doc_id + 3) % nn.c",
+        "           ELSE (d.doc_id + 17) % nn.c",
+        "         END AS dst",
+        "  FROM documents d CROSS JOIN nn",
+        "  CROSS JOIN (VALUES (0),(1),(2),(3)) AS p(pos)",
+        "),",
+        "od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),",
+        f"bs AS (SELECT ({scale} // t) AS r0,"
+        f" ((1000 - {dp}) * ({scale} // t)) // 1000 AS base FROM ns),",
+        f"r0 AS (SELECT doc_id AS doc, CAST(CASE WHEN doc_id % {seed_mod} = 0"
+        " THEN (SELECT r0 FROM bs) ELSE 0 END AS BIGINT) AS r"
+        " FROM documents),",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts += [
+            f"s{i} AS (",
+            f"  SELECT e.dst AS doc, CAST(SUM(r{p}.r // od.od) AS BIGINT) AS s",
+            f"  FROM e JOIN od USING (src) JOIN r{p} ON r{p}.doc = e.src",
+            "  GROUP BY e.dst",
+            "),",
+            f"r{i} AS (SELECT d.doc_id AS doc,"
+            f" CAST(CASE WHEN d.doc_id % {seed_mod} = 0"
+            " THEN (SELECT base FROM bs) ELSE 0 END"
+            f" + ({dp} * COALESCE(s{i}.s, 0)) // 1000 AS BIGINT) AS r",
+            f"  FROM documents d LEFT JOIN s{i} ON s{i}.doc = d.doc_id),",
+        ]
+    parts += [
+        f"fin AS (SELECT doc, r FROM r{iters})",
+        "SELECT doc, r AS trust_scaled FROM fin ORDER BY doc",
+    ]
+    return "\n".join(parts)
