@@ -519,10 +519,16 @@ PAGINATE_MAX_PAGES = 5  # Paginator.php MAX_PAGES_DEFAULT=1000, capped for test
 
 def q_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Http::paginate driver loop: follow 'next page' until empty or
-    maxPages (Paginate.php:35-78).  Pages = row_number windows."""
+    maxPages (Paginate.php:35-78).  Page membership needs a global rank;
+    computed with ranks.global_rank's two-phase plan (range partition +
+    per-partition offsets) so no single-partition window touches the
+    full relation."""
+    from . import ranks
+
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    w = Window.orderBy("o_orderkey")
-    rn = o.select("o_orderkey", F.row_number().over(w).alias("rn"))
+    rn = ranks.global_rank(
+        o.select("o_orderkey"), "o_orderkey", out="rn"
+    )
     rn = rn.persist()
     pages = []
     for p in range(PAGINATE_MAX_PAGES):
@@ -1684,8 +1690,13 @@ FROM s
 def q_cookie_jar_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CookieJar domain matching (src/Loader/Http/Cookies/CookieJar.php:
     95-130): cookies are keyed by registrable domain and sent to any host
-    under it; host-scoped cookies only match their exact host.  Broadcast
-    join of the (tiny) jar against the request stream."""
+    under it; host-scoped cookies only match their exact host.
+
+    Scale shape: "host == domain OR host endswith '.'+domain" is
+    equivalent to an EQUI-join between the jar's domain key and the
+    host's dot-suffix chain (<= #labels per host, bounded fan-out), so
+    the plan is a hash join, never an O(requests x jar) nested loop —
+    a real jar grows with hosts visited and cannot be nested-looped."""
     d = _docs(spark, sf_dir)
     reqs = d.select(
         "doc_id",
@@ -1698,10 +1709,17 @@ def q_cookie_jar_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(graph.DOMAIN, "sid"), (f"h3.{graph.DOMAIN}", "pref")],
         "domain STRING, cookie_name STRING",
     )
-    cond = (F.col("host") == F.col("domain")) | F.col("host").endswith(
-        F.concat(F.lit("."), F.col("domain"))
+    labels = F.split(F.col("host"), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(F.slice(labels, i, F.size(labels)), "."),
     )
-    return reqs.join(F.broadcast(jar), cond).select("doc_id", "cookie_name")
+    expanded = reqs.select(
+        "doc_id", F.explode(suffixes).alias("suffix")
+    )
+    return expanded.join(
+        F.broadcast(jar), F.col("suffix") == F.col("domain")
+    ).select("doc_id", "cookie_name")
 
 
 ORACLE_COOKIES = f"""
