@@ -911,3 +911,58 @@ def feed_enclosures(body: Column) -> Column:
         ),
     )
     return F.filter(per_item, lambda e: e["media_url"] != "")
+
+
+# ---------------------------------------------------------------------------
+# resolution-variant image-URL folding
+
+_VARIANT_EXTS = "jpg|jpeg|png|webp"
+# the three suffix conventions CDNs/CMSes put between stem and extension
+_VARIANT_RX = (
+    rf"(-\d{{2,4}}x\d{{2,4}}|_\d{{2,4}}w|@[23]x)(\.(?:{_VARIANT_EXTS}))$"
+)
+_ORIGINAL_RANK = 1_000_000_000
+
+
+def fold_image_variants(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Fold resolution-variant image URLs onto one canonical fetch.
+
+    Image CDNs serve the same asset under many URLs — WordPress-style
+    ``stem-300x200.jpg`` crops, width descriptors ``stem_640w.jpg``
+    (the srcset convention applied to filenames), and DPR editions
+    ``stem@2x.jpg``.  Fetching every edition multiplies image-frontier
+    volume by the variant count for zero new pixels (reference analog:
+    GetLink's URL normalization only folds query/fragment variants,
+    src/Steps/Html/GetLink.php:43-288 — filename editions pass through).
+
+    Per stem keep ONE url by declared-resolution rank:
+    ``@kx`` DPR editions (k x the design size, the largest pixels) >
+    the unsuffixed original > the largest declared downscale width.
+
+    Plan: narrow regex projections + one map-side-combined groupBy on the
+    stem (max_by struct) — no window, no shuffle beyond the one exact
+    groupBy; hot stems are impossible by construction (a stem's family is
+    the handful of editions a page declares).
+    """
+    u = F.col(url_col)
+    wp_w = F.regexp_extract(u, rf"-(\d{{2,4}})x\d{{2,4}}\.(?:{_VARIANT_EXTS})$", 1)
+    desc_w = F.regexp_extract(u, rf"_(\d{{2,4}})w\.(?:{_VARIANT_EXTS})$", 1)
+    dpr = F.regexp_extract(u, rf"@([23])x\.(?:{_VARIANT_EXTS})$", 1)
+    rank = (
+        F.when(dpr != "", dpr.cast("long") * _ORIGINAL_RANK)
+        .when(wp_w != "", wp_w.cast("long"))
+        .when(desc_w != "", desc_w.cast("long"))
+        .otherwise(F.lit(_ORIGINAL_RANK))
+    )
+    stem = F.regexp_replace(u, _VARIANT_RX, "$2")
+    return (
+        urls.select(stem.alias("stem"), u.alias("__u"), rank.alias("__r"))
+        .groupBy("stem")
+        .agg(
+            F.count("*").cast("long").alias("n_variants"),
+            F.max_by("__u", F.struct(F.col("__r"), F.col("__u"))).alias(
+                "chosen_url"
+            ),
+            F.max("__r").cast("long").alias("chosen_rank"),
+        )
+    )

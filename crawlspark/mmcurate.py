@@ -381,3 +381,108 @@ def image_safety_route(
         score.cast("long").alias("safety_micro"),
         route.alias("route"),
     )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate-caption mining (stock alt-text reused across many images)
+
+
+def caption_boilerplate(
+    pairs: DataFrame,
+    caption_col: str = "caption",
+    phash_col: str = "phash",
+    min_distinct_images: int = 3,
+) -> DataFrame:
+    """Flag captions that recur across many DISTINCT images — "image",
+    "stock photo", CMS default alt-text.  A caption paired with one image
+    repeated many times is fine (mirrors); a caption paired with many
+    different images describes none of them, and contrastive training on
+    such pairs teaches the text encoder nothing (LAION-style curation
+    drops them).
+
+    Rollup per normalized caption: pair count, distinct-image count
+    (by perceptual hash, so byte-identical reposts don't inflate it),
+    and the boilerplate verdict.
+
+    Plan: count_distinct plans as a two-level aggregate (partial distinct
+    on (caption, phash) first), so the mega-hot boilerplate keys combine
+    map-side and no single reducer sees a caption's full pair list.
+    """
+    cap = F.lower(F.trim(F.col(caption_col)))
+    return (
+        pairs.select(cap.alias("caption_norm"), F.col(phash_col).alias("__p"))
+        .groupBy("caption_norm")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.count_distinct(F.col("__p")).cast("long").alias(
+                "n_distinct_images"
+            ),
+        )
+        .withColumn(
+            "is_boilerplate",
+            F.col("n_distinct_images") >= F.lit(min_distinct_images),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixed-size batch assignment within aspect buckets (drop-last)
+
+
+def bucket_batches(
+    imgs: DataFrame,
+    batch_size: int,
+    bucket_col: str = "bucket",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Assign images to fixed-size training batches WITHIN their aspect
+    bucket, drop-last semantics — the loader-side counterpart of
+    :func:`shard_assign` (bytes->shards): every emitted batch holds
+    exactly ``batch_size`` same-bucket images, each bucket's ragged tail
+    is marked dropped, batch ids are globally unique.
+
+    Scale shape: a per-bucket ``row_number`` window would funnel each
+    bucket (3 buckets, billions of rows each) through ONE task.  Instead
+    rank over the composite (bucket, id) with ranks.global_rank's
+    two-phase plan, then subtract each bucket's base offset (a tiny
+    per-bucket aggregate, broadcast) — fully distributed, no per-bucket
+    partition anywhere.
+    """
+    from pyspark.sql import Window
+
+    from . import ranks
+
+    ranked = ranks.global_rank(
+        imgs.select(F.col(bucket_col), F.col(id_col)),
+        [bucket_col, id_col],
+        out="__g",
+    )
+    counts = ranked.groupBy(bucket_col).agg(
+        F.count("*").cast("long").alias("__n"),
+        F.min("__g").alias("__first"),
+    )
+    w = Window.orderBy(bucket_col).rowsBetween(Window.unboundedPreceding, -1)
+    bases = counts.select(
+        bucket_col,
+        F.col("__n"),
+        (F.col("__first") - 1).alias("__base"),
+        F.coalesce(
+            F.sum(F.expr(f"__n div {int(batch_size)}")).over(w), F.lit(0)
+        ).alias("__batch_base"),
+    )
+    rn = F.col("__g") - F.col("__base") - 1  # 0-based rank inside bucket
+    bix = F.expr(f"(__g - __base - 1) div {int(batch_size)}")
+    kept = bix < F.expr(f"__n div {int(batch_size)}")
+    return (
+        ranked.join(F.broadcast(bases), bucket_col)
+        .select(
+            F.col(id_col),
+            F.col(bucket_col),
+            # dropped-tail rows get NO batch id (their local index would
+            # collide with the next bucket's first global batch)
+            F.when(kept, F.col("__batch_base") + bix)
+            .cast("long").alias("batch_uid"),
+            (rn % batch_size).cast("long").alias("slot"),
+            kept.alias("kept"),
+        )
+    )

@@ -1,0 +1,213 @@
+"""Round-3 queries, part 2: image-frontier variant folding, boilerplate
+caption mining, fixed-size aspect-bucket batch assignment.
+
+House rules: deterministic fixtures from the parquet tables, DuckDB
+oracles replaying the identical computation (integer-exact).  The
+variant-fold oracle derives the expected stem/rank from the fixture's
+CONSTRUCTION (suffix CASE), not from the implementation's regexes, so a
+regex bug in the op cannot hide in the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# image_variant_fold — collapse resolution editions onto one fetch
+# --------------------------------------------------------------------------
+
+def q_image_variant_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolution-variant image-URL folding (extract.fold_image_variants):
+    per doc a family of CDN editions — WordPress ``-WxH`` crops
+    (doc%4==1), srcset-style ``_Nw`` widths (doc%4==2), ``@2x`` DPR
+    (doc%4==3), plus the original — folded to one chosen fetch per stem."""
+    from .extract import fold_image_variants
+
+    doc = F.col("doc_id")
+    stem0 = F.concat(
+        F.lit("https://img"), (doc % 5).cast("string"),
+        F.lit(".example.com/m/"), doc.cast("string"),
+    )
+    fam = doc % 4
+
+    def edition(suffix: str, only_fam: int) -> F.Column:
+        return F.when(fam == only_fam, F.concat(stem0, F.lit(suffix)))
+
+    arr = F.array(
+        F.concat(stem0, F.lit(".jpg")),
+        edition("-300x200.jpg", 1),
+        edition("-600x400.jpg", 1),
+        edition("_640w.jpg", 2),
+        edition("_1280w.jpg", 2),
+        edition("@2x.jpg", 3),
+    )
+    urls = (
+        _docs(spark, sf_dir)
+        .select(F.explode(arr).alias("url"))
+        .filter(F.col("url").isNotNull())
+    )
+    return fold_image_variants(urls).orderBy("stem")
+
+
+ORACLE_VARIANT_FOLD = """
+WITH d AS (
+  SELECT doc_id,
+         'https://img' || (doc_id % 5) || '.example.com/m/' || doc_id AS s0
+  FROM documents
+),
+u AS (
+  SELECT s0 || '.jpg' AS url, s0 FROM d
+  UNION ALL SELECT s0 || '-300x200.jpg', s0 FROM d WHERE doc_id % 4 = 1
+  UNION ALL SELECT s0 || '-600x400.jpg', s0 FROM d WHERE doc_id % 4 = 1
+  UNION ALL SELECT s0 || '_640w.jpg', s0 FROM d WHERE doc_id % 4 = 2
+  UNION ALL SELECT s0 || '_1280w.jpg', s0 FROM d WHERE doc_id % 4 = 2
+  UNION ALL SELECT s0 || '@2x.jpg', s0 FROM d WHERE doc_id % 4 = 3
+),
+r AS (
+  SELECT s0 || '.jpg' AS stem, url,
+         CASE WHEN ends_with(url, '@2x.jpg') THEN 2000000000
+              WHEN ends_with(url, '-300x200.jpg') THEN 300
+              WHEN ends_with(url, '-600x400.jpg') THEN 600
+              WHEN ends_with(url, '_640w.jpg') THEN 640
+              WHEN ends_with(url, '_1280w.jpg') THEN 1280
+              ELSE 1000000000 END AS r
+  FROM u
+),
+g AS (
+  SELECT stem, COUNT(*) AS n_variants, CAST(MAX(r) AS BIGINT) AS chosen_rank
+  FROM r GROUP BY stem
+),
+p AS (
+  SELECT stem, url,
+         ROW_NUMBER() OVER (PARTITION BY stem ORDER BY r DESC, url DESC) AS rn
+  FROM r
+)
+SELECT g.stem, g.n_variants, p.url AS chosen_url, g.chosen_rank
+FROM g JOIN p USING (stem)
+WHERE p.rn = 1
+ORDER BY g.stem
+"""
+
+
+# --------------------------------------------------------------------------
+# caption_boilerplate — stock alt-text reused across many distinct images
+# --------------------------------------------------------------------------
+
+def q_caption_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-caption mining (mmcurate.caption_boilerplate): captions
+    paired with >=3 DISTINCT images (by phash) are stock alt-text; the
+    fixture plants two generic captions (with mixed case/padding the
+    normalization must fold) over shared-phash image groups."""
+    from .mmcurate import caption_boilerplate
+
+    doc = F.col("doc_id")
+    cap = (
+        F.when(doc % 5 == 0, F.lit("  Stock Photo "))
+        .when(doc % 5 == 1, F.lit("IMAGE"))
+        .otherwise(F.concat(F.lit("photo of item "), doc.cast("string")))
+    )
+    pairs = _docs(spark, sf_dir).select(
+        cap.alias("caption"),
+        F.expr("doc_id div 3").alias("phash"),
+    )
+    return caption_boilerplate(pairs, min_distinct_images=3).orderBy(
+        "caption_norm"
+    )
+
+
+ORACLE_CAPTION_BOILERPLATE = """
+WITH p AS (
+  SELECT CASE WHEN doc_id % 5 = 0 THEN 'stock photo'
+              WHEN doc_id % 5 = 1 THEN 'image'
+              ELSE 'photo of item ' || doc_id END AS caption_norm,
+         doc_id // 3 AS ph
+  FROM documents
+)
+SELECT caption_norm, COUNT(*) AS n_pairs,
+       COUNT(DISTINCT ph) AS n_distinct_images,
+       COUNT(DISTINCT ph) >= 3 AS is_boilerplate
+FROM p GROUP BY caption_norm ORDER BY caption_norm
+"""
+
+
+# --------------------------------------------------------------------------
+# bucket_batches — fixed-size same-aspect training batches, drop-last
+# --------------------------------------------------------------------------
+
+_BATCH = 8
+
+
+def q_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size batch assignment within aspect buckets, drop-last
+    (mmcurate.bucket_batches, batch=8) over the dims_for w/h replay; the
+    oracle replays the per-bucket rank, global batch numbering, and the
+    ragged-tail drop."""
+    from .mmcurate import aspect_bucket_col, bucket_batches
+
+    doc = F.col("doc_id")
+    w, h = (32 + doc % 32).cast("long"), (32 + doc % 24).cast("long")
+    imgs = _docs(spark, sf_dir).select(
+        F.concat(F.lit("img-"), doc.cast("string")).alias("image_id"),
+        aspect_bucket_col(w, h).alias("bucket"),
+    )
+    return bucket_batches(imgs, batch_size=_BATCH).orderBy("image_id")
+
+
+ORACLE_BUCKET_BATCHES = f"""
+WITH imgs AS (
+  SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+         32 + doc_id % 32 AS w, 32 + doc_id % 24 AS h
+  FROM documents
+),
+b AS (
+  SELECT image_id,
+         CASE WHEN 4 * w < 3 * h THEN 'tall'
+              WHEN 3 * w > 4 * h THEN 'wide'
+              ELSE 'square' END AS bucket
+  FROM imgs
+),
+r AS (
+  SELECT image_id, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY image_id) - 1 AS rn
+  FROM b
+),
+c AS (SELECT bucket, COUNT(*) AS n, COUNT(*) // {_BATCH} AS nb
+      FROM r GROUP BY bucket),
+bases AS (
+  SELECT bucket, nb,
+         COALESCE(SUM(nb) OVER (ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bb
+  FROM c
+)
+SELECT r.image_id, r.bucket,
+       CAST(CASE WHEN rn // {_BATCH} < nb THEN bb + rn // {_BATCH} END
+            AS BIGINT) AS batch_uid,
+       CAST(rn % {_BATCH} AS BIGINT) AS slot,
+       rn // {_BATCH} < nb AS kept
+FROM r JOIN bases USING (bucket)
+ORDER BY r.image_id
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "image_variant_fold": q_image_variant_fold,
+        "caption_boilerplate": q_caption_boilerplate,
+        "bucket_batches": q_bucket_batches,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "image_variant_fold": ORACLE_VARIANT_FOLD,
+        "caption_boilerplate": ORACLE_CAPTION_BOILERPLATE,
+        "bucket_batches": ORACLE_BUCKET_BATCHES,
+    }

@@ -73,6 +73,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     "shard_assign": {
         "single_partition": "running sum over one row per shard bucket"
     },
+    "bucket_batches": {
+        "single_partition": "batch-base running sum over one row per "
+                            "aspect bucket (3 rows)"
+    },
 }
 
 SMALL_INPUT_NOTE = (
