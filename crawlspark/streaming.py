@@ -307,3 +307,56 @@ def continuous_crawl(
         .start()
     )
     q.awaitTermination()
+
+
+# --------------------------------------------------------------------------
+# event-time windowed crawl-rate metrics (watermark-finalized, late-safe)
+# --------------------------------------------------------------------------
+
+
+def crawl_rate_stream(
+    links: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-host discovery-rate metrics over event-time tumbling windows —
+    the operational dashboard every crawl needs (reference analog: the
+    run-wide Statistics counters of src/Crawler.php, which a single
+    process can keep exact; a distributed stream cannot, so windows +
+    watermark bound both state and lateness).
+
+    Semantics under ``withWatermark``: rows later than ``watermark``
+    behind the max observed event time are DROPPED; windows finalize —
+    and, in append mode, emit exactly once — when the watermark passes
+    their end.  State is O(open windows x active hosts), never
+    O(stream length).
+
+    Plan: groupBy(window, host) is a streaming hash aggregate partitioned
+    by (window, host) — hot hosts spread across windows, and the same
+    host-bucket salting the batch engine uses applies upstream if one
+    host floods a single window.
+    """
+    return (
+        links.withWatermark("discovered_at", watermark)
+        .groupBy(
+            F.window(F.col("discovered_at"), window).alias("win"),
+            F.col("host"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            # streaming forbids exact distinct aggregates (they'd need the
+            # full key set as state); the HLL sketch is the right call —
+            # frontier_ingest already removed in-watermark exact dupes
+            # upstream, this counts what slips across watermark boundaries
+            F.approx_count_distinct(F.col("url_hash")).cast("long").alias(
+                "n_unique_est"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "host",
+            "n_urls",
+            "n_unique_est",
+        )
+    )

@@ -200,3 +200,73 @@ def test_streaming_stateful_admission(spark, tmp_path):
     assert [r.admitted for r in h0] == [True, True, True, True, False]
     h1 = sorted((r for r in rows if r.host == "h1"), key=lambda r: r.ord)
     assert [(r.host_seq, r.admitted) for r in h1] == [(1, True), (2, True)]
+
+
+def test_streaming_crawl_rate_late_data(spark, tmp_path):
+    """Event-time windowed crawl-rate metrics: watermark finalizes windows
+    (append mode emits each exactly once) and drops TOO-late rows, while
+    late-but-in-watermark rows still count."""
+    from crawlspark import streaming
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        with open(f"{src}/{name}.json", "w") as f:
+            for host, h, ts in rows:
+                f.write(json.dumps(
+                    {"host": host, "url_hash": h, "discovered_at": ts}
+                ) + "\n")
+
+    def drain():
+        links = spark.readStream.schema(
+            "host STRING, url_hash LONG, discovered_at TIMESTAMP"
+        ).json(src)
+        q = (
+            streaming.crawl_rate_stream(
+                links, window="1 minute", watermark="2 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: window [00:00,01:00) for hosts a (2 urls, 1 dup hash) and b;
+    # a row at 00:05:00 pushes the watermark to 03:00 -> first window emits
+    write_batch("b1", [
+        ("a.test", 1, "2024-01-01T00:00:10"),
+        ("a.test", 1, "2024-01-01T00:00:20"),  # duplicate url_hash
+        ("a.test", 2, "2024-01-01T00:00:40"),
+        ("b.test", 3, "2024-01-01T00:00:50"),
+        ("c.test", 9, "2024-01-01T00:05:00"),  # watermark pusher
+    ])
+    drain()
+
+    # batch 2: a TOO-late row for the finalized [00:00,01:00) window
+    # (watermark 03:00 > event time -> dropped), an in-watermark row for
+    # the still-open [00:04,00:05) window... plus a pusher at 00:08 that
+    # finalizes every window through 00:06.
+    write_batch("b2", [
+        ("a.test", 4, "2024-01-01T00:00:55"),   # too late: dropped
+        ("d.test", 5, "2024-01-01T00:04:30"),   # in watermark: counted
+        ("c.test", 6, "2024-01-01T00:08:00"),   # pusher
+    ])
+    drain()
+
+    out = {(r.host, str(r.win_start)): (r.n_urls, r.n_unique_est)
+           for r in spark.read.parquet(sink).collect()}
+    # first window finalized WITHOUT the too-late url_hash=4 row
+    assert out[("a.test", "2024-01-01 00:00:00")] == (3, 2)
+    assert out[("b.test", "2024-01-01 00:00:00")] == (1, 1)
+    # late-but-in-watermark row landed in its own window
+    assert out[("d.test", "2024-01-01 00:04:00")] == (1, 1)
+    # the first pusher's window finalized once the second pusher advanced
+    # the watermark past 00:06
+    assert out[("c.test", "2024-01-01 00:05:00")] == (1, 1)
