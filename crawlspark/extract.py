@@ -939,6 +939,10 @@ def fold_image_variants(urls: DataFrame, url_col: str = "url") -> DataFrame:
     ``@kx`` DPR editions (k x the design size, the largest pixels) >
     the unsuffixed original > the largest declared downscale width.
 
+    Apply AFTER URL canonicalization: the suffix patterns anchor at the
+    end of the path, so a trailing query string (already sorted/stripped
+    by canon.canonicalize_expr upstream) would otherwise hide an edition.
+
     Plan: narrow regex projections + one map-side-combined groupBy on the
     stem (max_by struct) — no window, no shuffle beyond the one exact
     groupBy; hot stems are impossible by construction (a stem's family is

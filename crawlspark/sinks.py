@@ -373,3 +373,55 @@ def indexnow_batches(
             host_col, F.col("__batch").alias("batch_no"), "n_urls", "urls"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction planning (the Iceberg rewrite_data_files problem)
+
+
+def compaction_plan(
+    files: DataFrame,
+    small_bytes: int = 32 << 20,
+    target_bytes: int = 512 << 20,
+    partition_col: str = "partition",
+    id_col: str = "file_id",
+    size_col: str = "bytes",
+) -> DataFrame:
+    """Plan a compaction wave over a streamed table's file manifest.
+
+    Continuous ingest (streaming.image_validation_stream and friends)
+    commits one small file per micro-batch per partition; at 100 TB the
+    manifest bloats and every scan pays per-file open costs.  This plans
+    the rewrite: files under ``small_bytes`` are bin-packed per partition
+    into groups of ~``target_bytes`` (the same exact offset-based packing
+    as mmcurate.shard_assign — one PARTITIONED window, distributed), and
+    groups that would rewrite a single file are dropped (no gain).
+
+    Returns one row per rewrite group: (partition, group_uid, n_files,
+    total_bytes, file_ids sorted) — file_ids is bounded by
+    target_bytes/min-file-size per row, never a partition's full list.
+    """
+    from .mmcurate import shard_assign
+
+    small = files.filter(F.col(size_col) < small_bytes).select(
+        F.col(partition_col), F.col(id_col), F.col(size_col)
+    )
+    packed = shard_assign(
+        small, size_col=size_col, bucket_col=partition_col, id_col=id_col,
+        target_bytes=target_bytes,
+    ).join(small.select(id_col, size_col), id_col)
+    groups = (
+        packed.groupBy(partition_col, "shard_uid")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(F.col(size_col)).cast("long").alias("total_bytes"),
+            F.sort_array(F.collect_list(F.col(id_col))).alias("file_ids"),
+        )
+        .filter(F.col("n_files") >= 2)
+        .select(
+            F.col(partition_col),
+            F.col("shard_uid").cast("long").alias("group_uid"),
+            "n_files", "total_bytes", "file_ids",
+        )
+    )
+    return groups

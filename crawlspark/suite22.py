@@ -197,11 +197,82 @@ ORDER BY r.image_id
 """
 
 
+# --------------------------------------------------------------------------
+# compaction_plan — small-file rewrite groups for the streamed image table
+# --------------------------------------------------------------------------
+
+_SMALL = 32_000_000
+_TARGET = 8_000_000
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (sinks.compaction_plan) over a
+    synthesized manifest: 4 partitions, file sizes (doc%7+1) MB with every
+    doc%10==9 file at 100 MB (over the small-file bar, excluded); 8 MB
+    target groups, singleton groups dropped.  The oracle replays the
+    filter, per-partition offset packing, global group numbering and the
+    >=2-files rule."""
+    from .sinks import compaction_plan
+
+    doc = F.col("doc_id")
+    manifest = _docs(spark, sf_dir).select(
+        F.concat(F.lit("p"), (doc % 4).cast("string")).alias("partition"),
+        F.concat(F.lit("f-"), F.lpad(doc.cast("string"), 6, "0"))
+        .alias("file_id"),
+        F.when(doc % 10 == 9, F.lit(100_000_000))
+        .otherwise((doc % 7 + 1) * 1_000_000).cast("long").alias("bytes"),
+    )
+    out = compaction_plan(
+        manifest, small_bytes=_SMALL, target_bytes=_TARGET
+    )
+    return out.select(
+        "partition", "group_uid", "n_files", "total_bytes",
+        F.concat_ws("|", F.col("file_ids")).alias("file_ids_joined"),
+    ).orderBy("partition", "group_uid")
+
+
+ORACLE_COMPACTION_PLAN = f"""
+WITH m AS (
+  SELECT 'p' || (doc_id % 4) AS part,
+         'f-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS file_id,
+         CASE WHEN doc_id % 10 = 9 THEN 100000000
+              ELSE (doc_id % 7 + 1) * 1000000 END AS bytes
+  FROM documents
+),
+small AS (SELECT * FROM m WHERE bytes < {_SMALL}),
+rows_ AS (
+  SELECT part, file_id, bytes,
+         COALESCE(SUM(bytes) OVER (PARTITION BY part ORDER BY file_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM small
+),
+sh AS (SELECT *, before // {_TARGET} AS shard_ix FROM rows_),
+counts AS (SELECT part, MAX(shard_ix) + 1 AS n_shards FROM sh GROUP BY part),
+bases AS (
+  SELECT part, COALESCE(SUM(n_shards) OVER (ORDER BY part
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+  FROM counts
+),
+g AS (
+  SELECT s.part, (b.base + s.shard_ix) AS group_uid,
+         COUNT(*) AS n_files, CAST(SUM(s.bytes) AS BIGINT) AS total_bytes,
+         string_agg(s.file_id, '|' ORDER BY s.file_id) AS file_ids_joined
+  FROM sh s JOIN bases b USING (part)
+  GROUP BY s.part, b.base + s.shard_ix
+)
+SELECT part AS partition, CAST(group_uid AS BIGINT) AS group_uid,
+       n_files, total_bytes, file_ids_joined
+FROM g WHERE n_files >= 2
+ORDER BY partition, group_uid
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "image_variant_fold": q_image_variant_fold,
         "caption_boilerplate": q_caption_boilerplate,
         "bucket_batches": q_bucket_batches,
+        "compaction_plan": q_compaction_plan,
     }
 
 
@@ -210,4 +281,5 @@ def oracle_sql() -> dict[str, str]:
         "image_variant_fold": ORACLE_VARIANT_FOLD,
         "caption_boilerplate": ORACLE_CAPTION_BOILERPLATE,
         "bucket_batches": ORACLE_BUCKET_BATCHES,
+        "compaction_plan": ORACLE_COMPACTION_PLAN,
     }

@@ -77,6 +77,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "single_partition": "batch-base running sum over one row per "
                             "aspect bucket (3 rows)"
     },
+    "compaction_plan": {
+        "single_partition": "shard_assign's group-base running sum over "
+                            "one row per table partition"
+    },
 }
 
 SMALL_INPUT_NOTE = (

@@ -98,3 +98,81 @@ def test_bucket_batches_exact_multiple_drops_nothing(spark):
     out = bucket_batches(imgs, batch_size=4).collect()
     assert all(r["kept"] for r in out)
     assert {r["batch_uid"] for r in out} == {0, 1}
+
+
+def test_compaction_plan(spark):
+    from crawlspark.sinks import compaction_plan
+
+    files = spark.createDataFrame(
+        [("p0", "a", 3), ("p0", "b", 3), ("p0", "c", 3), ("p0", "d", 3),
+         ("p0", "e", 100),            # over the small bar: excluded
+         ("p1", "f", 3), ("p1", "g", 3), ("p1", "h", 9)],
+        "partition STRING, file_id STRING, bytes LONG",
+    )
+    out = {(r["partition"], r["group_uid"]): r for r in
+           compaction_plan(files, small_bytes=50, target_bytes=8).collect()}
+    # p0: offsets 0,3,6 -> group 0 (a,b,c); d at offset 9 -> group 1,
+    # singleton, dropped; e over the small bar, never packed.
+    # p1: f:0, g:3, h:6 all under the 8-byte boundary -> one group,
+    # global uid = p0's 2 local shards + 0 = 2.
+    assert set(out) == {("p0", 0), ("p1", 2)}
+    assert out[("p0", 0)]["file_ids"] == ["a", "b", "c"]
+    assert out[("p0", 0)]["total_bytes"] == 9
+    assert out[("p1", 2)]["file_ids"] == ["f", "g", "h"]
+    assert out[("p1", 2)]["total_bytes"] == 15
+
+
+def test_variant_fold_differential(spark):
+    """Seeded random URL corpus vs a pure-Python reference of the
+    variant-fold semantics (one Spark job, hypothesis-style coverage)."""
+    import random
+    import re
+
+    rng = random.Random(20260819)
+    exts = ["jpg", "jpeg", "png", "webp"]
+    urls = []
+    for i in range(400):
+        stem = f"https://cdn{rng.randrange(3)}.ex/a/{rng.randrange(40)}"
+        ext = rng.choice(exts)
+        kind = rng.randrange(6)
+        if kind == 0:
+            u = f"{stem}-{rng.randrange(10, 2000)}x{rng.randrange(10, 2000)}.{ext}"
+        elif kind == 1:
+            u = f"{stem}_{rng.randrange(10, 2000)}w.{ext}"
+        elif kind == 2:
+            u = f"{stem}@{rng.choice([2, 3])}x.{ext}"
+        elif kind == 3:
+            u = f"{stem}-{rng.randrange(1900, 2030)}.{ext}"  # year-like
+        else:
+            u = f"{stem}.{ext}"
+        urls.append(u)
+
+    ORIG = 1_000_000_000
+
+    def ref(u):
+        m = re.search(r"@([23])x\.(?:jpg|jpeg|png|webp)$", u)
+        if m:
+            r = int(m.group(1)) * ORIG
+        else:
+            m2 = re.search(r"-(\d{2,4})x\d{2,4}\.(?:jpg|jpeg|png|webp)$", u)
+            m3 = re.search(r"_(\d{2,4})w\.(?:jpg|jpeg|png|webp)$", u)
+            r = (int(m2.group(1)) if m2 else
+                 int(m3.group(1)) if m3 else ORIG)
+        stem = re.sub(
+            r"(-\d{2,4}x\d{2,4}|_\d{2,4}w|@[23]x)(\.(?:jpg|jpeg|png|webp))$",
+            r"\2", u)
+        return stem, r
+
+    expect = {}
+    for u in urls:
+        stem, r = ref(u)
+        n, best = expect.get(stem, (0, None))
+        cand = (r, u)
+        expect[stem] = (n + 1, cand if best is None or cand > best else best)
+
+    from crawlspark.extract import fold_image_variants
+
+    df = spark.createDataFrame([(u,) for u in urls], "url STRING")
+    got = {r["stem"]: (r["n_variants"], (r["chosen_rank"], r["chosen_url"]))
+           for r in fold_image_variants(df).collect()}
+    assert got == expect
