@@ -445,3 +445,56 @@ def keepalive_connections(
         F.expr("(1000 * sum(__nc)) div count(*)").cast("long")
         .alias("churn_permille"),
     )
+
+
+AIMD_OUT_SCHEMA = (
+    "host STRING, final_c LONG, max_c LONG, n_halvings LONG"
+)
+
+
+def aimd_concurrency(
+    history: DataFrame,
+    c_max: int = 16,
+    host_col: str = "host",
+    ord_col: str = "ord",
+    ok_col: str = "ok",
+) -> DataFrame:
+    """AIMD per-host fetch concurrency from outcome history — the TCP
+    congestion-control discipline applied to polite crawling (what
+    adaptive-politeness fetchers do beyond the reference's fixed
+    Throttler multipliers, src/Loader/Http/Politeness/Throttler.php:49-55):
+    start at 1 in-flight request; each success window adds one
+    (additive increase, capped at ``c_max``); any 429/5xx/timeout halves
+    it (multiplicative decrease, floor 1).  Returns per host the final
+    and peak concurrency plus the halving count (the health signal).
+
+    The recurrence is sequential BY DESIGN (c_t depends on c_{t-1} with
+    data-dependent branching), so no window expresses it; the
+    distributed shape is the natural one — hosts partition the state,
+    each host's retained history is bounded (last K outcomes), and the
+    per-group Arrow batch is scanned once in ord order.  Same
+    plan family as throttle_schedule_in_task: applyInPandas keyed by
+    host, never a row-at-a-time UDF.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cmax = int(c_max)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ord_col)
+        ok = pdf[ok_col].to_numpy(dtype=bool)
+        c, peak, halvings = 1, 1, 0
+        for good in ok:
+            if good:
+                c = min(cmax, c + 1)
+            else:
+                c = max(1, c // 2)
+                halvings += 1
+            peak = max(peak, c)
+        return pd.DataFrame(
+            {"host": [pdf[host_col].iloc[0]], "final_c": [c],
+             "max_c": [peak], "n_halvings": [halvings]}
+        )
+
+    return history.groupBy(host_col).applyInPandas(run, AIMD_OUT_SCHEMA)

@@ -456,3 +456,56 @@ def cap_robots_body(body: "F.Column",
         .when(has_nl, F.substring(head, 1, last_nl))
         .otherwise(F.lit(""))
     )
+
+
+def cross_host_sitemap_admission(
+    entries: DataFrame,
+    robots_decls: DataFrame,
+    sitemap_col: str = "sitemap_url",
+    listed_col: str = "listed_url",
+) -> DataFrame:
+    """Cross-host sitemap URL admission (sitemaps.org "Sitemaps &
+    Cross Submits"; the rule Google documents and the reference's
+    sitemap step silently skips — GetUrlsFromSitemap.php:47-90 yields
+    every <loc> regardless of host): a sitemap may list URLs for a
+    DIFFERENT host only if that host's robots.txt declares the sitemap's
+    location.  Without this gate any site can inject arbitrary hosts
+    into the frontier through its own sitemap.
+
+    ``entries``: (sitemap_col, listed_col) rows from sitemap parsing.
+    ``robots_decls``: (robots_host, sitemap_col) — Sitemap: lines per
+    host, i.e. the output of robots parsing.
+
+    Plan: pure equi-joins — same-host admits need no join at all (one
+    narrow comparison), the cross-host remainder left-joins the
+    declarations relation on (sitemap_url, listed_host).  At 10^10
+    entries the cross-host slice is a tiny fraction and the decls
+    relation is O(hosts) — broadcast- or shuffle-joinable either way.
+    """
+    sm_host = F.lower(F.parse_url(F.col(sitemap_col), F.lit("HOST")))
+    li_host = F.lower(F.parse_url(F.col(listed_col), F.lit("HOST")))
+    e = entries.withColumn("sitemap_host", sm_host).withColumn(
+        "listed_host", li_host
+    )
+    decls = robots_decls.select(
+        F.lower(F.col("robots_host")).alias("__decl_host"),
+        F.col(sitemap_col).alias("__decl_sitemap"),
+    ).distinct()
+    joined = e.join(
+        decls,
+        (F.col("listed_host") == F.col("__decl_host"))
+        & (F.col(sitemap_col) == F.col("__decl_sitemap")),
+        "left",
+    )
+    same = F.col("sitemap_host") == F.col("listed_host")
+    declared = F.col("__decl_host").isNotNull()
+    return joined.select(
+        *entries.columns,
+        "sitemap_host",
+        "listed_host",
+        (same | declared).alias("admitted"),
+        F.when(same, F.lit("same_host"))
+        .when(declared, F.lit("robots_declared"))
+        .otherwise(F.lit("cross_host_undeclared"))
+        .alias("reason"),
+    )

@@ -267,12 +267,126 @@ ORDER BY partition, group_uid
 """
 
 
+# --------------------------------------------------------------------------
+# sitemap_cross_host — cross-submit admission gate
+# --------------------------------------------------------------------------
+
+def q_sitemap_cross_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-host sitemap admission (robots.cross_host_sitemap_admission):
+    sitemap on host s(doc%5) lists a URL on host s(doc%3); even-numbered
+    hosts declare the NEXT host's sitemap in their robots.txt, so
+    cross-host entries split into robots_declared vs undeclared."""
+    from .robots import cross_host_sitemap_admission
+
+    doc = F.col("doc_id")
+    entries = _docs(spark, sf_dir).select(
+        doc.alias("doc_id"),
+        F.concat(F.lit("https://s"), (doc % 5).cast("string"),
+                 F.lit(".test/sitemap.xml")).alias("sitemap_url"),
+        F.concat(F.lit("https://s"), (doc % 3).cast("string"),
+                 F.lit(".test/p/"), doc.cast("string")).alias("listed_url"),
+    )
+    decls = spark.createDataFrame(
+        [(f"s{n}.test", f"https://s{(n + 1) % 5}.test/sitemap.xml")
+         for n in range(5) if n % 2 == 0],
+        "robots_host STRING, sitemap_url STRING",
+    )
+    return cross_host_sitemap_admission(entries, decls).orderBy("doc_id")
+
+
+ORACLE_SITEMAP_CROSS_HOST = """
+WITH e AS (
+  SELECT doc_id,
+         'https://s' || (doc_id % 5) || '.test/sitemap.xml' AS sitemap_url,
+         'https://s' || (doc_id % 3) || '.test/p/' || doc_id AS listed_url,
+         's' || (doc_id % 5) || '.test' AS sitemap_host,
+         's' || (doc_id % 3) || '.test' AS listed_host
+  FROM documents
+),
+decl AS (
+  SELECT 's' || n || '.test' AS decl_host,
+         'https://s' || ((n + 1) % 5) || '.test/sitemap.xml' AS decl_sitemap
+  FROM (SELECT unnest([0, 2, 4]) AS n)
+),
+j AS (
+  SELECT e.*, decl.decl_host
+  FROM e LEFT JOIN decl
+    ON e.listed_host = decl.decl_host AND e.sitemap_url = decl.decl_sitemap
+)
+SELECT doc_id, sitemap_url, listed_url, sitemap_host, listed_host,
+       (sitemap_host = listed_host OR decl_host IS NOT NULL) AS admitted,
+       CASE WHEN sitemap_host = listed_host THEN 'same_host'
+            WHEN decl_host IS NOT NULL THEN 'robots_declared'
+            ELSE 'cross_host_undeclared' END AS reason
+FROM j ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# aimd_concurrency — congestion-controlled per-host fetch parallelism
+# --------------------------------------------------------------------------
+
+_AIMD_HOSTS = 20
+_AIMD_STEPS = 8
+_AIMD_CMAX = 16
+
+
+def q_aimd_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIMD per-host concurrency (politeness.aimd_concurrency) over a
+    20-host x 8-step outcome fixture (ok iff (doc*7+3)%5 != 0); the
+    oracle unrolls the additive-increase / multiplicative-decrease
+    recurrence step by step (house style: like the pagerank unroll)."""
+    from .politeness import aimd_concurrency
+
+    doc = F.col("doc_id")
+    hist = (
+        _docs(spark, sf_dir)
+        .filter(doc < _AIMD_HOSTS * _AIMD_STEPS)
+        .select(
+            F.concat(F.lit("h"), (doc % _AIMD_HOSTS).cast("string"))
+            .alias("host"),
+            F.expr(f"doc_id div {_AIMD_HOSTS}").alias("ord"),
+            ((doc * 7 + 3) % 5 != 0).alias("ok"),
+        )
+    )
+    return aimd_concurrency(hist, c_max=_AIMD_CMAX).orderBy("host")
+
+
+def _oracle_aimd() -> str:
+    steps = []
+    prev = "s0"
+    for k in range(_AIMD_STEPS):
+        ok = f"(((hn + {20 * k}) * 7 + 3) % 5 != 0)"
+        cur = f"s{k + 1}"
+        steps.append(
+            f"{cur} AS (SELECT hn, "
+            f"CASE WHEN {ok} THEN LEAST({_AIMD_CMAX}, c + 1) "
+            f"ELSE GREATEST(1, c // 2) END AS c, "
+            f"GREATEST(peak, CASE WHEN {ok} THEN LEAST({_AIMD_CMAX}, c + 1) "
+            f"ELSE GREATEST(1, c // 2) END) AS peak, "
+            f"halv + CASE WHEN {ok} THEN 0 ELSE 1 END AS halv "
+            f"FROM {prev})"
+        )
+        prev = cur
+    chain = ",\n".join(steps)
+    return f"""
+WITH h AS (SELECT unnest(generate_series(0, {_AIMD_HOSTS - 1})) AS hn),
+s0 AS (SELECT hn, 1 AS c, 1 AS peak, 0 AS halv FROM h),
+{chain}
+SELECT 'h' || hn AS host, CAST(c AS BIGINT) AS final_c,
+       CAST(peak AS BIGINT) AS max_c, CAST(halv AS BIGINT) AS n_halvings
+FROM {prev} ORDER BY host
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "image_variant_fold": q_image_variant_fold,
         "caption_boilerplate": q_caption_boilerplate,
         "bucket_batches": q_bucket_batches,
         "compaction_plan": q_compaction_plan,
+        "sitemap_cross_host": q_sitemap_cross_host,
+        "aimd_concurrency": q_aimd_concurrency,
     }
 
 
@@ -282,4 +396,6 @@ def oracle_sql() -> dict[str, str]:
         "caption_boilerplate": ORACLE_CAPTION_BOILERPLATE,
         "bucket_batches": ORACLE_BUCKET_BATCHES,
         "compaction_plan": ORACLE_COMPACTION_PLAN,
+        "sitemap_cross_host": ORACLE_SITEMAP_CROSS_HOST,
+        "aimd_concurrency": _oracle_aimd(),
     }

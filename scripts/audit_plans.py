@@ -211,6 +211,14 @@ def main() -> int:
         status = "FLAG " + ",".join(sorted(flagged)) if flagged else "ok"
         print(f"{name}: {status}", flush=True)
 
+    if only:
+        # subset runs are for iteration; only a full audit may replace
+        # the committed report
+        print(f"\n(subset run: PLAN_AUDIT.md left untouched)\n"
+              f"AUDITED: {len(rows)}  FLAGGED: {len(bad)}"
+              + (f"  -> {','.join(bad)}" if bad else ""))
+        return 1 if bad else 0
+
     with open("/root/repo/PLAN_AUDIT.md", "w") as f:
         f.write("# PLAN AUDIT — physical-plan scale hazards, all gate "
                 "queries\n\n")

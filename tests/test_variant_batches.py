@@ -176,3 +176,69 @@ def test_variant_fold_differential(spark):
     got = {r["stem"]: (r["n_variants"], (r["chosen_rank"], r["chosen_url"]))
            for r in fold_image_variants(df).collect()}
     assert got == expect
+
+
+def test_cross_host_sitemap_admission(spark):
+    from crawlspark.robots import cross_host_sitemap_admission
+
+    entries = spark.createDataFrame(
+        [("https://a.test/sm.xml", "https://a.test/p1"),     # same host
+         ("https://a.test/sm.xml", "https://b.test/p2"),     # declared by b
+         ("https://a.test/sm.xml", "https://c.test/p3"),     # undeclared
+         ("https://a.test/sm.xml", "https://B.TEST/p4")],    # case-folded
+        "sitemap_url STRING, listed_url STRING",
+    )
+    decls = spark.createDataFrame(
+        [("b.test", "https://a.test/sm.xml"),
+         ("c.test", "https://other.test/sm.xml")],  # wrong sitemap: no help
+        "robots_host STRING, sitemap_url STRING",
+    )
+    out = {r["listed_url"]: (r["admitted"], r["reason"])
+           for r in cross_host_sitemap_admission(entries, decls).collect()}
+    assert out["https://a.test/p1"] == (True, "same_host")
+    assert out["https://b.test/p2"] == (True, "robots_declared")
+    assert out["https://c.test/p3"] == (False, "cross_host_undeclared")
+    assert out["https://B.TEST/p4"] == (True, "robots_declared")
+
+
+def test_aimd_concurrency_recurrence(spark):
+    from crawlspark.politeness import aimd_concurrency
+
+    # hand-traced: ok,ok,ok,FAIL,ok -> c: 2,3,4,2,3; peak 4; 1 halving
+    hist = spark.createDataFrame(
+        [("a", i, ok) for i, ok in
+         enumerate([True, True, True, False, True])],
+        "host STRING, ord LONG, ok BOOLEAN",
+    )
+    row = aimd_concurrency(hist, c_max=16).collect()[0]
+    assert (row["final_c"], row["max_c"], row["n_halvings"]) == (3, 4, 1)
+
+
+def test_aimd_concurrency_bounds(spark):
+    from crawlspark.politeness import aimd_concurrency
+
+    # 20 successes cap at c_max; 20 failures floor at 1
+    rows = [("up", i, True) for i in range(20)]
+    rows += [("down", i, False) for i in range(20)]
+    hist = spark.createDataFrame(rows, "host STRING, ord LONG, ok BOOLEAN")
+    out = {r["host"]: r for r in aimd_concurrency(hist, c_max=8).collect()}
+    assert out["up"]["final_c"] == 8 and out["up"]["max_c"] == 8
+    assert out["down"]["final_c"] == 1 and out["down"]["n_halvings"] == 20
+
+
+def test_aimd_order_insensitive_to_input_shuffle(spark):
+    from crawlspark.politeness import aimd_concurrency
+
+    rows = [("a", i, (i * 3) % 4 != 0) for i in range(12)]
+    base = {r["host"]: (r["final_c"], r["max_c"], r["n_halvings"])
+            for r in aimd_concurrency(
+                spark.createDataFrame(rows, "host STRING, ord LONG, ok BOOLEAN")
+            ).collect()}
+    import random
+    shuf = rows[:]
+    random.Random(7).shuffle(shuf)
+    got = {r["host"]: (r["final_c"], r["max_c"], r["n_halvings"])
+           for r in aimd_concurrency(
+               spark.createDataFrame(shuf, "host STRING, ord LONG, ok BOOLEAN")
+           ).collect()}
+    assert got == base
