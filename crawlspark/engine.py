@@ -175,6 +175,47 @@ def redirect_closure(parsed: DataFrame) -> DataFrame:
     return closure.select("fetch_url", "chain")
 
 
+def redirect_status(parsed: DataFrame) -> DataFrame:
+    """Classify every redirecting URL's chain outcome: ``resolved`` (the
+    chain reaches a non-redirecting URL), ``loop`` (the chain revisits a
+    URL — A->B->A ping-pongs or self-redirects; following it further is
+    pure waste), or ``too_many_redirects`` (an acyclic chain longer than
+    MAX_REDIRECTS — the reference loader aborts the request here,
+    HttpLoader.php:430-470, and so must the frontier: the target is
+    unfetchable, not pending).
+
+    Loop detection is chain-local (duplicate element or the fetch URL
+    itself reappearing); cap detection joins the chain tail against the
+    redirect sources once — both narrow operations on the closure
+    relation, no extra iteration."""
+    cl = redirect_closure(parsed)
+    srcs = (
+        parsed.filter(F.col("redirect_to").isNotNull())
+        .select(F.col("url").alias("__src"))
+        .distinct()
+    )
+    tail = cl.withColumn("__last", F.element_at("chain", -1))
+    flagged = tail.join(
+        srcs, F.col("__last") == F.col("__src"), "left"
+    )
+    loop = (
+        (F.size("chain") != F.size(F.array_distinct("chain")))
+        | F.array_contains("chain", F.col("fetch_url"))
+    )
+    unresolved = F.col("__src").isNotNull()
+    status = (
+        F.when(loop, F.lit("loop"))
+        .when(unresolved, F.lit("too_many_redirects"))
+        .otherwise(F.lit("resolved"))
+    )
+    return flagged.select(
+        "fetch_url",
+        status.alias("status"),
+        F.when(status == "resolved", F.col("__last")).alias("final_url"),
+        F.size("chain").cast("long").alias("hops"),
+    )
+
+
 def _strip_frag(c: Column) -> Column:
     return F.substring_index(c, "#", 1)
 

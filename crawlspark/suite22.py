@@ -379,6 +379,56 @@ FROM {prev} ORDER BY host
 """
 
 
+# --------------------------------------------------------------------------
+# redirect_loops — chain outcome classification (loop / cap / resolved)
+# --------------------------------------------------------------------------
+
+def q_redirect_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain outcome classification (engine.redirect_status)
+    over a fixture with healthy chains and cycles: doc%10==1 -> +1 -> +1
+    (two-hop resolve), ==2 -> +1 (one-hop), ==5 <-> ==6 (2-cycle),
+    ==8 -> itself (self-loop); the oracle states the expected status/
+    final/hops per residue class from the construction."""
+    from . import graph
+    from .engine import redirect_status
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    doc = F.col("doc_id")
+    r = doc % 10
+    target = (
+        F.when(r.isin(1, 2, 5), graph.url_col((doc + 1) % n))
+        .when(r == 6, graph.url_col(doc - 1))
+        .when(r == 8, graph.url_col(doc))
+    )
+    pages = docs.select(
+        graph.url_col(doc).alias("url"), target.alias("redirect_to")
+    )
+    return redirect_status(pages).orderBy("fetch_url")
+
+
+def _oracle_redirect_loops() -> str:
+    from . import graph
+
+    u = lambda v: graph._URL_SQL.replace("doc", v)
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+d AS (
+  SELECT doc_id, doc_id % 10 AS r,
+         (doc_id + 1) % nn.c AS n1, (doc_id + 2) % nn.c AS n2
+  FROM documents CROSS JOIN nn
+  WHERE doc_id % 10 IN (1, 2, 5, 6, 8)
+)
+SELECT {u("doc_id")} AS fetch_url,
+       CASE WHEN r IN (5, 6, 8) THEN 'loop' ELSE 'resolved' END AS status,
+       CASE WHEN r = 1 THEN {u("n2")}
+            WHEN r = 2 THEN {u("n1")} END AS final_url,
+       CAST(CASE WHEN r IN (5, 6, 8) THEN 10
+                 WHEN r = 1 THEN 2 ELSE 1 END AS BIGINT) AS hops
+FROM d ORDER BY fetch_url
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "image_variant_fold": q_image_variant_fold,
@@ -387,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "sitemap_cross_host": q_sitemap_cross_host,
         "aimd_concurrency": q_aimd_concurrency,
+        "redirect_loops": q_redirect_loops,
     }
 
 
@@ -398,4 +449,5 @@ def oracle_sql() -> dict[str, str]:
         "compaction_plan": ORACLE_COMPACTION_PLAN,
         "sitemap_cross_host": ORACLE_SITEMAP_CROSS_HOST,
         "aimd_concurrency": _oracle_aimd(),
+        "redirect_loops": _oracle_redirect_loops(),
     }

@@ -242,3 +242,25 @@ def test_aimd_order_insensitive_to_input_shuffle(spark):
                spark.createDataFrame(shuf, "host STRING, ord LONG, ok BOOLEAN")
            ).collect()}
     assert got == base
+
+
+def test_redirect_status_classification(spark):
+    from crawlspark.engine import redirect_status
+
+    # a->b->c (resolved), d->e->d (2-cycle), f->f (self-loop),
+    # and a 12-node acyclic path (over the 10-hop cap -> too_many)
+    rows = [("a", "b"), ("b", "c"), ("d", "e"), ("e", "d"), ("f", "f")]
+    rows += [(f"p{i}", f"p{i+1}") for i in range(12)]
+    pages = spark.createDataFrame(rows, "url STRING, redirect_to STRING")
+    out = {r["fetch_url"]: r for r in redirect_status(pages).collect()}
+    assert (out["a"]["status"], out["a"]["final_url"], out["a"]["hops"]) == (
+        "resolved", "c", 2)
+    assert out["b"]["final_url"] == "c"
+    assert out["d"]["status"] == "loop" and out["d"]["final_url"] is None
+    assert out["e"]["status"] == "loop"
+    assert out["f"]["status"] == "loop" and out["f"]["hops"] == 10
+    assert out["p0"]["status"] == "too_many_redirects"
+    assert out["p0"]["hops"] == 10 and out["p0"]["final_url"] is None
+    # deep enough in the path the cap is no longer hit: p2 -> ... -> p12
+    assert out["p2"]["status"] == "resolved" and out["p2"]["hops"] == 10
+    assert out["p3"]["status"] == "resolved" and out["p3"]["final_url"] == "p12"
