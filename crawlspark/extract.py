@@ -970,3 +970,47 @@ def fold_image_variants(urls: DataFrame, url_col: str = "url") -> DataFrame:
             F.max("__r").cast("long").alias("chosen_rank"),
         )
     )
+
+
+def img_fetch_priority(body: Column) -> Column:
+    """Per-image fetch priority from the page's own hints — the order an
+    image frontier should schedule a page's assets (browser resource
+    prioritization, WHATWG fetchpriority + loading attributes):
+
+    - ``fetchpriority="high"``            -> 0 (author-declared LCP)
+    - first image without contrary hints  -> 1 (likely LCP candidate)
+    - other undecorated images            -> 2
+    - ``fetchpriority="low"`` or
+      ``loading="lazy"``                  -> 3 (below the fold by intent)
+
+    JVM higher-order functions over regexp_extract_all, same plan family
+    as :func:`img_srcset_candidates` — stays in whole-stage codegen next
+    to the scan.  Returns array<struct<img_ord:int, url:string,
+    priority:int>> in document order.
+    """
+    tag_arr = F.regexp_extract_all(body, F.lit(r"(?i)<img[^>]*>"), 0)
+
+    def parse_tag(tag: Column, i: Column) -> Column:
+        src = F.regexp_extract(tag, r'(?i)\bsrc\s*=\s*"([^"]*)"', 1)
+        fp = F.lower(
+            F.regexp_extract(tag, r'(?i)\bfetchpriority\s*=\s*"([^"]*)"', 1)
+        )
+        lazy = (
+            F.lower(
+                F.regexp_extract(tag, r'(?i)\bloading\s*=\s*"([^"]*)"', 1)
+            )
+            == "lazy"
+        )
+        prio = (
+            F.when(fp == "high", F.lit(0))
+            .when((fp == "low") | lazy, F.lit(3))
+            .when(i == 0, F.lit(1))
+            .otherwise(F.lit(2))
+        )
+        return F.struct(
+            i.cast("int").alias("img_ord"),
+            src.alias("url"),
+            prio.cast("int").alias("priority"),
+        )
+
+    return F.transform(tag_arr, lambda tag, i: parse_tag(tag, i))

@@ -429,6 +429,68 @@ FROM d ORDER BY fetch_url
 """
 
 
+# --------------------------------------------------------------------------
+# img_fetch_priority — author-hinted image scheduling order
+# --------------------------------------------------------------------------
+
+def q_img_fetch_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image fetch priority (extract.img_fetch_priority): every page
+    carries a hero image (fetchpriority=high on doc%3==0, else
+    undecorated-first), a plain body image, a loading=lazy image, and —
+    on even docs — a fetchpriority=low one; the oracle replays the
+    priority rules per position from the construction."""
+    from .extract import img_fetch_priority
+
+    doc = F.col("doc_id")
+    s = doc.cast("string")
+    hero = F.when(
+        doc % 3 == 0,
+        F.concat(F.lit('<img src="/hero/'), s,
+                 F.lit('.jpg" fetchpriority="high">')),
+    ).otherwise(F.concat(F.lit('<img src="/hero/'), s, F.lit('.jpg">')))
+    body_img = F.concat(F.lit('<img src="/body/'), s, F.lit('.jpg">'))
+    lazy = F.concat(F.lit('<img loading="lazy" src="/below/'), s,
+                    F.lit('.jpg">'))
+    low = F.when(
+        doc % 2 == 0,
+        F.concat(F.lit('<img src="/ad/'), s,
+                 F.lit('.gif" fetchpriority="low">')),
+    ).otherwise(F.lit(""))
+    page = F.concat(F.lit("<html><body>"), hero, body_img, lazy, low,
+                    F.lit("</body></html>"))
+    d = _docs(spark, sf_dir).select(doc.alias("doc_id"), page.alias("body"))
+    out = d.select(
+        "doc_id",
+        F.explode(img_fetch_priority(F.col("body"))).alias("img"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("img.img_ord").cast("long").alias("img_ord"),
+        F.col("img.url").alias("url"),
+        F.col("img.priority").cast("long").alias("priority"),
+    ).orderBy("doc_id", "img_ord")
+
+
+ORACLE_IMG_FETCH_PRIORITY = """
+WITH d AS (SELECT doc_id FROM documents),
+imgs AS (
+  SELECT doc_id, 0 AS img_ord, '/hero/' || doc_id || '.jpg' AS url,
+         CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS priority
+  FROM d
+  UNION ALL
+  SELECT doc_id, 1, '/body/' || doc_id || '.jpg', 2 FROM d
+  UNION ALL
+  SELECT doc_id, 2, '/below/' || doc_id || '.jpg', 3 FROM d
+  UNION ALL
+  SELECT doc_id, 3, '/ad/' || doc_id || '.gif', 3
+  FROM d WHERE doc_id % 2 = 0
+)
+SELECT doc_id, CAST(img_ord AS BIGINT) AS img_ord, url,
+       CAST(priority AS BIGINT) AS priority
+FROM imgs ORDER BY doc_id, img_ord
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "image_variant_fold": q_image_variant_fold,
@@ -438,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_cross_host": q_sitemap_cross_host,
         "aimd_concurrency": q_aimd_concurrency,
         "redirect_loops": q_redirect_loops,
+        "img_fetch_priority": q_img_fetch_priority,
     }
 
 
@@ -450,4 +513,5 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_cross_host": ORACLE_SITEMAP_CROSS_HOST,
         "aimd_concurrency": _oracle_aimd(),
         "redirect_loops": _oracle_redirect_loops(),
+        "img_fetch_priority": ORACLE_IMG_FETCH_PRIORITY,
     }

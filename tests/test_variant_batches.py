@@ -264,3 +264,37 @@ def test_redirect_status_classification(spark):
     # deep enough in the path the cap is no longer hit: p2 -> ... -> p12
     assert out["p2"]["status"] == "resolved" and out["p2"]["hops"] == 10
     assert out["p3"]["status"] == "resolved" and out["p3"]["final_url"] == "p12"
+
+
+def test_img_fetch_priority_rules(spark):
+    from crawlspark.extract import img_fetch_priority
+
+    body = (
+        '<img src="/a.jpg" fetchpriority="high">'
+        '<img src="/b.jpg">'
+        '<img src="/c.jpg" loading="lazy">'
+        '<img src="/d.jpg" fetchpriority="low">'
+        '<img src="/e.jpg" loading="lazy" fetchpriority="high">'
+    )
+    df = spark.createDataFrame([(body,)], "body STRING")
+    out = df.select(F.explode(img_fetch_priority(F.col("body")))
+                    .alias("i")).select("i.*").collect()
+    prios = {r["url"]: r["priority"] for r in out}
+    assert prios["/a.jpg"] == 0          # author-declared high
+    assert prios["/b.jpg"] == 2          # not first -> plain body image
+    assert prios["/c.jpg"] == 3          # lazy
+    assert prios["/d.jpg"] == 3          # low
+    assert prios["/e.jpg"] == 0          # explicit high BEATS lazy
+
+    first_plain = spark.createDataFrame(
+        [('<img src="/x.jpg"><img src="/y.jpg">',)], "body STRING")
+    out2 = {r["url"]: r["priority"] for r in first_plain.select(
+        F.explode(img_fetch_priority(F.col("body"))).alias("i"))
+        .select("i.*").collect()}
+    assert out2 == {"/x.jpg": 1, "/y.jpg": 2}  # first undecorated = LCP
+
+    empty = spark.createDataFrame([("<html>no images</html>",)],
+                                  "body STRING")
+    assert empty.select(
+        F.size(img_fetch_priority(F.col("body"))).alias("n")
+    ).collect()[0]["n"] == 0
