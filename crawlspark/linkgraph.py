@@ -639,3 +639,46 @@ def trustrank_oracle_sql(seed_mod: int = 50, iters: int = 3,
         "SELECT doc, r AS trust_scaled FROM fin ORDER BY doc",
     ]
     return "\n".join(parts)
+
+
+def classify_image_hosts(
+    edges: DataFrame,
+    page_col: str = "page_domain",
+    img_col: str = "img_domain",
+    shared_cdn_min_domains: int = 3,
+) -> DataFrame:
+    """Hotlink/CDN classification of image-host references, data-driven:
+    an image domain referenced by MANY distinct page domains is shared
+    infrastructure (a CDN — fetch it, it serves real assets); one
+    referenced by a single foreign domain is a hotlink/third-party embed
+    (fetch policy usually skips or deprioritizes it); same registrable
+    domain is first-party.  No CDN allowlist needed — the reference
+    structure itself identifies shared hosts, which is how crawl
+    operators actually discover CDNs.
+
+    ``edges``: (page_col, img_col) REGISTRABLE domains per image
+    reference (derive via canon.registrable_domain upstream).
+    Returns edges + ``n_ref_domains`` (distinct foreign page domains of
+    the image domain) + ``hotlink_class``.
+
+    Plan: one two-level distinct aggregate over (img, page) pairs — the
+    mega-hot CDN keys combine map-side — broadcast back onto the edges
+    (the domain-class relation is O(domains), tiny next to edges).
+    """
+    fp = F.col(page_col) == F.col(img_col)
+    foreign = edges.filter(~fp).select(img_col, page_col).distinct()
+    refs = foreign.groupBy(img_col).agg(
+        F.count("*").cast("long").alias("n_ref_domains")
+    )
+    out = edges.join(F.broadcast(refs), img_col, "left")
+    n = F.coalesce(F.col("n_ref_domains"), F.lit(0))
+    cls = (
+        F.when(fp, F.lit("first_party"))
+        .when(n >= shared_cdn_min_domains, F.lit("shared_cdn"))
+        .otherwise(F.lit("third_party"))
+    )
+    return out.select(
+        *edges.columns,
+        n.alias("n_ref_domains"),
+        cls.alias("hotlink_class"),
+    )

@@ -491,6 +491,53 @@ FROM imgs ORDER BY doc_id, img_ord
 """
 
 
+# --------------------------------------------------------------------------
+# image_hotlinks — data-driven first-party / shared-CDN / third-party
+# --------------------------------------------------------------------------
+
+def q_image_hotlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-host classification (linkgraph.classify_image_hosts): pages
+    on site(doc%10).test embed first-party images (doc%5==0), a CDN
+    shared by 6 page domains (doc%5 in 1..3), or a partner domain each
+    referenced by exactly one page domain (doc%5==4); the oracle states
+    the reference counts and classes from the construction."""
+    from .linkgraph import classify_image_hosts
+
+    doc = F.col("doc_id")
+    page = F.concat(F.lit("site"), (doc % 10).cast("string"),
+                    F.lit(".test"))
+    img = (
+        F.when(doc % 5 == 0, page)
+        .when(doc % 5 == 4,
+              F.concat(F.lit("partner"), (doc % 2).cast("string"),
+                       F.lit(".test")))
+        .otherwise(F.lit("cdn-shared.test"))
+    )
+    edges = _docs(spark, sf_dir).select(
+        doc.alias("doc_id"), page.alias("page_domain"),
+        img.alias("img_domain"),
+    )
+    return classify_image_hosts(edges, shared_cdn_min_domains=3).orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_IMAGE_HOTLINKS = """
+SELECT doc_id,
+       'site' || (doc_id % 10) || '.test' AS page_domain,
+       CASE WHEN doc_id % 5 = 0 THEN 'site' || (doc_id % 10) || '.test'
+            WHEN doc_id % 5 = 4 THEN 'partner' || (doc_id % 2) || '.test'
+            ELSE 'cdn-shared.test' END AS img_domain,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+                 WHEN doc_id % 5 = 4 THEN 1
+                 ELSE 6 END AS BIGINT) AS n_ref_domains,
+       CASE WHEN doc_id % 5 = 0 THEN 'first_party'
+            WHEN doc_id % 5 = 4 THEN 'third_party'
+            ELSE 'shared_cdn' END AS hotlink_class
+FROM documents ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "image_variant_fold": q_image_variant_fold,
@@ -501,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aimd_concurrency": q_aimd_concurrency,
         "redirect_loops": q_redirect_loops,
         "img_fetch_priority": q_img_fetch_priority,
+        "image_hotlinks": q_image_hotlinks,
     }
 
 
@@ -514,4 +562,5 @@ def oracle_sql() -> dict[str, str]:
         "aimd_concurrency": _oracle_aimd(),
         "redirect_loops": _oracle_redirect_loops(),
         "img_fetch_priority": ORACLE_IMG_FETCH_PRIORITY,
+        "image_hotlinks": ORACLE_IMAGE_HOTLINKS,
     }

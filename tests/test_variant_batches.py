@@ -298,3 +298,32 @@ def test_img_fetch_priority_rules(spark):
     assert empty.select(
         F.size(img_fetch_priority(F.col("body"))).alias("n")
     ).collect()[0]["n"] == 0
+
+
+def test_classify_image_hosts(spark):
+    from crawlspark.linkgraph import classify_image_hosts
+
+    edges = spark.createDataFrame(
+        [("a.test", "a.test"),      # first party
+         ("a.test", "img.cdn"), ("b.test", "img.cdn"), ("c.test", "img.cdn"),
+         ("a.test", "img.cdn"),    # duplicate ref: distinct-counted once
+         ("b.test", "leech.test")],  # single foreign ref
+        "page_domain STRING, img_domain STRING",
+    )
+    out = [(r["page_domain"], r["img_domain"], r["n_ref_domains"],
+            r["hotlink_class"])
+           for r in classify_image_hosts(
+               edges, shared_cdn_min_domains=3).collect()]
+    assert ("a.test", "a.test", 0, "first_party") in out
+    assert ("a.test", "img.cdn", 3, "shared_cdn") in out
+    assert ("b.test", "leech.test", 1, "third_party") in out
+    # a first-party edge to a domain OTHERS hotlink is still first-party
+    edges2 = spark.createDataFrame(
+        [("x.test", "x.test"), ("p.test", "x.test"), ("q.test", "x.test"),
+         ("r.test", "x.test")],
+        "page_domain STRING, img_domain STRING",
+    )
+    got = {(r["page_domain"], r["hotlink_class"]) for r in
+           classify_image_hosts(edges2, shared_cdn_min_domains=3).collect()}
+    assert ("x.test", "first_party") in got
+    assert ("p.test", "shared_cdn") in got
