@@ -591,3 +591,48 @@ def full_canonical(url: Column) -> Column:
     tail = F.substring(rest, F.length(path) + 1, F.lit(2147483647))
     u = F.concat(scheme_auth, remove_dot_segments(path), tail)
     return strip_tracking_params(u)
+
+
+def mine_path_templates(
+    urls: DataFrame,
+    url_col: str = "url",
+    min_count: int = 50,
+) -> DataFrame:
+    """URL path-template mining — fold the variable segments of a path
+    (UUIDs, long hex ids, digit runs) into placeholders and count how
+    many distinct URLs each (host, template) generates.  Templates with
+    ``n_urls >= min_count`` are *crawl-space generators*: calendar
+    pages, session-id mirrors, CDN resize endpoints — the URL families
+    a frontier must budget (or trap-block) as a GROUP, which per-URL
+    dedup cannot see.  Complements query-param mining
+    (:func:`mine_droppable_params`) on the path axis; the reference has
+    no corpus view at all (its UniqueUrlFilter is per-URL,
+    src/Steps/Filters/UniqueUrlFilter.php).
+
+    Fold order matters: UUID before bare hex (a UUID contains 4 hex
+    runs), hex before digits (a hex run may be all-digit).  All three
+    patterns are RE2-safe so the DuckDB oracle replays them verbatim.
+
+    Scale shape: narrow regexp maps fused into the scan, one map-side-
+    combined groupBy(host, template) — no joins, no windows; the result
+    relation is O(distinct templates), tiny next to the corpus.
+    """
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(u, r"^[a-z+]+://([^/:?#]+)", 1))
+    path = F.regexp_extract(u, r"^[a-z+]+://[^/?#]*(/[^?#]*)", 1)
+    t = F.regexp_replace(
+        path,
+        "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+        "{uuid}",
+    )
+    t = F.regexp_replace(t, "[0-9a-f]{16,}", "{hex}")
+    t = F.regexp_replace(t, "[0-9]+", "{n}")
+    return (
+        urls.select(host.alias("host"), t.alias("template"), u.alias("u"))
+        .groupBy("host", "template")
+        .agg(
+            F.countDistinct("u").alias("n_urls"),
+            F.min("u").alias("example_url"),
+        )
+        .withColumn("is_generator", F.col("n_urls") >= F.lit(int(min_count)))
+    )

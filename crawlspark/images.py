@@ -655,3 +655,62 @@ def phash_hflip(phash_col) -> "F.Column":
         return pd.Series(v.astype(np.int64))
 
     return flip(phash_col)
+
+
+# EXIF orientation tag (1..8) -> the dihedral op that uprights the pixels.
+# Tags 5-8 transpose the raster, so width/height swap; tag 1 is a no-op.
+_EXIF_TRANSFORMS = {
+    1: ("identity", False),
+    2: ("flip_h", False),
+    3: ("rot180", False),
+    4: ("flip_v", False),
+    5: ("transpose", True),
+    6: ("rot90_cw", True),
+    7: ("transverse", True),
+    8: ("rot270_cw", True),
+}
+
+
+def exif_orientation_plan(
+    imgs: DataFrame,
+    orientation_col: str = "exif_orientation",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Upright-normalization planning from the EXIF orientation tag —
+    cameras store the raster sensor-side-up and record how to display it
+    (tag 1..8 of the TIFF/EXIF spec); a training table must normalize
+    BEFORE patchify/resize or a rotated image trains as a different
+    picture.  Adds, per image: the dihedral transform to apply
+    (``identity``/``flip_h``/``rot180``/``flip_v``/``transpose``/
+    ``rot90_cw``/``transverse``/``rot270_cw``), whether dims swap
+    (tags 5-8 transpose the raster, so the stored w x h become
+    out_h x out_w), the upright dims, and ``needs_rewrite``
+    (tag present and != 1 — the share of the table the normalization
+    pass must actually touch).  Unknown / out-of-range / null tags map
+    to identity per the spec's "treat as 1" guidance.
+
+    The companion invariant: :func:`dihedral_phash_struct`'s canonical
+    phash is unchanged by ANY of these transforms (they are exactly the
+    dihedral group the canonicalization minimizes over), so orientation
+    normalization never splits a near-dup group — asserted in tests.
+
+    Pure JVM CASE expressions in whole-stage codegen — the plan is a
+    narrow map over the image table; the byte-level rewrite itself is
+    the images codec path (:func:`decode_validate_reencode`).
+    """
+    tag0 = F.col(orientation_col).cast("int")
+    tag = F.when(tag0.between(1, 8), tag0).otherwise(F.lit(1))
+    transform = F.lit(None).cast("string")
+    for t in range(8, 0, -1):
+        name, _ = _EXIF_TRANSFORMS[t]
+        transform = F.when(tag == t, F.lit(name)).otherwise(transform)
+    swaps = tag.isin(5, 6, 7, 8)
+    w, h = F.col(w_col).cast("long"), F.col(h_col).cast("long")
+    return (
+        imgs.withColumn("transform", transform)
+        .withColumn("swaps_dims", swaps)
+        .withColumn("out_w", F.when(swaps, h).otherwise(w))
+        .withColumn("out_h", F.when(swaps, w).otherwise(h))
+        .withColumn("needs_rewrite", tag != 1)
+    )

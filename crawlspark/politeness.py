@@ -498,3 +498,63 @@ def aimd_concurrency(
         )
 
     return history.groupBy(host_col).applyInPandas(run, AIMD_OUT_SCHEMA)
+
+
+DNS_PLAN_SCHEMA = (
+    "host STRING, n_lookups LONG, n_resolves LONG, n_hits LONG"
+)
+
+
+def dns_cache_plan(
+    lookups: DataFrame,
+    ttl_ms: int,
+    host_col: str = "host",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Resolver-cache planning for the fetch stage — at 10^10-URL
+    frontier scale DNS is a real bottleneck (every fetch task must map
+    host -> IP before it can open a socket), and the planning question
+    is how many actual resolutions a wave costs under a TTL cache vs the
+    raw lookup count.  Semantics are the standard positive cache: the
+    first lookup of a host MISSES (one resolution) and caches until
+    ``t + ttl_ms``; lookups strictly before expiry HIT; the first lookup
+    at-or-after expiry misses again and restarts the window from ITS
+    timestamp (not from expiry — caches refresh on demand, they don't
+    tick).  The reference resolves through PHP's per-process socket
+    layer with no cross-request planning at all (src/Loader/Http/
+    HttpLoader.php delegates to Guzzle); this is the distributed
+    replacement.
+
+    The miss chain is sequential by design (each miss re-anchors the
+    expiry at a data-dependent timestamp), so no window expresses it —
+    same family as :func:`aimd_concurrency`: hosts partition the state,
+    applyInPandas scans each host group once.  Within a group the scan
+    is O(n_misses) ``searchsorted`` jumps over the sorted timestamp
+    array, NOT O(n_lookups) Python iterations — for a hot host with
+    millions of lookups and a handful of TTL windows the interpreter
+    work is proportional to the handful.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ttl = int(ttl_ms)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(pdf[ts_col].to_numpy(dtype=np.int64))
+        n = len(ts)
+        misses = 0
+        i = 0
+        while i < n:
+            misses += 1
+            # everything in [ts[i], ts[i]+ttl) is served by this resolve
+            i = int(np.searchsorted(ts, ts[i] + ttl, side="left"))
+        return pd.DataFrame(
+            {
+                "host": [pdf[host_col].iloc[0]],
+                "n_lookups": [n],
+                "n_resolves": [misses],
+                "n_hits": [n - misses],
+            }
+        )
+
+    return lookups.groupBy(host_col).applyInPandas(run, DNS_PLAN_SCHEMA)
