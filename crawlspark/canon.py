@@ -636,3 +636,50 @@ def mine_path_templates(
         )
         .withColumn("is_generator", F.col("n_urls") >= F.lit(int(min_count)))
     )
+
+
+def idn_fold_hosts(
+    urls: DataFrame,
+    host_col: str = "host",
+) -> DataFrame:
+    """IDN host folding — internationalized hostnames reach a crawler in
+    two spellings of the SAME authority: the Unicode form a page author
+    wrote (``münchen.de``) and the punycode ACE form the wire actually
+    resolves (``xn--mnchen-3ya.de``).  A seen set keyed on raw host
+    strings crawls such sites twice; the identity key must be the ACE
+    form (what DNS sees).  The reference gets this from crwlr/url's IDN
+    support; here it is a fold column for the canonical-identity chain
+    (:func:`full_canonical` handles scheme/port/path — host IDN is the
+    remaining authority axis).
+
+    Adds ``host_ace`` (per-label IDNA ToASCII, lowercased; conversion
+    failures keep the lowercased original — never drop a crawlable
+    host) and ``was_unicode``.  Implementation: Arrow-batched pandas
+    UDF with an in-batch ASCII fast path — the codec only runs on the
+    (rare) non-ASCII hosts, so interpreter work is O(IDN hosts), not
+    O(hosts); ASCII rows are a vectorized lowercase.  Uses the stdlib
+    IDNA2003 codec (so ``ß`` maps to ``ss`` — the crwlr/url behavior),
+    already-ACE labels pass through unchanged.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def to_ace(hosts: pd.Series) -> pd.Series:
+        low = hosts.fillna("").str.lower()
+        is_ascii = low.map(lambda s: s.isascii())
+        out = low.copy()
+        for i in low.index[~is_ascii]:
+            h = low[i]
+            try:
+                out[i] = ".".join(
+                    lbl.encode("idna").decode("ascii") if lbl else lbl
+                    for lbl in h.split(".")
+                )
+            except UnicodeError:
+                out[i] = h
+        return out
+
+    h = F.col(host_col)
+    return urls.withColumn("host_ace", to_ace(h)).withColumn(
+        "was_unicode", F.col("host_ace") != F.lower(h)
+    )

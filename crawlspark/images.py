@@ -714,3 +714,94 @@ def exif_orientation_plan(
         .withColumn("out_h", F.when(swaps, w).otherwise(h))
         .withColumn("needs_rewrite", tag != 1)
     )
+
+
+def _be32(b, off: int) -> "F.Column":
+    """Big-endian u32 at 1-based byte offset ``off`` of a binary column —
+    hex() the 4-byte slice, conv base-16; stays in whole-stage codegen."""
+    return F.conv(F.hex(F.substring(b, off, 4)), 16, 10).cast("long")
+
+
+def _le16(b, off: int) -> "F.Column":
+    lo = F.conv(F.hex(F.substring(b, off, 1)), 16, 10).cast("long")
+    hi = F.conv(F.hex(F.substring(b, off + 1, 1)), 16, 10).cast("long")
+    return lo + F.lit(256) * hi
+
+
+def _le32(b, off: int) -> "F.Column":
+    return (
+        _le16(b, off) + F.lit(65536) * _le16(b, off + 2)
+    )
+
+
+def sniff_header_dims(
+    imgs: DataFrame,
+    bytes_col: str = "bytes",
+    declared_w: str = "w",
+    declared_h: str = "h",
+    max_pixels: int = 178_956_970,  # Pillow's decompression-bomb default
+) -> DataFrame:
+    """Container-header dimension sniffing — read w x h from the FIRST
+    BYTES of the payload (PNG IHDR big-endian at offset 17/21, GIF
+    logical screen little-endian u16 at 7/9, BMP info-header little-
+    endian i32 at 19/23) without decoding a single pixel.  Two gates a
+    fetch pipeline needs BEFORE spending decode CPU:
+
+    - ``dim_lie``: header dims disagree with the declared (HTML/sitemap/
+      API) dims — hotlink-protection placeholders, soft-404 images,
+      CDN-rewritten assets;
+    - ``bomb``: header pixel count past ``max_pixels`` (Pillow's
+      MAX_IMAGE_PIXELS default) — a 100-byte body declaring a
+      billion-pixel raster must be quarantined unopened.
+
+    All pure JVM: binary substring -> hex -> conv arithmetic in
+    whole-stage codegen, no Python in the scan.  BMP heights may be
+    negative (top-down rows); abs() is taken and the sign recorded.
+    Unknown magics pass through with null sniffed dims (the fake-codec
+    zlib payloads land here — CODEC NOTE at module top).
+    """
+    b = F.col(bytes_col)
+    # magic match AND the header long enough to hold the dims — a
+    # truncated 2-byte 'BM' prefix must sniff as unknown, not as a BMP
+    # with garbage dims
+    blen = F.length(b)
+    is_png = (F.hex(F.substring(b, 1, 8)) == "89504E470D0A1A0A") & (
+        blen >= 24
+    )
+    is_gif = (F.substring(b, 1, 4).cast("string") == "GIF8") & (blen >= 10)
+    is_bmp = (F.substring(b, 1, 2).cast("string") == "BM") & (blen >= 26)
+    bmp_h_raw = _le32(b, 23)
+    # i32le sign: values >= 2^31 are negative (top-down row order)
+    bmp_neg = bmp_h_raw >= F.lit(1 << 31)
+    bmp_h = F.when(bmp_neg, F.lit(1 << 32) - bmp_h_raw).otherwise(bmp_h_raw)
+    sniff_fmt = (
+        F.when(is_png, "png").when(is_gif, "gif").when(is_bmp, "bmp")
+    )
+    sw = (
+        F.when(is_png, _be32(b, 17))
+        .when(is_gif, _le16(b, 7))
+        .when(is_bmp, _le32(b, 19))
+    )
+    sh = (
+        F.when(is_png, _be32(b, 21))
+        .when(is_gif, _le16(b, 9))
+        .when(is_bmp, bmp_h)
+    )
+    dw, dh = F.col(declared_w).cast("long"), F.col(declared_h).cast("long")
+    return (
+        imgs.withColumn("sniff_fmt", sniff_fmt)
+        .withColumn("sniff_w", sw)
+        .withColumn("sniff_h", sh)
+        .withColumn("bmp_topdown",
+                    F.when(is_bmp, bmp_neg).otherwise(F.lit(False)))
+        .withColumn(
+            "dim_lie",
+            F.when(sw.isNull(), F.lit(None).cast("boolean"))
+            .otherwise((sw != dw) | (sh != dh)),
+        )
+        .withColumn(
+            "bomb",
+            F.when(sw.isNull(), F.lit(None).cast("boolean"))
+            .otherwise(sw * sh > F.lit(int(max_pixels))),
+        )
+    )
