@@ -486,3 +486,36 @@ def bucket_batches(
             kept.alias("kept"),
         )
     )
+
+
+def exif_gps_scrub_plan(
+    imgs: DataFrame,
+    exif_col: str = "exif",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """EXIF-GPS privacy scrub planning — user-uploaded photos routinely
+    carry the capture location in EXIF GPS IFD tags, and a training
+    table that republishes them leaks home addresses (the LAION-class
+    privacy failure).  Over a typed metadata map (``exif:
+    map<string,string>``, extracted at decode time), plan the scrub:
+    ``n_gps_keys`` (tags in the GPS IFD — key prefix ``GPS``),
+    ``has_gps``, and ``action`` (``strip_gps`` / ``none``).  The byte
+    rewrite itself rides the codec stage
+    (:func:`crawlspark.images.decode_validate_reencode` re-encodes
+    without metadata); this plan is the narrow JVM column pass that
+    decides WHICH payloads pay that rewrite, so the codec only touches
+    the offending rows.  map_filter/size in whole-stage codegen, no
+    Python.
+    """
+    gps_keys = F.map_filter(
+        F.col(exif_col), lambda k, v: k.startswith("GPS")
+    )
+    n = F.when(F.col(exif_col).isNull(), F.lit(0)).otherwise(
+        F.size(F.map_keys(gps_keys))
+    ).cast("long")
+    return imgs.select(
+        F.col(id_col),
+        n.alias("n_gps_keys"),
+        (n > 0).alias("has_gps"),
+        F.when(n > 0, "strip_gps").otherwise("none").alias("action"),
+    )

@@ -509,3 +509,46 @@ def cross_host_sitemap_admission(
         .otherwise(F.lit("cross_host_undeclared"))
         .alias("reason"),
     )
+
+
+def image_indexing_policy(
+    body: "F.Column",
+    x_robots_tag: "F.Column | None" = None,
+    bot_name: str = "crawlspark",
+) -> "F.Column":
+    """Image-specific robots-meta policy (Google robots-meta spec) — the
+    directives that gate an IMAGE+CAPTION pipeline rather than the page
+    itself: ``noimageindex`` (images on this page must not enter the
+    image index — for a training-data crawl that means the page's
+    image/caption pairs are excluded at extraction, before any fetch of
+    the image bytes) and ``max-image-preview:<none|standard|large>``
+    (the largest preview surface the publisher allows; ``unset`` when
+    absent = unrestricted).  Same most-specific-tag-wins + additive
+    X-Robots-Tag semantics as :func:`robots_meta_directives`; same
+    pure-JVM regexp discipline.  Returns
+    struct<noimageindex:boolean, max_image_preview:string>.
+    """
+    def content_of(name: str) -> "F.Column":
+        pat = (r'(?i)<meta\s[^>]*name\s*=\s*"' + name
+               + r'"[^>]*content\s*=\s*"([^"]*)"[^>]*>')
+        return F.regexp_extract(body, pat, 1)
+
+    specific = content_of(bot_name)
+    generic = content_of("robots")
+    meta = F.when(specific != "", specific).otherwise(generic)
+    header = x_robots_tag if x_robots_tag is not None else F.lit("")
+    combined = F.concat_ws(",", meta, F.coalesce(header, F.lit("")))
+    toks = F.transform(F.split(F.lower(combined), ","), lambda t: F.trim(t))
+    preview_tok = F.filter(
+        toks, lambda t: t.startswith("max-image-preview:")
+    )
+    preview = F.when(
+        F.size(preview_tok) > 0,
+        F.trim(F.substring_index(F.element_at(preview_tok, 1), ":", -1)),
+    ).otherwise(F.lit("unset"))
+    valid = preview.isin("none", "standard", "large")
+    return F.struct(
+        F.array_contains(toks, "noimageindex").alias("noimageindex"),
+        F.when(valid, preview).otherwise(F.lit("unset"))
+        .alias("max_image_preview"),
+    )

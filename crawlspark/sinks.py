@@ -425,3 +425,51 @@ def compaction_plan(
         )
     )
     return groups
+
+
+def vary_cache_identity(
+    responses: DataFrame,
+    url_col: str = "url",
+    vary_col: str = "vary",
+    req_headers_col: str = "req_headers",
+) -> DataFrame:
+    """Vary-aware cache identity (RFC 9111 §4.1) — a response whose
+    ``Vary`` header names request headers is a DIFFERENT cache object
+    per combination of those request-header values: ``Vary:
+    Accept-Language`` on one URL is one cached body per language the
+    crawler sends, and ``Vary: *`` is uncacheable, full stop.  The
+    reference's cache keys the method+uri+body only
+    (src/Utils/RequestKey.php:26-42) and would serve a German page to an
+    English revisit; this op derives the secondary key a shared response
+    cache must use.
+
+    Adds ``vary_key`` — the canonical secondary key: Vary field-names
+    lowercased/trimmed/sorted/deduped, each paired with the request's
+    value for it (absent header -> empty value, which RFC 9111 treats
+    as its own match class) — and ``uncacheable`` (Vary contained
+    ``*``).  Pure JVM: split/transform/array_sort/map lookup in
+    whole-stage codegen; the full cache key is then
+    ``request_key(method, url) x vary_key``.
+    """
+    vary = F.coalesce(F.col(vary_col), F.lit(""))
+    names = F.array_distinct(
+        F.filter(
+            F.transform(F.split(F.lower(vary), ","), lambda t: F.trim(t)),
+            lambda t: t != "",
+        )
+    )
+    uncacheable = F.array_contains(names, "*")
+    sorted_names = F.array_sort(names)
+    pairs = F.transform(
+        sorted_names,
+        lambda n: F.concat(
+            n, F.lit("="),
+            F.coalesce(F.element_at(F.col(req_headers_col), n), F.lit("")),
+        ),
+    )
+    key = F.when(uncacheable, F.lit(None).cast("string")).otherwise(
+        F.array_join(pairs, "&")
+    )
+    return responses.withColumn("vary_key", key).withColumn(
+        "uncacheable", uncacheable
+    )
