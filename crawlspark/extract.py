@@ -1065,3 +1065,74 @@ def sitemap_news_entries(body: Column) -> Column:
         ),
     )
     return F.flatten(F.filter(per_block, lambda a: F.size(a) > 0))
+
+
+def license_signals(body: Column) -> Column:
+    """Page license extraction — the rights signal an image+caption
+    training pipeline must carry per sample (the LAION-class compliance
+    requirement: keep only what the rights metadata permits, and keep
+    the evidence).  Three public conventions, most-explicit first:
+
+    1. ``<a rel="license" href=...>`` (the microformats rel-license
+       convention),
+    2. ``<meta itemprop="license" content=...>`` / schema.org license
+       property in the page head,
+    3. a JSON-LD ``"license": "<url>"`` member.
+
+    Returns struct<license_url:string, source:string> with source in
+    ``rel``/``itemprop``/``jsonld``/``none`` (first match in that
+    order).  Pure JVM regexp over the scan; classification of the URL
+    into a rights class is :func:`classify_license` so the two stages
+    stay independently testable.
+    """
+    rel = F.regexp_extract(
+        body,
+        r'(?is)<a\s[^>]*rel\s*=\s*"license"[^>]*href\s*=\s*"([^"]+)"', 1,
+    )
+    rel2 = F.regexp_extract(
+        body,
+        r'(?is)<a\s[^>]*href\s*=\s*"([^"]+)"[^>]*rel\s*=\s*"license"', 1,
+    )
+    itemprop = F.regexp_extract(
+        body,
+        r'(?is)<meta\s[^>]*itemprop\s*=\s*"license"[^>]*'
+        r'content\s*=\s*"([^"]+)"', 1,
+    )
+    jsonld = F.regexp_extract(
+        body, r'(?is)"license"\s*:\s*"([^"]+)"', 1,
+    )
+    rel_any = F.when(rel != "", rel).otherwise(rel2)
+    url = (
+        F.when(rel_any != "", rel_any)
+        .when(itemprop != "", itemprop)
+        .when(jsonld != "", jsonld)
+    )
+    source = (
+        F.when(rel_any != "", "rel")
+        .when(itemprop != "", "itemprop")
+        .when(jsonld != "", "jsonld")
+        .otherwise("none")
+    )
+    return F.struct(url.alias("license_url"), source.alias("source"))
+
+
+def classify_license(url: Column) -> Column:
+    """Map a license URL to a rights class a curation pipeline can
+    filter on: creativecommons.org/licenses/<code>/ -> ``cc-<code>``
+    (by, by-sa, by-nc, by-nc-sa, by-nd, by-nc-nd),
+    /publicdomain/zero/ -> ``cc0``, /publicdomain/mark/ -> ``pdm``,
+    any other URL -> ``other``, null/empty -> ``none``.  The
+    train-eligibility call (cc0/pdm/by/by-sa yes, -nc/-nd no) stays at
+    the policy layer — this op only normalizes the evidence.
+    """
+    u = F.lower(F.coalesce(url, F.lit("")))
+    cc = F.regexp_extract(
+        u, r"creativecommons\.org/licenses/([a-z-]+)/", 1
+    )
+    return (
+        F.when(u == "", "none")
+        .when(u.contains("creativecommons.org/publicdomain/zero"), "cc0")
+        .when(u.contains("creativecommons.org/publicdomain/mark"), "pdm")
+        .when(cc != "", F.concat(F.lit("cc-"), cc))
+        .otherwise("other")
+    )

@@ -682,3 +682,74 @@ def classify_image_hosts(
         n.alias("n_ref_domains"),
         cls.alias("hotlink_class"),
     )
+
+
+def host_mirrors(
+    pages: DataFrame,
+    host_col: str = "host",
+    fp_col: str = "content_fp",
+    max_hosts_per_fp: int = 16,
+    mirror_permille: int = 800,
+    min_shared: int = 10,
+) -> DataFrame:
+    """Cross-host mirror detection by shared content fingerprints — a
+    site served under several hosts (www/apex split the www-fold
+    missed, regional mirrors, scraper clones) wastes its whole crawl
+    budget a second time unless the pair is detected and collapsed to
+    one preferred host.  A host pair is a mirror candidate when the
+    DISTINCT fingerprints they share cover >= ``mirror_permille`` of
+    the SMALLER host's corpus (containment, not Jaccard — a small
+    full mirror of a big site must score 1000, not |small|/|big|)
+    and the absolute overlap clears ``min_shared``.
+
+    Scale shape: the pair generation is a self-equi-join ON THE
+    FINGERPRINT (hash join at any scale), with the classic supernode
+    guard first — fingerprints on more than ``max_hosts_per_fp``
+    distinct hosts are boilerplate (empty pages, error templates,
+    parked-domain bodies) and are dropped BEFORE pairing, exactly the
+    degree-cap discipline of :func:`cap_supernode_edges`; without it a
+    parked-page fingerprint shared by 10^6 hosts explodes into 10^12
+    pairs.  Everything else is map-side-combined aggregation; the
+    result relation is O(candidate pairs).
+    """
+    hf = pages.select(host_col, fp_col).distinct()
+    fp_hosts = (
+        hf.groupBy(fp_col)
+        .agg(F.countDistinct(host_col).alias("__nh"))
+        .filter(F.col("__nh") <= F.lit(int(max_hosts_per_fp)))
+        .select(fp_col)
+    )
+    hf2 = hf.join(fp_hosts, fp_col)  # supernode fps gone
+    # corpus sizes AFTER the boilerplate drop, so numerator and
+    # denominator of the containment ratio count the same universe
+    sizes = hf2.groupBy(host_col).agg(
+        F.countDistinct(fp_col).alias("n_fps")
+    )
+    a = hf2.select(F.col(host_col).alias("host_a"), F.col(fp_col).alias("f"))
+    b = hf2.select(F.col(host_col).alias("host_b"), F.col(fp_col).alias("f"))
+    shared = (
+        a.join(b, "f")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(host_col).alias("host_a"),
+                      F.col("n_fps").alias("n_a"))
+    sb = sizes.select(F.col(host_col).alias("host_b"),
+                      F.col("n_fps").alias("n_b"))
+    out = (
+        shared.join(sa, "host_a").join(sb, "host_b")
+        .withColumn(
+            "containment_permille",
+            F.expr("(1000 * n_shared) div least(n_a, n_b)").cast("long"),
+        )
+        .withColumn(
+            "is_mirror",
+            (F.col("containment_permille") >= F.lit(int(mirror_permille)))
+            & (F.col("n_shared") >= F.lit(int(min_shared))),
+        )
+    )
+    return out.select(
+        "host_a", "host_b", "n_shared", "n_a", "n_b",
+        "containment_permille", "is_mirror",
+    )

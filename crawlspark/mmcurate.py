@@ -519,3 +519,59 @@ def exif_gps_scrub_plan(
         (n > 0).alias("has_gps"),
         F.when(n > 0, "strip_gps").otherwise("none").alias("action"),
     )
+
+
+def resize_plan(
+    imgs: DataFrame,
+    target_long: int = 512,
+    snap: int = 64,
+    min_side: int = 64,
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Aspect-preserving resize planning — the arithmetic stage before
+    the codec touches any pixel: long side scales to ``target_long``,
+    the short side follows the aspect ratio and snaps DOWN to the
+    training grid (``snap``-multiple, floored at ``min_side`` — VAE /
+    patch embeddings need dimensions divisible by the patch size).
+    Integer-exact by construction: short' = max(min_side,
+    ((short * target_long) div long) div snap * snap).
+
+    Adds out_w/out_h, ``scale_permille`` (1000 * target_long div long —
+    the downsample ratio the anti-aliasing filter is chosen by), and
+    ``mode``: ``down`` (long > target), ``up`` (long < target — a
+    quality flag, upscaled samples are usually dropped or
+    re-weighted), ``keep`` (already exact).  Narrow JVM arithmetic in
+    whole-stage codegen; pairs with aspect_bucket_col / bucket_batches
+    for the full preprocessing plan.
+    """
+    w, h = F.col(w_col).cast("long"), F.col(h_col).cast("long")
+    long_s = F.greatest(w, h)
+    short_s = F.least(w, h)
+    t = F.lit(int(target_long))
+    short_out = F.greatest(
+        F.lit(int(min_side)),
+        F.expr(
+            f"(((least({w_col}, {h_col}) * {int(target_long)})"
+            f" div greatest({w_col}, {h_col})) div {int(snap)}) * {int(snap)}"
+        ).cast("long"),
+    )
+    out_w = F.when(w >= h, t).otherwise(short_out)
+    out_h = F.when(w >= h, short_out).otherwise(t)
+    mode = (
+        F.when(long_s > t, "down")
+        .when(long_s < t, "up")
+        .otherwise("keep")
+    )
+    return (
+        imgs.withColumn("out_w", out_w.cast("long"))
+        .withColumn("out_h", out_h.cast("long"))
+        .withColumn(
+            "scale_permille",
+            F.expr(
+                f"(1000 * {int(target_long)})"
+                f" div greatest({w_col}, {h_col})"
+            ).cast("long"),
+        )
+        .withColumn("mode", mode)
+    )
