@@ -683,3 +683,54 @@ def idn_fold_hosts(
     return urls.withColumn("host_ace", to_ace(h)).withColumn(
         "was_unicode", F.col("host_ace") != F.lower(h)
     )
+
+
+def path_prefix_rollup(
+    urls: DataFrame,
+    url_col: str = "url",
+    bytes_col: str | None = None,
+    max_depth: int = 3,
+) -> DataFrame:
+    """Directory-subtree budget rollup — aggregate fetch counts (and
+    optionally bytes) per path PREFIX up to ``max_depth`` segments, so a
+    crawl operator sees WHERE a host's budget goes (``/calendar/`` eating
+    80% of fetches is invisible in per-URL stats and obvious here).
+    The natural companion of :func:`mine_path_templates`: templates find
+    the generator families, prefixes locate them in the site tree.
+
+    Each URL contributes one row per ancestor prefix (``/a/``,
+    ``/a/b/``, ... bounded by max_depth — a depth-20 URL still emits
+    only ``max_depth`` rows, so blowup is capped at a constant factor).
+    Pure JVM: split + transform over a bounded sequence + explode, one
+    map-side-combined groupBy(host, prefix); result is O(distinct
+    prefixes).
+    """
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(u, r"^[a-z+]+://([^/:?#]+)", 1))
+    path = F.regexp_extract(u, r"^[a-z+]+://[^/?#]*(/[^?#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    n = F.least(F.size(segs), F.lit(int(max_depth)))
+    prefixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            F.lit("/"), F.array_join(F.slice(segs, 1, i), "/"), F.lit("/")
+        ),
+    )
+    prefixes = F.when(n >= 1, prefixes).otherwise(
+        F.array().cast("array<string>")
+    )
+    exploded = urls.select(
+        host.alias("host"),
+        F.explode(prefixes).alias("prefix"),
+        *( [F.col(bytes_col).cast("long").alias("__b")] if bytes_col else [] ),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_urls")]
+    if bytes_col:
+        aggs.append(F.sum("__b").alias("total_bytes"))
+    out = exploded.groupBy("host", "prefix").agg(*aggs)
+    return out.withColumn(
+        "depth",
+        (F.length(F.col("prefix"))
+         - F.length(F.regexp_replace(F.col("prefix"), "/", "")) - 1)
+        .cast("long"),
+    )

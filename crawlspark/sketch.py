@@ -1,0 +1,90 @@
+"""Count-min sketch over DataFrames — bounded-memory frequency summaries
+for the frontier's hot-host accounting.
+
+Why a sketch at all: exact per-host counts at 10^10-URL scale are a
+groupBy over 10^8+ distinct hosts — fine as a batch job, too expensive to
+keep CURRENT inside a scheduler loop that only needs "is this host hot
+enough to salt / throttle".  A count-min sketch is d x w integer cells
+(kilobytes), mergeable across partitions by cell-wise addition, never
+undercounts, and overcounts only by collision mass (<= N/w in
+expectation per row, min over d rows).  The reference has no corpus
+view at all (per-request throttling only,
+src/Loader/Http/Politeness/Throttler.php); this is the distributed
+summary a 1000-executor scheduler would broadcast.
+
+Hashes are pairwise-independent multiply-shift over a Mersenne prime:
+h_i(k) = ((A_i * k + B_i) mod P) mod w, P = 2^31 - 1, with k, A_i < P so
+the product stays inside a 64-bit long.  DELIBERATELY xxhash-free: every
+operation is plain integer arithmetic a SQL oracle replays exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_P = (1 << 31) - 1
+# fixed coefficients (odd, < P) — stability across runs is part of the
+# contract: a sketch built yesterday must merge with one built today
+CMS_A = [1103515245, 22695477, 134775813, 1664525, 69069]
+CMS_B = [12345, 1013904223, 1, 1013904242, 362437]
+
+
+def _bucket(key, i: int, width: int):
+    return F.pmod(
+        F.pmod(F.lit(CMS_A[i]) * key + F.lit(CMS_B[i]), F.lit(_P)),
+        F.lit(int(width)),
+    ).cast("long")
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Build the sketch: one (row, bucket, cnt) relation of at most
+    depth x width cells.  Shape: explode each input row into its d
+    (row, bucket) cells, then ONE map-side-combined groupBy — partial
+    aggregation does the merge that a cellwise array-add would do, so
+    'build per partition then merge' is exactly what Spark executes.
+    Keys must be non-negative longs < 2^31 (hash wider ids down first).
+    """
+    k = F.col(key_col).cast("long")
+    cells = F.array(*[
+        F.struct(F.lit(i).alias("row"), _bucket(k, i, width).alias("bucket"))
+        for i in range(int(depth))
+    ])
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point estimates for a set of keys: join each key's d cells
+    against the sketch, take the min.  The sketch side is O(d x w) —
+    broadcast it; estimates NEVER undercount (min over rows of sums
+    that each include the key's true mass), asserted in tests.
+    """
+    k = F.col(key_col).cast("long")
+    probes = keys.select(
+        key_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row"),
+                     _bucket(k, i, width).alias("bucket"))
+            for i in range(int(depth))
+        ])).alias("c"),
+    ).select(key_col, F.col("c.row").alias("row"),
+             F.col("c.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(cms), ["row", "bucket"], "left").select(
+        key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+    )
+    return joined.groupBy(key_col).agg(F.min("cnt").alias("est"))
