@@ -1,0 +1,134 @@
+"""Temporal join operators Spark lacks as built-ins — as-of join and
+bucketed interval join — composed from exchanges + windows so Catalyst
+still owns the physical plan (no Python anywhere).
+
+Crawl motivation: compliance and scheduling are TEMPORAL joins.  "Was
+this fetch allowed?" is not a join against today's robots.txt — it is a
+join against the snapshot that was in force AT FETCH TIME (robots files
+change; the reference re-reads robots.txt per run and has no history,
+src/Loader/Http/Politeness/RobotsTxt.php).  "Did this fetch land in a
+maintenance window?" is an interval-containment join.  Both must run at
+10^10-row scale without a cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row picks the LATEST right row of
+    the same ``key`` with ``right_ts <= left_ts`` (exact tie: the right
+    row applies).  Left rows older than every right row keep null
+    payloads (left-join semantics).
+
+    Shape — the distributed sort-merge trick, not a per-key loop: union
+    both sides tagged (right rows sort BEFORE left rows at equal ts),
+    then one window per key ordered by (ts, tag) carrying
+    ``last(payload, ignorenulls=true)`` forward.  Cost: ONE Exchange on
+    the key + an in-partition sort; payload state is O(1) per row.  Keys
+    partition the work, so host-keyed crawl data inherits the politeness
+    layer's skew handling (salt hot hosts upstream if one key dominates).
+    """
+    payload_cols = payload_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    lcols = [c for c in left.columns]
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).cast("long").alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+          for c in lcols],
+    )
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).cast("long").alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
+          for c in payload_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l).select(
+        "__tag",
+        *[F.col(f"__l_{c}") for c in lcols],
+        *[
+            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in payload_cols
+        ],
+    )
+    out = carried.filter(F.col("__tag") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        *[F.col(f"__c_{c}").alias(c) for c in payload_cols],
+    )
+    return out
+
+
+def interval_join_bucketed(
+    events: DataFrame,
+    windows: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket: int = 1000,
+) -> DataFrame:
+    """Interval-containment join (event ts in [start, end], inclusive)
+    via coarse time buckets — the standard scale rewrite of a range
+    join.  A plain ``ON key AND ts BETWEEN start AND end`` join gives
+    Spark only the equi-key to hash on, so every event meets every
+    window of its key (O(events x windows/key) — fatal when a hot host
+    has thousands of maintenance windows).  Bucketizing adds a second
+    equi-column: each window explodes into the ``bucket``-sized time
+    cells it overlaps, each event hashes to exactly one cell, and the
+    BETWEEN refine runs only on cell-collisions.  Blowup is bounded:
+    a window spanning S seconds adds S/bucket + 1 rows — pick bucket
+    near the median window length.
+
+    Returns events with ``n_windows`` (how many intervals contain the
+    event; 0 for none — left semantics, no row loss).
+    """
+    ts = F.col(ts_col).cast("long")
+    s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+    b = int(bucket)
+    wx = windows.select(
+        F.col(key).alias("__k"), s.alias("__s"), e.alias("__e"),
+        F.explode(
+            F.sequence(F.floor(s / b).cast("long"),
+                       F.floor(e / b).cast("long"))
+        ).alias("__cell"),
+    )
+    ev = events.withColumn("__cell", F.floor(ts / b).cast("long"))
+    hits = (
+        ev.join(
+            wx,
+            (ev[key] == wx["__k"]) & (ev["__cell"] == wx["__cell"]),
+            "left",
+        )
+        .withColumn(
+            "__hit",
+            F.when(
+                (ts >= F.col("__s")) & (ts <= F.col("__e")), 1
+            ).otherwise(0),
+        )
+    )
+    # events must carry a unique id among their columns: the regroup
+    # below collapses byte-identical event rows into one
+    return (
+        hits.groupBy(*[F.col(c) for c in events.columns])
+        .agg(F.sum("__hit").cast("long").alias("n_windows"))
+    )
