@@ -665,6 +665,7 @@ def idn_fold_hosts(
 
     @pandas_udf("string")
     def to_ace(hosts: pd.Series) -> pd.Series:
+        isna = hosts.isna()
         low = hosts.fillna("").str.lower()
         is_ascii = low.map(lambda s: s.isascii())
         out = low.copy()
@@ -677,11 +678,16 @@ def idn_fold_hosts(
                 )
             except UnicodeError:
                 out[i] = h
+        # a NULL host (unparseable URL upstream) stays NULL — folding it
+        # to '' would mint a valid-looking identity key that collapses
+        # every null-host row into one authority downstream
+        out[isna] = None
         return out
 
     h = F.col(host_col)
     return urls.withColumn("host_ace", to_ace(h)).withColumn(
-        "was_unicode", F.col("host_ace") != F.lower(h)
+        "was_unicode",
+        F.coalesce(F.col("host_ace") != F.lower(h), F.lit(False)),
     )
 
 

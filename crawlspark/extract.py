@@ -990,21 +990,35 @@ def img_fetch_priority(body: Column) -> Column:
     """
     tag_arr = F.regexp_extract_all(body, F.lit(r"(?i)<img[^>]*>"), 0)
 
-    def parse_tag(tag: Column, i: Column) -> Column:
-        src = F.regexp_extract(tag, r'(?i)\bsrc\s*=\s*"([^"]*)"', 1)
-        fp = F.lower(
+    def fp_of(tag: Column) -> Column:
+        return F.lower(
             F.regexp_extract(tag, r'(?i)\bfetchpriority\s*=\s*"([^"]*)"', 1)
         )
-        lazy = (
+
+    def lazy_of(tag: Column) -> Column:
+        return (
             F.lower(
                 F.regexp_extract(tag, r'(?i)\bloading\s*=\s*"([^"]*)"', 1)
             )
             == "lazy"
         )
+
+    # the likely-LCP slot belongs to the FIRST image without contrary
+    # hints — not blindly to index 0: a lazy tracking pixel or logo in
+    # first position must not eat the hero image's priority
+    und_flags = F.transform(
+        tag_arr,
+        lambda t: (fp_of(t) != "high") & (fp_of(t) != "low") & ~lazy_of(t),
+    )
+    first_und = F.array_position(und_flags, F.lit(True))  # 1-based, 0=none
+
+    def parse_tag(tag: Column, i: Column) -> Column:
+        src = F.regexp_extract(tag, r'(?i)\bsrc\s*=\s*"([^"]*)"', 1)
+        fp = fp_of(tag)
         prio = (
             F.when(fp == "high", F.lit(0))
-            .when((fp == "low") | lazy, F.lit(3))
-            .when(i == 0, F.lit(1))
+            .when((fp == "low") | lazy_of(tag), F.lit(3))
+            .when((i + 1).cast("long") == first_und, F.lit(1))
             .otherwise(F.lit(2))
         )
         return F.struct(

@@ -604,11 +604,15 @@ def dihedral_phash_struct(phash_col) -> "F.Column":
 
     @pandas_udf("canonical_phash LONG, n_orientations INT")
     def canon(ph: pd.Series) -> pd.DataFrame:
-        k = ph.to_numpy(dtype=np.int64).astype(np.uint64)
-        if len(k) == 0:
+        # NULL phash (decode failed, hash never computed) must come out
+        # NULL: a blind int64 cast of the NaN-bearing batch would emit
+        # garbage (INT64_MIN) and group all such rows as "near-dups"
+        isna = ph.isna().to_numpy()
+        k = ph.fillna(0).to_numpy(dtype=np.int64).astype(np.uint64)
+        if len(k) == 0 or isna.all():
             return pd.DataFrame({
-                "canonical_phash": pd.Series([], dtype="int64"),
-                "n_orientations": pd.Series([], dtype="int32"),
+                "canonical_phash": pd.array([None] * len(k), dtype="Int64"),
+                "n_orientations": pd.array([None] * len(k), dtype="Int32"),
             })
         shifts = (np.uint64(8) * np.arange(8, dtype=np.uint64))
         rows = (k[:, None] >> shifts) & np.uint64(0xFF)
@@ -625,10 +629,11 @@ def dihedral_phash_struct(phash_col) -> "F.Column":
         )  # (n, 8) raw uint64 per orientation
         s = np.sort(vals, axis=1)
         nor = (1 + (s[:, 1:] != s[:, :-1]).sum(axis=1)).astype(np.int32)
-        return pd.DataFrame({
-            "canonical_phash": s[:, 0].astype(np.int64),
-            "n_orientations": nor,
-        })
+        cp = pd.array(s[:, 0].astype(np.int64), dtype="Int64")
+        no = pd.array(nor, dtype="Int32")
+        cp[isna] = None
+        no[isna] = None
+        return pd.DataFrame({"canonical_phash": cp, "n_orientations": no})
 
     return canon(phash_col)
 
@@ -641,7 +646,8 @@ def phash_hflip(phash_col) -> "F.Column":
 
     @pandas_udf("long")
     def flip(ph: pd.Series) -> pd.Series:
-        k = ph.to_numpy(dtype=np.int64).astype(np.uint64)
+        isna = ph.isna().to_numpy()
+        k = ph.fillna(0).to_numpy(dtype=np.int64).astype(np.uint64)
         shifts = (np.uint64(8) * np.arange(8, dtype=np.uint64))
         rows = (k[:, None] >> shifts) & np.uint64(0xFF)
         bits = ((rows[:, :, None] >> np.arange(8, dtype=np.uint64))
@@ -652,7 +658,9 @@ def phash_hflip(phash_col) -> "F.Column":
             + np.arange(8, dtype=np.uint64)[None, :]
         )
         v = (g.astype(np.uint64) * w).sum(axis=(1, 2), dtype=np.uint64)
-        return pd.Series(v.astype(np.int64))
+        out = pd.array(v.astype(np.int64), dtype="Int64")
+        out[isna] = None
+        return pd.Series(out)
 
     return flip(phash_col)
 
@@ -801,7 +809,13 @@ def sniff_header_dims(
         )
         .withColumn(
             "bomb",
-            F.when(sw.isNull(), F.lit(None).cast("boolean"))
-            .otherwise(sw * sh > F.lit(int(max_pixels))),
+            # try_multiply, not *: a crafted 4294967295 x 4294967295
+            # header overflows BIGINT and under ANSI mode a plain
+            # multiply would kill the job on exactly the rows this gate
+            # exists to quarantine; overflow == certainly past the cap
+            F.when(sw.isNull(), F.lit(None).cast("boolean")).otherwise(
+                F.try_multiply(sw, sh).isNull()
+                | (F.try_multiply(sw, sh) > F.lit(int(max_pixels)))
+            ),
         )
     )

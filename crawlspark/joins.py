@@ -42,11 +42,22 @@ def asof_join(
         c for c in right.columns if c not in (key, right_ts)
     ]
     lcols = [c for c in left.columns]
+    # the payload rides as ONE struct, not per-column: last(...,
+    # ignorenulls) must distinguish "no snapshot yet" (struct NULL) from
+    # "the in-force snapshot carries a NULL value" (field NULL inside a
+    # non-null struct) — per-column carry would resurrect the previous
+    # snapshot's value for a legitimately-null field and could stitch
+    # fields of DIFFERENT snapshots into one output row
+    pay_struct = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+    struct_type = "struct<" + ",".join(
+        f"{c}:{right.schema[c].dataType.simpleString()}"
+        for c in payload_cols
+    ) + ">"
     r = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).cast("long").alias("__ts"),
         F.lit(0).alias("__tag"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
+        pay_struct.alias("__p"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
           for c in lcols],
     )
@@ -54,8 +65,7 @@ def asof_join(
         F.col(key).alias("__k"),
         F.col(left_ts).cast("long").alias("__ts"),
         F.lit(1).alias("__tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}")
-          for c in payload_cols],
+        F.lit(None).cast(struct_type).alias("__p"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
     )
     w = (
@@ -66,14 +76,11 @@ def asof_join(
     carried = r.unionByName(l).select(
         "__tag",
         *[F.col(f"__l_{c}") for c in lcols],
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in payload_cols
-        ],
+        F.last("__p", ignorenulls=True).over(w).alias("__c"),
     )
     out = carried.filter(F.col("__tag") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
-        *[F.col(f"__c_{c}").alias(c) for c in payload_cols],
+        *[F.col("__c")[c].alias(c) for c in payload_cols],
     )
     return out
 
@@ -101,6 +108,10 @@ def interval_join_bucketed(
 
     Returns events with ``n_windows`` (how many intervals contain the
     event; 0 for none — left semantics, no row loss).
+
+    PRECONDITION: event rows must be unique (carry an event id) — the
+    final regroup is keyed on all event columns, so byte-identical
+    duplicate events would collapse into one output row.
     """
     ts = F.col(ts_col).cast("long")
     s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")

@@ -113,6 +113,7 @@ def shard_assign(
     bucket_col: str = "bucket",
     id_col: str = "image_id",
     target_bytes: int = 1 << 20,
+    keep_size: bool = False,
 ) -> DataFrame:
     """WebDataset-style shard packing: assign rows to size-bounded shard
     files, per bucket, in deterministic id order — the layout a
@@ -170,6 +171,10 @@ def shard_assign(
             (F.col("__base") + F.col("shard_ix")).cast("long").alias("shard_uid"),
             (F.col("__before") - F.col("shard_ix") * target_bytes)
             .cast("long").alias("offset_in_shard"),
+            # keep_size lets callers aggregate bytes per shard without
+            # re-joining the input manifest against this output (an
+            # avoidable full-relation shuffle at manifest scale)
+            *([F.col("__sz").alias(size_col)] if keep_size else []),
         )
     )
 

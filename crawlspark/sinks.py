@@ -408,8 +408,8 @@ def compaction_plan(
     )
     packed = shard_assign(
         small, size_col=size_col, bucket_col=partition_col, id_col=id_col,
-        target_bytes=target_bytes,
-    ).join(small.select(id_col, size_col), id_col)
+        target_bytes=target_bytes, keep_size=True,
+    )
     groups = (
         packed.groupBy(partition_col, "shard_uid")
         .agg(
@@ -460,11 +460,24 @@ def vary_cache_identity(
     )
     uncacheable = F.array_contains(names, "*")
     sorted_names = F.array_sort(names)
+    # header names are case-insensitive but map keys are not: resolve
+    # each vary name against the entry list case-folded, or a caller
+    # passing canonical-case request headers ('Accept-Language') would
+    # silently get the empty value for every vary name — collapsing the
+    # distinct cache variants onto one key
+    entries = F.map_entries(F.coalesce(
+        F.col(req_headers_col), F.create_map().cast("map<string,string>")
+    ))
     pairs = F.transform(
         sorted_names,
         lambda n: F.concat(
             n, F.lit("="),
-            F.coalesce(F.element_at(F.col(req_headers_col), n), F.lit("")),
+            F.coalesce(
+                F.get(
+                    F.filter(entries, lambda e: F.lower(e["key"]) == n), 0
+                )["value"],
+                F.lit(""),
+            ),
         ),
     )
     key = F.when(uncacheable, F.lit(None).cast("string")).otherwise(

@@ -383,21 +383,29 @@ FROM {prev} ORDER BY host
 # redirect_loops — chain outcome classification (loop / cap / resolved)
 # --------------------------------------------------------------------------
 
+_REDIR_M = 480  # fixed cap, multiple of 10: redirect sources have
+# residue <= 8 so every target doc+1/doc+2 stays < _REDIR_M — the
+# fixture is closed by CONSTRUCTION at any table size >= 480, instead
+# of wrapping targets mod the table size (a wrap lands doc n-1's
+# redirect on doc 0, whose chain depends on n%10 — the oracle's
+# residue-class table would be wrong for n = 2 or 6 mod 10)
+
+
 def q_redirect_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain outcome classification (engine.redirect_status)
-    over a fixture with healthy chains and cycles: doc%10==1 -> +1 -> +1
-    (two-hop resolve), ==2 -> +1 (one-hop), ==5 <-> ==6 (2-cycle),
-    ==8 -> itself (self-loop); the oracle states the expected status/
-    final/hops per residue class from the construction."""
+    over a fixture with healthy chains and cycles on docs < 480:
+    doc%10==1 -> +1 -> +1 (two-hop resolve), ==2 -> +1 (one-hop),
+    ==5 <-> ==6 (2-cycle), ==8 -> itself (self-loop); the oracle states
+    the expected status/final/hops per residue class from the
+    construction."""
     from . import graph
     from .engine import redirect_status
 
-    docs = _docs(spark, sf_dir)
-    n = docs.count()
     doc = F.col("doc_id")
+    docs = _docs(spark, sf_dir).filter(doc < _REDIR_M)
     r = doc % 10
     target = (
-        F.when(r.isin(1, 2, 5), graph.url_col((doc + 1) % n))
+        F.when(r.isin(1, 2, 5), graph.url_col(doc + 1))
         .when(r == 6, graph.url_col(doc - 1))
         .when(r == 8, graph.url_col(doc))
     )
@@ -412,12 +420,11 @@ def _oracle_redirect_loops() -> str:
 
     u = lambda v: graph._URL_SQL.replace("doc", v)
     return f"""
-WITH nn AS (SELECT COUNT(*) AS c FROM documents),
-d AS (
+WITH d AS (
   SELECT doc_id, doc_id % 10 AS r,
-         (doc_id + 1) % nn.c AS n1, (doc_id + 2) % nn.c AS n2
-  FROM documents CROSS JOIN nn
-  WHERE doc_id % 10 IN (1, 2, 5, 6, 8)
+         doc_id + 1 AS n1, doc_id + 2 AS n2
+  FROM documents
+  WHERE doc_id < {_REDIR_M} AND doc_id % 10 IN (1, 2, 5, 6, 8)
 )
 SELECT {u("doc_id")} AS fetch_url,
        CASE WHEN r IN (5, 6, 8) THEN 'loop' ELSE 'resolved' END AS status,
@@ -478,7 +485,11 @@ imgs AS (
          CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS priority
   FROM d
   UNION ALL
-  SELECT doc_id, 1, '/body/' || doc_id || '.jpg', 2 FROM d
+  -- when the hero is author-declared high, the body image is the FIRST
+  -- UNDECORATED image and inherits the likely-LCP slot (priority 1)
+  SELECT doc_id, 1, '/body/' || doc_id || '.jpg',
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END
+  FROM d
   UNION ALL
   SELECT doc_id, 2, '/below/' || doc_id || '.jpg', 3 FROM d
   UNION ALL

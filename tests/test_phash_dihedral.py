@@ -89,3 +89,26 @@ def test_canonical_is_group_invariant(spark):
             dihedral_phash_struct(F.col("phash")).alias("s")).collect()
     }
     assert len(canons) == 1
+
+
+def test_dihedral_null_phash_stays_null(spark):
+    """NULL phash (decode failed) must yield NULL canonical values, not
+    a garbage int64 that groups all corrupt rows as near-dups."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.images import dihedral_phash_struct, phash_hflip
+
+    df = spark.createDataFrame(
+        [(1, 12345), (2, None), (3, -7)], "i long, ph long"
+    )
+    out = df.select(
+        "i",
+        dihedral_phash_struct(F.col("ph")).alias("c"),
+        phash_hflip(F.col("ph")).alias("hf"),
+    ).collect()
+    by = {r["i"]: r for r in out}
+    assert by[2]["c"]["canonical_phash"] is None
+    assert by[2]["c"]["n_orientations"] is None
+    assert by[2]["hf"] is None
+    assert by[1]["c"]["canonical_phash"] is not None
+    assert by[3]["hf"] is not None

@@ -100,3 +100,17 @@ def test_transfer_accounting_hand(spark):
     assert (r["n_responses"], r["n_truncated"], r["n_overread"],
             r["n_undeclared"]) == (4, 1, 1, 1)
     assert (r["declared_bytes"], r["actual_bytes"]) == (300, 325)
+
+
+def test_sniff_bomb_overflow_header_does_not_crash(spark):
+    """A crafted 4294967295x4294967295 PNG header overflows BIGINT in
+    w*h; under Spark's ANSI mode the gate must flag it as a bomb, not
+    die with ARITHMETIC_OVERFLOW."""
+    from crawlspark.images import sniff_header_dims
+
+    df = spark.createDataFrame(
+        [("evil", _png(0xFFFFFFFF, 0xFFFFFFFF), 1, 1)],
+        "image_id string, bytes binary, w long, h long",
+    )
+    r = sniff_header_dims(df).collect()[0]
+    assert r["bomb"] is True and r["sniff_w"] == 4294967295

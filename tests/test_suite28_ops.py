@@ -91,3 +91,23 @@ def test_interval_bucket_size_invariance(spark):
                                             bucket=b).collect()
         })
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_asof_null_payload_value_not_resurrected(spark):
+    """A legitimately-NULL payload in the in-force snapshot must come
+    through as NULL (DuckDB ASOF semantics), not be replaced by the
+    previous snapshot's value; multi-column payloads must never tear
+    across snapshots."""
+    from crawlspark.joins import asof_join
+
+    snaps = spark.createDataFrame(
+        [("h", 10, "p1", "a1"), ("h", 20, None, "a2")],
+        "host string, ts long, policy string, agent string",
+    )
+    fetches = spark.createDataFrame(
+        [("f", "h", 25)], "fetch_id string, host string, fetch_ts long"
+    )
+    r = asof_join(fetches, snaps, key="host", left_ts="fetch_ts",
+                  right_ts="ts").collect()[0]
+    assert r["policy"] is None        # not 'p1'
+    assert r["agent"] == "a2"         # fields from ONE snapshot, no tear

@@ -281,10 +281,19 @@ def test_img_fetch_priority_rules(spark):
                     .alias("i")).select("i.*").collect()
     prios = {r["url"]: r["priority"] for r in out}
     assert prios["/a.jpg"] == 0          # author-declared high
-    assert prios["/b.jpg"] == 2          # not first -> plain body image
+    assert prios["/b.jpg"] == 1          # FIRST UNDECORATED image = LCP slot
     assert prios["/c.jpg"] == 3          # lazy
     assert prios["/d.jpg"] == 3          # low
     assert prios["/e.jpg"] == 0          # explicit high BEATS lazy
+
+    lazy_first = spark.createDataFrame(
+        [('<img src="/px.gif" loading="lazy"><img src="/hero.jpg">'
+          '<img src="/more.jpg">',)], "body STRING")
+    out_lf = {r["url"]: r["priority"] for r in lazy_first.select(
+        F.explode(img_fetch_priority(F.col("body"))).alias("i"))
+        .select("i.*").collect()}
+    # a lazy tracking pixel in first position must not eat the LCP slot
+    assert out_lf == {"/px.gif": 3, "/hero.jpg": 1, "/more.jpg": 2}
 
     first_plain = spark.createDataFrame(
         [('<img src="/x.jpg"><img src="/y.jpg">',)], "body STRING")
