@@ -819,3 +819,61 @@ def sniff_header_dims(
             ),
         )
     )
+
+
+def bytes_per_pixel_outliers(
+    imgs: DataFrame,
+    bytes_col: str = "nbytes",
+    fmt_col: str = "fmt",
+    w_col: str = "w",
+    h_col: str = "h",
+    high_x: int = 3,
+    low_x: int = 3,
+) -> DataFrame:
+    """Compression-efficiency outlier gate — bytes-per-pixel is a cheap,
+    decode-free corruption signal: a "jpeg" at 30x the format-typical
+    bytes/pixel is usually not a photo (appended payloads, mislabeled
+    raw/bmp, decompression bombs the header sniff missed), and one at
+    1/30x is usually a placeholder or a truncated body.  Flags rows
+    outside [median/low_x, median*high_x] of their FORMAT's
+    bytes-per-pixel distribution.
+
+    The median is the exact lower-median order statistic (partitioned
+    row_number at rank (n+1) div 2), not an approximate or interpolated
+    percentile — integer-exact, deterministic, gate-replayable; bpp is
+    kept in permille so everything stays in BIGINT arithmetic.  Shape:
+    one window partitioned by format (a handful of partitions — formats
+    are few; acceptable because the per-format relation is what it is)
+    plus a broadcast join of the O(formats) median table back to the
+    rows.
+    """
+    px = F.try_multiply(F.col(w_col).cast("long"), F.col(h_col).cast("long"))
+    # floor(double) is exact here: 1000*bytes stays far below 2^53 for
+    # any real image payload, and px is ANSI-safe via try_multiply
+    bpp = F.when(
+        px.isNotNull() & (px > 0),
+        F.floor(F.lit(1000) * F.col(bytes_col).cast("long") / px),
+    ).cast("long")
+    rows = imgs.withColumn("bpp_permille", bpp)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__f").orderBy("__b")
+    ranked = rows.filter(F.col("bpp_permille").isNotNull()).select(
+        F.col(fmt_col).alias("__f"), F.col("bpp_permille").alias("__b")
+    ).withColumn("__rn", F.row_number().over(w))
+    counts = ranked.groupBy("__f").agg(F.count(F.lit(1)).alias("__n"))
+    med = (
+        ranked.join(F.broadcast(counts), "__f")
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select(F.col("__f").alias(fmt_col),
+                F.col("__b").alias("fmt_median_bpp"))
+    )
+    out = rows.join(F.broadcast(med), fmt_col, "left")
+    b, m = F.col("bpp_permille"), F.col("fmt_median_bpp")
+    klass = (
+        F.when(b.isNull() | m.isNull(), "unmeasurable")
+        .when(b > m * F.lit(int(high_x)), "bloated")
+        .when(b * F.lit(int(low_x)) < m, "tiny")
+        .otherwise("ok")
+    )
+    return out.withColumn("bpp_class", klass)

@@ -558,3 +558,55 @@ def dns_cache_plan(
         )
 
     return lookups.groupBy(host_col).applyInPandas(run, DNS_PLAN_SCHEMA)
+
+
+def adaptive_timeouts(
+    responses: DataFrame,
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+    factor_permille: int = 2000,
+    min_timeout_ms: int = 1000,
+    max_timeout_ms: int = 30000,
+) -> DataFrame:
+    """Per-host adaptive fetch timeouts from observed latency — a fixed
+    global timeout either wastes slots on a slow-but-healthy host
+    (false timeouts -> retries -> more load, the congestion spiral) or
+    waits far too long on a fast host's rare hang.  The classic recipe:
+    timeout = clamp(2 x p95 latency).  The reference exposes only a
+    static per-request timeout (Guzzle options through
+    src/Loader/Http/HttpLoader.php).
+
+    p95 is an EXACT order statistic, not percentile_approx and not the
+    interpolated float percentile: rank the host's latencies with a
+    partitioned row_number and take rank ceil(0.95 n) — integer-exact
+    (gate-replayable) and deterministic under ties thanks to a latency+
+    rank ordering.  Shape: one partitioned window + a map-side-combined
+    count, no global sort; hosts partition the work.
+    """
+    from pyspark.sql import Window
+
+    lat = F.col(latency_col).cast("long")
+    w = Window.partitionBy(host_col).orderBy("__lat")
+    ranked = responses.select(
+        F.col(host_col), lat.alias("__lat")
+    ).withColumn("__rn", F.row_number().over(w))
+    counts = ranked.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_samples")
+    )
+    # ceil(0.95 n) in integers
+    target = F.expr("(95 * n_samples + 99) div 100")
+    p95 = (
+        ranked.join(F.broadcast(counts), host_col)
+        .filter(F.col("__rn") == F.greatest(F.lit(1), target))
+        .select(
+            host_col, "n_samples", F.col("__lat").alias("p95_ms")
+        )
+    )
+    raw = F.expr(f"(p95_ms * {int(factor_permille)}) div 1000")
+    return p95.withColumn(
+        "timeout_ms",
+        F.greatest(
+            F.lit(int(min_timeout_ms)),
+            F.least(F.lit(int(max_timeout_ms)), raw),
+        ).cast("long"),
+    )
