@@ -88,3 +88,88 @@ def cms_estimate(
         key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
     return joined.groupBy(key_col).agg(F.min("cnt").alias("est"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch
+# ---------------------------------------------------------------------------
+#
+# Bounded-memory DISTINCT counting, the companion to the count-min
+# frequency cells above: per group keep only the k smallest hash values
+# of the keys seen; |distinct| is then estimated from how deep into the
+# hash space those k values reach (Bar-Yossef et al., "Counting distinct
+# elements in a data stream", RANDOM'02; the KMV estimator analysed in
+# Beyer et al., SIGMOD'07).  Exact per-host distinct-URL counts at
+# 10^10-URL scale are a full shuffle over every URL; the KMV sketch is
+# <= k rows per host, mergeable by "union then re-take the k smallest"
+# — which is exactly a map-side-combined groupBy in Spark — and never
+# degrades below exactness while a group has < k distinct keys.
+#
+# Same deliberately-SQL-replayable hash family as the CMS: h(x) =
+# (A*x + B) mod P over the Mersenne prime P = 2^31 - 1, plain integer
+# arithmetic on both engines.  Estimator (integer-exact): with the k-th
+# smallest hash at h_k, est = (k-1) * P div (h_k + 1); below saturation
+# the sketch holds every distinct hash, so est = n_kept exactly.
+
+KMV_A = CMS_A[0]
+KMV_B = CMS_B[0]
+
+
+def kmv_hash(key):
+    """The sketch hash: (A*key + B) mod P, P = 2^31-1.  Keys must be
+    non-negative longs < 2^31 so the product stays in 64 bits."""
+    return F.pmod(F.lit(KMV_A) * key.cast("long") + F.lit(KMV_B), F.lit(_P))
+
+
+def kmv_build(df: DataFrame, group_col: str, key_col: str, k: int = 64) -> DataFrame:
+    """Build per-group KMV sketches: (grp, h) rows, at most ``k`` per
+    group, h the smallest k distinct key-hashes.  One partitioned
+    row_number over the distinct hashes — the distinct() is map-side
+    combined, so a hot host reduces to its distinct hashes before the
+    rank; state is O(groups x k) forever after.
+    """
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        kmv_hash(F.col(key_col)).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .drop("rn")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Merge two sketch relations: union, dedup, re-take the k smallest
+    per group.  merge(build(X), build(Y)) == build(X ∪ Y) exactly
+    (asserted in tests) — the property that lets every partition build
+    its own sketch and a single reduce produce the global one."""
+    from pyspark.sql import Window
+
+    u = a.unionByName(b).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .drop("rn")
+    )
+
+
+def kmv_estimates(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Per-group distinct estimates from the sketch rows:
+    (grp, n_kept, kth_hash, est) — exact (= n_kept) below saturation,
+    (k-1) * P div (kth_hash + 1) at saturation.  Never a float."""
+    return sketch.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.max("h").cast("long").alias("kth_hash"),
+    ).select(
+        "grp", "n_kept", "kth_hash",
+        F.when(
+            F.col("n_kept") < int(k), F.col("n_kept")
+        ).otherwise(
+            F.expr(f"({int(k) - 1} * {_P}L) div (kth_hash + 1)")
+        ).cast("long").alias("est"),
+    )
