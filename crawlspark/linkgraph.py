@@ -853,3 +853,190 @@ def harmonic_centrality_from_anf(
         term = F.expr(f"((e{r} - e{r-1}) * {int(scale)}L) div {r}")
         hc = term if hc is None else hc + term
     return wide.select("node", hc.cast("long").alias("hc_micros"))
+
+
+# ---------------------------------------------------------------------------
+# Label propagation, triangle counting, k-core peeling
+# ---------------------------------------------------------------------------
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected simple-graph view of a directed edge list: both
+    orientations, self-loops dropped, duplicates collapsed."""
+    e = edges.select(F.col("src").cast("long").alias("src"),
+                     F.col("dst").cast("long").alias("dst"))
+    return (
+        e.unionByName(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def label_propagation(
+    nodes: DataFrame, edges: DataFrame, iters: int = 3
+) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over the undirected view of ``edges``: every node starts as its own
+    label; each round every node adopts the most frequent label among
+    its neighbours, ties broken by the SMALLEST label — fully
+    deterministic, so the SQL oracle replays it round for round (the
+    classic async LPA is order-dependent; synchronous + min-tiebreak is
+    the variant that makes sense on a shuffle-parallel engine).
+
+    Per round: one edge equi-join, one map-side-combined (node, label)
+    count, one partitioned top-1 window — state is O(n) rows, plans stay
+    O(1) in rounds via localCheckpoint.  Isolated nodes keep their own
+    label.  Returns (node, community).
+
+    Scheduler use: communities over the host graph are the natural crawl
+    sharding unit (co-schedule strongly-linked hosts on one executor
+    pool so their frontier joins stay local).
+    """
+    from pyspark.sql import Window
+
+    und = _symmetrize(edges).localCheckpoint(eager=True)
+    labels = nodes.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("node").cast("long").alias("community"),
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("community"))
+    for _ in range(int(iters)):
+        neigh = (
+            und.join(
+                labels.withColumnRenamed("node", "dst").hint("SHUFFLE_HASH"),
+                "dst",
+            )
+            .select(F.col("src").alias("node"), "community")
+        )
+        best = (
+            neigh.groupBy("node", "community")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "community")
+        )
+        labels = (
+            labels.select("node").join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("community"), F.col("node")).alias("community"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def triangle_clustering(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    undirected view — the link-farm density signal (organic link
+    neighbourhoods are sparse; paid-link clusters are near-cliques).
+
+    The scale plan is the degree-ordered orientation (Suri &
+    Vassilvitskii WWW'11 / Cohen's map-reduce triangles): orient every
+    undirected edge from the (degree, id)-SMALLER endpoint to the larger,
+    so every triangle is counted exactly once from its lowest vertex and
+    — the part that matters at 10^10 edges — no reducer ever sees more
+    than O(sqrt(m)) wedges per node: a celebrity host with 10^8 in-links
+    has tiny ORIENTED out-degree unless its neighbours are just as hot.
+    Wedge join + one closing-edge equi-join; no row-level Python.
+
+    Returns (node, degree, triangles, lcc_permille) with lcc =
+    2*T / (d*(d-1)) in integer permille (0 for degree < 2).
+    """
+    und = _symmetrize(edges)
+    deg = und.groupBy("src").agg(F.count("*").alias("d")).select(
+        F.col("src").alias("node"), F.col("d")
+    )
+    # orientation key: (degree, id) total order
+    e = (
+        und.join(deg.select(F.col("node").alias("src"),
+                            F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("node").alias("dst"),
+                         F.col("d").alias("dd")), "dst")
+        .filter(
+            (F.col("ds") < F.col("dd"))
+            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+    )
+    a = e.select(F.col("src").alias("pivot"), F.col("dst").alias("v"))
+    b = e.select(F.col("src").alias("pivot"), F.col("dst").alias("w"))
+    # wedges from the pivot, ordered v < w in the SAME total order the
+    # edges are oriented by -> the closing edge, if present, is (v, w)
+    dd = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ee = deg.select(F.col("node").alias("w"), F.col("d").alias("dw"))
+    wedges = (
+        a.join(b, "pivot")
+        .join(dd, "v").join(ee, "w")
+        .filter(
+            (F.col("dv") < F.col("dw"))
+            | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+        )
+        .select("pivot", "v", "w")
+    )
+    tri = wedges.join(
+        e.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    )
+    per_node = (
+        tri.select(F.explode(F.array("pivot", "v", "w")).alias("node"))
+        .groupBy("node").agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return (
+        nodes.select(F.col("node").cast("long").alias("node"))
+        .join(deg, "node", "left")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("degree"),
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long")
+            .alias("triangles"),
+            F.when(
+                F.coalesce(F.col("d"), F.lit(0)) < 2, F.lit(0)
+            ).otherwise(
+                F.expr("(2000 * coalesce(triangles, 0))"
+                       " div (d * (d - 1))")
+            ).cast("long").alias("lcc_permille"),
+        )
+    )
+
+
+def kcore_peel(
+    nodes: DataFrame, edges: DataFrame, k: int = 3, rounds: int = 3
+) -> DataFrame:
+    """Bounded k-core peeling over the undirected view: ``rounds``
+    synchronized sweeps each dropping every node whose CURRENT degree is
+    < k (Matula & Beck peeling, the parallel variant — each sweep is one
+    degree groupBy + one semi-join on the surviving edge set).  A fixed
+    round count keeps the operator a deterministic dataflow (full
+    convergence is data-dependent; at web scale you run sweeps until a
+    fixed point, each sweep exactly this job).  Dense k-cores of the
+    host graph are the classic link-farm / paid-network candidates
+    (survivors after peeling are hosts whose mutual linking is too dense
+    to be organic).
+
+    Returns (node, status, final_degree): status 'core' for survivors
+    with their residual degree, 'peeled' with degree 0.
+    """
+    und = _symmetrize(edges).localCheckpoint(eager=True)
+    alive = und
+    for _ in range(int(rounds)):
+        deg = alive.groupBy("src").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= int(k)).select("src")
+        alive = (
+            alive.join(keep, "src", "semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "semi")
+            .localCheckpoint(eager=True)
+        )
+    fdeg = alive.groupBy("src").agg(F.count("*").cast("long").alias("fd"))
+    return (
+        nodes.select(F.col("node").cast("long").alias("node"))
+        .join(fdeg.select(F.col("src").alias("node"), "fd"), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("fd").isNotNull(), F.lit("core"))
+            .otherwise(F.lit("peeled")).alias("status"),
+            F.coalesce(F.col("fd"), F.lit(0)).cast("long")
+            .alias("final_degree"),
+        )
+    )
