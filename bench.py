@@ -188,6 +188,20 @@ def run_headline(spark) -> dict[str, float]:
         "pagerank_3it_2m",
         lambda: pagerank(spark, VIRTUAL_N, iters=3).count(),
     )
+    # sketch-based graph analytics at scale: neighbourhood function over
+    # the same VIRTUAL_N-node graph, KMV counters as array cells — one
+    # shuffle per radius (groupBy k-min merge via JVM HOFs)
+    from crawlspark import graph
+    from crawlspark.linkgraph import anf_counters
+
+    def _anf_2m():
+        docs2 = spark.range(VIRTUAL_N).select(F.col("id").alias("node"))
+        edges2 = graph.edges_from(
+            docs2.select(F.col("node").alias("src")), VIRTUAL_N
+        ).select("src", "dst")
+        return anf_counters(docs2, edges2, iters=2, k=8).count()
+
+    measure("anf_2m_r2", _anf_2m)
     measure(
         "images_generate_validate",
         lambda: images.validate_images(images.generate_images(spark, SF_DIR)).count(),

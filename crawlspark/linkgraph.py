@@ -782,6 +782,15 @@ def anf_counters(
     node id, skew-safe under AQE), and counters merge associatively so
     partial aggregation does the per-partition work map-side.
 
+    Physical shape (measured, BENCH.md): each node's counter is ONE
+    array<long> cell, so a radius is edge-join -> groupBy(node) with the
+    k-min merge done by JVM higher-order functions
+    (slice(array_sort(array_distinct(flatten(collect_list(...)))))) —
+    one shuffle per radius and O(n) state rows.  The first cut kept
+    (node, h) ROWS and paid distinct + row_number windows per radius
+    (two extra shuffles of n*k rows): 35 s -> 11 s at 2M nodes / 8M
+    edges / 2 radii on local[32].
+
     Returns (node, r, n_kept, est) for r in 0..iters; est is exact while
     the true ball has < k nodes (n_kept < k), else (k-1)*P div (h_k+1).
 
@@ -790,45 +799,53 @@ def anf_counters(
     is part of the scheduler-side corpus analytics a web-scale frontier
     needs (prioritise by reach, spot crawl traps as low-expansion balls).
     """
-    from pyspark.sql import Window
-
     from .sketch import _P, kmv_hash
 
     e = edges.select(F.col("src").cast("long").alias("src"),
                      F.col("dst").cast("long").alias("dst"))
-    w = Window.partitionBy("node").orderBy("h")
+    kk = int(k)
 
     state = nodes.select(
         F.col("node").cast("long").alias("node"),
-        kmv_hash(F.col("node")).alias("h"),
+        F.array(kmv_hash(F.col("node"))).alias("hs"),
     ).localCheckpoint(eager=True)
-    snapshots = [state.withColumn("r", F.lit(0))]
+
+    def _ests(s: DataFrame, r: int) -> DataFrame:
+        return s.select(
+            "node", F.lit(r).alias("r"),
+            F.size("hs").cast("long").alias("n_kept"),
+            F.element_at("hs", -1).cast("long").alias("kth_hash"),
+        )
+
+    snapshots = [_ests(state, 0)]
     for _ in range(int(iters)):
         pulled = (
             e.join(state.withColumnRenamed("node", "dst").hint("SHUFFLE_HASH"),
                    "dst")
-            .select(F.col("src").alias("node"), "h")
+            .select(F.col("src").alias("node"), "hs")
         )
         state = (
             state.unionByName(pulled)
-            .distinct()
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= int(k))
-            .drop("rn")
+            .groupBy("node")
+            .agg(
+                F.slice(
+                    F.array_sort(F.array_distinct(
+                        F.flatten(F.collect_list("hs"))
+                    )),
+                    1, kk,
+                ).alias("hs")
+            )
             .localCheckpoint(eager=True)  # plan stays O(1) in r
         )
-        snapshots.append(state.withColumn("r", F.lit(len(snapshots))))
+        snapshots.append(_ests(state, len(snapshots)))
 
     allr = snapshots[0]
     for s in snapshots[1:]:
         allr = allr.unionByName(s)
-    return allr.groupBy("node", "r").agg(
-        F.count("*").cast("long").alias("n_kept"),
-        F.max("h").cast("long").alias("kth_hash"),
-    ).select(
+    return allr.select(
         "node", "r", "n_kept",
-        F.when(F.col("n_kept") < int(k), F.col("n_kept"))
-        .otherwise(F.expr(f"({int(k) - 1} * {_P}L) div (kth_hash + 1)"))
+        F.when(F.col("n_kept") < kk, F.col("n_kept"))
+        .otherwise(F.expr(f"({kk - 1} * {_P}L) div (kth_hash + 1)"))
         .cast("long").alias("est"),
     )
 

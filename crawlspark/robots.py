@@ -552,3 +552,44 @@ def image_indexing_policy(
         F.when(valid, preview).otherwise(F.lit("unset"))
         .alias("max_image_preview"),
     )
+
+
+def robots_policy_diff(
+    frontier: DataFrame,
+    robots_old: DataFrame,
+    robots_new: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+    user_agent: str | None = None,
+) -> DataFrame:
+    """Snapshot-to-snapshot robots policy audit: evaluate every frontier
+    URL under BOTH rule snapshots (same longest-match semantics as
+    ``with_robots_allowed``) and classify the transition —
+    'newly_disallowed' (the purge/recrawl-stop list a compliant archive
+    must act on when a site tightens its robots.txt),
+    'newly_allowed' (rows to re-admit), 'still_allowed',
+    'still_disallowed'.  Two broadcast rule joins over the frontier, no
+    extra shuffle; O(hosts) rule relations.
+
+    reference: the reference re-reads robots.txt per run but has no
+    corpus-level diff (RobotsTxtHandler caches one snapshot per host,
+    src/Loader/Http/Politeness/RobotsTxtHandler.php) — at archive scale
+    the diff IS the compliance work-list.
+    """
+    both = with_robots_allowed(
+        frontier, robots_old, host_col=host_col, path_col=path_col,
+        out="old_allowed", user_agent=user_agent,
+    )
+    both = with_robots_allowed(
+        both, robots_new, host_col=host_col, path_col=path_col,
+        out="new_allowed", user_agent=user_agent,
+    )
+    transition = (
+        F.when(F.col("old_allowed") & ~F.col("new_allowed"),
+               F.lit("newly_disallowed"))
+        .when(~F.col("old_allowed") & F.col("new_allowed"),
+              F.lit("newly_allowed"))
+        .when(F.col("old_allowed"), F.lit("still_allowed"))
+        .otherwise(F.lit("still_disallowed"))
+    )
+    return both.withColumn("transition", transition)

@@ -605,3 +605,75 @@ def keep_best_representative(
     return j.withColumn(
         "rank_in_group", F.row_number().over(w).cast("long")
     ).withColumn("keep", F.col("rank_in_group") == 1)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    df_cap: int = 64,
+    min_permille: int = 750,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment pairs — the syndication detector
+    Jaccard-based dedup structurally misses: an excerpt reprinted inside
+    a longer article has low Jaccard (union is the big doc) but
+    containment ~1000 via the SMALLER gram set.  Classic use: collapse
+    wire-service copy and quote-farms before training, keeping the
+    superset document.
+
+    Scale plan: explode distinct n-grams, DROP grams appearing in more
+    than ``df_cap`` docs before any pairing (the supernode/degree-cap
+    discipline — boilerplate grams would otherwise quadratically explode
+    the self-join; the same cap host_mirrors applies to fingerprints),
+    one gram equi-join (id_a < id_b), map-side-combined shared counts,
+    then per-side containment in integer permille.  Only pairs whose
+    larger containment clears ``min_permille`` survive.  Gram strings
+    join directly at sandbox scale; at 10^10 docs you'd fingerprint the
+    gram to a 64-bit key first (same shape, one more column).
+
+    Returns (id_a, id_b, shared, cont_a_permille, cont_b_permille,
+    relation) with relation in {'mutual_dup','a_in_b','b_in_a'}.
+    """
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.split(F.col(text_col), " "), n)).alias("gram"),
+    )
+    dfc = g.groupBy("gram").agg(F.countDistinct("id").alias("ndocs"))
+    g2 = (
+        g.join(dfc.filter(F.col("ndocs") <= int(df_cap)).select("gram"),
+               "gram", "semi")
+    )
+    sizes = g2.groupBy("id").agg(F.count("*").cast("long").alias("sz"))
+    a = g2.select(F.col("id").alias("id_a"), "gram")
+    b = g2.select(F.col("id").alias("id_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    out = (
+        shared
+        .join(sizes.select(F.col("id").alias("id_a"),
+                           F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a", "id_b", "shared",
+            F.expr("(shared * 1000) div sz_a").alias("cont_a_permille"),
+            F.expr("(shared * 1000) div sz_b").alias("cont_b_permille"),
+        )
+    )
+    thr = int(min_permille)
+    return out.filter(
+        F.greatest("cont_a_permille", "cont_b_permille") >= thr
+    ).withColumn(
+        "relation",
+        F.when(
+            (F.col("cont_a_permille") >= thr) & (F.col("cont_b_permille") >= thr),
+            F.lit("mutual_dup"),
+        )
+        .when(F.col("cont_a_permille") >= thr, F.lit("a_in_b"))
+        .otherwise(F.lit("b_in_a")),
+    )
