@@ -580,3 +580,44 @@ def resize_plan(
         )
         .withColumn("mode", mode)
     )
+
+
+def classify_alt_text(caption) -> "F.Column":
+    """Pattern-based junk-caption classifier — the LAION-style gate that
+    runs BEFORE any model scoring: a huge share of web alt-text is the
+    filename, a camera default, or a CMS placeholder, and those teach a
+    caption model nothing.  Deterministic, pure JVM regex/CASE (RE2-safe,
+    no lookbehind):
+
+      'filename'    IMG_1234 / DSC0001 / *.jpg|png|gif|webp|jpeg
+      'url'         starts with http(s):// or www.
+      'numeric'     digits / punctuation / whitespace only
+      'too_short'   < 3 non-space characters
+      'placeholder' a lone stock word: image, photo, picture, logo,
+                    icon, banner, thumbnail, graphic, untitled, spacer
+      'ok'          everything else
+
+    First match wins (a '.jpg' caption is 'filename' even when short).
+    Complements caption_boilerplate (frequency-based): these rules catch
+    junk on its FIRST occurrence, no corpus statistics needed.
+    """
+    c = F.trim(F.coalesce(caption, F.lit("")))
+    lc = F.lower(c)
+    is_filename = (
+        lc.rlike(r"\.(jpe?g|png|gif|webp|bmp|tiff?)\s*$")
+        | lc.rlike(r"^(img|dsc|dcim|pict|photo|image)[-_ ]?\d+$")
+    )
+    is_url = lc.rlike(r"^(https?://|www\.)")
+    is_numeric = (c != "") & ~lc.rlike(r"[a-z]")
+    is_short = F.length(F.regexp_replace(c, r"\s", "")) < 3
+    placeholders = ("image", "photo", "picture", "logo", "icon", "banner",
+                    "thumbnail", "graphic", "untitled", "spacer")
+    is_placeholder = lc.isin(*placeholders)
+    return (
+        F.when(is_filename, F.lit("filename"))
+        .when(is_url, F.lit("url"))
+        .when(is_numeric, F.lit("numeric"))
+        .when(is_short, F.lit("too_short"))
+        .when(is_placeholder, F.lit("placeholder"))
+        .otherwise(F.lit("ok"))
+    )

@@ -611,3 +611,68 @@ def freshness_histogram(
         F.expr("(1000 * n_pages) div __tot").cast("long")
         .alias("share_permille"),
     )
+
+
+def waterfill_budgets(
+    demands: DataFrame,
+    total_budget: int,
+    host_col: str = "host",
+    demand_col: str = "demand",
+) -> DataFrame:
+    """Max-min-fair (water-filling) byte/fetch budget allocation — the
+    allocation ``allocate_host_budgets`` is NOT: proportional split gives
+    a mega-host most of the budget even when its demand dwarfs everyone;
+    water-filling raises one global water line L and grants every host
+    min(demand, L), fully satisfying small hosts and capping the heavy
+    ones at the line where the budget exactly runs out.  This is the
+    classic fair-queueing allocation (max-min fairness), integer-exact.
+
+    Algorithm (all distributed, no single-partition window): total order
+    hosts by (demand, host); with inclusive prefix sums S_i over that
+    order (ranks.global_prefix_sum — range-partition + per-partition
+    offsets), the affordable-prefix condition for rank i is
+    S_i + (n - i) * d_i <= B.  k = max affordable rank (one scalar
+    max-of-struct aggregate), water line L = (B - S_k) div (n - k); rows
+    at rank <= k get their full demand, the rest get L (provably
+    d_k <= L < d_{k+1} — floor division cannot push L past the next
+    demand, asserted in tests against a sequential reference).
+
+    Returns (host, demand, granted, saturated) with saturated 0/1 int;
+    sum(granted) undershoots B by < n (floor slack rolls forward).
+    """
+    from .ranks import global_prefix_sum, global_rank
+
+    b = int(total_budget)
+    d = demands.select(
+        F.col(host_col).alias("host"),
+        F.col(demand_col).cast("long").alias("demand"),
+    )
+    ranked = global_rank(d, key=["demand", "host"], out="rk")
+    pref = global_prefix_sum(
+        ranked, order_cols=["demand", "host"], val_col="demand", out="pfx"
+    ).withColumn("incl", F.col("pfx") + F.col("demand"))
+    # n is needed inside the row-level condition: broadcast the scalar
+    n_row = pref.agg(F.count("*").cast("long").alias("n"))
+    withn = pref.crossJoin(F.broadcast(n_row))
+    cond = F.col("incl") + (F.col("n") - F.col("rk")) * F.col("demand") <= b
+    krow = withn.agg(
+        F.max(F.when(cond, F.struct(F.col("rk"), F.col("incl")))).alias("ks"),
+        F.max("n").alias("n"),
+    ).select(
+        F.coalesce(F.col("ks.rk"), F.lit(0)).alias("k"),
+        F.coalesce(F.col("ks.incl"), F.lit(0)).alias("sk"),
+        "n",
+    )
+    out = withn.drop("n").crossJoin(F.broadcast(krow))
+    # greatest(...,1): when k == n every row takes the full-demand branch
+    # and the line is never used, but ANSI mode must not see a div-0
+    level = F.expr(f"({b}L - sk) div greatest(n - k, 1L)")
+    granted = (
+        F.when(F.col("k") == F.col("n"), F.col("demand"))
+        .when(F.col("rk") <= F.col("k"), F.col("demand"))
+        .otherwise(F.least(F.col("demand"), level))
+    ).cast("long")
+    return out.select(
+        "host", "demand", granted.alias("granted"),
+        (granted < F.col("demand")).cast("int").alias("saturated"),
+    )
