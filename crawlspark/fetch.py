@@ -494,3 +494,71 @@ def transfer_accounting(
         F.sum(F.coalesce(cl, F.lit(0))).alias("declared_bytes"),
         F.sum(got).alias("actual_bytes"),
     )
+
+
+def resume_ranges(
+    parts: DataFrame,
+    url_col: str = "url",
+    start_col: str = "start",
+    end_col: str = "end",
+    size_col: str = "total_size",
+) -> DataFrame:
+    """Resume planning for partial (Range) downloads of large media: merge
+    the byte intervals [start, end) already on disk per URL — overlaps
+    and duplicates collapse — and emit what a resuming fetcher needs:
+    union coverage, gap count, and the offset for the next
+    ``Range: bytes=N-`` header.  The inverse of ``range_fetch_plan``
+    (which splits a download into parts up front); this reconstructs
+    state after crashes and mixed-success part fetches.
+
+    Classic interval-union dataflow: one window per URL ordered by
+    (start, end) carrying the running max of previous ends — a gap
+    exists where start > that prefix max, and the covered increment is
+    greatest(0, end - greatest(start, prefix_max_end)).  Partitioned by
+    URL (attempts per URL are few and bounded — no skew), all JVM
+    expressions.
+
+    Returns (url, total_size, bytes_have, n_gaps, next_missing_start,
+    complete) — next_missing_start NULL when complete=1; complete is a
+    0/1 int.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(url_col)
+        .orderBy(start_col, end_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+    pme = F.coalesce(F.max(e).over(w), F.lit(0)).cast("long")
+    rows = parts.select(
+        F.col(url_col).alias("url"),
+        F.col(size_col).cast("long").alias("total_size"),
+        s.alias("s"), e.alias("e"), pme.alias("pme"),
+    ).select(
+        "url", "total_size", "s", "e", "pme",
+        F.greatest(F.lit(0), F.col("e") - F.greatest(F.col("s"), F.col("pme")))
+        .alias("inc"),
+        (F.col("s") > F.col("pme")).cast("int").alias("is_gap"),
+        F.when(F.col("s") > F.col("pme"), F.col("pme")).alias("gap_at"),
+    )
+    agg = rows.groupBy("url", "total_size").agg(
+        F.sum("inc").cast("long").alias("bytes_have"),
+        F.sum("is_gap").cast("long").alias("n_gaps"),
+        F.min("gap_at").cast("long").alias("first_gap"),
+        F.max("e").cast("long").alias("max_end"),
+    )
+    complete = F.col("bytes_have") == F.col("total_size")
+    next_start = F.when(
+        complete, F.lit(None).cast("long")
+    ).otherwise(
+        F.coalesce(
+            F.col("first_gap"),
+            F.when(F.col("max_end") < F.col("total_size"), F.col("max_end")),
+        )
+    )
+    return agg.select(
+        "url", "total_size", "bytes_have", "n_gaps",
+        next_start.alias("next_missing_start"),
+        complete.cast("int").alias("complete"),
+    )

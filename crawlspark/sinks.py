@@ -553,3 +553,65 @@ def cache_freshness(
     return responses.withColumn(
         "freshness_lifetime_s", lifetime
     ).withColumn("current_age_s", age).withColumn(out, state)
+
+
+def z_interleave(x, y, bits: int = 16):
+    """Morton/Z-order value: interleave the low ``bits`` bits of two
+    non-negative ints (x at even positions, y at odd).  Pure shift/and
+    arithmetic — whole-stage codegen on Spark, replayable bit-for-bit in
+    SQL.  2*bits <= 62 keeps everything in a signed long."""
+    xx = x.cast("long")
+    yy = y.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(int(bits)):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(xx, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(yy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_layout(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    rows_per_file: int,
+    bits: int = 16,
+) -> DataFrame:
+    """Iceberg/Delta-style Z-ORDER rewrite planning: sort rows by the
+    Morton interleave of two pruning dimensions (e.g. host_bucket x
+    time_bucket), cut into ``rows_per_file`` files, and report each
+    file's bounding box in BOTH dimensions — the min/max column stats a
+    scan planner prunes on.  Z-ordering keeps each file's box small in
+    x AND y simultaneously, where a plain sort on x gives files that
+    span the full y range (one-dimensional pruning only).
+
+    The sort-and-cut uses ranks.global_rank (range partition + offsets),
+    never a single-partition window; stats are one map-side-combined
+    groupBy on file_id.
+
+    Returns (file_id, n_rows, x_min, x_max, y_min, y_max, bbox_area)
+    with bbox_area = (x_max-x_min+1)*(y_max-y_min+1) — the pruning
+    quality metric (smaller = more selective file skipping).
+    """
+    from .ranks import global_rank
+
+    z = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).withColumn("z", z_interleave(F.col("x"), F.col("y"), bits))
+    # (z, x, y) is a total order tiebreak for duplicate z values
+    ranked = global_rank(z, key=["z", "x", "y"], out="rk")
+    files = ranked.withColumn(
+        "file_id", F.expr(f"(rk - 1) div {int(rows_per_file)}")
+    )
+    return files.groupBy("file_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"), F.max("y").alias("y_max"),
+    ).withColumn(
+        "bbox_area",
+        ((F.col("x_max") - F.col("x_min") + 1)
+         * (F.col("y_max") - F.col("y_min") + 1)).cast("long"),
+    )
