@@ -877,3 +877,75 @@ def bytes_per_pixel_outliers(
         .otherwise("ok")
     )
     return out.withColumn("bpp_class", klass)
+
+
+def _byte(b, off: int) -> "F.Column":
+    return F.conv(F.hex(F.substring(b, off, 1)), 16, 10).cast("long")
+
+
+def sniff_webp_dims(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """WebP container-header dimension sniffing — the sibling of
+    ``sniff_header_dims`` for the format that now carries most new web
+    images.  All three WebP bitstream variants, dims straight from the
+    first 30 bytes, no decode:
+
+    - 'VP8 ' (lossy): 0x9D012A sync check, then 14-bit w/h in the two
+      little-endian u16 after it (frame-tag offset 20, RFC 6386 §9.1);
+    - 'VP8L' (lossless): 0x2F signature, then width-1 / height-1 as two
+      14-bit fields bit-packed little-endian across the next 4 bytes;
+    - 'VP8X' (extended): canvas width-1 / height-1 as 24-bit
+      little-endian at payload offsets 4 and 7.
+
+    Pure JVM substring -> hex -> conv arithmetic (whole-stage codegen),
+    same discipline as the PNG/GIF/BMP sniffer: truncated or
+    sync-less payloads come back with NULL dims and webp_variant NULL
+    rather than garbage.  Adds (webp_variant, sniff_w, sniff_h).
+    """
+    b = F.col(bytes_col)
+    blen = F.length(b)
+    riff = (F.hex(F.substring(b, 1, 4)) == "52494646") & (
+        F.hex(F.substring(b, 9, 4)) == "57454250"
+    )
+    tag = F.hex(F.substring(b, 13, 4))
+    is_vp8 = (
+        riff & (tag == "56503820") & (blen >= 30)
+        & (F.hex(F.substring(b, 24, 3)) == "9D012A")
+    )
+    is_vp8l = (
+        riff & (tag == "5650384C") & (blen >= 25)
+        & (F.hex(F.substring(b, 21, 1)) == "2F")
+    )
+    is_vp8x = riff & (tag == "56503858") & (blen >= 30)
+
+    def le16(off: int):
+        return _byte(b, off) + 256 * _byte(b, off + 1)
+
+    def le24(off: int):
+        return (_byte(b, off) + 256 * _byte(b, off + 1)
+                + 65536 * _byte(b, off + 2))
+
+    vp8_w = le16(27).bitwiseAND(F.lit(0x3FFF))
+    vp8_h = le16(29).bitwiseAND(F.lit(0x3FFF))
+    b22, b23 = _byte(b, 22), _byte(b, 23)
+    b24, b25 = _byte(b, 24), _byte(b, 25)
+    vp8l_w = 1 + b22 + (b23 % 64) * 256
+    # height-1 bits start at bit 14: low 2 bits live in b23's top bits
+    vp8l_h = (
+        1 + F.shiftright(b23.cast("int"), 6).cast("long")
+        + b24 * 4 + (b25 % 16) * 1024
+    )
+    vp8x_w, vp8x_h = 1 + le24(25), 1 + le24(28)
+    variant = (
+        F.when(is_vp8, "vp8").when(is_vp8l, "vp8l").when(is_vp8x, "vp8x")
+    )
+    sw = (
+        F.when(is_vp8, vp8_w).when(is_vp8l, vp8l_w).when(is_vp8x, vp8x_w)
+    ).cast("long")
+    sh = (
+        F.when(is_vp8, vp8_h).when(is_vp8l, vp8l_h).when(is_vp8x, vp8x_h)
+    ).cast("long")
+    return (
+        imgs.withColumn("webp_variant", variant)
+        .withColumn("sniff_w", sw)
+        .withColumn("sniff_h", sh)
+    )

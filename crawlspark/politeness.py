@@ -610,3 +610,62 @@ def adaptive_timeouts(
             F.least(F.lit(int(max_timeout_ms)), raw),
         ).cast("long"),
     )
+
+
+def latency_histogram(
+    responses: DataFrame,
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+    quantile_pct: int = 95,
+) -> DataFrame:
+    """Mergeable per-host latency histogram + histogram-derived quantile
+    BOUNDS — the bounded-state alternative to ``adaptive_timeouts``'
+    exact order statistic: the exact p95 needs every sample shuffled;
+    this keeps O(hosts x ~40 buckets) rows that merge across days by
+    simple addition (the HdrHistogram trade, at 1 significant digit).
+
+    Bucketing is decimal-exact and string-derived so the SQL oracle
+    replays it bit-for-bit with no float log: a latency with first digit
+    d and k trailing digits falls in [d*10^k, (d+1)*10^k - 1] — lb/ub
+    built by digit concatenation, never pow().  The quantile bound is
+    the first bucket whose cumulative count reaches
+    greatest(1, ceil(pct*n/100)) per host (bounded window: <= ~40
+    buckets per host).
+
+    Returns (host, n_samples, q_lb_ms, q_ub_ms): the true p-quantile is
+    PROVABLY inside [q_lb_ms, q_ub_ms] (asserted against the exact rank
+    statistic in tests).
+    """
+    from pyspark.sql import Window
+
+    x = F.col(latency_col).cast("long")
+    s = x.cast("string")
+    digits = F.length(s)
+    d1 = F.substring(s, 1, 1)
+    lb = F.concat(d1, F.repeat(F.lit("0"), digits - 1)).cast("long")
+    ub = F.concat(d1, F.repeat(F.lit("9"), digits - 1)).cast("long")
+    hist = (
+        responses.select(F.col(host_col).alias("host"),
+                         lb.alias("lb"), ub.alias("ub"))
+        .groupBy("host", "lb", "ub")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("host").orderBy("lb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("host")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(tot)
+    )
+    pct = int(quantile_pct)
+    need = F.greatest(F.lit(1), F.expr(f"({pct} * n + 99) div 100"))
+    hits = cum.filter(F.col("cum") >= need)
+    wmin = Window.partitionBy("host").orderBy("lb")
+    return (
+        hits.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select(
+            "host", F.col("n").alias("n_samples"),
+            F.col("lb").alias("q_lb_ms"), F.col("ub").alias("q_ub_ms"),
+        )
+    )
