@@ -949,3 +949,59 @@ def sniff_webp_dims(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         .withColumn("sniff_w", sw)
         .withColumn("sniff_h", sh)
     )
+
+
+def jpeg_sof_dims(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """JPEG dimension sniffing — walk the marker segments of the header
+    until the first SOF0-SOF3 frame and read (precision, height, width)
+    without decoding.  Completes the no-decode sniffing family
+    (PNG/GIF/BMP in sniff_header_dims, WebP in sniff_webp_dims): JPEG is
+    the one format whose dims sit at a VARIABLE offset (after APPn/COM
+    segments), so this is an Arrow-batched pandas UDF rather than
+    substring arithmetic — one batch crossing, a bounded few-segment
+    walk per value, never row-at-a-time Python in the JVM plan.
+
+    Adds (jpeg_kind, sniff_w, sniff_h): kind 'baseline' (SOF0/1/3) or
+    'progressive' (SOF2), NULLs for non-JPEG / truncated / malformed
+    payloads.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("kind string, w long, h long")
+    def scan(bs: pd.Series) -> pd.DataFrame:
+        kinds, ws, hs = [], [], []
+        for b in bs:
+            kind = w = h = None
+            if b is not None and len(b) >= 4 and b[0] == 0xFF and b[1] == 0xD8:
+                i = 2
+                while i + 9 < len(b):
+                    if b[i] != 0xFF:
+                        break
+                    marker = b[i + 1]
+                    if 0xC0 <= marker <= 0xC3 and marker != 0xC4:
+                        h = (b[i + 5] << 8) | b[i + 6]
+                        w = (b[i + 7] << 8) | b[i + 8]
+                        kind = "progressive" if marker == 0xC2 else "baseline"
+                        break
+                    if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7 \
+                            or marker == 0x01:
+                        i += 2  # standalone marker, no length field
+                        continue
+                    seglen = (b[i + 2] << 8) | b[i + 3]
+                    if seglen < 2:
+                        break
+                    i += 2 + seglen
+            kinds.append(kind)
+            ws.append(w)
+            hs.append(h)
+        return pd.DataFrame({"kind": kinds, "w": pd.array(ws, dtype="Int64"),
+                             "h": pd.array(hs, dtype="Int64")})
+
+    out = imgs.withColumn("__sof", scan(F.col(bytes_col)))
+    return (
+        out.withColumn("jpeg_kind", F.col("__sof.kind"))
+        .withColumn("sniff_w", F.col("__sof.w"))
+        .withColumn("sniff_h", F.col("__sof.h"))
+        .drop("__sof")
+    )

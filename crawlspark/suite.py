@@ -2132,3 +2132,47 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _PREV7_ORACLES()
     out.update(_EXTRA7_ORACLES)
     return out
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: for each user, the earliest time step 1
+    occurred, the earliest step 2 STRICTLY AFTER that, the earliest
+    step 3 strictly after step 2, ... — the sequence-respecting
+    conversion measurement (a user who purchased before ever viewing
+    does NOT count as converted).
+
+    Dataflow shape per step: one filtered map-side-combined groupBy
+    (min ts among qualifying events) + one equi-join on user — no
+    window over the raw event stream, no per-user sort; at 10^10 events
+    each step is a shuffle of O(users) rows after the partial min.
+
+    Returns (user, steps_completed, t1_us..tk_us) with epoch-micro
+    longs, NULL from the first uncompleted step on.
+    """
+    base = events.select(
+        F.col(user_col), F.col(type_col).alias("et"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+    )
+    users = base.select(user_col).distinct()
+    out = users
+    prev_col = None
+    for i, step in enumerate(steps, start=1):
+        cand = base.filter(F.col("et") == step)
+        if prev_col is not None:
+            cand = cand.join(out.select(user_col, prev_col), user_col).filter(
+                F.col(prev_col).isNotNull() & (F.col("ts_us") > F.col(prev_col))
+            )
+        t = cand.groupBy(user_col).agg(F.min("ts_us").alias(f"t{i}_us"))
+        out = out.join(t, user_col, "left")
+        prev_col = f"t{i}_us"
+    completed = None
+    for i in range(1, len(steps) + 1):
+        c = F.col(f"t{i}_us").isNotNull().cast("int")
+        completed = c if completed is None else completed + c
+    return out.withColumn("steps_completed", completed.cast("int"))

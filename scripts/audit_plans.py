@@ -73,6 +73,13 @@ WHITELIST: dict[str, dict[str, str]] = {
     "shard_assign": {
         "single_partition": "running sum over one row per shard bucket"
     },
+    # water line: two scalar aggregates (host count, max affordable rank)
+    # each funnel ONE partial row per task; the per-host relation itself
+    # flows through the distributed two-phase rank/prefix, never the funnel.
+    "waterfill_budgets": {
+        "single_partition": "bounded: scalar-agg funnel (n + water-line "
+                            "struct, <=1 row per broadcast)"
+    },
     "bucket_batches": {
         "single_partition": "batch-base running sum over one row per "
                             "aspect bucket (3 rows)"
