@@ -1005,3 +1005,111 @@ def jpeg_sof_dims(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         .withColumn("sniff_h", F.col("__sof.h"))
         .drop("__sof")
     )
+
+
+QUADRANTS = ("tl", "tr", "bl", "br")
+
+
+def quadrant_phashes(images: DataFrame) -> DataFrame:
+    """Whole-image + per-quadrant perceptual hashes — the index that
+    catches CROPPED reposts whole-image phash cannot: a crop that was
+    one quadrant of the original hashes (as a whole) to exactly the
+    original's quadrant hash, so crop detection becomes an equi-join
+    instead of any pixel comparison.  One batched Arrow decode pass
+    (same discipline as validate_images); quadrants are the floor-half
+    splits, each >= 8px by the generator's dims so the 8x8 mean-hash
+    grid is well-defined.
+
+    Returns (image_id, phash_whole, phash_tl, phash_tr, phash_bl,
+    phash_br).
+    """
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                px = _decode(r.bytes, r.w, r.h)
+                hh, wh = r.h // 2, r.w // 2
+                rows.append({
+                    "image_id": r.image_id,
+                    "phash_whole": _phash64(px),
+                    "phash_tl": _phash64(px[:hh, :wh]),
+                    "phash_tr": _phash64(px[:hh, wh:]),
+                    "phash_bl": _phash64(px[hh:, :wh]),
+                    "phash_br": _phash64(px[hh:, wh:]),
+                })
+            yield pd.DataFrame(rows)
+
+    schema = ("image_id STRING, phash_whole LONG, phash_tl LONG, "
+              "phash_tr LONG, phash_bl LONG, phash_br LONG")
+    return images.select("image_id", "bytes", "w", "h").mapInPandas(
+        hashes, schema
+    )
+
+
+def detect_quadrant_crops(
+    qp: DataFrame, supernode_cap: int = 16
+) -> DataFrame:
+    """Crop-repost pairs from the quadrant-hash index: candidate crop C
+    of parent P at quadrant q whenever phash_whole(C) == phash_q(P),
+    C != P.  Four equi-joins on 64-bit hash values (unioned via one
+    melt + one join); flat/solid images whose hash repeats across more
+    than ``supernode_cap`` images are dropped before pairing — the same
+    degree-cap discipline as host_mirrors, so a site's blank spacer
+    can never explode the join quadratically.
+
+    Returns (crop_id, parent_id, quadrant).
+    """
+    quads = F.array(*[
+        F.struct(F.lit(q).alias("quadrant"),
+                 F.col(f"phash_{q}").alias("h"))
+        for q in QUADRANTS
+    ])
+    parents = qp.select(
+        F.col("image_id").alias("parent_id"), F.explode(quads).alias("e")
+    ).select("parent_id", "e.quadrant", "e.h")
+    wholes = qp.select(F.col("image_id").alias("crop_id"),
+                       F.col("phash_whole").alias("h"))
+    hot = (
+        parents.groupBy("h").agg(F.count("*").alias("n"))
+        .filter(F.col("n") > int(supernode_cap)).select("h")
+    )
+    safe = parents.join(hot, "h", "left_anti")
+    return (
+        wholes.join(safe, "h")
+        .filter(F.col("crop_id") != F.col("parent_id"))
+        .select("crop_id", "parent_id", "quadrant")
+    )
+
+
+def crop_to_quadrant(
+    images: DataFrame, quadrant: str = "tl", id_prefix: str = "crop-"
+) -> DataFrame:
+    """Derive quadrant-crop rows from an images table: decode, slice the
+    requested floor-half quadrant, re-encode LOSSLESSLY (so the crop's
+    decoded pixels are bit-identical to the parent's decoded quadrant —
+    the property quadrant_phashes' crop join relies on).  Returns
+    (image_id, bytes, w, h) with ids ``id_prefix + parent_id``."""
+    if quadrant not in QUADRANTS:
+        raise ValueError(f"quadrant must be one of {QUADRANTS}")
+
+    def crop(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                px = _decode(r.bytes, r.w, r.h)
+                hh, wh = r.h // 2, r.w // 2
+                sl = {
+                    "tl": px[:hh, :wh], "tr": px[:hh, wh:],
+                    "bl": px[hh:, :wh], "br": px[hh:, wh:],
+                }[quadrant]
+                rows.append({
+                    "image_id": id_prefix + r.image_id,
+                    "bytes": _encode(np.ascontiguousarray(sl), "png"),
+                    "w": int(sl.shape[1]), "h": int(sl.shape[0]),
+                })
+            yield pd.DataFrame(rows)
+
+    return images.select("image_id", "bytes", "w", "h").mapInPandas(
+        crop, "image_id STRING, bytes BINARY, w INT, h INT"
+    )

@@ -676,3 +676,45 @@ def waterfill_budgets(
         "host", "demand", granted.alias("granted"),
         (granted < F.col("demand")).cast("int").alias("saturated"),
     )
+
+
+def wave_makespan(
+    backlog: DataFrame,
+    n_fetchers: int,
+    host_col: str = "host",
+    urls_col: str = "n_urls",
+    delay_ms_col: str = "delay_ms",
+) -> DataFrame:
+    """Politeness-constrained wave makespan bounds: with per-host
+    politeness delays, a host's URLs are SERIAL no matter how many
+    executors exist, so a drain wave cannot beat
+
+        makespan >= max( max_h(n_h * delay_h),             -- critical host
+                         ceil(sum_h(n_h * delay_h) / F) )  -- work volume
+
+    (the classic P || Cmax bounds with per-host chains).  One map-side
+    aggregate; O(1) output.  Returns a single row (critical_host,
+    critical_ms, volume_ms, makespan_lb_ms, bound) — bound names which
+    side binds ('critical_host' when one domain's serial chain dominates
+    the whole fleet: the signal to SPLIT that host's budget across
+    waves rather than add executors).
+    """
+    work = backlog.select(
+        F.col(host_col).alias("host"),
+        (F.col(urls_col).cast("long") * F.col(delay_ms_col).cast("long"))
+        .alias("w_ms"),
+    )
+    f = int(n_fetchers)
+    agg = work.agg(
+        F.max_by("host", "w_ms").alias("critical_host"),
+        F.max("w_ms").alias("critical_ms"),
+        F.expr(f"CAST((sum(w_ms) + {f} - 1) div {f} AS BIGINT)")
+        .alias("volume_ms"),
+    )
+    return agg.select(
+        "critical_host", "critical_ms", "volume_ms",
+        F.greatest("critical_ms", "volume_ms").alias("makespan_lb_ms"),
+        F.when(F.col("critical_ms") >= F.col("volume_ms"),
+               F.lit("critical_host")).otherwise(F.lit("volume"))
+        .alias("bound"),
+    )
