@@ -548,7 +548,14 @@ def resume_ranges(
         F.min("gap_at").cast("long").alias("first_gap"),
         F.max("e").cast("long").alias("max_end"),
     )
-    complete = F.col("bytes_have") == F.col("total_size")
+    # complete = the prefix [0, total_size) is covered: no gap anywhere
+    # (leading gaps count — pme starts at 0) and the union reaches the
+    # declared size.  NOT bytes_have == total_size: a server that
+    # ignored the Range header can overshoot the declared size, and
+    # that download is still complete (bytes_have records the overshoot)
+    complete = (F.col("n_gaps") == 0) & (
+        F.col("max_end") >= F.col("total_size")
+    )
     next_start = F.when(
         complete, F.lit(None).cast("long")
     ).otherwise(

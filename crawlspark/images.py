@@ -975,11 +975,14 @@ def jpeg_sof_dims(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
             kind = w = h = None
             if b is not None and len(b) >= 4 and b[0] == 0xFF and b[1] == 0xD8:
                 i = 2
-                while i + 9 < len(b):
+                while i + 8 < len(b):
                     if b[i] != 0xFF:
                         break
+                    if b[i + 1] == 0xFF:
+                        i += 1  # spec B.1.1.2 fill byte before a marker
+                        continue
                     marker = b[i + 1]
-                    if 0xC0 <= marker <= 0xC3 and marker != 0xC4:
+                    if 0xC0 <= marker <= 0xC3:
                         h = (b[i + 5] << 8) | b[i + 6]
                         w = (b[i + 7] << 8) | b[i + 8]
                         kind = "progressive" if marker == 0xC2 else "baseline"

@@ -591,7 +591,9 @@ def classify_alt_text(caption) -> "F.Column":
 
       'filename'    IMG_1234 / DSC0001 / *.jpg|png|gif|webp|jpeg
       'url'         starts with http(s):// or www.
-      'numeric'     digits / punctuation / whitespace only
+      'numeric'     no letters in ANY script — digits / punctuation
+                    / whitespace only (\\p{L} guard, so Cyrillic/CJK/
+                    Arabic captions are NOT junk)
       'too_short'   < 3 non-space characters
       'placeholder' a lone stock word: image, photo, picture, logo,
                     icon, banner, thumbnail, graphic, untitled, spacer
@@ -608,7 +610,7 @@ def classify_alt_text(caption) -> "F.Column":
         | lc.rlike(r"^(img|dsc|dcim|pict|photo|image)[-_ ]?\d+$")
     )
     is_url = lc.rlike(r"^(https?://|www\.)")
-    is_numeric = (c != "") & ~lc.rlike(r"[a-z]")
+    is_numeric = (c != "") & ~c.rlike(r"\p{L}")
     is_short = F.length(F.regexp_replace(c, r"\s", "")) < 3
     placeholders = ("image", "photo", "picture", "logo", "icon", "banner",
                     "thumbnail", "graphic", "untitled", "spacer")

@@ -636,20 +636,43 @@ def latency_histogram(
     PROVABLY inside [q_lb_ms, q_ub_ms] (asserted against the exact rank
     statistic in tests).
     """
-    from pyspark.sql import Window
+    return latency_quantile_bounds(
+        latency_buckets(responses, host_col=host_col,
+                        latency_col=latency_col),
+        quantile_pct=quantile_pct,
+    )
 
+
+def latency_buckets(
+    responses: DataFrame,
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+) -> DataFrame:
+    """The mergeable half: (host, lb, ub, cnt) bucket rows.  Two bucket
+    relations built on different days MERGE by unioning and re-summing
+    cnt per (host, lb, ub) — asserted in tests against the one-pass
+    path."""
     x = F.col(latency_col).cast("long")
     s = x.cast("string")
     digits = F.length(s)
     d1 = F.substring(s, 1, 1)
     lb = F.concat(d1, F.repeat(F.lit("0"), digits - 1)).cast("long")
     ub = F.concat(d1, F.repeat(F.lit("9"), digits - 1)).cast("long")
-    hist = (
+    return (
         responses.select(F.col(host_col).alias("host"),
                          lb.alias("lb"), ub.alias("ub"))
         .groupBy("host", "lb", "ub")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def latency_quantile_bounds(
+    hist: DataFrame, quantile_pct: int = 95
+) -> DataFrame:
+    """The read-out half: first bucket whose cumulative count reaches
+    the quantile rank, per host (bounded window: <= ~40 buckets/host)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("host").orderBy("lb").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

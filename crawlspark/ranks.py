@@ -124,3 +124,68 @@ def _with_partition_offsets(ranged: DataFrame, order_cols, out: str,
     # materialize once, then release the range-partitioned intermediate;
     # callers get an already-checkpointed DF (no second materialization)
     return out_df.localCheckpoint(eager=True)
+
+
+def global_rank_and_prefix(
+    df: DataFrame,
+    order_cols: list[str],
+    val_col: str,
+    rank_out: str = "rank",
+    prefix_out: str = "prefix",
+    num_rows: int | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Both the 1-based global rank AND the INCLUSIVE running sum of
+    ``val_col`` over one total order, in a SINGLE two-phase pass: one
+    range repartition, one per-partition aggregate carrying (count, sum)
+    together, one intra-partition window computing both columns.  Use
+    this when a consumer needs rank and prefix over the same key
+    (water-filling) — two separate global_rank + global_prefix_sum
+    calls pay the range shuffle and the driver offset round-trip twice.
+    """
+    v = F.col(val_col).cast("long")
+    if num_rows is not None and num_rows <= SMALL_LEVEL_ROWS:
+        w = Window.orderBy(*order_cols)
+        wi = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return df.withColumn(
+            rank_out, F.row_number().over(w).cast("long")
+        ).withColumn(prefix_out, F.sum(v).over(wi).cast("long"))
+    parts = partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(
+        parts, *[F.col(c) for c in order_cols]
+    ).persist()
+    try:
+        sizes = (
+            ranged.withColumn("__pid", F.spark_partition_id())
+            .groupBy("__pid")
+            .agg(F.count("*").alias("__n"), F.sum(v).alias("__s"))
+            .collect()
+        )
+        counts = {r["__pid"]: (int(r["__n"]), int(r["__s"] or 0))
+                  for r in sizes}
+        roff, soff = {}, {}
+        racc = sacc = 0
+        for pid in sorted(counts):
+            roff[pid], soff[pid] = racc, sacc
+            racc += counts[pid][0]
+            sacc += counts[pid][1]
+        spark = ranged.sparkSession
+        off_df = F.broadcast(spark.createDataFrame(
+            [(int(p), roff[p], soff[p]) for p in counts],
+            "__pid INT, __roff LONG, __soff LONG",
+        ))
+        w = Window.partitionBy("__pid").orderBy(*order_cols)
+        wi = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = (
+            ranged.withColumn("__pid", F.spark_partition_id())
+            .join(off_df, "__pid")
+            .withColumn(rank_out,
+                        (F.col("__roff") + F.row_number().over(w))
+                        .cast("long"))
+            .withColumn(prefix_out,
+                        (F.col("__soff") + F.sum(v).over(wi)).cast("long"))
+            .drop("__pid", "__roff", "__soff")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()

@@ -640,17 +640,20 @@ def waterfill_budgets(
     Returns (host, demand, granted, saturated) with saturated 0/1 int;
     sum(granted) undershoots B by < n (floor slack rolls forward).
     """
-    from .ranks import global_prefix_sum, global_rank
+    from .ranks import global_rank_and_prefix
 
     b = int(total_budget)
     d = demands.select(
         F.col(host_col).alias("host"),
         F.col(demand_col).cast("long").alias("demand"),
     )
-    ranked = global_rank(d, key=["demand", "host"], out="rk")
-    pref = global_prefix_sum(
-        ranked, order_cols=["demand", "host"], val_col="demand", out="pfx"
-    ).withColumn("incl", F.col("pfx") + F.col("demand"))
+    # ONE two-phase pass for both the rank and the inclusive prefix —
+    # separate global_rank + global_prefix_sum calls would range-shuffle
+    # and round-trip driver offsets twice over the same order
+    pref = global_rank_and_prefix(
+        d, order_cols=["demand", "host"], val_col="demand",
+        rank_out="rk", prefix_out="incl",
+    )
     # n is needed inside the row-level condition: broadcast the scalar
     n_row = pref.agg(F.count("*").cast("long").alias("n"))
     withn = pref.crossJoin(F.broadcast(n_row))

@@ -15,12 +15,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .sketch import _P  # the ONE authoritative KMV hash modulus
+
 ANF_N = 48
 ANF_ITERS = 3
 ANF_K = 8
 KMV_K = 8
-
-_P = (1 << 31) - 1
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -66,7 +66,11 @@ def q_syndication_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SYNDICATION = """
-WITH p AS (SELECT DISTINCT doc_id // 2 AS d FROM documents)
+-- only COMPLETE pairs (both 2d and 2d+1 present): an odd trailing doc
+-- has no partner and must produce no pair on either side
+WITH p AS (
+  SELECT doc_id // 2 AS d FROM documents GROUP BY 1 HAVING COUNT(*) = 2
+)
 SELECT CAST(2 * d AS BIGINT) AS id_a,
        CAST(2 * d + 1 AS BIGINT) AS id_b,
        CAST(20 AS BIGINT) AS shared,

@@ -93,13 +93,13 @@ a AS (
   FROM r GROUP BY url, total_size
 )
 SELECT url, total_size, bytes_have, n_gaps,
-       CAST(CASE WHEN bytes_have = total_size THEN NULL
+       CAST(CASE WHEN n_gaps = 0 AND max_end >= total_size THEN NULL
                  ELSE COALESCE(first_gap,
                                CASE WHEN max_end < total_size
                                     THEN max_end END)
             END AS BIGINT) AS next_missing_start,
-       CAST(CASE WHEN bytes_have = total_size THEN 1 ELSE 0 END
-            AS INTEGER) AS complete
+       CAST(CASE WHEN n_gaps = 0 AND max_end >= total_size THEN 1 ELSE 0
+            END AS INTEGER) AS complete
 FROM a
 ORDER BY url
 """

@@ -65,6 +65,11 @@ def test_alt_text_edge_cases(spark):
         ("iconography of the middle ages", "ok"),  # not a LONE word
         ("photo of a red barn", "ok"),
         (None, "too_short"),
+        # non-Latin scripts are real captions, never 'numeric' junk
+        ("北京の写真", "ok"),
+        ("Привет мир и солнце", "ok"),
+        ("صورة جميلة", "ok"),
+        ("१२३४", "numeric"),  # Devanagari digits: still no letters
     ]
     df = spark.createDataFrame(
         [(i, c) for i, (c, _) in enumerate(cases)], ["i", "cap"]

@@ -64,6 +64,10 @@ def test_jpeg_sof_dims(spark):
         (3, b"\xff\xd8\xff\xd9", None, None, None),          # no SOF
         (4, b"\x89PNG\r\n\x1a\n", None, None, None),         # not a JPEG
         (5, _jpeg(9, 9)[:12], None, None, None),             # truncated
+        # fill bytes (0xFF padding) before a marker are spec-legal
+        (7, b"\xff\xd8" + b"\xff\xff\xff" + b"\xff\xc0"
+            + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 11, 22)
+            + b"\x03" + b"\x01\x11\x00" * 3, "baseline", 22, 11),
         # DHT (C4) must NOT be mistaken for a SOF marker
         (6, b"\xff\xd8" + b"\xff\xc4" + struct.pack(">H", 6)
             + b"\x00\x01\x02\x03"

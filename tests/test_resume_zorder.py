@@ -26,6 +26,8 @@ def test_resume_ranges_cases(spark):
         ("d", 0, 700, 1000),
         # nested interval swallowed entirely
         ("e", 0, 1000, 1000), ("e", 100, 200, 1000),
+        # server ignored the Range header: overshoot is still COMPLETE
+        ("f", 0, 10500, 10000),
     ]
     got = {r["url"]: r for r in resume_ranges(_parts(spark, rows)).collect()}
     assert (got["a"]["bytes_have"], got["a"]["complete"],
@@ -35,6 +37,8 @@ def test_resume_ranges_cases(spark):
     assert (got["c"]["n_gaps"], got["c"]["next_missing_start"]) == (1, 0)
     assert (got["d"]["n_gaps"], got["d"]["next_missing_start"]) == (0, 700)
     assert (got["e"]["bytes_have"], got["e"]["complete"]) == (1000, 1)
+    assert (got["f"]["bytes_have"], got["f"]["complete"],
+            got["f"]["next_missing_start"]) == (10500, 1, None)
 
 
 def test_z_interleave_known_values(spark):

@@ -75,12 +75,21 @@ def test_latency_histogram_brackets_exact_quantile(spark):
 
 
 def test_latency_histogram_merge_by_addition(spark):
-    # two day-slices aggregated independently then re-aggregated give the
-    # same bound as one pass (buckets merge by addition)
+    # two day-slices BUCKETED INDEPENDENTLY, bucket counts merged by
+    # plain addition, must give the same quantile bound as one pass
+    import pyspark.sql.functions as F
+
+    from crawlspark.politeness import latency_buckets, latency_quantile_bounds
+
     all_rows = [("h", 1 + (i * 13) % 500) for i in range(300)]
     whole = spark.createDataFrame(all_rows, ["host", "latency_ms"])
+    day1 = spark.createDataFrame(all_rows[:150], ["host", "latency_ms"])
+    day2 = spark.createDataFrame(all_rows[150:], ["host", "latency_ms"])
+    merged = (
+        latency_buckets(day1).unionByName(latency_buckets(day2))
+        .groupBy("host", "lb", "ub")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    got_merged = latency_quantile_bounds(merged).first()
     got_whole = latency_histogram(whole).first()
-    halves = spark.createDataFrame(all_rows[:150] + all_rows[150:],
-                                   ["host", "latency_ms"])
-    got_halves = latency_histogram(halves).first()
-    assert got_whole == got_halves
+    assert got_whole == got_merged
