@@ -1057,3 +1057,61 @@ def kcore_peel(
             .alias("final_degree"),
         )
     )
+
+
+def community_modularity(
+    labels: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Integer-exact Newman modularity per community over the undirected
+    view — the quality read-out for :func:`label_propagation` (is the
+    host clustering real structure or noise?).  The float definition
+    Q = sum_c [ e_c/m - (d_c/2m)^2 ] is scaled by (2m)^2 so every term
+    is exact 64-bit arithmetic:
+
+        contrib_scaled_c = (2m) * (2 e_c) - d_c^2,   Q = sum / (2m)^2
+
+    One labels join per edge endpoint (the label relation is O(n),
+    broadcastable or shuffle-hashed), one map-side-combined groupBy per
+    aggregate; output O(communities).
+
+    Returns (community, n_nodes, internal_edges2, total_degree,
+    contrib_scaled) where internal_edges2 = 2*e_c (both directions
+    counted — the raw integer, no halving loss).
+    """
+    und = _symmetrize(edges)
+    lab = labels.select(F.col("node").cast("long").alias("node"),
+                        F.col("community").cast("long").alias("community"))
+    m2_row = und.agg(F.count("*").cast("long").alias("m2"))  # = 2m
+    src_lab = lab.select(F.col("node").alias("src"),
+                         F.col("community").alias("c_src"))
+    dst_lab = lab.select(F.col("node").alias("dst"),
+                         F.col("community").alias("c_dst"))
+    tagged = und.join(src_lab, "src").join(dst_lab, "dst")
+    internal = (
+        tagged.filter(F.col("c_src") == F.col("c_dst"))
+        .groupBy(F.col("c_src").alias("community"))
+        .agg(F.count("*").cast("long").alias("internal_edges2"))
+    )
+    degree = (
+        tagged.groupBy(F.col("c_src").alias("community"))
+        .agg(F.count("*").cast("long").alias("total_degree"))
+    )
+    sizes = lab.groupBy("community").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    return (
+        sizes.join(internal, "community", "left")
+        .join(degree, "community", "left")
+        .crossJoin(F.broadcast(m2_row))
+        .select(
+            "community", "n_nodes",
+            F.coalesce("internal_edges2", F.lit(0)).cast("long")
+            .alias("internal_edges2"),
+            F.coalesce("total_degree", F.lit(0)).cast("long")
+            .alias("total_degree"),
+            (F.col("m2") * F.coalesce(F.col("internal_edges2"), F.lit(0))
+             - F.coalesce(F.col("total_degree"), F.lit(0))
+             * F.coalesce(F.col("total_degree"), F.lit(0)))
+            .cast("long").alias("contrib_scaled"),
+        )
+    )

@@ -92,3 +92,39 @@ def test_kcore_cascade_needs_second_round(spark):
     assert two[2] == "peeled" and two[1] == "peeled" and two[0] == "peeled"
     for v in range(3, 7):
         assert two[v] == "core"
+
+
+def test_modularity_known_graph(spark):
+    # two disjoint triangles with perfect labels: m=6, each community
+    # e_c=3, d_c=6 -> contrib = 2m*2e - d^2 = 12*6 - 36 = 36; Q = 72/144 = 0.5
+    from crawlspark.linkgraph import community_modularity
+
+    nodes = _df(spark, [(i,) for i in range(6)], ["node"])
+    edges = _df(
+        spark,
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)],
+        ["src", "dst"],
+    )
+    labels = _df(spark, [(i, 0 if i < 3 else 3) for i in range(6)],
+                 ["node", "community"])
+    rows = {r["community"]: r
+            for r in community_modularity(labels, edges).collect()}
+    for c in (0, 3):
+        assert rows[c]["internal_edges2"] == 6
+        assert rows[c]["total_degree"] == 6
+        assert rows[c]["contrib_scaled"] == 36
+    total = sum(r["contrib_scaled"] for r in rows.values())
+    m2 = 12
+    assert total / (m2 * m2) == 0.5  # the classic two-clique modularity
+
+
+def test_modularity_single_community_is_zero(spark):
+    # everything in ONE community: e_c = m, d_c = 2m -> contrib =
+    # 2m*2m - (2m)^2 = 0 (Q of the trivial partition is always 0)
+    from crawlspark.linkgraph import community_modularity
+
+    nodes = _df(spark, [(i,) for i in range(5)], ["node"])
+    edges = _df(spark, [(i, (i + 1) % 5) for i in range(5)], ["src", "dst"])
+    labels = nodes.select("node", F.lit(0).alias("community"))
+    rows = community_modularity(labels, edges).collect()
+    assert len(rows) == 1 and rows[0]["contrib_scaled"] == 0
