@@ -615,3 +615,32 @@ def zorder_layout(
         ((F.col("x_max") - F.col("x_min") + 1)
          * (F.col("y_max") - F.col("y_min") + 1)).cast("long"),
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "host",
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted table write (``bucketBy`` + ``sortBy`` +
+    ``saveAsTable``) — the storage layout that makes the frontier's
+    recurring joins EXCHANGE-FREE: two tables bucketed on the same key
+    with the same bucket count sort-merge join with NO shuffle on either
+    side (asserted in tests/test_bucketed_join.py by scanning the plan
+    for Exchange).  This is the cluster answer to the localCheckpoint
+    partitioning loss documented in BENCH.md: `repartition(k).
+    localCheckpoint()` forgets its partitioning, but bucket metadata
+    lives in the catalog and survives restarts, executors, and rounds —
+    a 10^10-row seen set bucketed by url_hash joins each wave's
+    candidates (bucketed the same way) with zero wide shuffles per
+    level.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(
+        int(num_buckets), bucket_col
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
