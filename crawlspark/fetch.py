@@ -569,3 +569,77 @@ def resume_ranges(
         next_start.alias("next_missing_start"),
         complete.cast("int").alias("complete"),
     )
+
+
+def accept_negotiation(
+    requests: DataFrame,
+    available: list[str],
+    accept_col: str = "accept",
+) -> DataFrame:
+    """Proactive content negotiation (RFC 9110 §12): given each
+    request's ``Accept`` header and the server's ``available`` variant
+    list (in server preference order), pick the variant the crawler
+    should expect back — the offline replay that explains why the same
+    image URL returns AVIF to one crawler and JPEG to another (and
+    therefore which bytes a cache key must anticipate, cf. the Vary
+    identity op).
+
+    Effective quality of a variant = q of the MOST SPECIFIC matching
+    clause (exact type > type/* > */*), q parsed in integer millis
+    (default 1000); winner = highest q, ties broken by server
+    preference order; q=0 excludes.  Pure JVM: one split + transform
+    over the header per row, a small literal variant array — no
+    shuffle at all, fuses into the scan.
+
+    Adds (chosen_type, chosen_q_millis); NULL chosen_type when nothing
+    acceptable.
+    """
+    acc = F.coalesce(F.col(accept_col), F.lit("*/*"))
+    clauses = F.transform(
+        F.split(acc, ","),
+        lambda c: F.struct(
+            F.trim(F.regexp_extract(c, r"^\s*([^;]+)", 1)).alias("mt"),
+            F.coalesce(
+                F.when(
+                    F.regexp_extract(c, r";\s*q=([0-9.]+)", 1) != "",
+                    # round, don't truncate: 0.7 * 1000 is 699.999... in
+                    # binary doubles and must become 700, not 699
+                    F.round(
+                        F.regexp_extract(c, r";\s*q=([0-9.]+)", 1)
+                        .cast("double") * 1000
+                    ).cast("long"),
+                ),
+                F.lit(1000),
+            ).alias("q"),
+        ),
+    )
+
+    def best_for(i: int, mt: str):
+        t, sub = mt.split("/", 1)
+        exact = F.filter(clauses, lambda c: c["mt"] == mt)
+        range_ = F.filter(clauses, lambda c: c["mt"] == f"{t}/*")
+        star = F.filter(clauses, lambda c: c["mt"] == "*/*")
+        # F.get is 0-based and NULL on out-of-bounds (ANSI-safe on the
+        # empty arrays a non-matching clause family produces)
+        q = F.coalesce(
+            F.get(exact, 0)["q"],
+            F.get(range_, 0)["q"],
+            F.get(star, 0)["q"],
+        )
+        return F.struct(
+            F.coalesce(q, F.lit(-1)).alias("q"),
+            F.lit(-i).alias("pref"),       # earlier in server order wins ties
+            F.lit(mt).alias("mt"),
+        )
+
+    cand = F.array(*[best_for(i, mt) for i, mt in enumerate(available)])
+    best = F.array_max(F.filter(cand, lambda c: c["q"] > 0))
+    return (
+        requests.withColumn("__b", best)
+        .withColumn("chosen_type", F.col("__b.mt"))
+        .withColumn(
+            "chosen_q_millis",
+            F.when(F.col("__b").isNotNull(), F.col("__b.q")).cast("long"),
+        )
+        .drop("__b")
+    )

@@ -721,3 +721,58 @@ def wave_makespan(
                F.lit("critical_host")).otherwise(F.lit("volume"))
         .alias("bound"),
     )
+
+
+def quota_apportionment(
+    strata: DataFrame,
+    total: int,
+    stratum_col: str = "stratum",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split EXACTLY
+    ``total`` sample slots across strata proportionally to integer
+    weights — floor quotas first, then the leftover slots go to the
+    largest fractional remainders (ties: smaller stratum id).  Unlike
+    the clamped proportional split in ``allocate_host_budgets`` (which
+    rolls slack forward), this is for quotas that must sum EXACTLY to
+    the target — an eval-set build where 'about 10k docs' is not a
+    valid answer.
+
+    Distributed shape: one scalar aggregate for (W, sum-of-floors), the
+    remainder rank via the two-phase global_rank (strata can number
+    millions of hosts — never a single-partition window), +1 to ranks
+    <= leftover.  Returns (stratum, weight, quota) with
+    sum(quota) == total (asserted in tests).
+    """
+    from .ranks import global_rank
+
+    t = int(total)
+    d = strata.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(weight_col).cast("long").alias("weight"),
+    )
+    w_row = d.agg(F.sum("weight").cast("long").alias("w_total"))
+    base = (
+        d.crossJoin(F.broadcast(w_row))
+        .select(
+            "stratum", "weight",
+            F.expr(f"({t}L * weight) div w_total").alias("base"),
+            F.expr(f"({t}L * weight) % w_total").alias("rem"),
+        )
+    )
+    left_row = base.agg(
+        (F.lit(t) - F.sum("base")).cast("long").alias("leftover")
+    )
+    ranked = global_rank(
+        base.withColumn("neg_rem", -F.col("rem")),
+        key=["neg_rem", "stratum"], out="rrank",
+    )
+    return (
+        ranked.crossJoin(F.broadcast(left_row))
+        .select(
+            "stratum", "weight",
+            (F.col("base")
+             + (F.col("rrank") <= F.col("leftover")).cast("long"))
+            .cast("long").alias("quota"),
+        )
+    )
