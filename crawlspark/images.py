@@ -1116,3 +1116,42 @@ def crop_to_quadrant(
     return images.select("image_id", "bytes", "w", "h").mapInPandas(
         crop, "image_id STRING, bytes BINARY, w INT, h INT"
     )
+
+
+PNG_COLOR_TYPES = {0: "grayscale", 2: "truecolor", 3: "palette",
+                   4: "grayscale_alpha", 6: "truecolor_alpha"}
+
+
+def png_color_profile(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """PNG bit-depth / color-type from the IHDR tail (bytes 25-26 after
+    magic + length + 'IHDR' + w + h) — no decode.  Palette (type 3) and
+    low-bit-depth PNGs are disproportionately logos, spacers, and UI
+    chrome, so this is a cheap pre-decode junk signal for image-caption
+    curation; interlace (byte 29) matters for progressive rendering
+    stats.  Same substring->hex->conv codegen as sniff_header_dims;
+    non-PNG or truncated payloads come back NULL.
+
+    Adds (png_bit_depth, png_color_type, png_interlaced) — color type
+    as a NAME string, interlaced as 0/1 int (never a nullable boolean
+    in gate output).
+    """
+    b = F.col(bytes_col)
+    is_png = (F.hex(F.substring(b, 1, 8)) == "89504E470D0A1A0A") & (
+        F.length(b) >= 29
+    )
+    depth = F.when(is_png, _byte(b, 25))
+    ctype_n = F.when(is_png, _byte(b, 26))
+    ctype = F.when(is_png, (
+        F.when(ctype_n == 0, "grayscale")
+        .when(ctype_n == 2, "truecolor")
+        .when(ctype_n == 3, "palette")
+        .when(ctype_n == 4, "grayscale_alpha")
+        .when(ctype_n == 6, "truecolor_alpha")
+        .otherwise("invalid")
+    ))
+    inter = F.when(is_png, (_byte(b, 29) == 1).cast("int"))
+    return (
+        imgs.withColumn("png_bit_depth", depth.cast("long"))
+        .withColumn("png_color_type", ctype)
+        .withColumn("png_interlaced", inter.cast("int"))
+    )

@@ -644,3 +644,54 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def stale_policy(
+    responses: DataFrame,
+    now_ts: int,
+    out: str = "stale_state",
+) -> DataFrame:
+    """RFC 5861 staleness extensions on top of :func:`cache_freshness`:
+    after a response goes stale, ``stale-while-revalidate=N`` lets a
+    cache SERVE it for N more seconds while refetching in the
+    background, and ``stale-if-error=N`` lets it paper over upstream
+    5xx/timeouts for N seconds — the two directives a polite crawler's
+    cache layer uses to avoid hammering an origin the moment content
+    expires.  States:
+
+      'fresh'                     age < lifetime
+      'stale_serve_revalidate'    lifetime <= age < lifetime + swr
+      'stale_if_error_only'       beyond swr but inside lifetime + sie
+      'expired'                   beyond both windows
+      'uncacheable'/'must_revalidate' carried from cache_freshness
+
+    Adds (swr_s, sie_s, <out>).  Same integer-second arithmetic and
+    boundary-guarded directive parsing as the base classifier.
+    """
+    base = cache_freshness(responses, now_ts=now_ts, out="__cf")
+    cc = F.lower(F.coalesce(F.col("cache_control"), F.lit("")))
+
+    def directive_val(name: str):
+        pat = r"(?:^|[, ;])" + name + r"=(\d+)"
+        v = F.regexp_extract(cc, pat, 1)
+        return F.when(v != "", v.cast("long"))
+
+    swr = F.coalesce(directive_val("stale-while-revalidate"), F.lit(0))
+    sie = F.coalesce(directive_val("stale-if-error"), F.lit(0))
+    age = F.col("current_age_s")
+    life = F.col("freshness_lifetime_s")
+    state = (
+        F.when(F.col("__cf").isin("uncacheable", "must_revalidate"),
+               F.col("__cf"))
+        .when(age < life, F.lit("fresh"))
+        .when(age < life + swr, F.lit("stale_serve_revalidate"))
+        .when(age < life + F.greatest(swr, sie),
+              F.lit("stale_if_error_only"))
+        .otherwise(F.lit("expired"))
+    )
+    return (
+        base.withColumn("swr_s", swr.cast("long"))
+        .withColumn("sie_s", sie.cast("long"))
+        .withColumn(out, state)
+        .drop("__cf")
+    )

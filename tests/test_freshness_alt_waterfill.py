@@ -123,3 +123,49 @@ def test_waterfill_budget_exceeds_demand(spark):
     got = {r["host"]: (r["granted"], r["saturated"])
            for r in waterfill_budgets(df, total_budget=1000).collect()}
     assert got == {"a": (10, 0), "b": (20, 0), "c": (30, 0)}
+
+
+def test_stale_policy_windows(spark):
+    from crawlspark.sinks import stale_policy
+
+    def row(i, cc, age):
+        return (i, cc, None, 1000, None, age, 1000)
+
+    rows = _fresh_rows(spark, [
+        row(1, "max-age=100, stale-while-revalidate=60", 50),    # fresh
+        row(2, "max-age=100, stale-while-revalidate=60", 120),   # swr window
+        row(3, "max-age=100, stale-while-revalidate=60", 160),   # past swr
+        row(4, "max-age=100, stale-if-error=500", 400),          # sie window
+        row(5, "max-age=100", 100),                              # expired
+        row(6, "no-store, stale-if-error=500", 0),               # uncacheable
+    ])
+    got = {r["doc_id"]: r["stale_state"]
+           for r in stale_policy(rows, now_ts=1000).collect()}
+    assert got == {1: "fresh", 2: "stale_serve_revalidate", 3: "expired",
+                   4: "stale_if_error_only", 5: "expired",
+                   6: "uncacheable"}
+
+
+def test_png_color_profile_headers(spark):
+    import struct
+
+    from crawlspark.images import png_color_profile
+
+    def png(depth, ctype, inter):
+        return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + struct.pack(">II", 32, 24)
+                + bytes([depth, ctype, 0, 0, inter]))
+
+    cases = [
+        (0, png(8, 3, 0), 8, "palette", 0),
+        (1, png(16, 6, 1), 16, "truecolor_alpha", 1),
+        (2, png(8, 7, 0), 8, "invalid", 0),   # spec-invalid color type
+        (3, b"GIF89a\x20\x00", None, None, None),
+        (4, png(8, 0, 0)[:20], None, None, None),  # truncated IHDR
+    ]
+    df = spark.createDataFrame([(i, b) for i, b, *_ in cases], ["i", "bytes"])
+    got = {r["i"]: (r["png_bit_depth"], r["png_color_type"],
+                    r["png_interlaced"])
+           for r in png_color_profile(df).collect()}
+    for i, _, d, c, it in cases:
+        assert got[i] == (d, c, it), (i, got[i])
