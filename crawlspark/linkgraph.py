@@ -964,7 +964,11 @@ def triangle_clustering(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     deg = und.groupBy("src").agg(F.count("*").alias("d")).select(
         F.col("src").alias("node"), F.col("d")
     )
-    # orientation key: (degree, id) total order
+    # orientation key: (degree, id) total order.  The destination's key
+    # rides on the oriented edge (dd column) so the wedge stage compares
+    # endpoint keys directly instead of re-joining the degree relation
+    # against the (much larger) wedge set (55.3 s -> 25.2 s at 2M nodes
+    # / 8M edges; BENCH.md "triangle counting")
     e = (
         und.join(deg.select(F.col("node").alias("src"),
                             F.col("d").alias("ds")), "src")
@@ -974,17 +978,16 @@ def triangle_clustering(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             (F.col("ds") < F.col("dd"))
             | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
         )
-        .select("src", "dst")
+        .select("src", "dst", "dd")
     )
-    a = e.select(F.col("src").alias("pivot"), F.col("dst").alias("v"))
-    b = e.select(F.col("src").alias("pivot"), F.col("dst").alias("w"))
+    a = e.select(F.col("src").alias("pivot"), F.col("dst").alias("v"),
+                 F.col("dd").alias("dv"))
+    b = e.select(F.col("src").alias("pivot"), F.col("dst").alias("w"),
+                 F.col("dd").alias("dw"))
     # wedges from the pivot, ordered v < w in the SAME total order the
     # edges are oriented by -> the closing edge, if present, is (v, w)
-    dd = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
-    ee = deg.select(F.col("node").alias("w"), F.col("d").alias("dw"))
     wedges = (
         a.join(b, "pivot")
-        .join(dd, "v").join(ee, "w")
         .filter(
             (F.col("dv") < F.col("dw"))
             | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
