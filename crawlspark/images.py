@@ -1155,3 +1155,132 @@ def png_color_profile(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         .withColumn("png_color_type", ctype)
         .withColumn("png_interlaced", inter.cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Image quality gates: sharpness / entropy / dominant color
+# ---------------------------------------------------------------------------
+
+QUALITY_FAMILIES = ["flat", "ramp", "checker", "stripes"]
+QUALITY_W, QUALITY_H = 64, 32
+
+
+def _quality_pixels(family: str, w: int, h: int) -> np.ndarray:
+    """Planted pixel family with CLOSED-FORM quality metrics (all three
+    channels equal, so every metric is exact integer arithmetic):
+
+    - flat     all 77                   -> Laplacian 0, entropy 0 bits
+    - ramp     v(x,y) = x  (w <= 256)   -> Laplacian 0 (linear), entropy
+                                           log2(w) bits, two 3-bit buckets
+    - checker  200 * ((x+y) % 2)        -> |4-neigh Laplacian| = 800 at
+                                           every interior pixel, 1 bit
+    - stripes  96 * (x % 2)             -> |Laplacian| = 192, 1 bit
+    """
+    xs = np.arange(w, dtype=np.int32)[None, :].repeat(h, axis=0)
+    ys = np.arange(h, dtype=np.int32)[:, None].repeat(w, axis=1)
+    if family == "flat":
+        g = np.full((h, w), 77, dtype=np.uint8)
+    elif family == "ramp":
+        g = (xs % 256).astype(np.uint8)
+    elif family == "checker":
+        g = (200 * ((xs + ys) % 2)).astype(np.uint8)
+    else:  # stripes
+        g = (96 * (xs % 2)).astype(np.uint8)
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
+def planted_quality_images(docs: DataFrame) -> DataFrame:
+    """Deterministic quality-test corpus: per doc one 64x32 PNG from the
+    ``doc_id % 4`` planted family.  Same batched construction discipline
+    as generate_images (one mapInPandas stage, encode inside the batch)."""
+    docs = docs.select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                family = QUALITY_FAMILIES[doc_id % 4]
+                px = _quality_pixels(family, QUALITY_W, QUALITY_H)
+                rows.append(
+                    {
+                        "image_id": f"img-{doc_id}",
+                        "bytes": _encode(px, "png"),
+                        "w": QUALITY_W,
+                        "h": QUALITY_H,
+                        "fmt": "png",
+                        "family": family,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(
+        gen,
+        "image_id STRING, bytes BINARY, w INT, h INT, fmt STRING, "
+        "family STRING",
+    )
+
+
+QUALITY_SCHEMA = (
+    "image_id STRING, sharp_energy LONG, interior LONG, "
+    "entropy_mbits LONG, top_bucket LONG, top_share_permille LONG"
+)
+
+
+def image_quality_stats(images: DataFrame) -> DataFrame:
+    """Per-image training-data quality metrics in ONE fused Arrow stage
+    (decode + all three metrics per batch — the same single-crossing
+    discipline as codec_roundtrip_virtual):
+
+    - sharp_energy: sum of |4p - up - down - left - right| (4-neighbour
+      Laplacian, channel 0) over interior pixels — the blur gate.  A
+      box-blurred copy of any image scores strictly lower; flat banners
+      and linear gradients score exactly 0.
+    - entropy_mbits: Shannon entropy of the channel-0 byte histogram in
+      milli-bits (k equally-frequent values -> exactly 1000*log2(k)).
+      Near-zero entropy = single-colour placeholder / tracking pixel.
+    - top_bucket / top_share_permille: 3-bit-per-channel (512-bucket)
+      colour quantization; the dominant bucket's floor-permille share
+      (ties -> smallest bucket id, np.bincount argmax order).  Share
+      1000 = solid colour, the classic junk-image gate.
+
+    All integer read-outs so distributed re-runs and the DuckDB oracle
+    agree bit-for-bit; no per-row Python at the DataFrame level."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                px = _decode(r.bytes, r.w, r.h)
+                g = px[:, :, 0].astype(np.int64)
+                if r.w >= 3 and r.h >= 3:
+                    lap = (
+                        4 * g[1:-1, 1:-1]
+                        - g[:-2, 1:-1] - g[2:, 1:-1]
+                        - g[1:-1, :-2] - g[1:-1, 2:]
+                    )
+                    sharp = int(np.abs(lap).sum())
+                    interior = (r.w - 2) * (r.h - 2)
+                else:
+                    sharp, interior = 0, 0
+                counts = np.bincount(g.ravel(), minlength=256)
+                n = g.size
+                p = counts[counts > 0] / n
+                entropy_mbits = int(round(-1000.0 * float((p * np.log2(p)).sum())))
+                q = (px.astype(np.int64) >> 5)
+                buckets = (q[:, :, 0] << 6) | (q[:, :, 1] << 3) | q[:, :, 2]
+                bcounts = np.bincount(buckets.ravel(), minlength=512)
+                top = int(bcounts.argmax())
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "sharp_energy": sharp,
+                        "interior": int(interior),
+                        "entropy_mbits": entropy_mbits,
+                        "top_bucket": top,
+                        "top_share_permille": int(1000 * int(bcounts[top]) // n),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(stats, QUALITY_SCHEMA)
