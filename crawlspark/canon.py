@@ -620,12 +620,15 @@ def mine_path_templates(
     u = F.col(url_col)
     host = F.lower(F.regexp_extract(u, r"^[a-z+]+://([^/:?#]+)", 1))
     path = F.regexp_extract(u, r"^[a-z+]+://[^/?#]*(/[^?#]*)", 1)
+    # (?i): URL paths are case-sensitive DATA, but id families are not —
+    # uppercase GUIDs (the Windows/.NET convention) and uppercase session
+    # hex must fold to the same template as their lowercase twins
     t = F.regexp_replace(
         path,
-        "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+        "(?i)[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
         "{uuid}",
     )
-    t = F.regexp_replace(t, "[0-9a-f]{16,}", "{hex}")
+    t = F.regexp_replace(t, "(?i)[0-9a-f]{16,}", "{hex}")
     t = F.regexp_replace(t, "[0-9]+", "{n}")
     return (
         urls.select(host.alias("host"), t.alias("template"), u.alias("u"))

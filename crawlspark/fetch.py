@@ -595,17 +595,19 @@ def accept_negotiation(
     acceptable.
     """
     acc = F.coalesce(F.col(accept_col), F.lit("*/*"))
+    # RFC 9110 8.3.1: media types and parameter names are case-insensitive
+    # ('Image/Webp' and ';Q=0.5' are valid) — normalize before matching
     clauses = F.transform(
         F.split(acc, ","),
         lambda c: F.struct(
-            F.trim(F.regexp_extract(c, r"^\s*([^;]+)", 1)).alias("mt"),
+            F.lower(F.trim(F.regexp_extract(c, r"^\s*([^;]+)", 1))).alias("mt"),
             F.coalesce(
                 F.when(
-                    F.regexp_extract(c, r";\s*q=([0-9.]+)", 1) != "",
+                    F.regexp_extract(c, r"(?i);\s*q=([0-9.]+)", 1) != "",
                     # round, don't truncate: 0.7 * 1000 is 699.999... in
                     # binary doubles and must become 700, not 699
                     F.round(
-                        F.regexp_extract(c, r";\s*q=([0-9.]+)", 1)
+                        F.regexp_extract(c, r"(?i);\s*q=([0-9.]+)", 1)
                         .cast("double") * 1000
                     ).cast("long"),
                 ),
@@ -615,6 +617,7 @@ def accept_negotiation(
     )
 
     def best_for(i: int, mt: str):
+        mt = mt.lower()
         t, sub = mt.split("/", 1)
         exact = F.filter(clauses, lambda c: c["mt"] == mt)
         range_ = F.filter(clauses, lambda c: c["mt"] == f"{t}/*")

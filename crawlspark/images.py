@@ -751,8 +751,9 @@ def sniff_header_dims(
 ) -> DataFrame:
     """Container-header dimension sniffing — read w x h from the FIRST
     BYTES of the payload (PNG IHDR big-endian at offset 17/21, GIF
-    logical screen little-endian u16 at 7/9, BMP info-header little-
-    endian i32 at 19/23) without decoding a single pixel.  Two gates a
+    logical screen little-endian u16 at 7/9, BMP via the DIB header-size
+    discriminator — INFOHEADER-family i32 at 19/23, OS/2 COREHEADER u16
+    at 19/21) without decoding a single pixel.  Two gates a
     fetch pipeline needs BEFORE spending decode CPU:
 
     - ``dim_lie``: header dims disagree with the declared (HTML/sitemap/
@@ -778,9 +779,15 @@ def sniff_header_dims(
     )
     is_gif = (F.substring(b, 1, 4).cast("string") == "GIF8") & (blen >= 10)
     is_bmp = (F.substring(b, 1, 2).cast("string") == "BM") & (blen >= 26)
-    bmp_h_raw = _le32(b, 23)
+    # DIB header size at offset 15 discriminates the two families: 12 =
+    # BITMAPCOREHEADER (OS/2) with UNSIGNED u16 dims at 19/21 and no
+    # top-down convention; anything else (40/52/56/108/124) is the
+    # INFOHEADER family with i32 dims at 19/23
+    bmp_core = _le32(b, 15) == 12
+    bmp_w = F.when(bmp_core, _le16(b, 19)).otherwise(_le32(b, 19))
+    bmp_h_raw = F.when(bmp_core, _le16(b, 21)).otherwise(_le32(b, 23))
     # i32le sign: values >= 2^31 are negative (top-down row order)
-    bmp_neg = bmp_h_raw >= F.lit(1 << 31)
+    bmp_neg = ~bmp_core & (bmp_h_raw >= F.lit(1 << 31))
     bmp_h = F.when(bmp_neg, F.lit(1 << 32) - bmp_h_raw).otherwise(bmp_h_raw)
     sniff_fmt = (
         F.when(is_png, "png").when(is_gif, "gif").when(is_bmp, "bmp")
@@ -788,7 +795,7 @@ def sniff_header_dims(
     sw = (
         F.when(is_png, _be32(b, 17))
         .when(is_gif, _le16(b, 7))
-        .when(is_bmp, _le32(b, 19))
+        .when(is_bmp, bmp_w)
     )
     sh = (
         F.when(is_png, _be32(b, 21))

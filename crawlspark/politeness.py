@@ -652,7 +652,10 @@ def latency_buckets(
     relations built on different days MERGE by unioning and re-summing
     cnt per (host, lb, ub) — asserted in tests against the one-pass
     path."""
-    x = F.col(latency_col).cast("long")
+    # clamp at 0: a clock-skewed negative latency would otherwise build
+    # a corrupt '-…' bucket with lb > ub that sorts before every real
+    # bucket and silently shifts the cumulative quantile read-out
+    x = F.greatest(F.col(latency_col).cast("long"), F.lit(0))
     s = x.cast("string")
     digits = F.length(s)
     d1 = F.substring(s, 1, 1)

@@ -751,7 +751,12 @@ def quota_apportionment(
         F.col(stratum_col).alias("stratum"),
         F.col(weight_col).cast("long").alias("weight"),
     )
-    w_row = d.agg(F.sum("weight").cast("long").alias("w_total"))
+    # greatest(.., 1): an all-zero weight vector (empty strata after an
+    # upstream filter) must degrade to rank-ordered +1s, not kill the
+    # job with an ANSI DIVIDE_BY_ZERO (same guard waterfill_budgets uses)
+    w_row = d.agg(
+        F.greatest(F.sum("weight").cast("long"), F.lit(1)).alias("w_total")
+    )
     base = (
         d.crossJoin(F.broadcast(w_row))
         .select(

@@ -429,7 +429,6 @@ def compaction_plan(
 
 def vary_cache_identity(
     responses: DataFrame,
-    url_col: str = "url",
     vary_col: str = "vary",
     req_headers_col: str = "req_headers",
 ) -> DataFrame:

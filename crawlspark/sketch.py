@@ -13,8 +13,9 @@ src/Loader/Http/Politeness/Throttler.php); this is the distributed
 summary a 1000-executor scheduler would broadcast.
 
 Hashes are pairwise-independent multiply-shift over a Mersenne prime:
-h_i(k) = ((A_i * k + B_i) mod P) mod w, P = 2^31 - 1, with k, A_i < P so
-the product stays inside a 64-bit long.  DELIBERATELY xxhash-free: every
+h_i(k) = ((A_i * k + B_i) mod P) mod w, P = 2^31 - 1; k is reduced mod P
+before the multiply so any 64-bit key stays overflow-free (same
+function, modular arithmetic).  DELIBERATELY xxhash-free: every
 operation is plain integer arithmetic a SQL oracle replays exactly.
 """
 
@@ -31,8 +32,13 @@ CMS_B = [12345, 1013904223, 1, 1013904242, 362437]
 
 
 def _bucket(key, i: int, width: int):
+    # key mod P before the multiply: same function (modular arithmetic),
+    # but A*(k mod P) < 2^62 never overflows on 64-bit keys (see kmv_hash)
     return F.pmod(
-        F.pmod(F.lit(CMS_A[i]) * key + F.lit(CMS_B[i]), F.lit(_P)),
+        F.pmod(
+            F.lit(CMS_A[i]) * F.pmod(key, F.lit(_P)) + F.lit(CMS_B[i]),
+            F.lit(_P),
+        ),
         F.lit(int(width)),
     ).cast("long")
 
@@ -48,7 +54,7 @@ def cms_build(
     (row, bucket) cells, then ONE map-side-combined groupBy — partial
     aggregation does the merge that a cellwise array-add would do, so
     'build per partition then merge' is exactly what Spark executes.
-    Keys must be non-negative longs < 2^31 (hash wider ids down first).
+    Any 64-bit key is accepted (reduced mod P before hashing).
     """
     k = F.col(key_col).cast("long")
     cells = F.array(*[
@@ -116,9 +122,16 @@ KMV_B = CMS_B[0]
 
 
 def kmv_hash(key):
-    """The sketch hash: (A*key + B) mod P, P = 2^31-1.  Keys must be
-    non-negative longs < 2^31 so the product stays in 64 bits."""
-    return F.pmod(F.lit(KMV_A) * key.cast("long") + F.lit(KMV_B), F.lit(_P))
+    """The sketch hash: (A*key + B) mod P, P = 2^31-1, for ANY 64-bit
+    key: reducing the key mod P BEFORE the multiply keeps the product
+    under A*P < 2^62 (no ANSI overflow on 10^10-scale node ids or
+    negative xxhash64 fingerprints) and is the mathematically identical
+    function — (A*(k mod P) + B) mod P == (A*k + B) mod P — so SQL
+    oracles replaying the plain form on small keys still match."""
+    return F.pmod(
+        F.lit(KMV_A) * F.pmod(key.cast("long"), F.lit(_P)) + F.lit(KMV_B),
+        F.lit(_P),
+    )
 
 
 def kmv_build(df: DataFrame, group_col: str, key_col: str, k: int = 64) -> DataFrame:

@@ -31,7 +31,10 @@ BASE_HASH_SQL = "CAST(('0x' || substr(md5({x}), 1, 8)) AS BIGINT)"
 
 
 def shingles(words: Column, n: int = 3) -> Column:
-    """n-word shingles in document order (distinct)."""
+    """n-word shingles in document order (distinct).  Documents shorter
+    than ``n`` words yield an EMPTY array — without the guard,
+    sequence(0, size-n) is a descending sequence whose indices drive
+    element_at out of bounds and abort the job under ANSI mode."""
     idx = F.sequence(F.lit(0), F.size(words) - n)
     sh = F.transform(
         idx,
@@ -39,7 +42,9 @@ def shingles(words: Column, n: int = 3) -> Column:
             " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return F.array_distinct(sh)
+    return F.when(
+        F.size(words) < n, F.array().cast("array<string>")
+    ).otherwise(F.array_distinct(sh))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -47,7 +47,7 @@ def test_vary_identity_folding(spark):
     )
     got = {
         r["k"]: (r["vary_key"], r["uncacheable"])
-        for r in vary_cache_identity(df, url_col="k").collect()
+        for r in vary_cache_identity(df).collect()
     }
     # case-folded, deduped, sorted
     assert got["messy"] == ("accept-encoding=br&accept-language=fr", False)
