@@ -234,7 +234,10 @@ def hits(
                    "src")
             .groupBy("dst").agg(F.sum("h").alias("x"))
         )
-        a_tot = a_raw.agg(F.sum("x").alias("t"))
+        a_tot = a_raw.agg(
+            F.greatest(F.sum("x"), F.lit(1)).alias("t")
+        )  # >=1: an all-zero mass vector (floored normalization on a
+        # huge graph) must yield zeros, not ANSI DIVIDE_BY_ZERO
         auths = (
             docs.join(a_raw, docs.doc == a_raw.dst, "left")
             .crossJoin(F.broadcast(a_tot))
@@ -249,7 +252,7 @@ def hits(
                    "dst")
             .groupBy("src").agg(F.sum("a").alias("x"))
         )
-        h_tot = h_raw.agg(F.sum("x").alias("t"))
+        h_tot = h_raw.agg(F.greatest(F.sum("x"), F.lit(1)).alias("t"))
         hubs = (
             docs.join(h_raw, docs.doc == h_raw.src, "left")
             .crossJoin(F.broadcast(h_tot))

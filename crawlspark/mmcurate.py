@@ -557,8 +557,10 @@ def resize_plan(
     short_out = F.greatest(
         F.lit(int(min_side)),
         F.expr(
+            # greatest(.., 1): a corrupt 0x0 metadata row must plan
+            # min_side x min_side, not kill the job with DIVIDE_BY_ZERO
             f"(((least({w_col}, {h_col}) * {int(target_long)})"
-            f" div greatest({w_col}, {h_col})) div {int(snap)}) * {int(snap)}"
+            f" div greatest({w_col}, {h_col}, 1)) div {int(snap)}) * {int(snap)}"
         ).cast("long"),
     )
     out_w = F.when(w >= h, t).otherwise(short_out)
@@ -575,7 +577,7 @@ def resize_plan(
             "scale_permille",
             F.expr(
                 f"(1000 * {int(target_long)})"
-                f" div greatest({w_col}, {h_col})"
+                f" div greatest({w_col}, {h_col}, 1)"
             ).cast("long"),
         )
         .withColumn("mode", mode)

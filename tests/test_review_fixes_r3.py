@@ -122,3 +122,29 @@ def test_latency_buckets_negative_clamped(spark):
     # the negative sample lands in [0, 0]; the median is in the 3s bucket
     assert out.n_samples == 4
     assert (out.q_lb_ms, out.q_ub_ms) == (3, 3)
+
+
+def test_hits_zero_mass_yields_zeros_not_crash(spark):
+    from crawlspark.linkgraph import hits
+
+    # a single edge whose mass floors to zero under an enormous scale
+    # divisor cannot happen here, so force the degenerate path directly:
+    # scale=0 floors every a/h to 0 after one normalization, making the
+    # NEXT iteration's total 0 — must degrade to zeros, never
+    # ANSI DIVIDE_BY_ZERO
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    out = hits(spark, n=2, iters=2, edges_df=edges, scale=0).collect()
+    assert len(out) == 2 and all(r.auth_scaled == 0 for r in out)
+
+
+def test_resize_plan_zero_dims_no_crash(spark):
+    from crawlspark.mmcurate import resize_plan
+
+    df = spark.createDataFrame(
+        [("a", 0, 0), ("b", 1024, 512)], "image_id string, w int, h int"
+    )
+    out = {r.image_id: r for r in resize_plan(df).collect()}
+    # corrupt 0x0 metadata completes (short side floored to the grid
+    # minimum) instead of dying with DIVIDE_BY_ZERO
+    assert out["a"].out_h == 64 and out["a"].mode == "up"
+    assert (out["b"].out_w, out["b"].out_h) == (512, 256)
