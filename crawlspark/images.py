@@ -1291,3 +1291,244 @@ def image_quality_stats(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return images.mapInPandas(stats, QUALITY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Container sniffers #2: GIF animation walk + ISO-BMFF (AVIF/HEIC) box walk
+# ---------------------------------------------------------------------------
+
+
+def gif_animation(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """GIF data-stream walk — frame count, per-frame delays, and loop
+    count WITHOUT LZW decode.  Static dims come free at a fixed offset
+    (sniff_header_dims); whether a GIF is a 40 MB animation or a 1-frame
+    logo does not: frames are variable-offset blocks behind optional
+    extensions and local color tables.  A crawler needs this before
+    archiving (animation = fetch-cost / autoplay-abuse signal; the
+    NETSCAPE loop count separates banners from stickers).
+
+    Walk per GIF89a App. Spec: header + logical screen descriptor
+    (+ global color table 3*2^(N+1) bytes when flagged), then blocks:
+    0x21 extensions (0xF9 graphic control carries the le16 centisecond
+    delay; 0xFF application, NETSCAPE2.0 sub-block 01 carries the le16
+    loop count; all end with a 0x00-terminated sub-block chain), 0x2C
+    image descriptors (9-byte body, optional local color table, LZW min
+    code byte, sub-block chain) — each one frame — until the 0x3B
+    trailer.
+
+    Arrow-batched pandas UDF (one batch crossing; the walk is bounded by
+    the payload length, no per-row Python in the JVM plan).  Adds
+    (gif_kind '87a'/'89a', gif_frames, gif_animated 0/1,
+    gif_min_delay_cs, gif_total_delay_cs, gif_loop_count,
+    gif_complete 0/1).  Non-GIF payloads -> all NULL; a stream that ends
+    before the 0x3B trailer (truncated fetch) keeps its counted frames
+    but gets gif_complete = 0.  Loop count NULL when no NETSCAPE
+    extension (plays once), 0 means loop forever.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "kind string, frames long, animated int, min_delay long, "
+        "total_delay long, loops long, complete int"
+    )
+    def walk(bs: pd.Series) -> pd.DataFrame:
+        out = {k: [] for k in ("kind", "frames", "animated", "min_delay",
+                               "total_delay", "loops", "complete")}
+
+        def emit(kind=None, frames=None, animated=None, min_delay=None,
+                 total_delay=None, loops=None, complete=None):
+            out["kind"].append(kind)
+            out["frames"].append(frames)
+            out["animated"].append(animated)
+            out["min_delay"].append(min_delay)
+            out["total_delay"].append(total_delay)
+            out["loops"].append(loops)
+            out["complete"].append(complete)
+
+        for b in bs:
+            if b is None or len(b) < 13 or b[:3] != b"GIF" \
+                    or b[3:6] not in (b"87a", b"89a"):
+                emit()
+                continue
+            kind = b[3:6].decode("ascii")
+            i = 6 + 7  # header + 7-byte logical screen descriptor
+            packed = b[10]  # LSD packed field (GCT flag + size bits)
+            if packed & 0x80:
+                i += 3 * (1 << ((packed & 0x07) + 1))  # global color table
+            frames = 0
+            delays: list[int] = []
+            pending_delay = None
+            loops = None
+            complete = 0
+
+            def skip_subblocks(j: int) -> int:
+                # 0x00-terminated chain of (len, data) sub-blocks;
+                # returns -1 on truncation
+                while True:
+                    if j >= len(b):
+                        return -1
+                    n = b[j]
+                    if n == 0:
+                        return j + 1
+                    j += 1 + n
+            while i < len(b):
+                tag = b[i]
+                if tag == 0x3B:  # trailer
+                    complete = 1
+                    break
+                if tag == 0x21:  # extension
+                    if i + 2 > len(b):
+                        break
+                    label = b[i + 1]
+                    if label == 0xF9 and i + 7 < len(b) and b[i + 2] == 4:
+                        pending_delay = b[i + 4] | (b[i + 5] << 8)
+                    if label == 0xFF and i + 13 < len(b) and b[i + 2] == 11 \
+                            and b[i + 3:i + 14] == b"NETSCAPE2.0":
+                        j = i + 14
+                        if j + 3 < len(b) and b[j] == 3 and b[j + 1] == 1:
+                            loops = b[j + 2] | (b[j + 3] << 8)
+                    i = skip_subblocks(i + 2)
+                    if i < 0:
+                        break
+                    continue
+                if tag == 0x2C:  # image descriptor = one frame
+                    if i + 10 > len(b):
+                        break
+                    fpacked = b[i + 9]
+                    i += 10
+                    if fpacked & 0x80:
+                        i += 3 * (1 << ((fpacked & 0x07) + 1))
+                    i += 1  # LZW minimum code size
+                    i = skip_subblocks(i)
+                    if i < 0:
+                        break
+                    frames += 1
+                    delays.append(pending_delay if pending_delay is not None
+                                  else 0)
+                    pending_delay = None
+                    continue
+                break  # unknown block tag: stop, stream is malformed
+            emit(
+                kind=kind,
+                frames=frames,
+                animated=1 if frames > 1 else 0,
+                min_delay=min(delays) if frames > 1 else None,
+                total_delay=sum(delays) if frames > 1 else None,
+                loops=loops,
+                complete=complete,
+            )
+        return pd.DataFrame({
+            "kind": out["kind"],
+            "frames": pd.array(out["frames"], dtype="Int64"),
+            "animated": pd.array(out["animated"], dtype="Int32"),
+            "min_delay": pd.array(out["min_delay"], dtype="Int64"),
+            "total_delay": pd.array(out["total_delay"], dtype="Int64"),
+            "loops": pd.array(out["loops"], dtype="Int64"),
+            "complete": pd.array(out["complete"], dtype="Int32"),
+        })
+
+    g = imgs.withColumn("__gif", walk(F.col(bytes_col)))
+    return (
+        g.withColumn("gif_kind", F.col("__gif.kind"))
+        .withColumn("gif_frames", F.col("__gif.frames"))
+        .withColumn("gif_animated", F.col("__gif.animated"))
+        .withColumn("gif_min_delay_cs", F.col("__gif.min_delay"))
+        .withColumn("gif_total_delay_cs", F.col("__gif.total_delay"))
+        .withColumn("gif_loop_count", F.col("__gif.loops"))
+        .withColumn("gif_complete", F.col("__gif.complete"))
+        .drop("__gif")
+    )
+
+
+def isobmff_meta(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """ISO-BMFF box walk for the post-JPEG image formats (AVIF / HEIC):
+    brand from `ftyp`, spatial extents from the `ispe` property, pixel
+    depth from `pixi` — no decode, no codec library.  AVIF is already
+    double-digit share of large-site image bytes and none of the
+    fixed-offset sniffers (sniff_header_dims / sniff_webp_dims) can see
+    inside it: dims live behind a 4-level container chain
+    meta(full box) -> iprp -> ipco -> ispe whose offsets depend on
+    sibling boxes, so this is the bounded-walk pandas UDF family like
+    jpeg_sof_dims.
+
+    Handles 32-bit sizes, size==1 largesize (64-bit), size==0
+    to-end-of-file, and unknown boxes (skipped by declared size).
+    Adds (bmff_brand 4cc string, bmff_w, bmff_h, bmff_channels,
+    bmff_bit_depth); anything absent or truncated -> NULL for that
+    field, non-BMFF payloads -> all NULL (a payload is BMFF when its
+    first box is a well-formed `ftyp`).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("brand string, w long, h long, channels long, depth long")
+    def walk(bs: pd.Series) -> pd.DataFrame:
+        brands, ws, hs, chs, deps = [], [], [], [], []
+
+        def be32(b, i):
+            return (b[i] << 24) | (b[i + 1] << 16) | (b[i + 2] << 8) | b[i + 3]
+
+        def boxes(b, lo, hi):
+            """Yield (type, body_lo, body_hi) for each box in [lo, hi)."""
+            i = lo
+            while i + 8 <= hi:
+                size = be32(b, i)
+                typ = b[i + 4:i + 8]
+                body = i + 8
+                if size == 1:
+                    if i + 16 > hi:
+                        return
+                    size = (be32(b, i + 8) << 32) | be32(b, i + 12)
+                    body = i + 16
+                elif size == 0:
+                    size = hi - i
+                if size < body - i or i + size > hi:
+                    return  # malformed / truncated: stop the walk
+                yield typ, body, i + size
+                i += size
+
+        for b in bs:
+            brand = w = h = ch = dep = None
+            if b is not None and len(b) >= 16 and b[4:8] == b"ftyp":
+                for typ, lo, hi in boxes(b, 0, len(b)):
+                    if typ == b"ftyp" and hi - lo >= 4:
+                        brand = b[lo:lo + 4].decode("ascii", "replace")
+                    elif typ == b"meta" and hi - lo >= 4:
+                        # meta is a FULL box: 4 bytes version/flags
+                        for t2, lo2, hi2 in boxes(b, lo + 4, hi):
+                            if t2 != b"iprp":
+                                continue
+                            for t3, lo3, hi3 in boxes(b, lo2, hi2):
+                                if t3 != b"ipco":
+                                    continue
+                                for t4, lo4, hi4 in boxes(b, lo3, hi3):
+                                    if t4 == b"ispe" and hi4 - lo4 >= 12:
+                                        w = be32(b, lo4 + 4)
+                                        h = be32(b, lo4 + 8)
+                                    if t4 == b"pixi" and hi4 - lo4 >= 5:
+                                        ch = b[lo4 + 4]
+                                        if hi4 - lo4 >= 5 + ch:
+                                            dep = b[lo4 + 5]
+            brands.append(brand)
+            ws.append(w)
+            hs.append(h)
+            chs.append(ch)
+            deps.append(dep)
+        return pd.DataFrame({
+            "brand": brands,
+            "w": pd.array(ws, dtype="Int64"),
+            "h": pd.array(hs, dtype="Int64"),
+            "channels": pd.array(chs, dtype="Int64"),
+            "depth": pd.array(deps, dtype="Int64"),
+        })
+
+    g = imgs.withColumn("__bmff", walk(F.col(bytes_col)))
+    return (
+        g.withColumn("bmff_brand", F.col("__bmff.brand"))
+        .withColumn("bmff_w", F.col("__bmff.w"))
+        .withColumn("bmff_h", F.col("__bmff.h"))
+        .withColumn("bmff_channels", F.col("__bmff.channels"))
+        .withColumn("bmff_bit_depth", F.col("__bmff.depth"))
+        .drop("__bmff")
+    )
