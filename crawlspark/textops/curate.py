@@ -909,3 +909,90 @@ def bitext_candidates(
         ratio.cast("long").alias("len_ratio_permille"),
         plausible.alias("plausible"),
     )
+
+
+PRIORITY_SCALE = 1 << 43  # quantization for w/u priorities (see below)
+PRIORITY_U_SPAN = 1 << 32  # base_hash+1 spans [1, 2^32]
+# priorities q = w/u_frac = w*2^32/u are stored as qk = (w<<43) div u =
+# q * 2^11, so tau and the re-weighted estimates live in (weight << 11)
+# units:
+PRIORITY_EST_SCALE = PRIORITY_SCALE // PRIORITY_U_SPAN
+
+
+def priority_sample(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "prio",
+) -> DataFrame:
+    """Weighted sampling without replacement per stratum — Duffield-
+    Lund-Thorup priority sampling (Priority sampling for estimation of
+    arbitrary subset sums, JACM 2007), the scheme whose k-subset
+    supports UNBIASED subset-sum estimates: each item gets priority
+    q_i = w_i / u_i with u_i uniform, the k highest priorities are the
+    sample, and each sampled item is re-weighted max(w_i, tau) where
+    tau is the (k+1)-th priority.  hash_sample/stratified_sample ignore
+    weights; temperature_sample reweights whole strata — this is the
+    per-ITEM weighted draw (sample long docs more, keep totals
+    estimable), the standard way to subsample a corpus while preserving
+    per-language token-count estimates.
+
+    Determinism + oracle replay: u_i is the salted md5-prefix hash
+    (base_hash, in [1, 2^32]); the priority is QUANTIZED to the integer
+    sort key qk = (w << 43) div u (floor division) so both engines
+    compare identical BIGINTs — no float, no libm.  Ties broken by id.
+    Re-weighting: u spans [1, 2^32] so a stored key qk = (w << 43)
+    div u equals the true priority w/u_frac scaled by 2^11; est_scaled
+    = max(w << 11, tau_qk) is therefore max(w_i, tau) in (weight << 11)
+    units and sum(est_scaled) >> 11 estimates the stratum's total
+    weight from the k kept rows (unbiased up to the deterministic
+    floor quantization).
+
+    Scale shape: same two-phase plan as stratified_sample — the
+    per-stratum window would funnel each stratum (a whole language!)
+    through one task, so phase 1 takes the per-(stratum, partition)
+    top-(k+1) in parallel (provably a superset of the global
+    top-(k+1); k+1 because tau is the (k+1)-th order statistic),
+    phase 2 windows only the <= (k+1)*n_partitions survivors.
+
+    Returns (strata, id, weight, qk, rn, tau_qk, est_scaled) for the k
+    kept rows per stratum; tau_qk NULL when the stratum had <= k items
+    (everything kept, est = exact weight).
+    """
+    w = F.col(weight_col).cast("long")
+    u = base_hash(F.concat(F.lit(salt), F.col(id_col).cast("string"))) + 1
+    qk = F.expr(f"(weight * CAST({PRIORITY_SCALE} AS BIGINT)) div __u")
+    d = (
+        df.select(F.col(strata_col), F.col(id_col), w.alias("weight"))
+        .withColumn("__u", u)
+        .withColumn("qk", qk)
+        .drop("__u")
+    )
+    part = F.spark_partition_id().alias("__p")
+    w1 = Window.partitionBy(strata_col, "__p").orderBy(
+        F.desc("qk"), F.col(id_col))
+    survivors = (
+        d.select("*", part)
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k + 1)
+        .drop("__p", "__r1")
+    )
+    w2 = Window.partitionBy(strata_col).orderBy(F.desc("qk"), F.col(id_col))
+    wall = Window.partitionBy(strata_col)
+    ranked = survivors.withColumn(
+        "rn", F.row_number().over(w2).cast("long"))
+    return (
+        ranked.withColumn(
+            "tau_qk",
+            F.max(F.when(F.col("rn") == k + 1, F.col("qk"))).over(wall))
+        .where(F.col("rn") <= k)
+        .withColumn(
+            "est_scaled",
+            F.greatest(
+                F.col("weight") * F.lit(PRIORITY_EST_SCALE),
+                F.coalesce(F.col("tau_qk"), F.lit(0)),
+            ),
+        )
+    )
