@@ -535,3 +535,170 @@ def detect_cloaking(
         skew.cast("long").alias("len_skew_permille"),
         cloaked.alias("cloaked"),
     )
+
+
+def varint_bytes(v) -> "Column":
+    """LEB128/varint byte cost of a non-negative BIGINT — the unit of
+    measure for postings compression planning (exact CASE ladder, both
+    engines agree).  A non-negative int64 needs at most ceil(63/7) = 9
+    varint bytes, so the ladder tops out at 9 (and 2^63 never appears
+    as a literal, which LongType could not hold)."""
+    c = F.col(v) if isinstance(v, str) else v
+    expr = F.lit(9)
+    for nbytes in range(8, 0, -1):
+        expr = F.when(c < (1 << (7 * nbytes)), nbytes).otherwise(expr)
+    return expr.cast("long")
+
+
+def _varint_case_sql(e: str) -> str:
+    """The DuckDB replay of :func:`varint_bytes` as a CASE ladder."""
+    arms = "\n".join(
+        f"    WHEN {e} < {1 << (7 * n)} THEN {n}" for n in range(1, 9)
+    )
+    return f"CASE\n{arms}\n    ELSE 9 END"
+
+
+def postings_gap_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """Inverted-index size planning: per-term posting lists as
+    delta-gaps with varint (LEB128) byte costs — the standard
+    d-gap + variable-byte encoding every search index uses (Manning et
+    al., IIR ch. 5).  A crawl pipeline needs this BEFORE building the
+    index: postings_bytes per term is the index-size forecast, and the
+    savings ratio vs fixed 8-byte ids says whether doc-id assignment
+    (crawl order vs hash order) is leaving compression on the table —
+    clustered doc ids make small gaps make small varints.
+
+    Shape: explode -> distinct (term, doc) via groupBy (map-side
+    combined), then gaps via ONE window partitioned by term ordered by
+    doc id (lag), then a groupBy(term) rollup.  The per-term window is
+    the honest index-construction shape (posting lists are per-term
+    sorted runs); at 10^10 docs a stopword's partition is large — cap
+    it upstream (min_df/stopword thresholds) or shard terms per
+    segment as segment-wise indexes do.
+
+    Returns (word, df, first_doc, postings_bytes, fixed_bytes,
+    savings_permille), terms with document frequency >= min_df.
+    """
+    from pyspark.sql import Window
+
+    docs_words = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc"),
+            F.explode(
+                F.filter(F.split(F.col(text_col), r"\s+"),
+                         lambda w: w != "")
+            ).alias("word"),
+        )
+        .groupBy("word", "doc")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    w = Window.partitionBy("word").orderBy("doc")
+    gaps = docs_words.withColumn(
+        "__e", F.coalesce(F.col("doc") - F.lag("doc").over(w), F.col("doc"))
+    )
+    return (
+        gaps.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.min("doc").alias("first_doc"),
+            F.sum(varint_bytes(F.col("__e"))).cast("long")
+            .alias("postings_bytes"),
+        )
+        .where(F.col("df") >= min_df)
+        .withColumn("fixed_bytes", (F.col("df") * 8).cast("long"))
+        .withColumn(
+            "savings_permille",
+            F.expr("(1000 * (fixed_bytes - postings_bytes))"
+                   " div fixed_bytes"),
+        )
+    )
+
+
+def docid_remap_savings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order_cols: "list[str] | None" = None,
+    num_rows: "int | None" = None,
+) -> DataFrame:
+    """Doc-id assignment vs index size (Silvestri's document identifier
+    assignment problem): reassign doc ids so similar documents get
+    adjacent ids, then measure the d-gap varint postings size under the
+    ORIGINAL ids and under the REMAPPED ids.  Similar docs share terms,
+    so clustering them makes posting-list gaps small and small gaps
+    make small varints — for a crawl corpus the cheap proxy orderings
+    are language / host / URL, all available pre-index.
+
+    Shape: one distinct (term, doc) build (map-side combined groupBy);
+    the remap is :func:`crawlspark.ranks.global_rank` on
+    ``order_cols + [id_col]`` — the two-phase range-partition rank, no
+    single-partition window at scale; postings under both schemes go
+    through ONE union so the gap window and the rollup are shared.
+    The id-translation join is doc-keyed (uniform, no skew); per-term
+    window partitions are posting lists — the same stopword caveat as
+    :func:`postings_gap_stats` applies.
+
+    Returns ONE row: (n_terms, n_postings, orig_bytes, remap_bytes,
+    saved_bytes, savings_permille).
+    """
+    from pyspark.sql import Window
+
+    from ..ranks import global_rank
+
+    order_cols = list(order_cols or ["lang"])
+    dw = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc"),
+            F.explode(
+                F.filter(F.split(F.col(text_col), r"\s+"),
+                         lambda w: w != "")
+            ).alias("word"),
+        )
+        .groupBy("word", "doc")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .select("word", "doc")
+    )
+    mapping = global_rank(
+        df.select(F.col(id_col).cast("long").alias("doc"), *order_cols),
+        [*order_cols, "doc"],
+        out="new_doc",
+        num_rows=num_rows,
+    ).select("doc", "new_doc")
+    both = dw.select(F.lit("orig").alias("scheme"), "word", "doc").unionAll(
+        dw.join(mapping, "doc").select(
+            F.lit("remap").alias("scheme"),
+            "word",
+            F.col("new_doc").alias("doc"),
+        )
+    )
+    w = Window.partitionBy("scheme", "word").orderBy("doc")
+    gaps = both.withColumn(
+        "__e", F.coalesce(F.col("doc") - F.lag("doc").over(w), F.col("doc"))
+    )
+    tot = gaps.groupBy("scheme").agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.countDistinct("word").cast("long").alias("n_terms"),
+        F.sum(varint_bytes(F.col("__e"))).cast("long").alias("bytes"),
+    )
+    return (
+        tot.agg(
+            F.max("n_terms").alias("n_terms"),
+            F.max("n_postings").alias("n_postings"),
+            F.max(F.when(F.col("scheme") == "orig", F.col("bytes")))
+            .alias("orig_bytes"),
+            F.max(F.when(F.col("scheme") == "remap", F.col("bytes")))
+            .alias("remap_bytes"),
+        )
+        .withColumn(
+            "saved_bytes", (F.col("orig_bytes") - F.col("remap_bytes"))
+        )
+        .withColumn(
+            "savings_permille",
+            F.expr("(1000 * saved_bytes) div orig_bytes"),
+        )
+    )
