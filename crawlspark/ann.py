@@ -478,3 +478,87 @@ def semdedup(
             F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def knn_label_eval(
+    embeddings: DataFrame,
+    query_mod: int = 10,
+    ks: "tuple[int, ...]" = (1, 5, 10),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space quality eval: kNN label recall/precision@k —
+    the curation-side check that an embedding column is good enough to
+    drive semantic dedup / ANN retrieval before 100 TB of it is built.
+    Queries are the held-out rows (id % query_mod == 0); ground truth
+    is the label column; a query "hits" at k when any of its top-k
+    cosine neighbors (excluding itself) shares its label.
+
+    Plan shape: the held-out query block is small by construction
+    (1/query_mod of an eval SAMPLE, never the corpus) and is the
+    broadcast side; the corpus side stays partitioned, per-query
+    ranking is a window keyed by query id (no global window).  One
+    scored pass serves every k (conditional aggregation), so adding
+    cut-offs costs nothing.
+
+    Returns one row per k: (k, n_queries, n_hits, recall_permille,
+    n_matches, precision_permille) — integer-exact rollups of a
+    double-cosine ranking, replayable in SQL.
+    """
+    kmax = max(ks)
+    q = embeddings.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("qlabel"),
+    )
+    c = embeddings.filter(F.col(id_col) % query_mod != 0).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("clabel"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "qlabel", "neighbor_id", "clabel",
+        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= kmax)
+        .withColumn("match", (F.col("clabel") == F.col("qlabel")).cast("long"))
+    )
+    per_q = ranked.groupBy("query_id").agg(
+        *[
+            F.sum(F.when(F.col("rnk") <= kk, F.col("match")).otherwise(0))
+            .alias(f"m{kk}")
+            for kk in ks
+        ]
+    )
+    tot = per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        *[x for kk in ks for x in (
+            F.sum((F.col(f"m{kk}") > 0).cast("long")).alias(f"h{kk}"),
+            F.sum(F.col(f"m{kk}")).cast("long").alias(f"t{kk}"),
+        )],
+    )
+    stack_args = ", ".join(
+        f"{kk}L, h{kk}, t{kk}" for kk in ks
+    )
+    return (
+        tot.select(
+            "n_queries",
+            F.expr(
+                f"stack({len(ks)}, {stack_args}) AS (k, n_hits, n_matches)"
+            ),
+        )
+        .select(
+            "k", "n_queries", "n_hits",
+            F.expr("(1000 * n_hits) div n_queries").alias("recall_permille"),
+            "n_matches",
+            F.expr("(1000 * n_matches) div (n_queries * k)")
+            .alias("precision_permille"),
+        )
+        .orderBy("k")
+    )

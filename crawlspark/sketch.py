@@ -186,3 +186,82 @@ def kmv_estimates(sketch: DataFrame, k: int = 64) -> DataFrame:
             F.expr(f"({int(k) - 1} * {_P}L) div (kth_hash + 1)")
         ).cast("long").alias("est"),
     )
+
+
+def kmv_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str = "key",
+    k: int = 64,
+) -> DataFrame:
+    """KMV set algebra between two key sets — the sketch answer to
+    "how much of wave B did wave A already crawl?" at 10^10-URL scale,
+    where the exact answer is a full shuffle join of both snapshots.
+
+    Estimators (all integer-exact, SQL-replayable):
+
+    - est_a / est_b / est_union: the KMV distinct estimator on each
+      set and on their union (merge = union-then-re-min, so the union
+      sketch is exact sketch algebra, not a rescan);
+    - jaccard_permille: the k-minimum-values Jaccard estimator
+      (Broder's MinHash argument, Beyer et al. SIGMOD'07 §5) — of the
+      k smallest hashes of A ∪ B, the fraction present in BOTH sets;
+    - est_intersection: jaccard * est_union (the standard composition;
+      unbiased where inclusion-exclusion on three noisy estimates is
+      not).
+
+    Plan shape: each side reduces to <= k rows via per-partition
+    distinct + global TakeOrderedAndProject(k) — bounded at any input
+    size, no single-partition window; the membership probes join the
+    k-row k-min block (broadcast) against the two <= k-row sketches.
+
+    Returns ONE row: (n_kmin, kmin_in_both, jaccard_permille, est_a,
+    est_b, est_union, est_intersection).
+    """
+    def _sketch(df: DataFrame) -> DataFrame:
+        return (
+            df.select(kmv_hash(F.col(key_col)).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(int(k))
+        )
+
+    ha = _sketch(a).persist()
+    hb = _sketch(b).persist()
+    union_kmin = (
+        ha.unionByName(hb).distinct().orderBy("h").limit(int(k))
+    )
+    flagged = (
+        union_kmin
+        .join(F.broadcast(ha.withColumn("in_a", F.lit(1))), "h", "left")
+        .join(F.broadcast(hb.withColumn("in_b", F.lit(1))), "h", "left")
+    )
+
+    def _est(sk: DataFrame, name: str) -> DataFrame:
+        return kmv_estimates(
+            sk.select(F.lit(name).alias("grp"), "h"), k=k
+        ).select(F.col("est").alias(name))
+
+    jac = flagged.agg(
+        F.count("*").cast("long").alias("n_kmin"),
+        F.sum(
+            (F.coalesce(F.col("in_a"), F.lit(0))
+             * F.coalesce(F.col("in_b"), F.lit(0))).cast("long")
+        ).alias("kmin_in_both"),
+    ).withColumn(
+        "jaccard_permille",
+        F.expr("(1000 * kmin_in_both) div n_kmin"),
+    )
+    out = (
+        jac.crossJoin(_est(ha, "est_a"))
+        .crossJoin(_est(hb, "est_b"))
+        .crossJoin(_est(union_kmin, "est_union"))
+        .withColumn(
+            "est_intersection",
+            F.expr("(jaccard_permille * est_union) div 1000"),
+        )
+    )
+    return out.select(
+        "n_kmin", "kmin_in_both", "jaccard_permille",
+        "est_a", "est_b", "est_union", "est_intersection",
+    )

@@ -68,6 +68,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     "decontaminate": {
         "bnl_join": "corpus x broadcast eval-benchmark n-grams (tiny)"
     },
+    "knn_recall": {
+        "bnl_join": "corpus x broadcast eval-query block (1/query_mod of an "
+                    "eval SAMPLE, never the corpus); bounded fan-out"
+    },
     # cumulative shard-base offsets: a global running sum over ONE ROW PER
     # BUCKET (shard groups, O(1k)); data rows never pass the funnel.
     "shard_assign": {
