@@ -143,3 +143,93 @@ def interval_join_bucketed(
         hits.groupBy(*[F.col(c) for c in events.columns])
         .agg(F.sum("__hit").cast("long").alias("n_windows"))
     )
+
+
+def skew_salt_plan(
+    df: DataFrame,
+    key_col: str,
+    target_rows: int,
+    max_salt: int = 64,
+) -> DataFrame:
+    """Proportional salting PLAN for a skewed join/aggregation key: how
+    many salt sub-buckets each hot key needs so no reducer task sees
+    more than ``target_rows`` of it.  AQE's skew-join split fires only
+    on sort-merge joins at runtime; a plan computed from key counts is
+    what you apply when the big side is re-used across waves (the seen
+    anti-join, the per-host politeness queue) or when the join is hash
+    based.  salt = ceil(n / target_rows) capped at ``max_salt`` — the
+    cap bounds the small side's replication cost, which is salt copies
+    per key (see :func:`salted_join`).
+
+    Plan shape: one map-side-combined groupBy(key) count, then pure
+    arithmetic; only keys that actually need salt (> 1) are returned,
+    so the plan relation is as small as the skew is rare and safely
+    broadcastable back onto the data path.
+
+    Returns (key, n_rows, salt, max_bucket_rows) with max_bucket_rows =
+    ceil(n / salt) — the worst task load after salting.
+    """
+    t = int(target_rows)
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    salt = F.least(
+        F.lit(int(max_salt)).cast("long"),
+        F.expr(f"(n_rows + {t - 1}) div {t}"),
+    )
+    return (
+        counts.withColumn("salt", salt)
+        .filter(F.col("salt") > 1)
+        .withColumn(
+            "max_bucket_rows", F.expr("(n_rows + salt - 1) div salt")
+        )
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    spread_col: str,
+    target_rows: int,
+    max_salt: int = 64,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: apply :func:`skew_salt_plan` so every hot
+    key's big-side rows spread over ``salt`` sub-buckets and the small
+    side is replicated ``salt`` times FOR THAT KEY ONLY.  Result set is
+    exactly the plain join's (asserted in tests); what changes is the
+    physical shape — the hot key's reducer work splits salt-ways
+    instead of landing on one task.
+
+    ``spread_col`` must be a deterministic per-row column (a unique id,
+    a URL) — its hash picks the sub-bucket, so reruns are bit-stable
+    (no rand(), which would break retry idempotency mid-stage).
+
+    Cold keys keep salt-id 0 on both sides — one bucket, zero extra
+    rows; the replication cost is sum(salt) over hot keys only.
+    """
+    plan = skew_salt_plan(big, key_col, target_rows, max_salt).select(
+        "key", "salt"
+    )
+    b = big.join(
+        F.broadcast(plan), big[key_col] == plan["key"], "left"
+    ).drop("key").withColumn(
+        "__salt_id",
+        F.when(
+            F.col("salt").isNotNull(),
+            F.pmod(F.xxhash64(F.col(spread_col)), F.col("salt")),
+        ).otherwise(F.lit(0).cast("long")),
+    ).drop("salt")
+    s = small.join(
+        F.broadcast(plan), small[key_col] == plan["key"], "left"
+    ).drop("key").withColumn(
+        "__salt_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.coalesce(F.col("salt"), F.lit(1).cast("long")) - 1,
+            )
+        ),
+    ).drop("salt")
+    return b.join(s, [key_col, "__salt_id"], how).drop("__salt_id")

@@ -1121,3 +1121,88 @@ def community_modularity(
             .cast("long").alias("contrib_scaled"),
         )
     )
+
+
+def edge_partition_quality(
+    edges: DataFrame,
+    p: int = 16,
+    grid: "tuple[int, int]" = (4, 4),
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Evaluate edge-partitioning strategies for the link graph BEFORE
+    committing 10^10 edges to a layout: 1D hash by src, 1D hash by dst,
+    and a 2D grid (PowerGraph/GraphX EdgePartition2D).  Two exact
+    metrics per scheme:
+
+    - balance_permille: 1000 * total_edges / (p * max_partition_edges)
+      — 1000 is a perfectly level load; a hub vertex drags a 1D scheme
+      down because ALL its edges hash to one partition, while the grid
+      spreads them across a row/column of the grid;
+    - repl_factor_permille: average number of distinct partitions that
+      see each vertex (x1000) — the vertex-state replication cost of
+      vertex-cut execution (Gonzalez et al., OSDI'12: 2D bounds it by
+      2*sqrt(p)-1 per vertex; 1D-by-src bounds the SRC side at 1 but
+      lets a hub's dst copies reach all p).
+
+    The partition hash is the SQL-replayable (A*x + B) mod P family
+    from :mod:`crawlspark.sketch` — deterministic, oracle-exact.
+
+    Plan shape: per scheme one narrow projection to (part), a map-side
+    combined groupBy(part) for loads, and one distinct over (vertex,
+    part) pairs for replication — each a single bounded shuffle; no
+    scheme ever materializes a re-partitioned copy of the edges.
+
+    Returns 3 rows: (scheme, n_parts, n_edges, max_part_edges,
+    balance_permille, n_vertices, sum_replicas, repl_factor_permille).
+    """
+    from .sketch import kmv_hash
+
+    rows, cols = grid
+    if rows * cols != p:
+        raise ValueError(f"grid {grid} does not tile p={p}")
+    hs = kmv_hash(F.col(src_col))
+    hd = kmv_hash(F.col(dst_col))
+    schemes = {
+        "1d_src": F.pmod(hs, F.lit(p)),
+        "1d_dst": F.pmod(hd, F.lit(p)),
+        "2d_grid": F.pmod(hs, F.lit(rows)) * cols + F.pmod(hd, F.lit(cols)),
+    }
+    out = None
+    for name, part_expr in schemes.items():
+        tagged = edges.select(
+            F.col(src_col).alias("s"),
+            F.col(dst_col).alias("d"),
+            part_expr.cast("long").alias("part"),
+        )
+        loads = tagged.groupBy("part").agg(
+            F.count(F.lit(1)).cast("long").alias("load")
+        ).agg(
+            F.sum("load").alias("n_edges"),
+            F.max("load").alias("max_part_edges"),
+        )
+        verts = (
+            tagged.select(F.col("s").alias("v"), "part")
+            .unionAll(tagged.select(F.col("d").alias("v"), "part"))
+            .distinct()
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("k"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_vertices"),
+                F.sum("k").cast("long").alias("sum_replicas"),
+            )
+        )
+        row = loads.crossJoin(verts).select(
+            F.lit(name).alias("scheme"),
+            F.lit(p).cast("long").alias("n_parts"),
+            "n_edges",
+            "max_part_edges",
+            F.expr(f"(1000 * n_edges) div ({p} * max_part_edges)")
+            .alias("balance_permille"),
+            "n_vertices",
+            "sum_replicas",
+            F.expr("(1000 * sum_replicas) div n_vertices")
+            .alias("repl_factor_permille"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
