@@ -1206,3 +1206,77 @@ def edge_partition_quality(
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+def _bfs_distances(
+    edges: DataFrame,
+    seed: int,
+    max_depth: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Level-synchronous BFS distances from one seed: (doc, dist) for
+    every vertex within ``max_depth`` hops.  Same loop discipline as
+    :func:`pagerank` — per level one join + anti-join + distinct, and a
+    ``localCheckpoint`` so the plan stays O(1) in depth."""
+    spark = edges.sparkSession
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    frontier = spark.createDataFrame(
+        [(seed, 0)], "doc long, dist long"
+    ).localCheckpoint(eager=True)
+    visited = frontier
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier.doc == e.s)
+            .select(F.col("d").alias("doc"))
+            .distinct()
+            .join(visited.select("doc"), "doc", "left_anti")
+            .withColumn("dist", F.lit(depth).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def bowtie_classify(
+    edges: DataFrame,
+    universe: DataFrame,
+    seed: int = 0,
+    max_depth: int = 3,
+    doc_col: str = "doc",
+) -> DataFrame:
+    """Broder bow-tie decomposition of the web graph relative to a core
+    seed (Broder et al., "Graph structure in the Web", WWW 2000): OUT =
+    reachable FROM the seed, IN = vertices that REACH the seed, CORE =
+    both (the seed's strongly-connected neighborhood within the depth
+    horizon), OTHER = neither (tendrils/disconnected).  Crawl planning
+    reads this directly — seeds whose OUT component is small waste a
+    frontier; a large IN that the crawl never enters is the coverage
+    gap sitemaps must fill.
+
+    Two BFS sweeps (forward on edges, backward on reversed edges),
+    each the scale-safe per-level join/anti-join loop; classification
+    is two left joins onto the universe — no per-vertex driver work.
+
+    Returns (doc, fwd_dist, bwd_dist, cls) for every universe vertex;
+    dists are null outside the horizon.
+    """
+    fwd = _bfs_distances(edges, seed, max_depth)
+    bwd = _bfs_distances(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        seed, max_depth,
+    )
+    u = universe.select(F.col(doc_col).cast("long").alias("doc"))
+    out = (
+        u.join(fwd.withColumnRenamed("dist", "fwd_dist"), "doc", "left")
+        .join(bwd.withColumnRenamed("dist", "bwd_dist"), "doc", "left")
+    )
+    cls = (
+        F.when(F.col("fwd_dist").isNotNull()
+               & F.col("bwd_dist").isNotNull(), "core")
+        .when(F.col("fwd_dist").isNotNull(), "out")
+        .when(F.col("bwd_dist").isNotNull(), "in")
+        .otherwise("other")
+    )
+    return out.select("doc", "fwd_dist", "bwd_dist", cls.alias("cls"))

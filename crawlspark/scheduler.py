@@ -840,3 +840,41 @@ def host_quality_shrinkage(
         .withColumn("global_permille", F.col("__pg_permille"))
         .drop("__pg_permille")
     )
+
+
+def good_turing_yield(
+    draws: "DataFrame",
+    host_col: str = "host",
+    url_col: str = "url",
+) -> "DataFrame":
+    """Good-Turing discovery-yield estimate per host: from the URLs a
+    host has produced so far (with repeats — every extraction is a
+    draw), estimate the probability that the NEXT extracted URL is one
+    never seen before.  The missing-mass estimator is f1/N (Good 1953):
+    the count of URLs seen exactly once over total draws.  A host whose
+    missing mass has collapsed is mined out — re-crawling it buys
+    coverage nothing — so this is the stopping signal for depth
+    budgets, the quantitative form of the reference's maxOutputs
+    intuition (src/Steps/Step.php maxOutputs caps blindly; this caps
+    on evidence).
+
+    Plan: two map-side-combined groupBys ((host,url) then host) — the
+    same shape as exact dedup; nothing driver-side, no window.
+
+    Returns (host, n_draws, n_distinct, f1, missing_mass_permille).
+    """
+    per_url = draws.groupBy(
+        F.col(host_col).alias("host"), F.col(url_col).alias("u")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_url.groupBy("host")
+        .agg(
+            F.sum("c").cast("long").alias("n_draws"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum((F.col("c") == 1).cast("long")).cast("long").alias("f1"),
+        )
+        .withColumn(
+            "missing_mass_permille",
+            F.expr("(1000 * f1) div n_draws"),
+        )
+    )
