@@ -694,3 +694,135 @@ def stale_policy(
         .withColumn(out, state)
         .drop("__cf")
     )
+
+
+def xsort_layout(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    rows_per_file: int,
+) -> DataFrame:
+    """One-dimensional sort-and-cut baseline for :func:`zorder_layout`:
+    sort by x only (y rides along), cut into ``rows_per_file`` files,
+    report the same per-file bounding-box stats.  x-predicates prune
+    perfectly; y-predicates see every file — the layout to beat."""
+    from .ranks import global_rank
+
+    pts = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    ranked = global_rank(pts, key=["x", "y"], out="rk")
+    files = ranked.withColumn(
+        "file_id", F.expr(f"(rk - 1) div {int(rows_per_file)}")
+    )
+    return files.groupBy("file_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"), F.max("y").alias("y_max"),
+    ).withColumn(
+        "bbox_area",
+        ((F.col("x_max") - F.col("x_min") + 1)
+         * (F.col("y_max") - F.col("y_min") + 1)).cast("long"),
+    )
+
+
+def zone_map_prune(
+    file_stats: DataFrame,
+    probes: DataFrame,
+    layout: str,
+) -> DataFrame:
+    """Scan-pruning evaluation: how many files does each probe's
+    predicate box actually have to read, given the per-file min/max
+    zone maps a layout produced?  A file is scanned iff its bounding
+    box INTERSECTS the probe box — exactly the manifest-level pruning
+    Iceberg/Delta and Spark's parquet reader do with column stats.
+    This turns "z-order is better" into a number BEFORE rewriting
+    10^10 rows: run the same probe workload against both layouts'
+    stats and compare scan_permille.
+
+    The probe workload is a bounded relation (tens of predicates) and
+    the file-stats side is |data| / rows_per_file rows — the
+    intersect join broadcasts the probes, never the stats.
+
+    Returns ONE row per layout: (layout, n_files, n_probes,
+    file_scans, scan_permille) with scan_permille = 1000 *
+    file_scans / (n_files * n_probes).
+    """
+    fs = file_stats.select("file_id", "x_min", "x_max", "y_min", "y_max")
+    hits = fs.join(
+        F.broadcast(probes),
+        (F.col("x_min") <= F.col("x_hi"))
+        & (F.col("x_max") >= F.col("x_lo"))
+        & (F.col("y_min") <= F.col("y_hi"))
+        & (F.col("y_max") >= F.col("y_lo")),
+    )
+    counts = hits.agg(F.count(F.lit(1)).cast("long").alias("file_scans"))
+    nf = fs.agg(F.count(F.lit(1)).cast("long").alias("n_files"))
+    np_ = probes.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+    return (
+        counts.crossJoin(nf).crossJoin(np_)
+        .select(
+            F.lit(layout).alias("layout"),
+            "n_files", "n_probes", "file_scans",
+            F.expr("(1000 * file_scans) div (n_files * n_probes)")
+            .alias("scan_permille"),
+        )
+    )
+
+
+def cow_mor_plan(
+    file_stats: DataFrame,
+    updates: DataFrame,
+    key_col: str = "key",
+) -> DataFrame:
+    """Copy-on-write vs merge-on-read maintenance planning for an
+    Iceberg-style table: given per-file key ranges (x_min/x_max zone
+    maps over the table key) and a batch of update keys, compute what
+    each strategy costs — CoW rewrites every row of every touched file
+    NOW (write amplification, clean reads after); MoR writes only
+    delete markers NOW but every future read of a touched file must
+    also merge its deletes (read amplification until compaction).
+    The crossover is the update-spread: sparse scattered updates make
+    CoW rewrite nearly the whole table for a handful of rows.
+
+    Updates map to files via the zone maps (a range join with the
+    bounded update batch broadcast).  Integer-exact outputs.
+
+    Returns ONE row: (n_files, files_touched, table_rows,
+    cow_rewrite_rows, n_updates, mor_delete_rows,
+    mor_read_amp_permille) — mor_read_amp_permille = 1000 *
+    rows-in-touched-files / table_rows (the share of future scans
+    paying the merge tax).
+    """
+    fs = file_stats.select("file_id", "n_rows", "x_min", "x_max")
+    u = updates.select(F.col(key_col).cast("long").alias("k"))
+    touched = (
+        fs.join(
+            F.broadcast(u),
+            (F.col("k") >= F.col("x_min")) & (F.col("k") <= F.col("x_max")),
+        )
+        .groupBy("file_id", "n_rows")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    tot = fs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("table_rows"),
+    )
+    upd = u.agg(F.count(F.lit(1)).cast("long").alias("n_updates"))
+    tch = touched.agg(
+        F.count(F.lit(1)).cast("long").alias("files_touched"),
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long")
+        .alias("cow_rewrite_rows"),
+        F.coalesce(F.sum("n_hits"), F.lit(0)).cast("long")
+        .alias("mor_delete_rows"),
+    )
+    return (
+        tot.crossJoin(upd).crossJoin(tch)
+        .select(
+            "n_files", "files_touched", "table_rows", "cow_rewrite_rows",
+            "n_updates", "mor_delete_rows",
+            F.expr("(1000 * cow_rewrite_rows) div table_rows")
+            .alias("mor_read_amp_permille"),
+        )
+    )

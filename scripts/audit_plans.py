@@ -72,6 +72,14 @@ WHITELIST: dict[str, dict[str, str]] = {
         "bnl_join": "corpus x broadcast eval-query block (1/query_mod of an "
                     "eval SAMPLE, never the corpus); bounded fan-out"
     },
+    "zone_prune": {
+        "bnl_join": "file-stats x broadcast probe workload (tens of "
+                    "predicates); stats side is |data|/rows_per_file"
+    },
+    "cow_mor": {
+        "bnl_join": "file-stats x broadcast update batch (bounded per "
+                    "maintenance cycle); range join on zone maps"
+    },
     # cumulative shard-base offsets: a global running sum over ONE ROW PER
     # BUCKET (shard groups, O(1k)); data rows never pass the funnel.
     "shard_assign": {
