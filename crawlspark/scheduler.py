@@ -878,3 +878,52 @@ def good_turing_yield(
             F.expr("(1000 * f1) div n_draws"),
         )
     )
+
+
+def roi_knapsack(
+    items: "DataFrame",
+    budget: int,
+    value_col: str = "value",
+    cost_col: str = "cost",
+    id_col: str = "host",
+    num_rows: "int | None" = None,
+) -> "DataFrame":
+    """Budget-constrained greedy selection by ROI — the step after
+    :func:`harvest_roi` scores hosts: order candidates by value/cost
+    (integer ratio_permille, id tiebreak), take the prefix whose
+    cumulative cost fits the budget.  This is the fractional-knapsack
+    greedy truncated at the first non-fitting item — within one
+    max-cost item of LP-optimal, and unlike the skip-and-continue
+    variant it is a pure prefix predicate, so it distributes.
+
+    Plan: the ratio is a narrow map; the cumulative cost is
+    :func:`crawlspark.ranks.global_prefix_sum` (range partition +
+    per-partition sums + offsets — never a single-partition window at
+    scale).
+
+    Returns (id, value, cost, ratio_permille, prefix_cost, selected)
+    where prefix_cost INCLUDES the row's own cost and selected =
+    prefix_cost <= budget.
+    """
+    from .ranks import global_prefix_sum
+
+    scored = items.select(
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("long").alias("value"),
+        F.col(cost_col).cast("long").alias("cost"),
+    ).withColumn(
+        "ratio_permille", F.expr("(1000 * value) div cost")
+    ).withColumn(
+        "__neg_ratio", -F.col("ratio_permille")
+    )
+    pre = global_prefix_sum(
+        scored, order_cols=["__neg_ratio", "id"], val_col="cost",
+        out="__excl", num_rows=num_rows,
+    )
+    return (
+        pre.withColumn("prefix_cost",
+                       (F.col("__excl") + F.col("cost")).cast("long"))
+        .withColumn("selected", F.col("prefix_cost") <= int(budget))
+        .select("id", "value", "cost", "ratio_permille", "prefix_cost",
+                "selected")
+    )

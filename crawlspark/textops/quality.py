@@ -702,3 +702,53 @@ def docid_remap_savings(
             F.expr("(1000 * saved_bytes) div orig_bytes"),
         )
     )
+
+
+def calibration_bins(
+    preds: DataFrame,
+    pred_col: str = "pred_permille",
+    label_col: str = "label",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram / calibration bins for any permille-scored
+    predictor (quality classifier, host prior, soft-404 score): bucket
+    predictions into ``n_bins`` equal-width bins over [0, 1000] and
+    compare each bin's mean prediction with its empirical positive
+    rate.  A filter whose 800-permille bucket is right only 500/1000 of
+    the time is mis-calibrated — its threshold sweeps the wrong rows at
+    corpus scale, and no amount of AUC hides that.  The per-bin
+    |gap| column is the ECE integrand (weight by n over the total for
+    the scalar ECE).
+
+    One map-side-combined groupBy on the bin id; integer-exact
+    (permille means via integer division) so a SQL oracle replays it.
+
+    Returns (bin, n, mean_pred_permille, emp_permille,
+    abs_gap_permille) ordered by bin.
+    """
+    width = 1000 // n_bins
+    b = F.least(
+        F.lit(n_bins - 1).cast("long"),
+        F.expr(f"{pred_col} div {width}").cast("long"),
+    )
+    return (
+        preds.select(
+            b.alias("bin"),
+            F.col(pred_col).cast("long").alias("p"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("p").cast("long").alias("sp"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+        .select(
+            "bin", "n",
+            F.expr("sp div n").alias("mean_pred_permille"),
+            F.expr("(1000 * sy) div n").alias("emp_permille"),
+            F.abs(F.expr("sp div n") - F.expr("(1000 * sy) div n"))
+            .cast("long").alias("abs_gap_permille"),
+        )
+        .orderBy("bin")
+    )
