@@ -1532,3 +1532,160 @@ def isobmff_meta(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         .withColumn("bmff_bit_depth", F.col("__bmff.depth"))
         .drop("__bmff")
     )
+
+
+LETTERBOX_SCHEMA = (
+    "image_id STRING, bar_top LONG, bar_bottom LONG, bar_left LONG, "
+    "bar_right LONG, content_w LONG, content_h LONG"
+)
+
+
+def plant_letterbox(images: DataFrame) -> DataFrame:
+    """Test/bench fixture: overwrite edge rows/columns with black bars
+    on a deterministic subset (doc%4==0 gets top/bottom bars of
+    2+doc%3 / 1+doc%2 rows; doc%4==1 gets left/right bars of
+    1+doc%3 / 1+doc%2 columns), re-encoding in the image's own format.
+    Black (0) is a fixed point of every QUANT_STEP rounding, so bars
+    survive the lossy path bit-exactly."""
+
+    def plant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                d = int(r.image_id.split("-", 1)[1])
+                px = _decode(r.bytes, r.w, r.h).copy()
+                if d % 4 == 0:
+                    px[: 2 + d % 3, :, :] = 0
+                    px[r.h - (1 + d % 2):, :, :] = 0
+                elif d % 4 == 1:
+                    px[:, : 1 + d % 3, :] = 0
+                    px[:, r.w - (1 + d % 2):, :] = 0
+                out.append({
+                    "image_id": r.image_id,
+                    "bytes": _encode(px, r.fmt) if d % 4 in (0, 1)
+                    else r.bytes,
+                    "w": r.w, "h": r.h, "fmt": r.fmt,
+                    "caption": r.caption, "phash": r.phash,
+                })
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(plant, IMAGE_SCHEMA)
+
+
+def detect_letterbox(images: DataFrame) -> DataFrame:
+    """Letterbox/pillarbox detection: count contiguous UNIFORM rows from
+    the top/bottom and uniform columns from the left/right edges (a bar
+    row has one color across all pixels; real content — any photo or
+    render — essentially never does).  Content dims = image dims minus
+    bars: the crop a training pipeline should store instead of the
+    padded frame, and the fix for aspect-bucket pollution (a 16:9 frame
+    hiding a 4:3 content box trains in the wrong bucket).
+
+    Arrow-batched mapInPandas; the scan is vectorized numpy per image
+    (row/col ptp == 0), capped at half the frame so a solid image is
+    not consumed twice.  Returns (image_id, bar_top, bar_bottom,
+    bar_left, bar_right, content_w, content_h).
+    """
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def run_len(uniform: np.ndarray, cap: int) -> int:
+            n = 0
+            for u in uniform[:cap]:
+                if not u:
+                    break
+                n += 1
+            return n
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                px = _decode(r.bytes, r.w, r.h)
+                flat_rows = px.reshape(r.h, -1)
+                flat_cols = px.transpose(1, 0, 2).reshape(r.w, -1)
+                row_uni = (flat_rows == flat_rows[:, :1]).all(axis=1)
+                col_uni = (flat_cols == flat_cols[:, :1]).all(axis=1)
+                top = run_len(row_uni, r.h // 2)
+                bot = run_len(row_uni[::-1], r.h // 2)
+                left = run_len(col_uni, r.w // 2)
+                right = run_len(col_uni[::-1], r.w // 2)
+                out.append({
+                    "image_id": r.image_id,
+                    "bar_top": top, "bar_bottom": bot,
+                    "bar_left": left, "bar_right": right,
+                    "content_w": r.w - left - right,
+                    "content_h": r.h - top - bot,
+                })
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(detect, LETTERBOX_SCHEMA)
+
+
+TILE_SCHEMA = (
+    "image_id STRING, n_tiles LONG, n_distinct_tiles LONG, "
+    "is_tiled BOOLEAN"
+)
+
+
+def plant_sprite_sheets(images: DataFrame, mod: int = 7,
+                        residue: int = 3) -> DataFrame:
+    """Test/bench fixture: replace doc%mod==residue images with a sprite
+    sheet — one 8x8 tile (from the image's own top-left corner) repeated
+    across the full frame — re-encoded in the image's own format.
+    QUANT_STEP rounding maps equal tiles to equal tiles, so tiling
+    survives the lossy path."""
+
+    def plant(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                d = int(r.image_id.split("-", 1)[1])
+                b = r.bytes
+                if d % mod == residue:
+                    px = _decode(r.bytes, r.w, r.h)
+                    tile = px[:8, :8, :]
+                    reps = np.tile(tile, ((r.h + 7) // 8, (r.w + 7) // 8, 1))
+                    b = _encode(reps[: r.h, : r.w, :], r.fmt)
+                out.append({
+                    "image_id": r.image_id, "bytes": b,
+                    "w": r.w, "h": r.h, "fmt": r.fmt,
+                    "caption": r.caption, "phash": r.phash,
+                })
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(plant, IMAGE_SCHEMA)
+
+
+def detect_sprite_sheets(images: DataFrame, tile: int = 8) -> DataFrame:
+    """Sprite-sheet / tiled-texture detection: cut the full 8x8-aligned
+    grid (floor(h/8) x floor(w/8) tiles), count DISTINCT tiles, and
+    flag images whose whole grid is one repeated tile.  CSS sprite
+    sheets, tiled backgrounds and texture atlases are worthless as
+    image-caption training rows but sail through phash dedup (each
+    sheet hashes uniquely) — this is the gate that catches the family.
+
+    Batched mapInPandas; per image the tiles land in one numpy reshape
+    and a set-of-bytes distinct count.  Returns (image_id, n_tiles,
+    n_distinct_tiles, is_tiled)."""
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples():
+                px = _decode(r.bytes, r.w, r.h)
+                th, tw = r.h // tile, r.w // tile
+                grid = px[: th * tile, : tw * tile, :]
+                tiles = (
+                    grid.reshape(th, tile, tw, tile, 3)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(th * tw, -1)
+                )
+                uniq = len({t.tobytes() for t in tiles})
+                out.append({
+                    "image_id": r.image_id,
+                    "n_tiles": th * tw,
+                    "n_distinct_tiles": uniq,
+                    "is_tiled": uniq == 1 and th * tw > 1,
+                })
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(detect, TILE_SCHEMA)
