@@ -1,0 +1,160 @@
+"""Capacity planning for 100 TB crawls: partition sizing + skew forecast.
+
+At cluster scale the two knobs that decide whether a crawl wave runs or
+falls over are (a) how many shuffle partitions each stage gets relative
+to its byte volume and (b) how unevenly those bytes land on reducers.
+This module computes both FROM DATA, the way an AQE-style planner would:
+
+- ``partition_sizing``: per group (host / source), total bytes and the
+  number of target-sized partitions that volume needs, plus the
+  AQE-style classification (``split`` when a single group exceeds the
+  skewed-partition threshold, ``coalesce`` when it is a small fraction
+  of the target, ``ok`` otherwise).  This is exactly the arithmetic
+  behind ``spark.sql.adaptive.advisoryPartitionSizeInBytes`` /
+  ``skewedPartitionThresholdInBytes``, surfaced as a plan so a crawl
+  operator can size ``spark.sql.shuffle.partitions`` before the big
+  shuffle instead of discovering OOM mid-wave.
+
+- ``shuffle_skew_forecast``: forecast per-reducer byte load under a
+  sorted round-robin (LPT-flavoured) assignment of groups to ``P``
+  buckets — heaviest group to bucket 0, next to bucket 1, ... wrapping.
+  Reports each bucket's forecast bytes and its load factor vs the ideal
+  ``total/P``.  Hash partitioning can stack two hot hosts on one
+  reducer; rank-round-robin bounds the max bucket by
+  ``max(heaviest group, ~total/P + heaviest)`` and is what the salted
+  repartition in the frontier approximates.
+
+- ``capacity_summary``: one-row cluster-sizing read-out — total bytes,
+  recommended shuffle partitions (integer-exact ceil), the forecast max
+  reducer load under round-robin, and the skew ratio max/ideal.
+
+All arithmetic is integer-exact (``(n + t - 1) div t`` ceils, no float
+rounding) so the DuckDB oracle reproduces it bit-for-bit.  Everything
+is plain DataFrame expressions — one groupBy per plan, one small window
+over the per-group aggregate (|groups| rows, not |data| rows), nothing
+per-row in Python.
+
+reference: crwlrsoft/crawler has no cluster planner (single PHP process,
+src/Crawler.php:251-276); this module is part of the engine-side scale
+additions the north_rule asks for (explicit partitioning / skew
+handling for a 10^10-URL frontier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def partition_sizing(
+    df: DataFrame,
+    group_col: str,
+    bytes_col: str,
+    target_bytes: int,
+    small_frac_pct: int = 20,
+) -> DataFrame:
+    """Per-group byte volume -> partitions needed at ``target_bytes``.
+
+    ``parts_needed`` = integer ceil(total_bytes / target_bytes), min 1.
+    ``size_class``: ``split`` if the group alone is > 2x target (AQE's
+    skewed-partition rule: one hash bucket would blow the advisory
+    size and must be split), ``coalesce`` if < small_frac_pct% of
+    target (many such groups should share a partition), else ``ok``.
+    """
+    t = int(target_bytes)
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(bytes_col).cast("long").alias("total_bytes"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    parts = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"(total_bytes + {t - 1}) div {t}"),
+    )
+    return agg.select(
+        "grp",
+        "total_bytes",
+        "n_rows",
+        parts.alias("parts_needed"),
+        F.when(F.col("total_bytes") > F.lit(2 * t), F.lit("split"))
+        .when(
+            F.col("total_bytes") * F.lit(100) < F.lit(small_frac_pct * t),
+            F.lit("coalesce"),
+        )
+        .otherwise(F.lit("ok"))
+        .alias("size_class"),
+    )
+
+
+def shuffle_skew_forecast(
+    df: DataFrame,
+    group_col: str,
+    bytes_col: str,
+    num_buckets: int,
+) -> DataFrame:
+    """Forecast per-reducer bytes under sorted round-robin placement.
+
+    Groups are ranked by total bytes descending (group name as the
+    deterministic tiebreak) and assigned bucket ``(rank-1) % P``.  The
+    window runs over the per-group AGGREGATE (|groups| rows), not the
+    data, so the single-partition window is bounded by the number of
+    hosts — the same bounded-funnel discipline as ranks.py.
+
+    ``load_pct_of_ideal`` is integer-exact: bucket_bytes * 100 * P /
+    total_bytes, floored.
+    """
+    p = int(num_buckets)
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(bytes_col).cast("long").alias("grp_bytes")
+    )
+    w = Window.orderBy(F.col("grp_bytes").desc(), F.col("grp"))
+    placed = agg.withColumn(
+        "bucket", ((F.row_number().over(w) - F.lit(1)) % F.lit(p)).cast("int")
+    )
+    per_bucket = placed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("grp_bytes").alias("bucket_bytes"),
+        F.max("grp_bytes").alias("heaviest_group_bytes"),
+    )
+    total = placed.agg(F.sum("grp_bytes").alias("total_bytes"))
+    return per_bucket.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        "n_groups",
+        "bucket_bytes",
+        "heaviest_group_bytes",
+        F.expr(f"(bucket_bytes * 100 * {p}) div total_bytes").alias(
+            "load_pct_of_ideal"
+        ),
+    )
+
+
+def capacity_summary(
+    df: DataFrame,
+    group_col: str,
+    bytes_col: str,
+    target_bytes: int,
+    num_buckets: int,
+) -> DataFrame:
+    """One-row sizing read-out for a wave: totals, recommended shuffle
+    partition count, and the round-robin max-reducer forecast."""
+    t = int(target_bytes)
+    fore = shuffle_skew_forecast(df, group_col, bytes_col, num_buckets)
+    totals = df.agg(
+        F.sum(bytes_col).cast("long").alias("total_bytes"),
+        F.countDistinct(group_col).alias("n_groups"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    skew = fore.agg(
+        F.max("bucket_bytes").alias("max_bucket_bytes"),
+        F.max("load_pct_of_ideal").alias("max_load_pct_of_ideal"),
+    )
+    return totals.crossJoin(F.broadcast(skew)).select(
+        "total_bytes",
+        "n_groups",
+        "n_rows",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(total_bytes + {t - 1}) div {t}"),
+        ).alias("recommended_shuffle_partitions"),
+        "max_bucket_bytes",
+        "max_load_pct_of_ideal",
+    )

@@ -38,6 +38,15 @@ HAZARDS = {
 # query -> {hazard: justification}.  A whitelist entry means the hazard
 # string APPEARS in the plan but the shape is bounded by construction.
 WHITELIST: dict[str, dict[str, str]] = {
+    # the round-robin placement window runs over the per-host AGGREGATE
+    # (|hosts| rows after a map-side-combined groupBy), never the data;
+    # bounded funnel, asserted in test_capacity (window above HashAggregate).
+    "shuffle_skew_forecast": {
+        "single_partition": "window over per-group aggregate (|hosts| rows)"
+    },
+    "capacity_summary": {
+        "single_partition": "window over per-group aggregate (|hosts| rows)"
+    },
     # ann brute force scores the corpus against a BROADCAST literal block
     # of <= a few hundred query vectors: the nested loop is k_q * n with
     # tiny k_q, the corpus side never shuffles (asserted in test_plans).
