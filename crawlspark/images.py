@@ -1689,3 +1689,449 @@ def detect_sprite_sheets(images: DataFrame, tile: int = 8) -> DataFrame:
             yield pd.DataFrame(out)
 
     return images.mapInPandas(detect, TILE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# round-3 container walks: animated WebP, APNG, TIFF, SVG, JPEG APPn
+# --------------------------------------------------------------------------
+
+def webp_animation(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Animated-WebP chunk walk — the VP8X/ANIM/ANMF sibling of
+    :func:`gif_animation`: frame count, per-frame durations, loop count
+    and feature flags without decoding a frame.  GIF is legacy; WebP is
+    what image CDNs actually serve animations as today, and a crawler
+    needs the same autoplay / fetch-cost signal there (reference scopes
+    only static loading, src/Steps/Loading/Http.php — this is the image
+    payload axis of the graft).
+
+    Per the WebP container spec: RIFF header, first chunk ``VP8X``
+    (feature flags byte — ICC 0x20, alpha 0x10, EXIF 0x08, XMP 0x04,
+    animation 0x02 — then 24-bit LE canvas w-1 / h-1), then for
+    animations an ``ANIM`` chunk (4-byte BGRA background + u16 LE loop
+    count, 0 = forever) and one ``ANMF`` chunk per frame (24-bit LE
+    frame x/2, y/2, w-1, h-1, then a 24-bit LE duration in ms).  Chunks
+    are (4cc, u32 LE size, payload padded to even).
+
+    Arrow-batched pandas UDF (variable chunk offsets, same family as
+    gif_animation / isobmff_meta).  Adds (webp_animated 0/1,
+    webp_frames, webp_loop_count, webp_min_dur_ms, webp_total_dur_ms,
+    webp_has_alpha 0/1, webp_has_icc 0/1, webp_complete 0/1).  Static
+    VP8/VP8L/VP8X-without-ANIM payloads get webp_animated = 0 with
+    frames = 1; non-WebP payloads all NULL; a chunk that overruns the
+    buffer stops the walk with webp_complete = 0 (counted frames kept).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "animated int, frames long, loops long, min_dur long, "
+        "total_dur long, has_alpha int, has_icc int, complete int"
+    )
+    def walk(bs: pd.Series) -> pd.DataFrame:
+        cols = ("animated", "frames", "loops", "min_dur", "total_dur",
+                "has_alpha", "has_icc", "complete")
+        out = {k: [] for k in cols}
+
+        def emit(**kw):
+            for k in cols:
+                out[k].append(kw.get(k))
+
+        def le(b, i, n):
+            v = 0
+            for k in range(n):
+                v |= b[i + k] << (8 * k)
+            return v
+
+        for b in bs:
+            if b is None or len(b) < 16 or b[:4] != b"RIFF" \
+                    or b[8:12] != b"WEBP":
+                emit()
+                continue
+            tag = b[12:16]
+            if tag in (b"VP8 ", b"VP8L"):
+                emit(animated=0, frames=1, has_alpha=0, has_icc=0,
+                     complete=1)
+                continue
+            if tag != b"VP8X" or len(b) < 30:
+                emit()
+                continue
+            flags = b[20]
+            has_alpha = 1 if flags & 0x10 else 0
+            has_icc = 1 if flags & 0x20 else 0
+            anim_flag = 1 if flags & 0x02 else 0
+            # walk chunks after the VP8X chunk (size at 16, payload 10)
+            i = 20 + le(b, 16, 4) + (le(b, 16, 4) & 1)
+            frames, durs, loops = 0, [], None
+            complete = 1
+            while i + 8 <= len(b):
+                cc = b[i:i + 4]
+                size = le(b, i + 4, 4)
+                body = i + 8
+                if body + size > len(b):
+                    complete = 0  # truncated fetch mid-chunk
+                    break
+                if cc == b"ANIM" and size >= 6:
+                    loops = le(b, body + 4, 2)
+                elif cc == b"ANMF" and size >= 16:
+                    frames += 1
+                    durs.append(le(b, body + 12, 3))
+                i = body + size + (size & 1)
+            if not anim_flag:
+                emit(animated=0, frames=1, has_alpha=has_alpha,
+                     has_icc=has_icc, complete=complete)
+                continue
+            emit(animated=1 if frames > 1 else 0, frames=frames,
+                 loops=loops,
+                 min_dur=min(durs) if durs else None,
+                 total_dur=sum(durs) if durs else None,
+                 has_alpha=has_alpha, has_icc=has_icc, complete=complete)
+        return pd.DataFrame({
+            "animated": pd.array(out["animated"], dtype="Int32"),
+            "frames": pd.array(out["frames"], dtype="Int64"),
+            "loops": pd.array(out["loops"], dtype="Int64"),
+            "min_dur": pd.array(out["min_dur"], dtype="Int64"),
+            "total_dur": pd.array(out["total_dur"], dtype="Int64"),
+            "has_alpha": pd.array(out["has_alpha"], dtype="Int32"),
+            "has_icc": pd.array(out["has_icc"], dtype="Int32"),
+            "complete": pd.array(out["complete"], dtype="Int32"),
+        })
+
+    g = imgs.withColumn("__aw", walk(F.col(bytes_col)))
+    return (
+        g.withColumn("webp_animated", F.col("__aw.animated"))
+        .withColumn("webp_frames", F.col("__aw.frames"))
+        .withColumn("webp_loop_count", F.col("__aw.loops"))
+        .withColumn("webp_min_dur_ms", F.col("__aw.min_dur"))
+        .withColumn("webp_total_dur_ms", F.col("__aw.total_dur"))
+        .withColumn("webp_has_alpha", F.col("__aw.has_alpha"))
+        .withColumn("webp_has_icc", F.col("__aw.has_icc"))
+        .withColumn("webp_complete", F.col("__aw.complete"))
+        .drop("__aw")
+    )
+
+
+def apng_animation(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """APNG detection via PNG chunk walk — ``acTL`` (animation control:
+    u32 BE num_frames, u32 BE num_plays, 0 = forever) is only valid
+    BEFORE the first ``IDAT``; per-frame delays come from each
+    ``fcTL``'s u16 BE delay_num / delay_den (den 0 reads as 100 per
+    spec).  A plain PNG and an APNG are byte-identical to fixed-offset
+    sniffers (sniff_header_dims reads both as 'png'), so animation
+    accounting needs this walk — same crawler rationale as
+    gif_animation.
+
+    Arrow-batched pandas UDF.  Adds (apng 0/1, apng_frames, apng_plays,
+    apng_total_delay_ms — integer floor of 1000*num/den summed — and
+    png_complete 0/1 = IEND reached).  Non-PNG payloads -> all NULL;
+    a PNG whose acTL appears after IDAT is NOT an APNG (spec: ignore),
+    apng = 0.  Delay arithmetic is integer-exact (floor division), so
+    the DuckDB oracle can restate it.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("apng int, frames long, plays long, total_ms long, "
+                "complete int")
+    def walk(bs: pd.Series) -> pd.DataFrame:
+        cols = ("apng", "frames", "plays", "total_ms", "complete")
+        out = {k: [] for k in cols}
+
+        def emit(**kw):
+            for k in cols:
+                out[k].append(kw.get(k))
+
+        SIG = b"\x89PNG\r\n\x1a\n"
+
+        def be(b, i, n):
+            v = 0
+            for k in range(n):
+                v = (v << 8) | b[i + k]
+            return v
+
+        for b in bs:
+            if b is None or len(b) < 16 or b[:8] != SIG:
+                emit()
+                continue
+            i = 8
+            frames = plays = None
+            seen_idat = False
+            actl_ok = False
+            total_ms = 0
+            complete = 0
+            while i + 8 <= len(b):
+                ln = be(b, i, 4)
+                typ = b[i + 4:i + 8]
+                body = i + 8
+                if body + ln + 4 > len(b):
+                    break  # truncated chunk (data + CRC overruns)
+                if typ == b"IEND":
+                    complete = 1
+                    break
+                if typ == b"IDAT":
+                    seen_idat = True
+                elif typ == b"acTL" and ln >= 8 and not seen_idat:
+                    actl_ok = True
+                    frames = be(b, body, 4)
+                    plays = be(b, body + 4, 4)
+                elif typ == b"fcTL" and ln >= 26 and actl_ok:
+                    num = be(b, body + 20, 2)
+                    den = be(b, body + 22, 2) or 100
+                    total_ms += (1000 * num) // den
+                i = body + ln + 4  # skip data + CRC
+            if actl_ok:
+                emit(apng=1, frames=frames, plays=plays,
+                     total_ms=total_ms, complete=complete)
+            else:
+                emit(apng=0, complete=complete)
+        return pd.DataFrame({
+            "apng": pd.array(out["apng"], dtype="Int32"),
+            "frames": pd.array(out["frames"], dtype="Int64"),
+            "plays": pd.array(out["plays"], dtype="Int64"),
+            "total_ms": pd.array(out["total_ms"], dtype="Int64"),
+            "complete": pd.array(out["complete"], dtype="Int32"),
+        })
+
+    g = imgs.withColumn("__ap", walk(F.col(bytes_col)))
+    return (
+        g.withColumn("apng", F.col("__ap.apng"))
+        .withColumn("apng_frames", F.col("__ap.frames"))
+        .withColumn("apng_plays", F.col("__ap.plays"))
+        .withColumn("apng_total_delay_ms", F.col("__ap.total_ms"))
+        .withColumn("png_complete", F.col("__ap.complete"))
+        .drop("__ap")
+    )
+
+
+def tiff_dims(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """TIFF IFD walk — dims and orientation from IFD0's tag entries in
+    EITHER byte order ('II' little / 'MM' big, magic 42), the one header
+    family where every field's endianness is data-dependent so a fixed
+    substring expression cannot do it.  Scans (u16 entry count, then
+    12-byte entries: tag u16, type u16, count u32, value-or-offset 4B)
+    for ImageWidth 256, ImageLength 257, Orientation 274; SHORT(3)
+    values read from the FIRST TWO bytes of the value field (spec:
+    left-justified within the 4-byte slot in the file's byte order),
+    LONG(4) from all four.  Camera originals and scanned-document
+    payloads on the web are TIFF; EXIF blobs reuse this exact structure
+    (exif_orientation_plan consumes the tag this walk extracts).
+
+    Arrow-batched pandas UDF; entry walk bounded at 512 entries.  Adds
+    (tiff_endian 'II'/'MM', sniff_w, sniff_h, tiff_orientation); non-
+    TIFF / truncated -> NULLs.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("endian string, w long, h long, orient long")
+    def walk(bs: pd.Series) -> pd.DataFrame:
+        es, ws, hs, os_ = [], [], [], []
+        for b in bs:
+            endian = w = h = orient = None
+            if b is not None and len(b) >= 8 and b[:2] in (b"II", b"MM"):
+                little = b[:2] == b"II"
+
+                def rd(i, n):
+                    if i + n > len(b):
+                        return None
+                    chunk = b[i:i + n]
+                    return int.from_bytes(
+                        chunk, "little" if little else "big")
+
+                if rd(2, 2) == 42:
+                    endian = "II" if little else "MM"
+                    ifd = rd(4, 4)
+                    n = rd(ifd, 2) if ifd is not None else None
+                    if n is not None:
+                        for k in range(min(n, 512)):
+                            e = ifd + 2 + 12 * k
+                            tag, typ = rd(e, 2), rd(e + 2, 2)
+                            if tag is None or typ is None:
+                                break
+                            if typ == 3:
+                                val = rd(e + 8, 2)
+                            elif typ == 4:
+                                val = rd(e + 8, 4)
+                            else:
+                                continue
+                            if tag == 256:
+                                w = val
+                            elif tag == 257:
+                                h = val
+                            elif tag == 274:
+                                orient = val
+            es.append(endian)
+            ws.append(w)
+            hs.append(h)
+            os_.append(orient)
+        return pd.DataFrame({
+            "endian": es, "w": pd.array(ws, dtype="Int64"),
+            "h": pd.array(hs, dtype="Int64"),
+            "orient": pd.array(os_, dtype="Int64"),
+        })
+
+    g = imgs.withColumn("__tf", walk(F.col(bytes_col)))
+    return (
+        g.withColumn("tiff_endian", F.col("__tf.endian"))
+        .withColumn("sniff_w", F.col("__tf.w"))
+        .withColumn("sniff_h", F.col("__tf.h"))
+        .withColumn("tiff_orientation", F.col("__tf.orient"))
+        .drop("__tf")
+    )
+
+
+def svg_dims(docs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """SVG detection + intrinsic dims — the one image format that is
+    TEXT: sniff the root ``<svg>`` element through optional XML
+    declaration / comments / DOCTYPE, then read integer pixel dims from
+    ``width``/``height`` attributes (bare or ``px``-suffixed), falling
+    back to the 3rd/4th ``viewBox`` numbers.  A width in relative units
+    (em/%/pt/mm...) has no pixel meaning without layout context, so it
+    yields NULL dims with ``svg_relative_units`` = 1 rather than a
+    guessed number.
+
+    Unlike the binary walks this is pure JVM regexp over the decoded
+    prefix (whole-stage codegen, no Python): SVG payloads on a crawl
+    are small and the root tag sits in the first kilobyte.  Adds
+    (is_svg 0/1, sniff_w, sniff_h, svg_relative_units 0/1).
+    """
+    head = F.decode(F.substring(F.col(bytes_col), 1, 2048), "UTF-8")
+    is_svg = head.rlike(
+        r"^\uFEFF?\s*(<\?xml[^>]*\?>\s*)?(<!--[\s\S]*?-->\s*)*"
+        r"(<!DOCTYPE[^>]*>\s*)?<svg[\s>]")
+    tag = F.regexp_extract(head, r"(?s)(<svg[^>]*>)", 1)
+    w_attr = F.regexp_extract(
+        tag, "\\bwidth\\s*=\\s*[\"']\\s*([0-9]+)(?:\\.[0-9]+)?"
+             "\\s*(px)?\\s*[\"']", 1)
+    h_attr = F.regexp_extract(
+        tag, "\\bheight\\s*=\\s*[\"']\\s*([0-9]+)(?:\\.[0-9]+)?"
+             "\\s*(px)?\\s*[\"']", 1)
+    w_rel = F.regexp_extract(
+        tag, "\\bwidth\\s*=\\s*[\"']\\s*[0-9.]+\\s*"
+             "(em|ex|%|pt|pc|cm|mm|in)\\s*[\"']", 1)
+    h_rel = F.regexp_extract(
+        tag, "\\bheight\\s*=\\s*[\"']\\s*[0-9.]+\\s*"
+             "(em|ex|%|pt|pc|cm|mm|in)\\s*[\"']", 1)
+    vb_w = F.regexp_extract(
+        tag, "\\bviewBox\\s*=\\s*[\"']\\s*[-0-9.]+[ ,]+[-0-9.]+[ ,]+"
+             "([0-9]+)(?:\\.[0-9]+)?[ ,]+[0-9.]+\\s*[\"']", 1)
+    vb_h = F.regexp_extract(
+        tag, "\\bviewBox\\s*=\\s*[\"']\\s*[-0-9.]+[ ,]+[-0-9.]+[ ,]+"
+             "[0-9.]+[ ,]+([0-9]+)(?:\\.[0-9]+)?\\s*[\"']", 1)
+    rel = (w_rel != "") | (h_rel != "")
+    sw = (
+        F.when(~is_svg | rel, F.lit(None))
+        .when(w_attr != "", w_attr)
+        .when(vb_w != "", vb_w)
+    ).cast("long")
+    sh = (
+        F.when(~is_svg | rel, F.lit(None))
+        .when(h_attr != "", h_attr)
+        .when(vb_h != "", vb_h)
+    ).cast("long")
+    return (
+        docs.withColumn("is_svg", is_svg.cast("int"))
+        .withColumn("sniff_w", sw)
+        .withColumn("sniff_h", sh)
+        .withColumn(
+            "svg_relative_units",
+            F.when(is_svg, rel.cast("int")).otherwise(F.lit(None)))
+    )
+
+
+def jpeg_app_segments(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """JPEG metadata-segment inventory — the color-management walk the
+    SOF-dims walk (:func:`jpeg_sof_dims`) skips past: EXIF presence
+    (APP1 ``Exif\\0\\0``), embedded ICC profile (APP2
+    ``ICC_PROFILE\\0``, possibly split across chunks), the Adobe APP14
+    transform byte, and the SOF component count.  Together these decide
+    the color mode: 4 components with Adobe transform 2 is YCCK, with
+    transform 0 / no APP14 is raw CMYK — payloads that most thumbnail
+    stacks decode with inverted or shifted colors, so a training
+    pipeline routes them through a color-managed path (or quarantines)
+    BEFORE pixels hit the model.  1 component is grayscale; 3 is YCbCr
+    unless Adobe says transform 0 (RGB).
+
+    Arrow-batched pandas UDF, same marker walk discipline as
+    jpeg_sof_dims (fill bytes, standalone markers, u16 BE segment
+    lengths).  Adds (jpeg_has_exif, jpeg_has_icc, jpeg_icc_chunks,
+    jpeg_adobe_transform, jpeg_ncomp, jpeg_color_mode); non-JPEG ->
+    all NULL.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("has_exif int, has_icc int, icc_chunks long, "
+                "adobe long, ncomp long, mode string")
+    def walk(bs: pd.Series) -> pd.DataFrame:
+        cols = ("has_exif", "has_icc", "icc_chunks", "adobe", "ncomp",
+                "mode")
+        out = {k: [] for k in cols}
+        for b in bs:
+            if b is None or len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+                for k in cols:
+                    out[k].append(None)
+                continue
+            has_exif = 0
+            icc_chunks = 0
+            adobe = None
+            ncomp = None
+            i = 2
+            while i + 4 <= len(b):
+                if b[i] != 0xFF:
+                    break
+                if b[i + 1] == 0xFF:
+                    i += 1
+                    continue
+                marker = b[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                if marker in (0xD9, 0xDA):
+                    break  # EOI / start-of-scan: metadata is over
+                seglen = (b[i + 2] << 8) | b[i + 3]
+                if seglen < 2 or i + 2 + seglen > len(b):
+                    break
+                body = b[i + 4:i + 2 + seglen]
+                if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+                    has_exif = 1
+                elif marker == 0xE2 and body[:12] == b"ICC_PROFILE\x00":
+                    icc_chunks += 1
+                elif marker == 0xEE and body[:5] == b"Adobe" \
+                        and len(body) >= 12:
+                    adobe = body[11]
+                elif 0xC0 <= marker <= 0xC3 and len(body) >= 6:
+                    ncomp = body[5]
+                i += 2 + seglen
+            if ncomp == 4:
+                mode = "ycck" if adobe == 2 else "cmyk"
+            elif ncomp == 3:
+                mode = "rgb" if adobe == 0 else "ycbcr"
+            elif ncomp == 1:
+                mode = "gray"
+            else:
+                mode = None
+            out["has_exif"].append(has_exif)
+            out["has_icc"].append(1 if icc_chunks else 0)
+            out["icc_chunks"].append(icc_chunks)
+            out["adobe"].append(adobe)
+            out["ncomp"].append(ncomp)
+            out["mode"].append(mode)
+        return pd.DataFrame({
+            "has_exif": pd.array(out["has_exif"], dtype="Int32"),
+            "has_icc": pd.array(out["has_icc"], dtype="Int32"),
+            "icc_chunks": pd.array(out["icc_chunks"], dtype="Int64"),
+            "adobe": pd.array(out["adobe"], dtype="Int64"),
+            "ncomp": pd.array(out["ncomp"], dtype="Int64"),
+            "mode": out["mode"],
+        })
+
+    g = imgs.withColumn("__js", walk(F.col(bytes_col)))
+    return (
+        g.withColumn("jpeg_has_exif", F.col("__js.has_exif"))
+        .withColumn("jpeg_has_icc", F.col("__js.has_icc"))
+        .withColumn("jpeg_icc_chunks", F.col("__js.icc_chunks"))
+        .withColumn("jpeg_adobe_transform", F.col("__js.adobe"))
+        .withColumn("jpeg_ncomp", F.col("__js.ncomp"))
+        .withColumn("jpeg_color_mode", F.col("__js.mode"))
+        .drop("__js")
+    )
