@@ -646,3 +646,147 @@ def accept_negotiation(
         )
         .drop("__b")
     )
+
+
+def hedged_fetch_plan(
+    samples: DataFrame,
+    host_col: str = "host",
+    id_col: str = "req_id",
+    latency_col: str = "latency_ms",
+    hedge_pct: int = 95,
+) -> DataFrame:
+    """Tail-latency hedging read-out per host ("The Tail at Scale":
+    issue a second request once the first has been outstanding longer
+    than the p-th percentile, take whichever answers first).  The
+    reference's retry layer only reacts to FAILURES
+    (src/Loader/Http/Politeness/RetryErrorResponseHandler.php); hedging
+    is the scale policy for the slow-but-successful tail a 1000-executor
+    fetch wave stalls on.
+
+    Per host, from observed latency samples: the hedge delay as the
+    EXACT p-th percentile order statistic (rank ceil(p*n/100), no
+    interpolation — replayable integer), and an empirical replay that
+    pairs each request deterministically with the next request on the
+    same host (by id order, wrapping): hedged completion
+    ``min(x_i, delay + x_next)``.  Read-outs: how many requests would
+    hedge (latency > delay), total duplicate-work rate, and the
+    permille cut of summed latency — the data that says whether hedging
+    pays for a host before any scheduler turns it on.
+
+    Plan: per-host windows (rank + lead) partitioned on host — never a
+    global window; one groupBy for the read-out.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(latency_col, id_col)
+    wi = Window.partitionBy("host").orderBy("rid")
+    n = F.count("*").over(Window.partitionBy(host_col))
+    ranked = samples.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("rid"),
+        F.col(latency_col).cast("long").alias("lat"),
+        F.row_number().over(w).cast("long").alias("__r"),
+        n.cast("long").alias("__n"),
+    )
+    delay = ranked.filter(
+        F.col("__r") == F.ceil(F.lit(hedge_pct) * F.col("__n") / 100)
+    ).select("host", F.col("lat").alias("hedge_delay_ms"))
+    partner = F.coalesce(
+        F.lead("lat", 1).over(wi),
+        F.first("lat").over(
+            wi.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)),
+    )
+    paired = (
+        ranked.withColumn("__partner", partner)
+        .join(F.broadcast(delay), "host")
+        .withColumn(
+            "__hedged",
+            F.least(F.col("lat"),
+                    F.col("hedge_delay_ms") + F.col("__partner")))
+    )
+    out = paired.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_requests"),
+        F.first("hedge_delay_ms").alias("hedge_delay_ms"),
+        F.sum("lat").cast("long").alias("sum_latency_ms"),
+        F.sum("__hedged").cast("long").alias("sum_hedged_ms"),
+        F.sum(F.when(F.col("lat") > F.col("hedge_delay_ms"), 1)
+              .otherwise(0)).cast("long").alias("n_hedged"),
+    )
+    return out.select(
+        "host", "n_requests", "hedge_delay_ms", "sum_latency_ms",
+        "sum_hedged_ms", "n_hedged",
+        ((1000 * F.col("n_hedged")) / F.col("n_requests")).cast("long")
+        .alias("hedge_rate_permille"),
+        ((1000 * (F.col("sum_latency_ms") - F.col("sum_hedged_ms")))
+         / F.col("sum_latency_ms")).cast("long")
+        .alias("latency_cut_permille"),
+    )
+
+
+def consistent_ring_assign(
+    hosts: DataFrame,
+    fetchers: list[str],
+    host_col: str = "host",
+    vnodes: int = 16,
+    load_cap_permille: int = 1250,
+) -> DataFrame:
+    """Consistent-hash ring assignment of hosts onto the fetcher fleet,
+    with virtual nodes and a bounded-load read-out — the OTHER classic
+    fleet-assignment scheme next to :func:`rendezvous_assign`: rendezvous
+    recomputes argmax over ALL fetchers per key (O(F) per key, perfect
+    balance), the ring does one successor lookup against F*vnodes points
+    (O(log) per key in a real router) and its reassignment set under
+    fetcher loss is PROVABLY only the lost fetcher's keys — the property
+    that matters when the fleet autoscales mid-wave (asserted in tests).
+
+    Each fetcher contributes ``vnodes`` ring points (hash of
+    ``fetcher#replica``); a host goes to the first point clockwise from
+    its own hash (wrapping).  ``load_cap = ceil(cap_permille/1000 *
+    n_hosts/|fetchers|)`` is Karger-style bounded load: hosts ranked
+    within their fetcher by ring distance; rank beyond the cap =>
+    ``would_spill`` (the keys a bounded-load router would push to the
+    next ring point) — the skew read-out that says whether vnodes are
+    too few before the wave launches.
+
+    Plan: ring table is F*vnodes literal rows broadcast against the host
+    table (narrow min-struct aggregation per host, no shuffle of hosts
+    beyond the final per-fetcher rank window partitioned by fetcher).
+    """
+    from .textops.dedup import base_hash
+
+    spark = hosts.sparkSession
+    ring = spark.createDataFrame(
+        [(f, r) for f in fetchers for r in range(int(vnodes))],
+        "fetcher string, replica int",
+    ).select(
+        "fetcher",
+        base_hash(F.concat(F.col("fetcher"), F.lit("#"),
+                           F.col("replica").cast("string"))).alias("pos"),
+    )
+    key = base_hash(F.col(host_col))
+    ring_span = 1 << 32  # base_hash range: first 8 md5 hex digits
+    joined = (
+        hosts.select(F.col(host_col).alias("host"), key.alias("__k"))
+        .join(F.broadcast(ring))
+        .withColumn(
+            "__delta",
+            F.pmod(F.col("pos") - F.col("__k"), F.lit(ring_span)))
+    )
+    best = joined.groupBy("host", "__k").agg(
+        F.min(F.struct("__delta", "pos", "fetcher")).alias("__b")
+    ).select(
+        "host",
+        F.col("__b.fetcher").alias("fetcher"),
+        F.col("__b.__delta").alias("ring_delta"),
+    )
+    from pyspark.sql import Window
+
+    n_total = best.count()
+    cap = -(-int(load_cap_permille) * n_total // (1000 * len(fetchers)))
+    wr = Window.partitionBy("fetcher").orderBy("ring_delta", "host")
+    return best.select(
+        "host", "fetcher", "ring_delta",
+        F.row_number().over(wr).cast("long").alias("rank_in_fetcher"),
+        (F.row_number().over(wr) > cap).alias("would_spill"),
+    )

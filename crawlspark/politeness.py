@@ -695,3 +695,66 @@ def latency_quantile_bounds(
             F.col("lb").alias("q_lb_ms"), F.col("ub").alias("q_ub_ms"),
         )
     )
+
+
+def sitemap_lastmod_trust(
+    snapshots: "DataFrame",
+    host_col: str = "host",
+    lastmod_col: str = "lastmod_ts",
+    prev_fetch_col: str = "prev_fetch_ts",
+    prev_hash_col: str = "prev_hash",
+    cur_hash_col: str = "cur_hash",
+    min_samples: int = 20,
+) -> "DataFrame":
+    """Per-host trust score for sitemap ``<lastmod>`` claims — the signal
+    that decides whether a recrawl scheduler may SKIP unchanged-claiming
+    URLs (big hosts publish accurate lastmod; many CMSes stamp every URL
+    with "now", making the field worthless).  Extends the reference's
+    Sitemap::getUrlsFromSitemap withData=true surface
+    (src/Steps/Loading/Sitemap.php:27-61), which parses lastmod but
+    cannot say whether to believe it.
+
+    Per URL the claim is ``lastmod > prev_fetch_ts`` (page says it changed
+    since we last fetched) and the truth is ``prev_hash != cur_hash``.
+    Per host this yields the confusion counts and integer-permille
+    precision (claimed-changed that really changed) and recall (real
+    changes that were claimed): ``trusted`` needs precision AND recall
+    >= 900 over >= min_samples URLs — such hosts' unclaimed URLs can be
+    skipped; ``noisy`` (>= 500 both) halves their recrawl priority;
+    ``untrusted`` means ignore the field; fewer than min_samples URLs is
+    ``insufficient``.
+
+    One map-side-combined groupBy on host; pure JVM conditional sums.
+    """
+    claimed = F.col(lastmod_col) > F.col(prev_fetch_col)
+    actual = F.col(prev_hash_col) != F.col(cur_hash_col)
+
+    def cnt(cond) -> "F.Column":
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    g = snapshots.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").cast("long").alias("n_urls"),
+        cnt(claimed & actual).alias("tp"),
+        cnt(claimed & ~actual).alias("fp"),
+        cnt(~claimed & actual).alias("fn"),
+        cnt(~claimed & ~actual).alias("tn"),
+    )
+    precision = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        (1000 * F.col("tp")) / (F.col("tp") + F.col("fp")),
+    ).cast("long")
+    recall = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        (1000 * F.col("tp")) / (F.col("tp") + F.col("fn")),
+    ).cast("long")
+    g = g.withColumn("precision_permille", precision).withColumn(
+        "recall_permille", recall)
+    p = F.coalesce(F.col("precision_permille"), F.lit(1000))
+    r = F.coalesce(F.col("recall_permille"), F.lit(1000))
+    trust = (
+        F.when(F.col("n_urls") < min_samples, "insufficient")
+        .when((p >= 900) & (r >= 900), "trusted")
+        .when((p >= 500) & (r >= 500), "noisy")
+        .otherwise("untrusted")
+    )
+    return g.withColumn("trust", trust)

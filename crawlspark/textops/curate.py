@@ -996,3 +996,66 @@ def priority_sample(
             ),
         )
     )
+
+
+def pack_multimodal(
+    df: DataFrame,
+    n_tokens_col: str = "n_tokens",
+    n_images_col: str = "n_images",
+    token_capacity: int = 2048,
+    image_capacity: int = 8,
+    image_token_cost: int = 64,
+    id_col: str = "doc_id",
+    order_salt: str = "mmpack",
+) -> DataFrame:
+    """Interleaved multimodal sequence packing — the image-axis sibling of
+    :func:`pack_sequences`: a vision-language training sequence spends its
+    budget on text tokens PLUS a fixed per-image patch-token cost, and is
+    additionally capped on images per sequence (vision-encoder batch
+    memory), so packing is constrained in TWO dimensions.
+
+    Docs are laid out in the same deterministic salted-hash order as
+    pack_sequences; running prefix sums are taken over BOTH the combined
+    token cost (``n_tokens + image_token_cost * n_images``) and the image
+    count; ``bin_id = greatest(floor(cost_start / token_capacity),
+    floor(img_start / image_capacity))`` — a bin boundary falls wherever
+    EITHER running budget crosses a multiple of its capacity.  Same
+    streaming first-fit relaxation as pack_sequences (a bin can overflow
+    by at most one doc per dimension); ``bound_by`` reports which budget
+    closed each doc's bin ('tokens' / 'images' / 'both').
+
+    Scale: two exclusive prefix sums over one total order — both via
+    ranks.global_prefix_sum (range-partition + partial sums + broadcast
+    offsets), never a single-partition window; the second sum reuses the
+    first's order columns so AQE sees the same range exchange.
+    """
+    h = base_hash(F.concat(F.lit(order_salt), F.col(id_col).cast("string")))
+    cost = (
+        F.col(n_tokens_col).cast("long")
+        + F.lit(int(image_token_cost)) * F.col(n_images_col).cast("long")
+    )
+    d = df.select(
+        F.col(id_col),
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        F.col(n_images_col).cast("long").alias("n_images"),
+        cost.alias("__cost"),
+        h.alias("__h"),
+    )
+    from ..ranks import global_prefix_sum
+
+    d = global_prefix_sum(d, order_cols=["__h", id_col], val_col="__cost",
+                          out="__cost_start")
+    d = global_prefix_sum(d, order_cols=["__h", id_col], val_col="n_images",
+                          out="__img_start")
+    tok_bin = F.floor(F.col("__cost_start") / token_capacity).cast("long")
+    img_bin = F.floor(F.col("__img_start") / image_capacity).cast("long")
+    return d.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_images",
+        F.col("__cost").alias("seq_cost"),
+        F.greatest(tok_bin, img_bin).alias("bin_id"),
+        F.when(tok_bin == img_bin, "both")
+        .when(tok_bin > img_bin, "tokens")
+        .otherwise("images").alias("bound_by"),
+    )
