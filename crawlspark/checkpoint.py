@@ -230,3 +230,52 @@ def retention_sweep(
         "*",
         rank.cast("long").alias("capture_rank"),
     ).withColumn("keep", F.col("capture_rank") <= int(keep_last))
+
+
+def snapshot_expiry(
+    snapshots: "DataFrame",
+    files: "DataFrame",
+    horizon_ts: int,
+    keep_last: int = 3,
+    snap_col: str = "snapshot_id",
+    ts_col: str = "commit_ts",
+    file_col: str = "file_id",
+) -> "DataFrame":
+    """Iceberg-style snapshot expiry + orphan-file planning over the
+    checkpoint lineage (north_rule: the crawl resumes from
+    Iceberg-snapshot checkpoints — this is the maintenance job that
+    keeps that table from growing without bound).  A snapshot is
+    EXPIRABLE when it is older than ``horizon_ts`` AND not among the
+    ``keep_last`` newest (the retained history a resume can still bind
+    to, expireSnapshots(olderThan, retainLast) semantics).  A data file
+    becomes an ORPHAN candidate when every snapshot referencing it is
+    expirable — those are the bytes the sweep may actually delete;
+    a file any live snapshot still references must stay.
+
+    Returns per file: (file_id, n_refs, n_live_refs, orphaned).
+    Plan: global top-``keep_last`` over |snapshots| rows (tiny relation,
+    broadcast), then one groupBy on file_id over the manifest-membership
+    table with the expirable flag joined in broadcast — the membership
+    table is the big side and is touched once, map-side combined.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc(ts_col), F.desc(snap_col))
+    ranked = snapshots.select(
+        F.col(snap_col).alias("snap"),
+        F.col(ts_col).alias("ts"),
+        F.row_number().over(w).alias("__recent"),
+    )
+    flags = ranked.select(
+        "snap",
+        ((F.col("ts") < horizon_ts) & (F.col("__recent") > keep_last))
+        .alias("expirable"),
+    )
+    m = files.select(
+        F.col(file_col).alias("file_id"), F.col(snap_col).alias("snap")
+    ).join(F.broadcast(flags), "snap", "left")
+    return m.groupBy("file_id").agg(
+        F.count("*").cast("long").alias("n_refs"),
+        F.sum(F.when(~F.coalesce(F.col("expirable"), F.lit(False)), 1)
+              .otherwise(0)).cast("long").alias("n_live_refs"),
+    ).withColumn("orphaned", F.col("n_live_refs") == 0)

@@ -1150,3 +1150,49 @@ def classify_license(url: Column) -> Column:
         .when(cc != "", F.concat(F.lit("cc-"), cc))
         .otherwise("other")
     )
+
+
+def css_background_images(
+    pages: DataFrame,
+    body_col: str = "body",
+) -> DataFrame:
+    """CSS ``background-image`` URL extraction — the image references the
+    <img>-tag extractors (extract_links/img_srcset_candidates/og_images)
+    never see: hero banners, lazy-load placeholders and sprite sheets are
+    routinely delivered as ``style="background-image: url(...)"`` inline
+    attributes or ``background:`` shorthand inside ``<style>`` blocks.
+    The reference's GetLink steps stop at href/src
+    (src/Steps/Html/GetLink.php), so an image crawl scoped by them
+    under-fetches exactly the highest-weight marketing assets.
+
+    Pure JVM: regexp_extract_all over the raw HTML for ``url(...)``
+    tokens inside (a) style attributes and (b) <style> elements;
+    quotes stripped, ``data:`` URIs excluded (they carry no fetch).
+    Returns one row per (page, occurrence): (doc/ord lineage columns
+    pass through, css_url, css_source 'inline'|'style_block').
+    """
+    b = F.col(body_col)
+    url_in = r"url\(\s*['\"]?([^'\")\s]+)['\"]?\s*\)"
+    inline = F.regexp_extract_all(
+        b,
+        F.lit(r"(?is)style\s*=\s*\"[^\"]*?" + url_in + r"[^\"]*?\""),
+        1,
+    )
+    blocks = F.array_compact(F.flatten(F.transform(
+        F.regexp_extract_all(
+            b, F.lit(r"(?is)<style[^>]*>(.*?)</style>"), 1),
+        lambda css: F.regexp_extract_all(css, F.lit(url_in), 1),
+    )))
+    pairs = F.concat(
+        F.transform(inline, lambda u: F.struct(
+            u.alias("css_url"), F.lit("inline").alias("css_source"))),
+        F.transform(blocks, lambda u: F.struct(
+            u.alias("css_url"), F.lit("style_block").alias("css_source"))),
+    )
+    keep = [c for c in pages.columns if c != body_col]
+    return (
+        pages.select(*keep, F.explode(pairs).alias("__c"))
+        .select(*keep, F.col("__c.css_url").alias("css_url"),
+                F.col("__c.css_source").alias("css_source"))
+        .filter(~F.col("css_url").startswith("data:"))
+    )

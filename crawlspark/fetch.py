@@ -790,3 +790,51 @@ def consistent_ring_assign(
         F.row_number().over(wr).cast("long").alias("rank_in_fetcher"),
         (F.row_number().over(wr) > cap).alias("would_spill"),
     )
+
+
+def parse_link_headers(
+    responses: DataFrame,
+    link_col: str = "link_header",
+) -> DataFrame:
+    """RFC 8288 ``Link`` header parse — one row per link-value with its
+    target and the ``rel`` / ``as`` parameters.  The crawl uses two of
+    them: ``rel=preload; as=image`` (including 103 Early Hints replays
+    stored alongside the final response) announces the page's critical
+    images BEFORE HTML parsing — a fetch scheduler that seeds
+    image-payload candidates from these beats one that waits for the
+    DOM; and ``rel="next"`` is the header-side pagination signal
+    (the reference reads only the HTML rel=next,
+    src/Steps/Loading/Http/Paginators/SimpleWebsitePaginator.php).
+
+    Pure JVM: split the header on commas FOLLOWED by a ``<`` target
+    (commas are legal inside quoted params, but a new link-value always
+    starts ``<url>``), then per entry regexp-extract the target and the
+    (possibly quoted) rel/as params.  Lineage columns pass through; adds
+    (link_url, link_rel lowercased, link_as lowercased, ord).
+    """
+    entries = F.split(F.col(link_col), r",(?=\s*<)")
+    parsed = F.transform(
+        entries,
+        lambda e, i: F.struct(
+            F.regexp_extract(e, r"<\s*([^>]*?)\s*>", 1).alias("u"),
+            F.lower(F.regexp_extract(
+                e, "(?i)[;\\s]rel\\s*=\\s*\"?([A-Za-z0-9_ -]+)\"?", 1)
+            ).alias("rel"),
+            F.lower(F.regexp_extract(
+                e, "(?i)[;\\s]as\\s*=\\s*\"?([A-Za-z0-9_-]+)\"?", 1)
+            ).alias("as_"),
+            i.cast("long").alias("ord"),
+        ),
+    )
+    keep = [c for c in responses.columns if c != link_col]
+    return (
+        responses.select(*keep, F.explode(parsed).alias("__l"))
+        .filter(F.col("__l.u") != "")
+        .select(
+            *keep,
+            F.col("__l.u").alias("link_url"),
+            F.nullif(F.col("__l.rel"), F.lit("")).alias("link_rel"),
+            F.nullif(F.col("__l.as_"), F.lit("")).alias("link_as"),
+            F.col("__l.ord").alias("ord"),
+        )
+    )

@@ -625,3 +625,53 @@ def classify_alt_text(caption) -> "F.Column":
         .when(is_placeholder, F.lit("placeholder"))
         .otherwise(F.lit("ok"))
     )
+
+
+def caption_consensus(
+    images: DataFrame,
+    group_col: str = "phash",
+    caption_col: str = "caption",
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Consensus caption per duplicate-image group — the cross-modal
+    repair step after perceptual dedup: the SAME picture circulates with
+    many captions (alt-text rewrites, CMS defaults, hotlink scrapes),
+    and a training pair should carry the caption the web most often
+    attached to those pixels, not whichever copy the dedup pass happened
+    to keep.  Complements classify_alt_text (per-caption junk) and
+    caption_boilerplate (corpus-frequent captions): this one arbitrates
+    WITHIN a pixel-identical group.
+
+    Consensus = the group's most frequent caption, ties broken
+    lexicographically (deterministic under any partitioning); support =
+    integer permille of the group's copies carrying it.  Groups with
+    more than ``conflict`` distinct captions are flagged — high-conflict
+    groups are where mis-captioned scrapes live, and a curator reviews
+    or drops them.
+
+    Plan: two map-side-combined aggregations — (group, caption) counts,
+    then one max-struct per group (count desc via negation, caption
+    asc) — never a per-group sort window; both shuffles are on the
+    group key, the second input is |distinct captions| rows.
+    """
+    per_cap = images.groupBy(
+        F.col(group_col).alias("g"), F.col(caption_col).alias("cap")
+    ).agg(F.count("*").cast("long").alias("n"))
+    best = per_cap.groupBy("g").agg(
+        # min over (-count, caption): highest count wins, ties take the
+        # lexicographically smallest caption -- deterministic, no window
+        F.min(F.struct((-F.col("n")).alias("neg"),
+                       F.col("cap").alias("c"))).alias("__best"),
+        F.sum("n").cast("long").alias("n_copies"),
+        F.count("*").cast("long").alias("n_captions"),
+    )
+    return best.select(
+        F.col("g").alias(group_col),
+        F.col("__best.c").alias("consensus_caption"),
+        (-F.col("__best.neg")).cast("long").alias("consensus_count"),
+        "n_copies",
+        "n_captions",
+        ((1000 * -F.col("__best.neg")) / F.col("n_copies")).cast("long")
+        .alias("support_permille"),
+        (F.col("n_captions") > 1).alias("conflict"),
+    )
