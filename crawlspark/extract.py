@@ -1196,3 +1196,48 @@ def css_background_images(
                 F.col("__c.css_source").alias("css_source"))
         .filter(~F.col("css_url").startswith("data:"))
     )
+
+
+def mixed_content_audit(
+    pages: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+) -> DataFrame:
+    """Mixed-content audit for https pages: plaintext ``http://``
+    subresources, split into the two classes browsers distinguish
+    (MDN/W3C mixed-content spec) — BLOCKABLE (script / stylesheet
+    link: never loaded, so the fetch scheduler must not even queue
+    them) and UPGRADABLE (img / audio / video: browsers rewrite to
+    https, so the crawler should fetch the https twin and record the
+    upgrade).  An image crawl that ignores this either wastes fetches
+    on URLs no browser would load or misses the pixels browsers
+    actually display.
+
+    Pure JVM: regexp_extract_all per tag class over the raw HTML;
+    http pages pass through with zeros (mixed content is defined
+    only on secure contexts).  Returns one row per page:
+    (.. lineage .., n_blockable, n_upgradable, upgraded array —
+    the https rewrites of the upgradable URLs, fetch candidates).
+    """
+    b = F.col(body_col)
+    https_page = F.col(url_col).startswith("https://")
+    script = F.regexp_extract_all(
+        b, F.lit(r"(?i)<script[^>]*\ssrc\s*=\s*[\"'](http://[^\"']+)"), 1)
+    sheet = F.regexp_extract_all(
+        b, F.lit(r"(?i)<link[^>]*\shref\s*=\s*[\"'](http://[^\"']+)"), 1)
+    media = F.regexp_extract_all(
+        b, F.lit(r"(?i)<(?:img|audio|video|source)[^>]*"
+                 r"\ssrc\s*=\s*[\"'](http://[^\"']+)"), 1)
+    empty = F.array().cast("array<string>")
+    blockable = F.when(https_page, F.concat(script, sheet)).otherwise(empty)
+    upgradable = F.when(https_page, media).otherwise(empty)
+    keep = [c for c in pages.columns if c != body_col]
+    return pages.select(
+        *keep,
+        F.size(blockable).cast("long").alias("n_blockable"),
+        F.size(upgradable).cast("long").alias("n_upgradable"),
+        F.transform(
+            upgradable,
+            lambda u: F.concat(F.lit("https://"), F.substring(u, 8, 100000)),
+        ).alias("upgraded"),
+    )

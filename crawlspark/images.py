@@ -2135,3 +2135,124 @@ def jpeg_app_segments(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         .withColumn("jpeg_color_mode", F.col("__js.mode"))
         .drop("__js")
     )
+
+
+# Standard IJG luminance / chrominance quantization tables (Annex K of
+# ITU-T T.81, as shipped in libjpeg jcparam.c) in ZIGZAG STORAGE ORDER
+# is irrelevant here: the estimator sums all 64 entries, which is
+# permutation-invariant, so natural order is fine.
+STD_LUMA_QT = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+STD_CHROMA_QT = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+STD_LUMA_SUM = sum(STD_LUMA_QT)  # 3688
+
+
+def jpeg_dqt_quality(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """JPEG encode-quality estimation from the DQT quantization tables —
+    the curation signal for silently re-compressed images: a 4000x3000
+    photo saved at q=35 carries less information than its dimensions
+    promise, and a caption-pair pipeline wants to rank or drop such
+    rows BEFORE spending decode/embedding compute.  No pixel decode:
+    the quality is recovered by inverting the IJG scaling formula
+    (libjpeg jcparam.c jpeg_quality_scaling: scale = 5000/q below 50,
+    200 - 2q at 50 and above) against the standard Annex K luminance
+    table — the same table arithmetic ImageMagick/exiftool use for
+    their 'estimated quality'.
+
+    Arrow-batched pandas UDF marker walk (same family as
+    jpeg_sof_dims): collect every 8-bit table in every DQT (FFDB)
+    segment, sum the Tq=0 (luminance) one, then integer half-up
+    arithmetic only — scale_est = (100*sum + S/2) div S with
+    S = sum(std table), q_est = (200 - scale)/2 half-up when scale
+    <= 100 else (5000/scale) half-up — so an oracle can restate the
+    whole estimate in closed form.  Adds (dqt_sum, dqt_tables,
+    jpeg_scale_est, jpeg_quality_est); NULLs when no luminance DQT
+    is present (truncated / not a JPEG).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("s long, nt int, scale long, q long")
+    def scan(bs: pd.Series) -> pd.DataFrame:
+        sums, nts, scales, qs = [], [], [], []
+        for b in bs:
+            luma_sum = None
+            n_tables = 0
+            if b is not None and len(b) >= 4 and b[0] == 0xFF \
+                    and b[1] == 0xD8:
+                i = 2
+                while i + 4 <= len(b):
+                    if b[i] != 0xFF:
+                        break
+                    if b[i + 1] == 0xFF:
+                        i += 1  # fill byte (T.81 B.1.1.2)
+                        continue
+                    marker = b[i + 1]
+                    if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7 \
+                            or marker == 0x01:
+                        i += 2
+                        continue
+                    if i + 4 > len(b):
+                        break
+                    seglen = (b[i + 2] << 8) | b[i + 3]
+                    if seglen < 2:
+                        break
+                    if marker == 0xDB:
+                        # one DQT segment may carry several tables
+                        j, end = i + 4, min(i + 2 + seglen, len(b))
+                        while j < end:
+                            pq, tq = b[j] >> 4, b[j] & 0x0F
+                            step = 128 if pq == 1 else 64
+                            if j + 1 + step > end:
+                                break
+                            n_tables += 1
+                            if tq == 0 and pq == 0 and luma_sum is None:
+                                luma_sum = int(
+                                    sum(b[j + 1:j + 1 + 64]))
+                            j += 1 + step
+                    if marker == 0xDA:
+                        break  # entropy-coded data follows
+                    i += 2 + seglen
+            if luma_sum is None:
+                sums.append(None); nts.append(n_tables or None)
+                scales.append(None); qs.append(None)
+                continue
+            scale = (100 * luma_sum + STD_LUMA_SUM // 2) // STD_LUMA_SUM
+            if scale <= 100:
+                q = (200 - scale + 1) // 2
+            else:
+                q = (5000 + scale // 2) // scale
+            sums.append(luma_sum); nts.append(n_tables)
+            scales.append(scale); qs.append(q)
+        return pd.DataFrame({
+            "s": pd.array(sums, dtype="Int64"),
+            "nt": pd.array(nts, dtype="Int32"),
+            "scale": pd.array(scales, dtype="Int64"),
+            "q": pd.array(qs, dtype="Int64"),
+        })
+
+    g = imgs.withColumn("__dqt", scan(F.col(bytes_col)))
+    return (
+        g.withColumn("dqt_sum", F.col("__dqt.s"))
+        .withColumn("dqt_tables", F.col("__dqt.nt"))
+        .withColumn("jpeg_scale_est", F.col("__dqt.scale"))
+        .withColumn("jpeg_quality_est", F.col("__dqt.q"))
+        .drop("__dqt")
+    )

@@ -540,3 +540,52 @@ def filter_occupancy(states: DataFrame, capacity: int) -> DataFrame:
         .alias("load_permille"),
         "saturated",
     )
+
+
+def bloom_partition_plan(
+    counts: "DataFrame",
+    fpp_micro: int = 1000,
+    part_col: str = "bucket",
+    n_col: str = "n_keys",
+) -> "DataFrame":
+    """Bloom sizing for the seen-set's COLD partitions — the north
+    rule's fallback path: buckets too small or too freshly split to
+    justify a cuckoo filter's slot table get a classic Bloom filter,
+    and this is the sizing pass that turns per-bucket key counts into
+    concrete (bits, hash count) allocations before any filter is built.
+
+    Standard formulas (Broder & Mitzenmacher, Internet Math. 2004):
+    m = ceil(-n ln p / (ln 2)^2) bits for target false-positive rate
+    p, k = max(1, round((m/n) ln 2)) hash functions, achieved
+    fpp ~ (1 - e^(-kn/m))^k.  All rates carried as integer micro
+    units so the plan is replayable.  Pure JVM per-row arithmetic on
+    the (small) bucket-count relation — no shuffle at all beyond
+    whatever produced the counts.
+
+    Returns per bucket: (bucket, n_keys, m_bits, m_bytes, k_hashes,
+    fpp_achieved_micro, bits_per_key_centi).
+    """
+    import math
+
+    n = F.col(n_col).cast("double")
+    p = F.lit(fpp_micro / 1e6)
+    ln2 = math.log(2.0)
+    m = F.ceil(-n * F.log(p) / (ln2 * ln2)).cast("long")
+    k = F.greatest(
+        F.lit(1).cast("long"),
+        F.round(m.cast("double") / n * ln2).cast("long"),
+    )
+    achieved = F.pow(
+        1.0 - F.exp(-k.cast("double") * n / m.cast("double")),
+        k.cast("double"),
+    )
+    return counts.select(
+        F.col(part_col).alias("bucket"),
+        F.col(n_col).cast("long").alias("n_keys"),
+        m.alias("m_bits"),
+        ((m + 7) / 8).cast("long").alias("m_bytes"),
+        k.alias("k_hashes"),
+        F.round(achieved * 1e6).cast("long").alias("fpp_achieved_micro"),
+        F.round(m.cast("double") / n * 100).cast("long")
+        .alias("bits_per_key_centi"),
+    )

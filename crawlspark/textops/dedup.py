@@ -682,3 +682,74 @@ def ngram_containment_pairs(
         .when(F.col("cont_a_permille") >= thr, F.lit("a_in_b"))
         .otherwise(F.lit("b_in_a")),
     )
+
+
+def lsh_band_plan(
+    thresholds: "DataFrame",
+    n_hashes: int = 128,
+    t_col: str = "t_permille",
+    delta_permille: int = 100,
+) -> "DataFrame":
+    """MinHash-LSH banding planner: for each target Jaccard threshold,
+    choose the (bands b, rows r) split of ``n_hashes`` signature values
+    that minimizes the sum of false-positive and false-negative mass
+    around the threshold — the knob the near-dup pass (minhash_lsh_pairs)
+    must set BEFORE running, and set differently per corpus: captions
+    dedup at t~0.9 wants many rows per band, boilerplate mining at
+    t~0.3 wants many bands (Leskovec et al., MMDS ch. 3.4.3 S-curve).
+
+    Candidate pairs collide with P(s) = 1 - (1 - s^r)^b at true
+    similarity s.  Score = P(t - delta) + (1 - P(t + delta)): collision
+    probability just below the threshold (wasted verification work)
+    plus miss probability just above it (lost near-dups), both clamped
+    to [0, 1] in s.  The score is quantized to micro units and ties
+    break toward fewer bands, so the argmin is deterministic and an
+    oracle can replay it.
+
+    Plan shape: |thresholds| x d(n_hashes) rows after exploding the
+    divisor list (d(128) = 8) — a few hundred rows of pure JVM pow()
+    arithmetic; one map-side-combined min-struct per threshold, no
+    window, no Python.  Returns (t_permille, bands, rows_per_band,
+    score_micro, thr_est_permille) where thr_est ~ (1/b)^(1/r), the
+    S-curve midpoint actually installed.
+    """
+    divisors = [b for b in range(1, n_hashes + 1) if n_hashes % b == 0]
+    cand = F.array(*[
+        F.struct(F.lit(b).alias("b"), F.lit(n_hashes // b).alias("r"))
+        for b in divisors
+    ])
+    t = F.col(t_col).cast("long")
+    lo = F.greatest(F.lit(0.0), (t - delta_permille) / 1000.0)
+    hi = F.least(F.lit(1.0), (t + delta_permille) / 1000.0)
+
+    def p_collide(s, b, r):
+        return 1.0 - F.pow(1.0 - F.pow(s, r.cast("double")),
+                           b.cast("double"))
+
+    e = thresholds.select(t.alias("t_permille"),
+                          F.explode(cand).alias("c"))
+    b, r = F.col("c.b"), F.col("c.r")
+    score = p_collide(lo, b, r) + (1.0 - p_collide(hi, b, r))
+    scored = e.select(
+        "t_permille",
+        F.struct(
+            F.round(score * 1e6).cast("long").alias("score_micro"),
+            b.cast("long").alias("b"),
+        ).alias("sc"),
+        b.cast("long").alias("bb"), r.cast("long").alias("rr"),
+    )
+    best = scored.groupBy("t_permille").agg(F.min("sc").alias("best"))
+    return best.select(
+        "t_permille",
+        F.col("best.b").alias("bands"),
+        F.col("best.score_micro").alias("score_micro"),
+    ).withColumn(
+        "rows_per_band",
+        (F.lit(n_hashes) / F.col("bands")).cast("long"),
+    ).withColumn(
+        "thr_est_permille",
+        F.round(1000.0 * F.pow(
+            1.0 / F.col("bands"),
+            1.0 / F.col("rows_per_band"))).cast("long"),
+    ).select("t_permille", "bands", "rows_per_band", "score_micro",
+             "thr_est_permille")
