@@ -2256,3 +2256,155 @@ def jpeg_dqt_quality(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         .withColumn("jpeg_quality_est", F.col("__dqt.q"))
         .drop("__dqt")
     )
+
+
+def exif_thumbnail_scan(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """EXIF IFD1 embedded-thumbnail detection — a privacy gate the
+    EXIF strippers (exif_gps_scrub, exif_orientation_plan) miss: the
+    thumbnail in IFD1 is a SECOND, independently-encoded copy of the
+    picture, routinely carrying the pre-crop / pre-redact pixels, so a
+    curation pipeline must know it exists (and whether its byte range
+    is actually inside the payload) before re-publishing an image.
+
+    Arrow-batched pandas UDF TIFF walk, both byte orders: header check
+    (II*/MM*), IFD0 entry count, the next-IFD pointer after IFD0, then
+    IFD1's JPEGInterchangeFormat (0x0201), JPEGInterchangeFormatLength
+    (0x0202) and Compression (0x0103) tags.  SHORT values are read as
+    16-bit from the value field's first bytes per TIFF 6.0 packing.
+
+    Adds (exif_ifd0_entries, has_thumbnail, thumb_offset, thumb_len,
+    thumb_compression, thumb_in_bounds); NULL family for non-TIFF.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n0 int, has int, toff long, tlen long, comp long, inb int")
+    def scan(bs: pd.Series) -> pd.DataFrame:
+        out = {k: [] for k in ("n0", "has", "toff", "tlen", "comp", "inb")}
+
+        def push(n0=None, has=None, toff=None, tlen=None, comp=None,
+                 inb=None):
+            out["n0"].append(n0); out["has"].append(has)
+            out["toff"].append(toff); out["tlen"].append(tlen)
+            out["comp"].append(comp); out["inb"].append(inb)
+
+        for b in bs:
+            if b is None or len(b) < 8 or b[2:4] not in (b"\x2a\x00",
+                                                         b"\x00\x2a"):
+                push(); continue
+            if b[:2] == b"II":
+                order = "little"
+            elif b[:2] == b"MM":
+                order = "big"
+            else:
+                push(); continue
+
+            def rd(off, width):
+                if off + width > len(b):
+                    return None
+                return int.from_bytes(b[off:off + width], order)
+
+            if rd(2, 2) != 42:
+                push(); continue
+            ifd0 = rd(4, 4)
+            n0 = rd(ifd0, 2) if ifd0 is not None else None
+            if n0 is None:
+                push(); continue
+            nxt = rd(ifd0 + 2 + 12 * n0, 4)
+            if not nxt:
+                push(n0=n0, has=0); continue
+            n1 = rd(nxt, 2)
+            if n1 is None:
+                push(n0=n0, has=0); continue
+            toff = tlen = comp = None
+            for e in range(n1):
+                base = nxt + 2 + 12 * e
+                tag, typ = rd(base, 2), rd(base + 2, 2)
+                if tag is None or typ is None:
+                    break
+                val = rd(base + 8, 2) if typ == 3 else rd(base + 8, 4)
+                if tag == 0x0201:
+                    toff = val
+                elif tag == 0x0202:
+                    tlen = val
+                elif tag == 0x0103:
+                    comp = val
+            has = 1 if (toff is not None and tlen is not None) else 0
+            inb = (1 if has and toff + tlen <= len(b) else 0) if has \
+                else None
+            push(n0=n0, has=has, toff=toff, tlen=tlen, comp=comp, inb=inb)
+        return pd.DataFrame({
+            "n0": pd.array(out["n0"], dtype="Int32"),
+            "has": pd.array(out["has"], dtype="Int32"),
+            "toff": pd.array(out["toff"], dtype="Int64"),
+            "tlen": pd.array(out["tlen"], dtype="Int64"),
+            "comp": pd.array(out["comp"], dtype="Int64"),
+            "inb": pd.array(out["inb"], dtype="Int32"),
+        })
+
+    g = imgs.withColumn("__t", scan(F.col(bytes_col)))
+    return (
+        g.withColumn("exif_ifd0_entries", F.col("__t.n0"))
+        .withColumn("has_thumbnail", F.col("__t.has"))
+        .withColumn("thumb_offset", F.col("__t.toff"))
+        .withColumn("thumb_len", F.col("__t.tlen"))
+        .withColumn("thumb_compression", F.col("__t.comp"))
+        .withColumn("thumb_in_bounds", F.col("__t.inb"))
+        .drop("__t")
+    )
+
+
+# PNG Adam7 interlace pass grid: (x0, y0, dx, dy) per pass, spec 8.2
+ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def adam7_plan(
+    imgs: DataFrame,
+    w_col: str = "w",
+    h_col: str = "h",
+    bpp_bytes: int = 3,
+) -> DataFrame:
+    """Adam7 interlace size accounting — the raw-stream cost of saving
+    a PNG progressive: each of the 7 passes is its own sub-image with
+    its own per-scanline filter byte, so interlacing ADDS bytes (more
+    scanlines than the plain image), and for thumbnail-sized images the
+    overhead is large enough that a thumbnailing sink (thumb_pyramid)
+    should always write them non-interlaced.  This computes, per image,
+    the exact pre-compression stream sizes from (w, h) alone.
+
+    Pure JVM integer arithmetic (PNG spec 8.2 pass grid): pass size =
+    rows * (1 + cols*bpp) with cols = ceil((w-x0)/dx), empty passes
+    contribute nothing.  Adds (interlaced_bytes, plain_bytes,
+    overhead_permille — truncating integer permille of the added bytes,
+    nonempty_passes).
+    """
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    sizes, nonempty = [], []
+    for (x0, y0, dx, dy) in ADAM7_PASSES:
+        cols = F.when(w > x0, ((w - x0 + dx - 1) / dx).cast("long")) \
+            .otherwise(F.lit(0))
+        rows = F.when(h > y0, ((h - y0 + dy - 1) / dy).cast("long")) \
+            .otherwise(F.lit(0))
+        live = (cols > 0) & (rows > 0)
+        sizes.append(F.when(live, rows * (1 + cols * bpp_bytes))
+                     .otherwise(F.lit(0)))
+        nonempty.append(F.when(live, 1).otherwise(0))
+    inter = sizes[0]
+    for s in sizes[1:]:
+        inter = inter + s
+    nep = nonempty[0]
+    for x in nonempty[1:]:
+        nep = nep + x
+    plain = h * (1 + w * bpp_bytes)
+    return imgs.select(
+        "*",
+        inter.cast("long").alias("interlaced_bytes"),
+        plain.cast("long").alias("plain_bytes"),
+        ((1000 * (inter - plain)) / plain).cast("long")
+        .alias("overhead_permille"),
+        nep.cast("int").alias("nonempty_passes"),
+    )

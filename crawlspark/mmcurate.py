@@ -675,3 +675,45 @@ def caption_consensus(
         .alias("support_permille"),
         (F.col("n_captions") > 1).alias("conflict"),
     )
+
+
+def caption_edit_pairs(
+    images: DataFrame,
+    group_col: str = "phash",
+    caption_col: str = "caption",
+    id_col: str = "image_id",
+    max_dist: int = 3,
+) -> DataFrame:
+    """Near-identical caption pairs WITHIN a perceptual-dup group by
+    Levenshtein distance — the fuzzy tier between caption_consensus
+    (exact-string vote) and full near-dup text machinery: two copies of
+    the same pixels whose captions differ by a typo or a pluralization
+    are one training pair, not a caption conflict, and this is the
+    evidence table that decides it.
+
+    Plan: self-join ON THE GROUP KEY ONLY (the perceptual bucket is the
+    blocking structure — never an all-pairs caption join), id_a < id_b
+    to emit each pair once, then the JVM levenshtein codegen on the
+    bucket-collision pairs.  Group sizes are bounded by the upstream
+    phash dedup, so the per-bucket quadratic term is capped.
+    Returns (group, id_a, id_b, edit_dist, within) with within =
+    edit_dist <= max_dist.
+    """
+    a = images.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id_a"),
+        F.col(caption_col).alias("cap_a"),
+    )
+    b = images.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id_b"),
+        F.col(caption_col).alias("cap_b"),
+    )
+    pairs = a.join(b, "g").filter(F.col("id_a") < F.col("id_b"))
+    dist = F.levenshtein("cap_a", "cap_b")
+    return pairs.select(
+        F.col("g").alias(group_col),
+        "id_a", "id_b",
+        dist.cast("long").alias("edit_dist"),
+        (dist <= int(max_dist)).alias("within"),
+    )

@@ -752,3 +752,73 @@ def calibration_bins(
         )
         .orderBy("bin")
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise-mutual-information bigram mining over a text corpus —
+    the collocation dictionary ("new york", "machine learning") a
+    caption pipeline builds to stop tokenizers and dedup shinglers
+    splitting multi-word entities (Church & Hanks, CL 1990).  High-PMI
+    pairs are also a cheap boilerplate tell: templated captions repeat
+    rare-word pairs far above chance.
+
+    Tokenize = lowercase split on non-letters (same rule as vocab_stats
+    so dictionaries line up).  pmi = log2((c12/NB) / ((c1/N)(c2/N)))
+    with N total tokens, NB total bigrams, quantized to micro units.
+
+    Plan: one explode per doc -> two map-side-combined counts (unigram,
+    bigram); the unigram relation is vocabulary-sized, so BOTH lookup
+    joins broadcast it; the scalar totals ride a broadcast literal
+    cross-join.  Nothing shuffles except the two counts' own keys.
+    Returns (w1, w2, c12, c1, c2, pmi_micro) for bigrams with c12 >=
+    min_count.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda t: t != "",
+    )
+    base = docs.select(toks.alias("t"))
+    uni = (
+        base.select(F.explode("t").alias("w"))
+        .groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    )
+    bi = (
+        # transform-with-index, NOT sequence(1, size-1): the latter is
+        # a DESCENDING [1, 0] on empty/1-token docs and pads phantom
+        # null bigrams.  The last element's w2 is null (t[i+1] out of
+        # bounds) and is filtered; real tokens are never empty strings.
+        base.select(F.explode(F.expr(
+            "filter(transform(t, (x, i) -> struct(x AS w1,"
+            " get(t, i + 1) AS w2)), p -> p.w2 IS NOT NULL)"
+        )).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+        .filter(F.col("c12") >= int(min_count))
+    )
+    totals = base.select(
+        F.sum(F.size("t")).cast("long").alias("n_tok"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0))).cast("long")
+        .alias("n_bi"),
+    )
+    joined = (
+        bi.join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                            .withColumnRenamed("c", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("c", "c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = (
+        F.log(F.col("c12").cast("double") * F.col("n_tok")
+              * F.col("n_tok")
+              / (F.col("n_bi").cast("double") * F.col("c1")
+                 * F.col("c2")))
+        / F.log(F.lit(2.0))
+    )
+    return joined.select(
+        "w1", "w2", "c12", "c1", "c2",
+        F.round(pmi * 1e6).cast("long").alias("pmi_micro"),
+    )
