@@ -292,9 +292,16 @@ def continuous_crawl(
             out = levels[0]
             for lv in levels[1:]:
                 out = out.unionByName(lv)
-            out.withColumn("batch_id", F.lit(int(batch_id)).cast("long")).write.mode(
-                "append"
-            ).parquet(results_dir)
+            # dynamic partition overwrite on batch_id (same contract as
+            # image_validation_stream): a replayed batch replaces its own
+            # partition instead of appending duplicates.  Replay is
+            # deterministic both ways: crash before the seen overwrite
+            # recomputes identical rows; crash after it finds an empty
+            # frontier and leaves the first attempt's partition intact.
+            (out.withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(results_dir))
         seen.write.mode("overwrite").parquet(seen_dir)
 
     q = (
