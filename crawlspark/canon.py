@@ -743,3 +743,99 @@ def path_prefix_rollup(
          - F.length(F.regexp_replace(F.col("prefix"), "/", "")) - 1)
         .cast("long"),
     )
+
+
+def hsts_policies(
+    headers: "DataFrame",
+    host_col: str = "host",
+    header_col: str = "sts",
+    obs_col: str = "observed_ts",
+    now_ts: int = 0,
+) -> "DataFrame":
+    """Parse ``Strict-Transport-Security`` response headers into an HSTS
+    policy table (RFC 6797 §6.1) — the crawler-side reason this matters
+    is URL identity: once a host is HSTS-known, every discovered
+    ``http://`` URL for it is the SAME resource as its ``https://``
+    twin, so the seen-set/frontier must upgrade before fingerprinting or
+    the crawl fetches (and stores) both aliases.  The reference never
+    re-crawls an http alias only because its redirect-chain dedup
+    catches the 301 AFTER a wasted fetch (src/Steps/Loading/Http.php);
+    the policy table removes the fetch entirely.
+
+    Directive parse is case-insensitive string ops (JVM codegen, no
+    UDF): ``max_age`` seconds, ``include_subdomains``, ``preload``.  A
+    policy is ``active`` when max-age parses, is > 0 (max-age=0 is the
+    RFC's revocation), and ``now_ts`` is inside ``observed_ts +
+    max_age`` (both epoch seconds).  Returns (host, max_age,
+    include_subdomains, preload, active).
+    """
+    h = F.lower(F.col(header_col))
+    max_age = F.regexp_extract(h, r"max-age\s*=\s*\"?(\d+)", 1)
+    max_age = F.when(max_age != "", max_age.cast("long"))
+    return headers.select(
+        F.col(host_col).alias("host"),
+        max_age.alias("max_age"),
+        h.contains("includesubdomains").alias("include_subdomains"),
+        h.contains("preload").alias("preload"),
+        (
+            max_age.isNotNull() & (max_age > 0)
+            & (F.lit(int(now_ts)) <= F.col(obs_col).cast("long") + max_age)
+        ).alias("active"),
+    )
+
+
+def hsts_upgrade(
+    urls: "DataFrame",
+    policies: "DataFrame",
+    url_col: str = "url",
+) -> "DataFrame":
+    """Upgrade ``http://`` URLs covered by an active HSTS policy to
+    ``https://`` (RFC 6797 §8.3: scheme http->https, an explicit port
+    80 becomes 443, any other explicit port is kept).
+
+    Superdomain matching without a theta-join: each http URL's host
+    explodes into its suffix chain (``a.b.c.com`` -> [a.b.c.com,
+    b.c.com, c.com], narrow x~4), which turns "policy host equals the
+    host or any parent of it" into an EQUI-join on the suffix — the
+    policy relation is per-host (small) and broadcasts.  A parent-domain
+    policy only applies with ``include_subdomains``; the longest
+    matching suffix wins (most-specific policy, one map-side-combined
+    groupBy on url).  Returns every input row as (url, upgraded,
+    matched_host, upgraded_url) — non-http and uncovered URLs pass
+    through with upgraded=false.
+    """
+    host = F.regexp_extract(F.col(url_col), r"^http://([^/:?#]+)", 1)
+    tagged = urls.select(
+        F.col(url_col).alias("url"), host.alias("__host"),
+    )
+    parts = F.split(F.col("__host"), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+    )
+    cand = (
+        tagged.filter(F.col("__host") != "")
+        .select("url", "__host", F.explode(suffixes).alias("__suffix"))
+    )
+    pol = policies.filter(F.col("active")).select(
+        F.col("host").alias("__suffix"),
+        F.col("include_subdomains").alias("__sub"),
+    )
+    hit = (
+        cand.join(F.broadcast(pol), "__suffix")
+        .filter((F.col("__suffix") == F.col("__host")) | F.col("__sub"))
+        .groupBy("url")
+        .agg(F.max_by("__suffix", F.length("__suffix")).alias("matched_host"))
+    )
+    out = tagged.join(hit, "url", "left")
+    upgraded = F.col("matched_host").isNotNull()
+    https = F.concat(F.lit("https://"),
+                     F.substring(F.col("url"), 8, 1 << 30))
+    https = F.regexp_replace(https, r"^https://([^/:?#]+):80(?=[/?#]|$)",
+                             "https://$1:443")
+    return out.select(
+        "url",
+        upgraded.alias("upgraded"),
+        "matched_host",
+        F.when(upgraded, https).otherwise(F.col("url")).alias("upgraded_url"),
+    )

@@ -927,3 +927,90 @@ def roi_knapsack(
         .select("id", "value", "cost", "ratio_permille", "prefix_cost",
                 "selected")
     )
+
+
+def mercator_dispatch(
+    frontier: DataFrame,
+    n_back: int = 3,
+    url_col: str = "url",
+    host_col: str = "host",
+    prio_col: str = "priority",
+    ord_col: str = "discovery_ord",
+    delay_col: str = "delay_ms",
+    num_rows: int | None = None,
+) -> DataFrame:
+    """Mercator-style front/back-queue dispatch order (Heydon & Najork,
+    "Mercator: a scalable, extensible web crawler", WWW 1999 §3.2; the
+    design the reference's sequential Throttler loop collapses to when
+    there is exactly one back queue, src/Loader/Http/Throttler.php).
+
+    The classic scheduler: FRONT queues order hosts by priority; B BACK
+    queues each own one host at a time and enforce that host's
+    politeness delay; a freed back-queue slot is refilled with the next
+    host in priority order.  Deterministic re-expression over a frontier
+    snapshot (one fetch per ``delay_ms`` per host, host fully drained
+    before its slot frees):
+
+      admission_rank  host order by (priority DESC, host) — front queues
+      slot            (admission_rank - 1) mod B — back-queue assignment
+      host_start_ms   exclusive cumsum of n_urls*delay over the slot's
+                      hosts in admission order — serial slot occupancy
+      dispatch_ms     host_start_ms + (seq - 1) * delay_ms
+      dispatch_ord    global rank by (dispatch_ms, host, seq)
+
+    Scale shape: everything host-keyed runs on the per-host aggregate
+    (hosts << URLs; the admission rank is the two-phase
+    :func:`crawlspark.ranks.global_rank`, the slot cumsum a window
+    PARTITIONED by slot), and the only URL-scale operations are one
+    per-host seq window, one equi-join back onto the frontier, and the
+    final two-phase global rank — no single-partition window at any
+    size.  ``delay_col`` must be constant per host (per-host politeness).
+
+    Returns (url, host, slot, admission_rank, seq, dispatch_ms,
+    dispatch_ord).
+    """
+    urls = frontier.select(
+        F.col(url_col).alias("url"),
+        F.col(host_col).alias("host"),
+        F.col(prio_col).cast("long").alias("__prio"),
+        F.col(ord_col).cast("long").alias("__ord"),
+        F.col(delay_col).cast("long").alias("__delay"),
+    )
+    hosts = urls.groupBy("host").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max("__prio").alias("__best"),
+        F.max("__delay").alias("__hdelay"),
+    ).withColumn("__negbest", -F.col("__best"))
+    hosts = global_rank(
+        hosts, ["__negbest", "host"], out="admission_rank",
+        num_rows=num_rows,
+    ).withColumn(
+        "slot", ((F.col("admission_rank") - 1) % int(n_back)).cast("int")
+    )
+    w_slot = (
+        Window.partitionBy("slot").orderBy("admission_rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hosts = hosts.withColumn(
+        "host_start_ms",
+        F.coalesce(F.sum(F.col("__n") * F.col("__hdelay")).over(w_slot),
+                   F.lit(0)).cast("long"),
+    ).select("host", "slot", "admission_rank", "host_start_ms", "__hdelay")
+    w_host = Window.partitionBy("host").orderBy("__ord")
+    out = (
+        urls.join(hosts, "host")
+        .withColumn("seq", F.row_number().over(w_host).cast("long"))
+        .withColumn(
+            "dispatch_ms",
+            (F.col("host_start_ms")
+             + (F.col("seq") - 1) * F.col("__hdelay")).cast("long"),
+        )
+    )
+    out = global_rank(
+        out, ["dispatch_ms", "host", "seq"], out="dispatch_ord",
+        num_rows=num_rows,
+    )
+    return out.select(
+        "url", "host", "slot", "admission_rank", "seq", "dispatch_ms",
+        "dispatch_ord",
+    )

@@ -822,3 +822,98 @@ def pmi_collocations(
         "w1", "w2", "c12", "c1", "c2",
         F.round(pmi * 1e6).cast("long").alias("pmi_micro"),
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TF-IDF cosine similarity for candidate document pairs — the
+    verification tier a near-dup pipeline runs on LSH/phash bucket
+    collisions when byte-level Jaccard is too brittle (boilerplate
+    swaps, word reorders) and embeddings are too expensive: classic
+    Salton vector-space cosine over raw term counts weighted by
+    idf = ln((N+1)/(df+1)) + 1 (the smoothed form, never negative).
+
+    Tokenization matches :func:`pmi_collocations` / vocab_stats
+    (lowercase, split on non-letters) so all text dictionaries line up.
+
+    Weights are quantized to MILLI units (round(1e3 * tf * idf) as
+    int64) BEFORE any aggregation: dot products and norms are then
+    integer-exact, immune to float summation order — the one property
+    a distributed sum cannot otherwise promise, and the reason the
+    oracle can replay this bit-for-bit.  Only the final cosine divide
+    touches doubles, on identical integer operands.
+
+    Plan: one explode -> map-side-combined (doc, term, tf) counts; the
+    document-frequency relation is vocabulary-sized and BROADCASTs onto
+    the weights; per-doc norms are one more map-side groupBy.  The pair
+    evaluation joins each side\'s weights on the pair id — candidate
+    pairs are bucket collisions, orders of magnitude fewer than
+    all-pairs — then matches terms with an equi-join on the term key.
+    Nothing ever shuffles the corpus against itself.
+
+    ``pairs`` must have (id_a, id_b).  Returns (id_a, id_b,
+    n_shared_terms, cos_micro) with cos_micro = round(1e6 * cosine);
+    pairs sharing no term score 0.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda t: t != "",
+    )
+    base = docs.select(F.col(id_col).alias("doc"), toks.alias("t"))
+    tf = (
+        base.select("doc", F.explode("t").alias("w"))
+        .groupBy("doc", "w").agg(F.count("*").cast("long").alias("tf"))
+    )
+    n_docs = base.select(F.count("*").alias("n_docs"))
+    df_rel = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
+    wgt = (
+        tf.join(F.broadcast(df_rel), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc", "w",
+            F.round(
+                1e3 * F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                   + 1.0),
+                0,
+            ).cast("long").alias("wgt"),
+        )
+    )
+    norms = wgt.groupBy("doc").agg(
+        F.sum(F.col("wgt") * F.col("wgt")).cast("long").alias("norm2"))
+    p = pairs.select(F.col("id_a").cast("long").alias("id_a"),
+                     F.col("id_b").cast("long").alias("id_b"))
+    wa = wgt.select(F.col("doc").alias("id_a"), "w",
+                    F.col("wgt").alias("wa"))
+    wb = wgt.select(F.col("doc").alias("id_b"), "w",
+                    F.col("wgt").alias("wb"))
+    dots = (
+        p.join(wa, "id_a").join(wb, ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).cast("long").alias("dot"),
+             F.count("*").cast("long").alias("n_shared_terms"))
+    )
+    na = norms.select(F.col("doc").alias("id_a"),
+                      F.col("norm2").alias("na"))
+    nb = norms.select(F.col("doc").alias("id_b"),
+                      F.col("norm2").alias("nb"))
+    return (
+        p.join(dots, ["id_a", "id_b"], "left")
+        .join(na, "id_a").join(nb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.coalesce("n_shared_terms", F.lit(0)).alias("n_shared_terms"),
+            F.coalesce(
+                F.round(
+                    1e6 * F.col("dot").cast("double")
+                    / (F.sqrt(F.col("na").cast("double"))
+                       * F.sqrt(F.col("nb").cast("double"))), 0
+                ).cast("long"),
+                F.lit(0),
+            ).alias("cos_micro"),
+        )
+    )
