@@ -839,3 +839,58 @@ def hsts_upgrade(
         "matched_host",
         F.when(upgraded, https).otherwise(F.col("url")).alias("upgraded_url"),
     )
+
+
+def host_alias_folding(
+    pages: "DataFrame",
+    host_col: str = "host",
+    path_col: str = "path",
+    hash_col: str = "content_hash",
+    agree_permille: int = 900,
+) -> "DataFrame":
+    """Fold mobile/www mirror hosts onto their apex by CONTENT evidence
+    — the host-level sibling of :func:`mine_droppable_params`'s
+    param-level DUST mining: ``www.example.com`` / ``m.example.com`` /
+    ``amp.example.com`` usually serve the same documents as
+    ``example.com``, and folding them collapses an alias family in the
+    10^10-row seen set and halves the politeness budget spent per
+    site.  Folding on the NAME alone is wrong (plenty of `m.` hosts are
+    distinct properties), so an alias folds only when >= agree_permille
+    of the paths it shares with the apex carry the same content hash.
+
+    Plan: strip one alias prefix to get the apex candidate, equi-join
+    alias rows to apex rows on (apex, path) — co-partitioned, never a
+    host-level theta-join — then one map-side-combined per-host
+    aggregate.  Returns one row per alias-candidate host observed with
+    a live apex: (host, canonical_host, n_common_paths, n_agree,
+    folded).
+    """
+    apex = F.regexp_replace(F.col("__host"), r"^(www|m|amp)\.", "")
+    base = pages.select(
+        F.col(host_col).alias("__host"),
+        F.col(path_col).alias("__path"),
+        F.col(hash_col).alias("__hash"),
+    ).withColumn("__apex", apex)
+    aliases = base.filter(F.col("__host") != F.col("__apex"))
+    apexes = (
+        base.filter(F.col("__host") == F.col("__apex"))
+        .select(F.col("__apex"), F.col("__path"),
+                F.col("__hash").alias("__apex_hash"))
+    )
+    joined = aliases.join(apexes, ["__apex", "__path"])
+    return (
+        joined.groupBy(
+            F.col("__host").alias("host"),
+            F.col("__apex").alias("canonical_host"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common_paths"),
+            F.sum(F.when(F.col("__hash") == F.col("__apex_hash"), 1)
+                  .otherwise(0)).cast("long").alias("n_agree"),
+        )
+        .withColumn(
+            "folded",
+            F.col("n_agree") * 1000
+            >= F.lit(int(agree_permille)) * F.col("n_common_paths"),
+        )
+    )

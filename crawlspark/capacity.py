@@ -158,3 +158,53 @@ def capacity_summary(
         "max_bucket_bytes",
         "max_load_pct_of_ideal",
     )
+
+
+def hill_alpha(
+    sizes: DataFrame,
+    size_col: str = "n",
+    k: int = 100,
+) -> DataFrame:
+    """Hill tail-index estimate of the host-size distribution — the
+    number that says HOW skewed the crawl actually is (Hill, Ann.
+    Statist. 1975; web host sizes are famously Zipf-ish with alpha
+    near 1).  Capacity planning consumes it directly: alpha < 1 means
+    the top hosts hold a diverging share of all URLs, so per-host
+    politeness (not fleet size) bounds crawl time and salting the top
+    buckets is mandatory, while alpha >> 1 means adding executors
+    scales nearly linearly.
+
+        alpha_hat = k / sum_{i=1..k} ln(x_(i) / x_(k+1))
+
+    over the k largest sizes x_(1) >= ... >= x_(k+1).  Per-row LN is
+    quantized to MICRO units before the sum, so the aggregate is
+    integer-exact (summation-order-proof) and SQL-replayable; only the
+    final division is floating point.  The input is the per-host
+    aggregate (hosts << URLs); the top-(k+1) cut is a sort-limit on
+    that small relation — rows beyond k+1 never shuffle.
+
+    Returns one row (k, x_tail, sum_ln_micro, alpha_milli).
+    """
+    topk = (
+        sizes.select(F.col(size_col).cast("long").alias("x"))
+        .orderBy(F.desc("x"))
+        .limit(int(k) + 1)
+    )
+    tail = topk.orderBy("x").limit(1).select(F.col("x").alias("x_tail"))
+    joined = topk.crossJoin(F.broadcast(tail)).filter(
+        F.col("x") > F.col("x_tail"))
+    ln_micro = F.round(
+        1e6 * F.log(F.col("x").cast("double") / F.col("x_tail")), 0
+    ).cast("long")
+    return (
+        joined.groupBy("x_tail")
+        .agg(F.count(F.lit(1)).alias("k"),
+             F.sum(ln_micro).cast("long").alias("sum_ln_micro"))
+        .select(
+            "k", "x_tail", "sum_ln_micro",
+            F.round(
+                1e3 * F.col("k").cast("double")
+                / (F.col("sum_ln_micro").cast("double") / 1e6), 0
+            ).cast("long").alias("alpha_milli"),
+        )
+    )

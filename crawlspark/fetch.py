@@ -838,3 +838,56 @@ def parse_link_headers(
             F.col("__l.ord").alias("ord"),
         )
     )
+
+
+RETRY_BUDGET_MIN = 2
+RETRY_BUDGET_PERMILLE = 100
+
+
+def retry_budget(
+    outcomes: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    ok_col: str = "ok",
+    window_s: int = 60,
+    min_retries: int = RETRY_BUDGET_MIN,
+    ratio_permille: int = RETRY_BUDGET_PERMILLE,
+) -> DataFrame:
+    """Finagle-style per-host retry budgets — the complement of
+    :func:`circuit_breaker_state`: the breaker decides whether to talk
+    to a host AT ALL, the budget bounds how much retry AMPLIFICATION a
+    degraded host may induce (a retry storm against a struggling server
+    is self-inflicted DoS; Finagle's RetryBudget caps retries at a
+    fixed percentage of recent successful traffic plus a small floor).
+
+    Deterministic batch model over a fetch log: per (host, window
+    bucket of ``window_s``), requested retries = failures in the
+    bucket, budget = min_retries + floor(successes *
+    ratio_permille/1000), granted = least(requested, budget).  One
+    map-side-combined groupBy — no windows, no state; the streaming
+    twin carries the same two counters per host in
+    applyInPandasWithState.
+
+    Returns (host, bucket, n_ok, n_fail, budget, granted, deferred).
+    """
+    b = (F.col(ts_col).cast("long") / int(window_s)).cast("long")
+    agg = (
+        outcomes.groupBy(
+            F.col(host_col).alias("host"), b.alias("bucket"))
+        .agg(
+            F.sum(F.when(F.col(ok_col), 1).otherwise(0)).cast("long")
+            .alias("n_ok"),
+            F.sum(F.when(F.col(ok_col), 0).otherwise(1)).cast("long")
+            .alias("n_fail"),
+        )
+    )
+    budget = (
+        F.lit(int(min_retries))
+        + (F.col("n_ok") * int(ratio_permille)) / F.lit(1000)
+    ).cast("long")
+    return (
+        agg.withColumn("budget", budget)
+        .withColumn("granted", F.least(F.col("n_fail"), F.col("budget")))
+        .withColumn("deferred", (F.col("n_fail") - F.col("granted"))
+                    .cast("long"))
+    )
