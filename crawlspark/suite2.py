@@ -829,8 +829,11 @@ def q_continuous_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f.write(_json.dumps({"doc": d}) + "\n")
         _os.utime(p, (1_000_000_000 + 100 * i,) * 2)
     continuous_crawl(spark, seeds_dir, state_dir, n=n, max_depth=_CC_DEPTH)
+    # batch_id is a partition directory since the idempotent-sink change;
+    # partition-column inference reads it as INT — cast back to the long
+    # the oracle declares
     return spark.read.parquet(f"{state_dir}/results").select(
-        "doc", "depth", "batch_id"
+        "doc", "depth", F.col("batch_id").cast("long").alias("batch_id")
     )
 
 
