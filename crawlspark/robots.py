@@ -593,3 +593,113 @@ def robots_policy_diff(
         .otherwise(F.lit("still_disallowed"))
     )
     return both.withColumn("transition", transition)
+
+
+def parse_clean_params(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Parse Yandex ``Clean-param:`` robots.txt directives — the
+    DECLARED counterpart of the LEARNED tracking-param miner
+    (:func:`crawlspark.canon.mine_droppable_params`): the site itself
+    states which query parameters don't affect content (``Clean-param:
+    sid&ref /forum/``), so the canonicalizer can strip them before
+    fingerprinting and collapse alias families in the seen set with
+    zero evidence-gathering.  Yandex spec: params separated by ``&``,
+    optional path prefix (default the whole site).
+
+    Pure JVM: one regexp_extract_all for the directive lines, two
+    narrow explodes (lines, then params).  Returns (host, param,
+    path_prefix) — one row per (param, prefix) pair.
+    """
+    lines = F.regexp_extract_all(
+        F.col(body_col), F.lit(r"(?i)Clean-param:[ \t]*[^\r\n]*"), 0)
+    exploded = robots.select(
+        F.col(host_col).alias("host"), F.explode(lines).alias("__line"))
+    spec = F.trim(F.regexp_replace(F.col("__line"),
+                                   r"(?i)^Clean-param:[ \t]*", ""))
+    params = F.split(F.regexp_extract(spec, r"^(\S+)", 1), "&")
+    prefix = F.regexp_extract(spec, r"^\S+[ \t]+(\S+)", 1)
+    return (
+        exploded.select(
+            "host",
+            F.explode(params).alias("param"),
+            F.when(prefix == "", F.lit("/")).otherwise(prefix)
+            .alias("path_prefix"),
+        )
+        .filter(F.col("param") != "")
+    )
+
+
+def apply_clean_params(
+    urls: DataFrame,
+    directives: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Strip declared Clean-param query parameters from matching URLs.
+
+    A URL matches a directive when its host equals the directive host
+    and its path starts with the directive's prefix.  All matching
+    params strip in ONE global regexp_replace per URL (alternation of
+    the regex-escaped names — the same escape discipline as
+    mine_droppable_params, so ``ids[]``-style names can't abort the
+    job), then ``?&``/trailing-separator tidy-up.  The directive
+    relation is per-host (small): broadcast equi-join on host, prefix
+    check as a residual predicate.  Returns (url, cleaned_url,
+    n_stripped) for EVERY input url (unmatched pass through).
+    """
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/:?#]+)", 1)
+    path = F.coalesce(
+        F.nullif(F.regexp_extract(F.col(url_col),
+                                  r"^[a-z]+://[^/?#]+([^?#]*)", 1),
+                 F.lit("")),
+        F.lit("/"),
+    )
+    tagged = urls.select(F.col(url_col).alias("url"),
+                         host.alias("__host"), path.alias("__path"))
+    d = directives.select(
+        F.col("host").alias("__host"),
+        F.col("param").alias("__param"),
+        F.col("path_prefix").alias("__prefix"),
+    )
+    esc = F.regexp_replace(F.col("__param"), r"([^a-zA-Z0-9_])", r"\\$1")
+    matched = (
+        tagged.join(F.broadcast(d), "__host")
+        .filter(F.col("__path").startswith(F.col("__prefix")))
+        .groupBy("url")
+        .agg(F.array_join(F.array_sort(F.collect_set(esc)), "|")
+             .alias("__alts"))
+    )
+    pat = F.concat(F.lit("[?&](?:"), F.col("__alts"), F.lit(")=[^&#]*"))
+    # three-pass strip keeps separators exact for first/middle/last
+    # position: drop '&p=v' anywhere, then '?p=v&' -> '?', then a
+    # lone '?p=v' at the end (before a fragment or EOL) drops with
+    # its '?'
+    mid = F.concat(F.lit("&(?:"), F.col("__alts"), F.lit(")=[^&#]*"))
+    first = F.concat(F.lit("\\?(?:"), F.col("__alts"),
+                     F.lit(")=[^&#]*&"))
+    lone = F.concat(F.lit("\\?(?:"), F.col("__alts"),
+                    F.lit(")=[^&#]*(#|$)"))
+    cleaned = F.expr(
+        "regexp_replace(regexp_replace(regexp_replace(url, __mid, ''),"
+        " __first, '?'), __lone, '$1')")
+    out = (
+        tagged.join(matched, "url", "left")
+        .withColumn("__pat", pat)
+        .withColumn("__mid", mid)
+        .withColumn("__first", first)
+        .withColumn("__lone", lone)
+    )
+    return out.select(
+        "url",
+        F.when(F.col("__alts").isNotNull(), cleaned)
+        .otherwise(F.col("url")).alias("cleaned_url"),
+        F.coalesce(
+            F.when(
+                F.col("__alts").isNotNull(),
+                F.size(F.regexp_extract_all(F.col("url"), F.col("__pat"), 0)),
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_stripped"),
+    )
