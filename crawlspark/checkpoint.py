@@ -279,3 +279,68 @@ def snapshot_expiry(
         F.sum(F.when(~F.coalesce(F.col("expirable"), F.lit(False)), 1)
               .otherwise(0)).cast("long").alias("n_live_refs"),
     ).withColumn("orphaned", F.col("n_live_refs") == 0)
+
+
+MERKLE_P = (1 << 31) - 1
+MERKLE_A = 1103515245
+MERKLE_B = 12345
+
+
+def merkle_root(
+    df: "DataFrame",
+    key_col: str,
+    levels: int = 8,
+) -> "DataFrame":
+    """Order-free Merkle root over a keyed relation — the integrity
+    check the checkpoint lineage needs (north_rule: resume exactly
+    from snapshots with per-partition lineage): two snapshots of the
+    seen set are byte-identical iff their roots match, and a mismatch
+    localizes to a subtree without comparing 10^10 rows.
+
+    Leaves are 2^levels buckets of h(k) = (A*k + B) mod P summed mod P
+    per bucket — a COMMUTATIVE leaf digest, so the tree is invariant
+    to row order and partitioning (the property a distributed snapshot
+    diff actually needs; a concatenation hash would depend on shuffle
+    order).  Parents combine as (A*left + B*right + 1) mod P, so
+    sibling order still matters structurally.  Plain modular
+    arithmetic (NOT xxhash64) keeps every level SQL-replayable.
+
+    Plan: one map-side-combined groupBy for the leaves, then
+    ``levels`` tiny groupBys (max 2^levels rows — driver-loop over a
+    broadcast-sized relation).  Returns one row (root, n_rows,
+    n_leaves).
+    """
+    n_leaves = 1 << int(levels)
+    k = F.col(key_col).cast("long")
+    h = F.pmod(F.lit(MERKLE_A) * F.pmod(k, F.lit(MERKLE_P))
+               + F.lit(MERKLE_B), F.lit(MERKLE_P))
+    leaves = (
+        df.select(F.pmod(k, F.lit(n_leaves)).alias("b"), h.alias("h"))
+        .groupBy("b").agg(F.pmod(F.sum("h"), F.lit(MERKLE_P)).alias("v"))
+    )
+    n_rows = df.count()
+    spark = df.sparkSession
+    full = spark.range(n_leaves).select(F.col("id").alias("b")).join(
+        leaves, "b", "left").select(
+        "b", F.coalesce("v", F.lit(0)).cast("long").alias("v"))
+    cur = full
+    width = n_leaves
+    while width > 1:
+        width //= 2
+        left = F.sum(F.when(F.col("b") % 2 == 0, F.col("v"))).alias("l")
+        right = F.sum(F.when(F.col("b") % 2 == 1, F.col("v"))).alias("r")
+        cur = (
+            cur.groupBy((F.col("b") / 2).cast("long").alias("p"))
+            .agg(left, right)
+            .select(
+                F.col("p").alias("b"),
+                F.pmod(F.lit(MERKLE_A) * F.col("l")
+                       + F.lit(MERKLE_B) * F.col("r") + 1,
+                       F.lit(MERKLE_P)).alias("v"),
+            )
+        )
+    return cur.select(
+        F.col("v").alias("root"),
+        F.lit(n_rows).cast("long").alias("n_rows"),
+        F.lit(n_leaves).cast("long").alias("n_leaves"),
+    )

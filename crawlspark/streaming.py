@@ -367,3 +367,57 @@ def crawl_rate_stream(
             "n_unique_est",
         )
     )
+
+
+def watermark_lateness(
+    events: DataFrame,
+    part_col: str = "part",
+    ts_col: str = "ts_us",
+    arrival_col: str = "arrival",
+    delay_us: int = 600_000_000,
+) -> DataFrame:
+    """Batch replay of per-source-partition watermark accounting — the
+    sizing study behind every ``withWatermark`` choice: how many
+    events WOULD a delay of ``delay_us`` have dropped, and how far
+    behind the watermark do the stragglers arrive?  Structured
+    Streaming tracks max-event-time per source partition and subtracts
+    the delay; an event is late when it arrives after the watermark
+    its partition had already advanced past.
+
+    Exactly that, replayed: per partition in arrival order, watermark
+    before event i = max(event time over earlier arrivals) - delay
+    (exclusive running max — the watermark known when i ARRIVES), late
+    = ts < watermark.  The window is PARTITIONED by source partition —
+    the same key Spark scopes real watermarks by — so the running max
+    never collapses to one task.
+
+    Returns per partition (part, n_events, n_late, late_permille,
+    max_lateness_us): max_lateness_us = worst watermark overshoot
+    among late events (NULL when none).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(part_col).orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts = F.col(ts_col).cast("long")
+    wm = F.max(ts).over(w) - F.lit(int(delay_us))
+    rows = events.withColumn("__wm", wm).withColumn(
+        "__late", F.coalesce(ts < F.col("__wm"), F.lit(False)))
+    return (
+        rows.groupBy(F.col(part_col).alias("part"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("__late"), 1).otherwise(0)).cast("long")
+            .alias("n_late"),
+            F.max(F.when(F.col("__late"), F.col("__wm") - ts))
+            .cast("long").alias("max_lateness_us"),
+        )
+        .withColumn(
+            "late_permille",
+            F.expr("(1000 * n_late) div n_events"),
+        )
+        .select("part", "n_events", "n_late", "late_permille",
+                "max_lateness_us")
+    )

@@ -971,3 +971,74 @@ def flesch_reading_ease(
         F.when(F.col("n_words") > 0,
                F.round(1e3 * fre, 0).cast("long")),
     )
+
+
+def script_mix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mixed_permille: int = 200,
+) -> DataFrame:
+    """Unicode script composition of a document — the router in front
+    of language-ID: n-gram langid models are per-script, CJK needs a
+    different tokenizer, and a Latin page with a 30% Cyrillic tail is
+    usually boilerplate injection or encoding damage worth flagging
+    before training.
+
+    Counts per script class by the length-difference trick (len(text)
+    - len(text with the class removed) — one regex pass per class,
+    JVM-side, no per-char explode): Latin, Cyrillic, Greek, Han,
+    Arabic, ASCII digits.  ``dominant_script`` is the argmax with a
+    fixed tie order (the listed order), ``mixed`` is true when the
+    runner-up holds >= mixed_permille of the classified letters.
+
+    Returns (id, n_latin, n_cyrillic, n_greek, n_han, n_arabic,
+    n_digit, dominant_script, mixed); dominant NULL when no letters.
+    """
+    t = F.col(text_col)
+
+    def cnt(pattern: str):
+        return (F.length(t)
+                - F.length(F.regexp_replace(t, pattern, ""))).cast("long")
+
+    counts = {
+        "latin": cnt(r"[A-Za-z]"),
+        "cyrillic": cnt(r"\p{IsCyrillic}"),
+        "greek": cnt(r"\p{IsGreek}"),
+        "han": cnt(r"\p{IsHan}"),
+        "arabic": cnt(r"\p{IsArabic}"),
+    }
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        *[v.alias(f"n_{k}") for k, v in counts.items()],
+        cnt(r"[0-9]").alias("n_digit"),
+    )
+    arr = F.array(*[
+        F.struct(F.col(f"n_{k}").alias("n"),
+                 F.lit(i).alias("ord"), F.lit(k).alias("s"))
+        for i, k in enumerate(counts)
+    ])
+    # max_by over (n, -ord): largest count, first-listed wins ties
+    best = F.aggregate(
+        arr,
+        F.struct(F.lit(-1).cast("long").alias("n"),
+                 F.lit(99).alias("ord"), F.lit("").alias("s")),
+        lambda acc, x: F.when(
+            (x["n"] > acc["n"])
+            | ((x["n"] == acc["n"]) & (x["ord"] < acc["ord"])), x
+        ).otherwise(acc),
+    )
+    total = sum([F.col(f"n_{k}") for k in counts], F.lit(0).cast("long"))
+    second = F.sort_array(
+        F.transform(arr, lambda x: x["n"]), asc=False)[1]
+    return base.withColumn("__best", best).select(
+        "id", "n_latin", "n_cyrillic", "n_greek", "n_han", "n_arabic",
+        "n_digit",
+        F.when(F.col("__best.n") > 0, F.col("__best.s"))
+        .alias("dominant_script"),
+        F.coalesce(
+            (second * 1000 >= F.lit(int(mixed_permille)) * total)
+            & (second > 0),
+            F.lit(False),
+        ).alias("mixed"),
+    )
