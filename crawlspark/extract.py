@@ -1241,3 +1241,49 @@ def mixed_content_audit(
             lambda u: F.concat(F.lit("https://"), F.substring(u, 8, 100000)),
         ).alias("upgraded"),
     )
+
+
+def html_tables(body: Column) -> Column:
+    """Extract HTML <table> contents as array<struct<table_ord:int,
+    row_ord:int, col_ord:int, cell:string>> — the tabular payload an
+    LLM-data pipeline either converts to markdown or drops (tables are
+    the #1 source of low-quality linearized text; either way it must
+    FIND them first).  The reference's DomQuery can select cells one
+    selector at a time (src/Steps/Dom/DomQuery.php); this emits every
+    cell of every table positionally in one pass.
+
+    Pure JVM expressions (same regex discipline as the rest of the
+    extraction layer — no HTML parser in the container): split on
+    <table boundaries, per table split rows on <tr, per row pull
+    <td>/<th> bodies, strip residual tags, collapse whitespace.
+    Nested tables are out of scope (flagged upstream by tag-balance
+    audits); header cells count as cells.
+    """
+    tables = F.slice(
+        F.split(body, r"(?i)<table[\s>]"), 2, 1 << 20)
+    rows_of = lambda t: F.slice(
+        F.split(F.substring_index(t, "</table", 1), r"(?i)<tr[\s>]"),
+        2, 1 << 20)
+    cells_of = lambda r: F.transform(
+        F.regexp_extract_all(
+            F.substring_index(r, "</tr", 1),
+            F.lit(r"(?is)<t[dh][^>]*>(.*?)</t[dh]\s*>"), 1),
+        lambda c: F.trim(F.regexp_replace(
+            F.regexp_replace(c, r"(?s)<[^>]*>", " "), r"\s+", " ")),
+    )
+    per_table = F.transform(
+        tables,
+        lambda t, ti: F.transform(
+            rows_of(t),
+            lambda r, ri: F.transform(
+                cells_of(r),
+                lambda c, ci: F.struct(
+                    ti.cast("int").alias("table_ord"),
+                    ri.cast("int").alias("row_ord"),
+                    ci.cast("int").alias("col_ord"),
+                    c.alias("cell"),
+                ),
+            ),
+        ),
+    )
+    return F.flatten(F.flatten(per_table))

@@ -2569,3 +2569,45 @@ def png_crc_check(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         .withColumn("png_has_iend", F.col("__c.iend"))
         .drop("__c")
     )
+
+
+# PNG spec 11.2.2: legal bit depths per color type
+PNG_LEGAL_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
+
+
+def png_ihdr_validity(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """IHDR legality check — the static-header companion of
+    :func:`png_crc_check`: a PNG whose (color type, bit depth) pair is
+    outside the spec's table 11.2.2, whose interlace byte is not 0/1,
+    or whose dimensions are zero will crash or confuse decoders, and a
+    crawler should quarantine it on header bytes alone.  Pure JVM
+    substring arithmetic (fixed offsets: IHDR is required to be the
+    first chunk, so w@16, h@20, depth@24, color@25, interlace@28).
+
+    Adds (ihdr_w, ihdr_h, ihdr_depth, ihdr_color, ihdr_interlace,
+    ihdr_valid); NULL family for non-PNG.
+    """
+    b = F.col(bytes_col)
+    is_png = (F.length(b) >= 33) & (
+        F.hex(F.substring(b, 1, 8)) == F.lit("89504E470D0A1A0A"))
+    w = _be32(b, 17)
+    h = _be32(b, 21)
+    depth = _byte(b, 25)
+    color = _byte(b, 26)
+    interlace = _byte(b, 29)
+    legal = F.lit(False)
+    for ct, depths in PNG_LEGAL_DEPTHS.items():
+        legal = legal | ((color == ct) & depth.isin(*depths))
+    valid = (
+        legal & interlace.isin(0, 1) & (w > 0) & (h > 0)
+        & (F.hex(F.substring(b, 13, 4)) == F.lit("49484452"))
+    )
+    out = imgs
+    for name, col in [("ihdr_w", w), ("ihdr_h", h), ("ihdr_depth", depth),
+                      ("ihdr_color", color),
+                      ("ihdr_interlace", interlace)]:
+        out = out.withColumn(
+            name, F.when(is_png, col).cast("long"))
+    return out.withColumn(
+        "ihdr_valid", F.when(is_png, valid))

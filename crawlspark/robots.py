@@ -703,3 +703,39 @@ def apply_clean_params(
             F.lit(0),
         ).cast("long").alias("n_stripped"),
     )
+
+
+def parse_host_directive(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Parse the Yandex ``Host:`` robots.txt directive — the DECLARED
+    canonical mirror (the site says "index me as example.com"), the
+    third leg of the alias triangle next to content evidence
+    (:func:`crawlspark.canon.host_alias_folding`) and 301 migration
+    mining.  Yandex semantics: first valid occurrence wins, value is a
+    hostname with optional https:// scheme and port; invalid values
+    (spaces, multiple, empty) are ignored.
+
+    Returns one row per input host that declares a valid directive:
+    (host, canonical_host, differs) — differs marks hosts whose
+    declared canonical is not themselves (the fold candidates).
+    """
+    lines = F.regexp_extract_all(
+        F.col(body_col), F.lit(r"(?im)^[ \t]*Host:[ \t]*([^\r\n#]*)"), 1)
+    first = F.get(
+        F.filter(
+            F.transform(lines, lambda v: F.trim(v)),
+            lambda v: v.rlike(r"(?i)^(https?://)?[A-Za-z0-9.-]+(:\d+)?$"),
+        ),
+        0,
+    )
+    canon = F.lower(F.regexp_replace(
+        F.regexp_replace(first, r"^(?i)https?://", ""), r":\d+$", ""))
+    return (
+        robots.select(F.col(host_col).alias("host"),
+                      canon.alias("canonical_host"))
+        .filter(F.col("canonical_host").isNotNull())
+        .withColumn("differs", F.col("host") != F.col("canonical_host"))
+    )

@@ -753,3 +753,94 @@ def lsh_band_plan(
             1.0 / F.col("rows_per_band"))).cast("long"),
     ).select("t_permille", "bands", "rows_per_band", "score_micro",
              "thr_est_permille")
+
+
+def ngram_span_overlap(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Shared n-gram SPAN statistics for candidate pairs — the
+    evidence layer behind exact-substring training-data dedup (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022, uses 50-token suffix-array matches; 13-grams are the
+    classic contamination unit): two docs sharing a few scattered
+    13-grams are topically similar, two docs sharing a LONG RUN of
+    consecutive 13-grams contain the same copied passage.
+
+    Plan: per doc one explode to positioned word shingles (doc, gram,
+    pos); the pair evaluation joins A-side to B-side shingles ON THE
+    GRAM KEY restricted to candidate pairs (never corpus x corpus).  A
+    shared passage shows up as matches on one DIAGONAL (pa - pb
+    constant) at consecutive pa — run length = max count per (diag,
+    pa - row_number) group, the classic gaps-and-islands trick; both
+    windows are PARTITIONED per pair.  Shingle join keys are the
+    grams themselves here (exact semantics for the oracle); at corpus
+    scale hash them to int64 first (same plan, narrower exchange).
+
+    Returns (id_a, id_b, n_matches, n_distinct_grams, longest_run):
+    longest_run in GRAMS (a run of k consecutive grams = k + n - 1
+    shared words); pairs with no shared gram report zeros.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    base = docs.select(F.col(id_col).alias("doc"), toks.alias("t"))
+    sh = base.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("t") - (n - 1), F.lit(0)),
+                ),
+                lambda i: F.struct(
+                    F.array_join(F.slice("t", i, n), " ").alias("g"),
+                    i.cast("long").alias("pos"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc", F.col("s.g").alias("g"), F.col("s.pos").alias("pos"))
+    p = pairs.select(F.col("id_a").cast("long").alias("id_a"),
+                     F.col("id_b").cast("long").alias("id_b"))
+    a = sh.select(F.col("doc").alias("id_a"), "g",
+                  F.col("pos").alias("pa"))
+    b = sh.select(F.col("doc").alias("id_b"), "g",
+                  F.col("pos").alias("pb"))
+    m = (
+        p.join(a, "id_a").join(b, ["id_b", "g"])
+        .select("id_a", "id_b", "g", "pa", "pb",
+                (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    runs = (
+        # distinct (pa, pb) per diagonal: duplicate grams elsewhere in
+        # either doc would repeat a coordinate and break the row_number
+        # islands arithmetic
+        m.select("id_a", "id_b", "diag", "pa").distinct()
+        .withColumn("__grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "__grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("id_a", "id_b")
+        .agg(F.max("run").cast("long").alias("longest_run"))
+    )
+    counts = m.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.countDistinct("g").cast("long").alias("n_distinct_grams"),
+    )
+    return (
+        p.join(counts, ["id_a", "id_b"], "left")
+        .join(runs, ["id_a", "id_b"], "left")
+        .select(
+            "id_a", "id_b",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            F.coalesce("n_distinct_grams", F.lit(0))
+            .alias("n_distinct_grams"),
+            F.coalesce("longest_run", F.lit(0)).alias("longest_run"),
+        )
+    )
