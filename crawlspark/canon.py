@@ -894,3 +894,52 @@ def host_alias_folding(
             >= F.lit(int(agree_permille)) * F.col("n_common_paths"),
         )
     )
+
+
+def homograph_risk(
+    urls: "DataFrame",
+    host_col: str = "host",
+) -> "DataFrame":
+    """IDN homograph risk flag — a hostname LABEL mixing confusable
+    scripts (``аpple.com`` with a Cyrillic а) is the classic phishing
+    registration (Unicode TR39 'restriction levels'); a crawler feeding
+    an LLM corpus wants these hosts flagged before their content is
+    treated as the brand they imitate.  Complements
+    :func:`idn_fold_hosts` (which normalizes encoding, not intent).
+
+    Per dot-separated label, count Latin / Cyrillic / Greek letters
+    (the confusable triad); risk = any single label containing two or
+    more of the three.  Whole-host script count is also returned —
+    cross-LABEL mixing (latin brand + native-script TLD) is normal and
+    NOT flagged.  Pure JVM regex length-difference counting inside
+    array HOFs.  Returns (host, n_mixed_labels, scripts_in_host,
+    homograph_risk).
+    """
+    labels = F.split(F.col(host_col), r"\.")
+
+    def cnt(lbl, pattern: str):
+        return (F.length(lbl)
+                - F.length(F.regexp_replace(lbl, pattern, "")))
+
+    per_label = F.transform(
+        labels,
+        lambda lbl: F.struct(
+            (cnt(lbl, r"[A-Za-z]") > 0).cast("int").alias("lat"),
+            (cnt(lbl, r"\p{IsCyrillic}") > 0).cast("int").alias("cyr"),
+            (cnt(lbl, r"\p{IsGreek}") > 0).cast("int").alias("grk"),
+        ),
+    )
+    mixed = F.filter(
+        per_label, lambda s: (s["lat"] + s["cyr"] + s["grk"]) >= 2)
+    any_of = lambda f: F.greatest(*[
+        F.lit(0),
+        F.aggregate(per_label, F.lit(0),
+                    lambda acc, s: F.greatest(acc, s[f])),
+    ])
+    scripts_in_host = any_of("lat") + any_of("cyr") + any_of("grk")
+    return urls.select(
+        F.col(host_col).alias("host"),
+        F.size(mixed).cast("long").alias("n_mixed_labels"),
+        scripts_in_host.cast("long").alias("scripts_in_host"),
+        (F.size(mixed) > 0).alias("homograph_risk"),
+    )

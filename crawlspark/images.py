@@ -2611,3 +2611,79 @@ def png_ihdr_validity(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
             name, F.when(is_png, col).cast("long"))
     return out.withColumn(
         "ihdr_valid", F.when(is_png, valid))
+
+
+ICO_MAX_ENTRIES = 8
+
+
+def ico_sniff(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """ICO/CUR favicon directory sniffing — the one image container a
+    crawler meets on EVERY host (favicon.ico): header (reserved=0,
+    type 1=icon / 2=cursor, count), then 16-byte directory entries
+    (w, h with 0 meaning 256, bpp, payload size/offset).  The best
+    entry (largest area, then deepest bpp) is what a thumbnailer
+    would extract; bounds-checking offset+size against the payload
+    catches truncated favicons without decoding.
+
+    Pure JVM substring arithmetic — the directory sits at FIXED
+    offsets (entry i at byte 7 + 16*i), so unlike the JPEG walk no
+    UDF is needed; entries beyond ``ICO_MAX_ENTRIES`` are counted but
+    not inspected.  Adds (ico_type, ico_n_images, ico_best_w,
+    ico_best_h, ico_best_bpp, ico_best_in_bounds); NULLs for
+    non-ICO payloads.
+    """
+    b = F.col(bytes_col)
+    typ_n = _le16(b, 3)
+    count = _le16(b, 5)
+    is_ico = (
+        (F.length(b) >= 6) & (_le16(b, 1) == 0) & typ_n.isin(1, 2)
+        & (count > 0)
+    )
+    entries = F.filter(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.when(_byte(b, 7 + 16 * i) == 0, F.lit(256))
+                .otherwise(_byte(b, 7 + 16 * i)).alias("w"),
+                F.when(_byte(b, 8 + 16 * i) == 0, F.lit(256))
+                .otherwise(_byte(b, 8 + 16 * i)).alias("h"),
+                _le16(b, 13 + 16 * i).alias("bpp"),
+                _le32(b, 15 + 16 * i).alias("size"),
+                _le32(b, 19 + 16 * i).alias("off"),
+            )
+            for i in range(ICO_MAX_ENTRIES)
+        ]),
+        lambda e: (e["i"] < count)
+        & (F.length(b) >= 6 + 16 * (e["i"] + 1)),
+    )
+    best = F.get(
+        F.array_sort(
+            F.transform(entries, lambda e: F.struct(
+                (-(e["w"] * e["h"])).alias("na"),
+                (-e["bpp"]).alias("nb"),
+                e["i"].alias("i"), e["w"].alias("w"), e["h"].alias("h"),
+                e["bpp"].alias("bpp"), e["size"].alias("size"),
+                e["off"].alias("off"),
+            ))
+        ),
+        0,
+    )
+    out = imgs.withColumn("__best", F.when(is_ico, best))
+    return (
+        out.withColumn(
+            "ico_type",
+            F.when(is_ico, F.when(typ_n == 1, F.lit("icon"))
+                   .otherwise(F.lit("cursor"))))
+        .withColumn("ico_n_images", F.when(is_ico, count).cast("long"))
+        .withColumn("ico_best_w", F.col("__best.w").cast("long"))
+        .withColumn("ico_best_h", F.col("__best.h").cast("long"))
+        .withColumn("ico_best_bpp", F.col("__best.bpp").cast("long"))
+        .withColumn(
+            "ico_best_in_bounds",
+            F.when(
+                F.col("__best").isNotNull(),
+                (F.col("__best.off") + F.col("__best.size")
+                 <= F.length(b)).cast("int"),
+            ))
+        .drop("__best")
+    )

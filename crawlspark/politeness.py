@@ -758,3 +758,53 @@ def sitemap_lastmod_trust(
         .otherwise("untrusted")
     )
     return g.withColumn("trust", trust)
+
+
+def interarrival_burstiness(
+    log: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-host inter-arrival burstiness (squared coefficient of
+    variation of the gaps) — the pacing diagnostic that separates a
+    host whose traffic is a steady politeness-shaped drip (CV^2 ~ 0)
+    from one hammered in bursts (CV^2 >> 1, Poisson = 1): bursty
+    per-host arrival is what triggers 429 storms even when the MEAN
+    rate respects the crawl delay, so the scheduler smooths exactly
+    the hosts this flags.
+
+        cv2 = Var(g)/Mean(g)^2 = (n*Sg2 - Sg^2) / Sg^2
+
+    Gaps from one lag window PARTITIONED by host; the two gap sums
+    are integer-exact per host (map-side combined), and only the
+    final ratio runs in doubles on those exact operands.  Pick the
+    timestamp UNIT so sum(gap^2) fits int64 (milliseconds for
+    month-scale logs; microseconds only for dense traces — a lone
+    3e9-us gap already squares past 2^63).  Returns (host, n_gaps,
+    sum_gap, cv2_milli); hosts with < 2 gaps or a zero mean report
+    NULL cv2.
+    """
+    w = Window.partitionBy(host_col).orderBy(ts_col)
+    ts = F.col(ts_col).cast("long")
+    gap = ts - F.lag(ts).over(w)
+    g = (
+        log.withColumn("__gap", gap)
+        .filter(F.col("__gap").isNotNull())
+        .groupBy(F.col(host_col).alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("__gap").cast("long").alias("sum_gap"),
+            F.sum(F.col("__gap") * F.col("__gap")).cast("long")
+            .alias("__sum_gap2"),
+        )
+    )
+    cv2 = (
+        (F.col("n_gaps").cast("double") * F.col("__sum_gap2")
+         - F.col("sum_gap").cast("double") * F.col("sum_gap"))
+        / (F.col("sum_gap").cast("double") * F.col("sum_gap"))
+    )
+    return g.select(
+        "host", "n_gaps", "sum_gap",
+        F.when((F.col("n_gaps") >= 2) & (F.col("sum_gap") > 0),
+               F.round(1e3 * cv2, 0).cast("long")).alias("cv2_milli"),
+    )

@@ -739,3 +739,54 @@ def parse_host_directive(
         .filter(F.col("canonical_host").isNotNull())
         .withColumn("differs", F.col("host") != F.col("canonical_host"))
     )
+
+
+def parse_request_rate(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Parse the nonstandard ``Request-rate:`` and ``Visit-time:``
+    robots.txt directives (old REP extension, still honored by polite
+    crawlers): ``Request-rate: 1/5`` = one request per 5 seconds,
+    optional ``Request-rate: 1/5 0600-0845`` window; ``Visit-time:
+    0600-0845`` = only crawl in that UTC window.  They compose with
+    Crawl-delay as politeness floors: the effective delay is the MAX
+    of all declared floors (reference Throttler semantics honor only
+    Crawl-delay; this widens the surface).
+
+    First valid occurrence of each wins.  Returns one row per host
+    that declares either: (host, rate_requests, rate_seconds,
+    rate_delay_ms, visit_from_min, visit_to_min) — NULLs for the
+    directive a host omits; times as minutes-since-midnight.
+    """
+    body = F.col(body_col)
+    rr = F.get(F.regexp_extract_all(
+        body, F.lit(r"(?im)^[ \t]*Request-rate:[ \t]*(\d+/\d+)"), 1), 0)
+    rr_win = F.get(F.regexp_extract_all(
+        body,
+        F.lit(r"(?im)^[ \t]*Request-rate:[ \t]*\d+/\d+[ \t]+"
+              r"(\d{4}-\d{4})"), 1), 0)
+    vt = F.get(F.regexp_extract_all(
+        body, F.lit(r"(?im)^[ \t]*Visit-time:[ \t]*(\d{4}-\d{4})"), 1), 0)
+    win = F.coalesce(vt, rr_win)
+    reqs = F.substring_index(rr, "/", 1).cast("long")
+    secs = F.substring_index(rr, "/", -1).cast("long")
+    to_min = lambda s: (
+        F.substring(s, 1, 2).cast("long") * 60
+        + F.substring(s, 3, 2).cast("long"))
+    return (
+        robots.select(
+            F.col(host_col).alias("host"),
+            reqs.alias("rate_requests"),
+            secs.alias("rate_seconds"),
+            F.when(
+                (reqs > 0) & secs.isNotNull(),
+                (secs * 1000) / reqs,
+            ).cast("long").alias("rate_delay_ms"),
+            to_min(F.substring_index(win, "-", 1)).alias("visit_from_min"),
+            to_min(F.substring_index(win, "-", -1)).alias("visit_to_min"),
+        )
+        .filter(F.col("rate_requests").isNotNull()
+                | F.col("visit_from_min").isNotNull())
+    )
