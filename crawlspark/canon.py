@@ -943,3 +943,48 @@ def homograph_risk(
         scripts_in_host.cast("long").alias("scripts_in_host"),
         (F.size(mixed) > 0).alias("homograph_risk"),
     )
+
+
+def url_prefix_rollup(
+    urls: "DataFrame",
+    url_col: str = "url",
+    max_depth: int = 3,
+) -> "DataFrame":
+    """Path-prefix rollup of a URL set — the directory histogram a
+    crawl-scoping decision reads ("/forum is 80% of the frontier,
+    /static is 2%"): every URL contributes one row per ancestor path
+    prefix up to ``max_depth`` segments, counted per (host, prefix).
+    The reference scopes by single path prefixes (GetLink 'path'
+    option); the rollup is the corpus-wide view that picks WHICH
+    prefix to scope.
+
+    One narrow explode (<= max_depth rows per URL) and one map-side-
+    combined groupBy.  Returns (host, prefix, depth, n_urls) with
+    prefix '/' at depth 0 covering every URL of the host.
+    """
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/:?#]+)", 1)
+    path = F.coalesce(
+        F.nullif(F.regexp_extract(F.col(url_col),
+                                  r"^[a-z]+://[^/?#]+([^?#]*)", 1),
+                 F.lit("")),
+        F.lit("/"),
+    )
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    prefixes = F.transform(
+        F.sequence(F.lit(0), F.least(F.size(segs),
+                                     F.lit(int(max_depth)))),
+        lambda d: F.struct(
+            F.when(d == 0, F.lit("/")).otherwise(
+                F.concat(F.lit("/"),
+                         F.array_join(F.slice(segs, 1, d), "/"))
+            ).alias("prefix"),
+            d.cast("int").alias("depth"),
+        ),
+    )
+    return (
+        urls.select(host.alias("host"), F.explode(prefixes).alias("p"))
+        .filter(F.col("host") != "")
+        .groupBy("host", F.col("p.prefix").alias("prefix"),
+                 F.col("p.depth").alias("depth"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+    )

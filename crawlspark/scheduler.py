@@ -1014,3 +1014,46 @@ def mercator_dispatch(
         "url", "host", "slot", "admission_rank", "seq", "dispatch_ms",
         "dispatch_ord",
     )
+
+
+def halflife_decay_scores(
+    events: DataFrame,
+    key_col: str = "host",
+    ts_col: str = "ts",
+    now_ts: int = 0,
+    halflife: int = 86_400,
+    unit_micro: int = 1_000_000,
+) -> DataFrame:
+    """Recency-weighted activity score with power-of-two half-life
+    decay — the freshness prior a recrawl scheduler feeds into wave
+    selection: each event contributes ``2^-(age/halflife)`` so a
+    host's score halves every ``halflife`` seconds of silence.
+
+    The decay is quantized to WHOLE half-lives (integer age div
+    halflife, weight = unit_micro >> n), so every per-event weight is
+    an exact integer and the per-key sum is summation-order-proof —
+    the float ``exp()`` version of this is the classic
+    nondeterministic-aggregate trap on a shuffled relation.  Ages
+    beyond 62 half-lives contribute 0.  One narrow map + one
+    map-side-combined groupBy.
+
+    Returns (key, n_events, score_micro).
+    """
+    age = (F.lit(int(now_ts)) - F.col(ts_col).cast("long"))
+    n = F.floor(age / F.lit(int(halflife))).cast("long")
+    staged = events.select(F.col(key_col).alias("key"), n.alias("__n"))
+    # SQL shiftright accepts a column shift amount; the F.shiftright
+    # python wrapper does not
+    shifted = F.expr(
+        f"shiftright(CAST({int(unit_micro)} AS BIGINT), CAST(__n AS INT))")
+    w = (
+        F.when(F.col("__n") < 0, F.lit(int(unit_micro)))
+        .when(F.col("__n") <= 62, shifted)
+        .otherwise(F.lit(0))
+    )
+    return (
+        staged.select("key", w.alias("__w"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.sum("__w").cast("long").alias("score_micro"))
+    )

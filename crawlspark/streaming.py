@@ -421,3 +421,42 @@ def watermark_lateness(
         .select("part", "n_events", "n_late", "late_permille",
                 "max_lateness_us")
     )
+
+
+def hopping_window_counts(
+    events: DataFrame,
+    key_col: str = "host",
+    ts_col: str = "ts",
+    window_len: int = 300,
+    hop: int = 60,
+) -> DataFrame:
+    """Hopping (sliding) window counts as a batch replay — the other
+    window family next to the tumbling ``window_agg``: every event
+    belongs to ``window_len/hop`` overlapping windows, which is
+    exactly how Spark's ``window(ts, '5 minutes', '1 minute')``
+    assigns rows.  The batch twin keeps the gate's oracle discipline
+    (explode the covering window starts, one map-side-combined
+    groupBy) and doubles as the sizing study for the streaming state:
+    rows_out = rows_in * (len/hop).
+
+    Window start for event t: every w = hop * k with
+    w > t - window_len and w <= t.  Returns (key, window_start,
+    n_events, n_keys_distinct is left to callers).  ``window_len``
+    must be a multiple of ``hop`` (asserted).
+    """
+    assert window_len % hop == 0, "window_len must be a multiple of hop"
+    per = window_len // hop
+    t = F.col(ts_col).cast("long")
+    first = (t - (window_len - hop)).cast("long")
+    starts = F.transform(
+        F.sequence(F.lit(0), F.lit(per - 1)),
+        lambda i: F.floor((first + i * hop) / hop) * hop,
+    )
+    covering = F.filter(
+        starts, lambda w: (w > t - window_len) & (w <= t))
+    return (
+        events.select(F.col(key_col).alias("key"), t.alias("__t"),
+                      F.explode(covering).alias("window_start"))
+        .groupBy("key", "window_start")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )

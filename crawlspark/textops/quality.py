@@ -1042,3 +1042,63 @@ def script_mix(
             F.lit(False),
         ).alias("mixed"),
     )
+
+
+def gram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-level n-gram novelty per document — what fraction of a
+    doc's n-grams appear in NO other document: high novelty marks
+    original content, near-zero novelty marks boilerplate assembled
+    from corpus-common phrases (the inverse view of the dedup family —
+    instead of finding the pair, score how templated each doc is).
+
+    Plan: positioned shingles -> distinct per doc -> one map-side-
+    combined document-frequency count; per-doc novelty is one more
+    groupBy over the (doc, gram, df) relation.  The df relation is
+    keyed by gram (vocabulary-scale), never a pair join.  Grams
+    counted set-wise per doc (a doc repeating its own phrase does not
+    make the phrase common).
+
+    Returns (id, n_grams, n_novel, novelty_permille); docs shorter
+    than n words report 0 grams and NULL novelty.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    base = docs.select(F.col(id_col).alias("doc"), toks.alias("t"))
+    grams = base.select(
+        "doc",
+        F.explode_outer(
+            F.when(
+                F.size("t") >= n,
+                F.array_distinct(F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda i: F.array_join(F.slice("t", i, n), " "),
+                )),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    df_rel = (
+        grams.filter(F.col("g").isNotNull())
+        .groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    return (
+        grams.join(df_rel, "g", "left")
+        .groupBy(F.col("doc").alias("id"))
+        .agg(
+            F.sum(F.when(F.col("g").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_permille",
+            F.when(F.col("n_grams") > 0,
+                   F.expr("(1000 * n_novel) div n_grams")),
+        )
+    )
