@@ -2687,3 +2687,133 @@ def ico_sniff(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
             ))
         .drop("__best")
     )
+
+
+def jpeg_scan_structure(
+    imgs: DataFrame, bytes_col: str = "bytes",
+) -> DataFrame:
+    """JPEG scan structure — SOS scan count and DRI restart interval
+    without decoding: baseline images have exactly one scan,
+    progressive ones re-traverse the image across many (more scans =
+    more decode passes = higher CPU per byte in the thumbnail fleet),
+    and a nonzero restart interval is what makes a truncated transfer
+    PARTIALLY recoverable (decoders resync at RSTn markers).  Extends
+    the :func:`jpeg_sof_dims` walk past the first SOF: entropy-coded
+    segments after each SOS are skipped by scanning for the next
+    0xFF-marker that is not a stuffed 0xFF00 or RST.
+
+    Arrow-batched pandas UDF.  Adds (jpeg_n_scans, jpeg_restart_interval,
+    jpeg_has_eoi); NULL family for non-JPEG.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("scans int, dri long, eoi int")
+    def scan(bs: pd.Series) -> pd.DataFrame:
+        out = {"scans": [], "dri": [], "eoi": []}
+        for b in bs:
+            if b is None or len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+                out["scans"].append(None)
+                out["dri"].append(None)
+                out["eoi"].append(None)
+                continue
+            i, scans, dri, eoi = 2, 0, None, 0
+            n = len(b)
+            # 2-byte bound, not 4: EOI is a standalone marker that may
+            # be the last two bytes of the stream
+            while i + 2 <= n:
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if marker == 0xFF:
+                    i += 1
+                    continue
+                if marker == 0xD9:
+                    eoi = 1
+                    break
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7 \
+                        or marker == 0x01:
+                    i += 2
+                    continue
+                if i + 4 > n:
+                    break
+                seglen = (b[i + 2] << 8) | b[i + 3]
+                if seglen < 2:
+                    break
+                if marker == 0xDD and seglen >= 4 and i + 6 <= n:
+                    dri = (b[i + 4] << 8) | b[i + 5]
+                if marker == 0xDA:
+                    scans += 1
+                    # skip entropy-coded data to the next real marker
+                    j = i + 2 + seglen
+                    while j + 1 < n:
+                        if b[j] == 0xFF and b[j + 1] != 0x00 \
+                                and not (0xD0 <= b[j + 1] <= 0xD7):
+                            break
+                        j += 1
+                    i = j
+                    continue
+                i += 2 + seglen
+            out["scans"].append(scans)
+            out["dri"].append(dri)
+            out["eoi"].append(eoi)
+        return pd.DataFrame({
+            "scans": pd.array(out["scans"], dtype="Int32"),
+            "dri": pd.array(out["dri"], dtype="Int64"),
+            "eoi": pd.array(out["eoi"], dtype="Int32"),
+        })
+
+    g = imgs.withColumn("__s", scan(F.col(bytes_col)))
+    return (
+        g.withColumn("jpeg_n_scans", F.col("__s.scans"))
+        .withColumn("jpeg_restart_interval", F.col("__s.dri"))
+        .withColumn("jpeg_has_eoi", F.col("__s.eoi"))
+        .drop("__s")
+    )
+
+
+def png_text_chunks(
+    imgs: DataFrame, bytes_col: str = "bytes", max_chunks: int = 16,
+) -> DataFrame:
+    """PNG tEXt metadata extraction — Software/Author/Comment keywords
+    embedded by editors are an attribution and provenance signal (and
+    occasionally a PII leak) that survives pixel-level dedup; a
+    curation pipeline reads them BEFORE stripping.  Spec 11.3.4:
+    keyword, NUL, Latin-1 text inside each tEXt chunk.
+
+    Same chunk walk as :func:`png_crc_check` (CRCs not re-verified
+    here).  Adds png_texts: array<struct<key:string, value:string>>
+    in chunk order (capped at ``max_chunks``), NULL for non-PNG;
+    empty array for PNGs without tEXt.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    @pandas_udf("array<struct<key string, value string>>")
+    def scan(bs: pd.Series) -> pd.Series:
+        res = []
+        for b in bs:
+            if b is None or len(b) < 8 or bytes(b[:8]) != sig:
+                res.append(None)
+                continue
+            i, found = 8, []
+            while i + 12 <= len(b) and len(found) < max_chunks:
+                ln = int.from_bytes(b[i:i + 4], "big")
+                if i + 12 + ln > len(b):
+                    break
+                typ = bytes(b[i + 4:i + 8])
+                if typ == b"tEXt":
+                    data = bytes(b[i + 8:i + 8 + ln])
+                    k, _, v = data.partition(b"\x00")
+                    found.append(
+                        {"key": k.decode("latin1"),
+                         "value": v.decode("latin1")})
+                if typ == b"IEND":
+                    break
+                i += 12 + ln
+            res.append(found)
+        return pd.Series(res)
+
+    return imgs.withColumn("png_texts", scan(F.col(bytes_col)))

@@ -717,3 +717,42 @@ def caption_edit_pairs(
         dist.cast("long").alias("edit_dist"),
         (dist <= int(max_dist)).alias("within"),
     )
+
+
+def host_alt_coverage(
+    pages: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Per-host alt-text coverage — the caption-supply metric for an
+    image+caption crawl: a host whose <img> tags rarely carry alt
+    text will feed the pipeline images with no caption candidate, so
+    the scheduler can deprioritize it (or route it to the expensive
+    caption-model path) before fetching a million captionless
+    thumbnails.  Complements :func:`classify_alt_text` (quality of
+    the alt text that exists) with the rate at which it exists.
+
+    Counts per page via one regexp pass each (JVM): <img tags, those
+    with a nonempty alt attribute; then a map-side-combined host
+    rollup.  Returns (host, n_pages, n_imgs, n_with_alt,
+    alt_permille) — NULL permille for hosts with no images.
+    """
+    imgs = F.size(F.regexp_extract_all(
+        F.col(body_col), F.lit(r"(?i)<img[\s>]"), 0)).cast("long")
+    with_alt = F.size(F.regexp_extract_all(
+        F.col(body_col),
+        F.lit(r"(?is)<img[^>]*\salt\s*=\s*\"[^\"]+\""), 0)).cast("long")
+    per_page = pages.select(
+        F.col(host_col).alias("host"),
+        imgs.alias("__i"), with_alt.alias("__a"))
+    return (
+        per_page.groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pages"),
+             F.sum("__i").cast("long").alias("n_imgs"),
+             F.sum("__a").cast("long").alias("n_with_alt"))
+        .withColumn(
+            "alt_permille",
+            F.when(F.col("n_imgs") > 0,
+                   F.expr("(1000 * n_with_alt) div n_imgs")),
+        )
+    )

@@ -1102,3 +1102,59 @@ def gram_novelty(
                    F.expr("(1000 * n_novel) div n_grams")),
         )
     )
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram cross-entropy quality proxy (CCNet's KenLM filter
+    reduced to its SQL-able core, Wenzek et al. LREC 2020): score each
+    doc by the mean surprisal of its tokens under the corpus's own
+    unigram distribution, -log2 p(w) with add-one smoothing.  Docs of
+    ultra-common filler score LOW (SEO spam, boilerplate), docs of
+    rare-token soup score HIGH (lexicon dumps, mojibake) — the
+    training-data keep-band is the middle.
+
+    Per-token surprisal is quantized to MICRO bits from integer
+    (count, total) pairs — every per-doc sum is integer-exact and
+    summation-order-proof; only the final mean divide is float.  The
+    unigram table is vocabulary-sized and BROADCASTs onto the token
+    relation; two map-side-combined groupBys otherwise.
+
+    Returns (id, n_tokens, sum_surprisal_micro, mean_surprisal_milli);
+    token-less docs report NULL mean.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda t: t != "",
+    )
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("t"))
+    tok = base.select("id", F.explode("t").alias("w"))
+    uni = tok.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    tot = tok.agg((F.count("*") + 1).cast("long").alias("n_total"))
+    surp = F.round(
+        1e6 * -F.log2((F.col("c") + 1.0) / F.col("n_total")), 0
+    ).cast("long")
+    scored = (
+        tok.join(F.broadcast(uni), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_tokens"),
+             F.sum(surp).cast("long").alias("sum_surprisal_micro"))
+    )
+    return (
+        base.select("id").join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("sum_surprisal_micro", F.lit(0))
+            .alias("sum_surprisal_micro"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("sum_surprisal_micro").cast("double")
+                        / F.col("n_tokens") / 1e3, 0).cast("long"),
+            ).alias("mean_surprisal_milli"),
+        )
+    )
