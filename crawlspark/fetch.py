@@ -891,3 +891,51 @@ def retry_budget(
         .withColumn("deferred", (F.col("n_fail") - F.col("granted"))
                     .cast("long"))
     )
+
+
+def h2_connection_coalescing(
+    hosts: DataFrame,
+    certs: DataFrame,
+    host_col: str = "host",
+    ip_col: str = "ip",
+) -> DataFrame:
+    """HTTP/2 connection-coalescing plan (RFC 9113 §9.1.1): two
+    hostnames may share one TLS connection when they resolve to the
+    same IP AND the connection's certificate covers both — for a
+    crawler that means one handshake and one congestion window for a
+    whole CDN tenant block, a direct politeness/throughput lever the
+    reference's per-host curl pool cannot see.
+
+    ``certs`` is the per-IP serving certificate: (ip, san) one row per
+    subject-alt-name, ``*.example.com`` wildcards covering exactly one
+    extra label (RFC 6125 §6.4.3 — no partial-label or multi-label
+    match).  A host matches via an exact SAN or its parent wildcard;
+    matched hosts coalesce under conn_key = the ip, unmatched hosts
+    get their own key (host-keyed connection).  The cert relation is
+    per-IP (small): broadcast equi-join on the candidate SAN forms —
+    never a wildcard theta-join.  Returns (host, ip, coalesced,
+    conn_key).
+    """
+    h = hosts.select(F.col(host_col).alias("host"),
+                     F.col(ip_col).alias("ip"))
+    # candidate SAN forms: the host itself and *.parent
+    parent = F.regexp_replace(F.col("host"), r"^[^.]+", "*")
+    cand = h.select(
+        "host", "ip",
+        F.explode(F.array(F.col("host"), parent)).alias("san"),
+    ).filter(F.col("san") != "*")
+    c = certs.select(F.col("ip").alias("ip"), F.col("san").alias("san"))
+    hit = (
+        cand.join(F.broadcast(c), ["ip", "san"])
+        .select("host", "ip").distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    out = h.join(hit, ["host", "ip"], "left")
+    coalesced = F.coalesce(F.col("__hit"), F.lit(False))
+    return out.select(
+        "host", "ip",
+        coalesced.alias("coalesced"),
+        F.when(coalesced, F.col("ip"))
+        .otherwise(F.concat(F.lit("solo:"), F.col("host")))
+        .alias("conn_key"),
+    )

@@ -790,3 +790,54 @@ def parse_request_rate(
         .filter(F.col("rate_requests").isNotNull()
                 | F.col("visit_from_min").isNotNull())
     )
+
+
+ROBOTS_BYTE_CAP = 500 * 1024
+
+
+def truncate_robots_body(
+    robots: DataFrame,
+    body_col: str = "body",
+    cap: int = ROBOTS_BYTE_CAP,
+) -> DataFrame:
+    """RFC 9309 §2.4 parse limit: a crawler MUST process at least 500
+    KiB of robots.txt and MAY ignore the rest — the defense against
+    pathological multi-megabyte robots files.  Truncation must not
+    invent a directive: a cap landing mid-line drops the PARTIAL last
+    line (its tail is unparsed, so 'Disallow: /private-stuff' cut to
+    'Disallow: /p' would otherwise block the wrong subtree).
+
+    BYTE cap, not characters (octet_length semantics); pure JVM
+    string ops.  Adds (body_capped, robots_truncated, bytes_dropped)
+    — feed body_capped into :func:`parse_robots_txt`.
+    """
+    b = F.col(body_col)
+    blen = F.octet_length(b)
+    over = blen > int(cap)
+    # cut at the byte cap, then back off to the last newline so no
+    # partial line survives (substr on binary keeps byte semantics;
+    # robots bodies are ASCII-dominated, and a multibyte char split at
+    # the cap is dropped with its line)
+    prefix = F.expr(
+        f"cast(substr(cast({body_col} as binary), 1, {int(cap)}) as string)")
+    cut = F.substring_index(prefix, "\n", -1)
+    capped_body = F.when(
+        over,
+        F.expr(
+            f"substring(cast(substr(cast({body_col} as binary), 1, "
+            f"{int(cap)}) as string), 1, "
+            f"length(cast(substr(cast({body_col} as binary), 1, "
+            f"{int(cap)}) as string)) - length("
+            f"substring_index(cast(substr(cast({body_col} as binary), 1, "
+            f"{int(cap)}) as string), '\\n', -1)))"
+        ),
+    ).otherwise(b)
+    return (
+        robots.withColumn("body_capped", capped_body)
+        .withColumn("robots_truncated", over)
+        .withColumn(
+            "bytes_dropped",
+            F.when(over, blen - F.octet_length(F.col("body_capped")))
+            .otherwise(F.lit(0)).cast("long"),
+        )
+    )

@@ -826,3 +826,82 @@ def cow_mor_plan(
             .alias("mor_read_amp_permille"),
         )
     )
+
+
+def etag_strength_decisions(
+    cache: DataFrame,
+    etag_col: str = "etag",
+    use_col: str = "use",
+) -> DataFrame:
+    """Weak vs strong ETag semantics (RFC 9110 §8.8.1 + §13.1): a
+    ``W/"..."`` validator is good enough to answer "has this changed
+    at all?" (If-None-Match revalidation uses the WEAK comparison)
+    but must never validate a byte-range resume — If-Range / Range
+    continuation requires the STRONG comparison, because a weakly
+    equal entity may differ byte-for-byte and splice corrupt files.
+    The resumable-download path (:func:`crawlspark.fetch
+    .resume_ranges`) consumes exactly this gate.
+
+    ``use`` in {'if_none_match', 'if_range'}.  Pure string ops.
+    Returns (etag, use, is_weak, opaque, usable) — usable false for
+    weak validators on the if_range path and for absent/malformed
+    etags everywhere.
+    """
+    e = F.col(etag_col)
+    is_weak = e.startswith('W/"')
+    opaque = F.regexp_extract(e, r'^(?:W/)?"(.*)"$', 1)
+    well_formed = e.rlike(r'^(?:W/)?"[^"]*"$')
+    usable = well_formed & (
+        (F.col(use_col) == "if_none_match")
+        | (~is_weak & (F.col(use_col) == "if_range"))
+    )
+    return cache.select(
+        e.alias("etag"),
+        F.col(use_col).alias("use"),
+        F.when(well_formed, is_weak).alias("is_weak"),
+        F.when(well_formed, opaque).alias("opaque"),
+        usable.alias("usable"),
+    )
+
+
+def webdataset_shard_plan(
+    samples: DataFrame,
+    id_col: str = "image_id",
+    size_col: str = "n_bytes",
+    target_bytes: int = 1 << 30,
+    num_rows: int | None = None,
+) -> DataFrame:
+    """WebDataset-style tar shard assignment for an image+caption
+    training set — the write side of the input_hint table: samples in
+    a DETERMINISTIC key order are packed contiguously into shards of
+    ~``target_bytes`` (webdataset readers stream whole tars, so
+    contiguity in key order is the contract; a size-balanced but
+    order-scrambled assignment would break resumable epoch iteration).
+
+        shard_id = floor(exclusive_prefix_bytes / target_bytes)
+
+    The prefix sum is the two-phase :func:`crawlspark.ranks
+    .global_prefix_sum` — range-partition on the key, per-partition
+    sums, broadcast offsets; NO single-partition window at any size
+    (the naive ``sum() over (order by id)`` collapses 10^9 samples
+    onto one task).  Assignment is by START offset, so a sample may
+    straddle its boundary: shard k holds samples starting in
+    [k*target, (k+1)*target) and its byte size is bounded by
+    target_bytes + max sample size — the streaming-writer contract
+    (greedy close-at-target is inherently sequential; this is the
+    order-preserving distributed equivalent).  Returns (image_id,
+    n_bytes, shard_id, offset_in_shard).
+    """
+    from .ranks import global_prefix_sum
+
+    s = samples.select(F.col(id_col).alias("image_id"),
+                       F.col(size_col).cast("long").alias("n_bytes"))
+    pre = global_prefix_sum(
+        s, order_cols=["image_id"], val_col="n_bytes", out="__pre",
+        num_rows=num_rows,
+    )
+    return pre.select(
+        "image_id", "n_bytes",
+        F.expr(f"__pre div {int(target_bytes)}L").alias("shard_id"),
+        F.expr(f"__pre % {int(target_bytes)}L").alias("offset_in_shard"),
+    )
