@@ -1287,3 +1287,37 @@ def html_tables(body: Column) -> Column:
         ),
     )
     return F.flatten(F.flatten(per_table))
+
+
+def sri_audit(body: Column) -> Column:
+    """Subresource-Integrity audit of a page (W3C SRI): count the
+    <script src> and rel=stylesheet <link> subresources, how many
+    carry an ``integrity`` attribute, and which hash algorithms
+    appear.  For a crawler building a training corpus this is a page
+    trust signal (SRI-disciplined sites are maintained sites) and,
+    combined with the mixed-content audit, the transport-security
+    triage for re-hosting page snapshots.
+
+    Pure JVM regex (same discipline as the extraction layer).
+    Returns struct<n_subresources:int, n_with_sri:int,
+    algos:array<string>> — algos sorted distinct among
+    sha256/sha384/sha512.
+    """
+    scripts = F.regexp_extract_all(
+        body, F.lit(r"(?is)<script\b[^>]*\bsrc\s*=[^>]*>"), 0)
+    links = F.regexp_extract_all(
+        body,
+        F.lit(r"(?is)<link\b[^>]*rel\s*=\s*[\"']?stylesheet[^>]*>"), 0)
+    tags = F.concat(scripts, links)
+    with_sri = F.filter(
+        tags, lambda t: t.rlike(r"(?i)\bintegrity\s*=\s*[\"']sha"))
+    algos = F.array_sort(F.array_distinct(F.flatten(F.transform(
+        with_sri,
+        lambda t: F.regexp_extract_all(
+            t, F.lit(r"(?i)\b(sha256|sha384|sha512)-"), 1),
+    ))))
+    return F.struct(
+        F.size(tags).cast("int").alias("n_subresources"),
+        F.size(with_sri).cast("int").alias("n_with_sri"),
+        algos.alias("algos"),
+    )

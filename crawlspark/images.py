@@ -2817,3 +2817,86 @@ def png_text_chunks(
         return pd.Series(res)
 
     return imgs.withColumn("png_texts", scan(F.col(bytes_col)))
+
+
+def exif_datetime_scan(
+    imgs: DataFrame, bytes_col: str = "bytes",
+) -> DataFrame:
+    """EXIF ``DateTimeOriginal`` extraction (tag 0x9003 in the Exif
+    sub-IFD reached through IFD0's 0x8769 pointer) — capture-time is
+    the temporal axis of an image corpus: dataset date histograms,
+    stale-stock detection, and the privacy question of whether a
+    "current events" caption sits on a years-old photo all read this
+    one field.  Completes the EXIF walk family (orientation, GPS,
+    IFD1 thumbnail) with the two-level IFD chase.
+
+    Both byte orders; ASCII value (count incl. NUL) fetched at its
+    offset when > 4 bytes, per TIFF 6.0 value packing.  Adds
+    (exif_has_subifd, exif_datetime_original, exif_capture_year);
+    NULL family for non-TIFF payloads.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("has int, dt string, yr int")
+    def scan(bs: pd.Series) -> pd.DataFrame:
+        out = {"has": [], "dt": [], "yr": []}
+        for b in bs:
+            has = dt = yr = None
+            ok = (b is not None and len(b) >= 8
+                  and b[:2] in (b"II", b"MM"))
+            if ok:
+                order = "little" if b[:2] == b"II" else "big"
+
+                def rd(off, width):
+                    if off is None or off + width > len(b):
+                        return None
+                    return int.from_bytes(b[off:off + width], order)
+
+                if rd(2, 2) == 42:
+                    ifd0 = rd(4, 4)
+                    n0 = rd(ifd0, 2) if ifd0 is not None else None
+                    sub = None
+                    if n0 is not None:
+                        for e in range(n0):
+                            base = ifd0 + 2 + 12 * e
+                            if rd(base, 2) == 0x8769:
+                                sub = rd(base + 8, 4)
+                                break
+                    has = 1 if sub is not None else 0
+                    if sub is not None:
+                        n1 = rd(sub, 2)
+                        if n1 is not None:
+                            for e in range(n1):
+                                base = sub + 2 + 12 * e
+                                if rd(base, 2) == 0x9003:
+                                    cnt = rd(base + 4, 4) or 0
+                                    off = (rd(base + 8, 4)
+                                           if cnt > 4 else base + 8)
+                                    if off is not None \
+                                            and off + cnt <= len(b):
+                                        raw = bytes(
+                                            b[off:off + cnt]
+                                        ).split(b"\x00")[0]
+                                        dt = raw.decode(
+                                            "ascii", "replace")
+                                        if len(dt) >= 4 \
+                                                and dt[:4].isdigit():
+                                            yr = int(dt[:4])
+                                    break
+            out["has"].append(has)
+            out["dt"].append(dt)
+            out["yr"].append(yr)
+        return pd.DataFrame({
+            "has": pd.array(out["has"], dtype="Int32"),
+            "dt": out["dt"],
+            "yr": pd.array(out["yr"], dtype="Int32"),
+        })
+
+    g = imgs.withColumn("__e", scan(F.col(bytes_col)))
+    return (
+        g.withColumn("exif_has_subifd", F.col("__e.has"))
+        .withColumn("exif_datetime_original", F.col("__e.dt"))
+        .withColumn("exif_capture_year", F.col("__e.yr"))
+        .drop("__e")
+    )

@@ -1057,3 +1057,127 @@ def halflife_decay_scores(
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
              F.sum("__w").cast("long").alias("score_micro"))
     )
+
+
+def apply_priority_rules(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    default_priority: int = 0,
+) -> DataFrame:
+    """Ordered URL priority rules, first match wins — the operator
+    behind every hand-tuned crawl policy file ("/product/ pages are
+    priority 90, anything with ?page= is 10, else 50"): a SMALL
+    ordered rule table (rule_ord, pattern, priority) evaluated
+    top-down per URL, exactly like rewrite-rule engines.
+
+    The rule relation is broadcast as a collected array literal (it
+    is a policy file — tens of rows, never data-sized), and the
+    first-match fold is one JVM ``aggregate`` over that array per
+    URL: no join, no shuffle, no UDF.  Patterns are Java regex,
+    matched with rlike semantics (find anywhere).  Returns every
+    input row + (rule_ord, priority); unmatched URLs get (NULL,
+    ``default_priority``).
+    """
+    rows = sorted(
+        rules.select("rule_ord", "pattern", "priority").collect(),
+        key=lambda r: r.rule_ord,
+    )
+    arr = F.array(*[
+        F.struct(F.lit(int(r.rule_ord)).alias("o"),
+                 F.lit(r.pattern).alias("p"),
+                 F.lit(int(r.priority)).alias("pr"))
+        for r in rows
+    ]) if rows else F.array().cast(
+        "array<struct<o:int,p:string,pr:int>>")
+    u = F.col(url_col)
+    first = F.aggregate(
+        arr,
+        F.struct(F.lit(None).cast("int").alias("o"),
+                 F.lit(None).cast("int").alias("pr")),
+        # regexp_like takes a Column pattern; Column.rlike does not
+        lambda acc, r: F.when(
+            acc["o"].isNull() & F.regexp_like(u, r["p"]),
+            F.struct(r["o"].alias("o"), r["pr"].alias("pr")),
+        ).otherwise(acc),
+    )
+    return urls.withColumn("__m", first).select(
+        "*",
+    ).withColumn(
+        "rule_ord", F.col("__m.o").cast("long")
+    ).withColumn(
+        "priority",
+        F.coalesce(F.col("__m.pr"), F.lit(int(default_priority)))
+        .cast("long"),
+    ).drop("__m")
+
+
+def rebalance_transfers(
+    shards: DataFrame,
+    shard_col: str = "shard_id",
+    backlog_col: str = "backlog",
+    bucket: int = 1024,
+) -> DataFrame:
+    """Frontier shard rebalancing as prefix-interval matching — the
+    work-stealing plan that evens out a skewed frontier without a
+    coordinator: every shard's target is the exact water level
+    (total div n, the first total%n shards by id carrying one extra),
+    donors hold the excess, receivers the deficit, and the transfer
+    list is the OVERLAP of the two cumulative byte-intervals —
+    donor i's excess occupies [E_{i-1}, E_i) of the global move
+    stream, receiver j's deficit [D_{j-1}, D_j), and they exchange
+    exactly the intersection.  Greedy sequential matching produces
+    the same plan; this is its order-free distributed form, and
+    sum(amount) == sum(excess) == sum(deficit) exactly.
+
+    Both prefix sums are windows over the SHARD relation (tiny next
+    to the frontier); the interval-overlap join is bucketized on the
+    move-stream position (equi-join on cell + refine — never a
+    nested-loop range join).  Returns (from_shard, to_shard, amount),
+    empty when already balanced.
+    """
+    from .ranks import global_prefix_sum, global_rank
+
+    s = shards.select(F.col(shard_col).alias("sid"),
+                      F.col(backlog_col).cast("long").alias("bk"))
+    tot = s.agg(F.sum("bk").alias("t"), F.count("*").alias("n"))
+    ranked = global_rank(s, "sid", out="__r").crossJoin(
+        F.broadcast(tot)
+    ).withColumn(
+        "target",
+        F.expr("t div n") + (F.col("__r") <= F.expr("t % n"))
+        .cast("long"),
+    )
+    donors = global_prefix_sum(
+        ranked.filter(F.col("bk") > F.col("target"))
+        .withColumn("amt", F.col("bk") - F.col("target")),
+        order_cols=["sid"], val_col="amt", out="e0",
+    ).select(
+        F.col("sid").alias("from_shard"), "e0",
+        (F.col("e0") + F.col("amt")).alias("e1"),
+    )
+    receivers = global_prefix_sum(
+        ranked.filter(F.col("bk") < F.col("target"))
+        .withColumn("amt", F.col("target") - F.col("bk")),
+        order_cols=["sid"], val_col="amt", out="d0",
+    ).select(
+        F.col("sid").alias("to_shard"), "d0",
+        (F.col("d0") + F.col("amt")).alias("d1"),
+    )
+    b = int(bucket)
+    cells = lambda lo, hi: F.sequence(
+        F.floor(F.col(lo) / b).cast("long"),
+        F.ceil((F.col(hi) - 1) / F.lit(b)).cast("long"),
+    )
+    dx = donors.select("*", F.explode(cells("e0", "e1")).alias("cell"))
+    rx = receivers.select("*", F.explode(cells("d0", "d1")).alias("cell"))
+    overlap = (
+        F.least(F.col("e1"), F.col("d1"))
+        - F.greatest(F.col("e0"), F.col("d0"))
+    )
+    return (
+        dx.join(rx, "cell")
+        .filter(overlap > 0)
+        .select("from_shard", "to_shard", overlap.alias("amount"))
+        .distinct()
+    )
