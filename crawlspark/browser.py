@@ -31,6 +31,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from . import politeness
 from .images import _encode, _pixels
@@ -190,3 +191,44 @@ def browser_fetch_stage(
             )
 
     return queued.mapInPandas(run, BROWSER_RESPONSE_SCHEMA)
+
+
+def render_budget_classifier(
+    pages: DataFrame,
+    body_col: str = "body",
+) -> DataFrame:
+    """Static-vs-JS triage for the headless budget — rendering costs
+    ~100x a plain fetch, so the browser fleet (browser.py) should only
+    see pages that NEED it: an empty SPA mount point (<div id="root">
+    </div>) or a script-heavy shell with almost no server-rendered
+    text.  The reference loads either way (Http vs headless loader is
+    a config flag, src/Loader); at 10^10 URLs the flag must be a
+    per-page decision.
+
+    Signals (pure JVM regex): empty_mount — a root/app div with no
+    content; n_script_srcs; text_permille — visible text length
+    against raw markup length after tag strip.  needs_render =
+    empty_mount OR (>= 3 external scripts AND text under 10%).
+    Returns every page + (empty_mount, n_script_srcs, text_permille,
+    needs_render).
+    """
+    b = F.col(body_col)
+    empty_mount = b.rlike(
+        r'(?is)<div[^>]*id\s*=\s*["\'](root|app)["\'][^>]*>\s*</div>')
+    n_scripts = F.size(F.regexp_extract_all(
+        b, F.lit(r"(?is)<script\b[^>]*\bsrc\s*="), 0)).cast("long")
+    text = F.trim(F.regexp_replace(
+        F.regexp_replace(b, r"(?is)<(script|style)\b.*?</\1\s*>", " "),
+        r"(?s)<[^>]*>", " "))
+    text_len = F.length(F.regexp_replace(text, r"\s+", " "))
+    ratio = F.when(
+        F.length(b) > 0,
+        (F.lit(1000) * text_len / F.length(b)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    needs = empty_mount | ((n_scripts >= 3) & (ratio < 100))
+    return (
+        pages.withColumn("empty_mount", empty_mount)
+        .withColumn("n_script_srcs", n_scripts)
+        .withColumn("text_permille", ratio)
+        .withColumn("needs_render", needs)
+    )

@@ -756,3 +756,49 @@ def host_alt_coverage(
                    F.expr("(1000 * n_with_alt) div n_imgs")),
         )
     )
+
+
+def caption_filename_agreement(
+    images: DataFrame,
+    url_col: str = "image_url",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """Caption-vs-filename keyword agreement — the cheapest
+    image-text alignment proxy there is: photographers and CMSes
+    often name files after content (``red-fox-snow.jpg``), so a
+    caption sharing none of the filename's words is either generic
+    boilerplate or attached to the wrong image, and a caption that
+    only restates the filename adds no information.  Sits below the
+    embedding-similarity tier the way classify_alt_text sits below
+    caption_consensus.
+
+    Filename stem tokens = letter runs >= 3 chars from the URL's last
+    path segment (digit runs drop out; residual camera prefixes like
+    'img' survive tokenization and simply never overlap a caption);
+    caption tokens likewise.  overlap_permille is against the
+    FILENAME token set (the smaller, more specific side).  Pure JVM
+    set ops.  Returns (image_url, caption, n_file_tokens,
+    n_overlap, overlap_permille, agreement); NULL permille when the
+    filename carries no usable tokens.
+    """
+    fname = F.regexp_extract(
+        F.col(url_col), r"([^/?#]+?)(?:\.[A-Za-z0-9]+)?(?:[?#].*)?$", 1)
+    toks = lambda c: F.array_distinct(F.filter(
+        F.split(F.lower(c), "[^a-z]+"),
+        lambda t: F.length(t) >= 3,
+    ))
+    ft = toks(fname)
+    ct = toks(F.col(caption_col))
+    inter = F.array_intersect(ft, ct)
+    n_ft = F.size(ft).cast("long")
+    return images.select(
+        F.col(url_col).alias("image_url"),
+        F.col(caption_col).alias("caption"),
+        n_ft.alias("n_file_tokens"),
+        F.size(inter).cast("long").alias("n_overlap"),
+        F.when(n_ft > 0,
+               (F.lit(1000) * F.size(inter) / n_ft).cast("long"))
+        .alias("overlap_permille"),
+        F.when(n_ft > 0, F.size(inter) * 2 >= n_ft)
+        .otherwise(F.lit(False)).alias("agreement"),
+    )

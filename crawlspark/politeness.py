@@ -808,3 +808,48 @@ def interarrival_burstiness(
         F.when((F.col("n_gaps") >= 2) & (F.col("sum_gap") > 0),
                F.round(1e3 * cv2, 0).cast("long")).alias("cv2_milli"),
     )
+
+
+def nxdomain_cache_plan(
+    lookups: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    rcode_col: str = "rcode",
+    neg_ttl: int = 300,
+) -> DataFrame:
+    """Negative DNS caching audit (RFC 2308): an NXDOMAIN answer is
+    cacheable for the SOA-bounded TTL, and a frontier full of link-rot
+    hosts re-resolves the same dead names thousands of times per wave
+    unless the resolver layer honors it.  Replays a lookup log against
+    a ``neg_ttl`` negative cache: a lookup is SUPPRESSED when the most
+    recent prior NXDOMAIN for its host is within the TTL (the cache
+    answers), otherwise it goes to the wire.
+
+    One conditional running max per host (window PARTITIONED by host,
+    exclusive frame), then a map-side-combined rollup.  Returns
+    (host, n_lookups, n_nxdomain, n_suppressed, saved_permille).
+    """
+    w = (
+        Window.partitionBy(host_col).orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts = F.col(ts_col).cast("long")
+    last_nx = F.max(
+        F.when(F.col(rcode_col) == "nxdomain", ts)).over(w)
+    suppressed = (
+        last_nx.isNotNull() & (ts - last_nx <= int(neg_ttl))
+        & (ts > last_nx)
+    )
+    g = lookups.withColumn("__sup", F.coalesce(suppressed, F.lit(False)))
+    return (
+        g.groupBy(F.col(host_col).alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lookups"),
+            F.sum(F.when(F.col(rcode_col) == "nxdomain", 1)
+                  .otherwise(0)).cast("long").alias("n_nxdomain"),
+            F.sum(F.when(F.col("__sup"), 1).otherwise(0)).cast("long")
+            .alias("n_suppressed"),
+        )
+        .withColumn("saved_permille",
+                    F.expr("(1000 * n_suppressed) div n_lookups"))
+    )

@@ -841,3 +841,48 @@ def truncate_robots_body(
             .otherwise(F.lit(0)).cast("long"),
         )
     )
+
+
+def robots_meta_image_policy(
+    pages: DataFrame,
+    body_col: str = "body",
+) -> DataFrame:
+    """Robots-meta image usage policy — the page-level directives that
+    decide whether a crawled image+caption pair may enter the corpus
+    at all: ``noindex``/``noimageindex`` exclude it, ``max-image-
+    preview:none`` forbids reproducing the image, ``noarchive``
+    forbids keeping the page snapshot, ``max-snippet:N`` caps how much
+    caption text may be reproduced (Google REP meta extensions; the
+    reference parses no meta robots at all — it archives everything).
+
+    One case-insensitive parse of the <meta name="robots"> content
+    list (first such tag wins).  Adds (noindex, noimageindex,
+    noarchive, max_image_preview in none/standard/large — NULL when
+    undeclared, max_snippet — NULL when uncapped, image_usable).
+    """
+    b = F.col(body_col)
+    content = F.lower(F.regexp_extract(
+        b,
+        r'(?is)<meta\s[^>]*name\s*=\s*["\']robots["\'][^>]*'
+        r'content\s*=\s*["\']([^"\']*)["\']',
+        1))
+    has_tok = lambda t: content.rlike(r"(^|[,\s])" + t + r"($|[,\s])")
+    preview = F.regexp_extract(
+        content, r"max-image-preview\s*:\s*(none|standard|large)", 1)
+    preview = F.when(preview != "", preview)
+    snippet = F.regexp_extract(content, r"max-snippet\s*:\s*(-?\d+)", 1)
+    snippet = F.when(snippet != "", snippet.cast("long"))
+    noindex = has_tok("noindex") | has_tok("none")
+    noimage = has_tok("noimageindex")
+    usable = ~(
+        noindex | noimage
+        | (F.coalesce(preview, F.lit("")) == "none")
+    )
+    return (
+        pages.withColumn("noindex", noindex)
+        .withColumn("noimageindex", noimage)
+        .withColumn("noarchive", has_tok("noarchive"))
+        .withColumn("max_image_preview", preview)
+        .withColumn("max_snippet", snippet)
+        .withColumn("image_usable", usable)
+    )
