@@ -208,3 +208,45 @@ def hill_alpha(
             ).cast("long").alias("alpha_milli"),
         )
     )
+
+
+def gini_coefficient(
+    sizes: DataFrame,
+    key_col: str = "host",
+    size_col: str = "n",
+) -> DataFrame:
+    """Gini coefficient of a size distribution — the one-number
+    inequality read-out next to :func:`hill_alpha`'s tail exponent:
+    G near 0 means bytes/URLs spread evenly across hosts (fleet
+    parallelism wins), G near 1 means a handful of hosts hold nearly
+    everything (per-host politeness is the wall and salting/budget
+    caps are mandatory).
+
+        G = (2 * sum(i * x_(i)) - (n + 1) * sum(x)) / (n * sum(x))
+
+    over sizes sorted ascending with 1-based ranks.  Ranks come from
+    the two-phase :func:`crawlspark.ranks.global_rank` on the
+    (size, key) composite (distinct by construction — NO
+    single-partition window), both sums are integer-exact, and only
+    the final ratio is floating point.  Returns one row (n, total,
+    gini_milli); NULL gini for empty/zero-total input.
+    """
+    from .ranks import global_rank
+
+    s = sizes.select(F.col(key_col).alias("k"),
+                     F.col(size_col).cast("long").alias("x"))
+    ranked = global_rank(s, ["x", "k"], out="i")
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("total"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("s1"),
+    )
+    g = (
+        (2.0 * F.col("s1") - (F.col("n") + 1.0) * F.col("total"))
+        / (F.col("n").cast("double") * F.col("total"))
+    )
+    return sums.select(
+        "n", "total",
+        F.when((F.col("n") > 0) & (F.col("total") > 0),
+               F.round(1e3 * g, 0).cast("long")).alias("gini_milli"),
+    )

@@ -1059,3 +1059,51 @@ def pack_multimodal(
         .when(tok_bin > img_bin, "tokens")
         .otherwise("images").alias("bound_by"),
     )
+
+
+def corpus_datasheet(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row corpus datasheet — the summary block a dataset card
+    leads with (Gebru et al., "Datasheets for Datasets"): document
+    and token counts, vocabulary size, mean document length, and the
+    exact-duplicate rate.  Everything is a map-side-combined
+    aggregate or a vocabulary-scale groupBy; the scalars meet in one
+    broadcast cross-join, so the datasheet costs two passes at any
+    corpus size.
+
+    Returns (n_docs, n_tokens, vocab_size, mean_tokens_milli,
+    n_exact_dup_docs, dup_permille).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda t: t != "",
+    )
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("t"),
+                       F.col(text_col).alias("__text"))
+    core = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("t")).cast("long").alias("n_tokens"),
+        F.countDistinct("__text").cast("long").alias("n_distinct_texts"),
+    )
+    vocab = (
+        base.select(F.explode("t").alias("w"))
+        .agg(F.countDistinct("w").cast("long").alias("vocab_size"))
+    )
+    return (
+        core.crossJoin(F.broadcast(vocab))
+        .select(
+            "n_docs", "n_tokens", "vocab_size",
+            F.when(F.col("n_docs") > 0,
+                   F.round(1e3 * F.col("n_tokens").cast("double")
+                           / F.col("n_docs"), 0).cast("long"))
+            .alias("mean_tokens_milli"),
+            (F.col("n_docs") - F.col("n_distinct_texts"))
+            .alias("n_exact_dup_docs"),
+            F.when(F.col("n_docs") > 0, F.expr(
+                "(1000 * (n_docs - n_distinct_texts)) div n_docs"))
+            .alias("dup_permille"),
+        )
+    )

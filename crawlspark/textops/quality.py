@@ -1158,3 +1158,42 @@ def unigram_surprisal(
             ).alias("mean_surprisal_milli"),
         )
     )
+
+
+def lang_attr_mismatch(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    body_col: str = "body",
+    text_col: str = "text",
+) -> DataFrame:
+    """Declared-vs-detected language audit: the <html lang> attribute
+    against the marker-count detector (:func:`lang_id`) — CMS
+    templates routinely stamp ``lang="en"`` on every locale, and a
+    mismatch (declared en, detected de) routes the page to re-ID
+    before the language-stratified sampler trusts either.  BCP 47
+    values compare on the primary subtag (``en-US`` -> ``en``).
+
+    Returns (id, declared_lang — NULL when absent, pred_lang,
+    mismatch) — mismatch only when BOTH sides are confident (declared
+    present, prediction not 'other').
+    """
+    declared_raw = F.regexp_extract(
+        F.col(body_col),
+        r'(?is)<html\b[^>]*\blang\s*=\s*["\']([A-Za-z-]+)["\']', 1)
+    declared = F.when(
+        declared_raw != "",
+        F.lower(F.substring_index(declared_raw, "-", 1)))
+    ids = lang_id(
+        pages.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("text"))
+    ).select(F.col("doc_id").alias("id"), "pred_lang")
+    base = pages.select(F.col(id_col).alias("id"),
+                        declared.alias("declared_lang"))
+    return base.join(ids, "id").select(
+        "id", "declared_lang", "pred_lang",
+        (
+            F.col("declared_lang").isNotNull()
+            & (F.col("pred_lang") != "other")
+            & (F.col("declared_lang") != F.col("pred_lang"))
+        ).alias("mismatch"),
+    )
