@@ -2900,3 +2900,83 @@ def exif_datetime_scan(
         .withColumn("exif_capture_year", F.col("__e.yr"))
         .drop("__e")
     )
+
+
+def pad_alignment_cost(
+    imgs: DataFrame,
+    w_col: str = "w",
+    h_col: str = "h",
+    align: int = 64,
+) -> DataFrame:
+    """GPU batch pad-alignment accounting: training kernels want
+    dimensions in multiples of the tile size (64 for most conv/ViT
+    patch pipelines), so every image pays (ceil(w/a)*a, ceil(h/a)*a)
+    padded pixels — the waste share decides whether to crop-snap
+    instead of pad, and summed over a corpus it is real GPU-hours.
+    Pure integer expressions.  Adds (pad_w, pad_h, px, padded_px,
+    waste_permille).
+    """
+    a = int(align)
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    pw = (F.ceil(w / a) * a).cast("long")
+    ph = (F.ceil(h / a) * a).cast("long")
+    px = (w * h).cast("long")
+    ppx = (pw * ph).cast("long")
+    return (
+        imgs.withColumn("pad_w", pw)
+        .withColumn("pad_h", ph)
+        .withColumn("px", px)
+        .withColumn("padded_px", ppx)
+        .withColumn(
+            "waste_permille",
+            F.when(px > 0, F.expr("(1000 * (padded_px - px)) div px")),
+        )
+    )
+
+
+def resolution_family_fold(
+    imgs: DataFrame,
+    url_col: str = "image_url",
+) -> DataFrame:
+    """Resolution-ladder family folding — CMSes publish the same
+    picture as ``hero-1920x1080.jpg``, ``hero-800x450.jpg``,
+    ``hero-300w.jpg``: byte-level and even phash dedup see distinct
+    files, but the corpus needs ONE family row (keep the largest, the
+    rest are derivatives).  The family key strips the size suffix
+    from the filename stem; the fold keeps per-family counts and the
+    best declared resolution.
+
+    Suffix forms handled: ``-WxH`` / ``_WxH`` / ``-Nw`` / ``@2x``
+    before the extension.  One narrow map + one map-side-combined
+    groupBy.  Returns (family_key, n_variants, best_w, best_url) —
+    best_w NULL when no variant declares a width (all bare).
+    """
+    u = F.col(url_col)
+    stem = F.regexp_extract(u, r"([^/?#]+?)(?:\.[A-Za-z0-9]+)?(?:[?#].*)?$", 1)
+    dir_ = F.regexp_extract(u, r"^(.*/)[^/?#]*(?:[?#].*)?$", 1)
+    base = F.regexp_replace(
+        stem, r"(?i)(?:[-_]\d{2,5}x\d{2,5}|[-_]\d{2,5}w|@\dx)$", "")
+    wxh = F.regexp_extract(stem, r"(?i)[-_](\d{2,5})x\d{2,5}$", 1)
+    nw = F.regexp_extract(stem, r"(?i)[-_](\d{2,5})w$", 1)
+    width = F.when(wxh != "", wxh.cast("long")) \
+        .when(nw != "", nw.cast("long"))
+    tagged = imgs.select(
+        u.alias("image_url"),
+        F.concat(dir_, base).alias("family_key"),
+        width.alias("__w"),
+    )
+    return (
+        tagged.groupBy("family_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.max("__w").alias("best_w"),
+            # struct tiebreak: equal widths resolve to the max url, so
+            # the fold is deterministic under any partitioning
+            F.max_by(
+                "image_url",
+                F.struct(F.coalesce("__w", F.lit(-1)).alias("w"),
+                         F.col("image_url").alias("u")),
+            ).alias("best_url"),
+        )
+    )

@@ -853,3 +853,35 @@ def nxdomain_cache_plan(
         .withColumn("saved_permille",
                     F.expr("(1000 * n_suppressed) div n_lookups"))
     )
+
+
+def parallel_throttle_schedule(
+    frontier: DataFrame,
+    host_col: str = "host",
+    ord_col: str = "ord",
+    delay_col: str = "delay_ms",
+    connections: int = 2,
+) -> DataFrame:
+    """k-connection politeness schedule — HTTP/2 politeness is not
+    "one request per delay" but "k concurrent streams, each paced":
+    with ``connections`` lanes per host, the i-th URL (0-based within
+    its host, priority order) dispatches on lane i mod k at
+    (i div k) * delay_ms.  k=1 degenerates to the sequential
+    :func:`throttle_schedule` spacing; the host finishes in
+    ceil(n/k) * delay instead of n * delay.
+
+    One window per host (partitioned — the politeness unit owns its
+    partition, same shape as the sequential scheduler).  Returns
+    (host, url-ord columns passthrough, lane, dispatch_ms).
+    """
+    w = Window.partitionBy(host_col).orderBy(ord_col)
+    seq = F.row_number().over(w) - 1
+    k = int(connections)
+    return (
+        frontier.withColumn("lane", (seq % k).cast("int"))
+        .withColumn(
+            "dispatch_ms",
+            (F.floor(seq / k) * F.col(delay_col).cast("long"))
+            .cast("long"),
+        )
+    )

@@ -460,3 +460,44 @@ def hopping_window_counts(
         .groupBy("key", "window_start")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+
+
+def late_correction_deltas(
+    finalized: DataFrame,
+    late: DataFrame,
+    key_col: str = "key",
+    window_col: str = "window_start",
+    count_col: str = "n_events",
+) -> DataFrame:
+    """Late-event correction deltas — what a downstream consumer must
+    APPLY when events arrive after their window was emitted: Spark's
+    append-mode windows simply drop post-watermark rows, update mode
+    re-emits whole rows; a delta feed (window, +k) is the compact
+    contract between the two (the retraction/correction stream of the
+    dataflow model, Akidau et al. VLDB'15).
+
+    One map-side-combined groupBy over the late rows, then a LEFT
+    join against the finalized relation on (key, window) — co-
+    partitioned equi-join; late volume is tiny next to the finalized
+    table.  Returns (key, window_start, old_n, delta, new_n,
+    was_emitted) — was_emitted false when the late event opens a
+    window the consumer never saw (the delta is the whole row).
+    """
+    lt = (
+        late.groupBy(F.col(key_col).alias("key"),
+                     F.col(window_col).alias("window_start"))
+        .agg(F.count(F.lit(1)).cast("long").alias("delta"))
+    )
+    fin = finalized.select(
+        F.col(key_col).alias("key"),
+        F.col(window_col).alias("window_start"),
+        F.col(count_col).cast("long").alias("old_n"),
+    )
+    j = lt.join(fin, ["key", "window_start"], "left")
+    return j.select(
+        "key", "window_start",
+        F.coalesce("old_n", F.lit(0)).alias("old_n"),
+        "delta",
+        (F.coalesce("old_n", F.lit(0)) + F.col("delta")).alias("new_n"),
+        F.col("old_n").isNotNull().alias("was_emitted"),
+    )
