@@ -988,3 +988,45 @@ def url_prefix_rollup(
                  F.col("p.depth").alias("depth"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
     )
+
+
+def percent_normalize_expr(url: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization as pure Column
+    expressions — the piece :func:`canonicalize_expr` documents as
+    out of scope and the Arrow UDF handles via urllib: decode %XX
+    octets that are UNRESERVED (ALPHA / DIGIT / - . _ ~) and
+    uppercase the hex of the ones that must stay encoded
+    (``%7Efoo%2Fbar%3a`` -> ``~foo%2Fbar%3A``).  Two URLs that
+    differ only in these encodings are the same resource, and at
+    10^10 frontier rows every alias family collapsed here is seen-set
+    capacity back.
+
+    One split on '%', one JVM transform (piece 0 verbatim; each later
+    piece classifies its leading hex pair), one array_join.  Stray
+    '%' without two hex digits passes through literally (matching
+    lenient browser behavior).
+    """
+    pieces = F.split(url, "%", -1)
+
+    def handle(p: Column) -> Column:
+        hex2 = F.substring(p, 1, 2)
+        valid = p.rlike("^[0-9A-Fa-f]{2}")
+        code = F.conv(F.upper(hex2), 16, 10).cast("int")
+        unreserved = (
+            code.between(48, 57) | code.between(65, 90)
+            | code.between(97, 122) | code.isin(45, 46, 95, 126)
+        )
+        rest = F.substring(p, 3, 1 << 30)
+        return (
+            F.when(valid & unreserved, F.concat(F.char(code), rest))
+            .when(valid, F.concat(F.lit("%"), F.upper(hex2), rest))
+            .otherwise(F.concat(F.lit("%"), p))
+        )
+
+    return F.array_join(
+        F.transform(
+            pieces,
+            lambda p, i: F.when(i == 0, p).otherwise(handle(p)),
+        ),
+        "",
+    )

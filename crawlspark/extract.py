@@ -1321,3 +1321,41 @@ def sri_audit(body: Column) -> Column:
         F.size(with_sri).cast("int").alias("n_with_sri"),
         algos.alias("algos"),
     )
+
+
+def heading_outline(body: Column) -> Column:
+    """Heading outline audit — the h1..h6 sequence in document order
+    plus the structural violations quality raters look at: missing
+    h1, multiple h1s, and level SKIPS (h2 -> h4) that mark generated
+    or scraped markup.  Clean outlines correlate with hand-authored
+    content; an LLM-data pipeline uses this as a cheap page-structure
+    prior next to the text-ratio signals.
+
+    Pure JVM: one regexp pass for the tags, HOF fold for the maximum
+    downward jump.  Returns struct<levels:array<int>, n_h1:int,
+    max_skip:int, well_formed:boolean> — well_formed = exactly one
+    h1, no skip > 1.
+    """
+    levels = F.transform(
+        F.regexp_extract_all(body, F.lit(r"(?i)<h([1-6])[\s>]"), 1),
+        lambda s: s.cast("int"),
+    )
+    n_h1 = F.size(F.filter(levels, lambda x: x == 1)).cast("int")
+    jumps = F.when(
+        F.size(levels) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(levels) - 1),
+            lambda i: F.get(levels, i) - F.get(levels, i - 1),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    max_skip = F.greatest(
+        F.lit(0),
+        F.aggregate(jumps, F.lit(0),
+                    lambda acc, j: F.greatest(acc, j)),
+    ).cast("int")
+    return F.struct(
+        levels.alias("levels"),
+        n_h1.alias("n_h1"),
+        max_skip.alias("max_skip"),
+        ((n_h1 == 1) & (max_skip <= 1)).alias("well_formed"),
+    )

@@ -886,3 +886,32 @@ def robots_meta_image_policy(
         .withColumn("max_snippet", snippet)
         .withColumn("image_usable", usable)
     )
+
+
+def sitemap_cross_host_audit(
+    robots: DataFrame,
+    host_col: str = "host",
+    sitemaps_col: str = "sitemaps",
+) -> DataFrame:
+    """Cross-host sitemap declaration audit — RFC 9309 / sitemaps.org
+    allow robots.txt to point at a sitemap on ANOTHER host (CDN-hosted
+    sitemaps), but then the sitemap's URLs only count for hosts it is
+    authorized for, and a crawler should fetch it under the DECLARING
+    host's politeness budget while flagging the trust handoff.
+
+    One explode of the parsed sitemaps array + host compare (scheme
+    ignored; exact host match — subdomain delegation is NOT implied
+    by the spec).  Returns one row per declared sitemap: (host,
+    sitemap_url, sitemap_host, cross_host).
+    """
+    exploded = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.col(sitemaps_col)).alias("sitemap_url"),
+    )
+    sm_host = F.lower(F.regexp_extract(
+        F.col("sitemap_url"), r"^[A-Za-z]+://([^/:?#]+)", 1))
+    return exploded.select(
+        "host", "sitemap_url",
+        sm_host.alias("sitemap_host"),
+        (sm_host != F.lower(F.col("host"))).alias("cross_host"),
+    )
