@@ -1335,3 +1335,77 @@ def degree_assortativity(
             ).cast("long"),
         ).alias("r_milli"),
     )
+
+
+def canonical_chain_resolve(
+    pages: DataFrame,
+    url_col: str = "url",
+    canonical_col: str = "canonical",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Resolve rel=canonical CHAINS — page A canonicals to B which
+    canonicals to C: indexers (and the reference's canonical dedup,
+    src/Steps/Loading/HttpCrawl.php canonical handling) honor only
+    one hop, so a chain means A's signal never consolidates on C
+    unless the crawler resolves it; a LOOP (A->B->A) means neither
+    page has a trustworthy canonical at all.
+
+    The canonical relation is functional (<= 1 out-edge per url), so
+    resolution is ``max_hops`` self-joins — each hop one
+    co-partitioned equi-join on the url key, no iteration state.
+    Returns (url, final_url, hops, status) with status in
+    {'self', 'direct', 'chain', 'loop', 'dangling_cap'}: 'self' for
+    url == canonical, 'direct' one hop to a terminal, 'chain'
+    resolved in 2..max_hops hops, 'loop' when the walk revisits the
+    start, 'dangling_cap' when max_hops exhausts first.
+    """
+    edges = pages.select(
+        F.col(url_col).alias("u"), F.col(canonical_col).alias("c"))
+    cur = edges.select(
+        F.col("u").alias("url"),
+        F.col("c").alias("final_url"),
+        F.when(F.col("u") == F.col("c"), F.lit(0)).otherwise(F.lit(1))
+        .alias("hops"),
+        (F.col("u") == F.col("c")).alias("done"),
+        F.lit(False).alias("loop"),
+    )
+    for _ in range(int(max_hops) - 1):
+        nxt = edges.select(F.col("u").alias("final_url"),
+                           F.col("c").alias("__next"))
+        cur = (
+            cur.join(nxt, "final_url", "left")
+            .select(
+                "url",
+                F.when(
+                    ~F.col("done") & ~F.col("loop")
+                    & F.col("__next").isNotNull()
+                    & (F.col("__next") != F.col("final_url")),
+                    F.col("__next"),
+                ).otherwise(F.col("final_url")).alias("final_url"),
+                F.when(
+                    ~F.col("done") & ~F.col("loop")
+                    & F.col("__next").isNotNull()
+                    & (F.col("__next") != F.col("final_url")),
+                    F.col("hops") + 1,
+                ).otherwise(F.col("hops")).alias("hops"),
+                (
+                    F.col("done")
+                    | F.col("__next").isNull()
+                    | (F.col("__next") == F.col("final_url"))
+                ).alias("done"),
+                (
+                    F.col("loop")
+                    | (~F.col("done") & (F.col("__next") == F.col("url")))
+                ).alias("loop"),
+            )
+        )
+    status = (
+        F.when(F.col("loop"), F.lit("loop"))
+        .when(F.col("hops") == 0, F.lit("self"))
+        .when(F.col("done") & (F.col("hops") == 1), F.lit("direct"))
+        .when(F.col("done"), F.lit("chain"))
+        .otherwise(F.lit("dangling_cap"))
+    )
+    return cur.select("url", "final_url",
+                      F.col("hops").cast("long").alias("hops"),
+                      status.alias("status"))

@@ -260,3 +260,102 @@ def resize_frames(frames: DataFrame, factor: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return frames.mapInPandas(work, FRAME_SCHEMA)
+
+
+def pdf_sniff(docs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """PDF payload sniffing without a parser — version from the
+    ``%PDF-1.x`` header, trailer integrity (``%%EOF`` near the end),
+    ``/Linearized`` (web-optimized, byte-range streamable — the flag
+    that decides whether a range fetch can render page 1), and an
+    encryption marker (``/Encrypt`` in the trailer region): a
+    document-corpus pipeline routes on exactly these before spending
+    a real parser on the payload.
+
+    Pure JVM expressions over the decoded latin-1 text of the first
+    and last 2 KiB (PDF structure markers are ASCII by spec).  Adds
+    (pdf_version, pdf_has_eof, pdf_linearized, pdf_encrypted); NULL
+    family for non-PDF.
+    """
+    b = F.col(bytes_col)
+    head = F.decode(F.expr(f"substr({bytes_col}, 1, 2048)"), "ISO-8859-1")
+    tail = F.decode(
+        F.expr(f"substr({bytes_col}, "
+               f"greatest(1, length({bytes_col}) - 2047), 2048)"),
+        "ISO-8859-1")
+    is_pdf = head.startswith("%PDF-")
+    version = F.regexp_extract(head, r"^%PDF-(\d\.\d)", 1)
+    return (
+        docs.withColumn(
+            "pdf_version", F.when(is_pdf & (version != ""), version))
+        .withColumn(
+            "pdf_has_eof",
+            F.when(is_pdf, tail.contains("%%EOF").cast("int")))
+        .withColumn(
+            "pdf_linearized",
+            F.when(is_pdf, head.contains("/Linearized").cast("int")))
+        .withColumn(
+            "pdf_encrypted",
+            F.when(is_pdf, tail.contains("/Encrypt").cast("int")))
+    )
+
+
+def zip_eocd_sniff(docs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """ZIP end-of-central-directory sniffing — docx/xlsx/epub/jar/apk
+    are all ZIP containers, and the EOCD record (the last 22+ bytes)
+    says how many entries the archive holds and where the central
+    directory lives WITHOUT reading the body: the triage a crawler
+    runs before deciding whether a 50 MB payload is a 3-entry epub or
+    a 10k-file apk.  A trailing ZIP comment shifts the EOCD, so the
+    scan searches the last 1 KiB for the PK\\x05\\x06 signature
+    (bounded, per APPNOTE 4.4.1 comment <= 64 KiB; payloads with
+    longer comments report truncated).
+
+    Arrow-batched pandas UDF (byte search + LE fields).  Adds
+    (zip_n_entries, zip_cd_size, zip_cd_offset, zip_comment_len,
+    zip_eocd_found); NULL family for payloads without the local-file
+    magic.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n long, cds long, cdo long, cl long, found int")
+    def scan(bs: pd.Series) -> pd.DataFrame:
+        out = {k: [] for k in ("n", "cds", "cdo", "cl", "found")}
+        for b in bs:
+            if b is None or len(b) < 4 or bytes(b[:4]) not in (
+                    b"PK\x03\x04", b"PK\x05\x06"):
+                for k in out:
+                    out[k].append(None)
+                continue
+            window = bytes(b[max(0, len(b) - 1024):])
+            pos = window.rfind(b"PK\x05\x06")
+            if pos < 0 or pos + 22 > len(window):
+                out["n"].append(None)
+                out["cds"].append(None)
+                out["cdo"].append(None)
+                out["cl"].append(None)
+                out["found"].append(0)
+                continue
+            rec = window[pos:pos + 22]
+            out["n"].append(int.from_bytes(rec[10:12], "little"))
+            out["cds"].append(int.from_bytes(rec[12:16], "little"))
+            out["cdo"].append(int.from_bytes(rec[16:20], "little"))
+            out["cl"].append(int.from_bytes(rec[20:22], "little"))
+            out["found"].append(1)
+        return pd.DataFrame({
+            "n": pd.array(out["n"], dtype="Int64"),
+            "cds": pd.array(out["cds"], dtype="Int64"),
+            "cdo": pd.array(out["cdo"], dtype="Int64"),
+            "cl": pd.array(out["cl"], dtype="Int64"),
+            "found": pd.array(out["found"], dtype="Int32"),
+        })
+
+    g = docs.withColumn("__z", scan(F.col(bytes_col)))
+    return (
+        g.withColumn("zip_n_entries", F.col("__z.n"))
+        .withColumn("zip_cd_size", F.col("__z.cds"))
+        .withColumn("zip_cd_offset", F.col("__z.cdo"))
+        .withColumn("zip_comment_len", F.col("__z.cl"))
+        .withColumn("zip_eocd_found", F.col("__z.found"))
+        .drop("__z")
+    )

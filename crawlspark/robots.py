@@ -915,3 +915,72 @@ def sitemap_cross_host_audit(
         sm_host.alias("sitemap_host"),
         (sm_host != F.lower(F.col("host"))).alias("cross_host"),
     )
+
+
+KNOWN_DIRECTIVES = (
+    "user-agent", "allow", "disallow", "crawl-delay", "sitemap",
+    "host", "clean-param", "request-rate", "visit-time",
+)
+
+
+def robots_lint(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """robots.txt lint — the parse-health taxonomy an operator
+    dashboard tracks across a million hosts: unknown directives
+    (typos like ``Dissallow`` silently allow everything), rules
+    declared before any User-agent group (dropped per RFC 9309
+    grouping), a UTF-8 BOM glued to the first directive name (breaks
+    naive parsers), and CR-only line endings.  A lint hit doesn't
+    block crawling — parse_robots_txt stays lenient — it flags hosts
+    whose INTENT probably differs from what the parser extracted.
+
+    One line explode, pure string classification, one rollup per
+    host.  Returns (host, n_lines, n_directives, n_unknown,
+    n_rules_before_group, has_bom, cr_only_eol).
+    """
+    body = F.col(body_col)
+    has_bom = body.startswith("﻿")
+    cr_only = body.contains("\r") & ~body.contains("\n")
+    lines = F.split(F.regexp_replace(body, "^﻿", ""),
+                    "\r\n|\r|\n")
+    parsed = robots.select(
+        F.col(host_col).alias("host"),
+        has_bom.alias("has_bom"),
+        cr_only.alias("cr_only_eol"),
+        F.posexplode(lines).alias("pos", "__raw"),
+    )
+    line = F.trim(F.regexp_replace(F.col("__raw"), "#.*$", ""))
+    name = F.lower(F.trim(F.substring_index(line, ":", 1)))
+    is_directive = line.contains(":") & (name != "")
+    known = name.isin(*KNOWN_DIRECTIVES)
+    d = parsed.select(
+        "host", "has_bom", "cr_only_eol", "pos",
+        is_directive.alias("__dir"),
+        (is_directive & ~known).alias("__unk"),
+        (is_directive & known & (name != "user-agent"))
+        .alias("__rule"),
+        (is_directive & (name == "user-agent")).alias("__ua"),
+    )
+    w = (
+        Window.partitionBy("host").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn(
+        "__in_group", F.sum(F.col("__ua").cast("int")).over(w) > 0)
+    return (
+        d.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("__dir").cast("int")).cast("long")
+            .alias("n_directives"),
+            F.sum(F.col("__unk").cast("int")).cast("long")
+            .alias("n_unknown"),
+            F.sum((F.col("__rule") & ~F.col("__in_group")).cast("int"))
+            .cast("long").alias("n_rules_before_group"),
+            F.first("has_bom").alias("has_bom"),
+            F.first("cr_only_eol").alias("cr_only_eol"),
+        )
+    )
