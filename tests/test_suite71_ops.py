@@ -29,7 +29,13 @@ def test_canonical_dangling_and_cap(spark):
            canonical_chain_resolve(pages, max_hops=4).collect()}
     assert got["a"].status == "direct" and got["a"].final_url == "b"
     assert got["c1"].status == "dangling_cap" and got["c1"].hops == 4
-    assert got["c2"].status == "chain" and got["c2"].final_url == "c6"
+    # c2 reaches c6 in exactly max_hops hops: the walk cannot know c6
+    # is terminal without one more probe -> honest dangling_cap
+    assert got["c2"].status == "dangling_cap"
+    assert got["c2"].final_url == "c6" and got["c2"].hops == 4
+    # c3 resolves in 3 hops with a spare iteration to confirm terminal
+    assert got["c3"].status == "chain" and got["c3"].final_url == "c6"
+    assert got["c3"].hops == 3
 
 
 def test_pdf_eof_only_near_end(spark):
