@@ -2980,3 +2980,43 @@ def resolution_family_fold(
             ).alias("best_url"),
         )
     )
+
+
+def declared_dims_mismatch(
+    imgs: DataFrame,
+    attr_w_col: str = "attr_w",
+    attr_h_col: str = "attr_h",
+    sniff_w_col: str = "sniff_w",
+    sniff_h_col: str = "sniff_h",
+    tolerance_permille: int = 0,
+) -> DataFrame:
+    """Declared-vs-actual dimension audit: the width/height attributes
+    a page ships against the dimensions sniffed from the payload
+    header.  Disagreement is a triple signal — layout shift on render,
+    a CDN silently recompressing, or a srcset fallback serving the
+    wrong variant — and for caption pipelines the DECLARED aspect
+    ratio is what the author captioned, so a mismatch flags the pair.
+
+    A NULL on either side is 'unverifiable', equal dims (within
+    ``tolerance_permille`` per axis) 'match', same aspect ratio but
+    different scale 'scaled' (CDN resize — usually benign), otherwise
+    'mismatch'.  Aspect compare is integer cross-multiplication.
+    Pure expressions.  Adds (dims_verdict).
+    """
+    aw = F.col(attr_w_col).cast("long")
+    ah = F.col(attr_h_col).cast("long")
+    sw = F.col(sniff_w_col).cast("long")
+    sh = F.col(sniff_h_col).cast("long")
+    tol = int(tolerance_permille)
+    if tol == 0:
+        eq = lambda a, b: a == b
+    else:
+        eq = lambda a, b: ((a - b) * 1000).between(-tol * b, tol * b)
+    verdict = (
+        F.when(aw.isNull() | ah.isNull() | sw.isNull() | sh.isNull(),
+               F.lit("unverifiable"))
+        .when(eq(aw, sw) & eq(ah, sh), F.lit("match"))
+        .when(aw * sh == ah * sw, F.lit("scaled"))
+        .otherwise(F.lit("mismatch"))
+    )
+    return imgs.withColumn("dims_verdict", verdict)

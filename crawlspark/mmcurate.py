@@ -802,3 +802,82 @@ def caption_filename_agreement(
         F.when(n_ft > 0, F.size(inter) * 2 >= n_ft)
         .otherwise(F.lit(False)).alias("agreement"),
     )
+
+
+CLIP_TOKEN_BUDGET = 77
+
+
+def clip_caption_budget(
+    images: DataFrame,
+    caption_col: str = "caption",
+    budget: int = CLIP_TOKEN_BUDGET,
+) -> DataFrame:
+    """Caption token-budget accounting for CLIP-style encoders — the
+    text tower truncates at 77 tokens, so everything past the budget
+    is silently invisible to training: a corpus where 30% of captions
+    truncate is quietly training on caption PREFIXES.  Whitespace
+    tokens approximate the BPE count conservatively (BPE >= words);
+    the kept_text column is the exact prefix a word-budget keeps.
+
+    Pure JVM array ops.  Returns (caption, n_tokens, truncated,
+    kept_text, lost_tokens).
+    """
+    words = F.filter(
+        F.split(F.col(caption_col), r"\s+"), lambda w: w != "")
+    n = F.size(words).cast("long")
+    b = int(budget)
+    return images.select(
+        F.col(caption_col).alias("caption"),
+        n.alias("n_tokens"),
+        (n > b).alias("truncated"),
+        F.array_join(F.slice(words, 1, b), " ").alias("kept_text"),
+        F.greatest(n - b, F.lit(0).cast("long")).alias("lost_tokens"),
+    )
+
+
+def image_inbound_alt_consensus(
+    refs: DataFrame,
+    image_col: str = "image_url",
+    alt_col: str = "alt",
+) -> DataFrame:
+    """Inbound alt-text consensus per image — an image embedded on
+    many pages accumulates several independent alt texts, and the
+    modal one is the best free caption candidate the crawl itself
+    produces (the cross-PAGE complement of caption_consensus's
+    within-dup-group vote).  Empty alts are abstentions.
+
+    Two map-side-combined groupBys ((image, alt) counts, then the
+    per-image argmax via max_by on a (count, alt) struct — ties
+    resolve to the lexicographically LAST alt, deterministic under
+    any partitioning).  Returns (image_url, n_refs, n_alts,
+    n_distinct_alts, top_alt, top_alt_share_permille).
+    """
+    base = refs.select(F.col(image_col).alias("image_url"),
+                       F.col(alt_col).alias("alt"))
+    per_alt = (
+        base.filter(F.col("alt").isNotNull() & (F.col("alt") != ""))
+        .groupBy("image_url", "alt")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totals = base.groupBy("image_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs"))
+    voted = per_alt.groupBy("image_url").agg(
+        F.sum("c").cast("long").alias("n_alts"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_alts"),
+        F.max_by("alt", F.struct(F.col("c").alias("c"),
+                                 F.col("alt").alias("a"))).alias("top_alt"),
+        F.max("c").alias("__top_c"),
+    )
+    return (
+        totals.join(voted, "image_url", "left")
+        .select(
+            "image_url", "n_refs",
+            F.coalesce("n_alts", F.lit(0)).alias("n_alts"),
+            F.coalesce("n_distinct_alts", F.lit(0))
+            .alias("n_distinct_alts"),
+            "top_alt",
+            F.when(F.col("n_alts") > 0,
+                   F.expr("(1000 * __top_c) div n_alts"))
+            .alias("top_alt_share_permille"),
+        )
+    )

@@ -1181,3 +1181,46 @@ def rebalance_transfers(
         .select("from_shard", "to_shard", overlap.alias("amount"))
         .distinct()
     )
+
+
+def template_cost_estimate(
+    frontier: DataFrame,
+    history: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    bytes_col: str = "n_bytes",
+    default_bytes: int = 64 * 1024,
+) -> DataFrame:
+    """Per-URL fetch cost prediction from (host, template) history —
+    the byte-budget input :func:`select_wave_by_bytes` wants BEFORE
+    any fetch happens: URLs sharing a structural template
+    (:func:`url_template`) share a size distribution, so the
+    template's historical mean predicts the new URL's cost far better
+    than a global constant.  URLs whose template was never seen fall
+    back to ``default_bytes``.
+
+    History aggregates once per (host, template) — template
+    cardinality is tiny next to URLs — then a broadcastable equi-join
+    onto the frontier.  Integer mean (sum div n).  Returns frontier +
+    (template, est_bytes, from_history).
+    """
+    t = url_template(F.col(url_col))
+    hist = (
+        history.select(F.col(host_col).alias("host"),
+                       t.alias("template"),
+                       F.col(bytes_col).cast("long").alias("b"))
+        .groupBy("host", "template")
+        .agg(F.expr("sum(b) div count(*)").alias("__mean"))
+    )
+    tagged = frontier.withColumn("template", t)
+    return (
+        tagged.join(F.broadcast(hist),
+                    [host_col, "template"], "left")
+        .withColumn("from_history", F.col("__mean").isNotNull())
+        .withColumn(
+            "est_bytes",
+            F.coalesce(F.col("__mean"),
+                       F.lit(int(default_bytes)).cast("long")),
+        )
+        .drop("__mean")
+    )
