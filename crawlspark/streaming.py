@@ -501,3 +501,53 @@ def late_correction_deltas(
         (F.coalesce("old_n", F.lit(0)) + F.col("delta")).alias("new_n"),
         F.col("old_n").isNotNull().alias("was_emitted"),
     )
+
+
+def event_path_trigrams(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    min_count: int = 5,
+) -> DataFrame:
+    """Common 3-step behavior paths — the sequence-mining counterpart
+    of the ordered funnel: instead of checking ONE hypothesized
+    funnel, surface which (a -> b -> c) event trigrams actually
+    dominate user timelines (the input a funnel analyst starts from).
+
+    Per user one partitioned collect in (ts, tiebreak) order, then
+    the same index-transform shingling the text n-gram ops use —
+    never a self-join on the event table.  Returns (e1, e2, e3, c)
+    for trigrams with c >= min_count.
+    """
+    base = (
+        events.select(F.col(user_col).alias("u"),
+                      F.col(ts_col).alias("ts"),
+                      F.col(type_col).alias("e"))
+        .groupBy("u")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "e"))),
+            lambda s: s["e"],
+        ).alias("seq"))
+    )
+    tri = base.select(
+        F.explode(
+            F.when(
+                F.size("seq") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("seq") - 2),
+                    lambda i: F.struct(
+                        F.element_at("seq", i).alias("e1"),
+                        F.element_at("seq", i + 1).alias("e2"),
+                        F.element_at("seq", i + 2).alias("e3"),
+                    ),
+                ),
+            ).otherwise(F.array().cast(
+                "array<struct<e1:string,e2:string,e3:string>>"))
+        ).alias("t")
+    )
+    return (
+        tri.groupBy("t.e1", "t.e2", "t.e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= int(min_count))
+    )

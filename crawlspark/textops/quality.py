@@ -1197,3 +1197,46 @@ def lang_attr_mismatch(
             & (F.col("declared_lang") != F.col("pred_lang"))
         ).alias("mismatch"),
     )
+
+
+def badwords_rate(
+    docs: DataFrame,
+    blocklist: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_permille: int = 10,
+) -> DataFrame:
+    """C4-style content word-blocklist gate (Raffel et al. 2020 drop
+    pages containing any "bad word"; modern pipelines use a RATE so a
+    medical page mentioning one term once survives): the share of a
+    doc's tokens that hit the blocklist, and the binary gate at
+    ``block_permille``.
+
+    The blocklist is a literal broadcast array (policy-sized);
+    matching is exact-token against the same letters-only
+    tokenization every textops dictionary uses — substring matching
+    (the original C4 mistake: 'class' contains...) is deliberately
+    NOT done.  Returns (id, n_tokens, n_blocked, blocked_permille,
+    blocked) — empty docs pass.
+    """
+    bl = F.array(*[F.lit(w.lower()) for w in blocklist])
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda t: t != "",
+    )
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(bl, t)))
+    n = F.size(toks)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        n.cast("long").alias("n_tokens"),
+        hits.cast("long").alias("n_blocked"),
+    )
+    return base.withColumn(
+        "blocked_permille",
+        F.when(F.col("n_tokens") > 0,
+               F.expr("(1000 * n_blocked) div n_tokens")),
+    ).withColumn(
+        "blocked",
+        F.coalesce(F.col("blocked_permille"), F.lit(0))
+        >= int(block_permille),
+    )

@@ -53,6 +53,18 @@ WHITELIST: dict[str, dict[str, str]] = {
     "ann_brute_topk": {
         "bnl_join": "corpus x broadcast(<=256 query rows); bounded fan-out"
     },
+    # the CH ring is F*vnodes LITERAL rows (a fleet config, <= a few
+    # hundred) broadcast against hosts; the nested loop is |hosts| * ring
+    # with a tiny ring — same bounded shape as the ANN codebook joins.
+    "ch_ring_assign": {
+        "bnl_join": "hosts x broadcast ring (fetchers*vnodes literal rows)"
+    },
+    # snapshot lineage is TABLE METADATA (one row per commit, <= ~1e5 for
+    # any real Iceberg table): the recency window runs over that metadata
+    # relation, never over data rows.
+    "snapshot_expiry": {
+        "single_partition": "window over snapshot metadata (<=1e5 rows/table)"
+    },
     "embedding_cosine_pairs": {
         "bnl_join": "self-pairs within broadcast range-bucket; bucket-capped"
     },
