@@ -1359,3 +1359,120 @@ def heading_outline(body: Column) -> Column:
         max_skip.alias("max_skip"),
         ((n_h1 == 1) & (max_skip <= 1)).alias("well_formed"),
     )
+
+
+def picture_sources(body: Column) -> Column:
+    """<picture> responsive-source extraction — the modern-format
+    negotiation that happens in MARKUP rather than Accept headers:
+    each <picture> lists <source type="image/avif|webp" ...> in
+    priority order with an <img> fallback, and a crawler harvesting
+    image+caption pairs must fetch the variant a real client would
+    pick, or it archives a JPEG while users see the AVIF.
+
+    Per <picture> block (split + regex, same discipline as
+    html_tables): the ordered source types and srcsets plus the
+    fallback <img src>.  Returns array<struct<pic_ord:int,
+    source_ord:int, mime:string, url:string>> — the fallback rides as
+    mime 'fallback' with source_ord after the sources.
+    """
+    pics = F.slice(F.split(body, r"(?i)<picture[\s>]"), 2, 1 << 20)
+
+    def per_pic(p: Column, pi: Column) -> Column:
+        block = F.substring_index(p, "</picture", 1)
+        srcs = F.regexp_extract_all(
+            block,
+            F.lit(r'(?is)<source[^>]*type\s*=\s*["\']([^"\']+)["\']'
+                  r'[^>]*srcset\s*=\s*["\']([^"\',\s]+)'), 0)
+        parsed = F.transform(
+            srcs,
+            lambda tag, si: F.struct(
+                pi.cast("int").alias("pic_ord"),
+                si.cast("int").alias("source_ord"),
+                F.regexp_extract(
+                    tag, r'(?i)type\s*=\s*["\']([^"\']+)["\']', 1)
+                .alias("mime"),
+                F.regexp_extract(
+                    tag, r'(?i)srcset\s*=\s*["\']([^"\',\s]+)', 1)
+                .alias("url"),
+            ),
+        )
+        fb = F.regexp_extract(
+            block, r'(?is)<img[^>]*src\s*=\s*["\']([^"\']+)["\']', 1)
+        fb_struct = F.when(
+            fb != "",
+            F.array(F.struct(
+                pi.cast("int").alias("pic_ord"),
+                F.size(srcs).cast("int").alias("source_ord"),
+                F.lit("fallback").alias("mime"),
+                fb.alias("url"),
+            )),
+        ).otherwise(F.array().cast(
+            "array<struct<pic_ord:int,source_ord:int,"
+            "mime:string,url:string>>"))
+        return F.concat(parsed, fb_struct)
+
+    return F.flatten(F.transform(pics, per_pic))
+
+
+def iframe_audit(body: Column, page_host: Column) -> Column:
+    """Iframe embed audit — third-party iframes are where ads,
+    trackers and consent walls live, and a page that is MOSTLY
+    iframes has no first-party content worth training on.  Counts
+    embeds, how many are third-party (src host differs from the
+    page's), and how many carry a ``sandbox`` attribute (the
+    trust-boundary signal).
+
+    Pure regex.  Returns struct<n_iframes:int, n_third_party:int,
+    n_sandboxed:int>.
+    """
+    tags = F.regexp_extract_all(
+        body, F.lit(r"(?is)<iframe\b[^>]*>"), 0)
+    src_host = lambda t: F.lower(F.regexp_extract(
+        t, r'(?i)src\s*=\s*["\'][a-z]+://([^/"\':]+)', 1))
+    third = F.filter(
+        tags,
+        lambda t: (src_host(t) != "")
+        & (src_host(t) != F.lower(page_host)),
+    )
+    sandboxed = F.filter(
+        tags, lambda t: t.rlike(r"(?i)\bsandbox\b"))
+    return F.struct(
+        F.size(tags).cast("int").alias("n_iframes"),
+        F.size(third).cast("int").alias("n_third_party"),
+        F.size(sandboxed).cast("int").alias("n_sandboxed"),
+    )
+
+
+REFERRER_POLICIES = (
+    "no-referrer", "no-referrer-when-downgrade", "origin",
+    "origin-when-cross-origin", "same-origin", "strict-origin",
+    "strict-origin-when-cross-origin", "unsafe-url",
+)
+
+
+def referrer_policy_audit(body: Column) -> Column:
+    """Referrer-policy audit (W3C Referrer Policy): which policy the
+    page declares via <meta name="referrer">, whether it is a KNOWN
+    token, and whether it leaks full URLs cross-origin
+    (``unsafe-url``, or the legacy default
+    ``no-referrer-when-downgrade`` which sends the full referrer to
+    any https target) — for a crawler that republishes page snapshots
+    the leaky policies mark pages whose URLs were probably visible to
+    third parties.
+
+    Returns struct<declared:string, known:boolean, leaky:boolean> —
+    declared NULL when absent (UAs then default to
+    strict-origin-when-cross-origin, which is not leaky).
+    """
+    raw = F.lower(F.regexp_extract(
+        body,
+        r'(?is)<meta\s[^>]*name\s*=\s*["\']referrer["\'][^>]*'
+        r'content\s*=\s*["\']([^"\']*)["\']', 1))
+    declared = F.when(raw != "", raw)
+    known = declared.isin(*REFERRER_POLICIES)
+    leaky = declared.isin("unsafe-url", "no-referrer-when-downgrade")
+    return F.struct(
+        declared.alias("declared"),
+        F.when(declared.isNotNull(), known).alias("known"),
+        F.coalesce(leaky, F.lit(False)).alias("leaky"),
+    )
