@@ -359,3 +359,158 @@ def zip_eocd_sniff(docs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         .withColumn("zip_eocd_found", F.col("__z.found"))
         .drop("__z")
     )
+
+
+def m3u8_variants(docs: DataFrame, body_col: str = "body") -> DataFrame:
+    """HLS master-playlist parsing — video crawling starts at the
+    .m3u8 manifest, and the #EXT-X-STREAM-INF variant list (BANDWIDTH,
+    RESOLUTION, then the URI on the next line) is the fetch-planning
+    table: which rendition to archive, what the byte budget is, and
+    whether a "video" page actually exposes only a 240p stream.
+
+    Pure JVM: one regexp pass pairing each STREAM-INF line with its
+    following URI line.  Adds m3u8_variants:
+    array<struct<bandwidth:long, width:long, height:long,
+    uri:string>> — NULL for non-HLS bodies (no #EXTM3U header),
+    empty array for media playlists without variants.
+    """
+    b = F.col(body_col)
+    is_m3u8 = b.startswith("#EXTM3U")
+    pairs = F.regexp_extract_all(
+        b,
+        F.lit(r"(?m)^#EXT-X-STREAM-INF:([^\r\n]*)\r?\n([^#\r\n][^\r\n]*)"),
+        0)
+    parsed = F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.nullif(
+                F.regexp_extract(p, r"BANDWIDTH=(\d+)", 1), F.lit(""))
+            .cast("long").alias("bandwidth"),
+            F.nullif(
+                F.regexp_extract(p, r"RESOLUTION=(\d+)x\d+", 1),
+                F.lit("")).cast("long").alias("width"),
+            F.nullif(
+                F.regexp_extract(p, r"RESOLUTION=\d+x(\d+)", 1),
+                F.lit("")).cast("long").alias("height"),
+            F.regexp_extract(p, r"\r?\n(.+)$", 1).alias("uri"),
+        ),
+    )
+    return docs.withColumn(
+        "m3u8_variants", F.when(is_m3u8, parsed))
+
+
+def wav_sniff(docs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """WAV header sniffing (RIFF/WAVE fmt chunk at its canonical
+    offset): channels, sample rate, bits per sample, PCM-ness, and
+    the implied uncompressed data rate — the triage an audio-corpus
+    crawler runs before handing bytes to a real decoder.  Canonical
+    layout (fmt as first chunk at byte 13) covers the overwhelming
+    majority of wild WAVs; nonstandard chunk orders report NULLs and
+    route to the slow path.
+
+    Pure JVM substring arithmetic (same _le16/_le32 discipline as the
+    image sniffers).  Adds (wav_channels, wav_sample_rate,
+    wav_bits, wav_is_pcm, wav_bytes_per_s).
+    """
+    from .images import _le16, _le32
+
+    b = F.col(bytes_col)
+    is_wav = (
+        (F.length(b) >= 36)
+        & (F.hex(F.substring(b, 1, 4)) == "52494646")
+        & (F.hex(F.substring(b, 9, 8)) == "57415645666D7420")
+    )
+    fmt_code = _le16(b, 21)
+    ch = _le16(b, 23)
+    rate = _le32(b, 25)
+    bits = _le16(b, 35)
+    return (
+        docs.withColumn("wav_channels", F.when(is_wav, ch).cast("long"))
+        .withColumn("wav_sample_rate",
+                    F.when(is_wav, rate).cast("long"))
+        .withColumn("wav_bits", F.when(is_wav, bits).cast("long"))
+        .withColumn("wav_is_pcm",
+                    F.when(is_wav, (fmt_code == 1).cast("int")))
+        .withColumn(
+            "wav_bytes_per_s",
+            F.when(is_wav, (rate * ch * bits / 8)).cast("long"))
+    )
+
+
+def vtt_cues(docs: DataFrame, body_col: str = "body") -> DataFrame:
+    """WebVTT cue accounting — subtitle files are the TEXT half of a
+    video+caption training pair, and the cue timeline says how much
+    of the video is actually captioned: cue count, captioned
+    milliseconds, and the span between first start and last end
+    (coverage = captioned/span).
+
+    One regexp pass for the ``hh:mm:ss.mmm --> hh:mm:ss.mmm`` cue
+    lines, pure integer time arithmetic in JVM HOFs.  Adds
+    (vtt_n_cues, vtt_captioned_ms, vtt_span_ms); NULL family for
+    bodies without the WEBVTT header.
+    """
+    b = F.col(body_col)
+    is_vtt = b.startswith("WEBVTT")
+    cues = F.regexp_extract_all(
+        b,
+        F.lit(r"(\d{2}):(\d{2}):(\d{2})\.(\d{3})\s*-->\s*"
+              r"(\d{2}):(\d{2}):(\d{2})\.(\d{3})"), 0)
+
+    def ms(c: Column, which: int) -> Column:
+        g = lambda i: F.regexp_extract(
+            c,
+            r"(\d{2}):(\d{2}):(\d{2})\.(\d{3})\s*-->\s*"
+            r"(\d{2}):(\d{2}):(\d{2})\.(\d{3})",
+            i + which * 4).cast("long")
+        return (g(1) * 3_600_000 + g(2) * 60_000 + g(3) * 1000 + g(4))
+
+    durs = F.transform(cues, lambda c: ms(c, 1) - ms(c, 0))
+    starts = F.transform(cues, lambda c: ms(c, 0))
+    ends = F.transform(cues, lambda c: ms(c, 1))
+    total = F.aggregate(durs, F.lit(0).cast("long"),
+                        lambda a, x: a + x)
+    span = F.when(
+        F.size(cues) > 0,
+        F.array_max(ends) - F.array_min(starts),
+    ).otherwise(F.lit(0))
+    return (
+        docs.withColumn("vtt_n_cues",
+                        F.when(is_vtt, F.size(cues)).cast("long"))
+        .withColumn("vtt_captioned_ms", F.when(is_vtt, total))
+        .withColumn("vtt_span_ms",
+                    F.when(is_vtt, span).cast("long"))
+    )
+
+
+def id3_sniff(docs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """ID3v2 tag sniffing (MP3 metadata): version, flags, and the
+    SYNCSAFE tag size (four 7-bit bytes — the arithmetic decoders get
+    wrong most often), which is exactly the offset where audio frames
+    start: a crawler slicing podcast files for an audio corpus skips
+    the tag without parsing a single frame.
+
+    Pure JVM byte arithmetic.  Adds (id3_version, id3_tag_bytes,
+    id3_unsynchronized); NULL family for non-ID3 payloads.
+    """
+    from .images import _byte
+
+    b = F.col(bytes_col)
+    is_id3 = (F.length(b) >= 10) & (
+        F.hex(F.substring(b, 1, 3)) == "494433")
+    size = (
+        _byte(b, 7) * F.lit(1 << 21) + _byte(b, 8) * F.lit(1 << 14)
+        + _byte(b, 9) * F.lit(1 << 7) + _byte(b, 10)
+    )
+    return (
+        docs.withColumn(
+            "id3_version",
+            F.when(is_id3, F.concat(F.lit("2."),
+                                    _byte(b, 4).cast("string"),
+                                    F.lit("."),
+                                    _byte(b, 5).cast("string"))))
+        .withColumn("id3_tag_bytes", F.when(is_id3, size).cast("long"))
+        .withColumn(
+            "id3_unsynchronized",
+            F.when(is_id3,
+                   (F.shiftright(_byte(b, 6), 7) % 2 == 1).cast("int")))
+    )
