@@ -158,6 +158,25 @@ def run_headline(spark) -> dict[str, float]:
     )
     measure("frontier_wave_2m", lambda: frontier_wave(spark, VIRTUAL_N),
             capture_rows_as="_frontier_wave_rows")
+
+    def mercator_2m():
+        from crawlspark.scheduler import mercator_dispatch
+
+        f = spark.range(2_000_000).select(
+            F.concat(F.lit("http://h"),
+                     (F.col("id") % 100_000).cast("string"),
+                     F.lit("/p"), F.col("id").cast("string")).alias("url"),
+            F.concat(F.lit("h"),
+                     (F.col("id") % 100_000).cast("string")).alias("host"),
+            (F.col("id") % 7).alias("priority"),
+            F.col("id").alias("discovery_ord"),
+            (100 * (1 + F.col("id") % 100_000 % 3)).alias("delay_ms"),
+        )
+        return mercator_dispatch(f, n_back=64).count()
+
+    # round-3 scheduler headline: Mercator front/back-queue dispatch over
+    # 2M URLs / 100k hosts — two two-phase global ranks + host windows
+    measure("mercator_dispatch_2m", mercator_2m)
     measure("wave_select_skew_2m", lambda: wave_select_skew(spark, VIRTUAL_N))
     measure(
         "dedup_minhash_lsh",

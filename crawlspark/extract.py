@@ -1476,3 +1476,83 @@ def referrer_policy_audit(body: Column) -> Column:
         F.when(declared.isNotNull(), known).alias("known"),
         F.coalesce(leaky, F.lit(False)).alias("leaky"),
     )
+
+
+def srcset_sizes_select(
+    srcset: Column,
+    sizes: Column,
+    viewport_px: int = 430,
+    dpr_centi: int = 100,
+) -> Column:
+    """Evaluate an <img sizes>/<srcset> pair the way a browser does at
+    layout time — the step :func:`img_srcset_candidates` leaves to the
+    client: the ``sizes`` attribute is an ordered list of
+    ``(media-condition) length`` clauses (first matching wins, last
+    clause unconditional), the chosen slot width times the device
+    pixel ratio picks the smallest w-descriptor candidate that still
+    covers it.  Supported conditions: ``(max-width: Npx)`` /
+    ``(min-width: Npx)``; lengths ``Nvw`` / ``Npx`` (the forms that
+    cover real-world markup).
+
+    Pure JVM HOFs; DPR in centi-units keeps the slot math integer.
+    Returns struct<slot_px:long, need_px:long, chosen_url:string,
+    chosen_w:long> — chosen NULL when srcset has no w-descriptor
+    covering the need and no larger fallback (callers then take the
+    largest available).
+    """
+    clauses = F.transform(
+        F.split(sizes, ","),
+        lambda c: F.struct(
+            F.nullif(F.regexp_extract(
+                c, r"\(max-width:\s*(\d+)px\)", 1), F.lit(""))
+            .cast("long").alias("maxw"),
+            F.nullif(F.regexp_extract(
+                c, r"\(min-width:\s*(\d+)px\)", 1), F.lit(""))
+            .cast("long").alias("minw"),
+            F.nullif(F.regexp_extract(
+                c, r"(\d+)\s*vw", 1), F.lit("")).cast("long")
+            .alias("vw"),
+            F.nullif(F.regexp_extract(
+                c, r"(\d+)\s*px(?!\))", 1), F.lit("")).cast("long")
+            .alias("px"),
+        ),
+    )
+    vp = F.lit(int(viewport_px))
+    matching = F.filter(
+        clauses,
+        lambda cl: (
+            (cl["maxw"].isNull() | (vp <= cl["maxw"]))
+            & (cl["minw"].isNull() | (vp >= cl["minw"]))
+        ),
+    )
+    first = F.get(matching, 0)
+    slot = F.coalesce(
+        first["px"],
+        (first["vw"] * vp / 100).cast("long"),
+        vp,
+    )
+    need = (slot * int(dpr_centi) / 100).cast("long")
+    cands = F.transform(
+        F.split(srcset, ","),
+        lambda c: F.struct(
+            F.regexp_extract(F.trim(c), r"^(\S+)", 1).alias("url"),
+            F.nullif(F.regexp_extract(F.trim(c), r"\s(\d+)w$", 1),
+                     F.lit("")).cast("long").alias("w"),
+        ),
+    )
+    covering = F.filter(
+        cands, lambda c: c["w"].isNotNull() & (c["w"] >= need))
+    chosen = F.get(
+        F.array_sort(
+            covering,
+            lambda a, b: F.when(a["w"] < b["w"], -1)
+            .when(a["w"] > b["w"], 1).otherwise(0),
+        ),
+        0,
+    )
+    return F.struct(
+        slot.alias("slot_px"),
+        need.alias("need_px"),
+        chosen["url"].alias("chosen_url"),
+        chosen["w"].alias("chosen_w"),
+    )

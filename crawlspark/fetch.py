@@ -939,3 +939,44 @@ def h2_connection_coalescing(
         .otherwise(F.concat(F.lit("solo:"), F.col("host")))
         .alias("conn_key"),
     )
+
+
+def slo_burn_alerts(
+    windows: DataFrame,
+    host_col: str = "host",
+    window_col: str = "window",
+    ok_col: str = "n_ok",
+    err_col: str = "n_err",
+    slo_permille: int = 995,
+    fast_burn_milli: int = 14_400,
+    slow_burn_milli: int = 6_000,
+) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE workbook
+    policy) applied to the fetch fleet: with an availability SLO of
+    ``slo_permille``, the error BUDGET is 1-SLO, and burn_rate =
+    observed_error_rate / budget.  The fast window (5m) pages at
+    14.4x (budget gone in 2 days), the slow window (1h) tickets at
+    6x.  Per (host, window) the burn is integer-exact up to the final
+    divide.
+
+    ``window`` in {'fast','slow'}.  Returns (host, window, n_total,
+    burn_milli, alert) — NULL burn for empty windows.
+    """
+    n = (F.col(ok_col).cast("long") + F.col(err_col).cast("long"))
+    budget_permille = 1000 - int(slo_permille)
+    burn = (
+        (F.col(err_col).cast("double") * 1000.0)
+        / (n.cast("double") * budget_permille)
+    )
+    burn_milli = F.when(n > 0, F.round(1e3 * burn, 0).cast("long"))
+    thresh = (
+        F.when(F.col(window_col) == "fast", F.lit(int(fast_burn_milli)))
+        .otherwise(F.lit(int(slow_burn_milli)))
+    )
+    return windows.select(
+        F.col(host_col).alias("host"),
+        F.col(window_col).alias("window"),
+        n.alias("n_total"),
+        burn_milli.alias("burn_milli"),
+        F.coalesce(burn_milli >= thresh, F.lit(False)).alias("alert"),
+    )

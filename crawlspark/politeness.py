@@ -942,3 +942,58 @@ def token_bucket_admission(
         .groupBy(host_col)
         .applyInPandas(replay, out_schema)
     )
+
+
+def host_anomaly_z(
+    daily: DataFrame,
+    host_col: str = "host",
+    day_col: str = "day",
+    count_col: str = "n",
+    z_milli_threshold: int = 3000,
+) -> DataFrame:
+    """Per-host traffic anomaly z-score — is TODAY's fetch volume for
+    a host an outlier against its own history?  A spike usually means
+    a trap opened (calendar pages, faceted search) or a sitemap dump
+    landed; a collapse means the host started blocking us.  Flag
+    before the wave planner trusts the backlog.
+
+        z = (x_latest - mean(history)) / stddev(history)
+
+    All sums integer-exact per host (count/sum/sum-of-squares over
+    the history EXCLUDING the latest day); the final z is one double
+    on exact operands, milli-quantized.  Hosts with < 3 history days
+    or zero variance report NULL z.  Returns (host, latest_day,
+    latest_n, hist_days, z_milli, anomalous).
+    """
+    latest = daily.groupBy(F.col(host_col).alias("host")).agg(
+        F.max(F.col(day_col).cast("long")).alias("latest_day"))
+    d = daily.select(F.col(host_col).alias("host"),
+                     F.col(day_col).cast("long").alias("day"),
+                     F.col(count_col).cast("long").alias("n"))
+    j = d.join(latest, "host")
+    hist = j.filter(F.col("day") < F.col("latest_day")).groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("hist_days"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    cur = j.filter(F.col("day") == F.col("latest_day")).select(
+        "host", F.col("day").alias("latest_day"),
+        F.col("n").alias("latest_n"))
+    out = cur.join(hist, "host", "left")
+    k = F.col("hist_days").cast("double")
+    mean = F.col("s1") / k
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / k) / k
+    z = (F.col("latest_n") - mean) / F.sqrt(var)
+    z_milli = F.when(
+        (F.col("hist_days") >= 3)
+        & (F.col("s2") * F.col("hist_days")
+           > F.col("s1") * F.col("s1")),
+        F.round(1e3 * z, 0).cast("long"),
+    )
+    return out.select(
+        "host", "latest_day", "latest_n",
+        F.coalesce("hist_days", F.lit(0)).alias("hist_days"),
+        z_milli.alias("z_milli"),
+        F.coalesce(F.abs(z_milli) >= int(z_milli_threshold),
+                   F.lit(False)).alias("anomalous"),
+    )

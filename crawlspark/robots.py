@@ -984,3 +984,43 @@ def robots_lint(
             F.first("cr_only_eol").alias("cr_only_eol"),
         )
     )
+
+
+def robots_fetch_policy(
+    fetches: DataFrame,
+    host_col: str = "host",
+    status_col: str = "status",
+    hops_col: str = "n_redirect_hops",
+    error_days_col: str = "days_since_first_error",
+    unreachable_grace_days: int = 30,
+) -> DataFrame:
+    """Robots-unreachable policy table (RFC 9309 §2.3.1): what a
+    crawler must ASSUME when /robots.txt itself misbehaves —
+    4xx = "unavailable" -> crawl everything (allow_all); 5xx =
+    "unreachable" -> treat as complete DISALLOW, but after a
+    sustained outage (MUST NOT exceed a reasonable period; Google
+    uses 30 days) the crawler MAY fall back to allow; >= 5 redirect
+    hops = treat as unavailable; 200 parses normally.
+
+    Pure CASE classification — the policy feed for
+    :func:`with_robots_allowed`'s rules-absent branches.  Returns
+    (host, status, policy in {'use_rules','allow_all',
+    'disallow_all','allow_all_stale'}).
+    """
+    st = F.col(status_col).cast("long")
+    hops = F.coalesce(F.col(hops_col).cast("long"), F.lit(0))
+    ed = F.coalesce(F.col(error_days_col).cast("long"), F.lit(0))
+    policy = (
+        F.when(hops >= 5, F.lit("allow_all"))
+        .when((st >= 200) & (st < 300), F.lit("use_rules"))
+        .when((st >= 400) & (st < 500), F.lit("allow_all"))
+        .when((st >= 500)
+              & (ed > int(unreachable_grace_days)),
+              F.lit("allow_all_stale"))
+        .when(st >= 500, F.lit("disallow_all"))
+        .otherwise(F.lit("disallow_all"))
+    )
+    return fetches.select(
+        F.col(host_col).alias("host"), st.alias("status"),
+        policy.alias("policy"),
+    )
