@@ -1556,3 +1556,41 @@ def srcset_sizes_select(
         chosen["url"].alias("chosen_url"),
         chosen["w"].alias("chosen_w"),
     )
+
+
+def webmanifest_icons(manifest_json: Column) -> Column:
+    """Web-app-manifest icon extraction — the PWA manifest's icons
+    array is the richest favicon source a crawler gets (explicit
+    sizes + purpose), and the declared ``name`` is a site-title
+    candidate cleaner than <title> tag soup.  JSON parsing stays
+    JVM-side (from_json on the fields used — no UDF).
+
+    Returns struct<name:string, n_icons:int, best_icon_src:string,
+    best_icon_px:long> — best = the icon with the largest declared
+    square size; icons without a parseable size lose to any sized
+    one.
+    """
+    schema = ("struct<name:string,"
+              "icons:array<struct<src:string,sizes:string>>>")
+    parsed = F.from_json(manifest_json, schema)
+    icons = F.coalesce(
+        parsed["icons"],
+        F.array().cast("array<struct<src:string,sizes:string>>"))
+    sized = F.transform(
+        icons,
+        lambda i: F.struct(
+            F.coalesce(
+                F.nullif(F.regexp_extract(i["sizes"], r"^(\d+)x\d+", 1),
+                         F.lit("")).cast("long"),
+                F.lit(-1).cast("long"),
+            ).alias("px"),
+            i["src"].alias("src"),
+        ),
+    )
+    best = F.get(F.reverse(F.array_sort(sized)), 0)
+    return F.struct(
+        parsed["name"].alias("name"),
+        F.size(icons).cast("int").alias("n_icons"),
+        best["src"].alias("best_icon_src"),
+        F.when(best["px"] >= 0, best["px"]).alias("best_icon_px"),
+    )

@@ -1024,3 +1024,85 @@ def robots_fetch_policy(
         F.col(host_col).alias("host"), st.alias("status"),
         policy.alias("policy"),
     )
+
+
+def parse_ads_txt(
+    files: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """ads.txt / app-ads.txt parsing (IAB spec): each data line is
+    ``ad-system-domain, publisher-id, DIRECT|RESELLER[, cert-hash]``
+    — the monetization fingerprint of a host.  For corpus curation
+    this is an operator-clustering signal (sites sharing publisher
+    ids are one network — the made-for-advertising farms LLM filters
+    drop share them heavily).
+
+    Comment/variable lines (#, ``x=y``) skip; relationship folds
+    case; malformed data lines count but don't emit.  One explode +
+    regex split.  Returns one row per valid record: (host, ad_system,
+    publisher_id, relationship, has_cert).
+    """
+    lines = F.split(F.col(body_col), "\r\n|\r|\n")
+    d = files.select(
+        F.col(host_col).alias("host"),
+        F.explode(lines).alias("__l"),
+    )
+    line = F.trim(F.regexp_replace(F.col("__l"), "#.*$", ""))
+    parts = F.transform(F.split(line, ","), lambda p: F.trim(p))
+    rel = F.upper(F.get(parts, 2))
+    valid = (
+        (F.size(parts) >= 3) & ~line.contains("=")
+        & (F.get(parts, 0) != "") & (F.get(parts, 1) != "")
+        & rel.isin("DIRECT", "RESELLER")
+    )
+    return (
+        d.withColumn("__p", parts)
+        .filter(valid)
+        .select(
+            "host",
+            F.lower(F.get("__p", 0)).alias("ad_system"),
+            F.get("__p", 1).alias("publisher_id"),
+            rel.alias("relationship"),
+            (F.size("__p") >= 4).alias("has_cert"),
+        )
+    )
+
+
+def parse_llms_txt(
+    files: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """llms.txt parsing (the 2024 llmstxt.org convention): a
+    markdown file at /llms.txt where a site hands LLM ingestion the
+    curated view of itself — H1 title, a blockquote summary, H2
+    sections of [name](url) links, and an 'Optional' section whose
+    links may be skipped under budget.  For an LLM-data crawler this
+    is robots.txt's constructive twin: not "keep out" but "start
+    here", so the frontier seeds it ahead of sitemap discovery.
+
+    Pure regex over the markdown.  Returns (host, title, has_summary,
+    n_sections, n_links, n_optional_links, present) — present false
+    (all else NULL) for bodies that don't start with an H1.
+    """
+    b = F.col(body_col)
+    present = b.rlike(r"(?m)^# \S")
+    title = F.regexp_extract(b, r"(?m)^# (.+)$", 1)
+    has_summary = b.rlike(r"(?m)^> \S")
+    sections = F.size(F.regexp_extract_all(b, F.lit(r"(?m)^## .+$"), 0))
+    links = F.size(F.regexp_extract_all(
+        b, F.lit(r"\[[^\]]*\]\([^)]+\)"), 0))
+    optional_block = F.regexp_extract(
+        b, r"(?s)(?:^|\n)## Optional\s*\n(.*?)(?:\n## |$)", 1)
+    n_opt = F.size(F.regexp_extract_all(
+        optional_block, F.lit(r"\[[^\]]*\]\([^)]+\)"), 0))
+    return files.select(
+        F.col(host_col).alias("host"),
+        F.when(present, title).alias("title"),
+        F.when(present, has_summary).alias("has_summary"),
+        F.when(present, sections).cast("long").alias("n_sections"),
+        F.when(present, links).cast("long").alias("n_links"),
+        F.when(present, n_opt).cast("long").alias("n_optional_links"),
+        present.alias("present"),
+    )
