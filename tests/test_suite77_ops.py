@@ -36,7 +36,9 @@ def test_webmanifest_no_icons_key(spark):
 
 def test_ttr_detects_repetition(spark):
     rep = " ".join(["loop word"] * 50)          # 100 tokens, 2 types
-    div = " ".join(f"w{i}" for i in range(100))  # all distinct
+    # letters-only tokens (digits are stripped by the tokenizer)
+    div = " ".join(chr(97 + i // 26) + chr(97 + i % 26)
+                   for i in range(100))
     df = spark.createDataFrame([(1, rep), (2, div)],
                                "doc_id long, text string")
     got = {r.id: r for r in ttr_windowed(df, window=50).collect()}
