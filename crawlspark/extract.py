@@ -1594,3 +1594,50 @@ def webmanifest_icons(manifest_json: Column) -> Column:
         best["src"].alias("best_icon_src"),
         F.when(best["px"] >= 0, best["px"]).alias("best_icon_px"),
     )
+
+
+def title_template_suffix(
+    pages: "DataFrame",
+    host_col: str = "host",
+    title_col: str = "title",
+    min_pages: int = 3,
+    min_suffix_len: int = 4,
+) -> "DataFrame":
+    """Per-host title-template mining — CMS templates append a site
+    suffix to every <title> (``Article Name - Example News``), and
+    stripping it yields the clean document titles a caption/metadata
+    pipeline wants.  The longest common SUFFIX across a host's titles
+    falls out of a classic trick: reverse the titles, and the longest
+    common prefix of the lexicographic MIN and MAX reversed strings
+    equals the common prefix of ALL of them — so two min/max
+    aggregates replace any pairwise comparison.
+
+    The LCP length itself is one JVM HOF (count of leading equal
+    positions).  Hosts under ``min_pages`` or with an LCP shorter
+    than ``min_suffix_len`` report suffix NULL (no confident
+    template).  Returns (host, n_pages, template_suffix, suffix_len).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    r = F.reverse(F.col(title_col))
+    agg = pages.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.min(r).alias("__lo"),
+        F.max(r).alias("__hi"),
+    )
+    lo, hi = F.col("__lo"), F.col("__hi")
+    upto = F.least(F.length(lo), F.length(hi))
+    eqs = F.filter(
+        F.sequence(F.lit(1), upto.cast("int")),
+        lambda i: F.substring(lo, 1, i.cast("int"))
+        == F.substring(hi, 1, i.cast("int")),
+    )
+    lcp = F.coalesce(F.array_max(eqs), F.lit(0)).cast("long")
+    suffix = F.reverse(F.substring(lo, 1, lcp.cast("int")))
+    ok = (F.col("n_pages") >= int(min_pages)) & (
+        lcp >= int(min_suffix_len))
+    return agg.select(
+        "host", "n_pages",
+        F.when(ok, suffix).alias("template_suffix"),
+        F.when(ok, lcp).alias("suffix_len"),
+    )

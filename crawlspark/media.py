@@ -514,3 +514,33 @@ def id3_sniff(docs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
             F.when(is_id3,
                    (F.shiftright(_byte(b, 6), 7) % 2 == 1).cast("int")))
     )
+
+
+def web_asset_sniff(docs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Long-tail web-asset classification by magic bytes — the
+    non-image static assets a site crawl accumulates (fonts, wasm,
+    source maps) that no image/PDF sniffer claims: WOFF2/WOFF/TTF/OTF
+    fonts, WebAssembly modules, gzip blobs, and a UTF-8-text
+    fallback heuristic (printable-start) for css/js.  Routing these
+    correctly keeps binary junk out of the text pipeline and text out
+    of the binary store.
+
+    Pure JVM prefix tests.  Adds asset_kind in {'woff2','woff','ttf',
+    'otf','wasm','gzip','text','binary'}.
+    """
+    b = F.col(bytes_col)
+    head = F.hex(F.substring(b, 1, 8))
+    first = F.substring(b, 1, 64)
+    printable = F.decode(first, "ISO-8859-1").rlike(
+        r"^[\x09\x0A\x0D\x20-\x7E]+$")
+    kind = (
+        F.when(head.startswith("774F4632"), F.lit("woff2"))
+        .when(head.startswith("774F4646"), F.lit("woff"))
+        .when(head.startswith("00010000"), F.lit("ttf"))
+        .when(head.startswith("4F54544F"), F.lit("otf"))
+        .when(head.startswith("0061736D"), F.lit("wasm"))
+        .when(head.startswith("1F8B"), F.lit("gzip"))
+        .when(printable, F.lit("text"))
+        .otherwise(F.lit("binary"))
+    )
+    return docs.withColumn("asset_kind", kind)

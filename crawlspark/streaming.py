@@ -551,3 +551,46 @@ def event_path_trigrams(
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .filter(F.col("c") >= int(min_count))
     )
+
+
+def stickiness_ratios(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU/MAU stickiness over an activity log — the engagement
+    one-rower (avg daily actives / monthly actives; the classic
+    product metric applied here to recrawl demand: sticky usage means
+    the FRESHNESS of those hosts' content is worth paying for).
+
+    Day bucketing in epoch days; one distinct per (day, user), then
+    exact integer aggregates.  Returns one row (n_days, avg_dau_milli,
+    wau_peak, mau, stickiness_permille) with stickiness =
+    1000 * avg_dau / mau.
+    """
+    day = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+           / 86_400_000_000).cast("long")
+    du = events.select(F.col(user_col).alias("u"),
+                       day.alias("d")).distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    wau = (
+        du.select((F.col("d") / 7).cast("long").alias("w"), "u")
+        .distinct()
+        .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    )
+    stats = dau.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("a").cast("long").alias("dau_sum"),
+    )
+    wpeak = wau.agg(F.max("a").alias("wau_peak"))
+    mau = du.agg(F.countDistinct("u").cast("long").alias("mau"))
+    return (
+        stats.crossJoin(F.broadcast(wpeak)).crossJoin(F.broadcast(mau))
+        .select(
+            "n_days",
+            F.expr("(1000 * dau_sum) div n_days").alias("avg_dau_milli"),
+            "wau_peak", "mau",
+            F.expr("(1000 * dau_sum) div (n_days * mau)")
+            .alias("stickiness_permille"),
+        )
+    )

@@ -1280,3 +1280,37 @@ def ttr_windowed(
             " (a, x) -> a + x)"
         ) / n_win).cast("long").alias("mattr_permille"),
     )
+
+
+def emoji_density(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Emoji/pictograph density — social-media copy and engagement
+    bait are emoji-dense while reference text is emoji-free, so this
+    one number routes "webtext" vs "social" styles before training
+    mixes are balanced.  Counts code points in the main pictograph
+    blocks (U+1F300-1F9FF), misc symbols (U+2600-27BF), and the
+    regional-indicator pair range (flags), by the same
+    length-difference trick as :func:`script_mix`.
+
+    Returns (id, n_chars, n_emoji, emoji_permille) — permille of ALL
+    characters; NULL for empty text.
+    """
+    t = F.col(text_col)
+    pat = (r"[\x{1F300}-\x{1F9FF}\x{2600}-\x{27BF}"
+           r"\x{1F1E6}-\x{1F1FF}]")
+    n_chars = F.length(t).cast("long")
+    n_emoji = (F.length(t)
+               - F.length(F.regexp_replace(t, pat, ""))).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_emoji.alias("n_emoji"),
+    )
+    return base.withColumn(
+        "emoji_permille",
+        F.when(F.col("n_chars") > 0,
+               F.expr("(1000 * n_emoji) div n_chars")),
+    )
