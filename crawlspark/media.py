@@ -544,3 +544,155 @@ def web_asset_sniff(docs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
         .otherwise(F.lit("binary"))
     )
     return docs.withColumn("asset_kind", kind)
+
+
+def mp4_faststart(docs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """MP4 top-level box layout + mvhd duration — the two facts that
+    decide whether a video payload can STREAM: ``moov`` before
+    ``mdat`` ("faststart") lets a player (and a frame-sampling
+    crawler) start after one range request, moov-at-end forces the
+    whole download; mvhd's timescale/duration give the runtime
+    without decoding a frame.
+
+    Arrow-batched pandas UDF walking top-level boxes (32-bit and
+    largesize), then mvhd v0/v1 inside moov.  Adds (mp4_brand,
+    mp4_faststart, mp4_duration_ms, mp4_n_boxes); NULL family for
+    non-MP4 (no ftyp).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("brand string, fast int, dur long, nb int")
+    def scan(bs: pd.Series) -> pd.DataFrame:
+        out = {"brand": [], "fast": [], "dur": [], "nb": []}
+        for b in bs:
+            brand = fast = dur = nb = None
+            if b is not None and len(b) >= 12 \
+                    and bytes(b[4:8]) == b"ftyp":
+                brand = bytes(b[8:12]).decode("latin1")
+                i, nb = 0, 0
+                moov_at = mdat_at = None
+                moov_span = None
+                n = len(b)
+                while i + 8 <= n:
+                    size = int.from_bytes(b[i:i + 4], "big")
+                    typ = bytes(b[i + 4:i + 8])
+                    hdr = 8
+                    if size == 1 and i + 16 <= n:
+                        size = int.from_bytes(b[i + 8:i + 16], "big")
+                        hdr = 16
+                    elif size == 0:
+                        size = n - i
+                    if size < hdr or i + size > n:
+                        break
+                    nb += 1
+                    if typ == b"moov":
+                        moov_at = i
+                        moov_span = (i + hdr, i + size)
+                    elif typ == b"mdat":
+                        mdat_at = i
+                    i += size
+                if moov_at is not None and mdat_at is not None:
+                    fast = 1 if moov_at < mdat_at else 0
+                if moov_span is not None:
+                    j, end = moov_span
+                    while j + 8 <= end:
+                        s2 = int.from_bytes(b[j:j + 4], "big")
+                        t2 = bytes(b[j + 4:j + 8])
+                        if s2 < 8 or j + s2 > end:
+                            break
+                        if t2 == b"mvhd" and j + 12 <= end:
+                            ver = b[j + 8]
+                            if ver == 1 and j + 8 + 4 + 8 + 8 + 4 + 8 \
+                                    <= end:
+                                ts = int.from_bytes(
+                                    b[j + 28:j + 32], "big")
+                                d = int.from_bytes(
+                                    b[j + 32:j + 40], "big")
+                            elif ver == 0 and j + 8 + 4 + 4 + 4 + 4 + 4 \
+                                    <= end:
+                                ts = int.from_bytes(
+                                    b[j + 20:j + 24], "big")
+                                d = int.from_bytes(
+                                    b[j + 24:j + 28], "big")
+                            else:
+                                ts = 0
+                                d = 0
+                            if ts:
+                                dur = d * 1000 // ts
+                            break
+                        j += s2
+            out["brand"].append(brand)
+            out["fast"].append(fast)
+            out["dur"].append(dur)
+            out["nb"].append(nb)
+        return pd.DataFrame({
+            "brand": out["brand"],
+            "fast": pd.array(out["fast"], dtype="Int32"),
+            "dur": pd.array(out["dur"], dtype="Int64"),
+            "nb": pd.array(out["nb"], dtype="Int32"),
+        })
+
+    g = docs.withColumn("__m", scan(F.col(bytes_col)))
+    return (
+        g.withColumn("mp4_brand", F.col("__m.brand"))
+        .withColumn("mp4_faststart", F.col("__m.fast"))
+        .withColumn("mp4_duration_ms", F.col("__m.dur"))
+        .withColumn("mp4_n_boxes", F.col("__m.nb"))
+        .drop("__m")
+    )
+
+
+MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                     192, 224, 256, 320, 0)
+MP3_RATES_V1 = (44100, 48000, 32000, 0)
+
+
+def mp3_frame_sniff(
+    docs: DataFrame,
+    bytes_col: str = "bytes",
+    offset_col: str | None = None,
+) -> DataFrame:
+    """First-MP3-frame header sniff (MPEG-1 Layer III): bitrate and
+    sample rate from the 4-byte frame sync after the ID3 tag — the
+    audio-corpus triage (podcast at 320 kbps vs voice note at 32)
+    without any decoder.  ``offset_col`` (e.g. 10 + id3_tag_bytes
+    from :func:`id3_sniff`) says where the frame starts; None = 0.
+
+    Pure JVM: dynamic-offset substr + nibble tables as CASE chains.
+    Adds (mp3_valid_sync, mp3_bitrate_kbps, mp3_sample_rate);
+    non-MPEG1-L3 syncs report valid 0 with NULL fields.
+    """
+    off = (F.col(offset_col).cast("long") if offset_col
+           else F.lit(0).cast("long"))
+    b = F.col(bytes_col)
+    h = F.expr(
+        "conv(hex(substr({col}, CAST({o} AS INT) + 1, 4)), 16, 10)"
+        .format(col=bytes_col, o="__mp3_off")
+    )
+    staged = docs.withColumn("__mp3_off", off)
+    v = h.cast("decimal(20,0)").cast("long")
+    staged = staged.withColumn("__h", v)
+    hh = F.col("__h")
+    sync_ok = (F.shiftright(hh, 21) % (1 << 11)) == 0x7FF
+    version = F.shiftright(hh, 19) % 4     # 3 = MPEG-1
+    layer = F.shiftright(hh, 17) % 4       # 1 = Layer III
+    is_v1l3 = sync_ok & (version == 3) & (layer == 1)
+    br_idx = (F.shiftright(hh, 12) % 16).cast("int")
+    sr_idx = (F.shiftright(hh, 10) % 4).cast("int")
+    br = F.lit(None).cast("long")
+    for i, kbps in enumerate(MP3_BITRATES_V1L3):
+        if kbps:
+            br = F.when(br_idx == i, F.lit(kbps).cast("long")) \
+                .otherwise(br)
+    sr = F.lit(None).cast("long")
+    for i, rate in enumerate(MP3_RATES_V1):
+        if rate:
+            sr = F.when(sr_idx == i, F.lit(rate).cast("long")) \
+                .otherwise(sr)
+    return (
+        staged.withColumn("mp3_valid_sync", is_v1l3.cast("int"))
+        .withColumn("mp3_bitrate_kbps", F.when(is_v1l3, br))
+        .withColumn("mp3_sample_rate", F.when(is_v1l3, sr))
+        .drop("__mp3_off", "__h")
+    )
