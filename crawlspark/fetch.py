@@ -980,3 +980,156 @@ def slo_burn_alerts(
         burn_milli.alias("burn_milli"),
         F.coalesce(burn_milli >= thresh, F.lit(False)).alias("alert"),
     )
+
+
+def chunked_framing_check(
+    docs: DataFrame,
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Chunked transfer-encoding framing validation (RFC 9112 §7.1):
+    walk the hex-size chunk frames and verify the stream ends with
+    the 0-size terminator — a connection cut mid-transfer leaves a
+    chunked body whose truncation Content-Length can't reveal
+    (there is none), so THIS walk is the only integrity check such a
+    payload gets before the archive write.
+
+    Arrow-batched pandas UDF (sequential frame walk).  Adds
+    (chunked_n_chunks, chunked_payload_bytes, chunked_complete,
+    chunked_malformed): malformed = a size line that isn't hex;
+    complete = saw the 0 chunk with final CRLF.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("n long, pb long, comp int, mal int")
+    def scan(bs: pd.Series) -> pd.DataFrame:
+        out = {"n": [], "pb": [], "comp": [], "mal": []}
+        for b in bs:
+            if b is None:
+                for k in out:
+                    out[k].append(None)
+                continue
+            data = bytes(b)
+            i, n, pb, comp, mal = 0, 0, 0, 0, 0
+            while True:
+                j = data.find(b"\r\n", i)
+                if j < 0:
+                    break
+                line = data[i:j].split(b";")[0].strip()
+                try:
+                    size = int(line, 16)
+                except ValueError:
+                    mal = 1
+                    break
+                if size == 0:
+                    comp = 1 if data[j + 2:j + 4] == b"\r\n" else 0
+                    break
+                start = j + 2
+                end = start + size
+                if end + 2 > len(data):
+                    break
+                n += 1
+                pb += size
+                if data[end:end + 2] != b"\r\n":
+                    mal = 1
+                    break
+                i = end + 2
+            out["n"].append(n)
+            out["pb"].append(pb)
+            out["comp"].append(comp)
+            out["mal"].append(mal)
+        return pd.DataFrame({
+            "n": pd.array(out["n"], dtype="Int64"),
+            "pb": pd.array(out["pb"], dtype="Int64"),
+            "comp": pd.array(out["comp"], dtype="Int32"),
+            "mal": pd.array(out["mal"], dtype="Int32"),
+        })
+
+    g = docs.withColumn("__c", scan(F.col(bytes_col)))
+    return (
+        g.withColumn("chunked_n_chunks", F.col("__c.n"))
+        .withColumn("chunked_payload_bytes", F.col("__c.pb"))
+        .withColumn("chunked_complete", F.col("__c.comp"))
+        .withColumn("chunked_malformed", F.col("__c.mal"))
+        .drop("__c")
+    )
+
+
+def encoding_mismatch_audit(
+    responses: DataFrame,
+    encoding_col: str = "content_encoding",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Declared Content-Encoding vs payload magic — CDNs misconfigure
+    this constantly (double-gzip, 'gzip' headers on identity bodies),
+    and a pipeline that trusts the header feeds garbage to the
+    decompressor.  gzip (1F 8B) and zstd (28 B5 2F FD) have magic;
+    brotli deliberately has NONE, so a 'br' declaration is honestly
+    'unverifiable' rather than guessed.
+
+    Pure JVM prefix tests.  Adds (sniffed_encoding, encoding_verdict
+    in {'match','mismatch','unverifiable'}).
+    """
+    enc = F.lower(F.coalesce(F.col(encoding_col), F.lit("identity")))
+    head = F.hex(F.substring(F.col(bytes_col), 1, 4))
+    sniffed = (
+        F.when(head.startswith("1F8B"), F.lit("gzip"))
+        .when(head.startswith("28B52FFD"), F.lit("zstd"))
+        .otherwise(F.lit("identity"))
+    )
+    verdict = (
+        F.when(enc == "br", F.lit("unverifiable"))
+        .when(enc == sniffed, F.lit("match"))
+        .when((enc == "identity") & (sniffed != "identity"),
+              F.lit("mismatch"))
+        .when((enc != "identity") & (sniffed != enc),
+              F.lit("mismatch"))
+        .otherwise(F.lit("match"))
+    )
+    return (
+        responses.withColumn("sniffed_encoding", sniffed)
+        .withColumn("encoding_verdict", verdict)
+    )
+
+
+def retry_after_parse(
+    responses: DataFrame,
+    header_col: str = "retry_after",
+    now_ts: int = 0,
+) -> DataFrame:
+    """Retry-After header parsing, BOTH RFC 9110 forms: delta-seconds
+    (``120``) and HTTP-date (``Wed, 21 Oct 2026 07:28:00 GMT``) — the
+    date form is what big CDNs actually send, and a parser that only
+    reads integers silently retries immediately.  Dates resolve
+    against ``now_ts`` (epoch seconds); past dates clamp to 0.
+
+    JVM to_timestamp with the IMF-fixdate pattern.  Adds
+    (retry_after_s, retry_after_form in {'seconds','date','invalid'});
+    NULL header -> NULL/absent.
+    """
+    h = F.trim(F.col(header_col))
+    is_secs = h.rlike(r"^\d+$")
+    # Spark 3+ refuses 'EEE' in PARSE patterns; the weekday is
+    # redundant in IMF-fixdate anyway — strip it and anchor on the
+    # literal GMT (session timezone is UTC, crawlspark.session)
+    stripped = F.regexp_replace(h, r"^[A-Za-z]{3},\s*", "")
+    ts = F.try_to_timestamp(stripped,
+                            F.lit("dd MMM yyyy HH:mm:ss 'GMT'"))
+    date_s = F.greatest(
+        F.unix_timestamp(ts) - F.lit(int(now_ts)),
+        F.lit(0).cast("long"),
+    )
+    form = (
+        F.when(h.isNull(), F.lit(None).cast("string"))
+        .when(is_secs, F.lit("seconds"))
+        .when(ts.isNotNull(), F.lit("date"))
+        .otherwise(F.lit("invalid"))
+    )
+    secs = (
+        F.when(is_secs, h.cast("long"))
+        .when(ts.isNotNull(), date_s)
+    )
+    return (
+        responses.withColumn("retry_after_s", secs)
+        .withColumn("retry_after_form", form)
+    )
