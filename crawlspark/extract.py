@@ -1641,3 +1641,36 @@ def title_template_suffix(
         F.when(ok, suffix).alias("template_suffix"),
         F.when(ok, lcp).alias("suffix_len"),
     )
+
+
+def svg_security_audit(body: Column) -> Column:
+    """SVG active-content audit — SVG is XML that executes: <script>
+    blocks, on* event handlers, <foreignObject> (arbitrary HTML), and
+    external href loads all run when an SVG is INLINED into a page,
+    so a crawler re-hosting crawled vector images must know which are
+    passive drawings and which are programs (the reason GitHub et al.
+    serve user SVGs from sandboxed domains).
+
+    Pure regex counts.  Returns struct<n_scripts:int,
+    n_event_handlers:int, n_foreign_objects:int, n_external_refs:int,
+    passive:boolean>.
+    """
+    n_scripts = F.size(F.regexp_extract_all(
+        body, F.lit(r"(?is)<script\b"), 0)).cast("int")
+    n_handlers = F.size(F.regexp_extract_all(
+        body, F.lit(r"(?i)\son[a-z]+\s*="), 0)).cast("int")
+    n_foreign = F.size(F.regexp_extract_all(
+        body, F.lit(r"(?is)<foreignObject\b"), 0)).cast("int")
+    n_ext = F.size(F.regexp_extract_all(
+        body,
+        F.lit(r"(?i)\b(?:xlink:)?href\s*=\s*[\"']https?://"), 0)
+    ).cast("int")
+    passive = ((n_scripts == 0) & (n_handlers == 0)
+               & (n_foreign == 0) & (n_ext == 0))
+    return F.struct(
+        n_scripts.alias("n_scripts"),
+        n_handlers.alias("n_event_handlers"),
+        n_foreign.alias("n_foreign_objects"),
+        n_ext.alias("n_external_refs"),
+        passive.alias("passive"),
+    )

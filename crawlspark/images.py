@@ -3020,3 +3020,43 @@ def declared_dims_mismatch(
         .otherwise(F.lit("mismatch"))
     )
     return imgs.withColumn("dims_verdict", verdict)
+
+
+def png_chunk_inventory(
+    imgs: DataFrame, bytes_col: str = "bytes", max_chunks: int = 32,
+) -> DataFrame:
+    """Generic PNG chunk inventory — one walk, every audit: the
+    ordered (type, length) list answers questions the dedicated
+    checkers (CRC, tEXt, color profile) each re-walk for — has tRNS
+    transparency?  iCCP profile?  acTL animation?  oversized ancillary
+    baggage before IDAT?  Emitting the inventory ONCE and letting
+    audits run as array expressions is the columnar way to ask all of
+    them.
+
+    Adds png_chunks: array<struct<ctype:string, clen:long>> (capped at
+    ``max_chunks``), NULL for non-PNG.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    @pandas_udf("array<struct<ctype string, clen long>>")
+    def scan(bs: pd.Series) -> pd.Series:
+        res = []
+        for b in bs:
+            if b is None or len(b) < 8 or bytes(b[:8]) != sig:
+                res.append(None)
+                continue
+            i, found = 8, []
+            while i + 8 <= len(b) and len(found) < max_chunks:
+                ln = int.from_bytes(b[i:i + 4], "big")
+                typ = bytes(b[i + 4:i + 8]).decode("latin1")
+                found.append({"ctype": typ, "clen": ln})
+                if typ == "IEND" or i + 12 + ln > len(b):
+                    break
+                i += 12 + ln
+            res.append(found)
+        return pd.Series(res)
+
+    return imgs.withColumn("png_chunks", scan(F.col(bytes_col)))

@@ -696,3 +696,90 @@ def mp3_frame_sniff(
         .withColumn("mp3_sample_rate", F.when(is_v1l3, sr))
         .drop("__mp3_off", "__h")
     )
+
+
+def flac_streaminfo(docs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """FLAC STREAMINFO sniff — the first metadata block sits at a
+    FIXED offset (fLaC magic, then block header at byte 5), so sample
+    rate (20 bits), channels (3), bits-per-sample (5) and total
+    samples (36) come out of pure substring arithmetic, no UDF: the
+    lossless-audio triage (true archival FLAC vs transcoded-from-MP3
+    uploads show different rates/depths) before any decoder runs.
+
+    Bit unpacking via the byte helpers (images._byte): the packed
+    fields straddle bytes 19-26 of the stream.  Adds
+    (flac_sample_rate, flac_channels, flac_bits, flac_total_samples,
+    flac_duration_ms); NULL family for non-FLAC.
+    """
+    from .images import _byte
+
+    b = F.col(bytes_col)
+    is_flac = (
+        (F.length(b) >= 42)
+        & (F.hex(F.substring(b, 1, 4)) == "664C6143")
+        & ((_byte(b, 5) % 128) == 0)  # STREAMINFO block type
+    )
+    # layout after 4B magic + 4B block header + 10B min/max block/frame:
+    # bytes 19..21 : sample rate (20 bits) + channels(3) + bits_hi(1)
+    # byte  22     : bits_lo(4) + total_samples_hi(4)
+    # bytes 23..26 : total_samples_lo (32)
+    b19, b20, b21, b22 = (_byte(b, 19), _byte(b, 20), _byte(b, 21),
+                          _byte(b, 22))
+    rate = (b19 * 4096 + b20 * 16 + F.floor(b21 / 16)).cast("long")
+    channels = (F.floor(b21 / 2) % 8 + 1).cast("long")
+    bits = ((b21 % 2) * 16 + F.floor(b22 / 16) + 1).cast("long")
+    total = (
+        (b22 % 16) * F.lit(1 << 32).cast("long")
+        + _byte(b, 23) * F.lit(1 << 24) + _byte(b, 24) * F.lit(1 << 16)
+        + _byte(b, 25) * F.lit(1 << 8) + _byte(b, 26)
+    ).cast("long")
+    dur = F.when(rate > 0, (total * 1000 / rate)).cast("long")
+    return (
+        docs.withColumn("flac_sample_rate", F.when(is_flac, rate))
+        .withColumn("flac_channels", F.when(is_flac, channels))
+        .withColumn("flac_bits", F.when(is_flac, bits))
+        .withColumn("flac_total_samples", F.when(is_flac, total))
+        .withColumn("flac_duration_ms", F.when(is_flac, dur))
+    )
+
+
+def ogg_page_sniff(docs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """First-Ogg-page sniff ('OggS' capture pattern, fixed offsets):
+    stream serial, page sequence, BOS flag, and the codec identified
+    from the first packet magic (OpusHead / vorbis / theora) — the
+    container-level routing for audio corpora where .ogg hides three
+    different codecs.
+
+    Pure JVM substring arithmetic.  Adds (ogg_serial, ogg_page_seq,
+    ogg_bos, ogg_codec); NULL family for non-Ogg.
+    """
+    from .images import _byte, _le32
+
+    b = F.col(bytes_col)
+    is_ogg = (
+        (F.length(b) >= 28)
+        & (F.hex(F.substring(b, 1, 4)) == "4F676753")
+    )
+    n_segs = _byte(b, 27)
+    payload_start = 28 + n_segs
+    # payload starts at 1-based 28 + n_segs (27-byte header + seg table)
+    head = F.decode(
+        F.expr(f"substr({bytes_col}, CAST(28 + "
+               f"conv(hex(substr({bytes_col}, 27, 1)), 16, 10) AS INT)"
+               ", 8)"),
+        "ISO-8859-1")
+    codec = (
+        F.when(head.startswith("OpusHead"), F.lit("opus"))
+        .when(F.substring(head, 2, 6) == "vorbis", F.lit("vorbis"))
+        .when(F.substring(head, 2, 6) == "theora", F.lit("theora"))
+        .otherwise(F.lit("unknown"))
+    )
+    return (
+        docs.withColumn("ogg_serial",
+                        F.when(is_ogg, _le32(b, 15)).cast("long"))
+        .withColumn("ogg_page_seq",
+                    F.when(is_ogg, _le32(b, 19)).cast("long"))
+        .withColumn("ogg_bos",
+                    F.when(is_ogg, (_byte(b, 6) % 4 >= 2).cast("int")))
+        .withColumn("ogg_codec", F.when(is_ogg, codec))
+    )
