@@ -1674,3 +1674,111 @@ def svg_security_audit(body: Column) -> Column:
         n_ext.alias("n_external_refs"),
         passive.alias("passive"),
     )
+
+
+def price_extract(body: Column) -> Column:
+    """Price mention extraction — the cheap commerce-page classifier:
+    how many money amounts a page shows, in which currency, and the
+    min/max (a product page shows one tight cluster, a category page
+    dozens, an article usually none).  Handles $/€/£ prefix forms
+    with thousands separators and suffix ISO codes (``129.00 USD``).
+
+    Amounts in MICROS (integer, 10^-6 units) to dodge float money.
+    Returns struct<n_prices:int, currency:string — the modal symbol,
+    min_micros:long, max_micros:long>; currency NULL when no price.
+    """
+    pat = (r"(?:([$€£])\s?(\d{1,3}(?:,\d{3})*(?:\.\d{1,2})?)"
+           r"|(\d{1,3}(?:,\d{3})*(?:\.\d{1,2})?)\s?(USD|EUR|GBP))")
+    hits = F.regexp_extract_all(body, F.lit(pat), 0)
+    parse_amt = lambda h: F.regexp_replace(
+        F.regexp_extract(h, r"(\d{1,3}(?:,\d{3})*(?:\.\d{1,2})?)", 1),
+        ",", "").cast("decimal(18,6)")
+    micros = F.transform(
+        hits, lambda h: (parse_amt(h) * 1_000_000).cast("long"))
+    syms = F.transform(
+        hits,
+        lambda h: F.coalesce(
+            F.nullif(F.regexp_extract(h, r"^([$€£])", 1), F.lit("")),
+            F.regexp_extract(h, r"(USD|EUR|GBP)$", 1),
+        ),
+    )
+    # modal symbol: count per distinct symbol via nested filter
+    modal = F.get(
+        F.array_sort(
+            F.transform(
+                F.array_distinct(syms),
+                lambda s: F.struct(
+                    (-F.size(F.filter(syms, lambda x: x == s)))
+                    .alias("negc"),
+                    s.alias("s"),
+                ),
+            )
+        ),
+        0,
+    )["s"]
+    return F.struct(
+        F.size(hits).cast("int").alias("n_prices"),
+        F.when(F.size(hits) > 0, modal).alias("currency"),
+        F.array_min(micros).alias("min_micros"),
+        F.array_max(micros).alias("max_micros"),
+    )
+
+
+def ld_breadcrumbs(body: Column) -> Column:
+    """JSON-LD BreadcrumbList extraction — the page's declared place
+    in the site hierarchy (depth + leaf name), which doubles as a
+    caption-context source ("Electronics > Cameras > X100") and a
+    crawl-scoping signal (depth-1 pages are hubs).  Parses the first
+    ld+json block whose @type is BreadcrumbList with from_json on the
+    fields used; no UDF.
+
+    Returns struct<depth:int, leaf_name:string, trail:string> — NULLs
+    when the page declares none.
+    """
+    block = F.regexp_extract(
+        body,
+        r'(?is)<script[^>]*type\s*=\s*["\']application/ld\+json["\']'
+        r"[^>]*>(.*?)</script>", 1)
+    schema = ("struct<`@type`:string,itemListElement:array<"
+              "struct<position:int,name:string>>>")
+    parsed = F.from_json(block, schema)
+    is_bc = parsed["@type"] == "BreadcrumbList"
+    items = F.when(is_bc, parsed["itemListElement"])
+    names = F.transform(
+        F.array_sort(
+            F.transform(items, lambda i: F.struct(
+                i["position"].alias("p"), i["name"].alias("n")))),
+        lambda s: s["n"],
+    )
+    return F.struct(
+        F.when(is_bc, F.size(items)).cast("int").alias("depth"),
+        F.when(is_bc, F.element_at(names, -1)).alias("leaf_name"),
+        F.when(is_bc, F.array_join(names, " > ")).alias("trail"),
+    )
+
+
+def form_audit(body: Column) -> Column:
+    """Page form-function audit: login (password input), search (a
+    q/search text input), newsletter (lone email input), upload
+    (file input) — the page-function router that keeps login walls
+    and search results OUT of a training corpus (both are
+    crawl-traps: infinite personalized variants, no durable content).
+
+    Pure regex per form-relevant input type.  Returns
+    struct<n_forms:int, has_login:boolean, has_search:boolean,
+    has_upload:boolean, has_email_capture:boolean>.
+    """
+    forms = F.size(F.regexp_extract_all(
+        body, F.lit(r"(?i)<form\b"), 0)).cast("int")
+    has = lambda p: F.size(F.regexp_extract_all(body, F.lit(p), 0)) > 0
+    login = has(r"(?i)<input[^>]*type\s*=\s*[\"']?password")
+    search = has(r"(?i)<input[^>]*name\s*=\s*[\"']?(q|s|query|search)\b")
+    upload = has(r"(?i)<input[^>]*type\s*=\s*[\"']?file")
+    email = has(r"(?i)<input[^>]*type\s*=\s*[\"']?email")
+    return F.struct(
+        forms.alias("n_forms"),
+        login.alias("has_login"),
+        search.alias("has_search"),
+        upload.alias("has_upload"),
+        (email & ~login).alias("has_email_capture"),
+    )

@@ -3060,3 +3060,32 @@ def png_chunk_inventory(
         return pd.Series(res)
 
     return imgs.withColumn("png_chunks", scan(F.col(bytes_col)))
+
+
+def dds_sniff(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """DDS texture sniffing ('DDS ' magic; height/width LE at fixed
+    offsets, FourCC compression in the pixel-format block) — game
+    asset stores and 3D-model sites serve these, and a multimodal
+    crawler wants the compression family (DXT1/3/5, DX10 extended)
+    without a texture decoder.  Pure JVM substring arithmetic.
+
+    Adds (dds_height, dds_width, dds_mipmaps, dds_fourcc); NULL
+    family for non-DDS.
+    """
+    b = F.col(bytes_col)
+    is_dds = (
+        (F.length(b) >= 128)
+        & (F.hex(F.substring(b, 1, 4)) == "44445320")
+    )
+    height = _le32(b, 13)
+    width = _le32(b, 17)
+    mip = _le32(b, 29)
+    fourcc = F.decode(F.substring(b, 85, 4), "ISO-8859-1")
+    return (
+        imgs.withColumn("dds_height", F.when(is_dds, height).cast("long"))
+        .withColumn("dds_width", F.when(is_dds, width).cast("long"))
+        .withColumn("dds_mipmaps", F.when(is_dds, mip).cast("long"))
+        .withColumn(
+            "dds_fourcc",
+            F.when(is_dds & fourcc.rlike(r"^[A-Za-z0-9 ]{4}$"), fourcc))
+    )
