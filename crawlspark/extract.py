@@ -1782,3 +1782,74 @@ def form_audit(body: Column) -> Column:
         upload.alias("has_upload"),
         (email & ~login).alias("has_email_capture"),
     )
+
+
+def access_barriers(body: Column) -> Column:
+    """Access-barrier detection — the four walls that make a fetched
+    page WORTHLESS as training data even though the fetch returned
+    200: an anti-bot challenge interstitial (Cloudflare chl markers,
+    reCAPTCHA/hCaptcha embeds), a paywall (Schema.org
+    ``isAccessibleForFree: false``, common paywall container ids), a
+    cookie-consent manager wall (OneTrust/Cookiebot/Didomi CMP
+    scripts), and an RTA adult-content rating.  A crawl-quality
+    dashboard tracks these rates per host; the curator drops or
+    re-fetches accordingly.
+
+    Pure regex presence tests.  Returns struct<challenge:boolean,
+    paywall:boolean, consent_cmp:boolean, rta_rated:boolean,
+    clean:boolean>.
+    """
+    has = lambda p: F.size(F.regexp_extract_all(body, F.lit(p), 0)) > 0
+    challenge = has(
+        r"(?i)(cf-chl|cf_chl|challenge-platform|www\.google\.com/"
+        r"recaptcha|hcaptcha\.com/1/api\.js|cf-turnstile)")
+    paywall = has(
+        r'(?i)("isAccessibleForFree"\s*:\s*"?false|id="?paywall'
+        r"|piano\.io|tinypass\.com)")
+    consent = has(
+        r"(?i)(otSDKStub|cookielaw\.org|consent\.cookiebot\.com"
+        r"|sdk\.privacy-center\.org|didomi)")
+    rta = has(r"RTA-5042-1996-1400-1577-RTA")
+    clean = ~(challenge | paywall | consent | rta)
+    return F.struct(
+        challenge.alias("challenge"),
+        paywall.alias("paywall"),
+        consent.alias("consent_cmp"),
+        rta.alias("rta_rated"),
+        clean.alias("clean"),
+    )
+
+
+def link_rel_rollup(body: Column) -> Column:
+    """Outlink rel-attribute rollup — the page's endorsement profile:
+    what share of its <a> links carry ``nofollow`` / ``ugc`` /
+    ``sponsored`` (Google's link-intent taxonomy).  A page whose links
+    are mostly sponsored is an advertorial; mostly-ugc marks forums
+    and comment sections — both route differently in a quality mix,
+    and the FOLLOWED remainder is what the link graph should weight.
+
+    One anchor-tag pass, per-rel filtered counts.  Returns
+    struct<n_links:int, n_nofollow:int, n_ugc:int, n_sponsored:int,
+    followed_permille:long> — NULL permille for linkless pages.
+    """
+    anchors = F.regexp_extract_all(
+        body, F.lit(r"(?is)<a\b[^>]*>"), 0)
+    rel_of = lambda t: F.lower(F.regexp_extract(
+        t, r'(?i)\brel\s*=\s*["\']([^"\']*)["\']', 1))
+    cnt = lambda token: F.size(F.filter(
+        anchors,
+        lambda t: rel_of(t).rlike(r"(^|\s)" + token + r"(\s|$)")))
+    n = F.size(anchors)
+    n_nf, n_ugc, n_sp = cnt("nofollow"), cnt("ugc"), cnt("sponsored")
+    followed = F.filter(
+        anchors,
+        lambda t: ~rel_of(t).rlike(r"(^|\s)(nofollow|ugc|sponsored)(\s|$)"),
+    )
+    return F.struct(
+        n.cast("int").alias("n_links"),
+        n_nf.cast("int").alias("n_nofollow"),
+        n_ugc.cast("int").alias("n_ugc"),
+        n_sp.cast("int").alias("n_sponsored"),
+        F.when(n > 0, (F.size(followed) * 1000 / n)).cast("long")
+        .alias("followed_permille"),
+    )
