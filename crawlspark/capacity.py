@@ -250,3 +250,65 @@ def gini_coefficient(
         F.when((F.col("n") > 0) & (F.col("total") > 0),
                F.round(1e3 * g, 0).cast("long")).alias("gini_milli"),
     )
+
+
+CRAWL_STAGES = (
+    # stage, rows_factor (x frontier), bytes_per_row, shuffles
+    ("expand", 4.0, 24, 1),        # 4-way explode -> groupBy-min combine
+    ("dedup_min", 4.0, 24, 0),     # map-side partial of the same shuffle
+    ("seen_antijoin", 1.0, 16, 1), # candidates vs seen on doc key
+    ("global_rank", 1.0, 24, 1),   # two-phase range partition
+    ("politeness_wave", 1.0, 48, 1),  # host-bucket repartition + sort
+    ("fetch_results", 1.0, 65536, 0),  # mapInPandas, no shuffle
+    ("image_validate", 1.0, 65536, 0),  # fused Arrow stage
+    ("sink_append", 1.0, 65536, 0),     # partitioned write
+)
+
+
+def crawl_scale_plan(
+    spark,
+    frontier_rows: int,
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    target_partition_bytes: int = 128 << 20,
+    prefilter_cut_permille: int = 800,
+) -> "DataFrame":
+    """The 100 TB crawl-DAG plan AS A TABLE — per BFS-loop stage, the
+    row/byte volumes, whether it shuffles, the partition count the
+    sizing rule picks, and the per-core wave count on the given fleet:
+    the numbers a capacity review reads off `.explain()` plus math,
+    emitted as data so the review is a QUERY, not a meeting.  The
+    stage model mirrors frontier.py's loop (4-way expand, map-side
+    combined dedup, the cuckoo-prefiltered anti-join — its exchange
+    volume cut applied as measured in BENCH — two-phase rank, the
+    host-bucket politeness sort) and the image pipeline's fused Arrow
+    stages.
+
+    Everything integer; one literal-relation DataFrame (stage count
+    rows — driver-built by design).  Returns (stage, rows, bytes,
+    shuffles, shuffle_bytes, n_partitions, partitions_per_core_wave).
+    """
+    total_cores = int(executors) * int(cores_per_executor)
+    rows_out = []
+    for stage, rf, bpr, sh in CRAWL_STAGES:
+        rows = int(frontier_rows * rf)
+        byts = rows * bpr
+        shuffle_bytes = byts * sh
+        if stage == "seen_antijoin":
+            shuffle_bytes = (shuffle_bytes
+                             * (1000 - int(prefilter_cut_permille))
+                             // 1000)
+        n_part = max(
+            total_cores,
+            -(-shuffle_bytes // int(target_partition_bytes))
+            if shuffle_bytes else total_cores,
+        )
+        waves = -(-n_part // total_cores)
+        rows_out.append((stage, rows, byts, sh, shuffle_bytes,
+                         int(n_part), int(waves)))
+    return spark.createDataFrame(
+        rows_out,
+        "stage string, rows long, bytes long, shuffles int, "
+        "shuffle_bytes long, n_partitions long, "
+        "partitions_per_core_wave long",
+    )

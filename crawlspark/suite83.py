@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "access_barriers": q_access_barriers,
         "link_rels": q_link_rels,
+        "crawl_scale_plan": q_crawl_scale_plan,
     }
 
 
@@ -118,4 +119,47 @@ def oracle_sql() -> dict[str, str]:
     return {
         "access_barriers": ORACLE_BARRIERS,
         "link_rels": ORACLE_LINK_RELS,
+        "crawl_scale_plan": ORACLE_SCALE_PLAN,
     }
+
+
+# --------------------------------------------------------------------------
+# crawl_scale_plan
+# --------------------------------------------------------------------------
+
+def q_crawl_scale_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """capacity.crawl_scale_plan at the north-rule scale: 10^10
+    frontier rows on 1000 x 4-core executors with the measured 80%
+    prefilter exchange cut; the oracle restates the stage arithmetic
+    closed-form."""
+    from .capacity import crawl_scale_plan
+
+    return crawl_scale_plan(spark, 10_000_000_000).orderBy("stage")
+
+
+ORACLE_SCALE_PLAN = """
+WITH s(stage, rows, bytes, shuffles, shuffle_bytes) AS (
+  VALUES
+    ('expand', 40000000000, 960000000000, 1, 960000000000),
+    ('dedup_min', 40000000000, 960000000000, 0, 0),
+    ('seen_antijoin', 10000000000, 160000000000, 1, 32000000000),
+    ('global_rank', 10000000000, 240000000000, 1, 240000000000),
+    ('politeness_wave', 10000000000, 480000000000, 1, 480000000000),
+    ('fetch_results', 10000000000, 655360000000000, 0, 0),
+    ('image_validate', 10000000000, 655360000000000, 0, 0),
+    ('sink_append', 10000000000, 655360000000000, 0, 0)
+)
+SELECT stage, CAST(rows AS BIGINT) AS rows, CAST(bytes AS BIGINT)
+         AS bytes,
+       CAST(shuffles AS INTEGER) AS shuffles,
+       CAST(shuffle_bytes AS BIGINT) AS shuffle_bytes,
+       CAST(GREATEST(4000, CASE WHEN shuffle_bytes > 0
+              THEN (shuffle_bytes + 134217727) // 134217728
+              ELSE 4000 END) AS BIGINT) AS n_partitions,
+       CAST((GREATEST(4000, CASE WHEN shuffle_bytes > 0
+              THEN (shuffle_bytes + 134217727) // 134217728
+              ELSE 4000 END) + 3999) // 4000 AS BIGINT)
+         AS partitions_per_core_wave
+FROM s
+ORDER BY stage
+"""
