@@ -265,3 +265,115 @@ def kmv_overlap(
         "n_kmin", "kmin_in_both", "jaccard_permille",
         "est_a", "est_b", "est_union", "est_intersection",
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog register relation
+# ---------------------------------------------------------------------------
+#
+# The third sketch of the family: where KMV keeps the k smallest hashes,
+# HLL (Flajolet et al., AofA'07) keeps per bucket only the MAXIMUM
+# leading-zero run — m integer registers per group, mergeable by
+# cellwise max, which in DataFrame form is exactly a map-side-combined
+# groupBy(grp, bucket).agg(max(rho)).  Spark's own approx_count_distinct
+# IS HLL++ — but its state lives inside an opaque aggregation buffer
+# that cannot be persisted, merged across crawl waves, or unioned with
+# yesterday's registers.  The REGISTER RELATION here is the persistable
+# form: store (grp, bucket, rho) per wave, merge waves by groupBy-max,
+# estimate at read time — the incremental-distinct shape a 10^10-URL
+# frontier needs (distinct URLs per host across all history, without
+# ever re-scanning history).
+#
+# Hashing: NOT the CMS/KMV affine family — (A*k+B) mod P is
+# equidistributed but has no avalanche, and HLL's max-leading-zero
+# statistic reads exactly the fine bit structure an affine map gets
+# wrong (measured: +70% bias on 50k sequential keys).  HLL uses the
+# repo's other SQL-replayable hash, the md5 32-bit prefix
+# (textops.dedup.base_hash), which is avalanche-quality on both
+# engines.  With b bucket bits the remaining word has W = 32 - b
+# usable bits: bucket = h mod 2^b, w = h div 2^b,
+# rho = W - len(bin(w)) + 1 for w > 0 (bin() — minimal binary string —
+# exists in BOTH Spark and DuckDB, making the leading-zero count plain
+# integer/string arithmetic), and rho = W + 1 for w = 0.  The estimator
+# is the raw HLL harmonic mean, integer-quantized: with K = 32,
+# denom = sum over registers of 2^(K - rho) plus 2^K per never-touched
+# bucket (K = 32 > max rho, so every term is a positive integer),
+# est = alpha_permyriad * m^2 * 2^K div (10000 * denom).  No
+# small-range linear-counting correction — that is a read-time float
+# polish, deliberately left out of the mergeable relation (documented
+# divergence from HLL++; the tests pin the asymptotic regime).  b <= 8
+# keeps every intermediate under 2^63 (overflow-checked in tests).
+
+_HLL_ALPHA_PERMYRIAD = {16: 6730, 32: 6970, 64: 7090}  # else 7213 (m>=128)
+
+
+def hll_rho(h, b: int):
+    """Leading-zero rank of the post-bucket word: h div 2^b == 0 -> W+1,
+    else W - length(bin(word)) + 1, W = 32 - b."""
+    # h is nonnegative (< 2^32), so a right shift IS integer div by 2^b
+    word = F.shiftright(h.cast("long"), b)
+    wbits = 32 - b
+    return F.when(word == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - F.length(F.bin(word)) + 1
+    ).cast("int")
+
+
+def hll_build(df: DataFrame, group_col: str, key_col: str, b: int = 6) -> DataFrame:
+    """Per-group HLL registers: (grp, bucket, rho) with rho the max
+    leading-zero rank seen in the bucket.  ONE map-side-combined groupBy
+    — partial aggregation merges per-partition register arrays exactly
+    as a cellwise max would.  Untouched buckets are absent rows (the
+    estimator charges them 2^K each); register count per group is
+    <= m = 2^b regardless of group size."""
+    from .textops.dedup import base_hash
+
+    if not 4 <= b <= 8:
+        raise ValueError("b must be in [4, 8] (integer-exact estimator range)")
+    h = base_hash(F.col(key_col).cast("string"))
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.pmod(h, F.lit(1 << b)).cast("int").alias("bucket"),
+            hll_rho(h, b).alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b_sk: DataFrame) -> DataFrame:
+    """Merge two register relations (e.g. yesterday's seen-set registers
+    with today's wave): union -> groupBy max.  Lossless: merge(build(A),
+    build(B)) == build(A union B) by max associativity — asserted
+    bit-for-bit in tests."""
+    return (
+        a.select("grp", "bucket", "rho")
+        .unionByName(b_sk.select("grp", "bucket", "rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, b: int = 6) -> DataFrame:
+    """Integer-exact raw-HLL estimate per group: (grp, n_registers,
+    est).  K = 32 scaling; absent buckets contribute 2^K each via
+    (m - n_registers) * 2^K added to the summed denominator."""
+    m = 1 << b
+    alpha = _HLL_ALPHA_PERMYRIAD.get(m, 7213)
+    k_scale = 1 << 32
+    return (
+        registers.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_registers"),
+            F.sum(F.expr("shiftleft(1L, 32 - rho)"))
+            .cast("long").alias("__denom_hit"),
+        )
+        .select(
+            "grp",
+            "n_registers",
+            F.expr(
+                f"({alpha}L * {m}L * {m}L * {k_scale}L) div "
+                f"(10000L * (__denom_hit + ({m}L - n_registers) * {k_scale}L))"
+            ).alias("est"),
+        )
+    )

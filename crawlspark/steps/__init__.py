@@ -181,3 +181,47 @@ def proxy_for(ord_col: Column, proxies: list[str]) -> Column:
         return F.lit(proxies[0])
     arr = F.array(*[F.lit(p) for p in proxies])
     return F.element_at(arr, (ord_col % len(proxies) + 1).cast("int"))
+
+
+def alt_svc_info(value: Column) -> Column:
+    """Parse an ``Alt-Svc`` response header (RFC 7838) into the fields a
+    fetch scheduler actually uses: struct(cleared, n_endpoints, h3,
+    h3_ma).  ``h3`` is true when any alternative advertises HTTP/3
+    (protocol-id ``h3`` or a draft ``h3-NN``) — the signal to prefer a
+    QUIC connection pool for the host on the next wave; ``h3_ma`` is
+    that alternative's freshness lifetime (``ma=`` seconds, spec default
+    86400 when absent).  ``Alt-Svc: clear`` invalidates all cached
+    alternatives.  Null/empty headers parse as no alternatives.
+
+    Pure JVM regexp expressions — a narrow map that fuses into the
+    response scan; the per-host rollup (any h3, max ma) is then one
+    map-side-combined groupBy.  The reference's HttpLoader keeps no
+    connection-level state at all (one request at a time,
+    src/Loader/Http/HttpLoader.php) — at 10^10 URLs, routing refetches
+    onto still-fresh h3 endpoints is how a fleet amortizes handshakes.
+    """
+    v = F.trim(F.coalesce(value, F.lit("")))
+    cleared = F.lower(v) == "clear"
+    # endpoints: comma-separated `proto="authority"` members (params after ';')
+    n_endpoints = F.when(
+        cleared | (v == ""), F.lit(0)
+    ).otherwise(
+        F.size(F.filter(
+            F.split(v, ","),
+            lambda e: e.rlike(r'^\s*[A-Za-z0-9!#$%&\'*+.^_`|~-]+=.+'),
+        ))
+    ).cast("int")
+    h3_entry = F.regexp_extract(
+        v, r'(?:^|,)\s*(h3(?:-\d+)?="[^"]*"(?:\s*;\s*[A-Za-z0-9_-]+=[^,;]+)*)', 1
+    )
+    h3 = (~cleared) & (h3_entry != "")
+    ma = F.regexp_extract(h3_entry, r';\s*ma=("?)(\d+)\1', 2)
+    h3_ma = F.when(
+        h3, F.when(ma != "", ma.cast("long")).otherwise(F.lit(86400))
+    ).cast("long")
+    return F.struct(
+        cleared.alias("cleared"),
+        n_endpoints.alias("n_endpoints"),
+        h3.alias("h3"),
+        h3_ma.alias("h3_ma"),
+    )

@@ -844,3 +844,96 @@ def ngram_span_overlap(
             F.coalesce("longest_run", F.lit(0)).alias("longest_run"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC)
+# ---------------------------------------------------------------------------
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    mod: int = 8,
+) -> DataFrame:
+    """Content-defined chunking over the token stream (the LBFS/FastCDC
+    idea — Muthitacharoen et al. SOSP'01, Xia et al. ATC'16 — applied at
+    token rather than byte granularity): cut AFTER token ``i`` whenever
+    the hash of the ``w``-token window ending at ``i`` is divisible by
+    ``mod``; the final token always closes the last chunk.  Because cut
+    points depend only on a local window of content, inserting or
+    deleting a prefix shifts ONLY the chunks it touches — unlike
+    fixed-size chunking, where one leading edit re-aligns (and so
+    re-hashes) every downstream chunk.  Chunk-hash equality across
+    documents is then the shift-robust passage-dedup signal: syndicated
+    articles with injected headers/footers still share every interior
+    chunk, which doc-level exact dedup misses entirely.
+
+    Returns (id, chunk_ord, start_tok, n_tokens, chunk_hash) — expected
+    chunk length is ``mod`` tokens.  Pure Column HOFs (one bounds array
+    + one transform per doc, O(doc length) work inside the task); the
+    only shuffle is whatever the caller does with the result (e.g. a
+    map-side-combined groupBy on chunk_hash).  At 10^10 docs this is a
+    narrow map fusing into the scan — the 100 TB shape for incremental
+    corpus dedup, where a chunk-hash inventory table is maintained
+    across crawl waves and only new chunks are stored.
+
+    Reference parity note: the reference has no sub-document dedup at
+    all (UniqueUrlFilter / uniqueOutputs are whole-value,
+    src/Steps/Step.php); this is a training-data-pipeline addition.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    d = df.select(F.col(id_col), toks.alias("__tk"))
+    n = F.size("__tk")
+    win_hash = lambda i: base_hash(  # noqa: E731
+        F.concat_ws(" ", F.slice(F.col("__tk"), i - w + 1, w))
+    )
+    # interior cut positions: i in [w, n-1] with window-hash % mod == 0
+    # (sequence(w, n-1) DESCENDS when n-1 < w — guard to empty)
+    interior = F.when(
+        n - 1 >= w,
+        F.filter(
+            F.sequence(F.lit(w), n - 1),
+            lambda i: win_hash(i) % mod == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    d = d.withColumn(
+        "__b",
+        F.concat(
+            F.array(F.lit(0).cast("int")),
+            interior.cast("array<int>"),
+            F.array(n.cast("int")),
+        ),
+    )
+    b = F.col("__b")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(b) - 1),
+        lambda j: F.struct(
+            (j - 1).cast("long").alias("chunk_ord"),
+            (F.element_at(b, j) + 1).cast("long").alias("start_tok"),
+            (F.element_at(b, j + 1) - F.element_at(b, j))
+            .cast("long").alias("n_tokens"),
+            base_hash(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("__tk"),
+                        F.element_at(b, j) + 1,
+                        F.element_at(b, j + 1) - F.element_at(b, j),
+                    ),
+                )
+            ).alias("chunk_hash"),
+        ),
+    )
+    return (
+        d.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .filter(F.col("c.n_tokens") > 0)
+        .select(
+            id_col,
+            F.col("c.chunk_ord").alias("chunk_ord"),
+            F.col("c.start_tok").alias("start_tok"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.col("c.chunk_hash").alias("chunk_hash"),
+        )
+    )

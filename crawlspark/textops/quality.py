@@ -1314,3 +1314,122 @@ def emoji_density(
         F.when(F.col("n_chars") > 0,
                F.expr("(1000 * n_emoji) div n_chars")),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+RAKE_STOPWORDS = [
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from", "in",
+    "is", "it", "of", "on", "or", "that", "the", "to", "was", "with",
+]
+_RAKE_DELIM = "§"  # sentinel token injected for phrase-breaking punct
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    the maximal token runs between stopwords/punctuation; each word
+    scores deg(w)/freq(w) where freq counts occurrences inside
+    candidates and deg sums the lengths of the phrases containing it;
+    a phrase scores the sum of its word scores.  Per-word scores are
+    quantized to milli-units BEFORE the phrase sum
+    (``(1000 * deg) div freq``) so every comparison is integer-exact
+    and SQL-replayable.  Returns the ``top_k`` distinct phrases per doc:
+    (id, rank, phrase, n_words, score_milli), rank by (score desc,
+    phrase asc).
+
+    Plan: phrase decomposition is doc-local Column HOFs (punct -> a
+    sentinel token, one delimiter-bounds array, one slice-transform —
+    the same bounds pattern as cdc_chunks); word stats and phrase sums
+    are two map-side-combined groupBys partitioned by (id, word) /
+    (id, phrase) — nothing wider than the doc's own rows ever shuffles.
+    Keyword metadata at corpus scale (topic routing, dedup keys for
+    syndicated titles) without a model artifact.
+    """
+    stops = stopwords if stopwords is not None else RAKE_STOPWORDS
+    stop_arr = F.array(*[F.lit(s) for s in stops])
+    norm = F.regexp_replace(
+        F.lower(F.col(text_col)), r"[.,;:!?()\"']", f" {_RAKE_DELIM} "
+    )
+    toks = F.filter(F.split(norm, r"\s+"), lambda x: x != "")
+    d = df.select(F.col(id_col), toks.alias("__tk"))
+    n = F.size("__tk")
+    is_delim = lambda t: (t == _RAKE_DELIM) | F.array_contains(  # noqa: E731
+        stop_arr, t
+    )
+    delims = F.when(
+        n >= 1,
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: is_delim(F.element_at(F.col("__tk"), i)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    d = d.withColumn(
+        "__b",
+        F.concat(
+            F.array(F.lit(0).cast("int")),
+            delims.cast("array<int>"),
+            F.array((n + 1).cast("int")),
+        ),
+    )
+    b = F.col("__b")
+    phrases = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size(b) - 1),
+            lambda j: F.slice(
+                F.col("__tk"),
+                F.element_at(b, j) + 1,
+                F.element_at(b, j + 1) - F.element_at(b, j) - 1,
+            ),
+        ),
+        lambda p: F.size(p) >= 1,
+    )
+    ph = (
+        d.select(F.col(id_col), F.posexplode(phrases).alias("__pord", "__pw"))
+        .select(
+            id_col,
+            F.col("__pord").alias("phrase_ord"),
+            F.concat_ws(" ", "__pw").alias("phrase"),
+            F.size("__pw").cast("long").alias("n_words"),
+            F.col("__pw").alias("__pw"),
+        )
+    )
+    words = ph.select(
+        id_col, "phrase_ord", "n_words", F.explode("__pw").alias("word")
+    )
+    wstats = words.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("n_words").cast("long").alias("deg"),
+    ).withColumn("score_milli", F.expr("(1000 * deg) div freq"))
+    phrase_scores = (
+        words.join(wstats.select(id_col, "word", "score_milli"),
+                   [id_col, "word"])
+        .groupBy(id_col, "phrase_ord")
+        .agg(F.sum("score_milli").cast("long").alias("score_milli"))
+        .join(ph.select(id_col, "phrase_ord", "phrase", "n_words"),
+              [id_col, "phrase_ord"])
+        .groupBy(id_col, "phrase")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.max("score_milli").alias("score_milli"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy(id_col).orderBy(
+        F.col("score_milli").desc(), F.col("phrase").asc()
+    )
+    return (
+        phrase_scores.withColumn(
+            "rank", F.row_number().over(w_rank).cast("long")
+        )
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "rank", "phrase", "n_words", "score_milli")
+    )
