@@ -1103,3 +1103,65 @@ def userinfo_scrub(
                 u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://)[^/@?#]*@", "$1"),
         ).otherwise(u).alias("scrubbed_url"),
     )
+
+
+def url_front_coding_stats(
+    df: "DataFrame",
+    host_col: str = "host",
+    url_col: str = "url",
+) -> "DataFrame":
+    """Front-coding yield audit for the frontier/seen-set's sorted URL
+    runs: within each host partition, sort URLs and measure the
+    longest-common-prefix with the predecessor — the bytes a
+    front-coded (prefix-omitting) layout would not store.  Sorted URL
+    lists compress extraordinarily well this way (WebGraph's URL-list
+    encoding, Boldi & Vigna WWW'04, reports ~10x); at a 10^10-row seen
+    set the saved_permille column IS the sizing input for the
+    checkpoint/lineage tables.
+
+    Plan: ONE partitioned window (host-partitioned lag + sort — the
+    exact physical order a bucketed `WRITE ORDERED BY` sink produces
+    anyway, so at scale this audit rides the write's own shuffle), LCP
+    via a per-row O(len) boolean-array scan (array_position of the
+    first mismatch — no UDF), then a map-side-combined host rollup.
+
+    Returns (host, n_urls, url_bytes, saved_bytes, saved_permille).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(url_col)
+    prev = F.lag(url_col).over(w)
+    cur = F.col(url_col)
+    lim = F.least(F.length(cur), F.length(prev))
+    # first position where the strings differ; 0 => full shared prefix
+    mismatch = F.array_position(
+        F.transform(
+            F.sequence(F.lit(1), lim),
+            lambda i: cur.substr(i, F.lit(1)) == prev.substr(i, F.lit(1)),
+        ),
+        F.lit(False),
+    )
+    lcp = F.when(prev.isNull() | (lim < 1), F.lit(0)).otherwise(
+        F.when(mismatch == 0, lim).otherwise(mismatch - 1)
+    ).cast("long")
+    # NOTE: the lcp window must not share a projection with a same-name
+    # re-alias of its partition column (Spark resolves that as an
+    # unsupported lateral alias reference) — hence withColumn, not select
+    rows = (
+        df.select(F.col(host_col), F.col(url_col))
+        .withColumn("__len", F.length(cur).cast("long"))
+        .withColumn("__lcp", lcp)
+        .withColumnRenamed(host_col, "host")
+    )
+    return (
+        rows.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.sum("__len").cast("long").alias("url_bytes"),
+            F.sum("__lcp").cast("long").alias("saved_bytes"),
+        )
+        .withColumn(
+            "saved_permille",
+            F.expr("(1000 * saved_bytes) div url_bytes"),
+        )
+    )

@@ -1853,3 +1853,32 @@ def link_rel_rollup(body: Column) -> Column:
         F.when(n > 0, (F.size(followed) * 1000 / n)).cast("long")
         .alias("followed_permille"),
     )
+
+
+def microdata_summary(html: Column) -> Column:
+    """Schema.org MICRODATA surface summary (the attribute-based sibling
+    of the JSON-LD path that ``Html::schemaOrg`` covers —
+    reference src/Steps/Html/SchemaOrg.php handles only ld+json; the
+    microdata vocabulary rides ``itemscope``/``itemtype``/``itemprop``
+    attributes instead): struct(n_itemscopes, first_itemtype, n_props,
+    n_distinct_props).  Counting is regex-level over tags (this
+    container's no-lxml discipline): an ``itemprop`` outside any
+    ``itemscope`` still counts toward n_props — disclosed flat-harvest
+    semantics, nesting is not resolved.
+
+    Pure JVM regexp expressions; narrow map, fuses into the scan.
+    """
+    h = F.coalesce(html, F.lit(""))
+    n_scopes = F.size(
+        F.regexp_extract_all(h, F.lit(r"<[^>]*\sitemscope(?=[\s>/])"), 0)
+    ).cast("int")
+    first_type = F.nullif(
+        F.regexp_extract(h, r'\sitemtype="([^"]*)"', 1), F.lit("")
+    )
+    props = F.regexp_extract_all(h, F.lit(r'\sitemprop="([^"]*)"'), 1)
+    return F.struct(
+        n_scopes.alias("n_itemscopes"),
+        first_type.alias("first_itemtype"),
+        F.size(props).cast("int").alias("n_props"),
+        F.size(F.array_distinct(props)).cast("int").alias("n_distinct_props"),
+    )

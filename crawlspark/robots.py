@@ -986,7 +986,7 @@ def robots_lint(
     )
 
 
-def robots_fetch_policy(
+def robots_failure_policy(
     fetches: DataFrame,
     host_col: str = "host",
     status_col: str = "status",

@@ -72,13 +72,14 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
-# robots_fetch_policy
+# robots_failure_policy (DataFrame-level RFC 9309 unreachable policy;
+# the column-level fetch-outcome classifier is suite7's robots_fetch_policy)
 # --------------------------------------------------------------------------
 
 def q_robots_fetch_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """robots.robots_fetch_policy over 200/404/503-fresh/503-stale and
+    """robots.robots_failure_policy over 200/404/503-fresh/503-stale and
     a redirect loop."""
-    from .robots import robots_fetch_policy
+    from .robots import robots_failure_policy
 
     doc = F.col("doc_id")
     m = doc % 5
@@ -92,7 +93,7 @@ def q_robots_fetch_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(m == 3, 45).otherwise(2).cast("long")
         .alias("days_since_first_error"),
     )
-    return robots_fetch_policy(fetches).orderBy("host")
+    return robots_failure_policy(fetches).orderBy("host")
 
 
 ORACLE_ROBOTS_FETCH = """
@@ -218,7 +219,7 @@ ORDER BY host
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "srcset_sizes": q_srcset_sizes,
-        "robots_fetch_policy": q_robots_fetch_policy,
+        "robots_failure_policy": q_robots_fetch_policy,
         "host_anomaly": q_host_anomaly,
         "slo_burn": q_slo_burn,
     }
@@ -227,7 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "srcset_sizes": ORACLE_SRCSET_SIZES,
-        "robots_fetch_policy": ORACLE_ROBOTS_FETCH,
+        "robots_failure_policy": ORACLE_ROBOTS_FETCH,
         "host_anomaly": ORACLE_HOST_ANOMALY,
         "slo_burn": ORACLE_SLO_BURN,
     }

@@ -1433,3 +1433,111 @@ def rake_keywords(
         .filter(F.col("rank") <= top_k)
         .select(id_col, "rank", "phrase", "n_words", "score_milli")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stupid-backoff bigram LM scoring
+# ---------------------------------------------------------------------------
+
+BACKOFF_ALPHA_PERMILLE = 400  # Brants et al. 2007's 0.4
+OOV_COST_MICRO = 20_000_000   # 20 nats — unseen-unigram floor
+
+
+def bigram_backoff_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_filter=None,
+) -> DataFrame:
+    """Bigram LM fluency scoring with stupid backoff (Brants et al.
+    2007, EMNLP — the web-scale LM recipe: no discounting, score
+    S(w|v) = c(vw)/c(v) when the bigram was seen, else
+    0.4 * c(w)/T, else an OOV floor).  The companion to
+    :func:`unigram_logprob` one order up: transition costs catch
+    shuffled-word gibberish and template soup that unigram frequency
+    cannot (every word common, no two adjacent words ever co-occurring).
+
+    ``train_filter`` (a Column predicate, e.g. ``F.col("doc_id") % 2 ==
+    0``) selects the training slice; scoring runs over ALL docs, so
+    held-out docs genuinely exercise the backoff and OOV paths.  Costs
+    are -ln(S) quantized to integer micro-nats BEFORE the per-doc sum
+    (float sums are partition-order-nondeterministic; integer sums are
+    bit-stable and DuckDB-replayable, same discipline as
+    unigram_logprob).
+
+    Plan: per-doc bigram pairs derived array-side (one narrow map), one
+    map-side-combined groupBy per count relation (bigram, unigram,
+    scalar total), two equi-joins on the token stream.  At 100 TB the
+    count relations are the heavy side: broadcast the top-V rows and
+    floor the tail to OOV (same shape, bounded build).
+
+    Returns (id, n_bigrams, cost_micro_mean) for docs with >= 1 bigram.
+    """
+    toks = F.split(F.col(text_col), " ")
+    d = df.select(F.col(id_col), toks.alias("__tk"))
+    pairs = F.when(
+        F.size("__tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size("__tk")),
+            lambda i: F.struct(
+                F.element_at(F.col("__tk"), i - 1).alias("prev"),
+                F.element_at(F.col("__tk"), i).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    stream = d.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur")
+    )
+    train = df.filter(train_filter) if train_filter is not None else df
+    ttoks = train.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    uni = ttoks.groupBy("w").agg(F.count("*").alias("c_uni"))
+    tot = uni.agg(F.sum("c_uni").alias("t_tot"))
+    tpairs = train.select(F.explode(
+        F.when(
+            F.size(F.split(F.col(text_col), " ")) >= 2,
+            F.transform(
+                F.sequence(F.lit(2), F.size(F.split(F.col(text_col), " "))),
+                lambda i: F.struct(
+                    F.element_at(F.split(F.col(text_col), " "), i - 1)
+                    .alias("prev"),
+                    F.element_at(F.split(F.col(text_col), " "), i)
+                    .alias("cur"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    ).alias("p")).select(F.col("p.prev").alias("prev"),
+                         F.col("p.cur").alias("cur"))
+    bi = tpairs.groupBy("prev", "cur").agg(F.count("*").alias("c_bi"))
+    scored = (
+        stream
+        .join(bi, ["prev", "cur"], "left")
+        .join(uni.withColumnRenamed("w", "prev")
+                 .withColumnRenamed("c_uni", "c_prev"), ["prev"], "left")
+        .join(uni.withColumnRenamed("w", "cur")
+                 .withColumnRenamed("c_uni", "c_cur"), ["cur"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    cost = (
+        F.when(
+            F.col("c_bi").isNotNull() & F.col("c_prev").isNotNull(),
+            F.floor(-F.log(F.col("c_bi") / F.col("c_prev")) * 1_000_000),
+        )
+        .when(
+            F.col("c_cur").isNotNull(),
+            F.floor(
+                -F.log(
+                    F.lit(BACKOFF_ALPHA_PERMILLE) / 1000.0
+                    * F.col("c_cur") / F.col("t_tot")
+                ) * 1_000_000
+            ),
+        )
+        .otherwise(F.lit(OOV_COST_MICRO))
+        .cast("long")
+    )
+    return scored.select(F.col(id_col), cost.alias("__cost")).groupBy(
+        id_col
+    ).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.floor(F.sum("__cost") / F.count("*")).cast("long")
+        .alias("cost_micro_mean"),
+    )
