@@ -192,7 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404": q_soft404,
         "link_farm": q_link_farm,
         "image_pair_keep_best": q_image_pair_keep_best,
-        "percent_normalize": q_percent_normalize,
+        "percent_normalize_rfc": q_percent_normalize,
         "dot_segments": q_dot_segments,
     }
 
@@ -202,7 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "soft404": ORACLE_SOFT404,
         "link_farm": ORACLE_LINK_FARM,
         "image_pair_keep_best": ORACLE_IMAGE_PAIR_KEEP_BEST,
-        "percent_normalize": ORACLE_PERCENT_NORMALIZE,
+        "percent_normalize_rfc": ORACLE_PERCENT_NORMALIZE,
         "dot_segments": ORACLE_DOT_SEGMENTS,
     }
 

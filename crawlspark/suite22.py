@@ -555,7 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_boilerplate": q_caption_boilerplate,
         "bucket_batches": q_bucket_batches,
         "compaction_plan": q_compaction_plan,
-        "sitemap_cross_host": q_sitemap_cross_host,
+        "sitemap_admission_xhost": q_sitemap_cross_host,
         "aimd_concurrency": q_aimd_concurrency,
         "redirect_loops": q_redirect_loops,
         "img_fetch_priority": q_img_fetch_priority,
@@ -569,7 +569,7 @@ def oracle_sql() -> dict[str, str]:
         "caption_boilerplate": ORACLE_CAPTION_BOILERPLATE,
         "bucket_batches": ORACLE_BUCKET_BATCHES,
         "compaction_plan": ORACLE_COMPACTION_PLAN,
-        "sitemap_cross_host": ORACLE_SITEMAP_CROSS_HOST,
+        "sitemap_admission_xhost": ORACLE_SITEMAP_CROSS_HOST,
         "aimd_concurrency": _oracle_aimd(),
         "redirect_loops": _oracle_redirect_loops(),
         "img_fetch_priority": ORACLE_IMG_FETCH_PRIORITY,
