@@ -3089,3 +3089,50 @@ def dds_sniff(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
             "dds_fourcc",
             F.when(is_dds & fourcc.rlike(r"^[A-Za-z0-9 ]{4}$"), fourcc))
     )
+
+
+def ai_provenance_sniff(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Provenance screening for crawled images — the curation gate a
+    training-data pipeline runs to keep (or route) AI-GENERATED images:
+
+    - ``has_c2pa``: a C2PA/Content-Credentials manifest is present —
+      JUMBF superbox ('jumb' box type with the 'c2pa' label) embedded
+      in a JPEG APP11 segment, or a PNG 'caBX' chunk.  Detection is a
+      byte-substring scan of the decoded (ISO-8859-1, lossless
+      byte<->char) stream, NOT a full JUMBF box parse — disclosed
+      heuristic, same discipline as the other sniffers here; a C2PA
+      manifest also does NOT imply AI (cameras sign too), which is why
+      it is reported separately from ``gen_tool``.
+    - ``gen_tool``: the highest-priority generator watermark present in
+      metadata text (PNG tEXt 'parameters' blocks, EXIF Software tags):
+      Stable Diffusion / Midjourney / DALL-E / Adobe Firefly / NovelAI.
+    - ``ai_flagged``: gen_tool present (the actionable routing bit).
+
+    Pure JVM expressions (decode + instr/locate) — narrow map over the
+    payload scan, no Python.  At 100 TB this fuses into the same pass
+    as the magic-sniff/validation stage.
+    """
+    b = F.col(bytes_col)
+    s = F.decode(b, "ISO-8859-1")
+    is_jpeg = F.hex(F.substring(b, 1, 2)) == "FFD8"
+    is_png = F.hex(F.substring(b, 1, 8)) == "89504E470D0A1A0A"
+    app11 = F.instr(s, "\xff\xeb") > 0  # the APP11 marker bytes as latin-1 chars
+    jumbf_c2pa = (F.instr(s, "jumb") > 0) & (F.instr(s, "c2pa") > 0)
+    has_c2pa = (is_jpeg & app11 & jumbf_c2pa) | (is_png & (F.instr(s, "caBX") > 0))
+    tools = [
+        ("Stable Diffusion", "stable-diffusion"),
+        ("Midjourney", "midjourney"),
+        ("DALL-E", "dall-e"),
+        ("DALL·E", "dall-e"),
+        ("Adobe Firefly", "firefly"),
+        ("NovelAI", "novelai"),
+    ]
+    gen = None
+    for needle, label in reversed(tools):
+        cond = F.instr(s, needle) > 0
+        gen = F.when(cond, F.lit(label)) if gen is None else F.when(
+            cond, F.lit(label)
+        ).otherwise(gen)
+    return imgs.withColumn("has_c2pa", has_c2pa) \
+        .withColumn("gen_tool", gen) \
+        .withColumn("ai_flagged", gen.isNotNull())

@@ -1107,3 +1107,99 @@ def corpus_datasheet(
             .alias("dup_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Luhn credit-card detection (PII, checksum-verified)
+# ---------------------------------------------------------------------------
+
+def luhn_cc_audit(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Checksum-verified payment-card detection — the high-precision
+    sibling of :func:`pii_scrub`'s pattern redaction: a 13-19 digit run
+    is only PII-flagged when it passes the Luhn mod-10 check (ISO/IEC
+    7812), which rejects ~90% of random digit runs (order numbers,
+    tracking ids, timestamps) that a bare regex would scrub.
+
+    Candidates are maximal digit runs (lookaround-bounded, so a
+    25-digit serial yields NO 19-digit sub-candidate); the Luhn fold is
+    a per-candidate Column HOF (reverse positional walk: double every
+    second digit from the right, subtract 9 above 9, sum % 10 == 0) —
+    pure narrow-map arithmetic, SQL-replayable digit by digit.
+
+    Returns (id, n_candidates, n_luhn_valid, first_valid_last4); docs
+    with a valid hit are the scrub/quarantine feed.
+    """
+    cands = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"(?<!\d)(\d{13,19})(?!\d)"), 1
+    )
+    def _luhn_ok(s):
+        d = lambda i: F.reverse(s).substr(i, F.lit(1)).cast("int")  # noqa: E731
+        term = lambda i: F.when(  # noqa: E731
+            i % 2 == 1, d(i)
+        ).otherwise(
+            F.when(d(i) * 2 > 9, d(i) * 2 - 9).otherwise(d(i) * 2)
+        )
+        return (
+            F.aggregate(
+                F.sequence(F.lit(1), F.length(s)), F.lit(0),
+                lambda acc, i: acc + term(i),
+            ) % 10 == 0
+        )
+
+    luhn_ok = _luhn_ok
+    valid = F.filter(cands, luhn_ok)
+    return df.select(
+        F.col(id_col),
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.size(valid).cast("long").alias("n_luhn_valid"),
+        F.when(
+            F.size(valid) > 0,
+            F.substring(F.element_at(valid, 1), -4, 4),
+        ).alias("first_valid_last4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode hygiene audit (invisible chars, bidi controls, combining marks)
+# ---------------------------------------------------------------------------
+
+def unicode_hygiene(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Invisible/control-codepoint audit for crawl text: zero-width
+    characters (ZWSP/ZWNJ/ZWJ/word-joiner/BOM — SEO cloaking and
+    copy-trap watermarks ride these), soft hyphens (U+00AD — break
+    token counts and dedup hashes), explicit bidi controls
+    (U+202A-202E / U+2066-2069 — the "Trojan Source" class, and a
+    spoofing vector in link text), and combining marks (zalgo /
+    double-diacritic junk when dense).  Emits counts plus a scrubbed
+    text with the first three classes removed and NFC-agnostic combing
+    left alone (combining marks are legitimate in many scripts —
+    density is the signal, not presence).
+
+    Pure JVM regexp counts + one regexp_replace — narrow map, fuses
+    into the scan.
+    """
+    t = F.col(text_col)
+    zw = r"[\u200B\u200C\u200D\u2060\uFEFF]"
+    bidi = r"[\u202A-\u202E\u2066-\u2069]"
+    shy = r"\u00AD"
+    comb = r"\p{Mn}"
+    count = lambda rx: F.size(  # noqa: E731
+        F.regexp_extract_all(t, F.lit(rx), 0)
+    ).cast("long")
+    scrubbed = F.regexp_replace(
+        t, f"(?:{zw}|{bidi}|{shy})", ""
+    )
+    return df.select(
+        F.col(id_col),
+        count(zw).alias("n_zero_width"),
+        count(bidi).alias("n_bidi"),
+        count(shy).alias("n_soft_hyphen"),
+        count(comb).alias("n_combining"),
+        scrubbed.alias("scrubbed"),
+        F.length(t).cast("long").alias("len_raw"),
+        F.length(scrubbed).cast("long").alias("len_scrubbed"),
+    )
