@@ -312,3 +312,62 @@ def crawl_scale_plan(
         "shuffle_bytes long, n_partitions long, "
         "partitions_per_core_wave long",
     )
+
+
+def encoding_advisor(
+    df: "DataFrame",
+    columns: list[str],
+    part_col: str,
+    order_col: str,
+    dict_max_distinct_permille: int = 100,
+    rle_min_run_permille: int = 500,
+) -> "DataFrame":
+    """Parquet encoding advisor over a table sample: per column, the two
+    signals that decide physical encoding at write time — cardinality
+    (dictionary pages win while the dictionary stays small relative to
+    the data) and local run structure (RLE wins when adjacent rows
+    repeat under the table's write order).  At a 10^10-row results
+    table the difference between DICTIONARY and PLAIN on a hot string
+    column is the difference between scanning gigabytes and terabytes;
+    this advisor is the job you run on one day's sample before fixing
+    the sink's layout.
+
+    ``run_permille`` is measured within (part_col ORDER BY order_col)
+    windows — the same clustered order a bucketed `WRITE ORDERED BY`
+    sink produces, and a PARTITIONED window (no global sort funnel).
+    Returns one row per column: (col_name, n_rows, n_distinct,
+    distinct_permille, run_permille, recommended).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(part_col).orderBy(order_col)
+    outs = []
+    for c in columns:
+        v = F.col(c).cast("string")
+        d = df.select(
+            F.lit(c).alias("col_name"),
+            v.alias("__v"),
+            (v == F.lag(v).over(w)).alias("__rep"),
+        )
+        outs.append(
+            d.groupBy("col_name").agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct("__v").cast("long").alias("n_distinct"),
+                F.sum(F.when(F.col("__rep"), 1).otherwise(0))
+                .cast("long").alias("__n_rep"),
+            )
+        )
+    stats = outs[0]
+    for o in outs[1:]:
+        stats = stats.unionByName(o)
+    return stats.select(
+        "col_name", "n_rows", "n_distinct",
+        F.expr("(1000 * n_distinct) div n_rows").alias("distinct_permille"),
+        F.expr("(1000 * __n_rep) div n_rows").alias("run_permille"),
+    ).withColumn(
+        "recommended",
+        F.when(F.col("distinct_permille") < dict_max_distinct_permille,
+               F.lit("dictionary"))
+        .when(F.col("run_permille") > rle_min_run_permille, F.lit("rle"))
+        .otherwise(F.lit("plain")),
+    )

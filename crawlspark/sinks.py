@@ -905,3 +905,67 @@ def webdataset_shard_plan(
         F.expr(f"__pre div {int(target_bytes)}L").alias("shard_id"),
         F.expr(f"__pre % {int(target_bytes)}L").alias("offset_in_shard"),
     )
+
+
+def sitemap_emit(
+    urls: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    lastmod_col: str | None = None,
+    cap: int = 50_000,
+) -> DataFrame:
+    """Sitemap PUBLISHING — the inverse of Sitemap::getUrlsFromSitemap
+    (reference src/Steps/Sitemap/GetUrlsFromSitemap.php parses; a crawl
+    infrastructure also re-publishes its canonical URL inventory, e.g.
+    for mirror seeding or search-engine handoff).  Per host, URLs are
+    sorted and split into shards of at most ``cap`` entries (the
+    sitemaps.org protocol limit is 50,000 per file), each rendered as a
+    complete <urlset> XML document, with per-shard stats for the index.
+
+    Plan: ONE partitioned window (row_number per host, ordered by URL)
+    for shard assignment, then a groupBy((host, shard)) whose
+    collect_list is array_sort'ed before rendering — deterministic
+    under any partitioning, bounded at ``cap`` entries per group.
+    Returns (host, shard, n_urls, first_url, xml).
+    """
+    from pyspark.sql import Window
+
+    lastmod = (
+        F.col(lastmod_col).cast("string") if lastmod_col is not None
+        else F.lit(None).cast("string")
+    )
+    rows = urls.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("url"),
+        lastmod.alias("__lm"),
+    ).withColumn(
+        "shard", ((F.row_number().over(
+            Window.partitionBy("host").orderBy("url")) - 1)
+            / F.lit(int(cap))).cast("long"),
+    )
+    entry = lambda s: F.concat(  # noqa: E731
+        F.lit("<url><loc>"), s.getField("url"), F.lit("</loc>"),
+        F.when(
+            s.getField("__lm").isNotNull(),
+            F.concat(F.lit("<lastmod>"), s.getField("__lm"),
+                     F.lit("</lastmod>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    grouped = (
+        rows.groupBy("host", "shard")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("url", "__lm"))).alias("__es"))
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+              '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.array_join(F.transform(F.col("__es"), entry), ""),
+        F.lit("</urlset>"),
+    )
+    return grouped.select(
+        "host", "shard",
+        F.size("__es").cast("long").alias("n_urls"),
+        F.element_at(F.col("__es"), 1).getField("url").alias("first_url"),
+        xml.alias("xml"),
+    )

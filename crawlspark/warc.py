@@ -158,3 +158,50 @@ def warc_record_types(
         .alias("record_type"),
         F.when(rn > 1, first_url).alias("refers_to_url"),
     )
+
+
+def to_wet(
+    responses: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+    date_col: str | None = None,
+) -> DataFrame:
+    """WET conversion records (the CommonCrawl *.warc.wet.gz sibling of
+    the WARC response archive: WARC-Type: conversion, text/plain payload
+    holding the page's extracted text).  Tag-strip + whitespace-collapse
+    is the same regex-level extraction discipline as the rest of this
+    repo (no lxml in the container); the digest is the md5-prefix int
+    (production swaps sha1/base32, same plan shape).
+
+    Pure JVM expressions building (url, wet_text, wet_len, wet_digest,
+    record) — ``record`` is the full WARC/1.0 conversion-record header
+    block + payload, ready for a text sink.  Narrow map; at 100 TB the
+    WET emit fuses into the same pass that parsed the responses.
+    """
+    from .textops.dedup import base_hash
+
+    u = F.col(url_col)
+    text = F.trim(F.regexp_replace(
+        F.regexp_replace(F.coalesce(F.col(body_col), F.lit("")),
+                         r"<[^>]*>", " "),
+        r"\s+", " ",
+    ))
+    wet_len = F.length(text).cast("long")
+    digest = base_hash(text)
+    hdr = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "), u,
+        F.lit("\r\n"),
+        F.lit("") if date_col is None else F.concat(
+            F.lit("WARC-Date: "), F.col(date_col).cast("string"),
+            F.lit("\r\n")),
+        F.lit("WARC-Block-Digest: md5p:"), digest.cast("string"),
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        wet_len.cast("string"), F.lit("\r\n\r\n"),
+    )
+    return responses.select(
+        u.alias("url"),
+        text.alias("wet_text"),
+        wet_len.alias("wet_len"),
+        digest.alias("wet_digest"),
+        F.concat(hdr, text).alias("record"),
+    )

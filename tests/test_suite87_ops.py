@@ -1,0 +1,77 @@
+"""Tests for the encoding advisor, WET conversion, sitemap publishing."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_encoding_advisor_classes(spark):
+    from crawlspark.capacity import encoding_advisor
+
+    rows = []
+    # 20 groups x 5 rows: flag has 2 values (dictionary), grp repeats
+    # within its window (rle), uniq is unique (plain)
+    for g in range(20):
+        for i in range(5):
+            rows.append(Row(grp=g, seq=i, flag="AB"[g % 2],
+                            uniq=f"u{g}-{i}"))
+    df = spark.createDataFrame(rows)
+    out = {r.col_name: r for r in encoding_advisor(
+        df, ["flag", "grp", "uniq"], part_col="grp", order_col="seq"
+    ).collect()}
+    assert out["flag"].recommended == "dictionary"
+    assert out["flag"].n_distinct == 2
+    # grp: within each window every row after the first repeats -> 800‰
+    assert out["grp"].run_permille == 800
+    assert out["grp"].recommended == "rle"
+    assert out["uniq"].recommended == "plain"
+    assert out["uniq"].distinct_permille == 1000
+
+
+def test_encoding_advisor_no_global_sort(spark):
+    from crawlspark.capacity import encoding_advisor
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("g"), F.col("id").alias("s"),
+        (F.col("id") % 3).cast("string").alias("c"))
+    plan = encoding_advisor(df, ["c"], "g", "s") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_to_wet_strips_and_frames(spark):
+    from crawlspark.warc import to_wet
+
+    df = spark.createDataFrame([
+        Row(url="u1", body='<a href="x>y">link</a>  two\tweird   spaces'),
+        Row(url="u2", body=None),
+        Row(url="u3", body="<p>α β</p>"),
+    ])
+    out = {r.url: r for r in to_wet(df).collect()}
+    # regex tag strip ends at the FIRST '>', the in-attribute '>' case is
+    # the known regex-level limit: '<a href="x>' is removed, 'y">' stays
+    assert out["u1"].wet_text == 'y">link two weird spaces'
+    assert out["u2"].wet_text == "" and out["u2"].wet_len == 0
+    assert out["u3"].wet_text == "α β"
+    rec = out["u3"].record
+    assert rec.startswith("WARC/1.0\r\nWARC-Type: conversion\r\n")
+    assert "\r\n\r\nα β" in rec
+    assert f"Content-Length: {out['u3'].wet_len}" in rec
+
+
+def test_sitemap_emit_cap_and_determinism(spark):
+    from crawlspark.sinks import sitemap_emit
+
+    rows = [Row(host="h", url=f"https://h/p{i:03d}") for i in range(65)]
+    df = spark.createDataFrame(rows)
+    out = sorted(sitemap_emit(df, cap=30).collect(), key=lambda r: r.shard)
+    assert [r.n_urls for r in out] == [30, 30, 5]
+    assert out[0].first_url == "https://h/p000"
+    assert out[2].first_url == "https://h/p060"
+    assert out[0].xml.startswith('<?xml version="1.0"')
+    assert out[0].xml.count("<url>") == 30
+    # no lastmod column -> no <lastmod> elements
+    assert "<lastmod>" not in out[0].xml
+    # determinism under adversarial partitioning
+    again = sorted(sitemap_emit(df.repartition(7), cap=30).collect(),
+                   key=lambda r: r.shard)
+    assert [r.xml for r in again] == [r.xml for r in out]
