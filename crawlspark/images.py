@@ -3136,3 +3136,51 @@ def ai_provenance_sniff(imgs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     return imgs.withColumn("has_c2pa", has_c2pa) \
         .withColumn("gen_tool", gen) \
         .withColumn("ai_flagged", gen.isNotNull())
+
+
+DECODE_GUARD_MAX_MEGAPIXELS = 50
+DECODE_GUARD_MAX_EXPANSION = 1000
+
+
+def decode_admission(
+    imgs: DataFrame,
+    w_col: str = "w",
+    h_col: str = "h",
+    nbytes_col: str = "n_bytes",
+    max_megapixels: int = DECODE_GUARD_MAX_MEGAPIXELS,
+    max_expansion: int = DECODE_GUARD_MAX_EXPANSION,
+) -> DataFrame:
+    """Decompression-bomb admission gate, run BEFORE any decode work is
+    scheduled: header-declared dimensions (from the fixed-offset
+    sniffers — sniff_header_dims / jpeg / webp) bound the decoded
+    footprint at w*h*3 bytes, and two integer rules reject the
+    pathological tails that take down decode executors at 10^10 images:
+
+    - ``too_large``: w*h exceeds ``max_megapixels`` (a 4 GB RGB
+      allocation from a 200-byte PNG header is the classic bomb);
+    - ``suspicious_ratio``: decoded/encoded expansion above
+      ``max_expansion`` — legitimate photos sit around 10-30x, crafted
+      deflate bombs reach 10^6.
+
+    All comparisons are integer cross-multiplications (no floats);
+    NULL dims (sniffer couldn't parse) -> 'unsniffed' routing, never a
+    silent admit.  Narrow map; fuses into the header-sniff pass.
+    Adds (decoded_bytes_est, too_large, suspicious_ratio, admission).
+    """
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    nb = F.col(nbytes_col).cast("long")
+    too_large = (w * h) > max_megapixels * 1_000_000
+    ratio_bad = (w * h * 3) > (max_expansion * F.greatest(nb, F.lit(1)))
+    admission = (
+        F.when(w.isNull() | h.isNull(), F.lit("unsniffed"))
+        .when(too_large, F.lit("reject_too_large"))
+        .when(ratio_bad, F.lit("reject_expansion"))
+        .otherwise(F.lit("admit"))
+    )
+    return (
+        imgs.withColumn("decoded_bytes_est", (w * h * 3))
+        .withColumn("too_large", F.coalesce(too_large, F.lit(False)))
+        .withColumn("suspicious_ratio", F.coalesce(ratio_bad, F.lit(False)))
+        .withColumn("admission", admission)
+    )

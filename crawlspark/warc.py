@@ -205,3 +205,43 @@ def to_wet(
         digest.alias("wet_digest"),
         F.concat(hdr, text).alias("record"),
     )
+
+
+def to_wat(
+    responses: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+) -> DataFrame:
+    """WAT metadata records (the CommonCrawl *.warc.wat.gz sibling —
+    per-response JSON envelopes carrying header metadata and extracted
+    HTML metadata instead of payloads).  Completes this repo's archive
+    trio with :func:`parse_warc` (WARC in) and :func:`to_wet` (text
+    out).
+
+    Extraction is deliberately the cheap JVM regex tier (title tag +
+    anchor hrefs) — WAT generation at 100 TB is a metadata sweep, not a
+    full DOM pass; the envelope itself is built with ``to_json`` over a
+    typed struct (real JSON escaping, fixed key order from the struct).
+    Returns (url, title, n_links, wat_json).
+    """
+    u = F.col(url_col)
+    body = F.coalesce(F.col(body_col), F.lit(""))
+    title = F.coalesce(
+        F.nullif(
+            F.regexp_extract(body, r"(?is)<title[^>]*>(.*?)</title>", 1),
+            F.lit(""),
+        ),
+        F.lit(""),
+    )
+    links = F.regexp_extract_all(body, F.lit(r'<a[^>]*\shref="([^"]*)"'), 1)
+    env = F.struct(
+        u.alias("WARC-Target-URI"),
+        title.alias("Title"),
+        links.alias("Links"),
+    )
+    return responses.select(
+        u.alias("url"),
+        title.alias("title"),
+        F.size(links).cast("long").alias("n_links"),
+        F.to_json(env).alias("wat_json"),
+    )
