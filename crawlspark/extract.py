@@ -1882,3 +1882,58 @@ def microdata_summary(html: Column) -> Column:
         F.size(props).cast("int").alias("n_props"),
         F.size(F.array_distinct(props)).cast("int").alias("n_distinct_props"),
     )
+
+
+_VOID_ELEMENTS = [
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+]
+
+
+def dom_depth_stats(html: Column) -> Column:
+    """Maximum element-nesting depth + tag accounting from one tag scan
+    — the structural-complexity signal for render-cost triage and
+    template clustering (a 60-deep <div> pyramid is a layout-abuse /
+    generated-page tell; articles sit around 10-15).
+
+    One regexp_extract_all pass over the tags, then a single aggregate
+    fold tracking (current_depth, max_depth): opening tags push unless
+    void/self-closing, closing tags pop (floored at 0 — stray closers
+    don't go negative).  Regex-level scan, same no-lxml discipline as
+    the rest of extract.py: CDATA/comments/script bodies containing
+    literal tags will be counted (disclosed).  Returns struct(n_tags,
+    max_depth, unbalanced) — ``unbalanced`` when the scan ends at
+    nonzero depth.
+    """
+    h = F.coalesce(html, F.lit(""))
+    tags = F.regexp_extract_all(
+        h, F.lit(r"(?i)</?([a-z][a-z0-9]*)[^>]*>?"), 0
+    )
+    void_arr = F.array(*[F.lit(v) for v in _VOID_ELEMENTS])
+    name_of = lambda t: F.lower(  # noqa: E731
+        F.regexp_extract(t, r"(?i)</?([a-z][a-z0-9]*)", 1)
+    )
+    delta = lambda t: (  # noqa: E731
+        F.when(t.startswith("</"), F.lit(-1))
+        .when(
+            t.endswith("/>") | F.array_contains(void_arr, name_of(t)),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+    )
+    fold = F.aggregate(
+        tags,
+        F.struct(F.lit(0).alias("d"), F.lit(0).alias("mx")),
+        lambda acc, t: F.struct(
+            F.greatest(acc.getField("d") + delta(t), F.lit(0)).alias("d"),
+            F.greatest(
+                acc.getField("mx"),
+                F.greatest(acc.getField("d") + delta(t), F.lit(0)),
+            ).alias("mx"),
+        ),
+    )
+    return F.struct(
+        F.size(tags).cast("int").alias("n_tags"),
+        fold.getField("mx").cast("int").alias("max_depth"),
+        (fold.getField("d") != 0).alias("unbalanced"),
+    )

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from crawlspark.extract import srcset_sizes_select
 from crawlspark.fetch import slo_burn_alerts
 from crawlspark.politeness import host_anomaly_z
-from crawlspark.robots import robots_fetch_policy
+from crawlspark.robots import robots_failure_policy
 
 
 @pytest.fixture(scope="module")
@@ -34,7 +34,7 @@ def test_robots_policy_grace_boundary(spark):
         [("a", 503, 0, 30), ("b", 503, 0, 31)],
         "host string, status long, n_redirect_hops long,"
         " days_since_first_error long")
-    got = {r.host: r.policy for r in robots_fetch_policy(df).collect()}
+    got = {r.host: r.policy for r in robots_failure_policy(df).collect()}
     assert got["a"] == "disallow_all"       # at the grace boundary
     assert got["b"] == "allow_all_stale"    # past it
 
