@@ -1165,3 +1165,59 @@ def url_front_coding_stats(
             F.expr("(1000 * saved_bytes) div url_bytes"),
         )
     )
+
+
+LANG_PATH_SEGMENTS = [
+    "en", "de", "fr", "es", "it", "pt", "nl", "ja", "zh", "ru", "ko",
+    "ar", "pl", "sv", "tr",
+]
+
+
+def lang_path_pairs(
+    pages: "DataFrame",
+    host_col: str = "host",
+    url_col: str = "url",
+) -> "DataFrame":
+    """Undeclared translation-pair mining from URL structure — the
+    URL-layout complement of hreflang (which only finds pairs sites
+    DECLARE): when a host serves /en/<path> and /de/<path> with the
+    same residual path, those two URLs are parallel-document candidates
+    for bitext alignment.  Path layout is free signal at crawl time;
+    content-level verification (e.g. the TF-IDF pair cosine in the
+    bitext operator) runs only on these candidates instead of all
+    pairs.
+
+    Plan: extract the leading language segment (first path segment in a
+    fixed public lang-code list), key by (host, residual path), ONE
+    map-side-combined groupBy collecting the language set, emit only
+    keys with >= 2 languages.  The join key is (host, residual) — no
+    cross-pair blowup; candidate verification joins back per key.
+    Returns (host, residual, n_langs, langs sorted).
+    """
+    langs_arr = F.array(*[F.lit(x) for x in LANG_PATH_SEGMENTS])
+    path = F.parse_url(F.col(url_col), F.lit("PATH"))
+    seg1 = F.regexp_extract(path, r"^/([a-z]{2})(/|$)", 1)
+    is_lang = F.array_contains(langs_arr, seg1)
+    d = pages.select(
+        F.col(host_col).alias("host"),
+        path.alias("path"),
+        seg1.alias("seg1"),
+        is_lang.alias("__is_lang"),
+    ).filter(F.col("__is_lang"))
+    d = d.select(
+        "host",
+        F.col("seg1").alias("lang"),
+        # lang codes are fixed 2-letter segments, so the residual always
+        # starts at char 4 of the path ('/en/rest' -> '/rest')
+        F.substring(F.col("path"), 4, 1 << 20).alias("residual"),
+    )
+    return (
+        d.groupBy("host", "residual")
+        .agg(F.array_sort(F.collect_set("lang")).alias("langs"))
+        .filter(F.size("langs") >= 2)
+        .select(
+            "host", "residual",
+            F.size("langs").cast("long").alias("n_langs"),
+            "langs",
+        )
+    )

@@ -1541,3 +1541,65 @@ def bigram_backoff_score(
         F.floor(F.sum("__cost") / F.count("*")).cast("long")
         .alias("cost_micro_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality drift (integer least-squares trend)
+# ---------------------------------------------------------------------------
+
+def quality_drift(
+    df: DataFrame,
+    source_col: str = "source",
+    day_col: str = "day",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality drift per source over time — the monitoring question a
+    continuously-fed training corpus has to answer ("did source X start
+    rotting?") reduced to one map-side-combined aggregate: per (source,
+    day) mean score, then per source the least-squares slope of mean
+    score over day, kept in INTEGER form.  With n days, Sx = sum(day),
+    Sy = sum(mean_milli), Sxy, Sxx, the slope numerator is
+    n*Sxy - Sx*Sy and denominator n*Sxx - Sx^2; we emit the exact
+    rational (num, den) plus a trend class — never a float division,
+    and never a SIGNED integer division either (Spark truncates,
+    DuckDB floors: a negative quantized slope would silently diverge
+    between engines).
+
+    Two groupBys (both partial-aggregated), nothing wider than
+    (source, day) shuffles.  Returns (source, n_days, mean_milli_overall,
+    slope_num, slope_den, trend).
+    """
+    per_day = (
+        df.groupBy(source_col, day_col)
+        .agg(F.floor(F.sum(F.col(score_col).cast("long") * 1000)
+                     / F.count(F.lit(1))).cast("long").alias("__m"))
+    )
+    x = F.col(day_col).cast("long")
+    y = F.col("__m")
+    agg = per_day.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(x).cast("long").alias("__sx"),
+        F.sum(y).cast("long").alias("__sy"),
+        F.sum(x * y).cast("long").alias("__sxy"),
+        F.sum(x * x).cast("long").alias("__sxx"),
+    )
+    num = F.col("n_days") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.col("n_days") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    # slope sign only, plus the exact rational (num, den): signed integer
+    # division TRUNCATES in Spark but FLOORS in DuckDB, so a quantized
+    # negative slope would diverge between engines — the rational is exact
+    # on both and the consumer alert only needs the sign anyway
+    trend = (
+        F.when((F.col("n_days") < 2) | (den == 0), F.lit("insufficient"))
+        .when(num > 0, F.lit("improving"))
+        .when(num < 0, F.lit("declining"))
+        .otherwise(F.lit("flat"))
+    )
+    return agg.select(
+        F.col(source_col).alias("source"),
+        "n_days",
+        F.expr("__sy div n_days").alias("mean_milli_overall"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        trend.alias("trend"),
+    )
