@@ -1221,3 +1221,37 @@ def lang_path_pairs(
             "langs",
         )
     )
+
+
+def typosquat_hosts(
+    hosts: "DataFrame",
+    brands: list[str],
+    host_col: str = "host",
+    max_dist: int = 1,
+) -> "DataFrame":
+    """Typosquatting screen over crawled hosts: flag hosts within
+    ``max_dist`` Levenshtein edits of a protected brand domain (but not
+    the brand itself) — substitutions ('examp1e.com'), deletions
+    ('exampl.com') and insertions ('examples.com') that the confusable
+    -codepoint screen (homograph detection) cannot see because every
+    character is plain ASCII.  Phishing/spam hosts get routed before
+    their image payloads enter a training corpus.
+
+    Plan: the brand list is a literal broadcast relation (tens of
+    rows); hosts x brands is a broadcast nested-loop with a bounded
+    build side — the whitelisted shape — and ``levenshtein`` is a JVM
+    builtin (DuckDB ships the same classic DP, so the oracle replays
+    the distances exactly).  Returns (host, brand, dist) for flagged
+    hosts only.
+    """
+    b = hosts.sparkSession.createDataFrame(
+        [(x,) for x in brands], ["brand"]
+    )
+    h = F.col(host_col)
+    return (
+        hosts.select(h.alias("host")).distinct()
+        .crossJoin(F.broadcast(b))
+        .withColumn("dist", F.levenshtein("host", "brand").cast("long"))
+        .filter((F.col("dist") > 0) & (F.col("dist") <= max_dist))
+        .select("host", "brand", "dist")
+    )

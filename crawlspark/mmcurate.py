@@ -881,3 +881,53 @@ def image_inbound_alt_consensus(
             .alias("top_alt_share_permille"),
         )
     )
+
+
+def hard_negative_pairs(
+    pairs: DataFrame,
+    captions: DataFrame,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    max_jaccard_permille: int = 300,
+) -> DataFrame:
+    """Contrastive hard-negative mining for image-caption training
+    (CLIP-style): a pair of VISUALLY near-duplicate images (phash
+    distance within the banded operator's bound) whose captions
+    DISAGREE is exactly the "hard negative" a contrastive batch wants —
+    near-identical pixels, different text forces the text tower to do
+    the work.  Conversely high caption agreement on a near-dup pair is
+    a dedup signal, not a training pair.
+
+    Input ``pairs`` is the output of
+    :func:`crawlspark.images.near_dup_images_by_phash` (id_a, id_b,
+    hamming) — candidate volume is already bucket-bounded there; this
+    stage joins captions twice (equi-joins on image id) and computes an
+    integer token-Jaccard permille.  Returns (id_a, id_b, hamming,
+    caption_jaccard_permille, hard_negative).
+    """
+    tok = lambda c: F.array_distinct(  # noqa: E731
+        F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+    )
+    cap = captions.select(
+        F.col(id_col).alias("__id"), tok(F.col(caption_col)).alias("__tk")
+    )
+    j = (
+        pairs
+        .join(cap.withColumnRenamed("__id", "id_a")
+                 .withColumnRenamed("__tk", "__ta"), "id_a")
+        .join(cap.withColumnRenamed("__id", "id_b")
+                 .withColumnRenamed("__tk", "__tb"), "id_b")
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    union = F.size(F.array_union("__ta", "__tb"))
+    j = j.withColumn("__inter", inter.cast("long")) \
+         .withColumn("__union", union.cast("long"))
+    perm = F.when(
+        F.col("__union") > 0,
+        F.expr("(1000 * __inter) div __union"),
+    ).otherwise(F.lit(0)).cast("long")
+    return j.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming"),
+        perm.alias("caption_jaccard_permille"),
+        (perm < max_jaccard_permille).alias("hard_negative"),
+    )

@@ -38,6 +38,12 @@ HAZARDS = {
 # query -> {hazard: justification}.  A whitelist entry means the hazard
 # string APPEARS in the plan but the shape is bounded by construction.
 WHITELIST: dict[str, dict[str, str]] = {
+    # hosts x brand list: the build side is a LITERAL brand relation of
+    # tens of rows broadcast to every task — bounded fan-out by
+    # construction, same class as the ann query-block whitelists.
+    "typosquats": {
+        "bnl_join": "WL: distinct hosts x broadcast literal brand list"
+    },
     # the round-robin placement window runs over the per-host AGGREGATE
     # (|hosts| rows after a map-side-combined groupBy), never the data;
     # bounded funnel, asserted in test_capacity (window above HashAggregate).
