@@ -84,3 +84,154 @@ def suffix_array(
     return global_rank(cur, ["rank", "pos"], out="sa_rank").select(
         F.col("pos").alias(pos_col), F.col("sa_rank")
     )
+
+
+def suffix_array_rounds(
+    tokens: DataFrame,
+    pos_col: str = "pos",
+    tok_col: str = "token",
+    n: int | None = None,
+):
+    """Like :func:`suffix_array` but also returns the per-round rank
+    tables — ``(sa, rounds)`` with ``rounds`` a list of (L, rank_df)
+    where rank_df(pos, rank) densely ranks every position's prefix of
+    length L (L = 1, 2, 4, ...).  The rounds list is exactly the
+    structure the LCP binary descent needs; each table is
+    localCheckpoint'ed, so holding all log(n) of them costs storage,
+    not plan depth.
+    """
+    if n is None:
+        n = tokens.count()
+    tok_rank = global_rank(
+        tokens.select(tok_col).distinct(), tok_col, out="__r"
+    )
+    cur = tokens.join(tok_rank, tok_col).select(
+        F.col(pos_col).alias("pos"), F.col("__r").alias("rank")
+    ).localCheckpoint(eager=False)
+    rounds = [(1, cur)]
+    k = 1
+    while k < n:
+        nxt = cur.select(
+            (F.col("pos") - k).alias("pos"), F.col("rank").alias("__rk2")
+        )
+        paired = cur.join(nxt, "pos", "left").select(
+            "pos", "rank", F.coalesce("__rk2", F.lit(0)).alias("__rk2")
+        )
+        dp = global_rank(
+            paired.select("rank", "__rk2").distinct(),
+            ["rank", "__rk2"], out="__nr",
+        )
+        cur = paired.join(dp, ["rank", "__rk2"]).select(
+            "pos", F.col("__nr").alias("rank")
+        ).localCheckpoint(eager=False)
+        k *= 2
+        rounds.append((k, cur))
+        mx = cur.agg(F.max("rank").alias("m")).collect()[0].m
+        if mx >= n:
+            break
+    sa = global_rank(cur, ["rank", "pos"], out="sa_rank").select(
+        F.col("pos").alias(pos_col), F.col("sa_rank")
+    ).localCheckpoint(eager=False)
+    return sa, rounds
+
+
+def lcp_array(
+    tokens: DataFrame,
+    pos_col: str = "pos",
+    tok_col: str = "token",
+    n: int | None = None,
+) -> DataFrame:
+    """LCP array — longest common prefix (in TOKENS) of each pair of
+    lexicographically adjacent suffixes — entirely from the
+    prefix-doubling rank tables, by the classic binary descent: walk L
+    from the largest power of two down; whenever rank_L at (p + lcp)
+    equals rank_L at (q + lcp), the suffixes agree on L more tokens.
+    Per level that test is TWO equi-joins of the (n-1)-row adjacent-pair
+    relation against the level's rank table — log(n) levels, no token
+    re-comparison, no random access, nothing quadratic anywhere.  (The
+    sequential world uses Kasai's O(n) walk — inherently serial; the
+    descent is the distributed formulation.)
+
+    LCP[i] (keyed by the SMALLER sa_rank of the pair) is the core
+    repeated-substring primitive: max over the array = longest repeated
+    token span in the corpus, and every adjacent pair with LCP >= k is
+    an ExactSubstr duplication witness at span length k.
+
+    Returns (sa_rank, pos, next_pos, lcp) for sa_rank in [1, n-1].
+    """
+    if n is None:
+        n = tokens.count()
+    sa, rounds = suffix_array_rounds(tokens, pos_col, tok_col, n)
+    a = sa.select(F.col("sa_rank"), F.col(pos_col).alias("p"))
+    b = sa.select((F.col("sa_rank") - 1).alias("sa_rank"),
+                  F.col(pos_col).alias("q"))
+    pairs = a.join(b, "sa_rank").select(
+        "sa_rank", "p", "q", F.lit(0).cast("long").alias("lcp")
+    )
+    for L, r in sorted(rounds, key=lambda t: -t[0]):
+        rp = r.select(F.col("pos").alias("__kp"),
+                      F.col("rank").alias("__rp"))
+        rq = r.select(F.col("pos").alias("__kq"),
+                      F.col("rank").alias("__rq"))
+        pairs = (
+            pairs
+            .withColumn("__kp", F.col("p") + F.col("lcp"))
+            .withColumn("__kq", F.col("q") + F.col("lcp"))
+            .join(rp, "__kp", "left")
+            .join(rq, "__kq", "left")
+            .withColumn(
+                "lcp",
+                F.when(
+                    F.col("__rp").isNotNull()
+                    & (F.col("__rp") == F.col("__rq")),
+                    F.col("lcp") + L,
+                ).otherwise(F.col("lcp")),
+            )
+            .select("sa_rank", "p", "q", "lcp")
+            .localCheckpoint(eager=False)
+        )
+    return pairs.select(
+        "sa_rank", F.col("p").alias("pos"), F.col("q").alias("next_pos"),
+        "lcp",
+    )
+
+
+def bwt_runs(
+    tokens: DataFrame,
+    pos_col: str = "pos",
+    tok_col: str = "token",
+    n: int | None = None,
+) -> DataFrame:
+    """Burrows-Wheeler compressibility probe: the BWT permutes the
+    token stream by suffix rank (bwt[i] = token BEFORE the i-th
+    smallest suffix, cyclically), clustering equal tokens that share a
+    following context — its RUN COUNT is a direct, model-free
+    compressibility/repetitiveness measure of a corpus (the r in
+    r-index literature).  Boilerplate-heavy crawl slices show far
+    fewer runs per token than organic text.
+
+    Adjacency in rank order is an equi-join on (sa_rank, sa_rank-1) —
+    no global-order window.  Returns ONE row: (n, n_runs,
+    runs_permille).
+    """
+    if n is None:
+        n = tokens.count()
+    sa = suffix_array(tokens, pos_col, tok_col, n=n)
+    toks = tokens.select(F.col(pos_col).alias("__tp"),
+                         F.col(tok_col).alias("__tv"))
+    prev_pos = F.when(F.col(pos_col) == 1, F.lit(n)).otherwise(
+        F.col(pos_col) - 1
+    )
+    bwt = sa.withColumn("__tp", prev_pos).join(toks, "__tp").select(
+        F.col("sa_rank"), F.col("__tv").alias("bwt")
+    )
+    nxt = bwt.select((F.col("sa_rank") - 1).alias("sa_rank"),
+                     F.col("bwt").alias("__nb"))
+    eq = bwt.join(nxt, "sa_rank").filter(
+        F.col("bwt") == F.col("__nb")
+    ).count()
+    n_runs = n - eq
+    return tokens.sparkSession.createDataFrame(
+        [(n, n_runs, (1000 * n_runs) // max(n, 1))],
+        "n long, n_runs long, runs_permille long",
+    )
