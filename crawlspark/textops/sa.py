@@ -235,3 +235,98 @@ def bwt_runs(
         [(n, n_runs, (1000 * n_runs) // max(n, 1))],
         "n long, n_runs long, runs_permille long",
     )
+
+
+def exact_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """ExactSubstr duplicated spans, EXACTLY (Lee et al. 2022 §4.1):
+    concatenate the corpus into one token stream with a unique sentinel
+    between documents, build the suffix array + LCP array, and every
+    adjacent-suffix pair with lcp >= k witnesses a duplicated
+    substring; the witness intervals [p, p+lcp) mapped back to
+    documents and interval-merged per doc are precisely the maximal
+    duplicated regions of length >= k — no windowed approximation
+    (:func:`crawlspark.textops.dedup.duplicate_spans` is the k-gram
+    window form; this is the suffix-structure ground truth it
+    approximates).
+
+    Sentinels are per-doc unique tokens, so no common prefix ever
+    crosses a document boundary (two sentinels never match) — every
+    witness interval lies inside one document by construction.  Doc
+    offsets come from the two-phase distributed prefix sum; the final
+    merge is a per-doc partitioned window.  Returns (id, span_start,
+    span_end, span_len) — token indices, 1-based, end exclusive.
+    """
+    from pyspark.sql import Window
+
+    from ..ranks import global_prefix_sum
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    docs = df.select(F.col(id_col).alias("__id"), toks.alias("__tk"))
+    docs = docs.withColumn("__cnt", F.size("__tk")).withColumn(
+        "__cntp1", (F.col("__cnt") + 1).cast("long")
+    )
+    offs = global_prefix_sum(
+        docs.select("__id", "__cntp1"), ["__id"], "__cntp1", out="__doc_off"
+    )
+    d = docs.join(offs.select("__id", "__doc_off"), "__id")
+    body = d.select(
+        F.col("__id"),
+        F.posexplode("__tk").alias("__i0", "token"),
+        F.col("__doc_off"),
+    ).select(
+        "__id",
+        (F.col("__i0") + 1).alias("tok_idx"),
+        (F.col("__doc_off") + F.col("__i0") + 1).alias("pos"),
+        "token",
+    )
+    sentinels = d.select(
+        F.col("__id"),
+        F.lit(None).cast("long").alias("tok_idx"),
+        (F.col("__doc_off") + F.col("__cnt") + 1).alias("pos"),
+        F.concat(F.lit("⟂"), F.col("__id").cast("string"))
+        .alias("token"),
+    )
+    stream = body.unionByName(sentinels).localCheckpoint(eager=False)
+    n = stream.count()
+    lcps = lcp_array(stream.select("pos", "token"), n=n)
+    wit = lcps.filter(F.col("lcp") >= k)
+    ivals = wit.select(
+        F.col("pos").alias("p"), F.col("lcp")
+    ).unionByName(
+        wit.select(F.col("next_pos").alias("p"), F.col("lcp"))
+    )
+    mapped = ivals.join(
+        body.select("__id", "tok_idx", F.col("pos").alias("p")), "p"
+    ).select(
+        F.col("__id"), F.col("tok_idx").alias("__s"),
+        (F.col("tok_idx") + F.col("lcp")).alias("__e"),
+    ).distinct()
+    w_prev = (
+        Window.partitionBy("__id").orderBy("__s", "__e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    island_start = F.when(
+        F.col("__s") > F.coalesce(F.max("__e").over(w_prev), F.lit(0)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w_run = (
+        Window.partitionBy("__id").orderBy("__s", "__e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = mapped.withColumn("__isl", F.sum(island_start).over(w_run))
+    return (
+        grouped.groupBy("__id", "__isl")
+        .agg(F.min("__s").alias("span_start"), F.max("__e").alias("span_end"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            (F.col("span_end") - F.col("span_start")).cast("long")
+            .alias("span_len"),
+        )
+    )
