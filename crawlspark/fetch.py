@@ -1133,3 +1133,68 @@ def retry_after_parse(
         responses.withColumn("retry_after_s", secs)
         .withColumn("retry_after_form", form)
     )
+
+
+def content_disposition_info(value: Column) -> Column:
+    """Parse a ``Content-Disposition`` response header (RFC 6266):
+    struct(disp_type, filename, from_ext_value).  ``filename*``
+    (RFC 5987 ext-value, ``UTF-8''percent%20encoded``) takes precedence
+    over plain ``filename=`` per the RFC; the percent-decode rides
+    Spark's builtin url_decode.  A crawler uses this for download
+    routing (save-as names, attachment vs inline rendering) and for
+    payload-type sanity (an 'attachment' HTML page is a phishing tell).
+
+    Pure JVM regexp + url_decode — narrow map over the header scan.
+    """
+    v = F.coalesce(value, F.lit(""))
+    disp_type = F.lower(F.nullif(
+        F.regexp_extract(v, r"^\s*([A-Za-z0-9-]+)", 1), F.lit("")))
+    ext = F.regexp_extract(
+        v, r"(?i)filename\*\s*=\s*[A-Za-z0-9-]+'[A-Za-z-]*'([^;\s]+)", 1)
+    plain_q = F.regexp_extract(v, r'(?i)filename\s*=\s*"([^"]*)"', 1)
+    plain_t = F.regexp_extract(
+        v, r"(?i)filename\s*=\s*([^\";][^;\s]*)", 1)
+    filename = F.when(ext != "", F.url_decode(ext)) \
+        .when(plain_q != "", plain_q) \
+        .when(plain_t != "", plain_t)
+    return F.struct(
+        disp_type.alias("disp_type"),
+        filename.alias("filename"),
+        (ext != "").alias("from_ext_value"),
+    )
+
+
+CSP_FETCH_DIRECTIVES = ["default-src", "script-src"]
+
+
+def csp_audit(value: Column) -> Column:
+    """Content-Security-Policy audit: struct(n_directives,
+    has_default_src, unsafe_inline, unsafe_eval, wildcard_script) —
+    the flags that matter for rendering risk triage ('unsafe-inline' /
+    'unsafe-eval' in the script path, a bare ``*`` source) and for
+    page-kind signals (no CSP at all vs a locked-down one).  The
+    script-effective policy is ``script-src`` falling back to
+    ``default-src`` per the spec's fetch-directive fallback.
+
+    Pure regexp over the header value; null/empty -> zero directives.
+    """
+    v = F.trim(F.coalesce(value, F.lit("")))
+    dirs = F.filter(
+        F.transform(F.split(v, ";"), lambda d: F.trim(d)),
+        lambda d: d != "",
+    )
+    n = F.size(dirs).cast("int")
+    script = F.regexp_extract(v, r"(?i)(?:^|;)\s*script-src\s+([^;]*)", 1)
+    default = F.regexp_extract(v, r"(?i)(?:^|;)\s*default-src\s+([^;]*)", 1)
+    eff = F.when(script != "", script).otherwise(default)
+    has_default = default != ""
+    unsafe_inline = F.lower(eff).contains("'unsafe-inline'")
+    unsafe_eval = F.lower(eff).contains("'unsafe-eval'")
+    wildcard = eff.rlike(r"(^|\s)\*(\s|$)")
+    return F.struct(
+        n.alias("n_directives"),
+        has_default.alias("has_default_src"),
+        F.coalesce(unsafe_inline, F.lit(False)).alias("unsafe_inline"),
+        F.coalesce(unsafe_eval, F.lit(False)).alias("unsafe_eval"),
+        F.coalesce(wildcard, F.lit(False)).alias("wildcard_script"),
+    )

@@ -1203,3 +1203,30 @@ def unicode_hygiene(
         F.length(t).cast("long").alias("len_raw"),
         F.length(scrubbed).cast("long").alias("len_scrubbed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-break dehyphenation (PDF/OCR text repair)
+# ---------------------------------------------------------------------------
+
+def dehyphenate(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rejoin words split by end-of-line hyphenation — the classic
+    PDF/OCR extraction artifact ('informa-\\n tion') that breaks token
+    counts, dedup hashes and every downstream n-gram statistic.  The
+    rule is deliberately conservative: a lowercase letter, a hyphen,
+    optional trailing spaces, ONE newline, optional indent, then a
+    lowercase letter — explicit dashes before capitals ('US-\\nBased')
+    and list bullets are left alone.
+
+    Pure regexp (count + replace), narrow map.  Returns (id, text,
+    n_rejoined) with the repaired text.
+    """
+    t = F.col(text_col)
+    pat = r"([a-z])- *\n[ \t]*([a-z])"
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(t, pat, r"$1$2").alias("text"),
+        F.regexp_count(t, F.lit(pat)).cast("long").alias("n_rejoined"),
+    )
