@@ -1230,3 +1230,97 @@ def dehyphenate(
         F.regexp_replace(t, pat, r"$1$2").alias("text"),
         F.regexp_count(t, F.lit(pat)).cast("long").alias("n_rejoined"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-kind routing (chat / math / code signals)
+# ---------------------------------------------------------------------------
+
+def content_kind_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Route documents by content KIND before mixing — instruction/chat
+    transcripts, math-heavy text and code want different pipelines
+    (chat data must not leak into pretraining dedup'd as prose; math
+    and code get their own tokenizer/quality treatment):
+
+    - chat: dialogue-turn markers (``Human:`` / ``Assistant:`` /
+      ``Q:`` / ``A:`` at line starts, ``<|im_start|>`` template tokens)
+      — ``n_turns`` counts them;
+    - math: LaTeX structures (``\\frac``, ``\\begin{..}``, ``$$``,
+      inline ``\\( \\)``) — ``n_math``;
+    - code: fenced blocks plus a keyword screen (``def`` / ``class`` /
+      ``function`` / ``import`` / ``return`` at line starts) —
+      ``n_code``.
+
+    ``kind`` picks the dominant signal (ties: chat > code > math —
+    chat contamination is the costliest) with 'prose' when all zero.
+    Pure regexp counts, narrow map.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_turns = (
+        F.regexp_count(t, F.lit(r"(?m)^(Human|Assistant|User|Q|A)\s*:"))
+        + F.regexp_count(t, F.lit(r"<\|im_start\|>"))
+    ).cast("long")
+    n_math = (
+        F.regexp_count(t, F.lit(r"\\(frac|begin\{[a-z*]+\}|sum|int)\b"))
+        + F.regexp_count(t, F.lit(r"\$\$"))
+        + F.regexp_count(t, F.lit(r"\\\("))
+    ).cast("long")
+    n_code = (
+        F.regexp_count(t, F.lit("```"))
+        + F.regexp_count(
+            t, F.lit(r"(?m)^\s*(def |class |function |import |return )"))
+    ).cast("long")
+    kind = (
+        F.when((n_turns == 0) & (n_math == 0) & (n_code == 0),
+               F.lit("prose"))
+        .when((n_turns >= n_code) & (n_turns >= n_math), F.lit("chat"))
+        .when(n_code >= n_math, F.lit("code"))
+        .otherwise(F.lit("math"))
+    )
+    return df.select(
+        F.col(id_col),
+        n_turns.alias("n_turns"),
+        n_math.alias("n_math"),
+        n_code.alias("n_code"),
+        kind.alias("kind"),
+    )
+
+
+def canary_scan(
+    df: DataFrame,
+    canaries: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Eval-set canary scan (the BIG-bench practice: benchmark files
+    embed a unique canary GUID precisely so trainers can PROVE their
+    corpus never saw them): count occurrences of each shipped canary
+    string per document and total.  Any hit routes the doc out and —
+    more importantly — flags the upstream source for contamination
+    review.
+
+    The canary list is a plan literal (tens of strings); counting is a
+    per-canary regexp_count sum — narrow map, no join, no shuffle.
+    Returns (id, n_canary_hits, first_canary) — ``first_canary`` is
+    the first list entry found (list order = severity order).
+    """
+    import re as _re
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [F.regexp_count(t, F.lit(_re.escape(c))).cast("long")
+              for c in canaries]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    first = None
+    for c, cnt in reversed(list(zip(canaries, counts))):
+        cond = cnt > 0
+        first = F.when(cond, F.lit(c)) if first is None else F.when(
+            cond, F.lit(c)).otherwise(first)
+    return df.select(
+        F.col(id_col),
+        total.alias("n_canary_hits"),
+        first.alias("first_canary"),
+    )
