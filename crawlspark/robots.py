@@ -1106,3 +1106,53 @@ def parse_llms_txt(
         F.when(present, n_opt).cast("long").alias("n_optional_links"),
         present.alias("present"),
     )
+
+
+AI_TRAINING_BOTS = ["GPTBot", "CCBot", "Google-Extended", "anthropic-ai"]
+
+
+def ai_agents_policy(
+    robots_files: DataFrame,
+    bots: list[str] | None = None,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """Per-host AI-training-agent policy matrix: for each of the
+    well-known training crawl agents (GPTBot, CCBot, Google-Extended,
+    anthropic-ai — all publicly documented robots tokens), evaluate the
+    host's robots.txt verdict for the ROOT path and roll up to one row
+    per host with per-bot booleans plus ``n_ai_blocked``.  This is the
+    corpus-governance report a training-data pipeline publishes: which
+    slice of the crawl has opted out of which trainers, and how that
+    moves over time (feed it to quality_drift).
+
+    Built entirely from the existing RFC 9309 machinery
+    (:func:`parse_robots_txt` + :func:`with_robots_allowed`'s UA-group
+    selection) — one broadcast-join pass per bot over the per-host rule
+    table (~10^6 rows at 10^10 URLs), then a groupBy-pivot-free
+    conditional aggregation.
+    """
+    bots = list(bots) if bots is not None else list(AI_TRAINING_BOTS)
+    rules = parse_robots_txt(robots_files, host_col, body_col)
+    hosts = robots_files.select(
+        F.col(host_col).alias("host"), F.lit("/").alias("path")
+    ).distinct()
+    verdicts = None
+    for b in bots:
+        v = with_robots_allowed(
+            hosts, rules, user_agent=b, out="allowed"
+        ).select("host", F.lit(b).alias("bot"), "allowed")
+        verdicts = v if verdicts is None else verdicts.unionByName(v)
+    agg = [
+        F.max(F.when(F.col("bot") == b, F.col("allowed")))
+        .alias(b.lower().replace("-", "_") + "_allowed")
+        for b in bots
+    ]
+    return (
+        verdicts.groupBy("host")
+        .agg(
+            *agg,
+            F.sum(F.when(~F.col("allowed"), 1).otherwise(0))
+            .cast("long").alias("n_ai_blocked"),
+        )
+    )

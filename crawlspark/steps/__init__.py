@@ -225,3 +225,59 @@ def alt_svc_info(value: Column) -> Column:
         h3.alias("h3"),
         h3_ma.alias("h3_ma"),
     )
+
+
+def csv_type_sniff(text: Column, sep: str = ",") -> Column:
+    """Schema inference over a crawled CSV body (the ingestion step
+    after ``Csv::parseString`` gets you rows: decide per column whether
+    the strings are really ints / decimals / ISO dates, and how
+    consistently).  Inference rule per column: empty cells are ignored
+    for typing (but counted); 'int' if every non-empty cell is an
+    optionally-signed integer, else 'decimal' if every cell is numeric,
+    else 'date' for uniform YYYY-MM-DD, else 'string'.
+
+    Header = first line; returns an ARRAY of
+    struct(col_name, n_values, n_empty, inferred) — one per header
+    column, doc-local HOFs only (nested transforms), no shuffle, no
+    UDF.  Rows with fewer cells than the header contribute empties.
+    """
+    lines = F.filter(
+        F.split(F.coalesce(text, F.lit("")), r"\r?\n"),
+        lambda l: F.trim(l) != "",
+    )
+    header = F.split(F.element_at(lines, 1), sep)
+    data = F.slice(lines, 2, 1 << 20)
+    ncols = F.size(header)
+
+    def col_stats(j):
+        # try_element_at: a short row simply lacks the cell (NULL), it
+        # must not abort the job under ANSI mode
+        vals = F.transform(
+            data, lambda l: F.trim(F.try_element_at(F.split(l, sep), j))
+        )
+        nonempty = F.filter(vals, lambda v: v.isNotNull() & (v != ""))
+        n_vals = F.size(nonempty)
+        all_int = F.forall(nonempty, lambda v: v.rlike(r"^-?\d+$"))
+        all_num = F.forall(
+            nonempty, lambda v: v.rlike(r"^-?\d+(\.\d+)?$"))
+        all_date = F.forall(
+            nonempty, lambda v: v.rlike(r"^\d{4}-\d{2}-\d{2}$"))
+        inferred = (
+            F.when(n_vals == 0, F.lit("empty"))
+            .when(all_int, F.lit("int"))
+            .when(all_num, F.lit("decimal"))
+            .when(all_date, F.lit("date"))
+            .otherwise(F.lit("string"))
+        )
+        return F.struct(
+            F.trim(F.element_at(header, j)).alias("col_name"),
+            n_vals.cast("int").alias("n_values"),
+            (F.size(vals) - n_vals).cast("int").alias("n_empty"),
+            inferred.alias("inferred"),
+        )
+
+    return F.when(F.size(lines) >= 1, F.transform(
+        F.sequence(F.lit(1), ncols), col_stats
+    )).otherwise(F.array().cast(
+        "array<struct<col_name:string,n_values:int,"
+        "n_empty:int,inferred:string>>"))
