@@ -1937,3 +1937,59 @@ def dom_depth_stats(html: Column) -> Column:
         fold.getField("mx").cast("int").alias("max_depth"),
         (fold.getField("d") != 0).alias("unbalanced"),
     )
+
+
+def tracker_ids(html: Column) -> Column:
+    """Extract third-party analytics/ads account identifiers from page
+    source — Google Analytics (``UA-XXXX-Y``), GA4 (``G-XXXXXXX``),
+    Tag Manager (``GTM-XXXX``) and AdSense publisher ids
+    (``ca-pub-NNNN`` / ``pub-NNNN``).  Shared account ids across hosts
+    are among the strongest OPERATOR-clustering signals a crawl has
+    (one org, many doorway domains — the follow-up join is a groupBy on
+    the id, same shape as favicon clustering), and ad-network ids feed
+    spam/link-farm triage.
+
+    Returns array<struct<kind, id>> (distinct, order by appearance not
+    guaranteed).  Pure regexp_extract_all — narrow map.
+    """
+    h = F.coalesce(html, F.lit(""))
+    mk = lambda kind, rx: F.transform(  # noqa: E731
+        F.array_distinct(F.regexp_extract_all(h, F.lit(rx), 1)),
+        lambda x: F.struct(F.lit(kind).alias("kind"), x.alias("id")),
+    )
+    return F.concat(
+        mk("ga", r"\b(UA-\d{4,10}-\d{1,4})\b"),
+        mk("ga4", r"\b(G-[A-Z0-9]{6,12})\b"),
+        mk("gtm", r"\b(GTM-[A-Z0-9]{4,9})\b"),
+        mk("adsense", r"\b(?:ca-)?(pub-\d{8,20})\b"),
+    )
+
+
+CMS_SIGNALS = [
+    ("wordpress", r"(?i)/wp-content/|<meta name=\"generator\" content=\"WordPress"),
+    ("drupal", r"(?i)/sites/default/files/|<meta name=\"generator\" content=\"Drupal"),
+    ("joomla", r"(?i)/media/jui/|<meta name=\"generator\" content=\"Joomla"),
+    ("shopify", r"(?i)cdn\.shopify\.com"),
+    ("wix", r"(?i)static\.wixstatic\.com"),
+    ("squarespace", r"(?i)static1\.squarespace\.com"),
+    ("ghost", r"(?i)<meta name=\"generator\" content=\"Ghost"),
+]
+
+
+def cms_fingerprint(html: Column) -> Column:
+    """CMS identification from page source: the ``<meta generator>``
+    tag when sites ship it, asset-path fingerprints when they strip it
+    (the usual hardening).  First matching signal in a fixed priority
+    order wins; 'unknown' otherwise.  Platform mix per host/TLD is a
+    crawl-planning input (render cost, template dedup expectations,
+    paginator family) and a corpus-datasheet column.
+
+    One regexp per signal, fixed chain — narrow map.
+    """
+    h = F.coalesce(html, F.lit(""))
+    out = None
+    for name, rx in reversed(CMS_SIGNALS):
+        cond = h.rlike(rx)
+        out = F.when(cond, F.lit(name)) if out is None else F.when(
+            cond, F.lit(name)).otherwise(out)
+    return F.coalesce(out, F.lit("unknown"))
