@@ -1993,3 +1993,56 @@ def cms_fingerprint(html: Column) -> Column:
         out = F.when(cond, F.lit(name)) if out is None else F.when(
             cond, F.lit(name)).otherwise(out)
     return F.coalesce(out, F.lit("unknown"))
+
+
+def json_feed_summary(body: Column) -> Column:
+    """JSON Feed (jsonfeed.org v1/v1.1) summary — the JSON sibling of
+    the RSS/Atom feed parsers: struct(version_ok, feed_title, n_items,
+    first_item_url).  A feed endpoint is a high-yield discovery source
+    (every item is a canonical content URL with a date), and JSON Feed
+    is what static-site generators increasingly emit.
+
+    Pure ``get_json_object``/``json_array_length`` JVM expressions —
+    no schema inference pass, narrow map.
+    """
+    b = F.coalesce(body, F.lit(""))
+    version = F.get_json_object(b, "$.version")
+    return F.struct(
+        F.coalesce(version.rlike(r"^https://jsonfeed\.org/version/1"),
+                   F.lit(False)).alias("version_ok"),
+        F.get_json_object(b, "$.title").alias("feed_title"),
+        F.coalesce(F.json_array_length(F.get_json_object(b, "$.items")),
+                   F.lit(0)).cast("int").alias("n_items"),
+        F.get_json_object(b, "$.items[0].url").alias("first_item_url"),
+    )
+
+
+def twitter_card_summary(html: Column) -> Column:
+    """Twitter/X Card meta audit: struct(card_type, has_title,
+    has_description, has_image, complete) — the social-preview
+    completeness check alongside the OpenGraph audit (many sites set
+    og:* but forget twitter:*; the card fields also provide alt
+    caption-harvest sources for image payloads).
+
+    name= and property= attribute spellings both accepted (the wild
+    web uses both); regex-level parse, narrow map.
+    """
+    h = F.coalesce(html, F.lit(""))
+    meta = lambda key: F.nullif(F.regexp_extract(  # noqa: E731
+        h,
+        r'(?is)<meta[^>]+(?:name|property)=["\']twitter:' + key
+        + r'["\'][^>]*content=["\']([^"\']*)["\']',
+        1,
+    ), F.lit(""))
+    card = meta("card")
+    title = meta("title")
+    desc = meta("description")
+    img = meta("image")
+    return F.struct(
+        card.alias("card_type"),
+        title.isNotNull().alias("has_title"),
+        desc.isNotNull().alias("has_description"),
+        img.isNotNull().alias("has_image"),
+        (card.isNotNull() & title.isNotNull() & desc.isNotNull()
+         & img.isNotNull()).alias("complete"),
+    )
