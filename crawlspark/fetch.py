@@ -1198,3 +1198,72 @@ def csp_audit(value: Column) -> Column:
         F.coalesce(unsafe_eval, F.lit(False)).alias("unsafe_eval"),
         F.coalesce(wildcard, F.lit(False)).alias("wildcard_script"),
     )
+
+
+def ratelimit_headers_info(
+    limit: Column, remaining: Column, reset: Column,
+) -> Column:
+    """Server-declared rate-limit state (the RateLimit-*/X-RateLimit-*
+    header family APIs actually send): struct(limit, remaining,
+    reset_s, exhausted, suggested_delay_ms).  This is the
+    budget signal that should OVERRIDE the crawler's own politeness
+    interval when present: remaining/reset define the server's real
+    admission rate, and the suggested pacing spreads the remaining
+    budget evenly across the window (remaining=0 -> wait out the full
+    reset).
+
+    suggested_delay_ms = 1000 * reset / remaining (integer ceil via
+    (a + b - 1) div b), or 1000 * reset when exhausted; nulls (absent
+    headers) -> null struct fields, no delay suggestion.  Pure integer
+    arithmetic, narrow map; feed the result into
+    politeness.throttle_schedule's delay column.
+    """
+    lim = limit.cast("long")
+    rem = remaining.cast("long")
+    rst = reset.cast("long")
+    exhausted = F.coalesce(rem <= 0, F.lit(False))
+    delay = (
+        F.when(rem.isNull() | rst.isNull(), F.lit(None).cast("long"))
+        .when(rem <= 0, rst * 1000)
+        # integer ceil(reset_ms / remaining): positive double quotient
+        # truncates to floor on the cast, +rem-1 turns it into ceil
+        .otherwise(((rst * 1000 + rem - 1) / rem).cast("long"))
+    )
+    return F.struct(
+        lim.alias("limit"),
+        rem.alias("remaining"),
+        rst.alias("reset_s"),
+        exhausted.alias("exhausted"),
+        delay.alias("suggested_delay_ms"),
+    )
+
+
+def parse_link_header(value: Column) -> Column:
+    """RFC 8288 ``Link`` response-header parse: array<struct<url, rel>>
+    — one entry per ``<url>; rel="x"`` member, one row per rel token
+    (``rel="next prefetch"`` yields two entries).  The HTTP-layer
+    sibling of HTML ``<link>`` discovery: API pagination (GitHub-style
+    rel=next/last), rel=canonical at the header level (which by spec
+    BEATS the HTML tag for non-HTML payloads like images/PDFs), and
+    preload hints.
+
+    Pure regexp + HOFs, narrow map.  Members without a rel param yield
+    rel=NULL entries (kept: the URL reference may still matter).
+    """
+    v = F.coalesce(value, F.lit(""))
+    members = F.regexp_extract_all(
+        v, F.lit(r"<([^>]*)>((?:\s*;\s*[A-Za-z0-9*-]+=(?:\"[^\"]*\"|[^,;\s]+))*)"), 0
+    )
+    def entry(m):
+        url = F.regexp_extract(m, r"^<([^>]*)>", 1)
+        rels = F.regexp_extract(m, r'(?i);\s*rel\s*=\s*("([^"]*)"|[^,;\s]+)', 1)
+        rels_clean = F.regexp_replace(rels, '"', "")
+        rel_arr = F.when(
+            rels_clean == "", F.array(F.lit(None).cast("string"))
+        ).otherwise(F.filter(F.split(rels_clean, r"\s+"),
+                             lambda x: x != ""))
+        return F.transform(
+            rel_arr,
+            lambda r: F.struct(url.alias("url"), F.lower(r).alias("rel")),
+        )
+    return F.flatten(F.transform(members, entry))
