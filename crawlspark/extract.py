@@ -2046,3 +2046,71 @@ def twitter_card_summary(html: Column) -> Column:
         (card.isNotNull() & title.isNotNull() & desc.isNotNull()
          & img.isNotNull()).alias("complete"),
     )
+
+
+# (value-unit, factor-to-base-milliunits) — base units: meters, grams,
+# seconds; factors exact integers so normalization is SQL-replayable
+QUANTITY_UNITS = [
+    ("km", "length", 1_000_000), ("m", "length", 1_000),
+    ("cm", "length", 10), ("mm", "length", 1),
+    ("kg", "mass", 1_000_000), ("g", "mass", 1_000), ("mg", "mass", 1),
+    ("h", "time", 3_600_000), ("min", "time", 60_000),
+    ("s", "time", 1_000), ("ms", "time", 1),
+]
+
+
+def quantity_mentions(text: Column) -> Column:
+    """Unit-bearing quantity extraction: integer values immediately
+    followed by a metric unit token ('5 km', '250mg', '90 min') are
+    normalized into base milli-units (length->mm, mass->mg, time->ms)
+    — the knowledge-extraction primitive for recipe/product/spec pages,
+    and a numeracy-density signal for corpus routing.  INTEGER values
+    only (decimal quantities would need decimal milli-parsing; kept
+    out deliberately — exactness first), longest-unit-first matching
+    so '5 mm' never half-matches 'm'.
+
+    Returns array<struct<value, unit, dim, base_milli>>.
+    """
+    h = F.coalesce(text, F.lit(""))
+    units_sorted = sorted(QUANTITY_UNITS, key=lambda u: -len(u[0]))
+    alt = "|".join(u for u, _, _ in units_sorted)
+    matches = F.regexp_extract_all(
+        h, F.lit(r"(?<![\w.])(\d{1,12}) ?(" + alt + r")(?![A-Za-z])"), 0
+    )
+    def entry(m):
+        val = F.regexp_extract(m, r"^(\d+)", 1).cast("long")
+        unit = F.regexp_extract(m, r"([A-Za-z]+)$", 1)
+        dim = None
+        factor = None
+        for u, d, f in units_sorted:
+            cond = unit == u
+            dim = F.when(cond, F.lit(d)) if dim is None else F.when(
+                cond, F.lit(d)).otherwise(dim)
+            factor = F.when(cond, F.lit(f)) if factor is None else F.when(
+                cond, F.lit(f)).otherwise(factor)
+        return F.struct(
+            val.alias("value"), unit.alias("unit"), dim.alias("dim"),
+            (val * factor.cast("long")).alias("base_milli"),
+        )
+    return F.transform(matches, entry)
+
+
+def scholarly_ids(text: Column) -> Column:
+    """Academic-identifier detection: DOIs (``10.NNNN/suffix``) and
+    arXiv ids (new ``2403.12345`` form with the explicit ``arXiv:``
+    prefix, and the old ``math.GT/0309136`` form) — the router for
+    scholarly content (different dedup expectations, citation-graph
+    building, license posture).  Returns struct(n_dois, first_doi,
+    n_arxiv, first_arxiv).
+    """
+    h = F.coalesce(text, F.lit(""))
+    doi_rx = r"\b(10\.\d{4,9}/[^\s\"<>]+)"
+    arxiv_rx = r"\barXiv:(\d{4}\.\d{4,5}(?:v\d+)?|[a-z-]+(?:\.[A-Z]{2})?/\d{7})"
+    dois = F.regexp_extract_all(h, F.lit(doi_rx), 1)
+    arx = F.regexp_extract_all(h, F.lit(arxiv_rx), 1)
+    return F.struct(
+        F.size(dois).cast("int").alias("n_dois"),
+        F.element_at(F.when(F.size(dois) > 0, dois), 1).alias("first_doi"),
+        F.size(arx).cast("int").alias("n_arxiv"),
+        F.element_at(F.when(F.size(arx) > 0, arx), 1).alias("first_arxiv"),
+    )
