@@ -2114,3 +2114,58 @@ def scholarly_ids(text: Column) -> Column:
         F.size(arx).cast("int").alias("n_arxiv"),
         F.element_at(F.when(F.size(arx) > 0, arx), 1).alias("first_arxiv"),
     )
+
+
+_MONTHS = ["January", "February", "March", "April", "May", "June",
+           "July", "August", "September", "October", "November",
+           "December"]
+
+
+def date_mentions(text: Column) -> Column:
+    """Publication-date inference from body text — the fallback when a
+    page ships no <meta> date, no JSON-LD datePublished and no sitemap
+    lastmod (most of the long-tail web): struct(n_dates, first_iso,
+    has_ambiguous_dmy).  Recognized forms: ISO ``YYYY-MM-DD``,
+    long-form ``Month D, YYYY`` (normalized to ISO via a month-name
+    CASE chain + lpad), and ``NN/NN/YYYY`` — the last only COUNTED and
+    flagged ambiguous when both fields are <= 12 (the US/EU trap; an
+    unflagged guess would poison freshness scheduling).  ``first_iso``
+    prefers the first ISO hit, then the first long-form hit.
+
+    Pure regexp + string arithmetic, narrow map.
+    """
+    h = F.coalesce(text, F.lit(""))
+    iso = F.regexp_extract_all(
+        h, F.lit(r"\b(\d{4}-\d{2}-\d{2})\b"), 1)
+    month_alt = "|".join(_MONTHS)
+    longform = F.regexp_extract_all(
+        h, F.lit(r"\b(?:" + month_alt + r") \d{1,2}, \d{4}\b"), 0)
+    slash = F.regexp_extract_all(
+        h, F.lit(r"\b(\d{1,2})/(\d{1,2})/\d{4}\b"), 0)
+    def lf_to_iso(lf):
+        day = F.regexp_extract(lf, r" (\d{1,2}),", 1)
+        year = F.regexp_extract(lf, r", (\d{4})$", 1)
+        mon = None
+        for i, mname in enumerate(_MONTHS):
+            cond = lf.startswith(mname)
+            expr = F.lit(f"{i + 1:02d}")
+            mon = F.when(cond, expr) if mon is None else F.when(
+                cond, expr).otherwise(mon)
+        return F.concat(year, F.lit("-"), mon, F.lit("-"),
+                        F.lpad(day, 2, "0"))
+    first_long = F.when(
+        F.size(longform) > 0, lf_to_iso(F.element_at(longform, 1)))
+    ambiguous = F.exists(
+        slash,
+        lambda s: (F.regexp_extract(s, r"^(\d{1,2})/", 1).cast("int")
+                   <= 12)
+        & (F.regexp_extract(s, r"/(\d{1,2})/", 1).cast("int") <= 12),
+    )
+    return F.struct(
+        (F.size(iso) + F.size(longform) + F.size(slash)).cast("int")
+        .alias("n_dates"),
+        F.coalesce(
+            F.when(F.size(iso) > 0, F.element_at(iso, 1)), first_long
+        ).alias("first_iso"),
+        F.coalesce(ambiguous, F.lit(False)).alias("has_ambiguous_dmy"),
+    )
