@@ -340,26 +340,37 @@ def encoding_advisor(
     """
     from pyspark.sql import Window
 
+    # ONE table pass: every column's string view + repeat flag ride the
+    # same (part, order) window (one physical sort), one aggregate holds
+    # all per-column stats, and stack() unpivots — a per-column loop of
+    # scans/sorts would pay the full I/O once per advised column
     w = Window.partitionBy(part_col).orderBy(order_col)
-    outs = []
-    for c in columns:
-        v = F.col(c).cast("string")
-        d = df.select(
-            F.lit(c).alias("col_name"),
-            v.alias("__v"),
-            (v == F.lag(v).over(w)).alias("__rep"),
+    proj = df.select(
+        F.col(part_col), F.col(order_col),
+        *[F.col(c).cast("string").alias(f"__v_{i}")
+          for i, c in enumerate(columns)],
+    )
+    for i in range(len(columns)):
+        proj = proj.withColumn(
+            f"__r_{i}",
+            F.col(f"__v_{i}") == F.lag(f"__v_{i}").over(w),
         )
-        outs.append(
-            d.groupBy("col_name").agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.countDistinct("__v").cast("long").alias("n_distinct"),
-                F.sum(F.when(F.col("__rep"), 1).otherwise(0))
-                .cast("long").alias("__n_rep"),
-            )
-        )
-    stats = outs[0]
-    for o in outs[1:]:
-        stats = stats.unionByName(o)
+    agg = proj.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        *[F.countDistinct(f"__v_{i}").cast("long").alias(f"__d_{i}")
+          for i in range(len(columns))],
+        *[F.sum(F.when(F.col(f"__r_{i}"), 1).otherwise(0)).cast("long")
+          .alias(f"__rep_{i}")
+          for i in range(len(columns))],
+    )
+    stack_args = ", ".join(
+        f"'{c}', __d_{i}, __rep_{i}" for i, c in enumerate(columns)
+    )
+    stats = agg.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(f"stack({len(columns)}, {stack_args})")
+        .alias("col_name", "n_distinct", "__n_rep"),
+    )
     return stats.select(
         "col_name", "n_rows", "n_distinct",
         F.expr("(1000 * n_distinct) div n_rows").alias("distinct_permille"),

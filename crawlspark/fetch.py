@@ -1154,9 +1154,16 @@ def content_disposition_info(value: Column) -> Column:
     plain_q = F.regexp_extract(v, r'(?i)filename\s*=\s*"([^"]*)"', 1)
     plain_t = F.regexp_extract(
         v, r"(?i)filename\s*=\s*([^\";][^;\s]*)", 1)
-    filename = F.when(ext != "", F.url_decode(ext)) \
-        .when(plain_q != "", plain_q) \
+    # url_decode THROWS on malformed percent-escapes; one adversarial
+    # header must not abort a 10^10-row scan — validate the escape
+    # grammar first and fall back to the raw ext-value otherwise
+    ext_valid = ext.rlike(r"^(?:%[0-9A-Fa-f]{2}|[^%])*$")
+    filename = (
+        F.when((ext != "") & ext_valid, F.url_decode(ext))
+        .when(ext != "", ext)
+        .when(plain_q != "", plain_q)
         .when(plain_t != "", plain_t)
+    )
     return F.struct(
         disp_type.alias("disp_type"),
         filename.alias("filename"),

@@ -943,11 +943,17 @@ def sitemap_emit(
             Window.partitionBy("host").orderBy("url")) - 1)
             / F.lit(int(cap))).cast("long"),
     )
+    # sitemaps.org REQUIRES entity-escaped values: a bare '&' in a query
+    # string (ubiquitous) would otherwise make the whole shard ill-formed
+    xml_esc = lambda c: F.regexp_replace(  # noqa: E731
+        F.regexp_replace(F.regexp_replace(c, "&", "&amp;"), "<", "&lt;"),
+        ">", "&gt;",
+    )
     entry = lambda s: F.concat(  # noqa: E731
-        F.lit("<url><loc>"), s.getField("url"), F.lit("</loc>"),
+        F.lit("<url><loc>"), xml_esc(s.getField("url")), F.lit("</loc>"),
         F.when(
             s.getField("__lm").isNotNull(),
-            F.concat(F.lit("<lastmod>"), s.getField("__lm"),
+            F.concat(F.lit("<lastmod>"), xml_esc(s.getField("__lm")),
                      F.lit("</lastmod>")),
         ).otherwise(F.lit("")),
         F.lit("</url>"),

@@ -100,6 +100,9 @@ d AS (
 )
 SELECT url, wet_text, wet_len, wet_digest,
        'WARC/1.0' || E'\\r\\n' || 'WARC-Type: conversion' || E'\\r\\n' ||
+       'WARC-Record-ID: <urn:md5p:' ||
+       CAST(CAST(('0x' || substr(md5('wet:' || url), 1, 8)) AS BIGINT)
+            AS VARCHAR) || '>' || E'\\r\\n' ||
        'WARC-Target-URI: ' || url || E'\\r\\n' ||
        'WARC-Block-Digest: md5p:' || CAST(wet_digest AS VARCHAR) ||
        E'\\r\\n' || 'Content-Type: text/plain' || E'\\r\\n' ||

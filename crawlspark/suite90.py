@@ -50,6 +50,9 @@ r1 AS (
 r2 AS (
   SELECT shard, url,
          'WARC/1.0' || E'\\r\\n' || 'WARC-Type: response' || E'\\r\\n' ||
+         'WARC-Record-ID: <urn:md5p:' ||
+         CAST(CAST(('0x' || substr(md5('resp:' || url), 1, 8)) AS BIGINT)
+              AS VARCHAR) || '>' || E'\\r\\n' ||
          'WARC-Target-URI: ' || url || E'\\r\\n' ||
          'Content-Type: application/http;msgtype=response' || E'\\r\\n' ||
          'Content-Length: ' || CAST(length(http) AS VARCHAR) ||

@@ -88,9 +88,10 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("label", "dim")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            # floor over an IDENTICAL double quotient on both engines —
-            # integer `div` truncates in Spark but floors in DuckDB, and
-            # embedding sums go NEGATIVE, so the int forms would diverge
+            # floor over an IDENTICAL double quotient on both engines:
+            # embedding sums go NEGATIVE, and floor() (round toward
+            # -inf) is the conventional quantizer here — int div would
+            # truncate toward zero on both engines instead
             F.floor(F.sum("vm") / F.count(F.lit(1))).cast("long")
             .alias("centroid_micro"),
         )

@@ -1309,6 +1309,12 @@ def canary_scan(
     import re as _re
 
     t = F.coalesce(F.col(text_col), F.lit(""))
+    if not canaries:
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_canary_hits"),
+            F.lit(None).cast("string").alias("first_canary"),
+        )
     counts = [F.regexp_count(t, F.lit(_re.escape(c))).cast("long")
               for c in canaries]
     total = counts[0]

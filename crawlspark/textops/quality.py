@@ -1560,10 +1560,11 @@ def quality_drift(
     score over day, kept in INTEGER form.  With n days, Sx = sum(day),
     Sy = sum(mean_milli), Sxy, Sxx, the slope numerator is
     n*Sxy - Sx*Sy and denominator n*Sxx - Sx^2; we emit the exact
-    rational (num, den) plus a trend class — never a float division,
-    and never a SIGNED integer division either (Spark truncates,
-    DuckDB floors: a negative quantized slope would silently diverge
-    between engines).
+    rational (num, den) plus a trend class — no quantized quotient at
+    all, so consumers choose their own rounding.  (Both engines
+    truncate signed integer division toward zero — measured: -7//2 is
+    -3 in DuckDB and -7 div 2 is -3 in Spark — so a quantized slope
+    WOULD replay exactly; the rational is still the better contract.)
 
     Two groupBys (both partial-aggregated), nothing wider than
     (source, day) shuffles.  Returns (source, n_days, mean_milli_overall,
@@ -1585,10 +1586,8 @@ def quality_drift(
     )
     num = F.col("n_days") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
     den = F.col("n_days") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
-    # slope sign only, plus the exact rational (num, den): signed integer
-    # division TRUNCATES in Spark but FLOORS in DuckDB, so a quantized
-    # negative slope would diverge between engines — the rational is exact
-    # on both and the consumer alert only needs the sign anyway
+    # slope sign plus the exact rational (num, den): the alert only
+    # needs the sign, and the rational loses nothing to rounding
     trend = (
         F.when((F.col("n_days") < 2) | (den == 0), F.lit("insufficient"))
         .when(num > 0, F.lit("improving"))

@@ -52,38 +52,8 @@ def suffix_array(
     matching the convention that a proper prefix sorts before its
     extensions.
     """
-    if n is None:
-        n = tokens.count()
-    # round 0: dense rank of the single token
-    tok_rank = global_rank(
-        tokens.select(tok_col).distinct(), tok_col, out="__r"
-    )
-    cur = tokens.join(tok_rank, tok_col).select(
-        F.col(pos_col).alias("pos"), F.col("__r").alias("rank")
-    ).localCheckpoint(eager=False)
-    k = 1
-    while k < n:
-        nxt = cur.select(
-            (F.col("pos") - k).alias("pos"), F.col("rank").alias("__rk2")
-        )
-        paired = cur.join(nxt, "pos", "left").select(
-            "pos", "rank", F.coalesce("__rk2", F.lit(0)).alias("__rk2")
-        )
-        dp = global_rank(
-            paired.select("rank", "__rk2").distinct(),
-            ["rank", "__rk2"], out="__nr",
-        )
-        cur = paired.join(dp, ["rank", "__rk2"]).select(
-            "pos", F.col("__nr").alias("rank")
-        ).localCheckpoint(eager=False)
-        mx = cur.agg(F.max("rank").alias("m")).collect()[0].m
-        k *= 2
-        if mx >= n:
-            break
-    # final tie-break by position (no-op when all ranks distinct)
-    return global_rank(cur, ["rank", "pos"], out="sa_rank").select(
-        F.col("pos").alias(pos_col), F.col("sa_rank")
-    )
+    sa, _rounds = suffix_array_rounds(tokens, pos_col, tok_col, n)
+    return sa
 
 
 def suffix_array_rounds(

@@ -186,10 +186,15 @@ def to_wet(
                          r"<[^>]*>", " "),
         r"\s+", " ",
     ))
-    wet_len = F.length(text).cast("long")
+    # Content-Length is BYTES (a 'café' payload is 5 UTF-8 bytes, not 4
+    # chars) — spec-compliant readers frame by byte offset
+    wet_len = F.octet_length(text).cast("long")
     digest = base_hash(text)
     hdr = F.concat(
-        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "), u,
+        F.lit("WARC/1.0\r\nWARC-Type: conversion\r\n"),
+        F.lit("WARC-Record-ID: <urn:md5p:"),
+        base_hash(F.concat(F.lit("wet:"), u)).cast("string"),
+        F.lit(">\r\nWARC-Target-URI: "), u,
         F.lit("\r\n"),
         F.lit("") if date_col is None else F.concat(
             F.lit("WARC-Date: "), F.col(date_col).cast("string"),
@@ -282,15 +287,20 @@ def warc_emit(
         F.col(status_col).cast("string") if status_col is not None
         else F.lit("200")
     )
+    # all Content-Lengths and offsets are BYTES (octet_length), never
+    # character counts — non-ASCII payloads would otherwise mis-frame
     http = F.concat(
         F.lit("HTTP/1.1 "), status, F.lit(" \r\nContent-Length: "),
-        F.length(body).cast("string"), F.lit("\r\n\r\n"), body,
+        F.octet_length(body).cast("string"), F.lit("\r\n\r\n"), body,
     )
     record = F.concat(
-        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), u,
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\n"),
+        F.lit("WARC-Record-ID: <urn:md5p:"),
+        base_hash(F.concat(F.lit("resp:"), u)).cast("string"),
+        F.lit(">\r\nWARC-Target-URI: "), u,
         F.lit("\r\nContent-Type: application/http;msgtype=response"
               "\r\nContent-Length: "),
-        F.length(http).cast("string"), F.lit("\r\n\r\n"), http,
+        F.octet_length(http).cast("string"), F.lit("\r\n\r\n"), http,
         F.lit("\r\n\r\n"),
     )
     rows = responses.select(
@@ -298,7 +308,7 @@ def warc_emit(
         .alias("shard"),
         u.alias("url"),
         record.alias("record"),
-    ).withColumn("record_len", F.length("record").cast("long"))
+    ).withColumn("record_len", F.octet_length("record").cast("long"))
     w = (
         Window.partitionBy("shard").orderBy("url")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -44,6 +44,12 @@ WHITELIST: dict[str, dict[str, str]] = {
     "typosquats": {
         "bnl_join": "WL: distinct hosts x broadcast literal brand list"
     },
+    # single-pass advisor ends in ONE scalar aggregate carrying every
+    # per-column stat: partial aggregation reduces each task to one row
+    # before the funnel — bounded by construction
+    "encoding_advisor": {
+        "single_partition": "scalar-agg funnel: one partial row per task"
+    },
     # the round-robin placement window runs over the per-host AGGREGATE
     # (|hosts| rows after a map-side-combined groupBy), never the data;
     # bounded funnel, asserted in test_capacity (window above HashAggregate).

