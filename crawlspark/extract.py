@@ -2169,3 +2169,48 @@ def date_mentions(text: Column) -> Column:
         ).alias("first_iso"),
         F.coalesce(ambiguous, F.lit(False)).alias("has_ambiguous_dmy"),
     )
+
+
+def a11y_audit(html: Column) -> Column:
+    """Accessibility-surface audit: struct(n_aria, n_landmarks,
+    n_inputs, n_labeled_inputs, n_positive_tabindex, score_permille).
+    Beyond compliance, a11y structure is a strong PAGE QUALITY signal
+    for corpus curation (hand-built accessible pages correlate with
+    editorial care; `tabindex` > 0 correlates with dark-pattern forms)
+    and landmark roles segment boilerplate for the main-content
+    extractor.
+
+    ``score_permille``: labeled-input share when inputs exist, else
+    1000 when landmarks or aria usage present, else 0.  Regex-level
+    counts, narrow map.
+    """
+    h = F.coalesce(html, F.lit(""))
+    n_aria = F.regexp_count(h, F.lit(r"\saria-[a-z]+=")).cast("int")
+    n_land = F.regexp_count(
+        h,
+        F.lit(r"(?i)<(main|nav|aside|header|footer)\b"
+              r"|role=\"(main|navigation|banner|contentinfo)\""),
+    ).cast("int")
+    n_inputs = F.regexp_count(
+        h, F.lit(r"(?i)<input\b(?![^>]*type=\"hidden\")")).cast("int")
+    labeled = F.regexp_count(
+        h,
+        F.lit(r"(?i)<input\b(?![^>]*type=\"hidden\")"
+              r"[^>]*(aria-label|aria-labelledby|id)="),
+    ).cast("int")
+    pos_tab = F.regexp_count(
+        h, F.lit(r"tabindex=\"[1-9]\d*\"")).cast("int")
+    score = (
+        F.when(n_inputs > 0,
+               F.floor(labeled * 1000 / n_inputs).cast("long"))
+        .when((n_land > 0) | (n_aria > 0), F.lit(1000))
+        .otherwise(F.lit(0))
+    ).cast("long")
+    return F.struct(
+        n_aria.alias("n_aria"),
+        n_land.alias("n_landmarks"),
+        n_inputs.alias("n_inputs"),
+        labeled.alias("n_labeled_inputs"),
+        pos_tab.alias("n_positive_tabindex"),
+        score.alias("score_permille"),
+    )
