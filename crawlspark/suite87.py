@@ -18,19 +18,29 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # encoding_advisor — cardinality/run signals -> parquet encoding choice
 # --------------------------------------------------------------------------
 
-_ADVISOR_COLS = ["l_returnflag", "l_linestatus", "l_orderkey", "l_suppkey"]
+_ADVISOR_COLS = ["cflag", "crun", "cuniq"]
 
 
 def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """capacity.encoding_advisor over four lineitem columns under the
-    (l_orderkey, l_linenumber) write order: low-cardinality flags ->
-    dictionary, the clustering key itself -> RLE, scattered keys ->
-    plain."""
+    """capacity.encoding_advisor over a synthesized table with a UNIQUE
+    order key (doc_id) — 50 partitions of 10 rows: a 2-value flag
+    column (dictionary), the partition key itself (constant per
+    window -> RLE), and a unique column (plain).  The previous lineitem
+    fixture was retired: 11k duplicate (orderkey, linenumber) pairs
+    made the window order tie-nondeterministic on BOTH engines."""
     from .capacity import encoding_advisor
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    doc = F.col("doc_id")
+    d = _docs(spark, sf_dir).select(
+        (doc % 50).alias("part"),
+        doc.alias("seq"),
+        F.when((doc / 250).cast("long") % 2 == 0, "A").otherwise("B")
+        .alias("cflag"),
+        (doc % 50).cast("string").alias("crun"),
+        doc.cast("string").alias("cuniq"),
+    )
     return encoding_advisor(
-        li, _ADVISOR_COLS, part_col="l_orderkey", order_col="l_linenumber"
+        d, _ADVISOR_COLS, part_col="part", order_col="seq"
     ).orderBy("col_name")
 
 
@@ -39,13 +49,16 @@ def _advisor_oracle() -> str:
     for c in _ADVISOR_COLS:
         pieces.append(f"""
   SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
-         COUNT(DISTINCT CAST({c} AS VARCHAR)) AS n_distinct,
-         SUM(CASE WHEN CAST({c} AS VARCHAR) = prev THEN 1 ELSE 0 END)
-           AS n_rep
+         COUNT(DISTINCT {c}) AS n_distinct,
+         SUM(CASE WHEN {c} = prev THEN 1 ELSE 0 END) AS n_rep
   FROM (SELECT {c},
-               lag(CAST({c} AS VARCHAR)) OVER
-                 (PARTITION BY l_orderkey ORDER BY l_linenumber) AS prev
-        FROM lineitem)
+               lag({c}) OVER (PARTITION BY part ORDER BY seq) AS prev
+        FROM (SELECT doc_id % 50 AS part, doc_id AS seq,
+                     CASE WHEN (doc_id // 250) % 2 = 0 THEN 'A'
+                          ELSE 'B' END AS cflag,
+                     CAST(doc_id % 50 AS VARCHAR) AS crun,
+                     CAST(doc_id AS VARCHAR) AS cuniq
+              FROM documents))
   GROUP BY 1
 """)
     union = " UNION ALL ".join(pieces)
