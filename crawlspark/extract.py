@@ -2214,3 +2214,82 @@ def a11y_audit(html: Column) -> Column:
         pos_tab.alias("n_positive_tabindex"),
         score.alias("score_permille"),
     )
+
+
+def sitemap_hreflang_links(xml: Column) -> Column:
+    """Sitemap-level hreflang alternates (the ``xhtml:link
+    rel="alternate"`` form inside <url> entries — Google's recommended
+    channel for large sites, and the only one a crawler can read
+    WITHOUT fetching every page): array<struct<loc, hreflang, href>>,
+    one entry per (url, alternate) pair.
+
+    Regex-level scan over the <url> blocks (no-lxml discipline):
+    each block's <loc> is paired with every xhtml:link it contains.
+    """
+    h = F.coalesce(xml, F.lit(""))
+    blocks = F.regexp_extract_all(
+        h, F.lit(r"(?s)<url>(.*?)</url>"), 1)
+
+    def per_block(b):
+        loc = F.regexp_extract(b, r"<loc>([^<]*)</loc>", 1)
+        links = F.regexp_extract_all(
+            b,
+            F.lit(r'<xhtml:link[^>]*rel="alternate"[^>]*'
+                  r'hreflang="([^"]*)"[^>]*href="([^"]*)"'),
+            0,
+        )
+        return F.transform(
+            links,
+            lambda l: F.struct(
+                loc.alias("loc"),
+                F.regexp_extract(l, r'hreflang="([^"]*)"', 1)
+                .alias("hreflang"),
+                F.regexp_extract(l, r'href="([^"]*)"', 1).alias("href"),
+            ),
+        )
+
+    return F.flatten(F.transform(blocks, per_block))
+
+
+def noai_meta_signals(html: Column, x_robots: Column | None = None) -> Column:
+    """AI-training opt-out META directives — the page-level complement
+    of the robots.txt agent matrix (ai_agents_policy): the de-facto
+    ``noai`` / ``noimageai`` tokens in <meta name="robots"> (and any
+    named-bot meta), plus the same tokens in an X-Robots-Tag header
+    when provided.  A governance-complete pipeline honors BOTH
+    channels; pages are routed out of text and/or image training sets
+    respectively.
+
+    Returns struct(noai, noimageai, channel in
+    {'meta','header','both',null}).
+    """
+    h = F.coalesce(html, F.lit(""))
+    meta_content = F.lower(F.concat_ws(
+        ",",
+        F.regexp_extract_all(
+            h,
+            F.lit(r'(?i)<meta[^>]+name="[^"]*robots[^"]*"[^>]*'
+                  r'content="([^"]*)"'),
+            1,
+        ),
+    ))
+    hdr = F.lower(F.coalesce(
+        x_robots if x_robots is not None else F.lit(""), F.lit("")))
+    tok = lambda s, t: s.rlike(  # noqa: E731
+        r"(^|[,\s])" + t + r"($|[,\s])")
+    meta_noai = tok(meta_content, "noai")
+    meta_noimg = tok(meta_content, "noimageai")
+    hdr_noai = tok(hdr, "noai")
+    hdr_noimg = tok(hdr, "noimageai")
+    any_meta = meta_noai | meta_noimg
+    any_hdr = hdr_noai | hdr_noimg
+    channel = (
+        F.when(any_meta & any_hdr, F.lit("both"))
+        .when(any_meta, F.lit("meta"))
+        .when(any_hdr, F.lit("header"))
+    )
+    return F.struct(
+        (meta_noai | hdr_noai).alias("noai"),
+        (meta_noimg | hdr_noimg).alias("noimageai"),
+        channel.alias("channel"),
+    )
