@@ -2293,3 +2293,29 @@ def noai_meta_signals(html: Column, x_robots: Column | None = None) -> Column:
         (meta_noimg | hdr_noimg).alias("noimageai"),
         channel.alias("channel"),
     )
+
+
+def opml_feed_urls(xml: Column) -> Column:
+    """OPML reading-list parse (the subscription-exchange format blog
+    rolls and podcast apps export): array<struct<title, xml_url,
+    html_url>> — every outline that carries an ``xmlUrl`` is a feed
+    subscription, and an imported reading list is one of the
+    highest-precision discovery seed sources a crawler gets (every
+    entry is a known-good, content-bearing feed).
+
+    Attribute order tolerant (title/text before or after xmlUrl);
+    regex-level parse, narrow map.
+    """
+    h = F.coalesce(xml, F.lit(""))
+    outlines = F.regexp_extract_all(
+        h, F.lit(r"<outline\b[^>]*\bxmlUrl=\"[^\"]*\"[^>]*/?>"), 0)
+    attr = lambda o, name: F.nullif(  # noqa: E731
+        F.regexp_extract(o, r'\b' + name + r'="([^"]*)"', 1), F.lit(""))
+    return F.transform(
+        outlines,
+        lambda o: F.struct(
+            F.coalesce(attr(o, "title"), attr(o, "text")).alias("title"),
+            attr(o, "xmlUrl").alias("xml_url"),
+            attr(o, "htmlUrl").alias("html_url"),
+        ),
+    )

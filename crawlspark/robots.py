@@ -1156,3 +1156,39 @@ def ai_agents_policy(
             .cast("long").alias("n_ai_blocked"),
         )
     )
+
+
+def parse_security_txt(
+    files: DataFrame, host_col: str = "host", body_col: str = "body",
+    now_iso: str = "2026-08-21T00:00:00Z",
+) -> DataFrame:
+    """security.txt parse (RFC 9116, /.well-known/security.txt) — the
+    last member of this repo's well-known-file family (robots / ads /
+    llms / manifests): per host, the Contact links, the REQUIRED
+    Expires stamp (a file past its Expires must be treated as absent),
+    and policy/canonical presence.  Crawl relevance: a valid
+    security.txt is an operator-quality signal, and its Contact
+    channel is the abuse-report route a polite crawler records.
+
+    ``now_iso`` is an explicit parameter (determinism: no wall-clock
+    reads inside operators).  Pure line-regexp parse, one row per
+    host: (host, n_contacts, first_contact, expires, expired,
+    has_policy, has_canonical).
+    """
+    b = F.coalesce(F.col(body_col), F.lit(""))
+    contacts = F.regexp_extract_all(
+        b, F.lit(r"(?im)^Contact:\s*(\S+)\s*$"), 1)
+    expires = F.nullif(F.regexp_extract(
+        b, r"(?im)^Expires:\s*(\S+)\s*$", 1), F.lit(""))
+    return files.select(
+        F.col(host_col).alias("host"),
+        F.size(contacts).cast("int").alias("n_contacts"),
+        F.element_at(F.when(F.size(contacts) > 0, contacts), 1)
+        .alias("first_contact"),
+        expires.alias("expires"),
+        # RFC 3339 stamps in Z form compare correctly as STRINGS
+        F.coalesce(expires < F.lit(now_iso), F.lit(False))
+        .alias("expired"),
+        b.rlike(r"(?im)^Policy:").alias("has_policy"),
+        b.rlike(r"(?im)^Canonical:").alias("has_canonical"),
+    )
