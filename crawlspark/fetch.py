@@ -1274,3 +1274,80 @@ def parse_link_header(value: Column) -> Column:
             lambda r: F.struct(url.alias("url"), F.lower(r).alias("rel")),
         )
     return F.flatten(F.transform(members, entry))
+
+
+def permissions_policy_audit(value: Column) -> Column:
+    """Permissions-Policy response-header audit: struct(n_directives,
+    camera_allowed, microphone_allowed, geolocation_allowed,
+    interest_cohort_blocked) — the feature-gating companion of the CSP
+    audit.  A feature is 'allowed' here when its allowlist is anything
+    other than the empty ``()`` (self/origins/* all count as exposure);
+    ``interest_cohort=()`` is the FLoC/Topics opt-out a privacy-posture
+    report tracks.
+
+    Pure regexp over the header; null/empty -> zero directives.
+    """
+    v = F.trim(F.coalesce(value, F.lit("")))
+    dirs = F.filter(
+        F.transform(F.split(v, ","), lambda d: F.trim(d)),
+        lambda d: d != "",
+    )
+    allow = lambda name: F.coalesce(  # noqa: E731
+        F.nullif(
+            F.regexp_extract(v, r"(?i)\b" + name + r"=(\([^)]*\)|\*)", 1),
+            F.lit(""),
+        ).rlike(r"^\*$|\(.+\)"),
+        F.lit(False),
+    )
+    blocked_ic = F.coalesce(
+        F.regexp_extract(v, r"(?i)\binterest-cohort=(\(\s*\))", 1) != "",
+        F.lit(False),
+    )
+    return F.struct(
+        F.size(dirs).cast("int").alias("n_directives"),
+        allow("camera").alias("camera_allowed"),
+        allow("microphone").alias("microphone_allowed"),
+        allow("geolocation").alias("geolocation_allowed"),
+        blocked_ic.alias("interest_cohort_blocked"),
+    )
+
+
+def server_timing_metrics(value: Column) -> Column:
+    """Server-Timing header harvest: array<struct<metric, dur_micros,
+    descr>> — origins that emit it (CDNs, app servers) hand the crawler
+    a free backend-latency breakdown; per-host aggregates of ``total``
+    / ``db`` / ``cache`` metrics separate slow ORIGINS from slow
+    NETWORKS far better than wall-clock fetch times, which feeds the
+    adaptive-timeout and hedged-fetch policies.
+
+    dur= values are decimal MILLISECONDS in the wild; stored as exact
+    integer MICROseconds (milli-string split at the dot, no float
+    parsing).  Metrics without dur keep a null duration.
+    """
+    v = F.coalesce(value, F.lit(""))
+    entries = F.filter(
+        F.transform(F.split(v, ","), lambda e: F.trim(e)),
+        lambda e: e.rlike(r"^[A-Za-z0-9_-]+"),
+    )
+
+    def one(e):
+        name = F.regexp_extract(e, r"^([A-Za-z0-9_-]+)", 1)
+        dur = F.regexp_extract(e, r'(?i);\s*dur=("?)(\d+(?:\.\d+)?)\1', 2)
+        whole = F.substring_index(dur, ".", 1)
+        frac = F.when(
+            F.instr(dur, ".") > 0,
+            F.rpad(F.substring_index(dur, ".", -1), 3, "0").substr(1, 3),
+        ).otherwise(F.lit("000"))
+        dur_us = F.when(
+            dur != "",
+            whole.cast("long") * 1000 + frac.cast("long"),
+        )
+        descr = F.nullif(
+            F.regexp_extract(e, r'(?i);\s*desc="([^"]*)"', 1), F.lit(""))
+        return F.struct(
+            name.alias("metric"),
+            dur_us.alias("dur_micros"),
+            descr.alias("descr"),
+        )
+
+    return F.transform(entries, one)
