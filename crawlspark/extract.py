@@ -2319,3 +2319,32 @@ def opml_feed_urls(xml: Column) -> Column:
             attr(o, "htmlUrl").alias("html_url"),
         ),
     )
+
+
+def noscript_share(html: Column) -> Column:
+    """JS-dependence probe from markup alone: struct(n_noscript,
+    noscript_chars, total_chars, share_permille) — a page whose
+    meaningful content sits INSIDE <noscript> (or that ships a large
+    enable-JavaScript fallback) renders empty for a non-executing
+    crawler, which is exactly when the render-budget triage should
+    route it to the browser pool instead of the cheap fetcher.
+
+    One regexp pass for the noscript bodies; integer permille.
+    """
+    h = F.coalesce(html, F.lit(""))
+    bodies = F.regexp_extract_all(
+        h, F.lit(r"(?is)<noscript[^>]*>(.*?)</noscript>"), 1)
+    ns_chars = F.coalesce(
+        F.aggregate(
+            F.transform(bodies, lambda b: F.length(b).cast("long")),
+            F.lit(0).cast("long"), lambda a, x: a + x,
+        ), F.lit(0).cast("long"))
+    total = F.length(h).cast("long")
+    return F.struct(
+        F.size(bodies).cast("int").alias("n_noscript"),
+        ns_chars.alias("noscript_chars"),
+        total.alias("total_chars"),
+        F.when(total > 0,
+               F.floor(ns_chars * 1000 / total).cast("long"))
+        .otherwise(F.lit(0)).alias("share_permille"),
+    )

@@ -1602,3 +1602,63 @@ def quality_drift(
         den.cast("long").alias("slope_den"),
         trend.alias("trend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyboard-mash / gibberish signals
+# ---------------------------------------------------------------------------
+
+def gibberish_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keyboard-mash detection — the spam-page tell the perplexity
+    filter needs a whole LM for, reduced to three integer surface
+    statistics over the letter stream: the LONGEST consonant run
+    (natural English tops out around 6 — 'strengths'; mash like
+    'asdfghjkl' runs far longer), vowel share in permille (natural
+    text sits near 380-420‰; mash skews hard), and home-row
+    concentration in permille ('asdfghjkl' rows near 1000‰).
+    ``suspicious`` = consonant run >= 8 OR vowels outside [250, 600]
+    OR home-row >= 700 on docs with >= 20 letters.
+
+    Pure regexp/HOF integer arithmetic, narrow map.
+    """
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    letters = F.regexp_replace(t, r"[^a-z]", "")
+    n = F.length(letters).cast("long")
+    vowels = F.length(F.regexp_replace(letters, r"[^aeiou]", "")) \
+        .cast("long")
+    home = F.length(F.regexp_replace(letters, r"[^asdfghjkl]", "")) \
+        .cast("long")
+    cons_runs = F.regexp_extract_all(
+        letters, F.lit(r"([^aeiou]+)"), 1)
+    max_run = F.coalesce(
+        F.array_max(F.transform(cons_runs, lambda r: F.length(r))),
+        F.lit(0),
+    ).cast("long")
+    vow_pm = F.when(n > 0, F.expr("(1000 * __v) div __n"))
+    d = df.select(
+        F.col(id_col), n.alias("__n"), vowels.alias("__v"),
+        home.alias("__h"), max_run.alias("max_consonant_run"),
+    )
+    vow_pm = F.when(F.col("__n") > 0,
+                    F.expr("(1000 * __v) div __n")).otherwise(F.lit(0))
+    home_pm = F.when(F.col("__n") > 0,
+                     F.expr("(1000 * __h) div __n")).otherwise(F.lit(0))
+    out = d.select(
+        id_col,
+        F.col("__n").alias("n_letters"),
+        "max_consonant_run",
+        vow_pm.cast("long").alias("vowel_permille"),
+        home_pm.cast("long").alias("homerow_permille"),
+    )
+    return out.withColumn(
+        "suspicious",
+        (F.col("n_letters") >= 20)
+        & (
+            (F.col("max_consonant_run") >= 8)
+            | (F.col("vowel_permille") < 250)
+            | (F.col("vowel_permille") > 600)
+            | (F.col("homerow_permille") >= 700)
+        ),
+    )
