@@ -2348,3 +2348,22 @@ def noscript_share(html: Column) -> Column:
                F.floor(ns_chars * 1000 / total).cast("long"))
         .otherwise(F.lit(0)).alias("share_permille"),
     )
+
+
+def schema_types(html: Column) -> Column:
+    """Structured-data TYPE census input: every schema.org type a page
+    declares, across BOTH syntaxes — JSON-LD ``"@type"`` values and
+    microdata ``itemtype`` URLs (reduced to the bare type name).  The
+    corpus-level rollup (groupBy type) is the coverage census a
+    knowledge-extraction pipeline plans against: how many Products,
+    Recipes, Articles, Events the crawl actually holds.
+
+    Returns array<string> of distinct type names, sorted.
+    """
+    h = F.coalesce(html, F.lit(""))
+    ld = F.regexp_extract_all(
+        h, F.lit(r'"@type"\s*:\s*"([A-Za-z][A-Za-z0-9]*)"'), 1)
+    micro = F.regexp_extract_all(
+        h, F.lit(r'itemtype="https?://schema\.org/'
+                 r'([A-Za-z][A-Za-z0-9]*)"'), 1)
+    return F.array_sort(F.array_distinct(F.concat(ld, micro)))
