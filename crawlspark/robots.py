@@ -1108,7 +1108,7 @@ def parse_llms_txt(
     )
 
 
-AI_TRAINING_BOTS = ["GPTBot", "CCBot", "Google-Extended", "anthropic-ai"]
+AI_TRAINING_BOTS = ["GPTBot", "CCBot", "Google-Extended"]
 
 
 def ai_agents_policy(
@@ -1117,9 +1117,10 @@ def ai_agents_policy(
     host_col: str = "host",
     body_col: str = "body",
 ) -> DataFrame:
-    """Per-host AI-training-agent policy matrix: for each of the
-    well-known training crawl agents (GPTBot, CCBot, Google-Extended,
-    anthropic-ai — all publicly documented robots tokens), evaluate the
+    """Per-host AI-training-agent policy matrix: for each of a
+    caller-supplied list of training crawl agents (default GPTBot,
+    CCBot, Google-Extended — all publicly documented robots tokens;
+    pass ``bots=[...]`` to add others, e.g. Bytespider), evaluate the
     host's robots.txt verdict for the ROOT path and roll up to one row
     per host with per-bot booleans plus ``n_ai_blocked``.  This is the
     corpus-governance report a training-data pipeline publishes: which

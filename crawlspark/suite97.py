@@ -15,7 +15,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# ai_agents — per-host GPTBot/CCBot/Google-Extended/anthropic-ai matrix
+# ai_agents — per-host GPTBot/CCBot/Google-Extended/Bytespider matrix
 # --------------------------------------------------------------------------
 
 def q_ai_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,7 +34,7 @@ def q_ai_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "User-agent: *\nDisallow: /\n\n"
             "User-agent: CCBot\nAllow: /"))
         .when(m == 3, F.lit(
-            "User-agent: Google-Extended\nUser-agent: anthropic-ai\n"
+            "User-agent: Google-Extended\nUser-agent: Bytespider\n"
             "Disallow: /"))
         .otherwise(F.lit("User-agent: SomeOtherBot\nDisallow: /"))
     )
@@ -42,7 +42,9 @@ def q_ai_agents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("h"), doc.cast("string")).alias("host"),
         body.alias("body"),
     )
-    return ai_agents_policy(d).orderBy("host")
+    return ai_agents_policy(
+        d, bots=["GPTBot", "CCBot", "Google-Extended", "Bytespider"]
+    ).orderBy("host")
 
 
 ORACLE_AI_AGENTS = """
@@ -50,7 +52,7 @@ SELECT 'h' || CAST(doc_id AS VARCHAR) AS host,
        doc_id % 5 NOT IN (1, 2) AS gptbot_allowed,
        TRUE AS ccbot_allowed,
        doc_id % 5 NOT IN (2, 3) AS google_extended_allowed,
-       doc_id % 5 NOT IN (2, 3) AS anthropic_ai_allowed,
+       doc_id % 5 NOT IN (2, 3) AS bytespider_allowed,
        CAST(CASE doc_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3
             WHEN 3 THEN 2 ELSE 0 END AS BIGINT) AS n_ai_blocked
 FROM documents
