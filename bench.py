@@ -133,15 +133,25 @@ def run_headline(spark) -> dict[str, float]:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
+    # ABAB min-of-reps: `measure` only REGISTERS the task; the whole suite
+    # runs HEADLINE_REPS times round-robin and each query keeps its
+    # cross-round minimum.  Back-to-back reps (AABB) share any minutes-long
+    # ambient noise spike on this shared box; interleaving puts the two
+    # readings of each query a full suite apart, so a spike can inflate at
+    # most one of them and the min survives (methodology proven by the
+    # scaling block, BENCH.md round-3 lesson).
+    tasks: list[tuple[str, object, str | None]] = []
+
     def measure(key, fn, capture_rows_as=None):
-        best, rows = None, None
+        tasks.append((key, fn, capture_rows_as))
+
+    def run_rounds():
         for _ in range(max(1, HEADLINE_REPS)):
-            t, r = timed(fn)
-            best = t if best is None else min(best, t)
-            rows = r
-        qs[key] = best
-        if capture_rows_as:
-            qs[capture_rows_as] = float(rows)
+            for key, fn, capture_rows_as in tasks:
+                t, r = timed(fn)
+                qs[key] = min(qs.get(key, t), t)
+                if capture_rows_as:
+                    qs[capture_rows_as] = float(r)
 
     measure(
         "crawl_bfs_depth12",
@@ -237,6 +247,7 @@ def run_headline(spark) -> dict[str, float]:
             spark, SF_DIR, CrawlConfig(max_depth=12)
         ).filter(F.col("valid") & F.col("caption_ok")).count(),
     )
+    run_rounds()
     return qs
 
 

@@ -399,6 +399,7 @@ def semdedup(
     eps_permille: int = 800,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int | None = 10_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then inside each cluster drop every example that is
@@ -415,10 +416,19 @@ def semdedup(
     - assignment is a broadcast of the codebook + one narrow pass over
       the partitioned corpus (no shuffle);
     - the intra-cluster pair generation is an equi-join on ``cent_id``
-      (AQE skew-splittable).  Per-cluster cost is quadratic in cluster
-      size — at real scale pick n_centroids so clusters stay bounded
-      (the paper uses 11k clusters for 233M docs), same discipline as
-      minhash_lsh_pairs' max_bucket_size;
+      (AQE skew-splittable) whose comparison side is CAPPED at the
+      ``max_cluster_size`` highest-priority members per cluster — the
+      same discipline as minhash_lsh_pairs' max_bucket_size.  A skewed
+      embedding space (boilerplate pages collapsing into one centroid)
+      is then |cluster| x cap per cluster instead of |cluster|^2.  The
+      cap is EXACT for every row whose own priority rank is within the
+      cap (all its higher-priority comparators survive the cut); only
+      rows deeper than the cap in an over-full cluster can miss a
+      mid-ranked duplicate (false keep — recall loss confined to
+      degenerate clusters, the standard web-dedup trade).  None =
+      uncapped.  At real scale ALSO pick n_centroids so typical
+      clusters stay bounded (the paper uses 11k clusters for 233M
+      docs) — the cap is the guard rail, not the sizing strategy;
     - all comparisons happen on integer permille values so the DuckDB
       oracle replays them exactly.
 
@@ -449,7 +459,19 @@ def semdedup(
         F.col("vid").alias("id_a"), F.col("v").alias("va"),
         "cent_id", F.col("csim_pm").alias("pa"),
     )
-    b = assigned.select(
+    b_src = assigned
+    if max_cluster_size is not None:
+        # priority rank within the cluster (same total order the drop rule
+        # uses); only the top-cap members serve as comparators
+        wc = Window.partitionBy("cent_id").orderBy(
+            F.col("csim_pm").desc(), F.col("vid").asc()
+        )
+        b_src = (
+            assigned.withColumn("__pr", F.row_number().over(wc))
+            .filter(F.col("__pr") <= max_cluster_size)
+            .drop("__pr")
+        )
+    b = b_src.select(
         F.col("vid").alias("id_b"), F.col("v").alias("vb"),
         "cent_id", F.col("csim_pm").alias("pb"),
     )

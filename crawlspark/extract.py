@@ -2196,7 +2196,7 @@ def a11y_audit(html: Column) -> Column:
     labeled = F.regexp_count(
         h,
         F.lit(r"(?i)<input\b(?![^>]*type=\"hidden\")"
-              r"[^>]*(aria-label|aria-labelledby|id)="),
+              r"[^>]*\s(aria-label|aria-labelledby|id)="),
     ).cast("int")
     pos_tab = F.regexp_count(
         h, F.lit(r"tabindex=\"[1-9]\d*\"")).cast("int")

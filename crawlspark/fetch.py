@@ -1209,6 +1209,7 @@ def csp_audit(value: Column) -> Column:
 
 def ratelimit_headers_info(
     limit: Column, remaining: Column, reset: Column,
+    now: Column | None = None,
 ) -> Column:
     """Server-declared rate-limit state (the RateLimit-*/X-RateLimit-*
     header family APIs actually send): struct(limit, remaining,
@@ -1224,10 +1225,26 @@ def ratelimit_headers_info(
     headers) -> null struct fields, no delay suggestion.  Pure integer
     arithmetic, narrow map; feed the result into
     politeness.throttle_schedule's delay column.
+
+    Two ``reset`` dialects exist in the wild: delta-seconds
+    (RateLimit-Reset per the IETF draft) and absolute epoch seconds
+    (the widely deployed X-RateLimit-Reset variant).  A raw value
+    > 10^6 (~11.6 days — no sane window) is treated as epoch: it is
+    converted to a delta against ``now`` (a column of epoch seconds,
+    e.g. the fetch timestamp) when provided, clamped at 0; without
+    ``now`` the reset/delay fields are nulled rather than emitting an
+    absurd ~5*10^13 ms suggestion.
     """
     lim = limit.cast("long")
     rem = remaining.cast("long")
-    rst = reset.cast("long")
+    rst_raw = reset.cast("long")
+    is_epoch = rst_raw > F.lit(1_000_000)
+    if now is not None:
+        rst = F.when(
+            is_epoch, F.greatest(rst_raw - now.cast("long"), F.lit(0))
+        ).otherwise(rst_raw)
+    else:
+        rst = F.when(is_epoch, F.lit(None).cast("long")).otherwise(rst_raw)
     exhausted = F.coalesce(rem <= 0, F.lit(False))
     delay = (
         F.when(rem.isNull() | rst.isNull(), F.lit(None).cast("long"))

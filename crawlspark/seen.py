@@ -289,43 +289,43 @@ def cuckoo_prefiltered_antijoin(
 
     Rows whose bucket filter proves absence skip the exact anti-join; the
     rest (filter hits = maybe-seen, or buckets with no filter) take it.
-    Exact by construction (cuckoo has no false negatives)."""
-    spark = frontier.sparkSession
-    states = build_partitioned_cuckoo(seen, key, bucket_col).collect()
-    bc = spark.sparkContext.broadcast(
-        {r["bucket"]: (bytes(r["state"]), bool(r["saturated"])) for r in states}
-    )
+    Exact by construction (cuckoo has no false negatives).
 
-    def probe(batches):
-        filters: dict[int, CuckooFilter] = {}
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            maybe = np.zeros(len(pdf), dtype=bool)
-            for b, idx in pdf.groupby(bucket_col).groups.items():
-                entry = bc.value.get(int(b))
-                if entry is None:
-                    maybe[pdf.index.get_indexer(idx)] = False  # empty bucket: new
-                    continue
-                blob, saturated = entry
-                if saturated:
-                    # overflowed filter: all-maybe, exact backstop decides
-                    maybe[pdf.index.get_indexer(idx)] = True
-                    continue
-                if int(b) not in filters:
-                    filters[int(b)] = CuckooFilter.from_bytes(blob)
-                keys = (
-                    pdf.loc[idx, key].to_numpy(dtype=np.int64).view(np.uint64)
-                )
-                maybe[pdf.index.get_indexer(idx)] = filters[int(b)].contains_batch(keys)
-            out = pdf.copy()
-            out["__maybe"] = maybe
-            yield out
+    Scale note: the per-bucket states stay a bucket-keyed DataFrame that the
+    frontier COGROUPS against on the bucket key — total state is ∝ |seen|
+    (multi-GB at 10^10 URLs) and never funnels through the driver; each task
+    holds exactly one bucket's filter.  (An earlier version collected +
+    broadcast the state map; that caps out at driver memory.)"""
+    states = build_partitioned_cuckoo(seen, key, bucket_col)
+
+    def probe(kt, rows, state):
+        import pyarrow as pa
+
+        n = rows.num_rows
+        if n == 0 or state.num_rows == 0:
+            mask = np.zeros(n, dtype=bool)  # no filter -> bucket never seen
+        elif bool(state.column("saturated")[0].as_py()):
+            mask = np.ones(n, dtype=bool)  # overflowed: exact backstop
+        else:
+            cf = CuckooFilter.from_bytes(state.column("state")[0].as_py())
+            ks = (
+                rows.column(key)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .view(np.uint64)
+            )
+            mask = cf.contains_batch(ks)
+        return rows.append_column("__maybe", pa.array(mask, pa.bool_()))
 
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in frontier.schema.fields
     ) + ", __maybe BOOLEAN"
-    flagged = frontier.mapInPandas(probe, schema)
+    flagged = (
+        frontier.groupBy(bucket_col)
+        .cogroup(states.groupBy("bucket"))
+        .applyInArrow(probe, schema)
+        .localCheckpoint(eager=True)  # probe runs once, not per union branch
+    )
     definitely_new = flagged.filter(~F.col("__maybe")).drop("__maybe")
     maybe = flagged.filter(F.col("__maybe")).drop("__maybe")
     survivors = maybe.join(seen.select(key).distinct(), key, "left_anti")

@@ -324,7 +324,10 @@ def hll_build(df: DataFrame, group_col: str, key_col: str, b: int = 6) -> DataFr
     — partial aggregation merges per-partition register arrays exactly
     as a cellwise max would.  Untouched buckets are absent rows (the
     estimator charges them 2^K each); register count per group is
-    <= m = 2^b regardless of group size."""
+    <= m = 2^b regardless of group size.
+
+    Pass the SAME ``b`` to :func:`hll_estimate` — the register relation
+    does not carry it (see the loud-failure guard there)."""
     from .textops.dedup import base_hash
 
     if not 4 <= b <= 8:
@@ -357,7 +360,17 @@ def hll_merge(a: DataFrame, b_sk: DataFrame) -> DataFrame:
 def hll_estimate(registers: DataFrame, b: int = 6) -> DataFrame:
     """Integer-exact raw-HLL estimate per group: (grp, n_registers,
     est).  K = 32 scaling; absent buckets contribute 2^K each via
-    (m - n_registers) * 2^K added to the summed denominator."""
+    (m - n_registers) * 2^K added to the summed denominator.
+
+    ``b`` MUST match the ``b`` the registers were built with
+    (:func:`hll_build`) — the register relation does not carry it.  A
+    mismatch is caught loudly at execution time: any bucket id >= 2^b
+    proves the registers were built with a larger ``b`` and the job
+    fails with a clear message instead of silently returning a wrong
+    cardinality.  (The converse — estimating with a LARGER ``b`` than
+    the build — is structurally undetectable from bucket ids alone;
+    keep build/estimate paired through one config value.)
+    """
     m = 1 << b
     alpha = _HLL_ALPHA_PERMYRIAD.get(m, 7213)
     k_scale = 1 << 32
@@ -367,13 +380,24 @@ def hll_estimate(registers: DataFrame, b: int = 6) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_registers"),
             F.sum(F.expr("shiftleft(1L, 32 - rho)"))
             .cast("long").alias("__denom_hit"),
+            F.max("bucket").cast("long").alias("__max_bucket"),
         )
         .select(
             "grp",
             "n_registers",
-            F.expr(
+            F.when(
+                F.col("__max_bucket") >= m,
+                F.assert_true(
+                    F.lit(False),
+                    F.lit(
+                        f"hll_estimate(b={b}): register relation has "
+                        f"bucket >= {m}; registers were built with a "
+                        "larger b than the estimate was asked for"
+                    ),
+                ).cast("long"),
+            ).otherwise(F.expr(
                 f"({alpha}L * {m}L * {m}L * {k_scale}L) div "
                 f"(10000L * (__denom_hit + ({m}L - n_registers) * {k_scale}L))"
-            ).alias("est"),
+            )).alias("est"),
         )
     )

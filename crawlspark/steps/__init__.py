@@ -240,7 +240,11 @@ def csv_type_sniff(text: Column, sep: str = ",") -> Column:
     struct(col_name, n_values, n_empty, inferred) — one per header
     column, doc-local HOFs only (nested transforms), no shuffle, no
     UDF.  Rows with fewer cells than the header contribute empties.
+    ``sep`` is a literal separator, not a regex — '|' and '.' are safe.
     """
+    import re as _re
+
+    sep = _re.escape(sep)
     lines = F.filter(
         F.split(F.coalesce(text, F.lit("")), r"\r?\n"),
         lambda l: F.trim(l) != "",

@@ -20,21 +20,32 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ratelimit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fetch.ratelimit_headers_info: healthy budget (ceil spread),
-    exhausted (wait the reset out), absent headers (null fields)."""
+    exhausted (wait the reset out), absent headers (null fields), and
+    the epoch-dialect X-RateLimit-Reset variant converted to a delta
+    against the fetch timestamp."""
     from .fetch import ratelimit_headers_info
 
     doc = F.col("doc_id")
-    m = doc % 3
+    m = doc % 4
     lim = F.when(m != 2, F.lit(600)).cast("long")
-    rem = F.when(m == 0, F.lit(7)).when(m == 1, F.lit(0)).cast("long")
-    rst = F.when(m != 2, F.lit(30)).cast("long")
+    rem = (
+        F.when(m == 0, F.lit(7)).when(m == 1, F.lit(0))
+        .when(m == 3, F.lit(5)).cast("long")
+    )
+    # m==3: absolute epoch seconds (now + 45s window)
+    rst = (
+        F.when(m == 3, F.lit(1_756_000_045))
+        .when(m != 2, F.lit(30)).cast("long")
+    )
+    now = F.lit(1_756_000_000).cast("long")
     d = _docs(spark, sf_dir).select(
         doc.alias("doc_id"), lim.alias("l"), rem.alias("r"),
-        rst.alias("s"),
+        rst.alias("s"), now.alias("now"),
     )
     out = d.select(
         "doc_id",
-        ratelimit_headers_info(F.col("l"), F.col("r"), F.col("s"))
+        ratelimit_headers_info(
+            F.col("l"), F.col("r"), F.col("s"), now=F.col("now"))
         .alias("rl"),
     )
     return out.select(
@@ -45,14 +56,17 @@ def q_ratelimit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_RATELIMIT = """
 SELECT doc_id,
-       CAST(CASE WHEN doc_id % 3 <> 2 THEN 600 END AS BIGINT) AS "limit",
-       CAST(CASE doc_id % 3 WHEN 0 THEN 7 WHEN 1 THEN 0 END AS BIGINT)
-         AS remaining,
-       CAST(CASE WHEN doc_id % 3 <> 2 THEN 30 END AS BIGINT) AS reset_s,
-       doc_id % 3 = 1 AS exhausted,
-       CAST(CASE doc_id % 3
+       CAST(CASE WHEN doc_id % 4 <> 2 THEN 600 END AS BIGINT) AS "limit",
+       CAST(CASE doc_id % 4 WHEN 0 THEN 7 WHEN 1 THEN 0 WHEN 3 THEN 5
+         END AS BIGINT) AS remaining,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 30 WHEN 1 THEN 30 WHEN 3 THEN 45
+         END AS BIGINT) AS reset_s,
+       doc_id % 4 = 1 AS exhausted,
+       CAST(CASE doc_id % 4
          WHEN 0 THEN (30 * 1000 + 7 - 1) // 7
-         WHEN 1 THEN 30000 END AS BIGINT) AS suggested_delay_ms
+         WHEN 1 THEN 30000
+         WHEN 3 THEN (45 * 1000 + 5 - 1) // 5 END AS BIGINT)
+         AS suggested_delay_ms
 FROM documents
 ORDER BY doc_id
 """

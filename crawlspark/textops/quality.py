@@ -1636,7 +1636,6 @@ def gibberish_signals(
         F.array_max(F.transform(cons_runs, lambda r: F.length(r))),
         F.lit(0),
     ).cast("long")
-    vow_pm = F.when(n > 0, F.expr("(1000 * __v) div __n"))
     d = df.select(
         F.col(id_col), n.alias("__n"), vowels.alias("__v"),
         home.alias("__h"), max_run.alias("max_consonant_run"),

@@ -95,3 +95,49 @@ def test_semdedup_differential_vs_bruteforce(spark):
         assert got[i]["kept"] == (not dropped), i
         assert got[i]["cent_id"] == ass[i], i
         assert got[i]["centroid_sim_permille"] == pm[i], i
+
+
+def _skew_fixture(spark, n_filler=12, dim=20):
+    """One cluster whose members are mutually dissimilar (each row owns a
+    private orthogonal dim) except a planted identical pair placed DEEP in
+    the priority order — comparators capped at the top of the order cannot
+    see it."""
+    rows = [(0, [1.0] + [0.0] * (dim - 1))]  # centroid
+    # fillers with descending centroid-sim a_i, mutual cos = a_i*a_j <= 0.25
+    for i in range(n_filler):
+        a = 0.5 - i * 0.02
+        v = [a] + [0.0] * (dim - 1)
+        v[2 + i] = (1 - a * a) ** 0.5
+        rows.append((10 + i, v))
+    # planted identical pair, centroid-sim 0.15 (ranks below every filler)
+    for vid in (90, 91):
+        v = [0.15] + [0.0] * (dim - 1)
+        v[dim - 1] = (1 - 0.15 ** 2) ** 0.5
+        rows.append((vid, v))
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+
+def test_semdedup_cap_bounds_comparators(spark):
+    """max_cluster_size genuinely restricts the pair join: the deep planted
+    pair is invisible to a cap that stops above it (both kept), and one of
+    the two is dropped as soon as the cap reaches its rank."""
+    emb = _skew_fixture(spark)
+    # uncapped: one of the identical pair dropped (lower id wins)
+    unc = {r["vec_id"]: r["kept"] for r in ann.semdedup(
+        emb, n_centroids=1, eps_permille=995, max_cluster_size=None
+    ).collect()}
+    assert unc[90] and not unc[91]
+    # cap above the fillers but below the pair's rank: pair uncompared
+    cap = {r["vec_id"]: r["kept"] for r in ann.semdedup(
+        emb, n_centroids=1, eps_permille=995, max_cluster_size=5
+    ).collect()}
+    assert cap[90] and cap[91]
+    # everything else identical between the two runs (cap is exact for
+    # rows whose duplicates sit inside the cap — here: no other dups)
+    assert {k: v for k, v in cap.items() if k not in (90, 91)} == \
+           {k: v for k, v in unc.items() if k not in (90, 91)}
+    # cap covering the whole cluster == uncapped
+    full = {r["vec_id"]: r["kept"] for r in ann.semdedup(
+        emb, n_centroids=1, eps_permille=995, max_cluster_size=100
+    ).collect()}
+    assert full == unc
