@@ -431,6 +431,27 @@ def main() -> None:
         prefilter_ev = wave_prefilter_evidence(spark, SCALING_N)
     spark.stop()
 
+    # the measured CROSSOVER (VERDICT r3 item 3): mature-crawl regime,
+    # seen >> wave — the prefilter (narrow probe + broadcast-probe
+    # backstop) beats the plain anti-join.  Runs in its own subprocess /
+    # session; sets CrawlConfig.prefilter_min_ratio.
+    crossover_ev = None
+    if os.environ.get("SPARK_GRAFT_CROSSOVER", "1") != "0":
+        import subprocess
+
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "prefilter_crossover.py"),
+             os.environ.get("SPARK_GRAFT_CROSSOVER_SEEN", "64000000"),
+             os.environ.get("SPARK_GRAFT_CROSSOVER_WAVE", "1000000")],
+            capture_output=True, text=True, timeout=1800,
+        )
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith("{"):
+                crossover_ev = json.loads(line)
+                break
+
     extras = {k: v for k, v in qs.items() if k.startswith("_")}
     queries = {k: round(v, 3) for k, v in qs.items() if not k.startswith("_")}
     total = sum(queries.values())
@@ -496,6 +517,8 @@ def main() -> None:
     )
     if prefilter_ev:
         result["seen_prefilter"] = prefilter_ev
+    if crossover_ev:
+        result["seen_prefilter_crossover"] = crossover_ev
     if scaling:
         result["scaling"] = scaling
     print(json.dumps(result))

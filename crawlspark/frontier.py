@@ -72,6 +72,16 @@ class CrawlConfig:
     prefilter_min_seen: int | None = 50_000_000
     prefilter_buckets: int | None = None
     prefilter_capacity: int = 1 << 20
+    # the MEASURED crossover (scripts/prefilter_crossover.py, BENCH.md r4):
+    # with the narrow probe + broadcast-probe backstop the filter wins once
+    # the seen set is >= ~16x the wave (break-even 1.07x at 32M seen / 2M
+    # wave; 2.1x faster at 64M / 1M).  Below that ratio the plain anti-join
+    # is cheaper and the filter stays disengaged even past min_seen.
+    prefilter_min_ratio: float = 16.0
+    # the broadcast-probe backstop broadcasts the maybe-keys (bounded by the
+    # wave size); above this wave size fall back to the shuffled anti-join
+    # backstop rather than build an oversized broadcast hash table
+    prefilter_broadcast_max_maybe: int = 10_000_000
 
 
 def crawl_bfs(spark: SparkSession, sf_dir: str, cfg: CrawlConfig | None = None) -> DataFrame:
@@ -192,12 +202,14 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
             )
 
     deferred: DataFrame | None = resumed_deferred
+    last_cnt = max(int(base), 1)  # previous wave size (seeds at depth 0)
     while not budget_hit and depth < cfg.max_depth:
         depth += 1
         if (
             sfilter is None
             and cfg.prefilter_min_seen is not None
             and base >= cfg.prefilter_min_seen
+            and base >= cfg.prefilter_min_ratio * last_cnt
         ):
             from .seen import PartitionedSeenFilter
 
@@ -219,7 +231,14 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
             .filter(~graph.blocked_col(F.col("doc")))
         )
         if sfilter is not None:
-            cand = sfilter.prefiltered_antijoin(cand, seen, "doc")
+            cand = sfilter.prefiltered_antijoin(
+                cand, seen, "doc",
+                backstop=(
+                    "broadcast_probe"
+                    if last_cnt <= cfg.prefilter_broadcast_max_maybe
+                    else "antijoin"
+                ),
+            )
         else:
             cand = cand.join(seen, "doc", "left_anti")
         if cfg.max_per_host_per_level is not None:
@@ -262,6 +281,7 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
         level_rows = frontier.withColumn("depth", F.lit(depth).cast("long"))
         levels.append(level_rows)
         base += cnt
+        last_cnt = max(int(cnt), 1)
         if ckpt:
             lvl_meta = {"base_ord": base}
             if sfilter is not None:

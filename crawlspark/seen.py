@@ -70,18 +70,28 @@ def bloom_prefiltered_antijoin(
     key: str,
     expected_items: int | None = None,
     num_bits: int | None = None,
+    blob: bytes | None = None,
 ) -> DataFrame:
     """frontier MINUS seen on long column ``key``; bloom prunes the shuffle.
 
     Rows the bloom proves unseen bypass the anti-join entirely; "maybe"
     rows take the exact anti-join, so the result is exact (no false
-    negatives by construction)."""
+    negatives by construction).
+
+    Pass ``blob`` (from :func:`build_bloom` over the same ``seen`` with
+    ``num_bits`` bits) to reuse an incrementally-maintained filter — the
+    production BFS loop updates the filter with each level's delta
+    rather than rebuilding from |seen| per wave, so the probe should not
+    pay the build."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BooleanType
 
     expected_items = expected_items or 1_000_000
     nb = num_bits or max(8 * expected_items, 1 << 20)
-    blob = build_bloom(seen, key, nb)
+    if blob is None:
+        blob = build_bloom(seen, key, nb)
+    else:
+        assert len(blob) == nb // 8 + 1, "blob built with different num_bits"
     bc = frontier.sparkSession.sparkContext.broadcast(blob)
 
     @pandas_udf(BooleanType())
@@ -93,6 +103,10 @@ def bloom_prefiltered_antijoin(
             hit &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
         return pd.Series(hit)
 
+    # NOTE: both union branches re-evaluate the probe column; the UDF only
+    # moves the key column through Arrow, so two narrow probes over a cached
+    # frontier are cheaper than re-materializing the wide wave (measured —
+    # a localCheckpoint here costs more than it saves)
     f = frontier.withColumn("__maybe", might_contain(F.col(key)))
     definitely_new = f.filter(~F.col("__maybe")).drop("__maybe")
     maybe = f.filter(F.col("__maybe")).drop("__maybe")
@@ -496,9 +510,53 @@ class PartitionedSeenFilter:
             .drop("__seen_bucket")
         )
 
+    def maybe_keys(self, frontier: DataFrame, key: str) -> DataFrame:
+        """Narrow probe: ONE key column rides the cogroup instead of the
+        whole row.  Returns the distinct ``key`` values the filters cannot
+        rule out (true hits + fp-rate x wave + saturated buckets).  The
+        caller splits the (cached) frontier against this small relation
+        with broadcast semi/anti joins, so the wide wave rows never cross
+        an exchange or the Arrow boundary."""
+        kb = (
+            frontier.select(F.col(key))
+            .withColumn("__seen_bucket", self.bucket_col(key))
+        )
+
+        def probe(kt, rows, state):
+            import pyarrow as pa
+
+            n = rows.num_rows
+            if n == 0 or state.num_rows == 0:
+                mask = np.zeros(n, dtype=bool)
+            elif bool(state.column("saturated")[0].as_py()):
+                mask = np.ones(n, dtype=bool)
+            else:
+                cf = CuckooFilter.from_bytes(state.column("state")[0].as_py())
+                ks = (
+                    rows.column(key)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    .view(np.uint64)
+                )
+                mask = cf.contains_batch(ks)
+            return pa.table({key: rows.column(key).filter(
+                pa.array(mask, pa.bool_()))})
+
+        ktype = dict(
+            (f.name, f.dataType.simpleString()) for f in kb.schema.fields
+        )[key]
+        return (
+            kb.groupBy("__seen_bucket")
+            .cogroup(self.states.groupBy("bucket"))
+            .applyInArrow(probe, f"{key} {ktype}")
+            .distinct()
+        )
+
     def prefiltered_antijoin(self, frontier: DataFrame, seen: DataFrame,
                              key: str,
                              exact_key: "str | list[str] | None" = None,
+                             backstop: str = "antijoin",
+                             probe: str = "wide",
                              ) -> DataFrame:
         """``frontier`` MINUS ``seen``; rows whose bucket filter proves
         absence never reach the anti-join exchange.
@@ -508,17 +566,54 @@ class PartitionedSeenFilter:
         column as ``exact_key``: the probe still runs on the hash (no false
         negatives — hashing is deterministic), but the backstop anti-join
         matches on the exact string so a hash collision can never drop an
-        unseen row.  ``seen`` must carry ``exact_key`` (or ``key``)."""
+        unseen row.  ``seen`` must carry ``exact_key`` (or ``key``).
+
+        ``backstop`` picks how the maybe-rows are checked exactly:
+
+        - ``"antijoin"``: plain left_anti against ``seen`` — right when
+          |maybe| and |seen| are comparable.
+        - ``"broadcast_probe"``: the mature-crawl shape (|seen| >> |wave|,
+          the 10^10 regime).  A left_anti must build/shuffle the SEEN side,
+          which is exactly what a per-wave pass cannot afford once seen is
+          10^3x the wave.  Rewritten as
+          ``hits = seen JOIN broadcast(maybe_keys); maybe ANTI hits`` the
+          huge relation is only SCANNED (column-pruned, never exchanged or
+          sorted) and probed against a hash table of the few prefilter
+          survivors; the final anti-join is tiny-vs-tiny.  Safe because the
+          prefilter already bounded |maybe| (~fp-rate x wave + true hits).
+
+        ``probe`` picks what crosses the cogroup/Arrow boundary:
+
+        - ``"wide"``: the full frontier row (one pass, flagged frame
+          checkpointed) — right when the frontier is narrow anyway or not
+          re-scannable.
+        - ``"narrow"``: only the key column rides the cogroup
+          (:meth:`maybe_keys`); the resulting small maybe-key relation is
+          broadcast back against the (cached) frontier as semi/anti joins.
+          The wide wave rows then never cross an exchange at all — the
+          mature-crawl pairing with ``backstop="broadcast_probe"``.
+        """
         PartitionedSeenFilter.engagements += 1
         out_cols = list(frontier.columns)
-        # materialize the probe ONCE: both union branches read it, and an
-        # unmaterialized cogroup would re-run the Python probe per branch
-        flagged = self.flag_maybe(frontier, key).localCheckpoint(eager=True)
-        new = flagged.filter(~F.col("__maybe")).select(*out_cols)
-        maybe = flagged.filter(F.col("__maybe")).select(*out_cols)
+        if probe == "narrow":
+            mk = self.maybe_keys(frontier, key).localCheckpoint(eager=True)
+            new = frontier.join(F.broadcast(mk), key, "left_anti")
+            maybe = frontier.join(F.broadcast(mk), key, "left_semi")
+        else:
+            # materialize the probe ONCE: both union branches read it; an
+            # unmaterialized cogroup would re-run the Python probe per branch
+            flagged = self.flag_maybe(frontier, key).localCheckpoint(eager=True)
+            new = flagged.filter(~F.col("__maybe")).select(*out_cols)
+            maybe = flagged.filter(F.col("__maybe")).select(*out_cols)
         jk = exact_key or key
         jk = [jk] if isinstance(jk, str) else list(jk)
-        survivors = maybe.join(seen.select(*jk).distinct(), jk, "left_anti")
+        if backstop == "broadcast_probe":
+            hits = seen.select(*jk).join(
+                F.broadcast(maybe.select(*jk).distinct()), jk, "inner"
+            ).distinct()
+            survivors = maybe.join(F.broadcast(hits), jk, "left_anti")
+        else:
+            survivors = maybe.join(seen.select(*jk).distinct(), jk, "left_anti")
         return new.unionByName(survivors)
 
 

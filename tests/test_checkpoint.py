@@ -74,8 +74,8 @@ def test_resume_rehydrates_seen_filter_state(spark, monkeypatch):
 
     from crawlspark.seen import PartitionedSeenFilter
 
-    pf = dict(prefilter_min_seen=1, prefilter_buckets=4,
-              prefilter_capacity=1 << 16)
+    pf = dict(prefilter_min_seen=1, prefilter_min_ratio=0.0,
+              prefilter_buckets=4, prefilter_capacity=1 << 16)
     full = rows_of(crawl_bfs(spark, SF_DIR, CrawlConfig(max_depth=5, **pf)))
 
     d = tempfile.mkdtemp(prefix="ckpt-pf-")

@@ -106,3 +106,46 @@ def test_flag_maybe_preserves_caller_bucket_column(spark):
     rows = {r["k"]: (r["bucket"], r["__maybe"]) for r in out.collect()}
     assert all(rows[k][0] == k % 7 for k in range(50, 150))  # intact values
     assert all(rows[k][1] for k in range(50, 100))  # seen -> maybe
+
+
+def test_prefiltered_antijoin_narrow_probe_and_broadcast_backstop(spark):
+    """All four (probe, backstop) combinations agree with the plain
+    left_anti — including under saturated buckets (cap 1024 forces
+    overflow) and hash-free exact keys."""
+    from crawlspark.seen import PartitionedSeenFilter
+
+    seen_keys = list(range(0, 6000))
+    seen = spark.createDataFrame([(k,) for k in seen_keys], "k LONG")
+    frontier = spark.range(3000, 9000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+    )
+    expected = set(range(6000, 9000))
+
+    f = PartitionedSeenFilter(spark, num_buckets=4,
+                              capacity_per_bucket=1 << 10)  # saturates
+    f.update(seen, "k")
+    for probe in ("wide", "narrow"):
+        for backstop in ("antijoin", "broadcast_probe"):
+            got = {
+                r.k for r in f.prefiltered_antijoin(
+                    frontier, seen, "k", probe=probe, backstop=backstop
+                ).collect()
+            }
+            assert got == expected, (probe, backstop)
+
+
+def test_maybe_keys_is_narrow_and_superset_of_seen(spark):
+    from crawlspark.seen import PartitionedSeenFilter
+
+    f = PartitionedSeenFilter(spark, num_buckets=4,
+                              capacity_per_bucket=1 << 12)
+    f.update(spark.range(0, 500).select(F.col("id").alias("k")), "k")
+    frontier = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.lit("payload").alias("p"))
+    mk = f.maybe_keys(frontier, "k")
+    assert mk.columns == ["k"]  # only the key rides the probe
+    keys = {r.k for r in mk.collect()}
+    assert set(range(0, 500)) <= keys  # no false negatives
+    # fp rate sane: well under half of the unseen half flagged
+    assert len(keys) < 900

@@ -149,7 +149,7 @@ def test_crawl_engages_prefilter_past_threshold(spark):
         spark,
         50_000,
         CrawlConfig(
-            max_depth=5, prefilter_min_seen=1,
+            max_depth=5, prefilter_min_seen=1, prefilter_min_ratio=0.0,
             prefilter_buckets=4, prefilter_capacity=1 << 17,
         ),
     ).orderBy("ord").collect()
