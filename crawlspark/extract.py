@@ -49,20 +49,18 @@ LINK_SCHEMA = ArrayType(
     )
 )
 
-# attribute VALUES may be quoted or unquoted (<a href=/about> is valid and
-# common in minified HTML); the quoted alternative is tried first
-_A_RE = re.compile(
-    r"<a\s[^>]*?href\s*=\s*(?:([\"'])(.*?)\1|([^\s>]+))[^>]*>(.*?)</a>",
-    re.IGNORECASE | re.DOTALL,
-)
 _BASE_RE = re.compile(
     r"<base\s[^>]*?href\s*=\s*(?:([\"'])(.*?)\1|([^\s>]+))", re.IGNORECASE
 )
 # canonical <link> detection is two-phase (find tags, then parse attributes
 # left-to-right) rather than one regex: a single pattern can't stop
 # 'rel=canonical' INSIDE an unquoted href value ('<link href=/p?rel=canonical-x>')
-# from satisfying the rel clause, nor distinguish rel="canonicalize"
-_LINK_TAG_RE = re.compile(r"<link(?=[\s/>])[^>]*>", re.IGNORECASE | re.DOTALL)
+# from satisfying the rel clause, nor distinguish rel="canonicalize".
+# Quote-aware tag body so href="/p?a=b>c" cannot truncate the tag.
+_LINK_TAG_RE = re.compile(
+    r"<link(?=[\s/>])(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>",
+    re.IGNORECASE | re.DOTALL,
+)
 _ATTR_RE = re.compile(
     r"([a-zA-Z][\w-]*)\s*=\s*(?:([\"'])(.*?)\2|([^\s>]+))", re.DOTALL
 )
@@ -84,13 +82,95 @@ def normalize_text(s: str) -> str:
     return _WS_RE.sub(" ", _TAG_RE.sub("", s or "")).strip()
 
 
+# --------------------------------------------------------------------------
+# linear quote-aware tag tokenizer: the anchor scan must survive real-web
+# tag soup the way a browser DOM does (reference parses with a real DOM,
+# src/Steps/Dom/HtmlDocument.php:63-86).  One regex pass over the TAGS (not
+# characters); quoted attribute values may contain '>' / '<'; comments and
+# script/style raw text cannot spawn anchors; unclosed and nested anchors
+# close implicitly like the HTML5 tree builder.
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|\Z)"                       # comment (unterminated -> EOF)
+    r"|<!\[CDATA\[.*?(?:\]\]>|\Z)"
+    r"|<![^>]*>"                               # doctype / declaration
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9:-]*)"          # open or close tag
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>",     # attrs; quotes may hold > <
+    re.DOTALL,
+)
+_RAWTEXT_CLOSE = {
+    "script": re.compile(r"</script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</style\s*>", re.IGNORECASE),
+}
+
+
+def _parse_attrs(s: str) -> dict:
+    """Attribute dict from a tag's attr string: first occurrence wins
+    (HTML5 duplicate-attribute rule) and entity references in values are
+    decoded, as a DOM getAttribute() would."""
+    import html as _html
+
+    attrs: dict = {}
+    for m in _ATTR_RE.finditer(s):
+        name = m.group(1).lower()
+        if name not in attrs:
+            val = m.group(3) if m.group(3) is not None else m.group(4)
+            attrs[name] = _html.unescape(val)
+    return attrs
+
+
 def _extract_links_one(body: str) -> list[dict]:
     if not body:
         return []
-    out = []
-    for i, m in enumerate(_A_RE.finditer(body)):
-        href = m.group(2) if m.group(2) is not None else m.group(3)
-        out.append({"href": href, "text": normalize_text(m.group(4)), "pos": i})
+    import html as _html
+
+    out: list[dict] = []
+    open_link: dict | None = None
+    text_parts: list[str] = []
+    pos = 0
+
+    def close_link():
+        nonlocal open_link
+        if open_link is not None:
+            open_link["text"] = normalize_text(
+                _html.unescape("".join(text_parts)))
+            out.append(open_link)
+            open_link = None
+
+    i = 0
+    n = len(body)
+    while i < n:
+        m = _TOKEN_RE.search(body, i)
+        if m is None:
+            if open_link is not None:
+                text_parts.append(body[i:])
+            break
+        if open_link is not None and m.start() > i:
+            text_parts.append(body[i:m.start()])
+        i = m.end()
+        name = m.group(2)
+        if name is None:
+            continue  # comment / CDATA / doctype: contributes nothing
+        name = name.lower()
+        closing = m.group(1) == "/"
+        if not closing and name in _RAWTEXT_CLOSE:
+            # raw-text content model: skip to the matching close tag
+            c = _RAWTEXT_CLOSE[name].search(body, i)
+            i = c.end() if c else n
+            continue
+        if name != "a":
+            continue
+        if closing:
+            close_link()
+            continue
+        # a new <a> implicitly closes an open one (HTML5 tree builder)
+        close_link()
+        href = _parse_attrs(m.group(3)).get("href")
+        if href is None:
+            continue
+        open_link = {"href": href, "text": "", "pos": pos}
+        pos += 1
+        text_parts = []
+    close_link()
     return out
 
 
@@ -114,12 +194,7 @@ def extract_base_href_udf(bodies: pd.Series) -> pd.Series:
 
 def _canonical_one(b: str) -> str | None:
     for tag in _LINK_TAG_RE.finditer(b):
-        attrs = {
-            m.group(1).lower(): (
-                m.group(3) if m.group(3) is not None else m.group(4)
-            )
-            for m in _ATTR_RE.finditer(tag.group(0))
-        }
+        attrs = _parse_attrs(tag.group(0))
         # rel is a space-separated token list per the HTML spec; exact-token
         # match so rel="canonicalize" does not count
         if "canonical" in (attrs.get("rel") or "").lower().split():

@@ -77,8 +77,81 @@ ORDER BY a.vec_id
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {"semdedup_capped": q_semdedup_capped}
+    return {"semdedup_capped": q_semdedup_capped,
+            "html_soup": q_html_soup}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {"semdedup_capped": ORACLE_SEMDEDUP_CAPPED}
+    return {"semdedup_capped": ORACLE_SEMDEDUP_CAPPED,
+            "html_soup": ORACLE_HTML_SOUP}
+
+
+# --------------------------------------------------------------------------
+# html_soup — adversarial tag-soup link extraction (VERDICT r3 item 6)
+# --------------------------------------------------------------------------
+
+def q_html_soup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract.extract_links_udf over deliberately broken HTML, one shape
+    per doc_id%6: unclosed anchor at EOF, comment+script decoy anchors,
+    nested anchors (implicit close), '>' inside a quoted attribute plus an
+    entity-encoded href, an anchor spoofed inside an attribute value, and
+    duplicate href attributes (first wins) with an uppercase tag.  The
+    expectations are what a browser DOM produces (reference parses with a
+    real DOM, src/Steps/Dom/HtmlDocument.php:63-86)."""
+    from .extract import extract_links_udf
+
+    doc = F.col("doc_id")
+    ds = doc.cast("string")
+    m = doc % 6
+    body = (
+        F.when(m == 0, F.concat(
+            F.lit('<div><p>x<a href="/u'), ds, F.lit('">deep link')))
+        .when(m == 1, F.concat(
+            F.lit('<!-- <a href="/no">x</a> -->'
+                  '<script>var s = \'<a href=/no2>\';</script>'
+                  '<a href="/ok'), ds, F.lit('">ok</a>')))
+        .when(m == 2, F.concat(
+            F.lit('<a href="/a'), ds, F.lit('">one <a href="/b'), ds,
+            F.lit('">two</a>')))
+        .when(m == 3, F.concat(
+            F.lit('<a title="a > b" href="/p'), ds,
+            F.lit('?x=1&amp;y=2">q</a>')))
+        .when(m == 4, F.concat(
+            F.lit('<img alt="<a href=/fake>"><a href=/r'), ds,
+            F.lit(">r</a>")))
+        .otherwise(F.concat(
+            F.lit('<A HREF="/c'), ds, F.lit('" href="/zzz">Cap</A>')))
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        doc.alias("doc_id"), body.alias("body"))
+    out = d.select(
+        "doc_id", F.explode(extract_links_udf(F.col("body"))).alias("l"))
+    return out.select(
+        "doc_id",
+        F.col("l.pos").cast("long").alias("pos"),
+        F.col("l.href").alias("href"),
+        F.col("l.text").alias("text"),
+    ).orderBy("doc_id", "pos")
+
+
+ORACLE_HTML_SOUP = """
+WITH e AS (
+  SELECT doc_id, 0 AS pos,
+         CASE doc_id % 6
+           WHEN 0 THEN '/u' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN '/ok' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN '/a' || CAST(doc_id AS VARCHAR)
+           WHEN 3 THEN '/p' || CAST(doc_id AS VARCHAR) || '?x=1&y=2'
+           WHEN 4 THEN '/r' || CAST(doc_id AS VARCHAR)
+           ELSE '/c' || CAST(doc_id AS VARCHAR) END AS href,
+         CASE doc_id % 6
+           WHEN 0 THEN 'deep link' WHEN 1 THEN 'ok' WHEN 2 THEN 'one'
+           WHEN 3 THEN 'q' WHEN 4 THEN 'r' ELSE 'Cap' END AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, '/b' || CAST(doc_id AS VARCHAR), 'two'
+  FROM documents WHERE doc_id % 6 = 2
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos, href, text
+FROM e ORDER BY doc_id, pos
+"""
