@@ -119,7 +119,15 @@ class ResponseCache:
             merged = new
         from pyspark.sql import Window
 
-        w = Window.partitionBy("request_key").orderBy(F.col("stored_at").desc())
+        # Iceberg's MERGE INTO raises on one target row matched by multiple
+        # source rows (spec: merge cardinality check); this stand-in instead
+        # resolves DETERMINISTICALLY — latest stored_at wins, ties broken by
+        # body hash so re-running the same merge can never flip the winner.
+        # Divergence documented in tests/test_iceberg_conformance.py.
+        w = Window.partitionBy("request_key").orderBy(
+            F.col("stored_at").desc(), F.xxhash64("body").desc(),
+            F.col("status").desc(),
+        )
         deduped = (
             merged.withColumn("__rn", F.row_number().over(w))
             .filter("__rn = 1")
