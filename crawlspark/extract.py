@@ -2442,3 +2442,52 @@ def schema_types(html: Column) -> Column:
         h, F.lit(r'itemtype="https?://schema\.org/'
                  r'([A-Za-z][A-Za-z0-9]*)"'), 1)
     return F.array_sort(F.array_distinct(F.concat(ld, micro)))
+
+
+def sitemap_news_entries(body: Column) -> Column:
+    """News-sitemap extraction (Google News sitemap extension): per
+    <url> block, the page <loc> with its <news:news> child's publication
+    name / language / publication_date / title — the freshness-crawl
+    feed (news sitemaps cap at 1000 URLs and 2 days of history, so a
+    news-aware frontier polls them on a fast cadence and boosts these
+    URLs' priority).  Same block-split alignment discipline as
+    :func:`sitemap_video_entries`; a <url> without a news extension
+    contributes nothing.  Returns array<struct<page_url, publication,
+    language, pub_date, title>>, all strings (dates stay ISO strings —
+    the scheduler parses them once, with refine_datetime).
+    """
+    blocks = F.split(body, "<url>")
+    per_block = F.transform(
+        blocks,
+        lambda seg: F.transform(
+            F.arrays_zip(
+                F.regexp_extract_all(
+                    seg,
+                    F.lit(r"(?s)<news:name>\s*(.*?)\s*</news:name>"), 1
+                ).alias("publication"),
+                F.regexp_extract_all(
+                    seg,
+                    F.lit(r"(?s)<news:language>\s*(.*?)"
+                          r"\s*</news:language>"), 1
+                ).alias("language"),
+                F.regexp_extract_all(
+                    seg,
+                    F.lit(r"(?s)<news:publication_date>\s*(.*?)"
+                          r"\s*</news:publication_date>"), 1
+                ).alias("pub_date"),
+                F.regexp_extract_all(
+                    seg,
+                    F.lit(r"(?s)<news:title>\s*(.*?)\s*</news:title>"), 1
+                ).alias("title"),
+            ),
+            lambda z: F.struct(
+                F.regexp_extract(seg, r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+                 .alias("page_url"),
+                z["publication"].alias("publication"),
+                z["language"].alias("language"),
+                z["pub_date"].alias("pub_date"),
+                z["title"].alias("title"),
+            ),
+        ),
+    )
+    return F.flatten(F.filter(per_block, lambda a: F.size(a) > 0))

@@ -3184,3 +3184,73 @@ def decode_admission(
         .withColumn("suspicious_ratio", F.coalesce(ratio_bad, F.lit(False)))
         .withColumn("admission", admission)
     )
+
+
+IMAGE_STATS_SCHEMA = (
+    "image_id STRING, mean_permille LONG, contrast_permille LONG, "
+    "sharpness_permille LONG, entropy_millibits LONG"
+)
+
+
+def image_quality_stats(
+    images: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Per-image pixel statistics for curation filters over raw RGB rows
+    (w*h*3 uint8): mean intensity, contrast (population std), sharpness
+    (mean |4-neighbour Laplacian| over the grayscale interior — the
+    classic blur detector: near 0 on flat/defocused images), and byte
+    entropy in millibits (information content; a solid color is 0, a
+    uniform 256-value histogram is 8000).  A training-data pipeline cuts
+    on these before paying for captioning/embedding: too dark, too flat,
+    too blurry, or too empty.
+
+    All outputs are floor(x*1000) fixed-point LONGs so the DuckDB oracle
+    replays them exactly on planted closed-form shapes.  One
+    mapInPandas stage, numpy-vectorized per image (no per-pixel Python);
+    narrow map, no shuffle — at 10^10 rows this rides the same
+    partitioning as the image table scan.  (The reference crawler has no
+    pixel ops; this is the training-data addendum beside
+    validate_images.)
+    """
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                w, h = int(getattr(r, w_col)), int(getattr(r, h_col))
+                px = np.frombuffer(
+                    bytes(getattr(r, bytes_col)), dtype=np.uint8
+                ).reshape(h, w, 3).astype(np.float64)
+                gray = px.mean(axis=2)
+                mean = float(gray.mean())
+                std = float(gray.std())
+                if h >= 3 and w >= 3:
+                    lap = (
+                        gray[:-2, 1:-1] + gray[2:, 1:-1]
+                        + gray[1:-1, :-2] + gray[1:-1, 2:]
+                        - 4 * gray[1:-1, 1:-1]
+                    )
+                    sharp = float(np.abs(lap).mean())
+                else:
+                    sharp = 0.0
+                counts = np.bincount(
+                    np.frombuffer(bytes(getattr(r, bytes_col)),
+                                  dtype=np.uint8),
+                    minlength=256,
+                ).astype(np.float64)
+                p = counts[counts > 0] / counts.sum()
+                ent = float(-(p * np.log2(p)).sum())
+                rows.append({
+                    "image_id": getattr(r, id_col),
+                    "mean_permille": int(np.floor(mean * 1000)),
+                    "contrast_permille": int(np.floor(std * 1000)),
+                    "sharpness_permille": int(np.floor(sharp * 1000)),
+                    "entropy_millibits": int(np.floor(ent * 1000)),
+                })
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(stats, IMAGE_STATS_SCHEMA)

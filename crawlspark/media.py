@@ -783,3 +783,65 @@ def ogg_page_sniff(docs: DataFrame, bytes_col: str = "bytes") -> DataFrame:
                     F.when(is_ogg, (_byte(b, 6) % 4 >= 2).cast("int")))
         .withColumn("ogg_codec", F.when(is_ogg, codec))
     )
+
+
+SHOT_SCHEMA = (
+    "video_id STRING, frame_idx INT, diff_permille LONG, "
+    "is_boundary BOOLEAN, shot_id LONG"
+)
+
+
+def shot_boundaries(
+    frames: DataFrame,
+    threshold_permille: int = 5_000,
+    id_col: str = "video_id",
+    idx_col: str = "frame_idx",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Shot/scene segmentation over a frame-rows relation (the
+    sample_frames output shape): per frame the mean absolute pixel
+    difference to the PREVIOUS frame (permille of intensity), a boundary
+    flag where it exceeds the threshold, and a running shot id — the
+    segmentation step a video-training pipeline runs before per-shot
+    frame sampling (one keyframe per shot instead of one per N frames).
+
+    Plan shape: ONE shuffle on video_id (the frame-pairing window and the
+    running shot-id window share the same partitioning, so Catalyst plans
+    a single Exchange); the pixel diff is an Arrow-vectorized pandas_udf
+    over (bytes, lag(bytes)) pairs — per-frame numpy, no per-pixel
+    Python.  Frames-per-video is bounded (sampling upstream), so the
+    per-video window never sees unbounded partitions.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def frame_diff(cur: pd.Series, prev: pd.Series) -> pd.Series:
+        out = []
+        for c, p in zip(cur, prev):
+            if p is None or c is None:
+                out.append(None)
+                continue
+            a = np.frombuffer(bytes(c), dtype=np.uint8).astype(np.float64)
+            b = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.float64)
+            out.append(int(np.floor(np.abs(a - b).mean() * 1000)))
+        return pd.Series(out, dtype="object")
+
+    w = Window.partitionBy(id_col).orderBy(idx_col)
+    d = frames.withColumn("__prev", F.lag(bytes_col).over(w)).withColumn(
+        "diff_permille", frame_diff(F.col(bytes_col), F.col("__prev"))
+    )
+    boundary = F.coalesce(
+        F.col("diff_permille") > threshold_permille, F.lit(False)
+    )
+    d = d.withColumn("is_boundary", boundary).withColumn(
+        "shot_id",
+        F.sum(F.col("is_boundary").cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return d.select(
+        F.col(id_col).alias("video_id"),
+        F.col(idx_col).cast("int").alias("frame_idx"),
+        "diff_permille", "is_boundary", "shot_id",
+    )

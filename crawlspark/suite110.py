@@ -78,12 +78,18 @@ ORDER BY a.vec_id
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {"semdedup_capped": q_semdedup_capped,
-            "html_soup": q_html_soup}
+            "html_soup": q_html_soup,
+            "image_stats": q_image_stats,
+            "shot_boundaries": q_shot_boundaries,
+            "sitemap_news": q_sitemap_news}
 
 
 def oracle_sql() -> dict[str, str]:
     return {"semdedup_capped": ORACLE_SEMDEDUP_CAPPED,
-            "html_soup": ORACLE_HTML_SOUP}
+            "html_soup": ORACLE_HTML_SOUP,
+            "image_stats": ORACLE_IMAGE_STATS,
+            "shot_boundaries": ORACLE_SHOT_BOUNDARIES,
+            "sitemap_news": ORACLE_SITEMAP_NEWS}
 
 
 # --------------------------------------------------------------------------
@@ -154,4 +160,144 @@ WITH e AS (
 )
 SELECT doc_id, CAST(pos AS BIGINT) AS pos, href, text
 FROM e ORDER BY doc_id, pos
+"""
+
+
+# --------------------------------------------------------------------------
+# image_stats — pixel-statistics curation filters over planted shapes
+# --------------------------------------------------------------------------
+
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """images.image_quality_stats over analytically-known 8x8 RGB images:
+    doc%2==0 -> solid gray v=doc%251 (contrast/sharpness/entropy all 0),
+    doc%2==1 -> 1px checkerboard of a=doc%90 and b=a+110 (mean a+55,
+    std 55, mean |4-neighbour Laplacian| 440, entropy exactly 1 bit)."""
+    from .images import image_quality_stats
+
+    doc = F.col("doc_id")
+    v = (doc % 251).cast("int")
+    a = (doc % 90).cast("int")
+    b = (a + 110).cast("int")
+    hexpix = lambda c: F.repeat(F.format_string("%02x", c), 3)  # noqa: E731
+    solid = F.unhex(F.repeat(F.format_string("%02x", v), 192))
+    row_even = F.repeat(F.concat(hexpix(a), hexpix(b)), 4)   # w=8 pixels
+    row_odd = F.repeat(F.concat(hexpix(b), hexpix(a)), 4)
+    checker = F.unhex(F.repeat(F.concat(row_even, row_odd), 4))  # h=8 rows
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("img-"), doc.cast("string")).alias("image_id"),
+        F.when(doc % 2 == 0, solid).otherwise(checker).alias("bytes"),
+        F.lit(8).alias("w"), F.lit(8).alias("h"),
+        doc.alias("doc_id"),
+    )
+    return image_quality_stats(d).orderBy("image_id")
+
+
+ORACLE_IMAGE_STATS = """
+SELECT 'img-' || CAST(doc_id AS VARCHAR) AS image_id,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 251) * 1000
+            ELSE (doc_id % 90 + 55) * 1000 END AS BIGINT) AS mean_permille,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 55000 END AS BIGINT)
+         AS contrast_permille,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 440000 END AS BIGINT)
+         AS sharpness_permille,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1000 END AS BIGINT)
+         AS entropy_millibits
+FROM documents
+ORDER BY image_id
+"""
+
+
+# --------------------------------------------------------------------------
+# shot_boundaries — scene segmentation over planted solid frames
+# --------------------------------------------------------------------------
+
+def q_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media.shot_boundaries over 20 solid 4x3 frames per video whose
+    color steps by 10 every 5 frames: boundaries at frame 5/10/15,
+    shot_id = frame_idx div 5, diff exactly 10000 permille at cuts and 0
+    inside shots (first frame: no previous, diff NULL)."""
+    from .media import shot_boundaries
+
+    doc = F.col("doc_id")
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(doc % 10 == 0)
+        .select(F.concat(F.lit("v"), doc.cast("string")).alias("video_id"))
+        .crossJoin(spark.range(20).select(F.col("id").cast("int")
+                                          .alias("frame_idx")))
+    )
+    color = (F.col("frame_idx").cast("long") / 5).cast("long") * 10
+    d = d.withColumn(
+        "bytes", F.unhex(F.repeat(F.format_string("%02x", color.cast("int")),
+                                  36)))
+    return shot_boundaries(d).orderBy("video_id", "frame_idx")
+
+
+ORACLE_SHOT_BOUNDARIES = """
+WITH v AS (SELECT 'v' || CAST(doc_id AS VARCHAR) AS video_id
+           FROM documents WHERE doc_id % 10 = 0),
+f AS (SELECT video_id, CAST(i AS INT) AS frame_idx
+      FROM v, range(20) t(i))
+SELECT video_id, frame_idx,
+       CAST(CASE WHEN frame_idx = 0 THEN NULL
+            WHEN frame_idx % 5 = 0 THEN 10000 ELSE 0 END AS BIGINT)
+         AS diff_permille,
+       frame_idx > 0 AND frame_idx % 5 = 0 AS is_boundary,
+       CAST(frame_idx // 5 AS BIGINT) AS shot_id
+FROM f ORDER BY video_id, frame_idx
+"""
+
+
+# --------------------------------------------------------------------------
+# sitemap_news — Google News sitemap extension extraction
+# --------------------------------------------------------------------------
+
+def q_sitemap_news(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract.sitemap_news_entries over a 3-url sitemap per doc: one
+    news-annotated article, one plain <url> (contributes nothing), one
+    second article with a different language/date."""
+    from .extract import sitemap_news_entries
+
+    doc = F.col("doc_id")
+    ds = doc.cast("string")
+    xml = F.concat(
+        F.lit('<urlset><url><loc>https://n.example.com/a'), ds,
+        F.lit('</loc><news:news><news:publication><news:name>Daily '),
+        F.lit('Planet</news:name><news:language>en</news:language>'
+              '</news:publication><news:publication_date>2026-08-20'
+              '</news:publication_date><news:title>Story A</news:title>'
+              '</news:news></url>'
+              '<url><loc>https://n.example.com/plain</loc></url>'
+              '<url><loc>https://n.example.com/b'),
+        ds,
+        F.lit('</loc><news:news><news:publication><news:name>Le '),
+        F.lit('Monde</news:name><news:language>fr</news:language>'
+              '</news:publication><news:publication_date>2026-08-21'
+              '</news:publication_date><news:title>Story B</news:title>'
+              '</news:news></url></urlset>'),
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        doc.alias("doc_id"), xml.alias("body"))
+    out = d.select(
+        "doc_id",
+        F.explode(sitemap_news_entries(F.col("body"))).alias("e"))
+    return out.select(
+        "doc_id", "e.page_url", "e.publication", "e.language",
+        "e.pub_date", "e.title",
+    ).orderBy("doc_id", "page_url")
+
+
+ORACLE_SITEMAP_NEWS = """
+WITH e AS (
+  SELECT doc_id,
+         'https://n.example.com/a' || CAST(doc_id AS VARCHAR) AS page_url,
+         'Daily Planet' AS publication, 'en' AS language,
+         '2026-08-20' AS pub_date, 'Story A' AS title
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'https://n.example.com/b' || CAST(doc_id AS VARCHAR),
+         'Le Monde', 'fr', '2026-08-21', 'Story B'
+  FROM documents
+)
+SELECT * FROM e ORDER BY doc_id, page_url
 """
