@@ -79,6 +79,10 @@ class SiteCrawlConfig:
     prefilter_min_seen: int | None = 50_000_000
     prefilter_buckets: int | None = None
     prefilter_capacity: int = 1 << 20
+    # measured crossover (BENCH.md r4 / frontier.CrawlConfig): engage only
+    # once the seen set dwarfs the wave (>= ~16x) — below that the plain
+    # anti-join is cheaper.  0 = engage on min_seen alone (tests).
+    prefilter_min_ratio: float = 16.0
     # attach the per-host fetch schedule to every level (north_rule: per-host
     # politeness delays enforced in the crawl loop; reference Throttler.php
     # waits between requests to one host).  Adds fetch_start_ms/fetch_end_ms
@@ -529,8 +533,12 @@ def crawl_site(
                 new_ids.select(F.xxhash64("seed_id", "id").alias("kh")), "kh"
             )
         elif cfg.prefilter_min_seen is not None:
-            seen_ub += new_ids.count()  # O(level) job, not O(|seen|)
-            if seen_ub >= cfg.prefilter_min_seen:
+            last_new = new_ids.count()  # O(level) job, not O(|seen|)
+            seen_ub += last_new
+            if (
+                seen_ub >= cfg.prefilter_min_seen
+                and seen_ub >= cfg.prefilter_min_ratio * max(last_new, 1)
+            ):
                 from .seen import PartitionedSeenFilter
 
                 sfilter = PartitionedSeenFilter(

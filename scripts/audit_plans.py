@@ -83,6 +83,11 @@ WHITELIST: dict[str, dict[str, str]] = {
     "semdedup": {
         "bnl_join": "corpus x broadcast(k<=64 centroid codebook)"
     },
+    "semdedup_capped": {
+        "bnl_join": "corpus x broadcast(k<=64 centroid codebook); the "
+                    "pair join itself is an equi-join on cent_id with the "
+                    "comparator side row_number-capped at max_cluster_size"
+    },
     "ann_ivf_topk": {
         "bnl_join": "corpus x broadcast centroids (k<=64) for assignment"
     },

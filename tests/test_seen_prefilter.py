@@ -191,7 +191,7 @@ def test_crawl_site_engages_prefilter(spark):
     pref = crawl_site(
         spark, pages, seed,
         SiteCrawlConfig(
-            max_depth=4, prefilter_min_seen=1,
+            max_depth=4, prefilter_min_seen=1, prefilter_min_ratio=0.0,
             prefilter_buckets=2, prefilter_capacity=1 << 16,
         ),
     ).orderBy("ord").collect()
