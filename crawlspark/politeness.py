@@ -997,3 +997,46 @@ def host_anomaly_z(
         F.coalesce(F.abs(z_milli) >= int(z_milli_threshold),
                    F.lit(False)).alias("anomalous"),
     )
+
+
+def schedule_audit(
+    schedule: DataFrame,
+    host_col: str = "host",
+    start_col: str = "fetch_start_ms",
+    end_col: str = "fetch_end_ms",
+    min_gap_col: str | None = None,
+    min_gap_ms: int = 0,
+) -> DataFrame:
+    """Trust-but-verify audit of a fetch schedule: per host, check every
+    consecutive pair (in start order) leaves the required politeness gap
+    (``max(min_gap_ms, min_gap_col)``) between the previous fetch's END
+    and the next fetch's START, and that fetches never overlap.  The
+    robots compliance audit (suite14) checks WHAT was fetched; this
+    checks WHEN — the invariant the north rule's host-keyed priority
+    queue must uphold, re-verified from the emitted schedule rather than
+    trusted from the scheduler's construction.
+
+    Returns per host: n_fetches, n_gap_violations, n_overlaps,
+    min_gap_ms_observed (NULL for single-fetch hosts).  One shuffle on
+    host (lag window + groupBy share the partitioning).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    req = F.lit(min_gap_ms).cast("long")
+    if min_gap_col is not None:
+        req = F.greatest(req, F.coalesce(
+            F.col(min_gap_col).cast("long"), F.lit(0)))
+    gap = F.col(start_col) - F.lag(end_col).over(w)
+    d = schedule.withColumn("__gap", gap).withColumn("__req", req)
+    return d.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.sum(F.when((F.col("__gap") < F.col("__req"))
+                     & F.col("__gap").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_gap_violations"),
+        F.sum(F.when(F.col("__gap") < 0, 1).otherwise(0))
+        .cast("long").alias("n_overlaps"),
+        F.min("__gap").alias("min_gap_ms_observed"),
+    )

@@ -81,7 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "html_soup": q_html_soup,
             "image_stats": q_image_stats,
             "shot_boundaries": q_shot_boundaries,
-            "sitemap_news": q_sitemap_news}
+            "sitemap_news": q_sitemap_news,
+            "schedule_audit": q_schedule_audit}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -89,7 +90,8 @@ def oracle_sql() -> dict[str, str]:
             "html_soup": ORACLE_HTML_SOUP,
             "image_stats": ORACLE_IMAGE_STATS,
             "shot_boundaries": ORACLE_SHOT_BOUNDARIES,
-            "sitemap_news": ORACLE_SITEMAP_NEWS}
+            "sitemap_news": ORACLE_SITEMAP_NEWS,
+            "schedule_audit": ORACLE_SCHEDULE_AUDIT}
 
 
 # --------------------------------------------------------------------------
@@ -300,4 +302,50 @@ WITH e AS (
   FROM documents
 )
 SELECT * FROM e ORDER BY doc_id, page_url
+"""
+
+
+# --------------------------------------------------------------------------
+# schedule_audit — politeness-gap verification of an emitted schedule
+# --------------------------------------------------------------------------
+
+def q_schedule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """politeness.schedule_audit over a planted schedule: hosts h(doc%50)
+    with 3 fetches each — clean 100ms gaps for even hosts; odd hosts have
+    one 30ms gap (violation under the 50ms floor) and one overlap."""
+    from .politeness import schedule_audit
+
+    doc = F.col("doc_id")
+    h = (doc % 50).cast("long")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        doc.alias("doc_id"), h.alias("hid"))
+    # fetch k in {0,1,2} per doc; duration 20ms each
+    k = spark.range(3).select(F.col("id").alias("k"))
+    rows = d.crossJoin(k).select(
+        "doc_id",
+        F.concat(F.lit("h"), F.col("hid").cast("string")).alias("host"),
+        F.when(F.col("hid") % 2 == 0, F.col("k") * 120)
+        .otherwise(
+            F.when(F.col("k") == 0, F.lit(0))
+            .when(F.col("k") == 1, F.lit(50))    # gap 50-20=30ms < 50 floor
+            .otherwise(F.lit(60))                 # starts before 50+20=70: overlap
+        ).cast("long").alias("fetch_start_ms"),
+    )
+    # docs sharing a host produce identical triples; audit one doc's worth
+    rows = rows.filter(doc < 50).withColumn(
+        "fetch_end_ms", F.col("fetch_start_ms") + 20)
+    return schedule_audit(rows, min_gap_ms=50).orderBy("host")
+
+
+ORACLE_SCHEDULE_AUDIT = """
+SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) AS host,
+       CAST(3 AS BIGINT) AS n_fetches,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2 END AS BIGINT)
+         AS n_gap_violations,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
+         AS n_overlaps,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 100 ELSE -10 END AS BIGINT)
+         AS min_gap_ms_observed
+FROM documents WHERE doc_id < 50
+ORDER BY host
 """

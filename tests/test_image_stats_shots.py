@@ -101,3 +101,44 @@ def test_sitemap_news_ignores_plain_urls(spark):
     assert out[0].page_url == "https://x/n"
     assert (out[0].publication, out[0].language, out[0].pub_date,
             out[0].title) == ("P", "de", "2026-01-02", "T")
+
+
+def test_schedule_audit_gap_col_and_singletons(spark):
+    from crawlspark.politeness import schedule_audit
+
+    rows = [
+        # host a: crawl-delay column says 200ms; 100ms gaps -> violations
+        ("a", 0, 20, 200), ("a", 120, 140, 200), ("a", 240, 260, 200),
+        # host b: single fetch -> no gaps, NULL min
+        ("b", 0, 50, None),
+        # host c: NULL delay col falls back to min_gap_ms floor (10)
+        ("c", 0, 20, None), ("c", 25, 45, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "host STRING, fetch_start_ms LONG, fetch_end_ms LONG, "
+              "crawl_delay_ms LONG")
+    out = {r.host: r for r in schedule_audit(
+        df, min_gap_col="crawl_delay_ms", min_gap_ms=10).collect()}
+    assert out["a"].n_gap_violations == 2 and out["a"].n_overlaps == 0
+    assert out["b"].n_fetches == 1
+    assert out["b"].min_gap_ms_observed is None
+    assert out["b"].n_gap_violations == 0
+    assert out["c"].n_gap_violations == 1  # 5ms gap < 10ms floor
+    assert out["c"].min_gap_ms_observed == 5
+
+
+def test_schedule_audit_passes_real_scheduler_output(spark):
+    """The audit must certify throttle_schedule's own output clean: the
+    scheduler's invariant re-verified from its emitted rows."""
+    from crawlspark import politeness
+
+    f = spark.createDataFrame(
+        [(f"h{i % 7}", i, 40 + (i % 3) * 10) for i in range(200)],
+        "host STRING, ord LONG, latency_ms LONG")
+    cfg = politeness.PolitenessConfig()
+    sched = politeness.throttle_schedule(f, cfg=cfg)
+    audit = politeness.schedule_audit(
+        sched, min_gap_ms=cfg.min_wait_ms).collect()
+    assert sum(r.n_gap_violations for r in audit) == 0
+    assert sum(r.n_overlaps for r in audit) == 0
+    assert sum(r.n_fetches for r in audit) == 200
