@@ -85,17 +85,37 @@ def normalize_text(s: str) -> str:
 # --------------------------------------------------------------------------
 # linear quote-aware tag tokenizer: the anchor scan must survive real-web
 # tag soup the way a browser DOM does (reference parses with a real DOM,
-# src/Steps/Dom/HtmlDocument.php:63-86).  One regex pass over the TAGS (not
-# characters); quoted attribute values may contain '>' / '<'; comments and
-# script/style raw text cannot spawn anchors; unclosed and nested anchors
-# close implicitly like the HTML5 tree builder.
-_TOKEN_RE = re.compile(
+# src/Steps/Dom/HtmlDocument.php:63-86).  One regex pass that surfaces only
+# the INTERESTING tokens — comments/CDATA/doctype, <a> open/close,
+# script/style raw-text opens, and the rare boring tag whose QUOTED
+# attribute embeds a spoofed "<a ..." — so the C engine skips the ~90% of
+# tags that cannot affect link extraction instead of yielding a Python
+# iteration per <div>.  Quoted attribute values may contain '>' / '<';
+# unclosed and nested anchors close implicitly like the HTML5 tree builder.
+_Q = r"\"[^\"]*\"|'[^']*'"
+_CORE_TOKENS = (
     r"<!--.*?(?:-->|\Z)"                       # comment (unterminated -> EOF)
     r"|<!\[CDATA\[.*?(?:\]\]>|\Z)"
     r"|<![^>]*>"                               # doctype / declaration
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9:-]*)"          # open or close tag
-    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>",     # attrs; quotes may hold > <
-    re.DOTALL,
+    r"|<(/?)(a|script|style)(?![a-zA-Z0-9:-])" # tags that matter
+    rf"((?:{_Q}|[^>\"'])*)>"                   # attrs; quotes may hold > <
+)
+_TOKEN_RE = re.compile(_CORE_TOKENS, re.DOTALL | re.IGNORECASE)
+# full variant additionally consumes a boring tag whose QUOTED attribute
+# value embeds "<a ..." so the spoofed anchor is never scanned as markup.
+# That backtracking branch costs ~7x on spoof-free pages (measured: 61 ->
+# 8.8 MB/s raw), so it only runs for documents the cheap hint scan below
+# flags — a C-speed single pass that over-approximates "an attribute value
+# opening with a quote whose run contains <a".
+_TOKEN_SPOOF_RE = re.compile(
+    _CORE_TOKENS
+    + rf"|<[a-zA-Z][a-zA-Z0-9:-]*(?:{_Q}|[^>\"'])*?"
+    + rf"(?:\"[^\"]*<a[\s/>][^\"]*\"|'[^']*<a[\s/>][^']*')"
+    + rf"(?:{_Q}|[^>\"'])*>",
+    re.DOTALL | re.IGNORECASE,
+)
+_SPOOF_HINT_RE = re.compile(
+    r"=\s*(?:\"[^\"]*<a[\s/>]|'[^']*<a[\s/>])", re.DOTALL | re.IGNORECASE
 )
 _RAWTEXT_CLOSE = {
     "script": re.compile(r"</script\s*>", re.IGNORECASE),
@@ -114,7 +134,7 @@ def _parse_attrs(s: str) -> dict:
         name = m.group(1).lower()
         if name not in attrs:
             val = m.group(3) if m.group(3) is not None else m.group(4)
-            attrs[name] = _html.unescape(val)
+            attrs[name] = _html.unescape(val) if "&" in val else val
     return attrs
 
 
@@ -131,15 +151,20 @@ def _extract_links_one(body: str) -> list[dict]:
     def close_link():
         nonlocal open_link
         if open_link is not None:
-            open_link["text"] = normalize_text(
-                _html.unescape("".join(text_parts)))
+            txt = "".join(text_parts)
+            if "&" in txt:
+                txt = _html.unescape(txt)
+            open_link["text"] = normalize_text(txt)
             out.append(open_link)
             open_link = None
 
+    token_re = (
+        _TOKEN_SPOOF_RE if _SPOOF_HINT_RE.search(body) else _TOKEN_RE
+    )
     i = 0
     n = len(body)
     while i < n:
-        m = _TOKEN_RE.search(body, i)
+        m = token_re.search(body, i)
         if m is None:
             if open_link is not None:
                 text_parts.append(body[i:])

@@ -27,7 +27,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-SEEN_PATH = "/tmp/crossover_seen.parquet"
 
 
 def timed(fn):
@@ -46,15 +45,17 @@ def main(n_seen: int, n_wave: int) -> None:
 
     # ---- the persisted seen set: every URL crawled so far, as the engine
     # stores it (parquet of fingerprints; 5x wave overlap density comes from
-    # seeding the wave inside the seen id-space below)
-    if not os.path.exists(SEEN_PATH):
+    # seeding the wave inside the seen id-space below).  Path keyed by size
+    # so a cached file from another configuration can never be reused.
+    seen_path = f"/tmp/crossover_seen_{n_seen}.parquet"
+    if not os.path.exists(seen_path):
         (
             graph.virtual_docs(spark, n_seen)
             .select(url_hash(canonicalize_expr(
                 graph.url_col(F.col("src")))).alias("url_hash"))
-            .write.mode("overwrite").parquet(SEEN_PATH)
+            .write.mode("overwrite").parquet(seen_path)
         )
-    seen = spark.read.parquet(SEEN_PATH)
+    seen = spark.read.parquet(seen_path)
 
     # ---- one politeness wave: wide rows (url/host/depth/latency ride into
     # the next level), 20% already-seen (ids inside [0, n_seen)), cached as
