@@ -228,11 +228,14 @@ def test_semdedup_plan_codebook_broadcast_partitioned_windows_only(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     p = plan_of(ann.semdedup(emb, n_centroids=4, eps_permille=800))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
-    # every window is the per-vector assignment argmin, partitioned by vid
-    # (no unpartitioned windowspecdefinition( without a leading column)
+    # every window is partitioned (no single-partition collapse): the
+    # per-vector assignment argmin partitions by vid, the max_cluster_size
+    # comparator cap by cent_id
     import re
     specs = re.findall(r"windowspecdefinition\((\w*)", p)
-    assert specs and all(s.startswith("vid") for s in specs), specs
+    assert specs and all(
+        s.startswith("vid") or s.startswith("cent_id") for s in specs
+    ), specs
 
 
 def test_decontaminate_plan_bench_side_broadcast(spark):
