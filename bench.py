@@ -68,7 +68,7 @@ def frontier_wave(spark, n: int) -> int:
     engine's per-level hot path: canonicalize -> fingerprint -> robots gate
     -> seen anti-join -> host-bucket queue + throttle schedule."""
     from crawlspark import graph, politeness
-    from crawlspark.canon import canonicalize_expr, host_bucket, url_hash
+    from crawlspark.canon import canonicalize_expr, url_hash
 
     docs = graph.virtual_docs(spark, n)
     doc = F.col("src")
