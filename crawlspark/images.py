@@ -3192,7 +3192,7 @@ IMAGE_STATS_SCHEMA = (
 )
 
 
-def image_quality_stats(
+def image_pixel_stats(
     images: DataFrame,
     id_col: str = "image_id",
     bytes_col: str = "bytes",
@@ -3208,8 +3208,12 @@ def image_quality_stats(
     on these before paying for captioning/embedding: too dark, too flat,
     too blurry, or too empty.
 
-    All outputs are floor(x*1000) fixed-point LONGs so the DuckDB oracle
-    replays them exactly on planted closed-form shapes.  One
+    Complements :func:`image_quality_stats` (which decodes the fake-codec
+    payloads and reads sharp-energy/entropy/dominant-colour gates): this
+    variant consumes RAW RGB rows and reports the mean/contrast moments
+    those gates don't.  All outputs are floor(x*1000) fixed-point LONGs
+    so the DuckDB oracle replays them exactly on planted closed-form
+    shapes.  One
     mapInPandas stage, numpy-vectorized per image (no per-pixel Python);
     narrow map, no shuffle — at 10^10 rows this rides the same
     partitioning as the image table scan.  (The reference crawler has no

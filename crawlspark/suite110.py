@@ -170,11 +170,11 @@ FROM e ORDER BY doc_id, pos
 # --------------------------------------------------------------------------
 
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """images.image_quality_stats over analytically-known 8x8 RGB images:
+    """images.image_pixel_stats over analytically-known 8x8 RGB images:
     doc%2==0 -> solid gray v=doc%251 (contrast/sharpness/entropy all 0),
     doc%2==1 -> 1px checkerboard of a=doc%90 and b=a+110 (mean a+55,
     std 55, mean |4-neighbour Laplacian| 440, entropy exactly 1 bit)."""
-    from .images import image_quality_stats
+    from .images import image_pixel_stats
 
     doc = F.col("doc_id")
     v = (doc % 251).cast("int")
@@ -191,7 +191,7 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(8).alias("w"), F.lit(8).alias("h"),
         doc.alias("doc_id"),
     )
-    return image_quality_stats(d).orderBy("image_id")
+    return image_pixel_stats(d).orderBy("image_id")
 
 
 ORACLE_IMAGE_STATS = """

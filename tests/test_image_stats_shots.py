@@ -3,7 +3,7 @@
 import numpy as np
 from pyspark.sql import functions as F
 
-from crawlspark.images import image_quality_stats
+from crawlspark.images import image_pixel_stats
 from crawlspark.media import shot_boundaries
 
 
@@ -21,7 +21,7 @@ def test_image_stats_match_numpy(spark):
     arrays = [rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
               for _ in range(4)]
     got = {r.image_id: r for r in
-           image_quality_stats(_img_df(spark, arrays)).collect()}
+           image_pixel_stats(_img_df(spark, arrays)).collect()}
     for k, a in enumerate(arrays):
         gray = a.astype(np.float64).mean(axis=2)
         lap = (gray[:-2, 1:-1] + gray[2:, 1:-1] + gray[1:-1, :-2]
@@ -50,13 +50,13 @@ def test_image_stats_blur_ranks_below_sharp(spark):
     ) / 9.0
     blurred = np.clip(blur, 0, 255).astype(np.uint8)
     got = {r.image_id: r for r in
-           image_quality_stats(_img_df(spark, [sharp, blurred])).collect()}
+           image_pixel_stats(_img_df(spark, [sharp, blurred])).collect()}
     assert got["i1"].sharpness_permille < got["i0"].sharpness_permille / 2
 
 
 def test_image_stats_tiny_image_sharpness_zero(spark):
     tiny = np.full((2, 2, 3), 7, dtype=np.uint8)
-    r = image_quality_stats(_img_df(spark, [tiny])).collect()[0]
+    r = image_pixel_stats(_img_df(spark, [tiny])).collect()[0]
     assert r.sharpness_permille == 0 and r.mean_permille == 7000
 
 
