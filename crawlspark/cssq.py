@@ -165,10 +165,38 @@ def split_target_spec(spec: str) -> tuple[str, str]:
     return s, ""
 
 
-_TAG_OPEN_RE = re.compile(r"<([a-zA-Z][a-zA-Z0-9_-]*)((?:\s[^>]*?)?)(/?)>", re.DOTALL)
+# quote-aware attr body: a quoted attribute value may contain '>' without
+# ending the tag (tag-soup hardening, same discipline as extract.py's
+# tokenizer)
+_QATTRS = r"(?:\"[^\"]*\"|'[^']*'|[^>\"'])"
+_TAG_OPEN_RE = re.compile(
+    rf"<([a-zA-Z][a-zA-Z0-9_-]*)((?:\s{_QATTRS}*?)?)(/?)>", re.DOTALL
+)
 _VOID_TAGS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
+
+# masking pre-pass: comments, CDATA, and script/style CONTENT become runs
+# of spaces of the SAME length (offsets preserved — the region/dedup logic
+# below is position-based), so markup inside them can never match a
+# selector, exactly as in a browser DOM.  Unterminated constructs swallow
+# to EOF like the HTML5 tokenizer.
+_MASK_RE = re.compile(
+    r"<!--.*?(?:-->|\Z)"
+    r"|<!\[CDATA\[.*?(?:\]\]>|\Z)"
+    rf"|(<(script|style)(?=[\s/>]){_QATTRS}*>)"
+    r"(.*?)(</\2\s*>|\Z)",
+    re.DOTALL | re.IGNORECASE,
+)
+
+
+def _mask_soup(source: str) -> str:
+    def repl(m: "re.Match[str]") -> str:
+        if m.group(1) is None:  # comment / CDATA: blank the whole span
+            return " " * len(m.group(0))
+        return m.group(1) + " " * len(m.group(3)) + m.group(4)
+
+    return _MASK_RE.sub(repl, source)
 
 
 def _attr(attrs: str, name: str) -> str | None:
@@ -205,28 +233,33 @@ def _matches(sel: SimpleSelector, tag: str, attrs: str) -> bool:
     return True
 
 
-def _element_end(source: str, open_end: int, tag: str, self_closed: bool) -> int:
-    """Index just past the element's closing tag (nesting-aware); for void /
-    self-closed elements, just past the open tag."""
+def _element_end(source: str, open_end: int, tag: str,
+                 self_closed: bool) -> tuple[int, bool]:
+    """(index just past the element's end, whether a real closing tag was
+    found) — nesting-aware; for void / self-closed elements, just past the
+    open tag.  An unclosed element runs to EOF with NO closing tag, so the
+    caller must not strip close-tag characters off its inner source."""
     if self_closed:
-        return open_end
+        return open_end, False
     depth = 1
-    pat = re.compile(r"<(/?)" + re.escape(tag) + r"(?=[\s/>])[^>]*>", re.IGNORECASE)
+    pat = re.compile(
+        r"<(/?)" + re.escape(tag) + rf"(?=[\s/>]){_QATTRS}*>", re.IGNORECASE
+    )
     pos = open_end
     while depth:
         m = pat.search(source, pos)
         if not m:
-            return len(source)  # unclosed: element runs to EOF
+            return len(source), False  # unclosed: element runs to EOF
         pos = m.end()
         if m.group(1):
             depth -= 1
         elif not m.group(0).endswith("/>"):
             depth += 1
-    return pos
+    return pos, True
 
 
 _ANY_TAG_RE = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9_-]*)((?:\s[^>]*?)?)(/?)>", re.DOTALL
+    rf"<(/?)([a-zA-Z][a-zA-Z0-9_-]*)((?:\s{_QATTRS}*?)?)(/?)>", re.DOTALL
 )
 
 
@@ -261,6 +294,7 @@ def find_elements(source: str, sel: str) -> list[tuple[str, str, str]]:
     inside the previous level's matched elements (child steps only at the
     region's top nesting level)."""
     chain = parse_selector(sel)
+    source = _mask_soup(source)
     # regions carry their absolute offset into `source` so a descendant
     # level can dedup by element position: when nested ancestors BOTH match
     # the previous level (e.g. 'div p' on <div><div><p>), their inner
@@ -276,8 +310,8 @@ def find_elements(source: str, sel: str) -> list[tuple[str, str, str]]:
                 if abs_start in seen_pos:
                     continue
                 seen_pos.add(abs_start)
-                end = _element_end(region, open_end, tag, self_closed)
-                close_len = 0 if self_closed else len(tag) + 3
+                end, closed = _element_end(region, open_end, tag, self_closed)
+                close_len = len(tag) + 3 if closed else 0
                 inner = region[open_end: max(open_end, end - close_len)]
                 hits.append((abs_start, tag, attrs, inner, off + open_end))
         # true document order even when overlapping regions interleave
@@ -294,7 +328,7 @@ def inner_htmls(source: str, sel: str) -> list[str]:
 
 
 _HREF_A_RE = re.compile(
-    r"<a(\s[^>]*?)?>", re.IGNORECASE | re.DOTALL
+    rf"<a((?:\s{_QATTRS}*?)?)>", re.IGNORECASE | re.DOTALL
 )
 
 

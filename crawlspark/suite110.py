@@ -82,7 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "image_stats": q_image_stats,
             "shot_boundaries": q_shot_boundaries,
             "sitemap_news": q_sitemap_news,
-            "schedule_audit": q_schedule_audit}
+            "schedule_audit": q_schedule_audit,
+            "dom_soup": q_dom_soup}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -91,7 +92,8 @@ def oracle_sql() -> dict[str, str]:
             "image_stats": ORACLE_IMAGE_STATS,
             "shot_boundaries": ORACLE_SHOT_BOUNDARIES,
             "sitemap_news": ORACLE_SITEMAP_NEWS,
-            "schedule_audit": ORACLE_SCHEDULE_AUDIT}
+            "schedule_audit": ORACLE_SCHEDULE_AUDIT,
+            "dom_soup": ORACLE_DOM_SOUP}
 
 
 # --------------------------------------------------------------------------
@@ -348,4 +350,57 @@ SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) AS host,
          AS min_gap_ms_observed
 FROM documents WHERE doc_id < 50
 ORDER BY host
+"""
+
+
+# --------------------------------------------------------------------------
+# dom_soup — CSS-selector extraction over malformed markup (cssq hardening)
+# --------------------------------------------------------------------------
+
+def q_dom_soup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cssq.find_elements through the same pandas_udf path the Dom step
+    uses, over four malformed shapes per doc: commented-out decoy
+    element, script-embedded decoy, '>' inside a quoted attribute, and an
+    unclosed element running to EOF.  Expectations are browser-DOM."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    doc = F.col("doc_id")
+    ds = doc.cast("string")
+    m = doc % 4
+    body = (
+        F.when(m == 0, F.concat(
+            F.lit('<!-- <p class=t>no</p> --><p class=t>c'), ds,
+            F.lit("</p>")))
+        .when(m == 1, F.concat(
+            F.lit('<script>var x="<p class=t>no</p>";</script>'
+                  '<p class=t>s'), ds, F.lit("</p>")))
+        .when(m == 2, F.concat(
+            F.lit('<p class=t title="a > b">g'), ds, F.lit("</p>")))
+        .otherwise(F.concat(F.lit('<div><p class=t>u'), ds))
+    )
+
+    @pandas_udf("string")
+    def first_inner(bodies):
+        from . import cssq
+
+        def one(b):
+            els = cssq.find_elements(b or "", "p.t")
+            return els[0][2] if els else None
+
+        return bodies.map(one)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        doc.alias("doc_id"), body.alias("body"))
+    return d.select(
+        "doc_id", first_inner(F.col("body")).alias("inner_html")
+    ).orderBy("doc_id")
+
+
+ORACLE_DOM_SOUP = """
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'c' WHEN 1 THEN 's' WHEN 2 THEN 'g' ELSE 'u'
+       END || CAST(doc_id AS VARCHAR) AS inner_html
+FROM documents ORDER BY doc_id
 """

@@ -73,3 +73,49 @@ def test_canonical_survives_gt_in_href_and_decodes_entities():
     assert _canonical_one('<link rel="canonicalize" href="/no">') is None
     # unquoted href containing 'rel=canonical' must not satisfy rel
     assert _canonical_one('<link href=/p?rel=canonical-x>') is None
+
+
+# ---- cssq tag-soup hardening (same browser-DOM expectations) -------------
+
+CSSQ_CASES = [
+    ("comment_no_phantom_element",
+     'x<!-- <div class=a>no</div> --><div class=a>yes</div>', "div.a",
+     [("div", "yes")]),
+    ("script_rawtext_no_phantom",
+     '<script>var s="<div class=a>no</div>"</script><div class=a>y</div>',
+     "div.a", [("div", "y")]),
+    ("style_rawtext_no_phantom",
+     '<style>.a{content:"<p class=a>"}</style><p class=a>s</p>', "p.a",
+     [("p", "s")]),
+    ("unterminated_script_swallows",
+     '<div class=a>pre</div><script>"<div class=a>', "div.a",
+     [("div", "pre")]),
+    ("gt_inside_quoted_attr",
+     '<div class=a title="x > y">content</div>', "div.a",
+     [("div", "content")]),
+    ("unclosed_runs_to_eof",
+     '<div class=a>text', "div.a", [("div", "text")]),
+    ("cdata_masked",
+     '<![CDATA[<div class=a>no</div>]]><div class=a>c</div>', "div.a",
+     [("div", "c")]),
+]
+
+
+@pytest.mark.parametrize("name,html,sel,want", CSSQ_CASES,
+                         ids=[c[0] for c in CSSQ_CASES])
+def test_cssq_tag_soup(name, html, sel, want):
+    from crawlspark import cssq
+
+    got = [(t, i) for t, _a, i in cssq.find_elements(html, sel)]
+    assert got == want
+
+
+def test_cssq_masking_preserves_offsets_for_child_steps(spark=None):
+    """The mask replaces comment/script spans with same-length space runs,
+    so position-based child-step nesting still resolves correctly."""
+    from crawlspark import cssq
+
+    html = ('<ul><!-- <li class=x>ghost</li> --><li class=x>one</li>'
+            '<script>"</ul>"</script><li class=x>two</li></ul>')
+    got = [i for _t, _a, i in cssq.find_elements(html, "ul > li")]
+    assert got == ["one", "two"]
