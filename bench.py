@@ -12,6 +12,8 @@ this sandbox).  Set SPARK_GRAFT_SCALING=0 to skip the scaling runs.
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import json
 import os
 import sys

@@ -235,10 +235,12 @@ def _matches(sel: SimpleSelector, tag: str, attrs: str) -> bool:
 
 def _element_end(source: str, open_end: int, tag: str,
                  self_closed: bool) -> tuple[int, bool]:
-    """(index just past the element's end, whether a real closing tag was
-    found) — nesting-aware; for void / self-closed elements, just past the
-    open tag.  An unclosed element runs to EOF with NO closing tag, so the
-    caller must not strip close-tag characters off its inner source."""
+    """(index where the element's INNER source ends, whether a real closing
+    tag was found) — nesting-aware; for void / self-closed elements the
+    inner is empty (returns ``open_end``).  The inner end is the closing
+    tag match's START index, so junk-bearing close tags like ``</div  >``
+    never leak fragments into the inner source (ADVICE r4).  An unclosed
+    element runs to EOF with NO closing tag."""
     if self_closed:
         return open_end, False
     depth = 1
@@ -253,9 +255,11 @@ def _element_end(source: str, open_end: int, tag: str,
         pos = m.end()
         if m.group(1):
             depth -= 1
+            if not depth:
+                return m.start(), True
         elif not m.group(0).endswith("/>"):
             depth += 1
-    return pos, True
+    return pos, True  # unreachable
 
 
 _ANY_TAG_RE = re.compile(
@@ -264,16 +268,20 @@ _ANY_TAG_RE = re.compile(
 
 
 def _iter_matches(region: str, s: SimpleSelector):
-    """(open_start, open_end, tag, attrs, self_closed) of elements matching
-    ``s`` in document order.  Descendant steps scan open tags anywhere;
-    child steps track nesting depth and match only region-top-level
-    elements (XPath '/' and CSS '>' exact semantics)."""
+    """(open_start, open_end, tag, attrs, attrs_span, self_closed) of
+    elements matching ``s`` in document order; ``attrs`` is the (masked)
+    attribute string the match predicates ran on, ``attrs_span`` its
+    (start, end) offsets inside ``region`` so the caller can re-slice the
+    UNMASKED original.  Descendant steps scan open tags anywhere; child
+    steps track nesting depth and match only region-top-level elements
+    (XPath '/' and CSS '>' exact semantics)."""
     if not s.child:
         for m in _TAG_OPEN_RE.finditer(region):
             tag = m.group(1)
             self_closed = m.group(3) == "/" or tag.lower() in _VOID_TAGS
             if _matches(s, tag, m.group(2)):
-                yield m.start(), m.end(), tag, m.group(2), self_closed
+                yield (m.start(), m.end(), tag, m.group(2),
+                       (m.start(2), m.end(2)), self_closed)
         return
     depth = 0
     for m in _ANY_TAG_RE.finditer(region):
@@ -283,7 +291,8 @@ def _iter_matches(region: str, s: SimpleSelector):
         tag, attrs = m.group(2), m.group(3) or ""
         self_closed = m.group(4) == "/" or tag.lower() in _VOID_TAGS
         if depth == 0 and _matches(s, tag, attrs):
-            yield m.start(), m.end(), tag, attrs, self_closed
+            span = (m.start(3), m.end(3)) if m.group(3) is not None else (m.end(2), m.end(2))
+            yield m.start(), m.end(), tag, attrs, span, self_closed
         if not self_closed:
             depth += 1
 
@@ -292,34 +301,48 @@ def find_elements(source: str, sel: str) -> list[tuple[str, str, str]]:
     """All elements matching the selector (CSS or XPath subset), document
     order: (tag, attrs-string, inner-source).  Each chain level searches
     inside the previous level's matched elements (child steps only at the
-    region's top nesting level)."""
+    region's top nesting level).
+
+    Matching and element-boundary detection run on the _mask_soup'd text
+    (comments / CDATA / script / style content blanked so markup inside
+    them can never match, exactly as in a browser DOM), but the RETURNED
+    attrs and inner source are sliced from the ORIGINAL string via the
+    preserved offsets — a real DOM's innerHTML keeps comment and script
+    text, and the mask is length-preserving so offsets map 1:1 (ADVICE r4)."""
     chain = parse_selector(sel)
-    source = _mask_soup(source)
-    # regions carry their absolute offset into `source` so a descendant
+    masked = _mask_soup(source)
+    # regions carry their absolute offset into the document so a descendant
     # level can dedup by element position: when nested ancestors BOTH match
     # the previous level (e.g. 'div p' on <div><div><p>), their inner
     # regions overlap and the same element would otherwise be returned once
     # per ancestor; CSS (and the reference DomQuery) match each element once
-    regions: list[tuple[int, str]] = [(0, source)]
+    regions: list[tuple[int, str]] = [(0, masked)]
     for level, s in enumerate(chain):
-        hits: list[tuple[int, str, str, str, int]] = []
+        # per hit: (abs_start, tag, attrs_abs_span, inner_abs_span)
+        hits: list[tuple[int, str, tuple[int, int], tuple[int, int]]] = []
         seen_pos: set[int] = set()
         for off, region in regions:
-            for start, open_end, tag, attrs, self_closed in _iter_matches(region, s):
+            for start, open_end, tag, _attrs, aspan, self_closed in _iter_matches(region, s):
                 abs_start = off + start
                 if abs_start in seen_pos:
                     continue
                 seen_pos.add(abs_start)
-                end, closed = _element_end(region, open_end, tag, self_closed)
-                close_len = len(tag) + 3 if closed else 0
-                inner = region[open_end: max(open_end, end - close_len)]
-                hits.append((abs_start, tag, attrs, inner, off + open_end))
+                inner_end, _closed = _element_end(region, open_end, tag, self_closed)
+                hits.append((
+                    abs_start, tag,
+                    (off + aspan[0], off + aspan[1]),
+                    (off + open_end, off + inner_end),
+                ))
         # true document order even when overlapping regions interleave
         hits.sort(key=lambda h: h[0])
         if level < len(chain) - 1:
-            regions = [(h[4], h[3]) for h in hits]
+            # next level still matches on MASKED text
+            regions = [(i0, masked[i0:i1]) for _p, _t, _a, (i0, i1) in hits]
         else:
-            return [(t, a, i) for _p, t, a, i, _io in hits]
+            return [
+                (t, source[a0:a1], source[i0:i1])
+                for _p, t, (a0, a1), (i0, i1) in hits
+            ]
     return []
 
 
@@ -343,7 +366,9 @@ def pagination_link_hrefs(source: str, sel: str) -> list[str]:
             href = _attr(attrs, "href")
             if href and not href.startswith("#"):
                 out.append(href)
-        for m in _HREF_A_RE.finditer(inner):
+        # inner now preserves comment/script text (real-DOM innerHTML);
+        # re-mask before scanning so commented-out anchors stay invisible
+        for m in _HREF_A_RE.finditer(_mask_soup(inner)):
             href = _attr(m.group(1) or "", "href")
             if href and not href.startswith("#"):
                 out.append(href)

@@ -66,6 +66,16 @@ _ATTR_RE = re.compile(
 )
 _TAG_RE = re.compile(r"<[^>]+>")
 _WS_RE = re.compile(r"\s+")
+# non-text spans a DOM's textContent excludes: comments, CDATA, and
+# script/style CONTENT (cssq.find_elements now returns real-DOM innerHTML
+# that preserves these, so text normalization must drop them itself)
+_NONTEXT_RE = re.compile(
+    r"<!--.*?(?:-->|\Z)"
+    r"|<!\[CDATA\[.*?(?:\]\]>|\Z)"
+    r"|<(script|style)(?=[\s/>])(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>"
+    r".*?(?:</\1\s*>|\Z)",
+    re.DOTALL | re.IGNORECASE,
+)
 _LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.IGNORECASE | re.DOTALL)
 _TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
 _META_RE = re.compile(
@@ -78,8 +88,10 @@ BAD_SCHEMES = ("mailto:", "tel:", "javascript:", "data:", "ftp:")
 
 
 def normalize_text(s: str) -> str:
-    """Reference text normalization: strip tags, collapse whitespace, trim."""
-    return _WS_RE.sub(" ", _TAG_RE.sub("", s or "")).strip()
+    """Reference text normalization: strip tags, collapse whitespace, trim.
+    Comment / CDATA / script / style spans are dropped first — a DOM's
+    textContent never includes them (Node.php text semantics)."""
+    return _WS_RE.sub(" ", _TAG_RE.sub("", _NONTEXT_RE.sub("", s or ""))).strip()
 
 
 # --------------------------------------------------------------------------
@@ -110,12 +122,16 @@ _TOKEN_RE = re.compile(_CORE_TOKENS, re.DOTALL | re.IGNORECASE)
 _TOKEN_SPOOF_RE = re.compile(
     _CORE_TOKENS
     + rf"|<[a-zA-Z][a-zA-Z0-9:-]*(?:{_Q}|[^>\"'])*?"
-    + rf"(?:\"[^\"]*<a[\s/>][^\"]*\"|'[^']*<a[\s/>][^']*')"
+    + rf"(?:\"[^\"]*</?a[\s/>][^\"]*\"|'[^']*</?a[\s/>][^']*')"
     + rf"(?:{_Q}|[^>\"'])*>",
     re.DOTALL | re.IGNORECASE,
 )
+# the hint (and the spoof branch above) cover BOTH '<a' and '</a' inside a
+# quoted value: a spoofed '</a>' (e.g. <img alt="</a>"> while a link is
+# open) would otherwise end the open anchor early and leak the rest of the
+# boring tag into the following text (ADVICE r4)
 _SPOOF_HINT_RE = re.compile(
-    r"=\s*(?:\"[^\"]*<a[\s/>]|'[^']*<a[\s/>])", re.DOTALL | re.IGNORECASE
+    r"=\s*(?:\"[^\"]*</?a[\s/>]|'[^']*</?a[\s/>])", re.DOTALL | re.IGNORECASE
 )
 _RAWTEXT_CLOSE = {
     "script": re.compile(r"</script\s*>", re.IGNORECASE),

@@ -28,6 +28,7 @@ lineage so plan size stays O(1) in depth.
 
 from __future__ import annotations
 
+import time as _time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +36,12 @@ from pyspark.sql import functions as F
 
 from . import graph
 from .ranks import global_rank
+
+# per-wave diagnostic trace of the most recent _crawl call on this driver
+# (depth, wave size, cumulative seen, candidate-materialization seconds,
+# whether the seen-prefilter was engaged) — bench evidence only, not part
+# of any query result; cleared at the start of each crawl
+LAST_CRAWL_LEVEL_METRICS: list[dict] = []
 
 
 @dataclass
@@ -176,7 +183,10 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
         budget_hit = cfg.max_outputs is not None and base >= cfg.max_outputs
         depth = 0
         if ckpt:
-            ckpt.save_level(0, frontier, seen, levels[0], {"base_ord": base})
+            ckpt.save_level(
+                0, frontier, seen, levels[0],
+                {"base_ord": base, "wave_cnt": int(base)},
+            )
 
     # partitioned cuckoo prefilter: created once `seen` crosses the
     # threshold, seeded with the whole current seen set (distributed build),
@@ -201,10 +211,20 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
                 capacity_per_bucket=int(meta["prefilter_capacity"]),
             )
 
+    LAST_CRAWL_LEVEL_METRICS.clear()
     deferred: DataFrame | None = resumed_deferred
-    last_cnt = max(int(base), 1)  # previous wave size (seeds at depth 0)
+    # previous wave size: seeds at depth 0 for a fresh crawl; on resume the
+    # checkpointed level metadata carries the LAST WAVE's size (ADVICE r4 —
+    # seeding with the cumulative `base` made the prefilter_min_ratio gate
+    # see ratio≈1 on the first post-resume wave and defer engagement even
+    # when the real seen:wave ratio was far above the threshold)
+    if resumed_results is not None and meta is not None:
+        last_cnt = max(int(meta.get("wave_cnt", base)), 1)
+    else:
+        last_cnt = max(int(base), 1)
     while not budget_hit and depth < cfg.max_depth:
         depth += 1
+        _t_lvl = _time.time()
         if (
             sfilter is None
             and cfg.prefilter_min_seen is not None
@@ -258,6 +278,16 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
         # (otherwise the expand+dedup+anti-join pipeline executes twice)
         cand = cand.localCheckpoint(eager=True)
         cnt = cand.count()
+        # diagnostic per-wave trace (bench evidence for the in-loop
+        # prefilter crossover, VERDICT r4 item 7): expand -> dedup ->
+        # anti-join -> host-cap -> materialize span for this wave
+        LAST_CRAWL_LEVEL_METRICS.append({
+            "depth": depth,
+            "wave": int(cnt),
+            "seen_before": int(base),
+            "cand_sec": round(_time.time() - _t_lvl, 3),
+            "prefilter_engaged": sfilter is not None,
+        })
         if cnt == 0:
             if deferred is not None and deferred.count() > 0:
                 # everything deferred; next level drains the backlog only
@@ -283,7 +313,9 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
         base += cnt
         last_cnt = max(int(cnt), 1)
         if ckpt:
-            lvl_meta = {"base_ord": base}
+            # wave_cnt: this level's wave size, restored into last_cnt on
+            # resume so the prefilter ratio gate sees the true seen:wave ratio
+            lvl_meta = {"base_ord": base, "wave_cnt": int(cnt)}
             if sfilter is not None:
                 lvl_meta["prefilter_buckets"] = sfilter.num_buckets
                 lvl_meta["prefilter_capacity"] = sfilter.capacity

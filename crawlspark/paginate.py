@@ -323,7 +323,11 @@ class _IsEmptyInDomRule(StopRule):
                     inners = cssq.inner_htmls(b.strip(), sel)
                 except Exception:
                     return True  # unparseable document stops (IsEmptyInDom.php:33-36)
-                return len(inners) == 0 or all(not i.strip() for i in inners)
+                # inner now preserves comments (real-DOM innerHTML); the
+                # emptiness test mirrors textContent, so blank them first
+                return len(inners) == 0 or all(
+                    not cssq._mask_soup(i).strip() for i in inners
+                )
 
             return bodies.map(one)
 

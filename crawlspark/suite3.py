@@ -716,9 +716,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     allv = emb.unionByName(variants)
-    return _ann2.semdedup(allv, n_centroids=8, eps_permille=800).orderBy(
-        "vec_id"
-    )
+    # max_cluster_size=None explicitly: this query's DuckDB oracle
+    # (ORACLE_SEMDEDUP) replays the UNCAPPED rule, so the Spark side must
+    # stay uncapped at every scale factor (ADVICE r4, medium).  The capped
+    # variant with a matching capped oracle lives in suite110.q_semdedup_capped.
+    return _ann2.semdedup(
+        allv, n_centroids=8, eps_permille=800, max_cluster_size=None
+    ).orderBy("vec_id")
 
 
 ORACLE_SEMDEDUP = """

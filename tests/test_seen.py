@@ -149,3 +149,15 @@ def test_maybe_keys_is_narrow_and_superset_of_seen(spark):
     assert set(range(0, 500)) <= keys  # no false negatives
     # fp rate sane: well under half of the unseen half flagged
     assert len(keys) < 900
+
+
+def test_seen_module_has_no_driver_byte_collect():
+    """VERDICT r4 item 6: the bloom build must OR-combine executor-side
+    (treeReduce), never collect per-partition filter blobs on the driver."""
+    import inspect
+
+    import crawlspark.seen as seen_mod
+
+    src = inspect.getsource(seen_mod)
+    assert ".collect()" not in src
+    assert "treeReduce" in inspect.getsource(seen_mod.build_bloom)
