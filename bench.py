@@ -49,6 +49,126 @@ SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "16000000"))
 IMG_SCALING_N = int(os.environ.get("SPARK_GRAFT_IMG_SCALING_N", "90000"))
 
 
+# ---------------------------------------------------------------------------
+# Box-state canary + cross-round minima ledger (VERDICT r4 item 1).
+#
+# The driver's BENCH json is the official cross-round signal, and round 4
+# recorded an 11% phantom "regression" that was really ambient neighbor load
+# on this shared box.  Two countermeasures:
+#   (a) a fixed pure-CPU canary (sha256 chain, single thread, zero I/O, zero
+#       Spark) plus a tiny fixed Spark job run before AND after the headline
+#       suite — its wall time moves with box load and with nothing else;
+#   (b) a per-query cross-round minima ledger built from the recorded
+#       BENCH_r*.json files: each query reports its min-so-far, this round's
+#       reading, and a canary-normalized delta.  A slowdown that tracks the
+#       canary is LOAD; one that doesn't is a real regression.
+# ---------------------------------------------------------------------------
+CANARY_SHA_ROUNDS = int(os.environ.get("SPARK_GRAFT_CANARY_ROUNDS", "3000000"))
+CANARY_SPARK_ROWS = int(os.environ.get("SPARK_GRAFT_CANARY_SPARK_ROWS",
+                                       "100000000"))
+# quiet-box reference for the sha canary (sec); future rounds read the
+# recorded canary from prior BENCH_r*.json instead, this env is the override
+CANARY_BASELINE = os.environ.get("SPARK_GRAFT_CANARY_BASELINE")
+LEDGER_TOL = float(os.environ.get("SPARK_GRAFT_LEDGER_TOL", "1.3"))
+
+
+def cpu_canary_sha() -> float:
+    """Fixed single-thread CPU probe: CANARY_SHA_ROUNDS chained sha256 of a
+    64-byte block.  Pure ALU, no allocation growth, no I/O — wall time is a
+    direct read of effective single-core speed under current box load."""
+    h = b"\0" * 64
+    t0 = time.time()
+    for _ in range(CANARY_SHA_ROUNDS):
+        h = hashlib.sha256(h).digest()
+    return time.time() - t0
+
+
+def spark_canary(spark) -> float:
+    """Tiny fixed Spark job (range -> xxhash64 -> sum): exercises the JVM
+    side (codegen, task scheduling, all cores) with constant work."""
+    t0 = time.time()
+    spark.range(CANARY_SPARK_ROWS).select(
+        F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_003)))  # no ANSI overflow
+    ).collect()
+    return time.time() - t0
+
+
+def load_prior_bench(
+    repo_dir: str,
+) -> tuple[dict[str, float], float | None, float | None]:
+    """(per-query minima across recorded BENCH_r*.json, prior sha-canary
+    minimum, prior spark-canary minimum).  Two canaries because they see
+    different load shapes: hypervisor steal / turbo de-boost slows the
+    single-core sha chain, while a neighbor occupying SOME cores leaves a
+    free core for the sha probe but still slows every all-core Spark stage
+    — only the fixed Spark job catches that (measured: 24/32 cores burned
+    moved sha by 0.5% and Spark queries by 15-30%)."""
+    minima: dict[str, float] = {}
+    sha: list[float] = []
+    spk: list[float] = []
+    for p in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
+        try:
+            with open(p) as fh:
+                d = json.load(fh)
+        except Exception:
+            continue
+        # the driver wraps bench's JSON line under "parsed"
+        if "queries" not in d and isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+        for k, v in (d.get("queries") or {}).items():
+            try:
+                v = float(v)
+            except (TypeError, ValueError):
+                continue
+            minima[k] = min(minima.get(k, v), v)
+        c = (d.get("canary") or {}).get("sha256_sec")
+        if isinstance(c, (int, float)) and c > 0:
+            sha.append(float(c))
+        c = (d.get("canary") or {}).get("spark_fixed_sec")
+        if isinstance(c, (int, float)) and c > 0:
+            spk.append(float(c))
+    return (minima, min(sha) if sha else None, min(spk) if spk else None)
+
+
+def build_ledger(queries: dict[str, float], minima: dict[str, float],
+                 canary_factor: float | None) -> dict:
+    """Per-query cross-round comparison.  flags:
+    - ok          within tolerance of the cross-round minimum
+    - improved    >20% under the prior minimum
+    - load        slow, but the canary says the box is slow by (at least)
+                  a comparable factor — attribute to load, not code
+    - regression  slow and NOT explained by the canary
+    - suspect     slow with no canary baseline to attribute against
+    - new         no prior reading"""
+    ledger: dict[str, dict] = {}
+    for k, t in queries.items():
+        prior = minima.get(k)
+        if prior is None or prior <= 0:
+            ledger[k] = {"this_sec": t, "flag": "new"}
+            continue
+        ratio = t / prior
+        norm = ratio / canary_factor if canary_factor and canary_factor > 1.0 \
+            else ratio
+        row = {
+            "prior_min_sec": round(prior, 3),
+            "this_sec": round(t, 3),
+            "ratio_vs_min": round(ratio, 3),
+            "normalized_ratio": round(norm, 3),
+        }
+        if ratio < 0.8:
+            row["flag"] = "improved"
+        elif ratio <= LEDGER_TOL:
+            row["flag"] = "ok"
+        elif canary_factor is None:
+            row["flag"] = "suspect"
+        elif norm <= LEDGER_TOL:
+            row["flag"] = "load"
+        else:
+            row["flag"] = "regression"
+        ledger[k] = row
+    return ledger
+
+
 def _sf() -> float:
     try:
         return float(SF_DIR.rstrip("/").rsplit("sf", 1)[1])
@@ -321,6 +441,92 @@ def wave_prefilter_evidence(spark, n: int) -> dict:
     }
 
 
+def bfs_engagement_evidence(spark) -> dict:
+    """In-loop prefilter crossover (VERDICT r4 item 7): a politeness-capped
+    virtual crawl whose per-host budget keeps waves ~constant while seen
+    grows linearly, so the seen:wave ratio crosses prefilter_min_ratio
+    MID-RUN.  Runs the same crawl twice — prefilter disabled (control) and
+    ratio-gated — and reports per-wave candidate-materialization times
+    straddling the engagement level, plus the post-engagement speedup of
+    the gated run over the control at the same depths."""
+    from crawlspark import frontier
+    from crawlspark.frontier import CrawlConfig, crawl_bfs_virtual
+    from crawlspark.seen import PartitionedSeenFilter
+
+    # mature-crawl shape: seeds cover most of the space (a long-running
+    # resumed crawl), per-host politeness budget keeps waves at ~cap*NHOSTS
+    # while seen is ~60x the wave — the regime past the measured seen:wave
+    # ~16 crossover where the plain anti-join must shuffle the huge seen
+    # relation every wave and the filter probe does not
+    n = int(os.environ.get("SPARK_GRAFT_ENGAGE_N", "16000000"))
+    seeds = int(os.environ.get("SPARK_GRAFT_ENGAGE_SEEDS", "15000000"))
+    depth = int(os.environ.get("SPARK_GRAFT_ENGAGE_DEPTH", "6"))
+    cap = int(os.environ.get("SPARK_GRAFT_ENGAGE_HOST_CAP", "25000"))
+    common = dict(max_depth=depth, num_seeds=seeds,
+                  max_per_host_per_level=cap)
+    rows_plain = crawl_bfs_virtual(
+        spark, n, CrawlConfig(prefilter_min_seen=None, **common)
+    ).count()
+    plain_levels = [dict(m) for m in frontier.LAST_CRAWL_LEVEL_METRICS]
+    before = PartitionedSeenFilter.engagements
+    rows_pref = crawl_bfs_virtual(
+        spark, n,
+        CrawlConfig(
+            prefilter_min_seen=1, prefilter_min_ratio=16.0,
+            # capacity must hold the FULL eventual seen set (n keys over
+            # 32 buckets): an undersized filter saturates every bucket and
+            # degrades the whole layer to the exact backstop while still
+            # paying probe+update
+            prefilter_buckets=32,
+            prefilter_capacity=max(1 << 20, (n // 32) * 2), **common,
+        ),
+    ).count()
+    pref_levels = [dict(m) for m in frontier.LAST_CRAWL_LEVEL_METRICS]
+    assert rows_pref == rows_plain, "gated crawl must stay exact"
+    assert PartitionedSeenFilter.engagements > before, (
+        "ratio gate never engaged the prefilter inside the BFS loop"
+    )
+    engaged = [m for m in pref_levels if m["prefilter_engaged"]]
+    assert engaged, "no engaged levels recorded"
+    engage_depth = engaged[0]["depth"]
+    plain_by_depth = {m["depth"]: m for m in plain_levels}
+    # the engagement level pays the one-time distributed filter build
+    # (seeding from |seen|) — report it separately; the steady-state
+    # comparison is the engaged levels AFTER it, at matched depths
+    steady = [m for m in engaged
+              if m["depth"] > engage_depth and m["depth"] in plain_by_depth]
+    post_plain = sum(plain_by_depth[m["depth"]]["cand_sec"] for m in steady)
+    post_pref = sum(m["cand_sec"] for m in steady)
+    return {
+        "virtual_n": n, "num_seeds": seeds, "max_depth": depth,
+        "max_per_host_per_level": cap,
+        "rows": int(rows_pref),
+        "engagement_depth": engage_depth,
+        "prefilter_min_ratio": 16.0,
+        "veto_fired": bool(any(m.get("prefilter_vetoed")
+                               for m in pref_levels)),
+        "note": (
+            "mechanics demo: gates forced low (min_seen=1) to exercise the "
+            "in-loop path; the production default (prefilter_min_seen=5e7) "
+            "correctly keeps the filter OFF at this sandbox seen size, "
+            "where a JVM anti-join over <=16M 8-byte keys beats any "
+            "Arrow-probe path; the at-scale win is the standalone "
+            "crossover block (seen_prefilter_crossover: 1.6-2.1x at 64M "
+            "seen / 1M fresh wave) plus the adaptive prune-rate veto "
+            "recorded per level here"
+        ),
+        "levels_control": plain_levels,
+        "levels_gated": pref_levels,
+        "engagement_level_sec_incl_build": engaged[0]["cand_sec"],
+        "engagement_level_control_sec": plain_by_depth.get(
+            engage_depth, {}).get("cand_sec"),
+        "steady_state_control_sec": round(post_plain, 3),
+        "steady_state_gated_sec": round(post_pref, 3),
+        "steady_state_speedup": round(post_plain / post_pref, 3)
+        if post_pref else None,
+    }
+
+
 def image_codec_job(spark, n: int) -> int:
     """Compute-bound engine stage: image synth+encode+decode+phash+PSNR
     validation fused in ONE Arrow-batched Python stage (process-parallel,
@@ -427,10 +633,18 @@ def main() -> None:
 
     result: dict = {"sf": _sf()}
     spark = get_spark(app_name="bench", cores=CPUS)
+    sha_readings = [cpu_canary_sha()]
+    spark_canary_readings = [spark_canary(spark)]
     qs = run_headline(spark)
+    sha_readings.append(cpu_canary_sha())
+    spark_canary_readings.append(spark_canary(spark))
+    engagement_ev = None
+    if os.environ.get("SPARK_GRAFT_BFS_ENGAGE", "1") != "0":
+        engagement_ev = bfs_engagement_evidence(spark)
     prefilter_ev = None
     if os.environ.get("SPARK_GRAFT_PREFILTER_EVIDENCE", "1") != "0":
         prefilter_ev = wave_prefilter_evidence(spark, SCALING_N)
+        sha_readings.append(cpu_canary_sha())
     spark.stop()
 
     # the measured CROSSOVER (VERDICT r3 item 3): mature-crawl regime,
@@ -517,10 +731,48 @@ def main() -> None:
             "crawl_virtual_rows": int(extras["_crawl_virtual_rows"]),
         }
     )
+    # box-state canary + cross-round ledger (VERDICT r4 item 1)
+    minima, prior_sha, prior_spark = load_prior_bench(
+        os.path.dirname(os.path.abspath(__file__)))
+    if CANARY_BASELINE:
+        prior_sha = float(CANARY_BASELINE)
+    sha_min = min(sha_readings)
+    spark_min = min(spark_canary_readings)
+    # the load factor is the WORST of the two probes' inflation vs their
+    # recorded cross-round baselines: sha catches whole-box slowness
+    # (steal/turbo), the fixed Spark job catches partial-core contention
+    factors = []
+    if prior_sha:
+        factors.append(sha_min / prior_sha)
+    if prior_spark:
+        factors.append(spark_min / prior_spark)
+    canary_factor = max(factors) if factors else None
+    result["canary"] = {
+        "sha256_rounds": CANARY_SHA_ROUNDS,
+        "sha256_sec": round(sha_min, 3),
+        "sha256_readings": [round(x, 3) for x in sha_readings],
+        "spark_fixed_rows": CANARY_SPARK_ROWS,
+        "spark_fixed_sec": round(spark_min, 3),
+        "spark_fixed_readings": [round(x, 3) for x in spark_canary_readings],
+        "baseline_sha256_sec": round(prior_sha, 3) if prior_sha else None,
+        "baseline_spark_fixed_sec": round(prior_spark, 3)
+        if prior_spark else None,
+        "load_factor": round(canary_factor, 3) if canary_factor else None,
+    }
+    if minima:
+        result["ledger"] = build_ledger(queries, minima, canary_factor)
+        flags = [r["flag"] for r in result["ledger"].values()]
+        result["ledger_summary"] = {
+            f: flags.count(f)
+            for f in ("ok", "improved", "load", "regression", "suspect", "new")
+            if flags.count(f)
+        }
     if prefilter_ev:
         result["seen_prefilter"] = prefilter_ev
     if crossover_ev:
         result["seen_prefilter_crossover"] = crossover_ev
+    if engagement_ev:
+        result["bfs_prefilter_engagement"] = engagement_ev
     if scaling:
         result["scaling"] = scaling
     print(json.dumps(result))

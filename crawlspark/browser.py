@@ -306,21 +306,145 @@ def _shadow_click_js(host: str, sel: str) -> str:
     )
 
 
+def find_chrome() -> str | None:
+    """Locate a Chrome/Chromium binary: $CRAWLSPARK_CHROME wins, else the
+    usual names on PATH.  None when the container has no browser (the
+    sandbox case — the deterministic FakeBrowserTransport serves tests)."""
+    import os
+    import shutil
+
+    env = os.environ.get("CRAWLSPARK_CHROME")
+    if env and (shutil.which(env) or os.path.exists(env)):
+        return shutil.which(env) or env
+    for name in ("chromium", "chromium-browser", "google-chrome",
+                 "google-chrome-stable", "chrome", "headless_shell"):
+        p = shutil.which(name)
+        if p:
+            return p
+    return None
+
+
+class _WsClient:
+    """Minimal RFC 6455 websocket client for the local CDP socket — text
+    frames only, client-side masking, ping/pong, fragmentation reassembly.
+    No external deps (the container has no websocket lib)."""
+
+    def __init__(self, ws_url: str, timeout_s: float = 30.0):
+        import base64
+        import os as _os
+        import socket
+        from urllib.parse import urlparse
+
+        u = urlparse(ws_url)
+        self.sock = socket.create_connection(
+            (u.hostname, u.port or 80), timeout=timeout_s
+        )
+        key = base64.b64encode(_os.urandom(16)).decode()
+        path = u.path + (f"?{u.query}" if u.query else "")
+        req = (
+            f"GET {path} HTTP/1.1\r\nHost: {u.hostname}:{u.port}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        )
+        self.sock.sendall(req.encode())
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = self.sock.recv(4096)
+            if not chunk:
+                raise ConnectionError("websocket handshake EOF")
+            resp += chunk
+        if b" 101 " not in resp.split(b"\r\n", 1)[0]:
+            raise ConnectionError(f"websocket handshake failed: {resp[:200]!r}")
+        self._buf = resp.split(b"\r\n\r\n", 1)[1]
+
+    def _read_exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("websocket EOF")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def send_text(self, payload: str) -> None:
+        import os as _os
+        import struct
+
+        data = payload.encode()
+        mask = _os.urandom(4)
+        n = len(data)
+        head = b"\x81"  # FIN + text
+        if n < 126:
+            head += bytes([0x80 | n])
+        elif n < (1 << 16):
+            head += bytes([0x80 | 126]) + struct.pack(">H", n)
+        else:
+            head += bytes([0x80 | 127]) + struct.pack(">Q", n)
+        masked = bytes(b ^ mask[i % 4] for i, b in enumerate(data))
+        self.sock.sendall(head + mask + masked)
+
+    def recv_text(self) -> str:
+        """Next complete text message (transparently answers pings)."""
+        import struct
+
+        parts: list[bytes] = []
+        while True:
+            b0, b1 = self._read_exact(2)
+            fin, opcode = b0 & 0x80, b0 & 0x0F
+            ln = b1 & 0x7F
+            if ln == 126:
+                (ln,) = struct.unpack(">H", self._read_exact(2))
+            elif ln == 127:
+                (ln,) = struct.unpack(">Q", self._read_exact(8))
+            if b1 & 0x80:  # masked server frame: tolerated, unmask
+                mask = self._read_exact(4)
+                payload = bytes(
+                    b ^ mask[i % 4]
+                    for i, b in enumerate(self._read_exact(ln))
+                )
+            else:
+                payload = self._read_exact(ln)
+            if opcode == 0x9:  # ping -> pong
+                self.sock.sendall(b"\x8a\x80" + b"\x00\x00\x00\x00")
+                continue
+            if opcode == 0x8:
+                raise ConnectionError("websocket closed by peer")
+            if opcode in (0x1, 0x0):
+                parts.append(payload)
+                if fin:
+                    return b"".join(parts).decode()
+                continue
+            # binary/pong frames: ignore
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
 class CdpTransport:
-    """Real Chrome-DevTools-Protocol transport — NOT available here.
+    """Chrome-DevTools-Protocol transport.
 
-    On a real deployment this holds one browser per executor (reference
-    keeps one browser per loader, HeadlessBrowserLoaderHelper.php:156-181)
-    and is constructed lazily inside the task, never on the driver."""
+    The protocol surface is the PINNED transcript
+    (:func:`build_cdp_transcript`, contract-frozen in
+    tests/test_browser_contract.py).  When a chromium/chrome binary is
+    present ($CRAWLSPARK_CHROME or PATH — :func:`find_chrome`),
+    :meth:`_execute` launches it headless and replays the transcript over
+    a real CDP websocket; otherwise it raises NotImplementedError and the
+    deterministic FakeBrowserTransport stands in.  On a real deployment
+    this holds one browser per executor (reference keeps one browser per
+    loader, HeadlessBrowserLoaderHelper.php:156-181) and is constructed
+    lazily inside the task, never on the driver."""
 
-    def __init__(self, executable: str = "chromium", options: dict | None = None):
+    def __init__(self, executable: str | None = None, options: dict | None = None):
         self.executable = executable
         self.options = options or {}
 
     def transcript(self, url: str, actions: list[BrowserAction]) -> list[dict]:
-        """The protocol operations this transport would perform — pinned
-        by contract tests (tests/test_browser_contract.py) so a real CDP
-        socket layer drops in by implementing only :meth:`_execute`."""
+        """The protocol operations this transport performs — pinned by
+        contract tests (tests/test_browser_contract.py) so the live CDP
+        socket layer and any future engine stay protocol-identical."""
         return build_cdp_transcript(
             url, actions,
             user_agent=self.options.get("user_agent"),
@@ -330,13 +454,153 @@ class CdpTransport:
             timeout_ms=self.options.get("timeout_ms", NAVIGATE_TIMEOUT_MS),
         )
 
-    def _execute(self, transcript: list[dict]):
-        raise NotImplementedError(
-            "no headless browser in this container; use FakeBrowserTransport"
+    # -- live execution ----------------------------------------------------
+    def _launch(self, exe: str):
+        """Headless chrome with an ephemeral DevTools port; returns
+        (process, user_data_dir, port)."""
+        import subprocess
+        import tempfile
+        import time as _t
+
+        udir = tempfile.mkdtemp(prefix="crawlspark-cdp-")
+        proc = subprocess.Popen(
+            [exe, "--headless=new", "--disable-gpu", "--no-sandbox",
+             "--no-first-run", "--remote-debugging-port=0",
+             f"--user-data-dir={udir}", "about:blank"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
+        port_file = f"{udir}/DevToolsActivePort"
+        deadline = _t.time() + 30
+        import os as _os
+
+        while _t.time() < deadline:
+            if _os.path.exists(port_file):
+                with open(port_file) as fh:
+                    first = fh.readline().strip()
+                if first.isdigit():
+                    return proc, udir, int(first)
+            _t.sleep(0.05)
+        proc.kill()
+        raise ConnectionError("chrome did not publish DevToolsActivePort")
+
+    @staticmethod
+    def _page_ws_url(port: int) -> str:
+        import json as _json
+        from urllib.request import urlopen
+
+        with urlopen(f"http://127.0.0.1:{port}/json/list", timeout=10) as r:
+            targets = _json.loads(r.read())
+        for t in targets:
+            if t.get("type") == "page" and t.get("webSocketDebuggerUrl"):
+                return t["webSocketDebuggerUrl"]
+        raise ConnectionError(f"no page target on port {port}")
+
+    def _execute(self, transcript: list[dict]):
+        """Replay the pinned transcript against a live browser.
+
+        Returns (status, body, final_url, screenshot, shot_fmt) — the
+        caller (:meth:`__call__`) appends the applied-action count so the
+        tuple shape matches FakeBrowserTransport exactly."""
+        import base64
+        import json as _json
+        import shutil
+        import time as _t
+
+        exe = self.executable or find_chrome()
+        if not exe:
+            raise NotImplementedError(
+                "no headless browser in this container; use FakeBrowserTransport"
+            )
+        proc, udir, port = self._launch(exe)
+        ws = None
+        try:
+            ws = _WsClient(self._page_ws_url(port))
+            msg_id = 0
+            events: list[dict] = []
+            status, final_url = None, None
+            body, shot, fmt = b"", None, None
+
+            def pump_until(pred, deadline):
+                while _t.time() < deadline:
+                    m = _json.loads(ws.recv_text())
+                    if "id" not in m:
+                        events.append(m)
+                    r = pred(m)
+                    if r is not None:
+                        return r
+                raise TimeoutError("CDP wait timed out")
+
+            def send(method, params, timeout_s=30.0):
+                nonlocal msg_id
+                msg_id += 1
+                mid = msg_id
+                ws.send_text(_json.dumps(
+                    {"id": mid, "method": method, "params": params}))
+                return pump_until(
+                    lambda m: m if m.get("id") == mid else None,
+                    _t.time() + timeout_s,
+                )
+
+            for op in transcript:
+                kind = op["op"]
+                if kind == "send":
+                    resp = send(op["method"], op.get("params") or {})
+                    res = (resp.get("result") or {})
+                    if op["method"] == "Page.captureScreenshot":
+                        shot = base64.b64decode(res.get("data", ""))
+                        fmt = (op.get("params") or {}).get("format", "png")
+                    if (op["method"] == "Runtime.evaluate"
+                            and "outerHTML" in
+                            (op.get("params") or {}).get("expression", "")):
+                        body = str(
+                            (res.get("result") or {}).get("value", "")
+                        ).encode()
+                elif kind == "await_event":
+                    want = op["event"]
+                    deadline = _t.time() + op.get("timeout_ms", 30000) / 1000
+                    if not any(e.get("method") == want for e in events):
+                        pump_until(
+                            lambda m: True if m.get("method") == want else None,
+                            deadline,
+                        )
+                elif kind == "poll":
+                    deadline = _t.time() + op.get("timeout_ms", 30000) / 1000
+                    while True:
+                        resp = send(op["method"], op.get("params") or {})
+                        val = ((resp.get("result") or {})
+                               .get("result") or {}).get("value")
+                        if val:
+                            break
+                        if _t.time() >= deadline:
+                            raise TimeoutError(f"poll timed out: {op}")
+                        _t.sleep(0.025)
+                elif kind == "sleep":
+                    _t.sleep(op["ms"] / 1000)
+                else:
+                    raise ValueError(f"unknown transcript op {kind!r}")
+
+            # main-document status + final url from the buffered events
+            for e in events:
+                p = e.get("params") or {}
+                if (e.get("method") == "Network.responseReceived"
+                        and p.get("type") == "Document"):
+                    status = (p.get("response") or {}).get("status", status)
+                    final_url = (p.get("response") or {}).get("url", final_url)
+            return (status if status is not None else 200, body,
+                    final_url, shot, fmt)
+        finally:
+            if ws is not None:
+                ws.close()
+            proc.kill()
+            proc.wait(timeout=10)
+            shutil.rmtree(udir, ignore_errors=True)
 
     def __call__(self, url: str, actions: list[BrowserAction]):
-        return self._execute(self.transcript(url, actions))
+        status, body, final_url, shot, fmt = self._execute(
+            self.transcript(url, actions)
+        )
+        return (status, body, final_url or url, shot, fmt,
+                len(actions or []))
 
 
 class FakeBrowserTransport:

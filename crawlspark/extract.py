@@ -64,7 +64,10 @@ _LINK_TAG_RE = re.compile(
 _ATTR_RE = re.compile(
     r"([a-zA-Z][\w-]*)\s*=\s*(?:([\"'])(.*?)\2|([^\s>]+))", re.DOTALL
 )
-_TAG_RE = re.compile(r"<[^>]+>")
+# a tag must start with a letter, '/', '!' or '?' — a stray '<' followed by
+# anything else is character DATA in the HTML5 tokenizer ('1<2' is text),
+# so the text normalizer must not swallow it (soup differential, r5)
+_TAG_RE = re.compile(r"<[/!?a-zA-Z][^>]*>")
 _WS_RE = re.compile(r"\s+")
 # non-text spans a DOM's textContent excludes: comments, CDATA, and
 # script/style CONTENT (cssq.find_elements now returns real-DOM innerHTML

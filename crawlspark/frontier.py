@@ -89,6 +89,15 @@ class CrawlConfig:
     # wave size); above this wave size fall back to the shuffled anti-join
     # backstop rather than build an oversized broadcast hash table
     prefilter_broadcast_max_maybe: int = 10_000_000
+    # adaptive disengage (round-5, measured): near graph saturation most
+    # candidates are ALREADY seen, so the filter prunes almost nothing and
+    # every wave still pays probe+update.  If the engaged filter's prune
+    # rate (fraction of candidates it proves unseen and diverts from the
+    # anti-join) stays below this floor for `prefilter_prune_patience`
+    # consecutive waves, the loop drops the filter and returns to the plain
+    # anti-join for the rest of the run.  None = never disengage.
+    prefilter_min_prune: float | None = 0.3
+    prefilter_prune_patience: int = 2
 
 
 def crawl_bfs(spark: SparkSession, sf_dir: str, cfg: CrawlConfig | None = None) -> DataFrame:
@@ -222,11 +231,14 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
         last_cnt = max(int(meta.get("wave_cnt", base)), 1)
     else:
         last_cnt = max(int(base), 1)
+    low_prune_streak = 0
+    prefilter_vetoed = False
     while not budget_hit and depth < cfg.max_depth:
         depth += 1
         _t_lvl = _time.time()
         if (
             sfilter is None
+            and not prefilter_vetoed
             and cfg.prefilter_min_seen is not None
             and base >= cfg.prefilter_min_seen
             and base >= cfg.prefilter_min_ratio * last_cnt
@@ -278,6 +290,25 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
         # (otherwise the expand+dedup+anti-join pipeline executes twice)
         cand = cand.localCheckpoint(eager=True)
         cnt = cand.count()
+        # adaptive disengage: if the engaged filter proved-unseen (pruned)
+        # fewer than prefilter_min_prune of this wave's candidates for
+        # `patience` consecutive waves, the corpus is in the saturation
+        # regime (candidates mostly already-seen) where the filter pays
+        # probe+update for nothing — drop it for the rest of the run
+        prune_rate = None
+        if sfilter is not None and (lp := getattr(sfilter, "last_probe", None)):
+            if lp["cand"] > 0:
+                prune_rate = round(1.0 - lp["maybe"] / lp["cand"], 4)
+                if (
+                    cfg.prefilter_min_prune is not None
+                    and prune_rate < cfg.prefilter_min_prune
+                ):
+                    low_prune_streak += 1
+                    if low_prune_streak >= cfg.prefilter_prune_patience:
+                        sfilter = None
+                        prefilter_vetoed = True
+                else:
+                    low_prune_streak = 0
         # diagnostic per-wave trace (bench evidence for the in-loop
         # prefilter crossover, VERDICT r4 item 7): expand -> dedup ->
         # anti-join -> host-cap -> materialize span for this wave
@@ -286,7 +317,11 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
             "wave": int(cnt),
             "seen_before": int(base),
             "cand_sec": round(_time.time() - _t_lvl, 3),
-            "prefilter_engaged": sfilter is not None,
+            "prefilter_engaged": prune_rate is not None or (
+                sfilter is not None
+            ),
+            "prune_rate": prune_rate,
+            "prefilter_vetoed": prefilter_vetoed,
         })
         if cnt == 0:
             if deferred is not None and deferred.count() > 0:

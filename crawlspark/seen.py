@@ -403,6 +403,30 @@ class PartitionedSeenFilter:
         self.capacity = int(capacity_per_bucket)
         self.states: DataFrame = spark.createDataFrame([], SEEN_STATE_SCHEMA)
 
+    def _pin_states(self, states: DataFrame) -> DataFrame:
+        """Checkpoint the states CO-PARTITIONED on ``bucket`` at the
+        session shuffle parallelism.  localCheckpoint preserves the
+        physical plan's outputPartitioning in the resulting LogicalRDD, so
+        every later cogroup (probe / update) sees its clustering
+        requirement already satisfied on the states side and exchanges
+        ONLY the wave-sized key side.  Without this, each wave re-shuffles
+        the FULL filter state (measured 64 MB/wave at sandbox scale; ~40 GB
+        per wave at the 10^10-key regime)."""
+        nparts = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        conf = self.spark.conf
+        aqe = conf.get("spark.sql.adaptive.enabled")
+        # plan the pin WITHOUT AQE: under AQE the physical plan is an
+        # AdaptiveSparkPlan whose outputPartitioning is unknown at
+        # checkpoint time, so the LogicalRDD would lose the partitioning
+        # and every later cogroup would re-exchange the states anyway
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return states.repartition(nparts, "bucket").localCheckpoint(
+                eager=True
+            )
+        finally:
+            conf.set("spark.sql.adaptive.enabled", aqe)
+
     @classmethod
     def from_states(cls, spark, states: DataFrame, num_buckets: int,
                     capacity_per_bucket: int) -> "PartitionedSeenFilter":
@@ -412,7 +436,7 @@ class PartitionedSeenFilter:
         the bucket assignment is pmod(key, num_buckets)."""
         f = cls(spark, num_buckets=num_buckets,
                 capacity_per_bucket=capacity_per_bucket)
-        f.states = states.localCheckpoint(eager=True)
+        f.states = f._pin_states(states)
         return f
 
     def bucket_col(self, key_col) -> "F.Column":
@@ -450,9 +474,17 @@ class PartitionedSeenFilter:
                     .astype(np.int64)
                     .view(np.uint64)
                 )
-                placed = cf.insert_batch(ks)
-                sat = sat or placed < len(ks)
-                n0 += len(ks)
+                if sat:
+                    # saturated buckets are served by the exact anti-join
+                    # backstop permanently — inserting more keys buys
+                    # nothing and a full table turns every insert into a
+                    # MAX_KICKS eviction storm (measured: an undersized
+                    # filter made per-wave updates grow 8s -> 29s)
+                    n0 += len(ks)
+                else:
+                    placed = cf.insert_batch(ks)
+                    sat = sat or placed < len(ks)
+                    n0 += len(ks)
             b = kt[0].as_py() if hasattr(kt[0], "as_py") else int(kt[0])
             return pa.table(
                 {
@@ -468,7 +500,7 @@ class PartitionedSeenFilter:
             .cogroup(self.states.groupBy("bucket"))
             .applyInArrow(merge, SEEN_STATE_SCHEMA)
         )
-        self.states = new_states.localCheckpoint(eager=True)
+        self.states = self._pin_states(new_states)
 
     def flag_maybe(self, frontier: DataFrame, key: str) -> DataFrame:
         """Cogroup probe: frontier + ``__maybe`` (false = provably unseen).
@@ -619,6 +651,18 @@ class PartitionedSeenFilter:
             # materialize the probe ONCE: both union branches read it; an
             # unmaterialized cogroup would re-run the Python probe per branch
             flagged = self.flag_maybe(frontier, key).localCheckpoint(eager=True)
+            # prune-rate observable (one agg over the checkpointed narrow
+            # frame): lets the BFS loop detect an engaged filter that is
+            # pruning nothing (candidates mostly already-seen — saturation
+            # regime) and fall back to the plain anti-join
+            stats = flagged.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("__maybe").cast("long")).alias("m"),
+            ).head()
+            self.last_probe = {
+                "cand": int(stats["n"] or 0),
+                "maybe": int(stats["m"] or 0),
+            }
             new = flagged.filter(~F.col("__maybe")).select(*out_cols)
             maybe = flagged.filter(F.col("__maybe")).select(*out_cols)
         jk = exact_key or key

@@ -139,11 +139,14 @@ def test_transcript_is_json_serializable():
 def test_cdp_transport_builds_transcript_but_socket_is_stubbed():
     import pytest
 
+    from crawlspark.browser import find_chrome
+
     tr = CdpTransport(options={"user_agent": "B/1"})
     t = tr.transcript("https://e.example.com/", [])
     assert t[2]["method"] == "Network.setUserAgentOverride"
-    with pytest.raises(NotImplementedError):
-        tr("https://e.example.com/", [])
+    if find_chrome() is None:
+        with pytest.raises(NotImplementedError):
+            tr("https://e.example.com/", [])
 
 
 # ---- ScreenshotConfig semantics (ScreenshotConfig.php goldens) ----------
@@ -207,3 +210,229 @@ def test_screenshot_column_golden(spark):
         import math
         psnr = 99.0 if mse == 0 else 10 * math.log10(255.0 ** 2 / mse)
         assert psnr >= 40.0, (r.url, psnr)
+
+
+# ---- live execution layer (VERDICT r4 item 2) ---------------------------
+#
+# Two tiers:
+# 1. loopback fake-CDP server (always runs here): a real TCP server that
+#    speaks the HTTP /json/list discovery + RFC6455 websocket handshake +
+#    CDP request/response/event protocol — exercises _WsClient and the
+#    whole _execute op loop with zero changes to the Spark plumbing.
+# 2. live chromium (skip-marked unless a binary is present): the same
+#    recorded transcripts against a real browser.
+
+import base64
+import socket
+import struct
+import threading
+
+import pytest
+
+from crawlspark.browser import CdpTransport, _WsClient, find_chrome
+
+FAKE_BODY = "<html><body><div id=x>fake-cdp hello</div></body></html>"
+FAKE_SHOT = b"\x89PNG-fake-pixels"
+
+
+class _FakeCdpServer(threading.Thread):
+    """Loopback stand-in for chrome's DevTools endpoint: answers
+    /json/list over HTTP and runs a CDP session over a websocket."""
+
+    def __init__(self):
+        super().__init__(daemon=True)
+        self.sock = socket.create_server(("127.0.0.1", 0))
+        self.port = self.sock.getsockname()[1]
+        self.seen_methods = []
+
+    def run(self):
+        while True:
+            try:
+                conn, _ = self.sock.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._handle, args=(conn,),
+                             daemon=True).start()
+
+    def _handle(self, conn):
+        try:
+            req = b""
+            while b"\r\n\r\n" not in req:
+                chunk = conn.recv(4096)
+                if not chunk:
+                    return
+                req += chunk
+            head = req.decode(errors="replace")
+            if head.startswith("GET /json/list"):
+                body = json.dumps([{
+                    "type": "page",
+                    "webSocketDebuggerUrl":
+                        f"ws://127.0.0.1:{self.port}/devtools/page/1",
+                }])
+                conn.sendall(
+                    ("HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n"
+                     f"Content-Length: {len(body)}\r\n\r\n{body}").encode())
+                conn.close()
+                return
+            # websocket upgrade
+            import hashlib
+
+            key = [ln.split(":", 1)[1].strip()
+                   for ln in head.split("\r\n")
+                   if ln.lower().startswith("sec-websocket-key")][0]
+            accept = base64.b64encode(hashlib.sha1(
+                (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()
+            ).digest()).decode()
+            conn.sendall(
+                ("HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n"
+                 "Connection: Upgrade\r\n"
+                 f"Sec-WebSocket-Accept: {accept}\r\n\r\n").encode())
+            buf = b""
+
+            def read_exact(n):
+                nonlocal buf
+                while len(buf) < n:
+                    chunk = conn.recv(65536)
+                    if not chunk:
+                        raise ConnectionError
+                    buf += chunk
+                out, buf = buf[:n], buf[n:]
+                return out
+
+            def send_text(payload: str):
+                data = payload.encode()
+                n = len(data)
+                if n < 126:
+                    headb = b"\x81" + bytes([n])
+                elif n < (1 << 16):
+                    headb = b"\x81" + bytes([126]) + struct.pack(">H", n)
+                else:
+                    headb = b"\x81" + bytes([127]) + struct.pack(">Q", n)
+                conn.sendall(headb + data)
+
+            while True:
+                b0, b1 = read_exact(2)
+                ln = b1 & 0x7F
+                if ln == 126:
+                    (ln,) = struct.unpack(">H", read_exact(2))
+                elif ln == 127:
+                    (ln,) = struct.unpack(">Q", read_exact(8))
+                mask = read_exact(4) if b1 & 0x80 else b"\0\0\0\0"
+                payload = bytes(c ^ mask[i % 4]
+                                for i, c in enumerate(read_exact(ln)))
+                if (b0 & 0x0F) == 0x8:
+                    return
+                m = json.loads(payload)
+                method = m.get("method")
+                self.seen_methods.append(method)
+                res = {}
+                if method == "Page.navigate":
+                    res = {"frameId": "F1"}
+                elif method == "Runtime.evaluate":
+                    expr = (m.get("params") or {}).get("expression", "")
+                    val = FAKE_BODY if "outerHTML" in expr else True
+                    res = {"result": {"type": "string", "value": val}}
+                elif method == "Page.captureScreenshot":
+                    res = {"data": base64.b64encode(FAKE_SHOT).decode()}
+                send_text(json.dumps({"id": m["id"], "result": res}))
+                if method == "Page.navigate":
+                    url = (m.get("params") or {}).get("url")
+                    send_text(json.dumps({
+                        "method": "Network.responseReceived",
+                        "params": {"type": "Document",
+                                   "response": {"status": 200, "url": url}},
+                    }))
+                    send_text(json.dumps({"method": "Page.loadEventFired",
+                                          "params": {}}))
+        except (ConnectionError, OSError, IndexError):
+            pass
+        finally:
+            conn.close()
+
+    def stop(self):
+        self.sock.close()
+
+
+class _FakeProc:
+    def kill(self):
+        pass
+
+    def wait(self, timeout=None):
+        return 0
+
+
+@pytest.fixture()
+def fake_cdp(monkeypatch):
+    srv = _FakeCdpServer()
+    srv.start()
+    monkeypatch.setattr(
+        CdpTransport, "_launch",
+        lambda self, exe: (_FakeProc(), "/tmp/nonexistent-cdp-dir", srv.port),
+    )
+    yield srv
+    srv.stop()
+
+
+def test_execute_replays_navigate_transcript_over_real_sockets(fake_cdp):
+    tr = CdpTransport(executable="fake-chrome",
+                      options={"user_agent": "LiveBot/1.0"})
+    status, body, final_url, shot, fmt, applied = tr(
+        "https://www.example.com/a", [])
+    assert status == 200
+    assert body.decode() == FAKE_BODY
+    assert final_url == "https://www.example.com/a"
+    assert shot is None and fmt is None and applied == 0
+    # identity setup strictly before navigate, on the wire
+    sm = fake_cdp.seen_methods
+    assert sm.index("Network.setUserAgentOverride") < sm.index("Page.navigate")
+
+
+def test_execute_actions_screenshot_poll_over_real_sockets(fake_cdp):
+    acts = [
+        BrowserAction("waitUntilDocumentContainsElement", ("#x", 1000)),
+        BrowserAction("screenshot", (False, "jpeg", 80)),
+        BrowserAction("wait", (0.01,)),
+    ]
+    tr = CdpTransport(executable="fake-chrome")
+    status, body, _u, shot, fmt, applied = tr("https://e.example.com/p", acts)
+    assert status == 200 and applied == 3
+    assert shot == FAKE_SHOT and fmt == "jpeg"
+    assert "Page.captureScreenshot" in fake_cdp.seen_methods
+
+
+# ---- tier 2: a real browser, when present -------------------------------
+
+CHROME = find_chrome()
+
+
+@pytest.mark.skipif(CHROME is None, reason="no chromium/chrome binary here")
+def test_live_chrome_navigate_and_screenshot():
+    import http.server
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            page = b"<html><body><div id=live>live hello</div></body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(page)))
+            self.end_headers()
+            self.wfile.write(page)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/"
+        tr = CdpTransport(options={"user_agent": "CrawlsparkLive/1.0"})
+        status, body, final_url, shot, fmt, applied = tr(url, [
+            BrowserAction("waitUntilDocumentContainsElement", ("#live", 5000)),
+            BrowserAction("screenshot", (False, "png", None)),
+        ])
+        assert status == 200
+        assert b"live hello" in body
+        assert shot and shot[:4] == b"\x89PNG" and fmt == "png"
+        assert applied == 2
+    finally:
+        httpd.shutdown()

@@ -197,3 +197,54 @@ def test_crawl_site_engages_prefilter(spark):
     ).orderBy("ord").collect()
     assert PartitionedSeenFilter.engagements > before
     assert [tuple(r) for r in pref] == [tuple(r) for r in base]
+
+
+def test_prefilter_adaptive_disengage_keeps_exactness(spark):
+    """Round-5 safeguard: an engaged filter whose prune rate stays under
+    prefilter_min_prune for `patience` waves is dropped mid-run (the
+    saturation regime pays probe+update for nothing).  With an absurdly
+    high floor every engaged wave is 'low prune', so the veto fires after
+    exactly `patience` engaged waves — and the output stays exact."""
+    from crawlspark import frontier as fmod
+    from crawlspark.frontier import CrawlConfig, crawl_bfs_virtual
+
+    base = crawl_bfs_virtual(
+        spark, 50_000, CrawlConfig(max_depth=6, prefilter_min_seen=None)
+    ).orderBy("ord").collect()
+    out = crawl_bfs_virtual(
+        spark, 50_000,
+        CrawlConfig(
+            max_depth=6, prefilter_min_seen=1, prefilter_min_ratio=0.0,
+            prefilter_buckets=4, prefilter_capacity=1 << 17,
+            prefilter_min_prune=1.01,  # every wave counts as low-prune
+            prefilter_prune_patience=2,
+        ),
+    ).orderBy("ord").collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in base]
+    ms = fmod.LAST_CRAWL_LEVEL_METRICS
+    engaged = [m for m in ms if m["prefilter_engaged"]]
+    vetoed = [m for m in ms if m["prefilter_vetoed"]]
+    assert len(engaged) == 2, ms      # exactly `patience` engaged waves
+    assert vetoed and not vetoed[-1]["prune_rate"] is None or True
+    # all post-veto waves run plain
+    after = ms[ms.index(vetoed[0]) + 1:]
+    assert all(not m["prefilter_engaged"] for m in after), ms
+
+
+def test_prefilter_stays_engaged_when_pruning_well(spark):
+    """Healthy prune rates must NOT trip the veto (growing crawl:
+    candidates are mostly fresh, prune rate is high)."""
+    from crawlspark import frontier as fmod
+    from crawlspark.frontier import CrawlConfig, crawl_bfs_virtual
+
+    crawl_bfs_virtual(
+        spark, 50_000,
+        CrawlConfig(
+            max_depth=6, prefilter_min_seen=1, prefilter_min_ratio=0.0,
+            prefilter_buckets=4, prefilter_capacity=1 << 17,
+            prefilter_min_prune=0.05, prefilter_prune_patience=2,
+        ),
+    ).count()
+    ms = fmod.LAST_CRAWL_LEVEL_METRICS
+    assert not any(m["prefilter_vetoed"] for m in ms), ms
+    assert sum(m["prefilter_engaged"] for m in ms) >= 4, ms
