@@ -458,10 +458,10 @@ def bfs_engagement_evidence(spark) -> dict:
     # while seen is ~60x the wave — the regime past the measured seen:wave
     # ~16 crossover where the plain anti-join must shuffle the huge seen
     # relation every wave and the filter probe does not
-    n = int(os.environ.get("SPARK_GRAFT_ENGAGE_N", "16000000"))
-    seeds = int(os.environ.get("SPARK_GRAFT_ENGAGE_SEEDS", "15000000"))
+    n = int(os.environ.get("SPARK_GRAFT_ENGAGE_N", "4000000"))
+    seeds = int(os.environ.get("SPARK_GRAFT_ENGAGE_SEEDS", "3750000"))
     depth = int(os.environ.get("SPARK_GRAFT_ENGAGE_DEPTH", "6"))
-    cap = int(os.environ.get("SPARK_GRAFT_ENGAGE_HOST_CAP", "25000"))
+    cap = int(os.environ.get("SPARK_GRAFT_ENGAGE_HOST_CAP", "6250"))
     common = dict(max_depth=depth, num_seeds=seeds,
                   max_per_host_per_level=cap)
     rows_plain = crawl_bfs_virtual(

