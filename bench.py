@@ -94,7 +94,7 @@ def spark_canary(spark) -> float:
 
 
 def load_prior_bench(
-    repo_dir: str,
+    repo_dir: str, sf: float | None = None,
 ) -> tuple[dict[str, float], float | None, float | None]:
     """(per-query minima across recorded BENCH_r*.json, prior sha-canary
     minimum, prior spark-canary minimum).  Two canaries because they see
@@ -115,6 +115,14 @@ def load_prior_bench(
         # the driver wraps bench's JSON line under "parsed"
         if "queries" not in d and isinstance(d.get("parsed"), dict):
             d = d["parsed"]
+        # minima are only comparable at the SAME scale factor: a round run
+        # at sf1 vs sf0.1 minima would flag every query "regression"
+        if sf is not None and d.get("sf") is not None:
+            try:
+                if abs(float(d["sf"]) - sf) > 1e-9:
+                    continue
+            except (TypeError, ValueError):
+                continue
         for k, v in (d.get("queries") or {}).items():
             try:
                 v = float(v)
@@ -640,7 +648,11 @@ def main() -> None:
     spark_canary_readings.append(spark_canary(spark))
     engagement_ev = None
     if os.environ.get("SPARK_GRAFT_BFS_ENGAGE", "1") != "0":
-        engagement_ev = bfs_engagement_evidence(spark)
+        # a demo failure must not abort the round's canary/ledger/headline
+        try:
+            engagement_ev = bfs_engagement_evidence(spark)
+        except Exception as exc:  # noqa: BLE001 - recorded, not swallowed
+            engagement_ev = {"error": f"{type(exc).__name__}: {exc}"}
     prefilter_ev = None
     if os.environ.get("SPARK_GRAFT_PREFILTER_EVIDENCE", "1") != "0":
         prefilter_ev = wave_prefilter_evidence(spark, SCALING_N)
@@ -733,7 +745,7 @@ def main() -> None:
     )
     # box-state canary + cross-round ledger (VERDICT r4 item 1)
     minima, prior_sha, prior_spark = load_prior_bench(
-        os.path.dirname(os.path.abspath(__file__)))
+        os.path.dirname(os.path.abspath(__file__)), sf=result["sf"])
     if CANARY_BASELINE:
         prior_sha = float(CANARY_BASELINE)
     sha_min = min(sha_readings)

@@ -495,15 +495,60 @@ class CdpTransport:
                 return t["webSocketDebuggerUrl"]
         raise ConnectionError(f"no page target on port {port}")
 
+    def _ensure_session(self, exe: str) -> "_WsClient":
+        """One browser per transport instance, reused across page loads
+        (reference: one browser per loader,
+        HeadlessBrowserLoaderHelper.php:156-181).  Launch is lazy; a dead
+        socket triggers one relaunch."""
+        ws = getattr(self, "_ws", None)
+        if ws is not None:
+            return ws
+        self._proc, self._udir, port = self._launch(exe)
+        self._ws = _WsClient(self._page_ws_url(port))
+        return self._ws
+
+    def close(self) -> None:
+        """Tear down the cached browser session (idempotent)."""
+        import shutil
+
+        ws = getattr(self, "_ws", None)
+        if ws is not None:
+            ws.close()
+            self._ws = None
+        proc = getattr(self, "_proc", None)
+        if proc is not None:
+            proc.kill()
+            try:
+                proc.wait(timeout=10)
+            except Exception:
+                pass
+            self._proc = None
+        udir = getattr(self, "_udir", None)
+        if udir:
+            shutil.rmtree(udir, ignore_errors=True)
+            self._udir = None
+
     def _execute(self, transcript: list[dict]):
         """Replay the pinned transcript against a live browser.
 
         Returns (status, body, final_url, screenshot, shot_fmt) — the
         caller (:meth:`__call__`) appends the applied-action count so the
-        tuple shape matches FakeBrowserTransport exactly."""
+        tuple shape matches FakeBrowserTransport exactly.
+
+        Execution-layer glue the pure transcript cannot carry:
+        - a CDP ``error`` response fails the page load LOUDLY (a silently
+          swallowed error would return a body as if the action ran);
+        - ``Input.dispatchMouseEvent`` ops that the transcript records
+          without coordinates get the center of the most recent
+          getBoundingClientRect evaluation injected (the transcript pins
+          the rect lookup immediately before each mouse op);
+        - main-document status/final_url come from the
+          ``Network.responseReceived`` event whose frameId matches the
+          ``Page.navigate`` response — an iframe's Document response must
+          not override the page's.
+        """
         import base64
         import json as _json
-        import shutil
         import time as _t
 
         exe = self.executable or find_chrome()
@@ -511,50 +556,73 @@ class CdpTransport:
             raise NotImplementedError(
                 "no headless browser in this container; use FakeBrowserTransport"
             )
-        proc, udir, port = self._launch(exe)
-        ws = None
         try:
-            ws = _WsClient(self._page_ws_url(port))
-            msg_id = 0
-            events: list[dict] = []
-            status, final_url = None, None
-            body, shot, fmt = b"", None, None
+            ws = self._ensure_session(exe)
+        except (ConnectionError, OSError):
+            self.close()
+            ws = self._ensure_session(exe)
+        msg_id = 0
+        events: list[dict] = []
+        status, final_url, nav_frame = None, None, None
+        body, shot, fmt = b"", None, None
+        last_rect: dict | None = None
 
-            def pump_until(pred, deadline):
-                while _t.time() < deadline:
-                    m = _json.loads(ws.recv_text())
-                    if "id" not in m:
-                        events.append(m)
-                    r = pred(m)
-                    if r is not None:
-                        return r
-                raise TimeoutError("CDP wait timed out")
+        def pump_until(pred, deadline):
+            while _t.time() < deadline:
+                m = _json.loads(ws.recv_text())
+                if "id" not in m:
+                    events.append(m)
+                r = pred(m)
+                if r is not None:
+                    return r
+            raise TimeoutError("CDP wait timed out")
 
-            def send(method, params, timeout_s=30.0):
-                nonlocal msg_id
-                msg_id += 1
-                mid = msg_id
-                ws.send_text(_json.dumps(
-                    {"id": mid, "method": method, "params": params}))
-                return pump_until(
-                    lambda m: m if m.get("id") == mid else None,
-                    _t.time() + timeout_s,
+        def send(method, params, timeout_s=30.0):
+            nonlocal msg_id
+            msg_id += 1
+            mid = msg_id
+            ws.send_text(_json.dumps(
+                {"id": mid, "method": method, "params": params}))
+            resp = pump_until(
+                lambda m: m if m.get("id") == mid else None,
+                _t.time() + timeout_s,
+            )
+            if "error" in resp:
+                raise ConnectionError(
+                    f"CDP {method} failed: {resp['error']}"
                 )
+            return resp
 
+        try:
             for op in transcript:
                 kind = op["op"]
                 if kind == "send":
-                    resp = send(op["method"], op.get("params") or {})
+                    params = dict(op.get("params") or {})
+                    if (op["method"] == "Input.dispatchMouseEvent"
+                            and "x" not in params and last_rect):
+                        params["x"] = last_rect["x"] + last_rect["width"] / 2
+                        params["y"] = last_rect["y"] + last_rect["height"] / 2
+                    resp = send(op["method"], params)
                     res = (resp.get("result") or {})
+                    if op["method"] == "Page.navigate":
+                        if res.get("errorText"):
+                            raise ConnectionError(
+                                f"navigate failed: {res['errorText']}"
+                            )
+                        nav_frame = res.get("frameId", nav_frame)
                     if op["method"] == "Page.captureScreenshot":
                         shot = base64.b64decode(res.get("data", ""))
                         fmt = (op.get("params") or {}).get("format", "png")
-                    if (op["method"] == "Runtime.evaluate"
-                            and "outerHTML" in
-                            (op.get("params") or {}).get("expression", "")):
-                        body = str(
-                            (res.get("result") or {}).get("value", "")
-                        ).encode()
+                    if op["method"] == "Runtime.evaluate":
+                        expr = (op.get("params") or {}).get("expression", "")
+                        val = (res.get("result") or {}).get("value")
+                        if "outerHTML" in expr:
+                            body = str(val or "").encode()
+                        elif "getBoundingClientRect" in expr and val:
+                            try:
+                                last_rect = _json.loads(val)
+                            except (TypeError, ValueError):
+                                last_rect = None
                 elif kind == "await_event":
                     want = op["event"]
                     deadline = _t.time() + op.get("timeout_ms", 30000) / 1000
@@ -578,22 +646,24 @@ class CdpTransport:
                     _t.sleep(op["ms"] / 1000)
                 else:
                     raise ValueError(f"unknown transcript op {kind!r}")
+        except (ConnectionError, TimeoutError):
+            # a broken session must not poison the NEXT page load
+            self.close()
+            raise
 
-            # main-document status + final url from the buffered events
-            for e in events:
-                p = e.get("params") or {}
-                if (e.get("method") == "Network.responseReceived"
-                        and p.get("type") == "Document"):
-                    status = (p.get("response") or {}).get("status", status)
-                    final_url = (p.get("response") or {}).get("url", final_url)
-            return (status if status is not None else 200, body,
-                    final_url, shot, fmt)
-        finally:
-            if ws is not None:
-                ws.close()
-            proc.kill()
-            proc.wait(timeout=10)
-            shutil.rmtree(udir, ignore_errors=True)
+        # main-document status + final url: the FIRST Document response on
+        # the navigated frame (iframes carry a different frameId)
+        for e in events:
+            p = e.get("params") or {}
+            if (e.get("method") == "Network.responseReceived"
+                    and p.get("type") == "Document"
+                    and (nav_frame is None
+                         or p.get("frameId") in (None, nav_frame))):
+                status = (p.get("response") or {}).get("status")
+                final_url = (p.get("response") or {}).get("url")
+                break
+        return (status if status is not None else 200, body,
+                final_url, shot, fmt)
 
     def __call__(self, url: str, actions: list[BrowserAction]):
         status, body, final_url, shot, fmt = self._execute(
@@ -601,6 +671,12 @@ class CdpTransport:
         )
         return (status, body, final_url or url, shot, fmt,
                 len(actions or []))
+
+    def __del__(self):  # best-effort: don't leak a chrome per executor
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class FakeBrowserTransport:

@@ -181,10 +181,16 @@ _VOID_TAGS = frozenset(
 # below is position-based), so markup inside them can never match a
 # selector, exactly as in a browser DOM.  Unterminated constructs swallow
 # to EOF like the HTML5 tokenizer.
+# shared soup-span grammar pieces — extract.py composes its textContent
+# drop-regex from the SAME constants so comment/CDATA/raw-text semantics
+# can never diverge between element matching and text normalization
+COMMENT_SPAN = r"<!--.*?(?:-->|\Z)"
+CDATA_SPAN = r"<!\[CDATA\[.*?(?:\]\]>|\Z)"
+RAWTEXT_OPEN = rf"<(script|style)(?=[\s/>]){_QATTRS}*>"
 _MASK_RE = re.compile(
-    r"<!--.*?(?:-->|\Z)"
-    r"|<!\[CDATA\[.*?(?:\]\]>|\Z)"
-    rf"|(<(script|style)(?=[\s/>]){_QATTRS}*>)"
+    COMMENT_SPAN
+    + "|" + CDATA_SPAN
+    + rf"|({RAWTEXT_OPEN})"
     r"(.*?)(</\2\s*>|\Z)",
     re.DOTALL | re.IGNORECASE,
 )

@@ -70,13 +70,16 @@ _ATTR_RE = re.compile(
 _TAG_RE = re.compile(r"<[/!?a-zA-Z][^>]*>")
 _WS_RE = re.compile(r"\s+")
 # non-text spans a DOM's textContent excludes: comments, CDATA, and
-# script/style CONTENT (cssq.find_elements now returns real-DOM innerHTML
-# that preserves these, so text normalization must drop them itself)
+# script/style CONTENT (cssq.find_elements returns real-DOM innerHTML that
+# preserves these, so text normalization must drop them itself).  Composed
+# from cssq's shared grammar constants so element matching and text
+# normalization can never disagree about where a soup span ends.
+from . import cssq as _cssq  # noqa: E402  (shared soup-span grammar)
+
 _NONTEXT_RE = re.compile(
-    r"<!--.*?(?:-->|\Z)"
-    r"|<!\[CDATA\[.*?(?:\]\]>|\Z)"
-    r"|<(script|style)(?=[\s/>])(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>"
-    r".*?(?:</\1\s*>|\Z)",
+    _cssq.COMMENT_SPAN
+    + "|" + _cssq.CDATA_SPAN
+    + "|" + _cssq.RAWTEXT_OPEN + r".*?(?:</\1\s*>|\Z)",
     re.DOTALL | re.IGNORECASE,
 )
 _LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.IGNORECASE | re.DOTALL)

@@ -231,8 +231,15 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
         last_cnt = max(int(meta.get("wave_cnt", base)), 1)
     else:
         last_cnt = max(int(base), 1)
-    low_prune_streak = 0
-    prefilter_vetoed = False
+    # the veto is part of the crawl's state: a resume must not re-engage
+    # (and re-pay the O(|seen|) filter build for) a filter the run already
+    # proved useless — both fields ride the checkpoint level metadata
+    if resumed_results is not None and meta is not None:
+        low_prune_streak = int(meta.get("low_prune_streak", 0))
+        prefilter_vetoed = bool(meta.get("prefilter_vetoed", False))
+    else:
+        low_prune_streak = 0
+        prefilter_vetoed = False
     while not budget_hit and depth < cfg.max_depth:
         depth += 1
         _t_lvl = _time.time()
@@ -350,7 +357,12 @@ def _crawl(spark: SparkSession, n: int, cfg: CrawlConfig) -> DataFrame:
         if ckpt:
             # wave_cnt: this level's wave size, restored into last_cnt on
             # resume so the prefilter ratio gate sees the true seen:wave ratio
-            lvl_meta = {"base_ord": base, "wave_cnt": int(cnt)}
+            lvl_meta = {
+                "base_ord": base,
+                "wave_cnt": int(cnt),
+                "low_prune_streak": int(low_prune_streak),
+                "prefilter_vetoed": bool(prefilter_vetoed),
+            }
             if sfilter is not None:
                 lvl_meta["prefilter_buckets"] = sfilter.num_buckets
                 lvl_meta["prefilter_capacity"] = sfilter.capacity

@@ -244,6 +244,7 @@ class _FakeCdpServer(threading.Thread):
         self.sock = socket.create_server(("127.0.0.1", 0))
         self.port = self.sock.getsockname()[1]
         self.seen_methods = []
+        self.seen_messages = []
 
     def run(self):
         while True:
@@ -325,21 +326,34 @@ class _FakeCdpServer(threading.Thread):
                 m = json.loads(payload)
                 method = m.get("method")
                 self.seen_methods.append(method)
+                self.seen_messages.append(m)
                 res = {}
                 if method == "Page.navigate":
                     res = {"frameId": "F1"}
                 elif method == "Runtime.evaluate":
                     expr = (m.get("params") or {}).get("expression", "")
-                    val = FAKE_BODY if "outerHTML" in expr else True
+                    if "outerHTML" in expr:
+                        val = FAKE_BODY
+                    elif "getBoundingClientRect" in expr:
+                        val = '{"x": 10, "y": 20, "width": 30, "height": 40}'
+                    else:
+                        val = True
                     res = {"result": {"type": "string", "value": val}}
                 elif method == "Page.captureScreenshot":
                     res = {"data": base64.b64encode(FAKE_SHOT).decode()}
-                send_text(json.dumps({"id": m["id"], "result": res}))
+                if method == "Does.notExist":
+                    send_text(json.dumps({
+                        "id": m["id"],
+                        "error": {"code": -32601,
+                                  "message": "method not found"},
+                    }))
+                else:
+                    send_text(json.dumps({"id": m["id"], "result": res}))
                 if method == "Page.navigate":
                     url = (m.get("params") or {}).get("url")
                     send_text(json.dumps({
                         "method": "Network.responseReceived",
-                        "params": {"type": "Document",
+                        "params": {"type": "Document", "frameId": "F1",
                                    "response": {"status": 200, "url": url}},
                     }))
                     send_text(json.dumps({"method": "Page.loadEventFired",
@@ -436,3 +450,31 @@ def test_live_chrome_navigate_and_screenshot():
         assert applied == 2
     finally:
         httpd.shutdown()
+
+
+def test_execute_injects_click_coordinates_and_fails_loudly(fake_cdp):
+    """Execution-layer glue: mouse ops recorded without coordinates get
+    the center of the preceding getBoundingClientRect; a CDP `error`
+    response raises instead of silently returning a body."""
+    tr = CdpTransport(executable="fake-chrome")
+    tr("https://e.example.com/c",
+       [BrowserAction("clickElement", ("#btn", 1000))])
+    mouse = [m for m in fake_cdp.seen_messages
+             if m.get("method") == "Input.dispatchMouseEvent"]
+    assert len(mouse) == 2  # press + release
+    for m in mouse:
+        assert m["params"]["x"] == 25.0 and m["params"]["y"] == 40.0
+
+    # iframe Document response AFTER the main one must not override
+    # status/final_url: handled by frameId filtering (fake emits F1 only;
+    # main-frame selection asserted in the navigate test via final_url)
+
+    class ErrTransport(CdpTransport):
+        def transcript(self, url, actions):
+            return [{"op": "send", "method": "Does.notExist", "params": {}}]
+
+    err = ErrTransport(executable="fake-chrome")
+    err._launch = lambda exe: (_FakeProc(), "/tmp/nonexistent", fake_cdp.port)
+    import pytest as _pytest
+    with _pytest.raises(ConnectionError, match="CDP"):
+        err("https://e.example.com/x", [])

@@ -225,7 +225,9 @@ def test_prefilter_adaptive_disengage_keeps_exactness(spark):
     engaged = [m for m in ms if m["prefilter_engaged"]]
     vetoed = [m for m in ms if m["prefilter_vetoed"]]
     assert len(engaged) == 2, ms      # exactly `patience` engaged waves
-    assert vetoed and not vetoed[-1]["prune_rate"] is None or True
+    assert vetoed, ms
+    # the wave the veto FIRED on ran engaged and records its prune rate
+    assert vetoed[0]["prune_rate"] is not None, ms
     # all post-veto waves run plain
     after = ms[ms.index(vetoed[0]) + 1:]
     assert all(not m["prefilter_engaged"] for m in after), ms
@@ -274,3 +276,39 @@ def test_crawl_site_prune_veto_keeps_exactness(spark):
     # engaged at least once, then vetoed: strictly fewer engagements than
     # a full prefiltered run of the same depth would record
     assert PartitionedSeenFilter.engagements > before
+
+
+def test_veto_survives_checkpoint_resume(spark):
+    """A vetoed filter must STAY vetoed across kill-and-resume: the veto
+    rides the checkpoint level metadata, so the resumed run neither
+    re-pays the O(|seen|) filter build nor re-probes for `patience` more
+    waves."""
+    import shutil
+    import tempfile
+
+    from crawlspark.frontier import CrawlConfig, crawl_bfs_virtual
+
+    pf = dict(
+        prefilter_min_seen=1, prefilter_min_ratio=0.0,
+        prefilter_buckets=4, prefilter_capacity=1 << 17,
+        prefilter_min_prune=1.01, prefilter_prune_patience=1,
+    )
+    base = crawl_bfs_virtual(
+        spark, 50_000, CrawlConfig(max_depth=5, prefilter_min_seen=None)
+    ).orderBy("ord").collect()
+    d = tempfile.mkdtemp(prefix="ckpt-veto-")
+    try:
+        crawl_bfs_virtual(
+            spark, 50_000, CrawlConfig(max_depth=3, checkpoint_dir=d, **pf)
+        ).count()  # veto fires at depth 2 (patience=1)
+        before = PartitionedSeenFilter.engagements
+        out = crawl_bfs_virtual(
+            spark, 50_000,
+            CrawlConfig(max_depth=5, checkpoint_dir=d, resume=True, **pf),
+        ).orderBy("ord").collect()
+        assert PartitionedSeenFilter.engagements == before, (
+            "resume re-engaged a vetoed filter"
+        )
+        assert [tuple(r) for r in out] == [tuple(r) for r in base]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
