@@ -231,11 +231,22 @@ def winnow_fingerprints(
     signal at local (passage) granularity, where MinHash is global.
 
     Returns (id, fp, first_pos) — one row per distinct fingerprint with
-    its first window position.  Pure Column expressions (two HOF
-    transforms + posexplode + groupBy), integer-exact and replayed
-    bit-for-bit by the DuckDB oracle.  The per-doc gram array is O(doc
-    length) inside one task — no shuffle until the final distinct-set
-    groupBy on (id, fp)."""
+    its first window position, integer-exact and replayed bit-for-bit by
+    the DuckDB oracle.
+
+    Plan shape (round-5 fix): gram hashing is ONE transform evaluated
+    once per document (posexplode materializes it), and the w-window
+    minimum is a per-document ROW WINDOW aggregate
+    (``min(h) OVER (PARTITION BY doc ORDER BY pos ROWS BETWEEN CURRENT
+    ROW AND w-1 FOLLOWING)``) — a single JVM pass.  The previous nested
+    HOF (an outer transform slicing an inner transform's array) hit
+    Catalyst's CollapseProject: the O(L) gram expression was INLINED into
+    every window lambda, recomputing the whole gram array per window —
+    O(L^2) interpreted md5 per document (measured: 0.4 s/300-char doc;
+    the sf0.1 gate query ran 40+ minutes on one task).  Now ~3 s for the
+    whole 5000-doc table."""
+    from pyspark.sql import Window
+
     d = df.select(F.col(id_col), F.col(text_col).alias("__t"))
     n_grams = F.length("__t") - k + 1
     # sequence(1, 0) would DESCEND in Spark — guard short docs to empty
@@ -246,18 +257,19 @@ def winnow_fingerprints(
             lambda i: base_hash(F.col("__t").substr(i, F.lit(k))),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    d = d.withColumn("__hs", grams)
-    n_win = F.size("__hs") - w + 1
-    mins = F.when(
-        n_win >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_win),
-            lambda j: F.array_min(F.slice(F.col("__hs"), j, w)),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    d = d.withColumn("__mins", mins)
+    g = d.select(
+        F.col(id_col),
+        (n_grams - w + 1).alias("__nwin"),
+        F.posexplode(grams).alias("pos0", "__h"),
+    )
+    wspec = (
+        Window.partitionBy(id_col)
+        .orderBy("pos0")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
     return (
-        d.select(F.col(id_col), F.posexplode("__mins").alias("pos0", "fp"))
+        g.withColumn("fp", F.min("__h").over(wspec))
+        .filter(F.col("pos0") < F.col("__nwin"))  # full windows only
         .groupBy(id_col, "fp")
         .agg((F.min("pos0") + 1).cast("long").alias("first_pos"))
     )

@@ -67,3 +67,22 @@ def test_gopher_mean_word_len_bounds(spark):
     rows = {r["doc_id"]: r for r in gopher_rules(df, min_words=10).collect()}
     assert not rows[1]["ok_mean_word_len"]
     assert not rows[2]["ok_mean_word_len"]
+
+
+def test_winnow_plan_hashes_grams_once(spark):
+    """Round-5 regression guard: the gram-hash expression must appear
+    exactly once in the plan (inside the Generate that materializes the
+    array).  The previous nested-HOF form let CollapseProject inline the
+    O(L) gram transform into every window lambda — O(L^2) interpreted md5
+    per document (the sf0.1 gate query ran 40+ minutes on one task)."""
+    from crawlspark.textops import quality
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    plan = quality.winnow_fingerprints(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("md5") == 1, plan
+    # and the window min is a real window aggregate, not an array slice
+    assert "Window" in plan and "slice" not in plan, plan
