@@ -84,15 +84,44 @@ def q_inbound_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_inbound_alt_consensus(refs).orderBy("image_url")
 
 
+# scale-generic oracle (round-5 fix: the original hard-coded the 500-doc
+# fixture's counts — n_refs=10 — and broke at sf0.1 where each image gets
+# 100 refs; now the vote is replayed from the data at any scale factor)
 ORACLE_INBOUND_ALT = """
-SELECT 'http://i/' || i.k || '.jpg' AS image_url,
-       CAST(10 AS BIGINT) AS n_refs,
-       CAST(9 AS BIGINT) AS n_alts,
-       CAST(2 AS BIGINT) AS n_distinct_alts,
-       'a cat' AS top_alt,
-       CAST(666 AS BIGINT) AS top_alt_share_permille
-FROM (SELECT DISTINCT doc_id % 50 AS k FROM documents) i
-ORDER BY image_url
+WITH refs AS (
+  SELECT 'http://i/' || (doc_id % 50) || '.jpg' AS image_url,
+         CASE WHEN (doc_id // 50) % 10 < 6 THEN 'a cat'
+              WHEN (doc_id // 50) % 10 < 9 THEN 'feline'
+              ELSE '' END AS alt
+  FROM documents
+),
+totals AS (
+  SELECT image_url, CAST(COUNT(*) AS BIGINT) AS n_refs
+  FROM refs GROUP BY image_url
+),
+per_alt AS (
+  SELECT image_url, alt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM refs WHERE alt <> '' GROUP BY image_url, alt
+),
+voted AS (
+  SELECT image_url, CAST(SUM(c) AS BIGINT) AS n_alts,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_alts,
+         CAST(MAX(c) AS BIGINT) AS top_c
+  FROM per_alt GROUP BY image_url
+),
+top AS (
+  SELECT image_url, alt AS top_alt,
+         ROW_NUMBER() OVER (
+           PARTITION BY image_url ORDER BY c DESC, alt DESC) AS rn
+  FROM per_alt
+)
+SELECT t.image_url, t.n_refs, v.n_alts, v.n_distinct_alts, p.top_alt,
+       CAST((1000 * v.top_c) // v.n_alts AS BIGINT)
+         AS top_alt_share_permille
+FROM totals t
+JOIN voted v USING (image_url)
+JOIN top p ON p.image_url = t.image_url AND p.rn = 1
+ORDER BY t.image_url
 """
 
 

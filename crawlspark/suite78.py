@@ -160,12 +160,15 @@ def q_title_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     return title_template_suffix(pages).orderBy("host")
 
 
+# scale-generic oracle (round-5 fix: n_pages was hard-coded to the
+# 500-doc fixture's 20 pages/host and broke at sf0.1)
 ORACLE_TITLE_TEMPLATE = """
 WITH p AS (
-  SELECT DISTINCT doc_id % 25 AS k FROM documents
+  SELECT doc_id % 25 AS k, CAST(COUNT(*) AS BIGINT) AS n_pages
+  FROM documents GROUP BY doc_id % 25
 )
 SELECT 't' || k || '.com' AS host,
-       CAST(20 AS BIGINT) AS n_pages,
+       n_pages,
        CASE WHEN k < 20 THEN ' | Site' || k END AS template_suffix,
        CAST(CASE WHEN k < 20 THEN length(' | Site' || k) END AS BIGINT)
          AS suffix_len
