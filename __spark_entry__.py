@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from crawlspark import graph, suite, suite2, suite3, suite4, suite5, suite6, suite7, suite8, suite9, suite10, suite11, suite12, suite13, suite14, suite15, suite16, suite17, suite18, suite19, suite20, suite21, suite22, suite23, suite24, suite25, suite26, suite27, suite28, suite29, suite30, suite31, suite32, suite33, suite34, suite35, suite36, suite37, suite38, suite39, suite40, suite41, suite42, suite43, suite44, suite45, suite46, suite47, suite48, suite49, suite50, suite51, suite52, suite53, suite54, suite55, suite56, suite57, suite58, suite59, suite60, suite61, suite62, suite63, suite64, suite65, suite66, suite67, suite68, suite69, suite70, suite71, suite72, suite73, suite74, suite75, suite76, suite77, suite78, suite79, suite80, suite81, suite82, suite83, suite84, suite85, suite86, suite87, suite88, suite89, suite90, suite91, suite92, suite93, suite94, suite95, suite96, suite97, suite98, suite99, suite100, suite101, suite102, suite103, suite104, suite105, suite106, suite107, suite108, suite109, suite110, suite111
+from crawlspark import graph, suite, suite2, suite3, suite4, suite5, suite6, suite7, suite8, suite9, suite10, suite11, suite12, suite13, suite14, suite15, suite16, suite17, suite18, suite19, suite20, suite21, suite22, suite23, suite24, suite25, suite26, suite27, suite28, suite29, suite30, suite31, suite32, suite33, suite34, suite35, suite36, suite37, suite38, suite39, suite40, suite41, suite42, suite43, suite44, suite45, suite46, suite47, suite48, suite49, suite50, suite51, suite52, suite53, suite54, suite55, suite56, suite57, suite58, suite59, suite60, suite61, suite62, suite63, suite64, suite65, suite66, suite67, suite68, suite69, suite70, suite71, suite72, suite73, suite74, suite75, suite76, suite77, suite78, suite79, suite80, suite81, suite82, suite83, suite84, suite85, suite86, suite87, suite88, suite89, suite90, suite91, suite92, suite93, suite94, suite95, suite96, suite97, suite98, suite99, suite100, suite101, suite102, suite103, suite104, suite105, suite106, suite107, suite108, suite109, suite110, suite111, suite112
 from crawlspark.frontier import CrawlConfig, crawl_bfs
 
 FLAGSHIP_DEPTH = 6
@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(suite109.queries())
     out.update(suite110.queries())
     out.update(suite111.queries())
+    out.update(suite112.queries())
     return out
 
 
@@ -313,4 +314,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(suite109.oracle_sql())
     out.update(suite110.oracle_sql())
     out.update(suite111.oracle_sql())
+    out.update(suite112.oracle_sql())
     return out
